@@ -1,0 +1,172 @@
+"""Relational query surface (SURVEY.md §2.2 P6-P8, §2.3 J1-J3,
+§2.4 A7-A11, §2.6 O1-O2, O7).
+
+Mirrors the reference's JPA dynamic-specification query layer
+(ArticleServiceImpl.java:190-238, ArticleRepository.java:26-93) as
+composable DataFrame transforms.  Everything here is declarative so
+Catalyst gets predicate pushdown / column pruning / broadcast joins
+for free; at 100 TB the same code runs over partitioned tables with
+partition pruning on the date/bucket columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass
+class QueryFilter:
+    """P6: the dynamic predicate bundle from the REST query surface
+    (category equality, keyword LIKE over title|content, created_at
+    range, soft-delete flag) — ArticleServiceImpl.java:190-222."""
+
+    category: str | None = None
+    keyword: str | None = None
+    start_ts: str | None = None
+    end_ts: str | None = None
+    include_deleted: bool = False
+
+    def predicate(
+        self,
+        category_col: str = "category",
+        title_col: str = "title",
+        content_col: str = "content",
+        ts_col: str = "created_at",
+        deleted_col: str | None = "is_deleted",
+    ) -> Column:
+        pred = F.lit(True)
+        if self.category is not None:
+            pred = pred & (F.col(category_col) == self.category)
+        if self.keyword is not None:
+            kw = self.keyword.lower()
+            pred = pred & (
+                F.lower(F.col(title_col)).contains(kw)
+                | F.lower(F.col(content_col)).contains(kw)
+            )
+        if self.start_ts is not None:
+            pred = pred & (F.col(ts_col) >= F.lit(self.start_ts))
+        if self.end_ts is not None:
+            pred = pred & (F.col(ts_col) <= F.lit(self.end_ts))
+        if not self.include_deleted and deleted_col is not None:
+            pred = pred & ~F.coalesce(F.col(deleted_col), F.lit(False))
+        return pred
+
+
+def dynamic_query(
+    df: DataFrame,
+    qf: QueryFilter,
+    *,
+    sort_by: str | None = None,
+    ascending: bool = False,
+    page: int = 0,
+    size: int = 20,
+    **predicate_cols,
+) -> DataFrame:
+    """P6 + O1 + O2: filter → dynamic sort → stable offset pagination.
+
+    Pagination uses row_number over the requested sort (plus a tiebreak
+    on the first column) so pages are stable, as the reference's
+    Pageable contract requires (ArticleController.java:30-36).
+
+    Scale note: OFFSET pagination is inherently a global sort; at
+    100 TB a keyset filter (`WHERE sort_col > last_seen`) replaces the
+    row_number — both are provided, this is the offset form.
+    """
+    out = df.filter(qf.predicate(**predicate_cols))
+    if sort_by is not None:
+        order = [
+            F.col(sort_by).asc() if ascending else F.col(sort_by).desc(),
+            F.col(df.columns[0]).asc(),  # deterministic tiebreak
+        ]
+        w = Window.orderBy(*order)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > page * size) & (F.col("_rn") <= (page + 1) * size))
+            .drop("_rn")
+        )
+    return out
+
+
+def keyset_page(
+    df: DataFrame, sort_col: str, last_seen, size: int = 20, ascending: bool = True
+) -> DataFrame:
+    """O2 at scale: keyset (seek) pagination — no global row numbering,
+    the filter pushes to the scan."""
+    col = F.col(sort_col)
+    pred = col > F.lit(last_seen) if ascending else col < F.lit(last_seen)
+    if last_seen is None:
+        pred = F.lit(True)
+    ordered = df.filter(pred).orderBy(col.asc() if ascending else col.desc())
+    return ordered.limit(size)
+
+
+def join_one_to_many(
+    parent: DataFrame,
+    child: DataFrame,
+    key: str,
+    child_struct_cols: list[str],
+    child_alias: str = "children",
+) -> DataFrame:
+    """J1: articles ⋈ media embedding — left join then collect_list of
+    child structs per parent (entity/Article.java:78-79).
+
+    The child side aggregates BEFORE the join so the join input is one
+    row per key (smaller shuffle, and the join can broadcast when the
+    aggregated child side is small)."""
+    nested = child.groupBy(key).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in child_struct_cols])).alias(child_alias)
+    )
+    return parent.join(nested, key, "left")
+
+
+def join_dim(fact: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """J2: fact ⋈ small dimension — explicit broadcast hint.
+
+    At 100 TB the dimension (categories: 6 rows; nation/region: ≤25)
+    must never shuffle the fact side."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def anti_join_new_keys(new: DataFrame, existing: DataFrame, key: str) -> DataFrame:
+    """J3/P8/S14: rows of `new` whose key is absent from `existing`
+    (dedup-insert path, ArticleServiceImpl.java:131-134)."""
+    return new.join(existing.select(key), key, "left_anti")
+
+
+def exists_key(df: DataFrame, existing: DataFrame, key: str) -> DataFrame:
+    """P8: rows whose key exists (left semi)."""
+    return df.join(existing.select(key), key, "left_semi")
+
+
+def dedup_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """O7: first row per key.  dropDuplicates is nondeterministic about
+    which row survives; we keep the lowest first-column value for
+    reproducibility (matters for oracle comparison and idempotency)."""
+    order_col = df.columns[0]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def stats_by_group(df: DataFrame, group_col: str, date_col: str) -> DataFrame:
+    """A9: per-group count + min/max of a date column
+    (ArticleRepository.java:56-65)."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(date_col).alias("min_date"),
+        F.max(date_col).alias("max_date"),
+    )
+
+
+def daily_counts(df: DataFrame, date_col: str, days: int) -> DataFrame:
+    """A11: count per day, newest first, limit N
+    (ArticleRepository.java:70-79)."""
+    return (
+        df.groupBy(date_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col(date_col).desc())
+        .limit(days)
+    )

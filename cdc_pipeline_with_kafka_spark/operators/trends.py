@@ -1,0 +1,215 @@
+"""Trend analytics (SURVEY.md §2.5 W1-W8): velocity, z-score anomaly,
+direction, compound score, top-k ranking, rank-change, timeline.
+
+The reference computes these with O(candidates × 200) Redis point
+reads per request (advanced_trend_analyzer.py:93-236).  Here each is a
+set-oriented transform over an (hour-bucket × keyword) aggregate
+table: one shuffle partitioned by keyword, then pure window functions
+— the formulation that scales to 100 TB (partition by keyword hash,
+168-row bounded frames, no driver loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import scoring
+
+# Thresholds from advanced_trend_analyzer.py:43-49.
+BREAKOUT_VELOCITY_1H = 10.0
+BREAKOUT_ZSCORE = 2.0
+ANOMALY_THRESHOLD = 0.8
+MIN_HISTORY_POINTS = 24  # z-score needs ≥24 hourly points
+
+
+def velocity(
+    counts: DataFrame,
+    key_col: str = "keyword",
+    bucket_col: str = "bucket",
+    count_col: str = "cnt",
+    window_hours: int = 1,
+) -> DataFrame:
+    """W1: adjacent-window velocity
+    (advanced_trend_analyzer.py:148-169).
+
+    velocity = (current − previous) / window_hours; a keyword with no
+    previous window scores current×2.0 (the reference's "brand new"
+    boost).  `lag` over (keyword, bucket) replaces the two Redis reads.
+    """
+    w = Window.partitionBy(key_col).orderBy(bucket_col)
+    prev = F.lag(count_col).over(w)
+    vel = F.when(prev.isNull(), F.col(count_col) * F.lit(2.0)).otherwise(
+        (F.col(count_col) - prev) / F.lit(float(window_hours))
+    )
+    return counts.withColumn("velocity", vel)
+
+
+def zscore_anomaly(
+    counts: DataFrame,
+    key_col: str = "keyword",
+    bucket_col: str = "bucket",
+    count_col: str = "cnt",
+    history: int = 168,
+    min_points: int = MIN_HISTORY_POINTS,
+) -> DataFrame:
+    """W2: z-score vs the trailing 7-day hourly history
+    (advanced_trend_analyzer.py:171-197).
+
+    z = (current − mean(history)) / std(history) over the previous
+    `history` buckets (excluding current); anomaly = min(|z|/3, 1);
+    requires ≥ min_points of history else 0.  Population std (the
+    reference uses statistics.pstdev semantics via manual mean/std).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(-history, -1)
+    )
+    hist_mean = F.avg(count_col).over(w)
+    hist_std = F.stddev_pop(count_col).over(w)
+    hist_n = F.count(count_col).over(w)
+    z = F.when(
+        (hist_n >= min_points) & (hist_std > 0),
+        (F.col(count_col) - hist_mean) / hist_std,
+    ).otherwise(F.lit(0.0))
+    out = counts.withColumn("zscore", z)
+    return out.withColumn("anomaly", scoring.anomaly_score(F.col("zscore")))
+
+
+def trend_direction(df: DataFrame, v1h: str = "velocity_1h", v6h: str = "velocity_6h") -> DataFrame:
+    """W3: rising / falling / stable classifier
+    (advanced_trend_analyzer.py:199-206)."""
+    direction = (
+        F.when((F.col(v1h) > 2) & (F.col(v6h) > 1), F.lit("rising"))
+        .when((F.col(v1h) < -1) & (F.col(v6h) < -0.5), F.lit("falling"))
+        .otherwise(F.lit("stable"))
+    )
+    return df.withColumn("direction", direction)
+
+
+def compound_scored(
+    df: DataFrame,
+    count_1h: str = "cnt_1h",
+    velocity_col: str = "velocity_1h",
+    zscore_col: str = "zscore",
+    count_6h: str = "cnt_6h",
+    count_24h: str = "cnt_24h",
+) -> DataFrame:
+    """W4: normalized weighted compound score 0-100
+    (advanced_trend_analyzer.py:208-236)."""
+    return df.withColumn(
+        "compound_score",
+        scoring.compound_score(
+            scoring.freq_score(F.col(count_1h)),
+            scoring.velocity_score(F.col(velocity_col)),
+            scoring.anomaly_score(F.col(zscore_col)),
+            scoring.momentum_score(F.col(count_6h), F.col(count_24h)),
+        ),
+    )
+
+
+def trending_ranking(df: DataFrame, limit: int, score_col: str = "compound_score",
+                     key_col: str = "keyword") -> DataFrame:
+    """W5: order by compound score desc, take top-k
+    (advanced_trend_analyzer.py:288-312).  TakeOrderedAndProject —
+    no global sort materialization."""
+    return df.orderBy(F.col(score_col).desc(), F.col(key_col).asc()).limit(limit)
+
+
+def rank_change(
+    counts: DataFrame,
+    snapshot_col: str = "bucket",
+    key_col: str = "keyword",
+    count_col: str = "cnt",
+    fast_delta: int = 3,
+) -> DataFrame:
+    """W6: rank-change indicators between consecutive snapshots
+    (realtime_keyword_aggregator.py:358-383).
+
+    rank within each snapshot, lag to the previous snapshot's rank per
+    keyword, then the reference's when-ladder:
+    new / rising-fast / rising / falling-fast / falling / stable (±3).
+    """
+    rank_w = Window.partitionBy(snapshot_col).orderBy(
+        F.col(count_col).desc(), F.col(key_col).asc()
+    )
+    ranked = counts.withColumn("rnk", F.row_number().over(rank_w))
+    lag_w = Window.partitionBy(key_col).orderBy(snapshot_col)
+    with_prev = ranked.withColumn("prev_rnk", F.lag("rnk").over(lag_w))
+    delta = F.col("prev_rnk") - F.col("rnk")  # positive = moved up
+    indicator = (
+        F.when(F.col("prev_rnk").isNull(), F.lit("new"))
+        .when(delta > fast_delta, F.lit("rising-fast"))
+        .when(delta > 0, F.lit("rising"))
+        .when(delta < -fast_delta, F.lit("falling-fast"))
+        .when(delta < 0, F.lit("falling"))
+        .otherwise(F.lit("stable"))
+    )
+    return with_prev.withColumn("indicator", indicator)
+
+
+def timeline(
+    counts: DataFrame,
+    key_value: str,
+    start_ts: str,
+    end_ts: str,
+    key_col: str = "keyword",
+    bucket_col: str = "bucket",
+    count_col: str = "cnt",
+    step: str = "1 minute",
+) -> DataFrame:
+    """W8: dense per-minute series for one key over a range, missing
+    minutes as 0 (advanced_trend_analyzer.py:314-329).
+
+    The dense calendar comes from sequence+explode (a single tiny
+    partition) left-joined against the sparse aggregate — never a
+    per-minute query loop."""
+    spark = counts.sparkSession
+    calendar = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start_ts).cast("timestamp_ntz"),
+                F.lit(end_ts).cast("timestamp_ntz"),
+                F.expr(f"INTERVAL {step}"),
+            )
+        ).alias(bucket_col)
+    )
+    sparse = counts.filter(F.col(key_col) == key_value).select(bucket_col, count_col)
+    return (
+        calendar.join(sparse, bucket_col, "left")
+        .select(
+            F.col(bucket_col),
+            F.coalesce(F.col(count_col), F.lit(0)).alias(count_col),
+        )
+        .orderBy(bucket_col)
+    )
+
+
+def multi_window_counts(
+    hourly: DataFrame,
+    as_of,
+    key_col: str = "keyword",
+    bucket_col: str = "bucket",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """A3 read side: counts over the trailing 1h/6h/24h/168h windows
+    ending at `as_of`, per keyword — conditional aggregation in ONE
+    pass over the hourly table (the reference does 4×24 zset reads
+    per keyword, advanced_trend_analyzer.py:127-146)."""
+    as_of_ts = F.lit(as_of).cast("timestamp_ntz")
+    in_range = lambda hours: (  # noqa: E731
+        (F.col(bucket_col) > as_of_ts - F.expr(f"INTERVAL {hours} HOURS"))
+        & (F.col(bucket_col) <= as_of_ts)
+    )
+    return (
+        hourly.filter(in_range(168))
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.when(in_range(1), F.col(count_col)).otherwise(0)).alias("cnt_1h"),
+            F.sum(F.when(in_range(6), F.col(count_col)).otherwise(0)).alias("cnt_6h"),
+            F.sum(F.when(in_range(24), F.col(count_col)).otherwise(0)).alias("cnt_24h"),
+            F.sum(F.col(count_col)).alias("cnt_168h"),
+        )
+    )

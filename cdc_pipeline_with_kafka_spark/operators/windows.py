@@ -1,0 +1,175 @@
+"""Windowed aggregation operators (SURVEY.md §2.4 A1-A6, A12-A13;
+§2.8 T1-T2).
+
+The reference keeps multi-window counters in Redis zsets keyed by
+hour/minute buckets (advanced_trend_analyzer.py:68-91) and tumbling
+Kafka Streams windows (AlertTopology.java:58-59,88-89).  Spark-first
+design: ONE minute- or hour-grain base aggregate, partitioned by
+bucket, with every coarser window derived by re-aggregation — so the
+expensive shuffle over the raw stream happens once, and rollups
+shuffle only the (bucket × key) aggregate, which is orders of
+magnitude smaller.  That is the strategy that survives 100 TB.
+
+These transforms are batch/stream agnostic: applied to a streaming
+DataFrame with a watermark they become stateful streaming aggs; on a
+static DataFrame they are the same query in batch mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def windowed_count(
+    df: DataFrame, ts_col: str, key_col: str, duration: str, slide: str | None = None
+) -> DataFrame:
+    """A1/A4: tumbling (or sliding) window count per key
+    (AlertTopology.java:86-91).  Output: window_start, window_end, key, cnt."""
+    win = F.window(F.col(ts_col), duration, slide) if slide else F.window(F.col(ts_col), duration)
+    return (
+        df.groupBy(win.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            F.col("cnt"),
+        )
+    )
+
+
+def windowed_collect(
+    df: DataFrame, ts_col: str, key_col: str, duration: str, payload_cols: list[str]
+) -> DataFrame:
+    """A2: tumbling window collect_list of payload structs per key
+    (AlertTopology.java:57-67).
+
+    Scale note: collect_list materializes the window's rows; bounded
+    only by window duration × per-key rate.  The alert path immediately
+    reduces it (A12), so prefer `breaking_word_stats` which fuses the
+    reduction and never materializes the list."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"), F.col(key_col))
+        .agg(F.collect_list(F.struct(*payload_cols)).alias("items"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            F.col("items"),
+        )
+    )
+
+
+def base_minute_aggregate(df: DataFrame, ts_col: str, key_cols: list[str]) -> DataFrame:
+    """A3/A4 foundation: minute-grain counts per key — the single base
+    aggregate all coarser windows roll up from.  At scale, write this
+    partitioned by date(bucket) so rollup reads prune partitions."""
+    return df.groupBy(
+        F.date_trunc("minute", F.col(ts_col)).alias("bucket"),
+        *[F.col(k) for k in key_cols],
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def rollup_window(
+    base: DataFrame, key_cols: list[str], duration: str, bucket_col: str = "bucket"
+) -> DataFrame:
+    """A3: roll a fine-grain aggregate up to a coarser tumbling window
+    by summing counts — shuffles only aggregate rows, not raw events."""
+    return (
+        base.groupBy(
+            F.window(F.col(bucket_col), duration).alias("w"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *[F.col(k) for k in key_cols],
+            F.col("cnt"),
+        )
+    )
+
+
+def topk_per_window(
+    counts: DataFrame, k: int, partition_cols: list[str], count_col: str = "cnt",
+    key_col: str = "keyword",
+) -> DataFrame:
+    """A5: top-k keywords per window (heapq.nlargest(50) in the
+    reference, realtime_keyword_aggregator.py:163-181).
+
+    row_number (not rank) so exactly k rows survive; the tiebreak on the
+    key keeps results deterministic for the oracle.  Physical plan:
+    partial top-k inside each shuffle partition via
+    WindowGroupLimit pushdown (Spark ≥3.5) — no full sort."""
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col(count_col).desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def topk_global(counts: DataFrame, k: int, count_col: str = "cnt", key_col: str = "keyword") -> DataFrame:
+    """A6: global top-k — orderBy+limit lowers to TakeOrderedAndProject
+    (per-partition heap + driver merge, no full shuffle sort)."""
+    return counts.orderBy(F.col(count_col).desc(), F.col(key_col).asc()).limit(k)
+
+
+def wordcloud_rollup(counts: DataFrame, partition_cols: list[str], key_col: str = "keyword") -> DataFrame:
+    """A13: total + unique-keyword rollup per window
+    (realtime_keyword_aggregator.py:174-181)."""
+    return counts.groupBy(*partition_cols).agg(
+        F.sum("cnt").alias("total_count"),
+        F.countDistinct(key_col).alias("unique_keywords"),
+    )
+
+
+def breaking_word_stats(
+    df: DataFrame,
+    ts_col: str,
+    category_col: str,
+    text_col: str,
+    source_col: str,
+    duration: str = "5 minutes",
+) -> DataFrame:
+    """A12 fused: per (window, category) — tokenize text, count word
+    frequencies, expose max word count + distinct sources
+    (AlertAnalyzer.java:13-43) without materializing per-window lists.
+
+    Two-level aggregation: (window, category, word) counts first
+    (map-side partial aggregation applies), then per (window, category)
+    max + a distinct-source count computed on the pre-explode rows and
+    joined back — at 100 TB this is two small shuffles instead of a
+    collect_list of raw articles."""
+    win = F.window(F.col(ts_col), duration).alias("w")
+    words = df.select(
+        win, F.col(category_col).alias("category"), F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    word_counts = words.groupBy("w", "category", "word").agg(
+        F.count(F.lit(1)).alias("word_cnt")
+    )
+    per_group = word_counts.groupBy("w", "category").agg(
+        F.max("word_cnt").alias("max_word_cnt"),
+        F.max_by("word", "word_cnt").alias("top_word"),
+    )
+    sources = (
+        df.select(F.window(F.col(ts_col), duration).alias("w"),
+                  F.col(category_col).alias("category"),
+                  F.col(source_col).alias("source"))
+        .groupBy("w", "category")
+        .agg(F.countDistinct("source").alias("distinct_sources"),
+             F.count(F.lit(1)).alias("article_cnt"))
+    )
+    return (
+        per_group.join(sources, ["w", "category"])
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "category", "top_word", "max_word_cnt", "distinct_sources", "article_cnt",
+        )
+    )

@@ -1,0 +1,1142 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(PySpark builder, DuckDB oracle SQL) pair over the driver's test
+tables (TESTDATA.md).
+
+Names are prefixed with the SURVEY §2 operator id they exercise
+(a1, w2, j3, f6, o2, ...) so the inventory can be checked line by
+line; the `dedup_*`, `sim_*`, `text_*` entries are the 100 TB
+training-data extensions (BASELINE.json north-star).
+
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name and value-hashes.
+Both engines run in UTC; floats are rounded at the edges where
+accumulation order could differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .functions import scoring
+from .functions import text as textfn
+from .operators import alerts, dedup, relational, similarity, textstats, trends, windows
+from .sources import cdc
+
+AS_OF = "2024-01-30 23:00:00"  # inside the events table's 30-day range
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .sources.tables import load_table
+
+    return load_table(spark, name, sf_dir)
+
+
+def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-grain event counts per event_type — the base aggregate the
+    trend operators roll up from (SURVEY §2.4 A3)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------- sources / scans
+
+
+def s5_table_scan_projection(spark, sf_dir):
+    """S5: projected, filtered scan — filter + pruning push to parquet."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+S5_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 1000.0
+"""
+
+
+def s4_cdc_parse_envelope(spark, sf_dir):
+    """S4+P1+P2: synthesize Debezium envelopes from orders, parse with
+    the engine's tolerant envelope parser, keep upsert ops, project the
+    after-image (sources/cdc.py)."""
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    raw = _t(spark, sf_dir, "orders").select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.when(F.col("o_orderstatus") == "O", "c")
+                    .when(F.col("o_orderstatus") == "F", "u")
+                    .otherwise("d")
+                    .alias("op"),
+                    F.struct(
+                        F.col("o_orderkey").alias("id"),
+                        F.col("o_totalprice").alias("total"),
+                    ).alias("after"),
+                    F.struct(F.lit("orders").alias("table")).alias("source"),
+                    F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+    parsed = cdc.parse_envelope(raw, row_schema=row_schema)
+    kept = cdc.for_table(cdc.upsert_ops(parsed), "orders")
+    return cdc.after_image(kept, extra_cols=["op", "ts"]).select(
+        "id", "total", "op", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+
+
+S4_SQL = """
+WITH env AS (
+  SELECT CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'F' THEN 'u' ELSE 'd' END AS op,
+         o_orderkey AS id, o_totalprice AS total,
+         epoch(o_orderdate) * 1000 AS ts_ms
+  FROM orders
+)
+SELECT id, total, op, make_timestamp(CAST(ts_ms AS BIGINT) * 1000) AS ts
+FROM env WHERE op IN ('c', 'r', 'u') AND id IS NOT NULL
+"""
+
+# ---------------------------------------------------------------- filters / projections
+
+
+def p6_dynamic_filter(spark, sf_dir):
+    """P6: composable dynamic predicate (equality + LIKE + range),
+    built by the QueryFilter operator."""
+    part = _t(spark, sf_dir, "part")
+    qf = relational.QueryFilter(keyword="blue")
+    return part.filter(
+        qf.predicate(
+            category_col="p_brand",
+            title_col="p_name",
+            content_col="p_type",
+            ts_col="p_size",
+            deleted_col=None,
+        )
+    ).filter(F.col("p_size").between(5, 40) & (F.col("p_retailprice") >= 100.0)).select(
+        "p_partkey", "p_name", "p_size", "p_retailprice"
+    )
+
+
+P6_SQL = """
+SELECT p_partkey, p_name, p_size, p_retailprice
+FROM part
+WHERE (lower(p_name) LIKE '%blue%' OR lower(p_type) LIKE '%blue%')
+  AND p_size BETWEEN 5 AND 40 AND p_retailprice >= 100.0
+"""
+
+
+def p7_projection_split(spark, sf_dir):
+    """P7/F16: DTO-style projection with CSV split → trimmed non-empty
+    array (split_csv on a synthesized CSV column)."""
+    docs = _t(spark, sf_dir, "documents")
+    csv = F.concat_ws(",", F.col("lang"), F.col("source"), F.lit(" "), F.lit(""))
+    return docs.select(
+        "doc_id",
+        textfn.split_csv(csv).alias("tags"),
+        F.size(textfn.split_csv(csv)).alias("n_tags"),
+    )
+
+
+P7_SQL = """
+SELECT doc_id,
+       list_filter(list_transform(string_split(concat_ws(',', lang, source, ' ', ''), ','), x -> trim(x)), x -> x <> '') AS tags,
+       len(list_filter(list_transform(string_split(concat_ws(',', lang, source, ' ', ''), ','), x -> trim(x)), x -> x <> '')) AS n_tags
+FROM documents
+"""
+
+# ---------------------------------------------------------------- joins
+
+
+def j1_one_to_many_nested(spark, sf_dir):
+    """J1: orders ⋈ lineitem 1:N — child rows nested per parent
+    (sorted for determinism)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        orders.join(nested, orders.o_orderkey == nested.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("line_numbers", F.array().cast("array<int>")).alias("line_numbers"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT o_orderkey,
+       coalesce(n_lines, 0) AS n_lines,
+       coalesce(line_numbers, []) AS line_numbers
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+) ON o_orderkey = l_orderkey
+"""
+
+
+def j2_dim_joins(spark, sf_dir):
+    """J2: fact ⋈ broadcast dims — customer → nation → region rollup."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = relational.join_dim(
+        relational.join_dim(customer, nation, customer.c_nationkey == nation.n_nationkey, "inner"),
+        region,
+        F.col("n_regionkey") == region.r_regionkey,
+        "inner",
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+J2_SQL = """
+SELECT r_name, n_name, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def j3_anti_join(spark, sf_dir):
+    """J3/O7/S14: customers with no orders (dedup-insert anti-join)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return relational.anti_join_new_keys(customer, orders, "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+J3_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def p8_semi_join(spark, sf_dir):
+    """P8: suppliers that appear in lineitem (existence predicate)."""
+    supplier = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("s_suppkey"))
+    return relational.exists_key(supplier, li, "s_suppkey").select("s_suppkey", "s_name")
+
+
+P8_SQL = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+"""
+
+# ---------------------------------------------------------------- aggregations
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship (TPC-H Q1 shape): scan-heavy multi-aggregate groupBy —
+    the whole-stage-codegen benchmark query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def a7_group_count(spark, sf_dir):
+    """A7: group-by count (ArticleRepository.java:32-33 shape)."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+A7_SQL = "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus"
+
+
+def a8_count_distinct(spark, sf_dir):
+    """A8: exact count-distinct (ArticleRepository.java:38-45)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+A8_SQL = """
+SELECT count(DISTINCT o_custkey) AS n_custs,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+"""
+
+
+def a9_stats_per_group(spark, sf_dir):
+    """A9: per-group count/min/max (ArticleRepository.java:56-65)."""
+    return relational.stats_by_group(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderdate"
+    )
+
+
+A9_SQL = """
+SELECT o_orderpriority, count(*) AS cnt,
+       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def a10_global_max(spark, sf_dir):
+    """A10: global max (ArticleRepository.java:50-51)."""
+    return _t(spark, sf_dir, "orders").agg(F.max("o_orderdate").alias("max_orderdate"))
+
+
+A10_SQL = "SELECT max(o_orderdate) AS max_orderdate FROM orders"
+
+
+def a11_daily_counts(spark, sf_dir):
+    """A11: daily counts, newest first, limited
+    (ArticleRepository.java:70-79)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.date_trunc("day", "o_orderdate")
+    )
+    return relational.daily_counts(orders, "day", 30)
+
+
+A11_SQL = """
+SELECT date_trunc('day', o_orderdate) AS day, count(*) AS cnt
+FROM orders GROUP BY 1 ORDER BY day DESC LIMIT 30
+"""
+
+
+def a5_topk_per_group(spark, sf_dir):
+    """A5: top-k per group via row_number (heap top-k in the reference,
+    realtime_keyword_aggregator.py:163-181)."""
+    part = _t(spark, sf_dir, "part")
+    return windows.topk_per_window(
+        part, k=3, partition_cols=["p_brand"], count_col="p_retailprice", key_col="p_partkey"
+    ).select("p_brand", "p_partkey", "p_retailprice", "rnk")
+
+
+A5_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+  FROM part
+) WHERE rnk <= 3
+"""
+
+
+def a6_topk_global(spark, sf_dir):
+    """A6: global top-k (TakeOrderedAndProject plan)."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return windows.topk_global(counts, 10, count_col="cnt", key_col="user_id")
+
+
+A6_SQL = """
+SELECT user_id, count(*) AS cnt FROM events
+GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10
+"""
+
+
+def a13_wordcloud_rollup(spark, sf_dir):
+    """A13: total + unique rollup over the per-key counts."""
+    hourly = _hourly_counts(spark, sf_dir)
+    return windows.wordcloud_rollup(hourly, ["bucket"], key_col="event_type").select(
+        "bucket", "total_count", "unique_keywords"
+    )
+
+
+A13_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT bucket, sum(cnt) AS total_count, count(DISTINCT event_type) AS unique_keywords
+FROM hourly GROUP BY bucket
+"""
+
+# ---------------------------------------------------------------- sorts / pagination
+
+
+def o2_offset_pagination(spark, sf_dir):
+    """O1+O2: dynamic sort + stable offset pagination (page 2, size 20)."""
+    customer = _t(spark, sf_dir, "customer")
+    return relational.dynamic_query(
+        customer,
+        relational.QueryFilter(),
+        sort_by="c_acctbal",
+        ascending=False,
+        page=2,
+        size=20,
+        category_col="c_mktsegment",
+        title_col="c_name",
+        content_col="c_name",
+        ts_col="c_custkey",
+        deleted_col=None,
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+O2_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20 OFFSET 40
+"""
+
+# ---------------------------------------------------------------- windowed (streaming-shape) aggs
+
+
+def a1_windowed_count(spark, sf_dir):
+    """A1/T1: 30-min tumbling count per key
+    (AlertTopology.java:86-91)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.windowed_count(ev, "ts", "event_type", "30 minutes")
+
+
+A1_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS window_start,
+       make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) + 1800) * 1000000) AS window_end,
+       event_type, count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def a3_multi_window_counts(spark, sf_dir):
+    """A3: trailing 1h/6h/24h/168h counts per key in one conditional-agg
+    pass (vs the reference's 4×24 Redis reads,
+    advanced_trend_analyzer.py:127-146)."""
+    hourly = _hourly_counts(spark, sf_dir)
+    return trends.multi_window_counts(hourly, AS_OF, key_col="event_type")
+
+
+A3_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT event_type,
+  sum(CASE WHEN bucket > TIMESTAMP '{AS_OF}' - INTERVAL 1 HOUR THEN cnt ELSE 0 END) AS cnt_1h,
+  sum(CASE WHEN bucket > TIMESTAMP '{AS_OF}' - INTERVAL 6 HOUR THEN cnt ELSE 0 END) AS cnt_6h,
+  sum(CASE WHEN bucket > TIMESTAMP '{AS_OF}' - INTERVAL 24 HOUR THEN cnt ELSE 0 END) AS cnt_24h,
+  sum(cnt) AS cnt_168h
+FROM hourly
+WHERE bucket > TIMESTAMP '{AS_OF}' - INTERVAL 168 HOUR AND bucket <= TIMESTAMP '{AS_OF}'
+GROUP BY event_type
+"""
+
+
+def a12_breaking_words(spark, sf_dir):
+    """A12 (fused): hourly (window, lang) word stats over a synthetic
+    text stream (events ⋈ documents by id-mod) — max word frequency +
+    distinct sources, the breaking-news rule input
+    (AlertAnalyzer.java:13-43)."""
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    stream = ev.join(
+        docs, (F.col("event_id") % n_docs) == F.col("doc_id"), "inner"
+    ).select("ts", F.col("lang").alias("category"), "source", F.col("text"))
+    stats = windows.breaking_word_stats(stream, "ts", "category", "text", "source", "1 hour")
+    # drop top_word (max_by tie-break is engine-specific); rule columns suffice
+    return stats.select(
+        "window_start", "category", "max_word_cnt", "distinct_sources", "article_cnt"
+    )
+
+
+A12_SQL = """
+WITH stream AS (
+  SELECT date_trunc('hour', e.ts) AS window_start, d.lang AS category, d.source, d.text
+  FROM events e JOIN documents d
+    ON e.event_id % (SELECT count(*) FROM documents) = d.doc_id
+),
+words AS (
+  SELECT window_start, category, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+  FROM stream
+),
+word_counts AS (
+  SELECT window_start, category, word, count(*) AS word_cnt
+  FROM words GROUP BY 1, 2, 3
+),
+per_group AS (
+  SELECT window_start, category, max(word_cnt) AS max_word_cnt
+  FROM word_counts GROUP BY 1, 2
+),
+srcs AS (
+  SELECT window_start, category, count(DISTINCT source) AS distinct_sources, count(*) AS article_cnt
+  FROM stream GROUP BY 1, 2
+)
+SELECT p.window_start, p.category, p.max_word_cnt, s.distinct_sources, s.article_cnt
+FROM per_group p JOIN srcs s USING (window_start, category)
+"""
+
+# ---------------------------------------------------------------- trend math (W-series)
+
+
+def w1_velocity(spark, sf_dir):
+    """W1: adjacent-window velocity with brand-new boost
+    (advanced_trend_analyzer.py:148-169)."""
+    hourly = _hourly_counts(spark, sf_dir)
+    out = trends.velocity(hourly, key_col="event_type")
+    return out.select("bucket", "event_type", "cnt", F.round("velocity", 6).alias("velocity"))
+
+
+W1_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT bucket, event_type, cnt,
+       round(CASE WHEN lag(cnt) OVER w IS NULL THEN cnt * 2.0
+                  ELSE (cnt - lag(cnt) OVER w) / 1.0 END, 6) AS velocity
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+"""
+
+
+def w2_zscore(spark, sf_dir):
+    """W2: z-score anomaly vs trailing 168h history, ≥24 points
+    (advanced_trend_analyzer.py:171-197)."""
+    hourly = _hourly_counts(spark, sf_dir)
+    out = trends.zscore_anomaly(hourly, key_col="event_type")
+    return out.select(
+        "bucket", "event_type", "cnt",
+        F.round("zscore", 6).alias("zscore"),
+        F.round("anomaly", 6).alias("anomaly"),
+    )
+
+
+W2_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL}),
+z AS (
+  SELECT bucket, event_type, cnt,
+         CASE WHEN count(cnt) OVER w >= 24 AND stddev_pop(cnt) OVER w > 0
+              THEN (cnt - avg(cnt) OVER w) / stddev_pop(cnt) OVER w
+              ELSE 0.0 END AS zscore
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket, event_type, cnt, round(zscore, 6) AS zscore,
+       round(least(abs(zscore) / 3.0, 1.0), 6) AS anomaly
+FROM z
+"""
+
+
+def w3_trend_direction(spark, sf_dir):
+    """W3: rising/falling/stable ladder over 1h and 6h velocities
+    (advanced_trend_analyzer.py:199-206)."""
+    hourly = _hourly_counts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    df = hourly.withColumn(
+        "velocity_1h", (F.col("cnt") - F.lag("cnt").over(w)).cast("double")
+    ).withColumn(
+        "velocity_6h", ((F.col("cnt") - F.lag("cnt", 6).over(w)) / 6.0)
+    ).filter(F.col("velocity_1h").isNotNull() & F.col("velocity_6h").isNotNull())
+    return trends.trend_direction(df).select(
+        "bucket", "event_type",
+        F.round("velocity_1h", 6).alias("velocity_1h"),
+        F.round("velocity_6h", 6).alias("velocity_6h"),
+        "direction",
+    )
+
+
+W3_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL}),
+v AS (
+  SELECT bucket, event_type,
+         CAST(cnt - lag(cnt) OVER w AS DOUBLE) AS velocity_1h,
+         (cnt - lag(cnt, 6) OVER w) / 6.0 AS velocity_6h
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT bucket, event_type, round(velocity_1h, 6) AS velocity_1h,
+       round(velocity_6h, 6) AS velocity_6h,
+       CASE WHEN velocity_1h > 2 AND velocity_6h > 1 THEN 'rising'
+            WHEN velocity_1h < -1 AND velocity_6h < -0.5 THEN 'falling'
+            ELSE 'stable' END AS direction
+FROM v WHERE velocity_1h IS NOT NULL AND velocity_6h IS NOT NULL
+"""
+
+
+def _w4_metrics(spark, sf_dir) -> DataFrame:
+    """Shared W4 pipeline: multi-window counts + velocity + z-score +
+    compound score per event_type at AS_OF."""
+    hourly = _hourly_counts(spark, sf_dir)
+    mw = trends.multi_window_counts(hourly, AS_OF, key_col="event_type")
+    prev = hourly.filter(
+        F.col("bucket") == F.lit(AS_OF).cast("timestamp_ntz") - F.expr("INTERVAL 1 HOUR")
+    ).select("event_type", F.col("cnt").alias("prev_cnt"))
+    z = (
+        trends.zscore_anomaly(hourly, key_col="event_type")
+        .filter(F.col("bucket") == F.lit(AS_OF).cast("timestamp_ntz"))
+        .select("event_type", "zscore", "anomaly")
+    )
+    df = (
+        mw.join(prev, "event_type", "left")
+        .join(z, "event_type", "left")
+        .withColumn(
+            "velocity_1h",
+            F.when(F.col("prev_cnt").isNull(), F.col("cnt_1h") * 2.0).otherwise(
+                (F.col("cnt_1h") - F.col("prev_cnt")) / 1.0
+            ),
+        )
+        .withColumn("zscore", F.coalesce("zscore", F.lit(0.0)))
+    )
+    return trends.compound_scored(df)
+
+
+def w4_compound_score(spark, sf_dir):
+    """W4: normalized weighted compound trend score
+    (advanced_trend_analyzer.py:208-236)."""
+    return _w4_metrics(spark, sf_dir).select(
+        "event_type", "cnt_1h", "cnt_6h", "cnt_24h",
+        F.round("velocity_1h", 6).alias("velocity_1h"),
+        F.round("zscore", 6).alias("zscore"),
+        "compound_score",
+    )
+
+
+_W4_CTE = f"""
+WITH hourly AS ({_HOURLY_SQL}),
+mw AS (
+  SELECT event_type,
+    sum(CASE WHEN bucket > TIMESTAMP '{AS_OF}' - INTERVAL 1 HOUR THEN cnt ELSE 0 END) AS cnt_1h,
+    sum(CASE WHEN bucket > TIMESTAMP '{AS_OF}' - INTERVAL 6 HOUR THEN cnt ELSE 0 END) AS cnt_6h,
+    sum(CASE WHEN bucket > TIMESTAMP '{AS_OF}' - INTERVAL 24 HOUR THEN cnt ELSE 0 END) AS cnt_24h
+  FROM hourly
+  WHERE bucket > TIMESTAMP '{AS_OF}' - INTERVAL 168 HOUR AND bucket <= TIMESTAMP '{AS_OF}'
+  GROUP BY event_type
+),
+prev AS (
+  SELECT event_type, cnt AS prev_cnt FROM hourly
+  WHERE bucket = TIMESTAMP '{AS_OF}' - INTERVAL 1 HOUR
+),
+z AS (
+  SELECT event_type, zscore FROM (
+    SELECT bucket, event_type,
+           CASE WHEN count(cnt) OVER w >= 24 AND stddev_pop(cnt) OVER w > 0
+                THEN (cnt - avg(cnt) OVER w) / stddev_pop(cnt) OVER w
+                ELSE 0.0 END AS zscore
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING)
+  ) WHERE bucket = TIMESTAMP '{AS_OF}'
+),
+m AS (
+  SELECT mw.event_type, cnt_1h, cnt_6h, cnt_24h,
+         CASE WHEN prev_cnt IS NULL THEN cnt_1h * 2.0 ELSE (cnt_1h - prev_cnt) / 1.0 END AS velocity_1h,
+         coalesce(zscore, 0.0) AS zscore
+  FROM mw LEFT JOIN prev USING (event_type) LEFT JOIN z USING (event_type)
+),
+scored AS (
+  SELECT *,
+    round((least(cnt_1h / 10.0, 10.0) * 0.25
+         + least(greatest(velocity_1h, 0.0) / 5.0, 10.0) * 0.30
+         + least(abs(zscore) / 3.0, 1.0) * 10.0 * 0.25
+         + least(CASE WHEN cnt_24h > 0 THEN cnt_6h / cnt_24h ELSE 0.0 END, 5.0) * 2.0 * 0.20
+          ) * 10.0, 2) AS compound_score
+  FROM m
+)
+"""
+
+W4_SQL = (
+    _W4_CTE
+    + """
+SELECT event_type, cnt_1h, cnt_6h, cnt_24h,
+       round(velocity_1h, 6) AS velocity_1h, round(zscore, 6) AS zscore, compound_score
+FROM scored
+"""
+)
+
+
+def w5_trending_ranking(spark, sf_dir):
+    """W5: top-k by compound score (advanced_trend_analyzer.py:288-312)."""
+    return trends.trending_ranking(
+        _w4_metrics(spark, sf_dir), limit=3, key_col="event_type"
+    ).select("event_type", "compound_score")
+
+
+W5_SQL = (
+    _W4_CTE
+    + """
+SELECT event_type, compound_score FROM scored
+ORDER BY compound_score DESC, event_type ASC LIMIT 3
+"""
+)
+
+
+def w6_rank_change(spark, sf_dir):
+    """W6: rank-change indicators between consecutive snapshots
+    (realtime_keyword_aggregator.py:358-383)."""
+    hourly = _hourly_counts(spark, sf_dir)
+    out = trends.rank_change(hourly, snapshot_col="bucket", key_col="event_type")
+    return out.select(
+        "bucket", "event_type", "cnt", "rnk",
+        F.coalesce("prev_rnk", F.lit(0)).alias("prev_rnk"),  # null-safe for compare
+        "indicator",
+    )
+
+
+W6_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL}),
+ranked AS (
+  SELECT bucket, event_type, cnt,
+         row_number() OVER (PARTITION BY bucket ORDER BY cnt DESC, event_type ASC) AS rnk
+  FROM hourly
+),
+lagged AS (
+  SELECT *, lag(rnk) OVER (PARTITION BY event_type ORDER BY bucket) AS prev_rnk
+  FROM ranked
+)
+SELECT bucket, event_type, cnt, rnk, coalesce(prev_rnk, 0) AS prev_rnk,
+       CASE WHEN prev_rnk IS NULL THEN 'new'
+            WHEN prev_rnk - rnk > 3 THEN 'rising-fast'
+            WHEN prev_rnk - rnk > 0 THEN 'rising'
+            WHEN prev_rnk - rnk < -3 THEN 'falling-fast'
+            WHEN prev_rnk - rnk < 0 THEN 'falling'
+            ELSE 'stable' END AS indicator
+FROM lagged
+"""
+
+
+def w8_timeline(spark, sf_dir):
+    """W8: dense per-minute series with zero-fill
+    (advanced_trend_analyzer.py:314-329)."""
+    ev = _t(spark, sf_dir, "events")
+    minute = ev.filter(F.col("event_type") == "purchase").groupBy(
+        F.date_trunc("minute", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return trends.timeline(
+        minute.withColumn("keyword", F.lit("purchase")),
+        "purchase",
+        "2024-01-15 00:00:00",
+        "2024-01-15 06:00:00",
+    )
+
+
+W8_SQL = """
+WITH cal AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-15 00:00:00',
+                                TIMESTAMP '2024-01-15 06:00:00',
+                                INTERVAL 1 MINUTE)) AS bucket
+),
+minute AS (
+  SELECT date_trunc('minute', ts) AS bucket, count(*) AS cnt
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT cal.bucket, coalesce(minute.cnt, 0) AS cnt
+FROM cal LEFT JOIN minute USING (bucket)
+"""
+
+# ---------------------------------------------------------------- alerts
+
+
+def w11_trending_threshold(spark, sf_dir):
+    """W11: per-window counts ≥ min mentions (AlertAnalyzer.java:45-50)."""
+    counts = windows.windowed_count(_t(spark, sf_dir, "events"), "ts", "event_type", "30 minutes")
+    return alerts.trending_alerts(counts, min_mentions=8).select(
+        "window_start", "event_type", "cnt"
+    )
+
+
+W11_SQL = """
+WITH wc AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS window_start,
+         event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, cnt FROM wc WHERE cnt >= 8
+"""
+
+
+def w10_surge_alerts(spark, sf_dir):
+    """W10: ≥ratio growth vs previous window with min mentions
+    (readme.md:210-213 300% rule; ratio tuned to the uniform test
+    stream so the rule fires)."""
+    counts = windows.windowed_count(
+        _t(spark, sf_dir, "events"), "ts", "event_type", "30 minutes"
+    ).select("window_start", "event_type", "cnt")
+    return alerts.surge_alerts(
+        counts, growth_ratio=1.5, min_mentions=5, key_col="event_type"
+    ).select("window_start", "event_type", "cnt", "prev_cnt")
+
+
+W10_SQL = """
+WITH wc AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS window_start,
+         event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT *, lag(cnt) OVER (PARTITION BY event_type ORDER BY window_start) AS prev_cnt
+  FROM wc
+)
+SELECT window_start, event_type, cnt, prev_cnt FROM lagged
+WHERE cnt >= 5 AND prev_cnt IS NOT NULL AND prev_cnt > 0 AND cnt >= prev_cnt * 1.5
+"""
+
+# ---------------------------------------------------------------- scalar functions
+
+
+def f6_tokenize_wordfreq(spark, sf_dir):
+    """F6+A5: tokenize → explode → global top-20 word frequencies."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(textfn.tokenize(F.col("text"))).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(20)
+
+
+F6_SQL = """
+SELECT word, count(*) AS cnt FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+  FROM documents
+) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20
+"""
+
+
+def f10_date_bucketing(spark, sf_dir):
+    """F10: stored_date / hour-bucket formatting + counts."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyyMMdd").alias("stored_date"),
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+F10_SQL = """
+SELECT strftime(ts, '%Y%m%d') AS stored_date, date_trunc('hour', ts) AS hour_bucket,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
+def f14_json_extract(spark, sf_dir):
+    """F14: JSON decode of the props column + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+F14_SQL = """
+SELECT event_type, round(avg(k), 6) AS avg_k, max(k) AS max_k, count(*) AS cnt
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def f9_log_view_weight(spark, sf_dir):
+    """F9: log10(x+1) dynamic weighting (readme.md:240-244)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(scoring.log_view_weight(F.col("value")), 6).alias("log_weight"),
+    )
+
+
+F9_SQL = "SELECT event_id, round(log10(value + 1), 6) AS log_weight FROM events"
+
+# ---------------------------------------------------------------- text analysis extensions
+
+
+def text_profile(spark, sf_dir):
+    """Text-analysis pass: token counts, stopword/punct ratios, quality
+    score, fingerprint — one JVM-side map stage."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.text_profile(docs)
+    return out.select(
+        "doc_id", "n_tokens", "stopword_ratio", "mean_word_len", "quality", "fingerprint"
+    )
+
+
+TEXT_PROFILE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tokens,
+         lower(trim(text)) AS lowered
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, tokens,
+         CASE WHEN len(tokens) = 0 THEN 0 ELSE len(tokens) END AS n_tokens,
+         list_filter(string_split_regex(lowered, '\\s+'), t -> t <> '') AS ltokens
+  FROM base
+),
+m AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(ltokens) > 0
+              THEN CAST(len(list_filter(ltokens, t -> list_contains(['the','and','of','to','is','in','that','it','a','an','for','on','with','as','was','are'], t))) AS DOUBLE) / len(ltokens)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(tokens) > 0
+              THEN CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens)
+              ELSE 0.0 END AS mean_word_len
+  FROM tok
+)
+SELECT m.doc_id, n_tokens,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+           + least(stopword_ratio / 0.2, 1.0) * 0.4
+           + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM m JOIN documents d ON m.doc_id = d.doc_id
+"""
+
+
+def text_langid(spark, sf_dir):
+    """Language-ID heuristic: marker-stopword argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.detect_language(F.col("text")).alias("lang_detected")
+    )
+
+
+TEXT_LANGID_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
+    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+    len(list_filter(t, x -> list_contains(['le','la','les','et','est','une','que','des'], x))) AS s_fr,
+    len(list_filter(t, x -> list_contains(['el','la','los','y','es','que','una','de'], x))) AS s_es
+  FROM tok
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_detected
+FROM s
+"""
+
+# ---------------------------------------------------------------- dedup extensions
+
+
+def dedup_exact_summary(spark, sf_dir):
+    """Exact dedup: corpus size vs distinct normalized-content hashes
+    (the groupBy-hash strategy; pairs table is empty on this corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = dedup.normalized_text(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(norm)).alias("n_unique"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_unique
+FROM documents
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by token-set Jaccard ≥ 0.8 via inverted-index
+    join (never a cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=1)
+
+
+DEDUP_JACCARD_SQL = """
+WITH grams AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> ''))) AS gram
+  FROM documents
+),
+sizes AS (SELECT id, count(*) AS set_size FROM grams GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) >= 0.8
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (16 hashes, 8 bands) — the
+    linear-candidate scale path.  Verified against a pure-Python
+    reference in tests (not SQL-expressible concisely → rows-only
+    driver check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=16, bands=8, shingle_n=1)
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints + Hamming-distance pairs via pigeonhole
+    blocking (rows-only driver check; exactness tested in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=12)
+
+# ---------------------------------------------------------------- similarity extensions
+
+
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors (exact ANN
+    baseline; JVM-side dot products)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding, q.qvec)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+def sim_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact self-join baseline at
+    test SF; the LSH-blocked variant is the 100 TB path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.75, exact=True)
+
+
+SIM_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.75
+"""
+
+
+def sim_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate NN (random hyperplanes) — rows-only
+    driver check; recall vs brute force asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_ann_topk(emb, queries, dim=64, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------- registry
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark builder, oracle SQL or None for rows-only check)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "s4_cdc_parse_envelope": (s4_cdc_parse_envelope, S4_SQL),
+    "s5_table_scan_projection": (s5_table_scan_projection, S5_SQL),
+    "p6_dynamic_filter": (p6_dynamic_filter, P6_SQL),
+    "p7_projection_split": (p7_projection_split, P7_SQL),
+    "p8_semi_join": (p8_semi_join, P8_SQL),
+    "j1_one_to_many_nested": (j1_one_to_many_nested, J1_SQL),
+    "j2_dim_joins": (j2_dim_joins, J2_SQL),
+    "j3_anti_join": (j3_anti_join, J3_SQL),
+    "a1_windowed_count": (a1_windowed_count, A1_SQL),
+    "a3_multi_window_counts": (a3_multi_window_counts, A3_SQL),
+    "a5_topk_per_group": (a5_topk_per_group, A5_SQL),
+    "a6_topk_global": (a6_topk_global, A6_SQL),
+    "a7_group_count": (a7_group_count, A7_SQL),
+    "a8_count_distinct": (a8_count_distinct, A8_SQL),
+    "a9_stats_per_group": (a9_stats_per_group, A9_SQL),
+    "a10_global_max": (a10_global_max, A10_SQL),
+    "a11_daily_counts": (a11_daily_counts, A11_SQL),
+    "a12_breaking_words": (a12_breaking_words, A12_SQL),
+    "a13_wordcloud_rollup": (a13_wordcloud_rollup, A13_SQL),
+    "o2_offset_pagination": (o2_offset_pagination, O2_SQL),
+    "w1_velocity": (w1_velocity, W1_SQL),
+    "w2_zscore": (w2_zscore, W2_SQL),
+    "w3_trend_direction": (w3_trend_direction, W3_SQL),
+    "w4_compound_score": (w4_compound_score, W4_SQL),
+    "w5_trending_ranking": (w5_trending_ranking, W5_SQL),
+    "w6_rank_change": (w6_rank_change, W6_SQL),
+    "w8_timeline": (w8_timeline, W8_SQL),
+    "w10_surge_alerts": (w10_surge_alerts, W10_SQL),
+    "w11_trending_threshold": (w11_trending_threshold, W11_SQL),
+    "f6_tokenize_wordfreq": (f6_tokenize_wordfreq, F6_SQL),
+    "f9_log_view_weight": (f9_log_view_weight, F9_SQL),
+    "f10_date_bucketing": (f10_date_bucketing, F10_SQL),
+    "f14_json_extract": (f14_json_extract, F14_SQL),
+    "text_profile": (text_profile, TEXT_PROFILE_SQL),
+    "text_langid": (text_langid, TEXT_LANGID_SQL),
+    "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "sim_embedding_neardup": (sim_embedding_neardup, SIM_NEARDUP_SQL),
+    "sim_lsh_ann_topk": (sim_lsh_ann_topk, None),
+}
+
+# Headline queries for bench.py — chosen to stress distinct physical
+# plans: codegen agg, broadcast join, shuffle agg + window fns, text
+# explode, inverted-index join, LSH, vector math.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "j1_one_to_many_nested",
+    "j2_dim_joins",
+    "a1_windowed_count",
+    "a12_breaking_words",
+    "w2_zscore",
+    "w6_rank_change",
+    "text_profile",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+]
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,101 @@
+"""Streaming pipelines (SURVEY.md §3.1, §3.5, §2.8).
+
+Wires the CDC source → parse → filters → keyword explode → windowed
+aggregations → alert filters → sinks, as Structured Streaming queries.
+Every transform is the SAME batch-tested function from operators/ —
+streaming is a deployment mode, not a separate code path.
+
+Event-time + watermarks throughout (Debezium ts_ms), a documented
+improvement over the reference's processing-time (SURVEY §2.8 T3).
+The reference's Kafka Streams windows have no grace period
+(AlertTopology.java:58-59,88-89 — ofSizeWithNoGrace); our default
+watermark of 10 minutes is the configurable late-data allowance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as textfn
+from ..sources import cdc
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def article_stream(raw: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Parsed, filtered article after-images with event-time watermark
+    (§3.1 steps P1→P2→P3)."""
+    parsed = cdc.parse_envelope(raw.selectExpr("CAST(value AS STRING) AS value"))
+    articles = cdc.after_image(cdc.for_table(cdc.upsert_ops(parsed), "articles"))
+    return cdc.quality_filter(articles).withWatermark("ts", watermark)
+
+
+def keyword_stream(articles: DataFrame) -> DataFrame:
+    """Explode per-article keywords: uses the stored comma-joined
+    keywords column when present, else regex noun extraction (F2) on
+    the title-weighted text — the deterministic extraction mode
+    (SURVEY §2.9 U1 fallback)."""
+    kw = F.when(
+        F.col("keywords").isNotNull() & (F.col("keywords") != ""),
+        textfn.split_csv(F.col("keywords")),
+    ).otherwise(
+        F.filter(
+            textfn.extract_korean_nouns(textfn.weighted_text(F.col("title"), F.col("content"))),
+            textfn.is_valid_keyword,
+        )
+    )
+    return articles.select("id", "category", "source", "ts", F.explode(kw).alias("keyword"))
+
+
+def trending_query(keywords: DataFrame, window: str = "30 minutes", min_mentions: int = 10) -> DataFrame:
+    """A1 + W11: tumbling-window keyword counts ≥ threshold — the
+    trending-alert stream (AlertTopology branch 2)."""
+    counts = keywords.groupBy(
+        F.window("ts", window).alias("w"), F.col("keyword")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.filter(F.col("cnt") >= min_mentions).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "keyword",
+        "cnt",
+    )
+
+
+def breaking_query(articles: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """A2 + A12 fused: per-(window, category) word stats → breaking rule
+    (AlertTopology branch 1).  Uses the fused two-level aggregation
+    from operators.windows (no collect_list materialization)."""
+    from ..operators import alerts, windows
+
+    stats = windows.breaking_word_stats(articles, "ts", "category", "title", "source", window)
+    return alerts.breaking_alerts(stats)
+
+
+def alert_events(trending: DataFrame) -> DataFrame:
+    """Shape trending rows as AlertEvent JSON for the Kafka sink (S8)."""
+    return trending.select(
+        F.concat_ws("_", F.lit("trending"), F.col("keyword"), F.col("window_start").cast("long")).alias("key"),
+        F.to_json(
+            F.struct(
+                F.concat_ws("_", F.lit("alert"), F.col("keyword")).alias("id"),
+                F.lit("trending").alias("type"),
+                F.col("keyword").alias("title"),
+                F.col("cnt").alias("mentions"),
+                F.col("window_start").alias("timestamp"),
+                F.least(F.col("cnt") / F.lit(100.0), F.lit(1.0)).alias("severity"),
+            )
+        ).alias("value"),
+    )
+
+
+def start_memory_query(df: DataFrame, name: str, trigger_seconds: int = 5, output_mode: str = "update"):
+    """Test/serving helper: memory sink with a processing-time trigger
+    (the reference's 5s stats cadence, main.py:534-549)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

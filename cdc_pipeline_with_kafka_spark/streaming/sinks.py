@@ -1,0 +1,122 @@
+"""foreachBatch MERGE sinks (SURVEY.md §2.1 S9-S10, §3.4).
+
+The reference's SyncService replicates CDC into MySQL with
+``INSERT ... ON DUPLICATE KEY UPDATE`` (targetDB1/SyncService.py:87-140)
+and handles deletes as soft-delete on articles / hard delete on media
+(SyncService.py:143-146,255-283).  Delivery is at-least-once made
+effectively-once by idempotent upserts (SURVEY §2.8 T5).
+
+Spark-first: Structured Streaming ``foreachBatch`` applying a keyed
+MERGE.  Without a Delta/Iceberg runtime in this container, the MERGE is
+implemented as a partition-aware parquet rewrite:  anti-join out
+replaced keys, union the new images, write back.  On a lakehouse table
+format the body of ``merge_upsert`` becomes a single ``MERGE INTO``;
+the calling convention and idempotency contract are identical.
+
+Idempotency: replaying a batch yields identical target state because
+(a) the upsert keys on the primary key, (b) within a batch only the
+LAST image per key (by ts, then op-order) is applied, and (c) deletes
+win over earlier upserts of the same key in the same batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_image_per_key(batch: DataFrame, key: str = "id", ts_col: str = "ts") -> DataFrame:
+    """Collapse a CDC micro-batch to the last event per key — ordering
+    by event time then a stable op priority (d > u > c/r at equal ts,
+    matching 'final state wins' replication)."""
+    op_rank = F.when(F.col("op") == "d", 3).when(F.col("op") == "u", 2).otherwise(1)
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), op_rank.desc()
+    )
+    return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _read_target(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], like.schema)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    key: str = "id",
+    soft_delete: bool = True,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """S9/S10: apply a CDC micro-batch to the target table.
+
+    - op c/r/u → upsert the after-image (insert or replace by key)
+    - op d     → articles-style soft delete (is_deleted=true, after
+      image from `before`) when soft_delete, else drop the row (media-
+      style hard delete, SyncService.py:277-283)
+
+    Returns the new target DataFrame (also written to target_path).
+    """
+    latest = latest_image_per_key(batch, key, ts_col)
+    upserts = (
+        latest.filter(F.col("op").isin("c", "r", "u"))
+        .select("after.*")
+        .filter(F.col(key).isNotNull())
+    )
+    deletes = latest.filter(F.col("op") == "d").select(
+        F.coalesce(F.col(f"before.{key}"), F.col(f"after.{key}")).alias(key),
+        F.col("before").alias("_before"),
+    ).filter(F.col(key).isNotNull())
+
+    target = _read_target(spark, target_path, upserts)
+    touched = latest.select(
+        F.coalesce(F.col(f"after.{key}"), F.col(f"before.{key}")).alias(key)
+    ).filter(F.col(key).isNotNull()).distinct()
+
+    untouched = target.join(touched, key, "left_anti")
+    new_rows = [untouched, upserts]
+    if soft_delete:
+        soft = deletes.select("_before.*").withColumn("is_deleted", F.lit(True))
+        # keep prior row content if the delete event lacks a before-image
+        prior = target.join(deletes.select(key), key, "left_semi").withColumn(
+            "is_deleted", F.lit(True)
+        )
+        soft_ids = soft.select(key)
+        new_rows.append(soft.filter(F.col(key).isNotNull()))
+        new_rows.append(prior.join(soft_ids, key, "left_anti"))
+    merged = new_rows[0]
+    for piece in new_rows[1:]:
+        merged = merged.unionByName(piece, allowMissingColumns=True)
+
+    tmp = target_path + "._tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    result = spark.read.parquet(tmp)
+    result.write.mode("overwrite").parquet(target_path)
+    return spark.read.parquet(target_path)
+
+
+def make_merge_sink(target_path: str, key: str = "id", soft_delete: bool = True):
+    """Wrap merge_upsert as a foreachBatch callback:
+    ``stream.writeStream.foreachBatch(make_merge_sink(...))``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, batch_df, target_path, key, soft_delete)
+
+    return sink
+
+
+def kafka_sink_options(topic: str) -> dict[str, str]:
+    """S7/S8 producer parity (keyword_republisher.py:48-57): snappy,
+    acks=all, small linger for batching."""
+    return {
+        "topic": topic,
+        "kafka.compression.type": "snappy",
+        "kafka.acks": "all",
+        "kafka.linger.ms": "10",
+        "kafka.batch.size": "16384",
+    }
