@@ -112,6 +112,19 @@ def ngram_jaccard_pairs(
     )
 
 
+# Mersenne prime 2^31-1: affine rehash domain.  a*h+b stays < 2^62, no
+# 64-bit overflow.
+_MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_params(i: int) -> tuple[int, int]:
+    """Deterministic affine coefficients for hash function i (shared by
+    the pure-Python test reference)."""
+    a = (i * 2654435761 + 1) % _MINHASH_P or 1
+    b = (i * 40503 + 7) % _MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -119,19 +132,24 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signatures: for each of `num_hashes` salted md5 hash
-    functions, the min hash over the doc's word-n-gram set.
+    """MinHash signatures: one md5 base hash per gram, `num_hashes`
+    affine rehashes (a_i·h+b_i mod 2³¹−1), min per doc.
 
-    Output: (id, sig: array<long>[num_hashes]).  Signature size is
-    constant per doc — the corpus-size-independent sketch that makes
-    near-dup feasible at 100 TB."""
+    One hash computation per gram instead of num_hashes — the md5 is
+    the expensive part; affine rehash is three integer ops.  Output:
+    (id, sig: array<long>[num_hashes]) — a constant-size sketch,
+    corpus-size-independent, which is what makes near-dup feasible at
+    100 TB."""
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(token_ngrams(F.col(text_col), shingle_n)).alias("gram"),
     )
-    mins = grams.groupBy("id").agg(
-        *[F.min(_md5_hash64(F.col("gram"), salt=f"h{i}:")).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    base = grams.select("id", (_md5_hash64(F.col("gram")) % _MINHASH_P).alias("h"))
+    min_cols = []
+    for i in range(num_hashes):
+        a, b = _minhash_params(i)
+        min_cols.append(F.min((F.col("h") * a + b) % _MINHASH_P).alias(f"h{i}"))
+    mins = base.groupBy("id").agg(*min_cols)
     return mins.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 

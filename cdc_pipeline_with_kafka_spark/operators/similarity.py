@@ -90,25 +90,51 @@ def lsh_ann_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: restrict the exact cosine re-rank to corpus
-    vectors sharing the query's hyperplane bucket.  Recall trades off
-    with n_planes; multi-probe (flip one bit) would raise recall and is
-    the natural next step at scale."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("_bucket", lsh_signature(F.col(vec_col), planes))
+    """Approximate top-k: exact cosine re-rank restricted to corpus
+    vectors sharing a hyperplane bucket with the query in ANY of
+    `n_tables` independent hash tables (OR-construction — the standard
+    recall amplification; recall ≈ 1-(1-p^planes)^tables).
+
+    At 100 TB the bucket tables are precomputed once and partitioned
+    by (table, bucket); a query touches n_tables buckets, never the
+    full corpus."""
+    def bucket_entries(df, vec_name, out_cols):
+        entries = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+            entries.append(
+                df.select(
+                    *out_cols,
+                    F.lit(t).alias("_table"),
+                    lsh_signature(F.col(vec_name), planes).alias("_bucket"),
+                )
+            )
+        out = entries[0]
+        for e in entries[1:]:
+            out = out.unionByName(e)
+        return out
+
+    c = bucket_entries(corpus, vec_col, [F.col(id_col), F.col(vec_col)])
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("_qvec"),
-        ).withColumn("_bucket", lsh_signature(F.col("_qvec"), planes))
+        bucket_entries(
+            queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+            "_qvec",
+            [F.col(query_id_col), F.col("_qvec")],
+        )
     )
-    scored = c.join(q, "_bucket").select(
+    candidates = (
+        c.join(q, ["_table", "_bucket"])
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = candidates.select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),

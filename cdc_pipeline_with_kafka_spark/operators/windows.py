@@ -157,12 +157,18 @@ def breaking_word_stats(
         F.max("word_cnt").alias("max_word_cnt"),
         F.max_by("word", "word_cnt").alias("top_word"),
     )
+    # exact distinct in batch; approx (HLL) in streaming where exact
+    # distinct aggregation is unsupported — the reference's rule only
+    # needs ≥3 sources, well within HLL accuracy (AlertConfig.java:30-34)
+    distinct_sources = (
+        F.approx_count_distinct("source") if df.isStreaming else F.countDistinct("source")
+    )
     sources = (
         df.select(F.window(F.col(ts_col), duration).alias("w"),
                   F.col(category_col).alias("category"),
                   F.col(source_col).alias("source"))
         .groupBy("w", "category")
-        .agg(F.countDistinct("source").alias("distinct_sources"),
+        .agg(distinct_sources.alias("distinct_sources"),
              F.count(F.lit(1)).alias("article_cnt"))
     )
     return (

@@ -991,6 +991,48 @@ WHERE CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) >= 0.8
 """
 
 
+def dedup_ngram_jaccard3(spark, sf_dir):
+    """Near-dup pairs by word-TRIgram Jaccard ≥ 0.8 — realistic
+    selectivity (unigram sets on this synthetic corpus degenerate to
+    all-pairs-similar; trigram sequences are distinctive).  This is
+    the bench-scale variant."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+
+
+DEDUP_JACCARD3_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) AS set_size FROM grams GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) >= 0.8
+"""
+
+
+def dedup_minhash_lsh3(spark, sf_dir):
+    """MinHash+LSH on trigram shingles — the bench-scale configuration
+    (distinct shingles → sane bucket sizes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=16, bands=8, shingle_n=3)
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (16 hashes, 8 bands) — the
     linear-candidate scale path.  Verified against a pure-Python
@@ -1109,7 +1151,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_ngram_jaccard3": (dedup_ngram_jaccard3, DEDUP_JACCARD3_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_minhash_lsh3": (dedup_minhash_lsh3, None),
     "dedup_simhash": (dedup_simhash, None),
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "sim_embedding_neardup": (sim_embedding_neardup, SIM_NEARDUP_SQL),
@@ -1128,9 +1172,10 @@ BENCH_QUERIES = [
     "w2_zscore",
     "w6_rank_change",
     "text_profile",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard3",
+    "dedup_minhash_lsh3",
     "sim_cosine_topk",
+    "sim_lsh_ann_topk",
 ]
 
 

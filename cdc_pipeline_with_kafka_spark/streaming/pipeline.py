@@ -42,7 +42,7 @@ def keyword_stream(articles: DataFrame) -> DataFrame:
     ).otherwise(
         F.filter(
             textfn.extract_korean_nouns(textfn.weighted_text(F.col("title"), F.col("content"))),
-            textfn.is_valid_keyword,
+            lambda x: textfn.is_valid_keyword(x),
         )
     )
     return articles.select("id", "category", "source", "ts", F.explode(kw).alias("keyword"))
@@ -64,11 +64,51 @@ def trending_query(keywords: DataFrame, window: str = "30 minutes", min_mentions
 
 def breaking_query(articles: DataFrame, window: str = "5 minutes") -> DataFrame:
     """A2 + A12 fused: per-(window, category) word stats → breaking rule
-    (AlertTopology branch 1).  Uses the fused two-level aggregation
-    from operators.windows (no collect_list materialization)."""
+    (AlertTopology branch 1).
+
+    Batch mode uses the fused two-level aggregation from
+    operators.windows.  Streaming mode uses Spark's chained streaming
+    aggregation (append mode, SPARK-40925): level 1 counts per
+    (window, category, word) carrying an HLL sketch of sources; level 2
+    re-windows via window_time and merges sketches with hll_union_agg —
+    distinct-source counting survives the two-level rollup without a
+    stream-stream join."""
     from ..operators import alerts, windows
 
-    stats = windows.breaking_word_stats(articles, "ts", "category", "title", "source", window)
+    if not articles.isStreaming:
+        stats = windows.breaking_word_stats(articles, "ts", "category", "title", "source", window)
+        return alerts.breaking_alerts(stats)
+
+    words = articles.select(
+        F.window("ts", window).alias("w"),
+        "category",
+        "source",
+        F.col("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col("title")), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    word_counts = words.groupBy("w", "category", "word").agg(
+        F.count(F.lit(1)).alias("word_cnt"),
+        F.hll_sketch_agg("source").alias("src_sketch"),
+        F.hll_sketch_agg("id").alias("art_sketch"),
+    )
+    stats = (
+        word_counts.groupBy(
+            F.window(F.window_time("w"), window).alias("w2"), F.col("category")
+        )
+        .agg(
+            F.max("word_cnt").alias("max_word_cnt"),
+            F.max_by("word", "word_cnt").alias("top_word"),
+            F.hll_sketch_estimate(F.hll_union_agg("src_sketch")).alias("distinct_sources"),
+            F.hll_sketch_estimate(F.hll_union_agg("art_sketch")).alias("article_cnt"),
+        )
+        .select(
+            F.col("w2.start").alias("window_start"),
+            F.col("w2.end").alias("window_end"),
+            "category", "top_word", "max_word_cnt", "distinct_sources", "article_cnt",
+        )
+    )
     return alerts.breaking_alerts(stats)
 
 

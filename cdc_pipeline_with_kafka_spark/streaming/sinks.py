@@ -31,11 +31,18 @@ from pyspark.sql.window import Window
 def latest_image_per_key(batch: DataFrame, key: str = "id", ts_col: str = "ts") -> DataFrame:
     """Collapse a CDC micro-batch to the last event per key — ordering
     by event time then a stable op priority (d > u > c/r at equal ts,
-    matching 'final state wins' replication)."""
+    matching 'final state wins' replication).
+
+    The key is taken from the top-level column when present, else
+    derived as coalesce(after.key, before.key) (parse_envelope output
+    keeps images nested)."""
     op_rank = F.when(F.col("op") == "d", 3).when(F.col("op") == "u", 2).otherwise(1)
-    w = Window.partitionBy(key).orderBy(
-        F.col(ts_col).desc(), op_rank.desc()
+    key_col = (
+        F.col(key)
+        if key in batch.columns
+        else F.coalesce(F.col(f"after.{key}"), F.col(f"before.{key}"))
     )
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc(), op_rank.desc())
     return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 

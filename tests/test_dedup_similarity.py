@@ -1,0 +1,147 @@
+"""Exactness checks for the sketch-based operators against pure-Python
+references: MinHash signatures, SimHash fingerprints, LSH ANN recall
+vs brute force (these are the rows-only queries in the driver gate —
+this is their real correctness coverage)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (5, "spark engines process completely different content"),
+]
+
+
+def _py_norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def _py_hash64(s: str, salt: str) -> int:
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
+
+
+_P = (1 << 31) - 1
+
+
+def _py_minhash(text: str, num_hashes: int) -> list[int]:
+    grams = set(_py_norm(text).split(" "))
+    bases = [_py_hash64(g, "") % _P for g in grams]
+    out = []
+    for i in range(num_hashes):
+        a = (i * 2654435761 + 1) % _P or 1
+        b = (i * 40503 + 7) % _P
+        out.append(min((a * h + b) % _P for h in bases))
+    return out
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_minhash_signatures_match_python_reference(spark):
+    df = _docs_df(spark)
+    sigs = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(df, num_hashes=8, shingle_n=1).collect()
+    }
+    for doc_id, text in DOCS:
+        assert sigs[doc_id] == _py_minhash(text, 8), f"doc {doc_id}"
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sigs = {
+        r["id"]: tuple(r["sig"])
+        for r in dedup.minhash_signatures(_docs_df(spark), num_hashes=8, shingle_n=1).collect()
+    }
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            _docs_df(spark), threshold=0.5, num_hashes=8, bands=4, shingle_n=1
+        ).collect()
+    }
+    assert pairs.get((1, 4)) == 1.0  # exact dup pair always found
+    assert (1, 3) not in pairs  # dissimilar pair not reported
+
+
+def test_simhash_properties(spark):
+    df = _docs_df(spark)
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", dedup.simhash64(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[4]  # identical text → identical fingerprint
+    ham_12 = bin(fps[1] ^ fps[2]).count("1")
+    ham_13 = bin(fps[1] ^ fps[3]).count("1")
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_blocking_finds_close_pairs(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(_docs_df(spark), max_hamming=16).collect()
+    }
+    assert got.get((1, 4)) == 0
+    # blocking guarantee: any pair with hamming < blocks must appear
+    assert (1, 2) in got or bin(
+        _fp(spark, DOCS[0][1]) ^ _fp(spark, DOCS[1][1])
+    ).count("1") > 16
+
+
+def _fp(spark, text: str) -> int:
+    return spark.range(1).select(dedup.simhash64(F.lit(text)).alias("fp")).collect()[0]["fp"]
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = dedup.dedup_exact(_docs_df(spark))
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 4 not in ids
+    assert {1, 2, 3, 5} == ids
+
+
+def test_ngram_jaccard_pairs_values(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(_docs_df(spark), threshold=0.5, n=1).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    # docs 1,2 share 7 of 9 distinct tokens → jaccard 7/9
+    assert abs(pairs[(1, 2)] - 7 / 9) < 1e-6
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=4)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # self-match must always be present (query is in its own bucket)
+    assert all((q, q) in approx_set for q in range(10))
+
+
+def test_cosine_topk_self_is_top1(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = similarity.cosine_topk(emb, queries, k=1).collect()
+    for r in top1:
+        assert r["vec_id"] == r["query_id"] and abs(r["cos_sim"] - 1.0) < 1e-5

@@ -1,0 +1,101 @@
+"""Scalar text-function parity with the reference semantics
+(SURVEY.md §2.7): josa stripping, noun extraction, validity,
+breaking indicators, classifier, merge-capped union."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark.functions import dates, text
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_strip_josa(spark):
+    cases = {
+        "대통령이": "대통령",
+        "경제를": "경제",
+        "부동산에서": "부동산",
+        "금리와": "금리",
+        "올림픽도": "올림픽",
+        "반도체": "반도체",  # no josa → unchanged
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "w string")
+    got = {r["w"]: r["s"] for r in df.select("w", text.strip_josa(F.col("w")).alias("s")).collect()}
+    assert got == cases
+
+
+def test_extract_korean_nouns_filters_length(spark):
+    out = _one(
+        spark,
+        text.extract_korean_nouns(F.lit("대통령이 오늘 경제 정책을 발표했다 a b")),
+    )
+    assert "대통령" in out and "경제" in out
+    assert all(2 <= len(w) <= 8 for w in out)
+
+
+def test_is_valid_keyword_rules(spark):
+    words = ["경제", "그리고", "12345", "하다", "발표하다", "반도체산업동향분석보고", "인공지능"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["ok"]
+        for r in df.select("w", text.is_valid_keyword(F.col("w")).alias("ok")).collect()
+    }
+    assert got["경제"] and got["인공지능"]
+    assert not got["그리고"]  # stopword
+    assert not got["12345"]  # digits
+    assert not got["발표하다"]  # verb ending
+    assert not got["반도체산업동향분석보고"]  # >8 chars
+
+
+def test_breaking_indicators_and_predicate(spark):
+    hit = _one(spark, text.breaking_indicators(F.lit("속보: 서울 화재 발생")))
+    assert set(hit) == {"속보", "화재"}
+    assert _one(spark, text.is_breaking(F.lit("속보입니다"))) is True
+    assert _one(spark, text.is_breaking(F.lit("평범한 기사"))) is False
+
+
+def test_classify_keyword(spark):
+    assert _one(spark, text.classify_keyword(F.lit("2024년"))) == "numeric"
+    assert _one(spark, text.classify_keyword(F.lit("AI"))) == "short"
+    assert _one(spark, text.classify_keyword(F.lit("인공지능"))) == "general"
+
+
+def test_merge_keywords_capped_order_preserving_dedup(spark):
+    out = _one(
+        spark,
+        text.merge_keywords_capped(
+            F.array(F.lit("AI"), F.lit("경제"), F.lit("ai")),
+            F.array(F.lit("금리"), F.lit("경제"), F.lit("부동산"), F.lit("선거"), F.lit("태풍"), F.lit("화재")),
+            cap=6,
+        ),
+    )
+    assert out == ["AI", "경제", "금리", "부동산", "선거", "태풍"]  # case-folded dedup, capped
+
+
+def test_weighted_text_and_normalize(spark):
+    w = _one(spark, text.weighted_text(F.lit("제목"), F.lit("본문내용"), content_limit=4))
+    assert w == "제목 제목 제목 본문내용"[: len(w)] and w.count("제목") == 3
+    n = _one(spark, text.normalize_text(F.lit("안녕!!!   세계?? ok")))
+    assert n == "안녕 세계 ok"
+
+
+def test_author_first_token_and_truncate(spark):
+    assert _one(spark, text.author_first_token(F.lit("홍길동 기자"))) == "홍길동"
+    assert _one(spark, text.truncate(F.lit("abcdef"), 3)) == "abc"
+
+
+def test_tokenize_drops_empties(spark):
+    assert _one(spark, text.tokenize(F.lit("  Hello   World  "))) == ["hello", "world"]
+
+
+def test_parse_iso_ts_handles_z_suffix(spark):
+    got = _one(spark, dates.parse_iso_ts(F.lit("2024-03-01T12:00:00Z")))
+    assert got.hour == 12 and got.year == 2024
+
+
+def test_empty_to_null(spark):
+    assert _one(spark, dates.empty_to_null(F.lit("  "))) is None
+    assert _one(spark, dates.empty_to_null(F.lit("x"))) == "x"
