@@ -1,0 +1,140 @@
+"""Keyword extraction tier (SURVEY.md §2.9 U1-U3).
+
+The reference's HybridKeywordExtractor
+(keyword-extraction/hybrid_keyword_extractor.py:33-171) embeds text
+with KeyBERT/KoBERT and falls back to regex noun extraction; LLM
+refinement (U2) is applied selectively for important articles
+(views>10000 or comments>100, hybrid_keyword_extractor.py:23-26).
+
+Spark-first layering:
+- ``extract_keywords_column`` — the deterministic regex mode as PURE
+  column expressions (F2+F5+O6, JVM-side).  This is the correctness-
+  tested path and the default.
+- ``extract_keywords_pandas_udf`` — the Arrow-batched pandas UDF slot
+  for a real embedding model.  The model loader is pluggable; without
+  a model it applies the same deterministic algorithm (so the UDF
+  plumbing — batching, schema, broadcast — is real and tested), and a
+  KeyBERT-style scorer can be dropped in per executor.
+- ``llm_refine_stub`` — U2 interface, disabled by default: selective
+  enrichment belongs in foreachBatch outside the streaming hot path.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from .text import KOREAN_STOPWORDS, extract_korean_nouns, is_valid_keyword, weighted_text
+
+MAX_KEYWORDS = 6  # hybrid_keyword_extractor.py:243-260 cap
+
+_HANGUL_RE = re.compile(r"[가-힣]{2,8}")
+_JOSA_RES = [
+    re.compile(r"(은|는|이|가|을|를|의|에|로|으로)$"),
+    re.compile(r"(에서|에게|한테|부터|까지|마저|조차)$"),
+    re.compile(r"(와|과|하고|이랑|랑)$"),
+    re.compile(r"(도|만|까지도|마저도)$"),
+]
+_VERB_RE = re.compile(r"(하다|되다|있다|없다)$")
+_STOPWORDS = set(KOREAN_STOPWORDS)
+
+
+def extract_keywords_column(title: Column, content: Column, cap: int = MAX_KEYWORDS) -> Column:
+    """Deterministic extraction as column expressions: title-weighted
+    text → Hangul noun candidates → validity filter → ordered distinct
+    → cap.  Whole-stage-codegen, no Python."""
+    nouns = extract_korean_nouns(weighted_text(title, content))
+    valid = F.filter(nouns, lambda x: is_valid_keyword(x))
+    return F.slice(F.array_distinct(valid), 1, cap)
+
+
+def _extract_py(text: str, cap: int = MAX_KEYWORDS) -> list[str]:
+    """Pure-Python mirror of extract_keywords_column (used by the
+    pandas UDF fallback scorer and unit tests)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for word in _HANGUL_RE.findall(text or ""):
+        for josa in _JOSA_RES:
+            word = josa.sub("", word)
+        if (
+            2 <= len(word) <= 8
+            and not word.isdigit()
+            and word not in _STOPWORDS
+            and not _VERB_RE.search(word)
+            and word not in seen
+        ):
+            seen.add(word)
+            out.append(word)
+        if len(out) >= cap:
+            break
+    return out
+
+
+# Per-executor model cache (broadcast-like lazy init; U1's "model per
+# executor" pattern without shipping the model through the closure).
+_MODEL: dict[str, object] = {}
+
+
+def _default_scorer(texts: Iterable[str]) -> list[list[str]]:
+    return [_extract_py(t) for t in texts]
+
+
+def make_extract_udf(
+    model_loader: Callable[[], Callable[[Iterable[str]], list[list[str]]]] | None = None,
+):
+    """Build the Arrow-batched extraction UDF (U1).
+
+    `model_loader` runs once per executor process and returns a batch
+    scorer (e.g. a KeyBERT wrapper).  Heavy model libs are not in this
+    container, so the default scorer is the deterministic algorithm —
+    the UDF plumbing (Arrow batches, schema, lazy per-executor init)
+    is identical either way.
+    """
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def extract_udf(texts: pd.Series) -> pd.Series:
+        if "scorer" not in _MODEL:
+            _MODEL["scorer"] = model_loader() if model_loader else _default_scorer
+        scorer = _MODEL["scorer"]
+        return pd.Series(scorer(texts.fillna("").tolist()))
+
+    return extract_udf
+
+
+def extract_keywords(
+    df,
+    title_col: str = "title",
+    content_col: str = "content",
+    out_col: str = "keywords",
+    use_udf: bool = False,
+    model_loader=None,
+):
+    """Apply extraction: column-expression mode by default (fast,
+    deterministic), pandas-UDF mode when a model is configured."""
+    if not use_udf:
+        return df.withColumn(
+            out_col, extract_keywords_column(F.col(title_col), F.col(content_col))
+        )
+    udf = make_extract_udf(model_loader)
+    return df.withColumn(out_col, udf(weighted_text(F.col(title_col), F.col(content_col))))
+
+
+def is_important(views: Column, comments: Column | None = None) -> Column:
+    """U2 gate: views>10000 or comments>100
+    (hybrid_keyword_extractor.py:23-26)."""
+    cond = views > 10000
+    if comments is not None:
+        cond = cond | (comments > 100)
+    return cond
+
+
+def llm_refine_stub(keywords: Column) -> Column:
+    """U2 stub: identity refinement (the OpenAI call is an external
+    enrichment, disabled in tests — hybrid_keyword_extractor.py:204-241).
+    Kept as the seam where a foreachBatch enrichment would slot in."""
+    return keywords

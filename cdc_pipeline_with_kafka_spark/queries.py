@@ -866,6 +866,106 @@ def f9_log_view_weight(spark, sf_dir):
 
 F9_SQL = "SELECT event_id, round(log10(value + 1), 6) AS log_weight FROM events"
 
+_KOREAN_WORDS = [
+    "대통령이", "경제를", "부동산에서", "금리와", "올림픽도", "반도체",
+    "그리고", "12345", "발표하다", "인공지능", "태풍", "한테",
+]
+_KW_VALUES = ", ".join(f"('{w}')" for w in _KOREAN_WORDS)
+
+
+def f1_josa_strip(spark, sf_dir):
+    """F1: Korean particle stripping over a fixed word list (the same
+    literals on both engines — hybrid_keyword_extractor.py:56-69)."""
+    df = spark.createDataFrame([(w,) for w in _KOREAN_WORDS], "word string")
+    return df.select("word", textfn.strip_josa(F.col("word")).alias("stripped"))
+
+
+F1_SQL = f"""
+SELECT word,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(word, '(은|는|이|가|을|를|의|에|로|으로)$', ''),
+        '(에서|에게|한테|부터|까지|마저|조차)$', ''),
+      '(와|과|하고|이랑|랑)$', ''),
+    '(도|만|까지도|마저도)$', '') AS stripped
+FROM (VALUES {_KW_VALUES}) AS t(word)
+"""
+
+
+def f5_keyword_validity(spark, sf_dir):
+    """F5: keyword validity predicate (length band, digits, stopword,
+    verb-ending — hybrid_keyword_extractor.py:173-188)."""
+    df = spark.createDataFrame([(w,) for w in _KOREAN_WORDS], "word string")
+    return df.select("word", textfn.is_valid_keyword(F.col("word")).alias("valid"))
+
+
+_STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in textfn.KOREAN_STOPWORDS)
+
+F5_SQL = f"""
+SELECT word,
+       length(word) BETWEEN 2 AND 8
+       AND NOT regexp_matches(word, '^\\d+$')
+       AND word NOT IN ({_STOPWORD_SQL_LIST})
+       AND NOT regexp_matches(word, '(하다|되다|있다|없다)$') AS valid
+FROM (VALUES {_KW_VALUES}) AS t(word)
+"""
+
+
+def f15_author_first_token(spark, sf_dir):
+    """F15: first whitespace token (CrawlerServiceImpl.java:495-498) —
+    applied to a synthesized two-token author string."""
+    cust = _t(spark, sf_dir, "customer")
+    author = F.concat_ws(" ", F.col("c_name"), F.lit("기자"))
+    return cust.select(
+        "c_custkey", textfn.author_first_token(author).alias("author_name")
+    )
+
+
+F15_SQL = """
+SELECT c_custkey, split_part(concat_ws(' ', c_name, '기자'), ' ', 1) AS author_name
+FROM customer
+"""
+
+
+def o7_dedup_by_key(spark, sf_dir):
+    """O7/S14: first row per key (deterministic survivor = lowest id;
+    dropDuplicates semantics made reproducible)."""
+    ev = _t(spark, sf_dir, "events")
+    return relational.dedup_by_key(
+        ev.select("event_id", "user_id", "event_type"), ["user_id", "event_type"]
+    )
+
+
+O7_SQL = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def a2_windowed_collect(spark, sf_dir):
+    """A2: tumbling-window collect of per-key payloads
+    (AlertTopology.java:57-67) — arrays sorted for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+             F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "event_ids", "cnt"
+        )
+    )
+
+
+A2_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS window_start,
+       event_type, list(event_id ORDER BY event_id) AS event_ids, count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
 # ---------------------------------------------------------------- text analysis extensions
 
 
@@ -1143,6 +1243,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w8_timeline": (w8_timeline, W8_SQL),
     "w10_surge_alerts": (w10_surge_alerts, W10_SQL),
     "w11_trending_threshold": (w11_trending_threshold, W11_SQL),
+    "a2_windowed_collect": (a2_windowed_collect, A2_SQL),
+    "o7_dedup_by_key": (o7_dedup_by_key, O7_SQL),
+    "f1_josa_strip": (f1_josa_strip, F1_SQL),
+    "f5_keyword_validity": (f5_keyword_validity, F5_SQL),
+    "f15_author_first_token": (f15_author_first_token, F15_SQL),
     "f6_tokenize_wordfreq": (f6_tokenize_wordfreq, F6_SQL),
     "f9_log_view_weight": (f9_log_view_weight, F9_SQL),
     "f10_date_bucketing": (f10_date_bucketing, F10_SQL),

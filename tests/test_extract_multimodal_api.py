@@ -1,0 +1,141 @@
+"""U1 extraction tier (column mode ≡ pandas-UDF mode), W7 decay
+operator, multimodal plumbing, and the batch API surface."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark import api
+from cdc_pipeline_with_kafka_spark.functions import extract
+from cdc_pipeline_with_kafka_spark.operators import multimodal
+
+from .fixtures import make_articles
+
+TEXTS = [
+    (1, "대통령이 경제 정책을 발표했다", "금리와 부동산 시장에 대한 내용"),
+    (2, "속보 태풍 북상", "태풍이 빠르게 북상하고 있다 " * 10),
+    (3, "hello world", "english only text"),
+]
+
+
+def test_extract_column_vs_udf_identical(spark):
+    df = spark.createDataFrame(TEXTS, "id long, title string, content string")
+    col_mode = {
+        r["id"]: r["keywords"]
+        for r in extract.extract_keywords(df, use_udf=False).collect()
+    }
+    udf_mode = {
+        r["id"]: r["keywords"]
+        for r in extract.extract_keywords(df, use_udf=True).collect()
+    }
+    assert col_mode == udf_mode
+    assert all(len(v) <= extract.MAX_KEYWORDS for v in col_mode.values())
+    assert "대통령" in col_mode[1] and "경제" in col_mode[1]
+    assert col_mode[3] == []  # no Hangul → empty
+
+
+def test_extract_py_mirror(spark):
+    got = extract._extract_py("대통령이 경제 정책을 발표했다 그리고 2024")
+    assert got[0] == "대통령" and "그리고" not in got and "2024" not in got
+
+
+def test_is_important_threshold(spark):
+    df = spark.createDataFrame([(100,), (20000,)], "views int")
+    got = [r[0] for r in df.select(extract.is_important(F.col("views"))).collect()]
+    assert got == [False, True]
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, 10, "image", bytearray(b"imgbytes-1"), "image/jpeg", 640, 480, None),
+        (2, 10, "image", bytearray(b"imgbytes-1"), "image/jpeg", 640, 480, None),  # dup payload
+        (3, 11, "audio", bytearray(b"wavbytes"), "audio/wav", None, None, 2000),
+        (4, 12, "video", bytearray(b"mp4"), "video/mp4", 1280, 720, 3500),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.MEDIA_ASSET_SCHEMA)
+    feats = multimodal.extract_features(assets).collect()
+    assert len(feats) == 4
+    by_id = {r["asset_id"]: r for r in feats}
+    assert by_id[1]["feature"] == by_id[2]["feature"]  # deterministic fake decoder
+    assert by_id[1]["content_hash"] == by_id[2]["content_hash"]
+    assert by_id[1]["payload_bytes"] == 10
+    assert len(by_id[3]["feature"]) == 8
+
+    deduped = multimodal.dedup_assets_exact(assets)
+    assert deduped.count() == 3  # payload dup collapsed, lowest id kept
+    assert {r["asset_id"] for r in deduped.collect()} == {1, 3, 4}
+
+
+def test_multimodal_real_decoder_stub_raises(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode_unavailable(b"x")
+
+
+def test_frame_sample_plan(spark):
+    rows = [(4, 12, "video", bytearray(b"mp4"), "video/mp4", 1280, 720, 3500)]
+    assets = spark.createDataFrame(rows, multimodal.MEDIA_ASSET_SCHEMA)
+    frames = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+
+
+def _articles_df(spark):
+    rows = make_articles(200)
+    return spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "id long, title string, content string, link string, category_id int, "
+        "category string, source string, author string, published_at string, "
+        "stored_date string, views_count int, sentiment_score double, "
+        "article_text_length int, keywords string, created_at string, "
+        "updated_at string, version int, is_deleted boolean",
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+
+
+def test_api_get_articles_pagination_and_projection(spark):
+    arts = _articles_df(spark)
+    page0 = api.get_articles(arts, sort_by="created_at", page=0, size=10).collect()
+    page1 = api.get_articles(arts, sort_by="created_at", page=1, size=10).collect()
+    assert len(page0) == 10 and len(page1) == 10
+    assert {r["id"] for r in page0}.isdisjoint({r["id"] for r in page1})
+    # non-deleted only, keyword_list is a clean array
+    assert all(not r["is_deleted"] for r in page0)
+    assert all(isinstance(r["keyword_list"], list) for r in page0)
+
+
+def test_api_search_and_stats(spark):
+    arts = _articles_df(spark)
+    hits = api.search(arts, "속보", limit=50).collect()
+    assert all("속보" in r["title"].lower() or "속보" in r["content"].lower() for r in hits)
+    s = api.stats(arts).collect()[0]
+    assert s["total_articles"] == arts.filter(~F.col("is_deleted")).count()
+    assert s["categories"] >= 1
+    cc = api.count_by_category(arts)
+    assert cc.agg(F.sum("cnt")).collect()[0][0] == s["total_articles"]
+
+
+def test_api_trending_over_hourly_counts(spark):
+    # synthetic hourly counts with one surging keyword
+    rows = []
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    for h in range(48):
+        bucket = base + timedelta(hours=h)
+        rows.append((bucket, "steady", 10))
+        rows.append((bucket, "surging", 5 if h < 47 else 80))
+    hourly = spark.createDataFrame(rows, "bucket timestamp_ntz, keyword string, cnt long")
+    out = api.trending(hourly, as_of="2024-03-02 23:00:00", limit=2).collect()
+    assert out[0]["keyword"] == "surging"
+    assert out[0]["compound_score"] > out[1]["compound_score"]
+
+
+def test_api_wordcloud(spark):
+    counts = spark.createDataFrame(
+        [("a", 10), ("b", 5), ("c", 1)], "keyword string, cnt long"
+    )
+    out = api.wordcloud(counts, top_k=2).collect()
+    assert len(out) == 2
+    assert out[0]["total_count"] == 16 and out[0]["unique_keywords"] == 3
