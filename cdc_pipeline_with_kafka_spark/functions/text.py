@@ -137,6 +137,24 @@ def truncate(col: Column, n: int) -> Column:
     return F.substring(col, 1, n)
 
 
+def sentiment_stub() -> Column:
+    """U5: constant sentiment distribution (the reference ships a stub,
+    keyword_republisher.py:212); the seam where a model-backed pandas
+    UDF would slot in."""
+    return F.struct(
+        F.lit(0.3).alias("pos"), F.lit(0.4).alias("neg"), F.lit(0.3).alias("neu")
+    )
+
+
+def trend_score_stub(keywords: Column) -> Column:
+    """U6: constant per-keyword trend score map
+    (keyword_republisher.py:255-261); replaced by a join against the
+    real trend metrics (operators.trends) in the full pipeline."""
+    return F.map_from_arrays(
+        keywords, F.transform(keywords, lambda _: F.lit(0.5))
+    )
+
+
 def merge_keywords_capped(primary: Column, secondary: Column, cap: int = 6) -> Column:
     """O5: order-preserving case-insensitive dedup union of two keyword
     arrays, capped (hybrid_keyword_extractor.py:243-260).

@@ -172,7 +172,7 @@ def breaking_word_stats(
              F.count(F.lit(1)).alias("article_cnt"))
     )
     return (
-        per_group.join(sources, ["w", "category"])
+        F.broadcast(per_group).join(sources, ["w", "category"])
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

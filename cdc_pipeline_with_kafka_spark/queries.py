@@ -966,6 +966,83 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000
 FROM events GROUP BY 1, 2
 """
 
+_KOREAN_TITLES = [
+    "속보 서울 도심 화재 발생",
+    "대통령 경제 정책 발표",
+    "긴급 태풍 북상 중",
+    "올림픽 개막식 성황",
+    "지진 감지 후 폭발 사고",
+]
+_TITLE_VALUES = ", ".join(f"('{t}')" for t in _KOREAN_TITLES)
+
+
+def f7_breaking_indicators(spark, sf_dir):
+    """F7: breaking-keyword containment scan over titles
+    (keyword_republisher.py:145-176)."""
+    df = spark.createDataFrame([(t,) for t in _KOREAN_TITLES], "title string")
+    return df.select(
+        "title",
+        textfn.breaking_indicators(F.col("title")).alias("indicators"),
+        textfn.is_breaking(F.col("title")).alias("is_breaking"),
+    )
+
+
+_BREAKING_SQL_LIST = ", ".join(f"'{t}'" for t in textfn.BREAKING_KEYWORDS)
+
+F7_SQL = f"""
+SELECT title,
+       list_filter([{_BREAKING_SQL_LIST}], t -> contains(title, t)) AS indicators,
+       len(list_filter([{_BREAKING_SQL_LIST}], t -> contains(title, t))) > 0 AS is_breaking
+FROM (VALUES {_TITLE_VALUES}) AS t(title)
+"""
+
+
+def f8_classify_keyword(spark, sf_dir):
+    """F8: numeric/short/general keyword classifier
+    (keyword_republisher.py:245-253)."""
+    df = spark.createDataFrame([(w,) for w in _KOREAN_WORDS], "word string")
+    return df.select("word", textfn.classify_keyword(F.col("word")).alias("cls"))
+
+
+F8_SQL = f"""
+SELECT word,
+       CASE WHEN regexp_matches(word, '\\d') THEN 'numeric'
+            WHEN length(word) <= 2 THEN 'short'
+            ELSE 'general' END AS cls
+FROM (VALUES {_KW_VALUES}) AS t(word)
+"""
+
+_ISO_VALUES = """
+('2024-03-01T12:00:00Z', '42'), ('2024-03-01T15:30:00+00:00', ''),
+('2024-12-31T23:59:59Z', '  '), ('2024-06-15T08:00:00+00:00', '7')
+"""
+
+
+def f11_f13_coercions(spark, sf_dir):
+    """F11+F13: ISO-8601 parse tolerating 'Z' + empty-string → NULL
+    (SyncService.py:289-333)."""
+    df = spark.createDataFrame(
+        [("2024-03-01T12:00:00Z", "42"), ("2024-03-01T15:30:00+00:00", ""),
+         ("2024-12-31T23:59:59Z", "  "), ("2024-06-15T08:00:00+00:00", "7")],
+        "changed_at string, raw_val string",
+    )
+    from .functions import dates
+
+    return df.select(
+        "changed_at",
+        dates.parse_iso_ts(F.col("changed_at")).cast("timestamp_ntz").alias("parsed_ts"),
+        # coalesce keeps the compare NULL-free (pandas NaN asymmetry)
+        F.coalesce(dates.empty_to_null(F.col("raw_val")).cast("int"), F.lit(-1)).alias("val"),
+    )
+
+
+F11_SQL = f"""
+SELECT changed_at,
+       CAST(strptime(regexp_replace(changed_at, 'Z$', '+00:00'), '%Y-%m-%dT%H:%M:%S%z') AS TIMESTAMP) AS parsed_ts,
+       coalesce(CAST(nullif(trim(raw_val), '') AS INT), -1) AS val
+FROM (VALUES {_ISO_VALUES}) AS t(changed_at, raw_val)
+"""
+
 # ---------------------------------------------------------------- text analysis extensions
 
 
@@ -1249,6 +1326,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f5_keyword_validity": (f5_keyword_validity, F5_SQL),
     "f15_author_first_token": (f15_author_first_token, F15_SQL),
     "f6_tokenize_wordfreq": (f6_tokenize_wordfreq, F6_SQL),
+    "f7_breaking_indicators": (f7_breaking_indicators, F7_SQL),
+    "f8_classify_keyword": (f8_classify_keyword, F8_SQL),
+    "f11_f13_coercions": (f11_f13_coercions, F11_SQL),
     "f9_log_view_weight": (f9_log_view_weight, F9_SQL),
     "f10_date_bucketing": (f10_date_bucketing, F10_SQL),
     "f14_json_extract": (f14_json_extract, F14_SQL),

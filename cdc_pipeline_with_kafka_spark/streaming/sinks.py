@@ -117,6 +117,25 @@ def make_merge_sink(target_path: str, key: str = "id", soft_delete: bool = True)
     return sink
 
 
+def observed_batch(batch: DataFrame, name: str = "batch_metrics"):
+    """A14: per-batch success/error tallies (SyncService.py:454-468)
+    via the Observation API — metrics ride the job, no extra pass.
+
+    Returns (df, observation); read `observation.get` after an action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = batch.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("op").isin("c", "r", "u"), 1).otherwise(0)).alias("n_upserts"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_deletes"),
+        F.sum(F.when(F.col("op").isNull(), 1).otherwise(0)).alias("n_errors"),
+    )
+    return observed, obs
+
+
 def kafka_sink_options(topic: str) -> dict[str, str]:
     """S7/S8 producer parity (keyword_republisher.py:48-57): snappy,
     acks=all, small linger for batching."""

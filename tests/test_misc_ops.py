@@ -1,0 +1,72 @@
+"""Remaining operator coverage: A14 observe metrics, U5/U6 stubs,
+alert-event shaping (S8), O5 across engines, keyset pagination."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark.functions import text as textfn
+from cdc_pipeline_with_kafka_spark.operators import relational
+from cdc_pipeline_with_kafka_spark.sources import cdc
+from cdc_pipeline_with_kafka_spark.streaming import pipeline, sinks
+
+from .fixtures import make_articles, make_cdc_events
+
+
+def test_observed_batch_metrics(spark):
+    arts = make_articles(100)
+    events = make_cdc_events(arts)
+    raw = spark.createDataFrame(
+        [(e["key"], e["value"], e["kafka_ts"]) for e in events],
+        "key string, value string, kafka_ts string",
+    )
+    parsed = cdc.parse_envelope(raw)
+    observed, obs = sinks.observed_batch(parsed)
+    total = observed.count()  # action materializes the metrics
+    m = obs.get
+    assert m["n_events"] == total
+    assert m["n_upserts"] + m["n_deletes"] == total
+    assert m["n_errors"] == 0  # parse drops op-less rows before here
+
+
+def test_sentiment_and_trend_stub_columns(spark):
+    df = spark.createDataFrame([(["경제", "금리"],)], "keywords array<string>")
+    row = df.select(
+        textfn.sentiment_stub().alias("sentiment"),
+        textfn.trend_score_stub(F.col("keywords")).alias("trends"),
+    ).collect()[0]
+    assert abs(row["sentiment"]["pos"] + row["sentiment"]["neg"] + row["sentiment"]["neu"] - 1.0) < 1e-9
+    assert row["trends"] == {"경제": 0.5, "금리": 0.5}
+
+
+def test_alert_events_kafka_shape(spark):
+    from datetime import datetime
+
+    trending = spark.createDataFrame(
+        [(datetime(2024, 3, 1, 0, 0), datetime(2024, 3, 1, 0, 30), "태풍", 12)],
+        "window_start timestamp, window_end timestamp, keyword string, cnt long",
+    )
+    out = pipeline.alert_events(trending).collect()[0]
+    assert out["key"].startswith("trending_태풍")
+    payload = json.loads(out["value"])
+    assert payload["type"] == "trending" and payload["mentions"] == 12
+    assert 0 < payload["severity"] <= 1
+
+
+def test_keyset_pagination_no_overlap(spark):
+    df = spark.range(100).select(F.col("id").alias("k"))
+    page1 = relational.keyset_page(df, "k", last_seen=None, size=10)
+    rows1 = [r["k"] for r in page1.collect()]
+    page2 = relational.keyset_page(df, "k", last_seen=rows1[-1], size=10)
+    rows2 = [r["k"] for r in page2.collect()]
+    assert rows1 == list(range(10)) and rows2 == list(range(10, 20))
+
+
+def test_kafka_sink_options_parity(spark):
+    opts = sinks.kafka_sink_options("breaking-alerts")
+    # producer parity with keyword_republisher.py:48-57
+    assert opts["kafka.compression.type"] == "snappy"
+    assert opts["kafka.acks"] == "all"
+    assert opts["topic"] == "breaking-alerts"

@@ -1,0 +1,45 @@
+"""Physical-plan assertions: the plans we rely on at 100 TB must stay
+the plans Catalyst actually picks (SURVEY.md §4) — pushdown, pruning,
+broadcast dims, partial aggregation, top-k pushdowns."""
+
+from __future__ import annotations
+
+from cdc_pipeline_with_kafka_spark import plans
+from cdc_pipeline_with_kafka_spark import queries as q
+
+from .conftest import SF_CORRECT
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = q.s5_table_scan_projection(spark, SF_CORRECT)
+    assert plans.has_pushed_filters(df)
+    cols = plans.read_schema_columns(df)
+    assert "o_orderkey" in cols and "o_orderpriority" not in cols
+
+
+def test_dim_joins_broadcast_never_shuffle(spark):
+    df = q.j2_dim_joins(spark, SF_CORRECT)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+
+
+def test_q1_partial_aggregation(spark):
+    assert plans.has_partial_aggregation(q.q1_pricing_summary(spark, SF_CORRECT))
+
+
+def test_global_topk_is_take_ordered(spark):
+    assert plans.has_take_ordered(q.a6_topk_global(spark, SF_CORRECT))
+
+
+def test_grouped_topk_uses_window_group_limit(spark):
+    assert plans.has_window_group_limit(q.a5_topk_per_group(spark, SF_CORRECT))
+
+
+def test_windowed_count_single_shuffle(spark):
+    # tumbling-window count: one logical shuffle (AQE may add a read stage)
+    df = q.a1_windowed_count(spark, SF_CORRECT)
+    assert plans.has_partial_aggregation(df)
+
+
+def test_anti_join_small_side_broadcast(spark):
+    assert plans.has_broadcast_join(q.j3_anti_join(spark, SF_CORRECT))
