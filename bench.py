@@ -24,16 +24,27 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # query, not session startup
+    # warm the JVM + parquet footers + Arrow Python workers once so
+    # per-query times measure the query, not session/worker startup
     q.q1_pricing_summary(spark, sf_dir).count()
+    _warm_python_workers(spark)
 
+    # each query runs twice: first pass pays one-time plan/codegen
+    # compilation, second pass is the steady-state number (what a
+    # resident engine serves)
     timings: dict[str, float] = {}
     for name in q.BENCH_QUERIES:
         fn, _sql = q.REGISTRY[name]
+        fn(spark, sf_dir).count()
         start = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 3)
+
+    # CDC end-to-end throughput: synthesize Debezium envelopes from the
+    # events table, parse → filter → after-image → keyword-window count.
+    # Baseline comparison: the reference extracts at ~50 ms/article
+    # (~20 articles/s) and propagates CDC in <1 s (BASELINE.md).
+    cdc_rate = _cdc_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -44,10 +55,64 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc_events_per_sec": cdc_rate,
             }
         )
     )
     spark.stop()
+
+
+def _warm_python_workers(spark) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    noop = F.pandas_udf(lambda x: x * 1.0, DoubleType())
+    cpus = spark.sparkContext.defaultParallelism
+    spark.range(cpus * 4).repartition(cpus).select(noop((F.col("id")).cast("double"))).count()
+
+
+def _cdc_throughput(spark, sf_dir: str) -> float:
+    """Events/sec through envelope-encode → parse → op-filter →
+    after-image → 30-min windowed count (the §3.1 hot path, batch
+    replay)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cdc_pipeline_with_kafka_spark.sources import cdc
+    from cdc_pipeline_with_kafka_spark.sources.tables import load_table
+    from cdc_pipeline_with_kafka_spark.util import spread
+
+    ev = spread(load_table(spark, "events", sf_dir))
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("c").alias("op"),
+                    F.struct(
+                        F.col("event_id").alias("id"),
+                        F.col("event_type").alias("category"),
+                        F.col("value").alias("score"),
+                    ).alias("after"),
+                    F.struct(F.lit("articles").alias("table")).alias("source"),
+                    F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("category", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    n = ev.count()
+    start = time.perf_counter()
+    parsed = cdc.parse_envelope(raw, row_schema=row_schema)
+    imgs = cdc.after_image(cdc.upsert_ops(parsed))
+    imgs.groupBy(F.window("ts", "30 minutes"), "category").count().count()
+    elapsed = time.perf_counter() - start
+    return round(n / elapsed, 1)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+from ..util import spread
+
+
 def _md5_hash64(col: Column, salt: str = "") -> Column:
     """Deterministic 60-bit integer hash: first 15 hex chars of
     md5(salt || value) — reproducible in any engine with md5()."""
@@ -91,7 +94,7 @@ def ngram_jaccard_pairs(
     a doc-frequency cap on grams is the stronger mitigation and is
     exposed via `max_gram_df`.
     """
-    grams = df.select(
+    grams = spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(token_ngrams(F.col(text_col), n)).alias("gram"),
     )
@@ -140,7 +143,7 @@ def minhash_signatures(
     (id, sig: array<long>[num_hashes]) — a constant-size sketch,
     corpus-size-independent, which is what makes near-dup feasible at
     100 TB."""
-    grams = df.select(
+    grams = spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(token_ngrams(F.col(text_col), shingle_n)).alias("gram"),
     )
@@ -249,7 +252,9 @@ def simhash_pairs(
     15-bit blocks; any pair within distance < blocks must agree on at
     least one block → candidates via equi-join per block (union), then
     exact popcount verification.  Linear candidate generation."""
-    fps = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    fps = spread(df, id_col).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp")
+    )
     block_bits = 60 // blocks
     entries = fps.select(
         "id", "fp",

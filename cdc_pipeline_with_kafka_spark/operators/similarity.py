@@ -3,24 +3,36 @@
 Part of the 100 TB training-data extension set (BASELINE.json
 north-star).  Two tiers:
 
-- brute-force cosine top-k : exact baseline — broadcast the (small)
-  query set against the corpus, JVM-side dot products via
-  ``F.zip_with`` + ``F.aggregate`` (no Python in the loop).
-- LSH-bucketed ANN         : random-hyperplane signatures (deterministic,
-  seeded) → candidates share a bucket → exact re-rank inside buckets.
-  Candidate generation is linear; at 100 TB bucket tables are
-  pre-computed and partitioned by bucket key.
+- brute-force cosine top-k : exact baseline — the (small) query set is
+  collected to a normalized numpy matrix and broadcast inside an
+  Arrow-batched pandas UDF; each executor scores a whole Arrow batch
+  with one matmul (vectorized BLAS beats both per-row Python and
+  Catalyst higher-order expressions by orders of magnitude).
+- LSH-bucketed ANN         : random-hyperplane signatures in
+  `n_tables` independent tables (OR-construction) → candidates share
+  a bucket in any table → exact re-rank inside buckets.  Candidate
+  generation is linear; at 100 TB bucket tables are precomputed and
+  partitioned by (table, bucket).
+
+Column-expression `dot`/`cosine` remain for composability (small
+inputs, candidate verification); the batch paths use numpy.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StringType
 from pyspark.sql.window import Window
+
+from ..util import spread
 
 
 def dot(a: Column, b: Column) -> Column:
-    """JVM-side dot product of two float arrays."""
+    """JVM-side dot product of two float arrays (interpreted HOF —
+    fine for per-candidate verification, not for corpus scans)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -38,6 +50,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _collect_query_matrix(queries: DataFrame, query_id_col: str, vec_col: str):
+    rows = queries.collect()
+    qids = [r[query_id_col] for r in rows]
+    qm = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    return qids, qm
+
+
+def _cosine_scores_udf(qm: np.ndarray):
+    """Arrow-batched scorer: one (batch × dim) @ (dim × Q) matmul per
+    Arrow batch.  qm ships to executors once via closure serialization
+    (the broadcast-small-side pattern)."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def scores(embs: pd.Series) -> pd.Series:
+        m = _normalize_rows(np.stack(embs.to_numpy()).astype(np.float64))
+        s = np.round(m @ qm.T, 6)
+        return pd.Series(list(s))
+
+    return scores
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,17 +85,18 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact top-k by cosine for each query vector.
-
-    ``queries`` (query_id, embedding) is broadcast — the corpus is
-    scanned once, no shuffle of the corpus side; the per-query top-k
-    uses a window row_number which AQE executes as a partial top-k.
-    """
-    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")))
-    scored = corpus.crossJoin(q).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    """Exact top-k by cosine for each query vector: one corpus scan,
+    vectorized scoring, per-query top-k via window row_number."""
+    qids, qm = _collect_query_matrix(queries, query_id_col, vec_col)
+    scorer = _cosine_scores_udf(qm)
+    qid_lookup = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        spread(corpus, id_col)
+        .select(F.col(id_col), scorer(F.col(vec_col)).alias("_scores"))
+        .select(F.col(id_col), F.posexplode("_scores").alias("_qidx", "cos_sim"))
+        .select(
+            qid_lookup[F.col("_qidx")].alias(query_id_col), F.col(id_col), F.col("cos_sim")
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (
@@ -67,17 +107,39 @@ def cosine_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (no numpy dependency in
-    the executor path; generated once on the driver)."""
+    """Deterministic pseudo-random hyperplanes (generated once on the
+    driver, shipped in the UDF closure)."""
     import random
 
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _signature_udf(plane_sets: list[list[list[float]]]):
+    """Vectorized multi-table signatures: returns array<string> of
+    bucket keys, one per hash table, computed with one matmul per
+    table per Arrow batch."""
+    mats = [np.array(p, dtype=np.float64).T for p in plane_sets]  # dim × planes
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def signatures(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        per_table = []
+        for mat in mats:
+            bits = (m @ mat) >= 0  # batch × planes
+            keys = np.array(
+                ["".join("1" if b else "0" for b in row) for row in bits]
+            )
+            per_table.append(keys)
+        stacked = np.stack(per_table, axis=1)  # batch × tables
+        return pd.Series(list(stacked))
+
+    return signatures
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(vec · plane_i).
-    Returns a compact string bucket key."""
+    """Column-expression single-table signature (kept for candidate
+    verification and tests)."""
     bits = [
         F.when(dot(vec, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for plane in planes
@@ -99,35 +161,24 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank restricted to corpus
     vectors sharing a hyperplane bucket with the query in ANY of
-    `n_tables` independent hash tables (OR-construction — the standard
-    recall amplification; recall ≈ 1-(1-p^planes)^tables).
+    `n_tables` independent tables (OR-construction; recall
+    ≈ 1-(1-p^planes)^tables).
 
-    At 100 TB the bucket tables are precomputed once and partitioned
-    by (table, bucket); a query touches n_tables buckets, never the
-    full corpus."""
-    def bucket_entries(df, vec_name, out_cols):
-        entries = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-            entries.append(
-                df.select(
-                    *out_cols,
-                    F.lit(t).alias("_table"),
-                    lsh_signature(F.col(vec_name), planes).alias("_bucket"),
-                )
-            )
-        out = entries[0]
-        for e in entries[1:]:
-            out = out.unionByName(e)
-        return out
+    One corpus scan computes all table signatures (vectorized); the
+    bucket join explodes to (table, bucket) entries; candidates are
+    deduped then re-ranked with the same vectorized scorer."""
+    plane_sets = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    sig = _signature_udf(plane_sets)
 
-    c = bucket_entries(corpus, vec_col, [F.col(id_col), F.col(vec_col)])
+    c = (
+        spread(corpus, id_col)
+        .select(F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("_sigs"))
+        .select(F.col(id_col), F.col(vec_col), F.posexplode("_sigs").alias("_table", "_bucket"))
+    )
     q = F.broadcast(
-        bucket_entries(
-            queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
-            "_qvec",
-            [F.col(query_id_col), F.col("_qvec")],
-        )
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        .select(F.col(query_id_col), F.col("_qvec"), sig(F.col("_qvec")).alias("_sigs"))
+        .select(F.col(query_id_col), F.col("_qvec"), F.posexplode("_sigs").alias("_table", "_bucket"))
     )
     candidates = (
         c.join(q, ["_table", "_bucket"])
@@ -161,9 +212,10 @@ def embedding_neardup_pairs(
 
     exact=True does the O(n²) self-join (oracle-checkable baseline at
     small SF); default is LSH-blocked: pairs must share a hyperplane
-    bucket, which is the linear-candidate path for 100 TB.  High-
-    threshold pairs almost always share all signs, so recall at 0.95+
-    is near-1 even with few planes."""
+    bucket — the linear-candidate path for 100 TB.  High-threshold
+    pairs almost always share all signs, so recall at 0.95+ stays
+    near 1 even with few planes."""
+    df = spread(df, id_col)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     if exact:

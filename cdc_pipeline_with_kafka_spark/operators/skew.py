@@ -1,0 +1,50 @@
+"""Skew mitigation for hot keys (SURVEY.md §4; the 100 TB concern).
+
+Trending keyword streams are Zipfian — a breaking keyword can be 1000×
+hotter than the median, and a single reducer partition becomes the
+straggler.  Two mitigations beyond AQE's automatic skew-join split:
+
+- ``salted_count``: two-phase aggregation — count on (key, salt) with
+  a random salt, then re-aggregate by key.  The hot key's work spreads
+  over `salt_buckets` reducers; the second shuffle moves only
+  (key × salt) partial rows.
+- ``salted_join``: replicate the small side per salt bucket so a
+  skewed equi-join spreads the hot key's probe rows.
+
+Both are semantics-preserving (proven by equivalence tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, key_cols: list[str], salt_buckets: int = 16, count_col: str = "cnt"
+) -> DataFrame:
+    """Two-phase skew-safe count: groupBy(key, salt) → groupBy(key).
+
+    Deterministic salt from a stable row attribute would skew again, so
+    the salt is uniform-random per row (monotonically_increasing_id is
+    per-partition-sequential → cheap and well spread across buckets)."""
+    salted = df.withColumn("_salt", (F.monotonically_increasing_id() % salt_buckets))
+    partial = salted.groupBy(*key_cols, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
+    return partial.groupBy(*key_cols).agg(F.sum("_partial").alias(count_col))
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skewed-side salted equi-join: the skewed side gets a random salt
+    in [0, buckets); the small side is exploded ×buckets so every
+    (key, salt) combination finds its match.  Use when the small side
+    is too big to broadcast but the key distribution is Zipfian."""
+    s = skewed.withColumn("_salt", (F.monotonically_increasing_id() % salt_buckets))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return s.join(replicated, [key, "_salt"]).drop("_salt")

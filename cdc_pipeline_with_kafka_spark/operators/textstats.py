@@ -98,8 +98,10 @@ def doc_fingerprint(col: Column) -> Column:
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document text profile: tokens, est. subword tokens,
     stopword/punct ratios, quality, detected language, fingerprint."""
+    from ..util import spread
+
     c = F.col(text_col)
-    return df.select(
+    return spread(df, id_col).select(
         F.col(id_col),
         token_count(c).alias("n_tokens"),
         word_token_count(c).alias("n_subtokens"),

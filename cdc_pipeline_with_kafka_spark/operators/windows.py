@@ -62,6 +62,25 @@ def windowed_collect(
     )
 
 
+def session_window_counts(
+    df: DataFrame, ts_col: str, key_col: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """T4: session windows — events merge while each arrives within
+    `gap` of the session's end (not in the reference, which has no
+    session semantics; provided for API completeness).  Works in batch
+    and streaming (streaming requires a watermark)."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(key_col),
+            F.col("cnt"),
+        )
+    )
+
+
 def base_minute_aggregate(df: DataFrame, ts_col: str, key_cols: list[str]) -> DataFrame:
     """A3/A4 foundation: minute-grain counts per key — the single base
     aggregate all coarser windows roll up from.  At scale, write this
@@ -143,13 +162,17 @@ def breaking_word_stats(
     max + a distinct-source count computed on the pre-explode rows and
     joined back — at 100 TB this is two small shuffles instead of a
     collect_list of raw articles."""
+    from ..util import spread
+
+    df = spread(df)
     win = F.window(F.col(ts_col), duration).alias("w")
+    # explode-then-filter rather than a higher-order array filter: the
+    # lambda form is interpreted per element outside codegen; the
+    # post-explode predicate stays in the codegen stage
     words = df.select(
         win, F.col(category_col).alias("category"), F.col(source_col).alias("source"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
-        ).alias("word"),
-    )
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
     word_counts = words.groupBy("w", "category", "word").agg(
         F.count(F.lit(1)).alias("word_cnt")
     )

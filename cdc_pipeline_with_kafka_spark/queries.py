@@ -462,7 +462,9 @@ def a12_breaking_words(spark, sf_dir):
     text stream (events ⋈ documents by id-mod) — max word frequency +
     distinct sources, the breaking-news rule input
     (AlertAnalyzer.java:13-43)."""
-    ev = _t(spark, sf_dir, "events")
+    from .util import spread
+
+    ev = spread(_t(spark, sf_dir, "events"))  # parallelize the probe side
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()
     stream = ev.join(
@@ -753,6 +755,32 @@ minute AS (
 )
 SELECT cal.bucket, coalesce(minute.cnt, 0) AS cnt
 FROM cal LEFT JOIN minute USING (bucket)
+"""
+
+def t4_session_window(spark, sf_dir):
+    """T4: session windows per user (gap 30 min) — gaps-and-islands in
+    the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.session_window_counts(ev, "ts", "user_id", gap="30 minutes")
+
+
+T4_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS cnt
+FROM i GROUP BY user_id, grp
 """
 
 # ---------------------------------------------------------------- alerts
@@ -1319,6 +1347,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w6_rank_change": (w6_rank_change, W6_SQL),
     "w8_timeline": (w8_timeline, W8_SQL),
     "w10_surge_alerts": (w10_surge_alerts, W10_SQL),
+    "t4_session_window": (t4_session_window, T4_SQL),
     "w11_trending_threshold": (w11_trending_threshold, W11_SQL),
     "a2_windowed_collect": (a2_windowed_collect, A2_SQL),
     "o7_dedup_by_key": (o7_dedup_by_key, O7_SQL),

@@ -1,0 +1,91 @@
+"""Scale-path operators: skew-salted aggregation/join equivalence,
+partitioned aggregate-table pruning + retention, session windows."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark import plans
+from cdc_pipeline_with_kafka_spark.operators import skew, windows
+from cdc_pipeline_with_kafka_spark.sources import aggregates
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_count_equivalence(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    direct = {
+        (r["event_type"],): r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    salted = {
+        (r["event_type"],): r["cnt"]
+        for r in skew.salted_count(ev, ["event_type"], salt_buckets=8).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_join_equivalence(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_id", "event_type")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        "event_type string, type_id int",
+    )
+    direct = ev.join(dim, "event_type")
+    salted = skew.salted_join(ev, dim, "event_type", salt_buckets=4)
+    assert direct.count() == salted.count() == ev.count()
+    d = {r["event_id"]: r["type_id"] for r in direct.collect()}
+    s = {r["event_id"]: r["type_id"] for r in salted.collect()}
+    assert d == s
+
+
+def test_aggregate_table_roundtrip_prune_and_expire(spark, tmp_path):
+    base = datetime(2024, 3, 1)
+    rows = [
+        (base + timedelta(days=d, hours=h), f"kw{h % 3}", 1 + h)
+        for d in range(5)
+        for h in range(4)
+    ]
+    agg = spark.createDataFrame(rows, "bucket timestamp_ntz, keyword string, cnt long")
+    path = str(tmp_path / "agg")
+    aggregates.write_aggregate_table(agg, path)
+
+    # date partitions exist
+    parts = sorted(p for p in os.listdir(path) if p.startswith("date="))
+    assert parts == [f"date=2024-03-0{d}" for d in range(1, 6)]
+
+    # W9 range read returns exactly the in-range rows, pruning partitions
+    ranged = aggregates.read_aggregate_range(
+        spark, path, "2024-03-02 00:00:00", "2024-03-03 23:59:59"
+    )
+    assert ranged.count() == 8
+    plan = plans.formatted_plan(ranged)
+    assert "PartitionFilters" in plan and "date" in plan
+
+    # retention drop = Redis TTL analog
+    dropped = aggregates.expire_partitions(path, "2024-03-03")
+    assert dropped == ["date=2024-03-01", "date=2024-03-02"]
+    assert spark.read.parquet(path).count() == 12
+
+
+def test_session_window_counts(spark):
+    base = datetime(2024, 3, 1)
+    rows = [
+        ("u1", base),
+        ("u1", base + timedelta(minutes=10)),  # same session
+        ("u1", base + timedelta(minutes=50)),  # gap 40 min → new session
+        ("u2", base),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp_ntz")
+    out = windows.session_window_counts(df, "ts", "user", gap="30 minutes")
+    got = {
+        (r["user"], r["session_start"].isoformat()): r["cnt"] for r in out.collect()
+    }
+    assert got == {
+        ("u1", "2024-03-01T00:00:00"): 2,
+        ("u1", "2024-03-01T00:50:00"): 1,
+        ("u2", "2024-03-01T00:00:00"): 1,
+    }
