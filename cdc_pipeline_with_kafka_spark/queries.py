@@ -974,6 +974,43 @@ SELECT event_id, user_id, event_type FROM (
 """
 
 
+def o5_merge_keywords(spark, sf_dir):
+    """O5: order-preserving case-insensitive dedup union of two keyword
+    lists, capped at 6 (hybrid_keyword_extractor.py:243-260) — lists
+    synthesized from document tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(dedup.normalized_text(F.col("text")), " ")
+    primary = F.slice(tokens, 1, 4)
+    secondary = F.slice(tokens, 3, 5)
+    return docs.select(
+        "doc_id",
+        textfn.merge_keywords_capped(primary, secondary, cap=6).alias("merged"),
+    )
+
+
+O5_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+unioned AS (
+  SELECT doc_id, list_concat(t[1:4], t[3:7]) AS kws FROM toks
+),
+pos AS (
+  SELECT doc_id, unnest(kws) AS kw, generate_subscripts(kws, 1) AS ord FROM unioned
+),
+firsts AS (
+  SELECT doc_id, kw, ord,
+         row_number() OVER (PARTITION BY doc_id, lower(kw) ORDER BY ord) AS rn
+  FROM pos
+)
+SELECT doc_id, coalesce(list(kw ORDER BY ord) FILTER (WHERE rn = 1), [])[1:6] AS merged
+FROM firsts
+GROUP BY doc_id
+"""
+
+
 def a2_windowed_collect(spark, sf_dir):
     """A2: tumbling-window collect of per-key payloads
     (AlertTopology.java:57-67) — arrays sorted for determinism."""
@@ -1350,6 +1387,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t4_session_window": (t4_session_window, T4_SQL),
     "w11_trending_threshold": (w11_trending_threshold, W11_SQL),
     "a2_windowed_collect": (a2_windowed_collect, A2_SQL),
+    "o5_merge_keywords": (o5_merge_keywords, O5_SQL),
     "o7_dedup_by_key": (o7_dedup_by_key, O7_SQL),
     "f1_josa_strip": (f1_josa_strip, F1_SQL),
     "f5_keyword_validity": (f5_keyword_validity, F5_SQL),

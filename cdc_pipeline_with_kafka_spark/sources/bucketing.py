@@ -1,0 +1,44 @@
+"""Bucketed tables for co-located, shuffle-free joins (SURVEY.md §4;
+the 100 TB join strategy).
+
+A fact table bucketed by its join key joins another table bucketed the
+same way WITHOUT a shuffle — at 100 TB that turns the dominant cost of
+repeated (orders ⋈ lineitem)-shaped joins into a local merge.  Spark
+buckets via ``bucketBy`` + ``saveAsTable`` (works on the in-memory
+catalog + parquet; on a cluster this is the managed-table layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    num_buckets: int = 32,
+    sort_key: str | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.  Sorting
+    within buckets additionally removes the sort from sort-merge
+    joins.  `path` makes it an external table (managed otherwise —
+    warehouse dir is a static config)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key — Catalyst
+    elides both shuffles (verify: no Exchange above the scans)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, key, how)
