@@ -34,7 +34,12 @@ def read_cdc_kafka(
     """S1/S2/S3: Kafka streaming source.  `startingOffsets` mirrors the
     reference's auto.offset.reset (latest for the keyword path
     main.py:269-278, earliest for the sync path SyncService.py:339-452);
-    checkpointing at the sink supersedes group-offset commits."""
+    checkpointing at the sink supersedes group-offset commits.
+
+    Requires the spark-sql-kafka-0-10 connector on the classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    this test container ships without it, so CI covers the identical
+    downstream pipeline through the file source (read_cdc_files)."""
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -88,6 +93,57 @@ def parse_envelope(
             F.timestamp_millis(pick("ts_ms")).alias("ts"),
         )
         .filter(F.col("op").isNotNull())
+    )
+
+
+def parse_envelope_with_quarantine(
+    df: DataFrame,
+    value_col: str = "value",
+    row_schema: T.StructType = ARTICLES_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """T7: like parse_envelope, but malformed/op-less events are
+    RETURNED (raw) instead of silently dropped — the badRecordsPath-
+    style quarantine.  The reference logs-and-counts failures
+    (main.py:355-367, SyncService.py:433-438); quarantined rows keep
+    the raw value for replay after a parser fix."""
+    env = debezium_envelope_schema(row_schema)
+    tagged = df.withColumn("_env", F.from_json(F.col(value_col), env))
+    op = F.coalesce(F.col("_env.payload.op"), F.col("_env.op"))
+    bad = tagged.filter(F.col("_env").isNull() | op.isNull()).select(
+        *df.columns, F.current_timestamp().alias("quarantined_at")
+    )
+    good = parse_envelope(df, value_col, row_schema)
+    return good, bad
+
+
+def synthetic_cdc_rate_stream(
+    spark: SparkSession, rows_per_second: int = 100, n_categories: int = 6
+) -> DataFrame:
+    """S6 modeling: the reference's crawler is an external ingestion
+    process; tests and demos model it as Spark's `rate` source emitting
+    synthetic Debezium envelopes at a controlled rate."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return rate.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("c").alias("op"),
+                    F.struct(
+                        F.col("value").alias("id"),
+                        F.concat(F.lit("기사 제목 "), F.col("value")).alias("title"),
+                        F.concat(F.lit("내용 "), F.repeat(F.lit("본문 "), 20)).alias("content"),
+                        F.concat(F.lit("cat"), (F.col("value") % n_categories)).alias("category"),
+                        F.concat(F.lit("src"), (F.col("value") % 10)).alias("source"),
+                    ).alias("after"),
+                    F.struct(F.lit("articles").alias("table")).alias("source"),
+                    F.unix_millis(F.col("timestamp")).alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value")
     )
 
 

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): column-expression operators vs
+pure-Python models on arbitrary inputs — the correctness net under the
+oracle gate."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark.functions import text as textfn
+from cdc_pipeline_with_kafka_spark.operators import textstats
+
+# hypothesis + Spark: one Spark job per example is slow, so examples
+# are batched into a single DataFrame per property.
+
+_WORD = st.text(
+    alphabet=st.sampled_from("가나다라마바사아자차대통령경제금리은는이가을를의에서와과도만"),
+    min_size=1,
+    max_size=12,
+)
+
+_JOSA_PATTERNS = [
+    r"(은|는|이|가|을|를|의|에|로|으로)$",
+    r"(에서|에게|한테|부터|까지|마저|조차)$",
+    r"(와|과|하고|이랑|랑)$",
+    r"(도|만|까지도|마저도)$",
+]
+
+
+def _py_strip_josa(word: str) -> str:
+    for pat in _JOSA_PATTERNS:
+        word = re.sub(pat, "", word)
+    return word
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_WORD, min_size=1, max_size=30))
+def test_strip_josa_matches_python(spark, words):
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = [r["s"] for r in df.select(textfn.strip_josa(F.col("w")).alias("s")).collect()]
+    assert got == [_py_strip_josa(w) for w in words]
+
+
+def _py_merge_capped(a: list[str], b: list[str], cap: int = 6) -> list[str]:
+    out, seen = [], set()
+    for w in a + b:
+        if w.lower() not in seen:
+            seen.add(w.lower())
+            out.append(w)
+    return out[:cap]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcABC가나", min_size=1, max_size=4), max_size=8),
+    st.lists(st.text(alphabet="abcABC가나", min_size=1, max_size=4), max_size=8),
+)
+def test_merge_keywords_capped_matches_python(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a array<string>, b array<string>")
+    got = df.select(
+        textfn.merge_keywords_capped(F.col("a"), F.col("b")).alias("m")
+    ).collect()[0]["m"]
+    assert got == _py_merge_capped(a, b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.text(alphabet="abc def 가나다 .!?19 ", min_size=0, max_size=200))
+def test_quality_score_bounded(spark, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        textstats.quality_score(F.col("t")).alias("q"),
+        textstats.token_count(F.col("t")).alias("n"),
+        textstats.stopword_ratio(F.col("t")).alias("sw"),
+    ).collect()[0]
+    assert 0.0 <= row["q"] <= 1.0
+    assert row["n"] >= 0
+    assert 0.0 <= row["sw"] <= 1.0
+
+
+def _py_token_jaccard(a: str, b: str) -> float:
+    sa = set(re.sub(r"\s+", " ", a.lower()).strip().split(" ")) - {""}
+    sb = set(re.sub(r"\s+", " ", b.lower()).strip().split(" ")) - {""}
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab cd ef gh ", min_size=5, max_size=60), min_size=2, max_size=6
+    )
+)
+def test_minhash_estimate_tracks_true_jaccard(spark, texts):
+    """MinHash estimated Jaccard stays within a coarse band of true
+    Jaccard (16 hashes → ±~0.35 at 95%); exact-dup pairs estimate 1.0."""
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.0, num_hashes=16, bands=16, shingle_n=1)
+    for r in pairs.collect():
+        true_j = _py_token_jaccard(texts[r["id_a"]], texts[r["id_b"]])
+        assert abs(r["est_jaccard"] - true_j) <= 0.45
+        if texts[r["id_a"]].strip() and _py_token_jaccard(texts[r["id_a"]], texts[r["id_b"]]) == 1.0:
+            assert r["est_jaccard"] == 1.0
