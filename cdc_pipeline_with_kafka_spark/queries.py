@@ -436,6 +436,32 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def a4_sliding_window(spark, sf_dir):
+    """A4/T2: sliding-window counts (30-min window, 10-min slide) —
+    each event contributes to 3 overlapping windows."""
+    from .streaming.decay import sliding_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_counts(ev, "ts", "event_type", size="30 minutes", slide="10 minutes").select(
+        "window_start", "event_type", "cnt"
+    )
+
+
+A4_SQL = """
+WITH starts AS (
+  SELECT event_type, epoch(ts) AS e,
+         (CAST(floor(epoch(ts) / 600) AS BIGINT) - gs) * 600 AS start_s
+  FROM events, unnest(generate_series(0, 2)) AS t(gs)
+),
+valid AS (
+  SELECT event_type, make_timestamp(start_s * 1000000) AS window_start
+  FROM starts WHERE e - start_s < 1800 AND e >= start_s
+)
+SELECT window_start, event_type, count(*) AS cnt
+FROM valid GROUP BY 1, 2
+"""
+
+
 def a3_multi_window_counts(spark, sf_dir):
     """A3: trailing 1h/6h/24h/168h counts per key in one conditional-agg
     pass (vs the reference's 4×24 Redis reads,
@@ -1366,6 +1392,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j3_anti_join": (j3_anti_join, J3_SQL),
     "a1_windowed_count": (a1_windowed_count, A1_SQL),
     "a3_multi_window_counts": (a3_multi_window_counts, A3_SQL),
+    "a4_sliding_window": (a4_sliding_window, A4_SQL),
     "a5_topk_per_group": (a5_topk_per_group, A5_SQL),
     "a6_topk_global": (a6_topk_global, A6_SQL),
     "a7_group_count": (a7_group_count, A7_SQL),

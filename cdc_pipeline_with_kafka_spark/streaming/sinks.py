@@ -107,6 +107,93 @@ def merge_upsert(
     return spark.read.parquet(target_path)
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    key: str = "id",
+    partition_col: str = "stored_date",
+    soft_delete: bool = True,
+    ts_col: str = "ts",
+) -> None:
+    """S9/S10 at scale: partition-aware MERGE.
+
+    The naive merge rewrites the whole target — O(table) per batch.
+    This variant partitions the target by `partition_col` (the
+    reference's articles carry stored_date yyyyMMdd — natural event-day
+    partitioning) and rewrites ONLY the partitions the batch touches:
+
+      1. collapse the batch to last-image-per-key,
+      2. find touched partition values (a few per batch),
+      3. read just those partitions (partition-pruned scan),
+      4. merge, and write back with dynamic partition overwrite.
+
+    Per-batch cost scales with touched-partition size, not table size —
+    the property that makes continuous replication viable at 100 TB.
+    On Delta/Iceberg this whole body is `MERGE INTO`; the contract and
+    idempotency guarantees are identical.
+    """
+    latest = latest_image_per_key(batch, key, ts_col)
+    upserts = (
+        latest.filter(F.col("op").isin("c", "r", "u"))
+        .select("after.*")
+        .filter(F.col(key).isNotNull() & F.col(partition_col).isNotNull())
+    )
+    delete_rows = (
+        latest.filter(F.col("op") == "d")
+        .select(
+            F.col(f"before.{key}").alias(key),
+            F.col(f"before.{partition_col}").alias(partition_col),
+        )
+        .filter(F.col(key).isNotNull())
+        .collect()
+    )
+    delete_keys = [r[key] for r in delete_rows]
+    # touched = partitions with upserts ∪ partitions holding deleted rows
+    touched = {r[0] for r in upserts.select(partition_col).distinct().collect()}
+    touched |= {r[partition_col] for r in delete_rows if r[partition_col] is not None}
+    if not touched:
+        return
+    import os
+
+    if os.path.exists(target_path):
+        target = spark.read.parquet(target_path).filter(
+            F.col(partition_col).isin(list(touched))
+        )
+        untouched = target.join(upserts.select(key).distinct(), key, "left_anti")
+        merged = untouched.unionByName(upserts, allowMissingColumns=True)
+    else:
+        merged = upserts
+    if soft_delete and delete_keys:
+        merged = merged.withColumn(
+            "is_deleted",
+            F.when(F.col(key).isin(delete_keys), F.lit(True)).otherwise(
+                F.coalesce(F.col("is_deleted"), F.lit(False))
+            ),
+        )
+    with _partition_overwrite(spark):
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
+
+
+class _partition_overwrite:
+    """Temporarily switch to dynamic partition overwrite so only the
+    partitions present in the written DataFrame are replaced."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
 def make_merge_sink(target_path: str, key: str = "id", soft_delete: bool = True):
     """Wrap merge_upsert as a foreachBatch callback:
     ``stream.writeStream.foreachBatch(make_merge_sink(...))``."""
