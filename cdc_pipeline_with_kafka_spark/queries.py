@@ -150,14 +150,16 @@ def p7_projection_split(spark, sf_dir):
     csv = F.concat_ws(",", F.col("lang"), F.col("source"), F.lit(" "), F.lit(""))
     return docs.select(
         "doc_id",
-        textfn.split_csv(csv).alias("tags"),
+        # joined string rather than array: engine-independent value
+        # representation for the driver's hash compare
+        F.array_join(textfn.split_csv(csv), "|").alias("tags"),
         F.size(textfn.split_csv(csv)).alias("n_tags"),
     )
 
 
 P7_SQL = """
 SELECT doc_id,
-       list_filter(list_transform(string_split(concat_ws(',', lang, source, ' ', ''), ','), x -> trim(x)), x -> x <> '') AS tags,
+       coalesce(array_to_string(list_filter(list_transform(string_split(concat_ws(',', lang, source, ' ', ''), ','), x -> trim(x)), x -> x <> ''), '|'), '') AS tags,
        len(list_filter(list_transform(string_split(concat_ws(',', lang, source, ' ', ''), ','), x -> trim(x)), x -> x <> '')) AS n_tags
 FROM documents
 """
@@ -179,7 +181,13 @@ def j1_one_to_many_nested(spark, sf_dir):
         .select(
             "o_orderkey",
             F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            F.coalesce("line_numbers", F.array().cast("array<int>")).alias("line_numbers"),
+            F.array_join(
+                F.transform(
+                    F.coalesce("line_numbers", F.array().cast("array<int>")),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("line_numbers"),
         )
     )
 
@@ -187,7 +195,7 @@ def j1_one_to_many_nested(spark, sf_dir):
 J1_SQL = """
 SELECT o_orderkey,
        coalesce(n_lines, 0) AS n_lines,
-       coalesce(line_numbers, []) AS line_numbers
+       coalesce(array_to_string(coalesce(line_numbers, []), '|'), '') AS line_numbers
 FROM orders LEFT JOIN (
   SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
          count(*) AS n_lines
@@ -1010,7 +1018,9 @@ def o5_merge_keywords(spark, sf_dir):
     secondary = F.slice(tokens, 3, 5)
     return docs.select(
         "doc_id",
-        textfn.merge_keywords_capped(primary, secondary, cap=6).alias("merged"),
+        F.array_join(
+            textfn.merge_keywords_capped(primary, secondary, cap=6), "|"
+        ).alias("merged"),
     )
 
 
@@ -1031,7 +1041,7 @@ firsts AS (
          row_number() OVER (PARTITION BY doc_id, lower(kw) ORDER BY ord) AS rn
   FROM pos
 )
-SELECT doc_id, coalesce(list(kw ORDER BY ord) FILTER (WHERE rn = 1), [])[1:6] AS merged
+SELECT doc_id, coalesce(array_to_string(coalesce(list(kw ORDER BY ord) FILTER (WHERE rn = 1), [])[1:6], '|'), '') AS merged
 FROM firsts
 GROUP BY doc_id
 """
@@ -1046,14 +1056,18 @@ def a2_windowed_collect(spark, sf_dir):
         .agg(F.sort_array(F.collect_list("event_id")).alias("event_ids"),
              F.count(F.lit(1)).alias("cnt"))
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "event_ids", "cnt"
+            F.col("w.start").alias("window_start"), "event_type",
+            F.array_join(
+                F.transform("event_ids", lambda x: x.cast("string")), "|"
+            ).alias("event_ids"),
+            "cnt",
         )
     )
 
 
 A2_SQL = """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS window_start,
-       event_type, list(event_id ORDER BY event_id) AS event_ids, count(*) AS cnt
+       event_type, coalesce(array_to_string(list(event_id ORDER BY event_id), '|'), '') AS event_ids, count(*) AS cnt
 FROM events GROUP BY 1, 2
 """
 
@@ -1073,7 +1087,7 @@ def f7_breaking_indicators(spark, sf_dir):
     df = spark.createDataFrame([(t,) for t in _KOREAN_TITLES], "title string")
     return df.select(
         "title",
-        textfn.breaking_indicators(F.col("title")).alias("indicators"),
+        F.array_join(textfn.breaking_indicators(F.col("title")), "|").alias("indicators"),
         textfn.is_breaking(F.col("title")).alias("is_breaking"),
     )
 
@@ -1082,7 +1096,7 @@ _BREAKING_SQL_LIST = ", ".join(f"'{t}'" for t in textfn.BREAKING_KEYWORDS)
 
 F7_SQL = f"""
 SELECT title,
-       list_filter([{_BREAKING_SQL_LIST}], t -> contains(title, t)) AS indicators,
+       coalesce(array_to_string(list_filter([{_BREAKING_SQL_LIST}], t -> contains(title, t)), '|'), '') AS indicators,
        len(list_filter([{_BREAKING_SQL_LIST}], t -> contains(title, t))) > 0 AS is_breaking
 FROM (VALUES {_TITLE_VALUES}) AS t(title)
 """
@@ -1276,7 +1290,7 @@ WITH toks AS (
 ),
 grams AS (
   SELECT id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+                i -> coalesce(array_to_string(list_slice(t, i, i + 2), ' '), '')))) AS gram
   FROM toks WHERE len(t) >= 3
 ),
 sizes AS (SELECT id, count(*) AS set_size FROM grams GROUP BY id),
