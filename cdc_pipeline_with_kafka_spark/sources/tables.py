@@ -30,6 +30,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    # Defensive runtime confs: the caller may hand us a session built
+    # without session.get_spark() (e.g. the round driver's own session).
+    # Both are runtime-settable; required for TIMESTAMP(NANOS) columns
+    # and for UTC-stable timestamp values vs the DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) parquet columns arrive as long (see session.py);
     # convert to micro-precision TIMESTAMP_NTZ (matches DuckDB's read).
