@@ -78,7 +78,9 @@ def s4_cdc_parse_envelope(spark, sf_dir):
             T.StructField("total", T.DoubleType()),
         ]
     )
-    raw = _t(spark, sf_dir, "orders").select(
+    from .util import spread
+
+    raw = spread(_t(spark, sf_dir, "orders")).select(
         F.to_json(
             F.struct(
                 F.struct(
@@ -1454,17 +1456,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # Headline queries for bench.py — chosen to stress distinct physical
-# plans: codegen agg, broadcast join, shuffle agg + window fns, text
-# explode, inverted-index join, LSH, vector math.
+# plans: codegen agg, broadcast join, shuffle agg + window fns, session
+# windows, CDC parse, JSON decode, text explode, inverted-index join,
+# LSH, vector math.
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "s4_cdc_parse_envelope",
     "j1_one_to_many_nested",
     "j2_dim_joins",
     "a1_windowed_count",
+    "a4_sliding_window",
     "a12_breaking_words",
+    "t4_session_window",
     "w2_zscore",
+    "w4_compound_score",
     "w6_rank_change",
+    "f14_json_extract",
     "text_profile",
+    "o5_merge_keywords",
     "dedup_ngram_jaccard3",
     "dedup_minhash_lsh3",
     "sim_cosine_topk",
