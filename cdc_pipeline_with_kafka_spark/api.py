@@ -98,30 +98,26 @@ def daily_stats(articles: DataFrame, days: int = 30) -> DataFrame:
 
 
 def trending(hourly_counts: DataFrame, as_of: str, limit: int = 20) -> DataFrame:
-    """§3.2 read path as ONE set-oriented query: multi-window counts →
-    velocity → z-score → compound score → top-k (vs the reference's
-    O(candidates×200) Redis point reads)."""
-    mw = trends.multi_window_counts(hourly_counts, as_of)
-    prev = hourly_counts.filter(
-        F.col("bucket") == F.lit(as_of).cast("timestamp_ntz") - F.expr("INTERVAL 1 HOUR")
-    ).select("keyword", F.col("cnt").alias("prev_cnt"))
+    """§3.2 read path as ONE set-oriented query: multi-window counts
+    (incl. adjacent-previous windows) → 1h/6h velocities with the
+    brand-new boost → z-score → direction → compound score → top-k
+    (vs the reference's O(candidates×200) Redis point reads,
+    advanced_trend_analyzer.py:288-312)."""
+    mw = trends.multi_window_counts(hourly_counts, as_of, include_prev=True)
     z = (
         trends.zscore_anomaly(hourly_counts)
         .filter(F.col("bucket") == F.lit(as_of).cast("timestamp_ntz"))
         .select("keyword", "zscore", "anomaly")
     )
     metrics = (
-        mw.join(prev, "keyword", "left")
-        .join(z, "keyword", "left")
-        .withColumn(
-            "velocity_1h",
-            F.when(F.col("prev_cnt").isNull(), F.col("cnt_1h") * 2.0).otherwise(
-                F.col("cnt_1h") - F.col("prev_cnt")
-            ),
-        )
+        mw.join(z, "keyword", "left")
+        .withColumn("velocity_1h", trends.window_velocity(F.col("cnt_1h"), F.col("prev_1h"), 1))
+        .withColumn("velocity_6h", trends.window_velocity(F.col("cnt_6h"), F.col("prev_6h"), 6))
         .withColumn("zscore", F.coalesce("zscore", F.lit(0.0)))
+        .withColumn("anomaly", F.coalesce("anomaly", F.lit(0.0)))
     )
-    scored = trends.compound_scored(metrics)
+    directed = trends.trend_direction(metrics)
+    scored = trends.compound_scored(directed)
     return trends.trending_ranking(scored, limit)
 
 

@@ -193,23 +193,42 @@ def multi_window_counts(
     key_col: str = "keyword",
     bucket_col: str = "bucket",
     count_col: str = "cnt",
+    include_prev: bool = False,
 ) -> DataFrame:
     """A3 read side: counts over the trailing 1h/6h/24h/168h windows
     ending at `as_of`, per keyword — conditional aggregation in ONE
     pass over the hourly table (the reference does 4×24 zset reads
-    per keyword, advanced_trend_analyzer.py:127-146)."""
+    per keyword, advanced_trend_analyzer.py:127-146).
+
+    include_prev adds the ADJACENT-previous 1h and 6h window counts
+    (for W1 velocity) in the same pass — still one scan, one shuffle.
+    """
     as_of_ts = F.lit(as_of).cast("timestamp_ntz")
-    in_range = lambda hours: (  # noqa: E731
-        (F.col(bucket_col) > as_of_ts - F.expr(f"INTERVAL {hours} HOURS"))
-        & (F.col(bucket_col) <= as_of_ts)
-    )
-    return (
-        hourly.filter(in_range(168))
-        .groupBy(key_col)
-        .agg(
-            F.sum(F.when(in_range(1), F.col(count_col)).otherwise(0)).alias("cnt_1h"),
-            F.sum(F.when(in_range(6), F.col(count_col)).otherwise(0)).alias("cnt_6h"),
-            F.sum(F.when(in_range(24), F.col(count_col)).otherwise(0)).alias("cnt_24h"),
-            F.sum(F.col(count_col)).alias("cnt_168h"),
-        )
+
+    def between(hours_back_start: int, hours_back_end: int):
+        return (
+            F.col(bucket_col) > as_of_ts - F.expr(f"INTERVAL {hours_back_start} HOURS")
+        ) & (F.col(bucket_col) <= as_of_ts - F.expr(f"INTERVAL {hours_back_end} HOURS"))
+
+    aggs = [
+        F.sum(F.when(between(1, 0), F.col(count_col)).otherwise(0)).alias("cnt_1h"),
+        F.sum(F.when(between(6, 0), F.col(count_col)).otherwise(0)).alias("cnt_6h"),
+        F.sum(F.when(between(24, 0), F.col(count_col)).otherwise(0)).alias("cnt_24h"),
+        F.sum(F.col(count_col)).alias("cnt_168h"),
+    ]
+    if include_prev:
+        aggs += [
+            F.sum(F.when(between(2, 1), F.col(count_col)).otherwise(0)).alias("prev_1h"),
+            F.sum(F.when(between(12, 6), F.col(count_col)).otherwise(0)).alias("prev_6h"),
+        ]
+    return hourly.filter(between(168, 0)).groupBy(key_col).agg(*aggs)
+
+
+def window_velocity(current: F.Column, previous: F.Column, hours: int) -> F.Column:
+    """W1 velocity rule on window counts: (cur − prev)/hours, with the
+    reference's brand-new boost cur×2.0 when there is no previous
+    activity (advanced_trend_analyzer.py:148-169 returns the boost when
+    the previous window count is 0)."""
+    return F.when(previous == 0, current * 2.0).otherwise(
+        (current - previous) / F.lit(float(hours))
     )

@@ -130,6 +130,36 @@ def test_api_trending_over_hourly_counts(spark):
     out = api.trending(hourly, as_of="2024-03-02 23:00:00", limit=2).collect()
     assert out[0]["keyword"] == "surging"
     assert out[0]["compound_score"] > out[1]["compound_score"]
+    # full TrendMetrics shape: velocities, direction, anomaly present
+    assert out[0]["velocity_1h"] == 80 - 5  # adjacent-window delta
+    assert out[0]["direction"] == "rising"
+    assert out[1]["direction"] == "stable"
+    assert 0.0 <= out[0]["anomaly"] <= 1.0
+
+
+def test_api_trending_brand_new_keyword_boost(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 2, 23)  # activity ONLY in the as_of hour
+    hourly = spark.createDataFrame(
+        [(base, "fresh", 7)], "bucket timestamp_ntz, keyword string, cnt long"
+    )
+    out = api.trending(hourly, as_of="2024-03-02 23:00:00", limit=1).collect()[0]
+    assert out["velocity_1h"] == 14.0  # brand-new boost: current × 2
+
+
+def test_api_get_articles_with_media(spark):
+    arts = _articles_df(spark)
+    media = spark.createDataFrame(
+        [(1, 1, "image", "http://m/1", None), (2, 1, "video", "http://m/2", "cap")],
+        "id long, article_id long, type string, url string, caption string",
+    )
+    out = api.get_articles(arts, media=media, sort_by="id", ascending=True, size=5)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows, "page not empty"
+    with_media = rows.get(1)
+    if with_media is not None:  # article 1 on page 0 when not deleted
+        assert len(with_media["media_items"]) == 2
 
 
 def test_api_wordcloud(spark):
