@@ -246,6 +246,48 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
+def j4_stream_static_enrich(spark, sf_dir):
+    """J4: stream–static enrichment join shape — the event stream
+    enriched against a broadcast dimension, then aggregated
+    (advanced_trend_analyzer.py:238-240's keyed-state lookup as a
+    stream-static join)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        relational.join_dim(ev, cust, "user_id", "inner")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+J4_SQL = """
+SELECT c_mktsegment, event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def text_length_stats(spark, sf_dir):
+    """Corpus length distribution per language: count, mean chars,
+    exact median (percentile with linear interpolation — matches
+    DuckDB quantile_cont)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
+    )
+
+
+TEXT_LENGTH_SQL = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars
+FROM documents GROUP BY lang
+"""
+
+
 def p8_semi_join(spark, sf_dir):
     """P8: suppliers that appear in lineitem (existence predicate)."""
     supplier = _t(spark, sf_dir, "supplier")
@@ -1406,6 +1448,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j1_one_to_many_nested": (j1_one_to_many_nested, J1_SQL),
     "j2_dim_joins": (j2_dim_joins, J2_SQL),
     "j3_anti_join": (j3_anti_join, J3_SQL),
+    "j4_stream_static_enrich": (j4_stream_static_enrich, J4_SQL),
+    "text_length_stats": (text_length_stats, TEXT_LENGTH_SQL),
     "a1_windowed_count": (a1_windowed_count, A1_SQL),
     "a3_multi_window_counts": (a3_multi_window_counts, A3_SQL),
     "a4_sliding_window": (a4_sliding_window, A4_SQL),
