@@ -12,11 +12,17 @@ training-data extensions); this module is the thin driver-facing shim.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cdc_pipeline_with_kafka_spark import queries as q
+# the driver may load this file by path from any cwd — make the
+# package importable regardless
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_pipeline_with_kafka_spark import queries as q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -129,6 +129,74 @@ def alert_events(trending: DataFrame) -> DataFrame:
     )
 
 
+def enriched_keyword_events(articles: DataFrame) -> DataFrame:
+    """S7: ProcessedKeywordEvent republish payload
+    (keyword_republisher.py:27-38, 43-123): per article — scored
+    keyword structs, breaking indicators (U4/F7), sentiment stub (U5),
+    trend-score stub (U6), content truncated to 500 chars, keyed
+    ``article_{id}`` — as Kafka-ready (key, value-JSON) rows."""
+    kw = F.when(
+        F.col("keywords").isNotNull() & (F.col("keywords") != ""),
+        textfn.split_csv(F.col("keywords")),
+    ).otherwise(
+        F.filter(
+            textfn.extract_korean_nouns(textfn.weighted_text(F.col("title"), F.col("content"))),
+            lambda x: textfn.is_valid_keyword(x),
+        )
+    )
+    enriched = articles.select(
+        F.col("id"),
+        F.col("title"),
+        textfn.truncate(F.col("content"), 500).alias("content"),
+        F.col("category"),
+        F.col("ts"),
+        F.array_distinct(kw).alias("kw_list"),  # O6 ordered distinct
+    ).select(
+        "*",
+        F.transform(
+            "kw_list",
+            lambda k: F.struct(
+                k.alias("keyword"),
+                F.lit(0.8).alias("score"),  # confidence stub (extraction_method=regex)
+                textfn.classify_keyword(k).alias("category"),
+            ),
+        ).alias("keywords"),
+        textfn.breaking_indicators(F.col("title"), F.col("kw_list")).alias("breaking_indicators"),
+        textfn.sentiment_stub().alias("sentiment"),
+        textfn.trend_score_stub(F.col("kw_list")).alias("trends"),
+    )
+    return enriched.select(
+        F.concat(F.lit("article_"), F.col("id")).alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("id").alias("article_id"),
+                "title", "content", "category", "keywords", "trends",
+                "breaking_indicators", "sentiment",
+                F.lit("regex").alias("extraction_method"),
+                F.col("ts").alias("timestamp"),
+            )
+        ).alias("value"),
+    )
+
+
+def wordcloud_query(keywords: DataFrame, window: str = "30 minutes", top_k: int = 50) -> DataFrame:
+    """T8/A5/A13: the periodic word-cloud feed — windowed counts ready
+    for a 60-second-trigger sink (main.py:437-474).  In streaming the
+    top-k cut runs downstream of the sink (ranking isn't stateful-
+    streaming-safe); in batch it applies directly."""
+    counts = keywords.groupBy(
+        F.window("ts", window).alias("w"), F.col("keyword")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    flat = counts.select(
+        F.col("w.start").alias("window_start"), "keyword", "cnt"
+    )
+    if keywords.isStreaming:
+        return flat
+    from ..operators import windows as win_ops
+
+    return win_ops.topk_per_window(flat, top_k, ["window_start"]).drop("rnk")
+
+
 def start_memory_query(df: DataFrame, name: str, trigger_seconds: int = 5, output_mode: str = "update"):
     """Test/serving helper: memory sink with a processing-time trigger
     (the reference's 5s stats cadence, main.py:534-549)."""
