@@ -219,12 +219,19 @@ def minhash_lsh_pairs(
     ).filter(F.col("est_jaccard") >= threshold)
 
 
-def simhash64(col: Column, salt: str = "sh:") -> Column:
-    """64-bit SimHash over word tokens: each token hashes to 60 bits;
-    each bit position accumulates +1/−1 across tokens; fingerprint bit
-    = sign.  Pure column expressions (no UDF)."""
+def token_hashes(col: Column, salt: str = "sh:") -> Column:
+    """Distinct word tokens → 60-bit hash array (the SimHash input)."""
     tokens = F.array_distinct(F.split(normalized_text(col), " "))
-    hashes = F.transform(tokens, lambda t: _md5_hash64(t, salt=salt))
+    return F.transform(tokens, lambda t: _md5_hash64(t, salt=salt))
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """SimHash fingerprint from a precomputed hash array: each bit
+    position accumulates +1/−1 votes across tokens; fingerprint bit =
+    sign.  IMPORTANT: pass a MATERIALIZED column (e.g. produced behind
+    an explode barrier) — this expression references `hashes` 60 times,
+    and projection collapse would otherwise recompute the md5 per
+    token per bit."""
     # F.shiftleft needs a literal bit count, so build per-bit masks as
     # python ints (exact long literals, no float detour)
     fingerprint = F.lit(0).cast("long")
@@ -237,6 +244,13 @@ def simhash64(col: Column, salt: str = "sh:") -> Column:
         )
         fingerprint = fingerprint.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
     return fingerprint
+
+
+def simhash64(col: Column, salt: str = "sh:") -> Column:
+    """64-bit SimHash as a single column expression (convenience form —
+    for bulk scans prefer token_hashes + an explode barrier +
+    simhash_from_hashes, as simhash_pairs does)."""
+    return simhash_from_hashes(token_hashes(col, salt))
 
 
 def simhash_pairs(
@@ -252,9 +266,13 @@ def simhash_pairs(
     15-bit blocks; any pair within distance < blocks must agree on at
     least one block → candidates via equi-join per block (union), then
     exact popcount verification.  Linear candidate generation."""
-    fps = spread(df, id_col).select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp")
+    # Generate barrier: hash each token once, then fold 60 bit-votes
+    # over the materialized array (see simhash_from_hashes)
+    hashed = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(token_hashes(F.col(text_col)))).alias("_hashes"),
     )
+    fps = hashed.select("id", simhash_from_hashes(F.col("_hashes")).alias("fp"))
     block_bits = 60 // blocks
     entries = fps.select(
         "id", "fp",
