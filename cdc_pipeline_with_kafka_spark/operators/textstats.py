@@ -97,11 +97,19 @@ def doc_fingerprint(col: Column) -> Column:
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document text profile: tokens, est. subword tokens,
-    stopword/punct ratios, quality, detected language, fingerprint."""
+    stopword/punct ratios, quality, detected language, fingerprint.
+
+    The text column is carried through a Generate barrier so the
+    per-metric expressions (each of which tokenizes) operate on one
+    materialized value rather than re-inlining the scan expression."""
     from ..util import spread
 
-    c = F.col(text_col)
-    return spread(df, id_col).select(
+    base = spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array(F.col(text_col))).alias("_text"),
+    )
+    c = F.col("_text")
+    return base.select(
         F.col(id_col),
         token_count(c).alias("n_tokens"),
         word_token_count(c).alias("n_subtokens"),

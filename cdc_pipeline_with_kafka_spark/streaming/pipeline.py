@@ -144,13 +144,15 @@ def enriched_keyword_events(articles: DataFrame) -> DataFrame:
             lambda x: textfn.is_valid_keyword(x),
         )
     )
+    # Generate barrier: the extraction expression is referenced by three
+    # downstream columns; explode(array(...)) pins one evaluation
     enriched = articles.select(
         F.col("id"),
         F.col("title"),
         textfn.truncate(F.col("content"), 500).alias("content"),
         F.col("category"),
         F.col("ts"),
-        F.array_distinct(kw).alias("kw_list"),  # O6 ordered distinct
+        F.explode(F.array(F.array_distinct(kw))).alias("kw_list"),  # O6 ordered distinct
     ).select(
         "*",
         F.transform(
