@@ -32,17 +32,20 @@ from ..util import spread
 
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product of two float arrays (interpreted HOF —
-    fine for per-candidate verification, not for corpus scans)."""
+    fine for per-candidate verification, not for corpus scans).
+    Elements are widened to double BEFORE multiplying so results match
+    float64 engines (numpy, DuckDB) bit-for-bit at 6-decimal rounding;
+    float32 products would inject ~1e-6 noise."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(a.cast("array<double>"), F.lit(0.0), lambda acc, v: acc + v * v)
     )
 
 

@@ -1361,18 +1361,105 @@ def dedup_minhash_lsh3(spark, sf_dir):
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (16 hashes, 8 bands) — the
-    linear-candidate scale path.  Verified against a pure-Python
-    reference in tests (not SQL-expressible concisely → rows-only
-    driver check)."""
+    linear-candidate scale path."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=16, bands=8, shingle_n=1)
 
 
+def _minhash_oracle_sql(shingle_n: int, num_hashes: int = 16, bands: int = 8,
+                        threshold: float = 0.5) -> str:
+    """DuckDB oracle for minhash_lsh_pairs: replays the exact pipeline
+    (md5 gram hash → affine rehash mins → banding) with the same
+    deterministic coefficients, but generates candidates by an O(n²)
+    pair scan (fine at oracle SF) instead of the bucket join — a pair
+    collides in LSH iff some band's signature slice matches, which the
+    pair scan checks directly."""
+    p = dedup._MINHASH_P
+    rows_per_band = num_hashes // bands
+    if shingle_n == 1:
+        grams = "SELECT DISTINCT id, unnest(toks) AS gram FROM toks"
+    else:
+        grams = f"""SELECT DISTINCT id, unnest(
+      CASE WHEN len(toks) >= {shingle_n}
+           THEN list_transform(generate_series(1, len(toks) - {shingle_n - 1}),
+                               i -> array_to_string(list_slice(toks, i, i + {shingle_n - 1}), ' '))
+           ELSE [] END) AS gram FROM toks"""
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = dedup._minhash_params(i)
+        sig_cols.append(f"min((h * {a} + {b}) % {p}) AS s{i}")
+    band_pred = " OR ".join(
+        "(" + " AND ".join(
+            f"a.s{bnd * rows_per_band + r} = b.s{bnd * rows_per_band + r}"
+            for r in range(rows_per_band)
+        ) + ")"
+        for bnd in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+grams AS ({grams}),
+hashes AS (
+  SELECT id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % {p} AS h FROM grams
+),
+sigs AS (SELECT id, {', '.join(sig_cols)} FROM hashes GROUP BY id)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE ({band_pred})
+  AND ({matches}) / {float(num_hashes)} >= {threshold}
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash fingerprints + Hamming-distance pairs via pigeonhole
-    blocking (rows-only driver check; exactness tested in pytest)."""
+    blocking."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=12)
+
+
+def _simhash_oracle_sql(max_hamming: int = 12, blocks: int = 4) -> str:
+    """DuckDB oracle for simhash_pairs: same salted md5 token hashes
+    and 60-bit majority-vote fingerprint; the pigeonhole blocking
+    (candidates must share a 15-bit block) is checked directly on the
+    O(n²) pair scan."""
+    block_bits = 60 // blocks
+    mask = (1 << block_bits) - 1
+    share = " OR ".join(
+        f"((a.fp >> {i * block_bits}) & {mask}) = ((b.fp >> {i * block_bits}) & {mask})"
+        for i in range(blocks)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, unnest(
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT id, ('0x' || substr(md5('sh:' || tok), 1, 15))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) AS bits
+  GROUP BY id, bit
+),
+fps AS (
+  SELECT id,
+         sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS fp
+  FROM votes GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.fp, b.fp))::INT AS hamming
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE ({share}) AND bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
 
 # ---------------------------------------------------------------- similarity extensions
 
@@ -1424,13 +1511,69 @@ WHERE list_dot_product(a.embedding, b.embedding)
 
 
 def sim_lsh_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate NN (random hyperplanes) — rows-only
-    driver check; recall vs brute force asserted in pytest."""
+    """LSH-bucketed approximate NN (random hyperplanes); recall vs
+    brute force asserted in pytest.  The hyperplanes are deterministic
+    driver-side constants, so the oracle bakes them in as literals and
+    replays the identical bucket-then-rerank pipeline."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.lsh_ann_topk(emb, queries, dim=64, k=10, n_planes=6)
+
+
+def _lsh_ann_oracle_sql(dim: int = 64, k: int = 10, n_planes: int = 6,
+                        n_tables: int = 4, seed: int = 42) -> str:
+    """DuckDB oracle for lsh_ann_topk: per-table signatures encoded as
+    bit-sum integers (equality ⇔ all plane signs agree), candidates =
+    share a bucket in ANY table, exact cosine re-rank in double."""
+    plane_sets = [
+        similarity._hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    def table_sigs(vec: str) -> list[str]:
+        return [
+            " + ".join(
+                f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {arr(plane)}) >= 0"
+                f" THEN {1 << j} ELSE 0 END)"
+                for j, plane in enumerate(planes)
+            )
+            for planes in plane_sets
+        ]
+
+    sig_cols = ", ".join(
+        f"({expr}) AS t{t}" for t, expr in enumerate(table_sigs("embedding"))
+    )
+    share = " OR ".join(f"s.t{t} = q.t{t}" for t in range(n_tables))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sig_cols} FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {', '.join(f't{t}' for t in range(n_tables))}
+  FROM sigs WHERE vec_id < 5
+),
+cand AS (
+  SELECT q.query_id, s.vec_id, s.embedding, q.qvec
+  FROM sigs s JOIN q ON ({share})
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(embedding::DOUBLE[], qvec::DOUBLE[])
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))), 6) AS cos_sim
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= {k}
+"""
 
 
 # ---------------------------------------------------------------- registry
@@ -1491,12 +1634,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_ngram_jaccard3": (dedup_ngram_jaccard3, DEDUP_JACCARD3_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
-    "dedup_minhash_lsh3": (dedup_minhash_lsh3, None),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_oracle_sql(shingle_n=1)),
+    "dedup_minhash_lsh3": (dedup_minhash_lsh3, _minhash_oracle_sql(shingle_n=3)),
+    "dedup_simhash": (dedup_simhash, _simhash_oracle_sql()),
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "sim_embedding_neardup": (sim_embedding_neardup, SIM_NEARDUP_SQL),
-    "sim_lsh_ann_topk": (sim_lsh_ann_topk, None),
+    "sim_lsh_ann_topk": (sim_lsh_ann_topk, _lsh_ann_oracle_sql()),
 }
 
 # Headline queries for bench.py — chosen to stress distinct physical
