@@ -83,34 +83,57 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
 
-    Inverted-index formulation (no cross join):
-      explode n-grams → self-join on the gram → count shared grams per
-      pair → |A∩B| / (|A|+|B|−|A∩B|).
-    Shuffles scale with total gram postings, not n².  Hot grams (stop
-    phrases) are the skew risk at 100 TB — AQE skew-join splits them;
-    a doc-frequency cap on grams is the stronger mitigation and is
-    exposed via `max_gram_df`.
+    Inverted-index formulation (no cross join): posting lists per gram,
+    pair expansion inside each list.  Shuffles scale with total gram
+    postings, not n².  Hot grams (stop phrases) are the skew risk at
+    100 TB: `max_gram_df` drops posting lists longer than the cap
+    (documents-with-stop-phrase pairs lose those grams' votes — a
+    standard recall/cost trade; None keeps exact semantics).
     """
-    grams = spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(token_ngrams(F.col(text_col), n)).alias("gram"),
+    # Linear single-scan plan.  A self-join formulation reads the text
+    # and rebuilds the gram pipeline once PER BRANCH (4× here — Spark
+    # does not reuse the exchanges, verified on the executed plan);
+    # instead, per-doc distinct gram sets carry their own size into the
+    # posting lists, so sizes need no separate branch or re-join:
+    #   scan → groupBy(id) collect_set → explode → groupBy(gram)
+    #   posting list → in-bucket pair expansion → groupBy(pair) count
+    # per-row array_distinct, not a groupBy(id)+collect_set: the doc's
+    # gram set is computable without moving data — at 100 TB a shuffle
+    # of every posting by id would dwarf the per-row dedup cost.  The
+    # explode(array(...)) barrier pins ONE evaluation of the gram set,
+    # which is then referenced by both size() and the posting explode.
+    doc_sets = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(token_ngrams(F.col(text_col), n))).alias("gs"),
+        )
+        .select("id", F.size("gs").alias("set_size"), F.explode("gs").alias("gram"))
     )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    a, b = grams.alias("a"), grams.alias("b")
-    shared = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    postings = doc_sets.groupBy("gram").agg(
+        F.collect_list(F.struct("id", "set_size")).alias("ms")
+    ).filter(F.size("ms") > 1)
+    if max_gram_df is not None:
+        postings = postings.filter(F.size("ms") <= max_gram_df)
+    # upper-triangle expansion: posexplode + slice emits each unordered
+    # pair once — half the rows of a full m1×m2 expansion, no < filter
+    pairs = (
+        postings.select("ms", F.posexplode("ms").alias("p", "m1"))
+        .select("m1", F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("m2"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    shared = pairs.groupBy(
+        F.least("m1.id", "m2.id").alias("id_a"),
+        F.greatest("m1.id", "m2.id").alias("id_b"),
+        F.when(F.col("m1.id") < F.col("m2.id"), F.col("m1.set_size")).otherwise(F.col("m2.set_size")).alias("size_a"),
+        F.when(F.col("m1.id") < F.col("m2.id"), F.col("m2.set_size")).otherwise(F.col("m1.set_size")).alias("size_b"),
+    ).agg(F.count(F.lit(1)).alias("shared"))
     jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
     return (
-        shared.join(sa, "id_a").join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        shared.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -128,6 +151,34 @@ def _minhash_params(i: int) -> tuple[int, int]:
     return a, b
 
 
+def gram_rows(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exploded (id, gram) word-n-gram rows WITHOUT per-doc dedup.
+
+    Zip-slice construction: n shifted slices of the token array are
+    zipped and each struct concatenated after the explode — flat
+    codegen-friendly expressions instead of a per-element interpreted
+    `transform` lambda (~2× faster at scan time).  Duplicate grams are
+    kept; use this where downstream aggregation is duplicate-
+    insensitive (e.g. MinHash `min`)."""
+    norm = normalized_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    if n == 1:
+        return spread(df, id_col).select(
+            F.col(id_col).alias("id"), F.explode(toks).alias("gram")
+        )
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, cnt).alias(f"t{i}") for i in range(n)]
+    )
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col).alias("id"), F.explode(zipped).alias("g"))
+        .select("id", F.concat_ws(" ", *[f"g.t{i}" for i in range(n)]).alias("gram"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -139,14 +190,13 @@ def minhash_signatures(
     affine rehashes (a_i·h+b_i mod 2³¹−1), min per doc.
 
     One hash computation per gram instead of num_hashes — the md5 is
-    the expensive part; affine rehash is three integer ops.  Output:
+    the expensive part; affine rehash is three integer ops.  Grams are
+    NOT deduped first: `min` is duplicate-insensitive, and skipping
+    `array_distinct` keeps the scan stage pure codegen.  Output:
     (id, sig: array<long>[num_hashes]) — a constant-size sketch,
     corpus-size-independent, which is what makes near-dup feasible at
     100 TB."""
-    grams = spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(token_ngrams(F.col(text_col), shingle_n)).alias("gram"),
-    )
+    grams = gram_rows(df, shingle_n, text_col, id_col)
     base = grams.select("id", (_md5_hash64(F.col("gram")) % _MINHASH_P).alias("h"))
     min_cols = []
     for i in range(num_hashes):
@@ -175,48 +225,86 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    # bucket key = struct of the band's signature values — exact
+    # equality (no hash-collision false pairs), no md5 or key-string
+    # materialization
     band_entries = sigs.select(
         "id", "sig",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.md5(F.concat_ws(",", *[
-                        F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                    F.struct(*[
+                        F.col("sig").getItem(b * rows_per_band + r).alias(f"k{r}")
                         for r in range(rows_per_band)
-                    ])).alias("bucket"),
+                    ]).alias("bucket"),
                 )
                 for b in range(bands)
             ])
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
-    a, b_ = band_entries.alias("a"), band_entries.alias("b")
-    candidates = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Pairs via groupBy(bucket) + in-bucket expansion, NOT a self-join:
+    # a self-join would recompute the whole scan→gram→sig pipeline for
+    # each side (Spark does not share subplans), doubling the dominant
+    # cost.  This shuffles band entries once (the same exchange the
+    # join would need) and computes signatures once.  Hot buckets are
+    # inherently quadratic in either formulation.
+    buckets = (
+        band_entries.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # upper-triangle expansion (posexplode + slice): each unordered pair
+    # once, half the rows, no < filter
+    expanded = (
+        buckets.select("band", "ms", F.posexplode("ms").alias("p", "m1"))
+        .select("band", "m1",
+                F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("m2"))
+    )
+    # flat positional sum instead of a zip_with/aggregate fold: HOF
+    # lambdas are interpreted per element; 16 unrolled comparisons stay
+    # in codegen
+    matches = sum(
+        (
+            F.when(F.col("m1.sig")[i] == F.col("m2.sig")[i], 1).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        start=F.lit(0),
+    )
+    est_jaccard = matches / F.lit(float(num_hashes))
+
+    # A pair colliding in k bands appears in k buckets; instead of a
+    # dropDuplicates exchange, keep the pair only in its FIRST matching
+    # band — computable locally because both signatures are in the row.
+    # One less shuffle on the critical path.
+    def band_match(bnd: int) -> Column:
+        return F.lit(True) if rows_per_band == 0 else (
+            sum(
+                (
+                    F.when(
+                        F.col("m1.sig")[bnd * rows_per_band + r]
+                        == F.col("m2.sig")[bnd * rows_per_band + r],
+                        0,
+                    ).otherwise(1)
+                    for r in range(rows_per_band)
+                ),
+                start=F.lit(0),
+            )
+            == 0
         )
+
+    first_band = F.lit(bands - 1)
+    for bnd in range(bands - 2, -1, -1):
+        first_band = F.when(band_match(bnd), F.lit(bnd)).otherwise(first_band)
+    return (
+        expanded.filter(F.col("band") == first_band)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.least("m1.id", "m2.id").alias("id_a"),
+            F.greatest("m1.id", "m2.id").alias("id_b"),
+            F.round(est_jaccard, 6).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("est_jaccard") >= threshold)
     )
-    est_jaccard = (
-        F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.lit(float(num_hashes))
-    )
-    return candidates.select(
-        "id_a", "id_b", F.round(est_jaccard, 6).alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= threshold)
 
 
 def token_hashes(col: Column, salt: str = "sh:") -> Column:
@@ -274,27 +362,54 @@ def simhash_pairs(
     )
     fps = hashed.select("id", simhash_from_hashes(F.col("_hashes")).alias("fp"))
     block_bits = 60 // blocks
+    mask = F.lit((1 << block_bits) - 1).cast("long")
     entries = fps.select(
         "id", "fp",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("blk"),
-                    F.shiftright("fp", i * block_bits)
-                    .bitwiseAND(F.lit((1 << block_bits) - 1).cast("long"))
-                    .alias("key"),
+                    F.shiftright("fp", i * block_bits).bitwiseAND(mask).alias("key"),
                 )
                 for i in range(blocks)
             ])
         ).alias("e"),
     ).select("id", "fp", "e.blk", "e.key")
-    a, b = entries.alias("a"), entries.alias("b")
-    xor = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
-    candidates = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.bit_count(xor).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
+    # groupBy(bucket) + in-bucket expansion instead of a self-join: the
+    # fingerprint pipeline (60 bit-votes per doc) is the dominant cost
+    # and a self-join would compute it once per side.  A pair agreeing
+    # on k blocks appears in k buckets; keeping it only in its FIRST
+    # matching block (computable locally — both fingerprints are in the
+    # row) replaces the dropDuplicates exchange with a filter.
+    buckets = (
+        entries.groupBy("blk", "key")
+        .agg(F.collect_list(F.struct("id", "fp")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    return candidates.filter(F.col("hamming") <= max_hamming)
+    # upper-triangle expansion (posexplode + slice): each unordered pair
+    # once, half the rows, no < filter
+    pairs = (
+        buckets.select("blk", "ms", F.posexplode("ms").alias("p", "m1"))
+        .select("blk", "m1",
+                F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("m2"))
+    )
+
+    def block_match(i: int) -> Column:
+        return (
+            F.shiftright(F.col("m1.fp"), i * block_bits).bitwiseAND(mask)
+            == F.shiftright(F.col("m2.fp"), i * block_bits).bitwiseAND(mask)
+        )
+
+    first_block = F.lit(blocks - 1)
+    for i in range(blocks - 2, -1, -1):
+        first_block = F.when(block_match(i), F.lit(i)).otherwise(first_block)
+    xor = F.col("m1.fp").bitwiseXOR(F.col("m2.fp"))
+    return (
+        pairs.filter(F.col("blk") == first_block)
+        .select(
+            F.least("m1.id", "m2.id").alias("id_a"),
+            F.greatest("m1.id", "m2.id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
