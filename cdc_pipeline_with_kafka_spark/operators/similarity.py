@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, StringType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
 from pyspark.sql.window import Window
 
 from ..util import spread
@@ -188,6 +188,86 @@ def lsh_ann_topk(
         .select(query_id_col, id_col, vec_col, "_qvec")
         .dropDuplicates([query_id_col, id_col])
     )
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rnk")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Deterministic coarse quantizer for IVF: the first `nlist`
+    corpus vectors by id.  Real deployments train k-means offline and
+    ship the codebook; the search plan below works with ANY fixed
+    centroid set, so training is pluggable — the deterministic pick
+    keeps results exactly reproducible (and oracle-checkable).
+    Returns (ids ascending, L2-normalized matrix nlist × dim)."""
+    rows = corpus.orderBy(F.col(id_col).asc()).limit(nlist).select(id_col, vec_col).collect()
+    cids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    cm = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    return cids, cm
+
+
+def _ivf_assign_udf(cids: np.ndarray, cm: np.ndarray, nprobe: int):
+    """Vectorized cluster assignment: one (batch × dim) @ (dim × nlist)
+    matmul per Arrow batch; returns the `nprobe` nearest centroid ids
+    by cosine (desc), centroid id asc on ties.  Sims are rounded to 6
+    decimals before ranking so the order is reproducible across
+    float64 engines."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def assign(embs: pd.Series) -> pd.Series:
+        m = _normalize_rows(np.stack(embs.to_numpy()).astype(np.float64))
+        s = np.round(m @ cm.T, 6)  # batch × nlist
+        # sort by (-sim, cid): lexsort uses the LAST key as primary
+        order = np.lexsort((np.broadcast_to(cids, s.shape), -s), axis=1)[:, :nprobe]
+        return pd.Series(list(cids[order]))
+
+    return assign
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (inverted file); each query probes its `nprobe` nearest
+    clusters and re-ranks exactly inside them.
+
+    Scale shape: the assignment is one broadcast-codebook matmul per
+    Arrow batch (embarrassingly parallel, no shuffle); at 100 TB the
+    assigned table is written once, partitioned by centroid_id, and
+    every query then prunes to nprobe/nlist of the corpus via
+    partition pruning.  Complements LSH (lsh_ann_topk): IVF gives
+    tunable recall via nprobe and data-adaptive buckets via a trained
+    codebook."""
+    cids, cm = ivf_centroids(corpus, nlist, id_col, vec_col)
+    assign1 = _ivf_assign_udf(cids, cm, 1)
+    probe = _ivf_assign_udf(cids, cm, nprobe)
+    assigned = spread(corpus, id_col).select(
+        F.col(id_col), F.col(vec_col), assign1(F.col(vec_col))[0].alias("centroid_id")
+    )
+    qprobe = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+            F.explode(probe(F.col(vec_col))).alias("centroid_id"),
+        )
+    )
+    candidates = assigned.join(qprobe, "centroid_id")
     scored = candidates.select(
         F.col(query_id_col),
         F.col(id_col),

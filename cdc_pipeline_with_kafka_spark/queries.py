@@ -1522,6 +1522,55 @@ def sim_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_ann_topk(emb, queries, dim=64, k=10, n_planes=6)
 
 
+def sim_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate NN: nearest-centroid bucketing (deterministic
+    coarse quantizer = first nlist vectors by id; trained codebooks are
+    pluggable), nprobe-cluster pruning, exact in-cluster re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_ann_topk(emb, queries, nlist=16, nprobe=2, k=10)
+
+
+SIM_IVF_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))), 6) DESC,
+                 c.cid ASC) AS crnk
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, embedding, cid AS centroid_id FROM sims WHERE crnk = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cid AS centroid_id
+  FROM sims WHERE vec_id < 5 AND crnk <= 2
+),
+cand AS (
+  SELECT q.query_id, a.vec_id, a.embedding, q.qvec
+  FROM assigned a JOIN qprobe q USING (centroid_id)
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(embedding::DOUBLE[], qvec::DOUBLE[])
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))), 6) AS cos_sim
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
 def _lsh_ann_oracle_sql(dim: int = 64, k: int = 10, n_planes: int = 6,
                         n_tables: int = 4, seed: int = 42) -> str:
     """DuckDB oracle for lsh_ann_topk: per-table signatures encoded as
@@ -1640,6 +1689,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "sim_embedding_neardup": (sim_embedding_neardup, SIM_NEARDUP_SQL),
     "sim_lsh_ann_topk": (sim_lsh_ann_topk, _lsh_ann_oracle_sql()),
+    "sim_ivf_ann_topk": (sim_ivf_ann_topk, SIM_IVF_SQL),
 }
 
 # Headline queries for bench.py — chosen to stress distinct physical
@@ -1665,6 +1715,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh3",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
 ]
 
 

@@ -137,6 +137,44 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert all((q, q) in approx_set for q in range(10))
 
 
+def test_ivf_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_ann_topk(emb, queries, nlist=8, nprobe=3, k=5)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # the query's own cluster is always probed (it is the nearest
+    # centroid), so the self-match must be present
+    assert all((q, q) in approx_set for q in range(10))
+
+
+def test_ivf_assignment_is_nearest_centroid(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cids, cm = similarity.ivf_centroids(emb, nlist=8)
+    assert list(cids) == sorted(cids)
+    rows = emb.limit(20).collect()
+    import numpy as np
+
+    assign = similarity._ivf_assign_udf(cids, cm, 1)
+    got = (
+        emb.limit(20)
+        .select("vec_id", assign(F.col("embedding"))[0].alias("c"))
+        .collect()
+    )
+    by_id = {r["vec_id"]: r["c"] for r in got}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        sims = np.round(cm @ v, 6)
+        best = cids[np.lexsort((cids, -sims))[0]]
+        assert by_id[r["vec_id"]] == best
+
+
 def test_cosine_topk_self_is_top1(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5).select(
