@@ -137,6 +137,58 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert all((q, q) in approx_set for q in range(10))
 
 
+def test_gram_rows_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "a b c d"), (4, "one"), (5, "x x x x")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.gram_rows(df, 3).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["gram"])
+    # docs shorter than n tokens produce no grams at all
+    assert 1 not in by_id and 4 not in by_id
+    # empty text -> single empty token -> shorter than n -> no grams
+    assert 2 not in by_id
+    assert sorted(by_id[3]) == ["a b c", "b c d"]
+    # duplicates are KEPT (min-insensitive consumers)
+    assert by_id[5] == ["x x x", "x x x"]
+    # n=1: every token emitted, duplicates kept
+    toks = [r["gram"] for r in dedup.gram_rows(df.filter("doc_id=5"), 1).collect()]
+    assert toks == ["x", "x", "x", "x"]
+
+
+def test_minhash_drops_docs_shorter_than_shingle(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "long enough for trigrams here")], ["doc_id", "text"]
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=4, shingle_n=3)
+    assert [r["id"] for r in sigs.collect()] == [2]
+
+
+def test_jaccard_max_gram_df_caps_hot_grams(spark):
+    # five docs all sharing one hot gram; pairs (1,2) also share rare grams
+    df = spark.createDataFrame(
+        [
+            (1, "hot gram here plus alpha beta"),
+            (2, "hot gram here plus alpha beta"),
+            (3, "hot gram here plus other words"),
+            (4, "hot gram here plus more stuff"),
+            (5, "hot gram here plus final doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.1, n=3)
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.1, n=3, max_gram_df=3)
+    # the shared "hot gram here"/"gram here plus" posting lists (df=5)
+    # are dropped by the cap, so capped similarity can only shrink
+    unc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert set(cap) <= set(unc)
+    for pair, j in cap.items():
+        assert j <= unc[pair] + 1e-9
+
+
 def test_ivf_ann_recall_vs_brute_force(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
