@@ -40,7 +40,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType()),
         T.StructField("payload_bytes", T.IntegerType()),
         T.StructField("content_hash", T.StringType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # double, not float32: features here are hash-derived doubles
+        # (real model embeddings would be float32; the fake-decoder tier
+        # keeps full precision so results are bit-reproducible across
+        # engines)
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 

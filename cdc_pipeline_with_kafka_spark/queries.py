@@ -1522,6 +1522,84 @@ def sim_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_ann_topk(emb, queries, dim=64, k=10, n_planes=6)
 
 
+def _doc_assets(spark, sf_dir):
+    """Deterministic multimodal asset table derived from documents:
+    payload = UTF-8 bytes of the text (the container has no codecs, so
+    the binary payloads are synthesized — the schema, batching and UDF
+    plumbing are exactly what real image/audio payloads flow through)."""
+    docs = _t(spark, sf_dir, "documents")
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        "doc_id",
+        mt.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("n_chars") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    """mapInPandas decode/feature plumbing over binary payloads: byte
+    sizes, content hashes, and the deterministic fake feature (sha256-
+    derived — stands in for the stubbed codec tier)."""
+    from .operators import multimodal
+
+    feats = multimodal.extract_features(_doc_assets(spark, sf_dir))
+    fsum = F.aggregate(
+        F.col("feature").cast("array<double>"), F.lit(0.0), lambda a, v: a + v
+    )
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "payload_bytes",
+        "content_hash",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(fsum, 6).alias("feature_sum"),
+    )
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH f AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS payload_bytes,
+         md5(text) AS content_hash,
+         list_transform(generate_series(0, 7),
+             i -> ('0x' || substr(sha256(text), 2*i + 1, 2))::INT / 255.0) AS feature
+  FROM documents
+)
+SELECT asset_id, media_type, payload_bytes, content_hash,
+       round(feature[1], 6) AS f0,
+       round(list_sum(feature), 6) AS feature_sum
+FROM f
+"""
+
+
+def multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan: frames become rows BEFORE the decode
+    UDF so the cluster parallelizes across frames, not videos."""
+    from .operators import multimodal
+
+    return multimodal.frame_sample_plan(_doc_assets(spark, sf_dir), every_ms=1000)
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS asset_id, doc_id, fi.frame_idx AS frame_idx,
+       fi.frame_idx * 1000 AS frame_ts_ms
+FROM (
+  SELECT doc_id, (n_chars % 10 + 1) AS n_frames FROM documents WHERE doc_id % 3 = 2
+) v, LATERAL (SELECT unnest(generate_series(0, v.n_frames - 1)) AS frame_idx) fi
+"""
+
+
 def sim_ivf_ann_topk(spark, sf_dir):
     """IVF approximate NN: nearest-centroid bucketing (deterministic
     coarse quantizer = first nlist vectors by id; trained codebooks are
@@ -1690,6 +1768,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim_embedding_neardup": (sim_embedding_neardup, SIM_NEARDUP_SQL),
     "sim_lsh_ann_topk": (sim_lsh_ann_topk, _lsh_ann_oracle_sql()),
     "sim_ivf_ann_topk": (sim_ivf_ann_topk, SIM_IVF_SQL),
+    "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
 }
 
 # Headline queries for bench.py — chosen to stress distinct physical
