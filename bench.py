@@ -29,16 +29,19 @@ def main() -> None:
     q.q1_pricing_summary(spark, sf_dir).count()
     _warm_python_workers(spark)
 
-    # each query runs twice: first pass pays one-time plan/codegen
-    # compilation, second pass is the steady-state number (what a
-    # resident engine serves)
+    # warm pass pays one-time plan/codegen compilation; the reported
+    # number is the best of two steady-state passes (what a resident
+    # engine serves — the min suppresses same-host scheduling noise)
     timings: dict[str, float] = {}
     for name in q.BENCH_QUERIES:
         fn, _sql = q.REGISTRY[name]
         fn(spark, sf_dir).count()
-        start = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     # CDC end-to-end throughput: synthesize Debezium envelopes from the
     # events table, parse → filter → after-image → keyword-window count.
@@ -114,9 +117,11 @@ def _cdc_throughput(spark, sf_dir: str) -> float:
         imgs.groupBy(F.window("ts", "30 minutes"), "category").count().count()
 
     run()  # warm (plan + codegen)
-    start = time.perf_counter()
-    run()
-    elapsed = time.perf_counter() - start
+    elapsed = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        run()
+        elapsed = min(elapsed, time.perf_counter() - start)
     return round(n / elapsed, 1)
 
 

@@ -1796,6 +1796,7 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
+    "multimodal_features",
 ]
 
 
