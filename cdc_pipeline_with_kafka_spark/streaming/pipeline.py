@@ -31,6 +31,19 @@ def article_stream(raw: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFr
     return cdc.quality_filter(articles).withWatermark("ts", watermark)
 
 
+def deduped_article_stream(articles: DataFrame, key: str = "link") -> DataFrame:
+    """S14/J3 in streaming form: the reference's write path skips
+    articles whose `link` already exists (ArticleServiceImpl.java:
+    107-148 existsByLink; crawl path CrawlerServiceImpl.java:489-504).
+    In a stream that anti-join becomes state-backed dedup:
+    `dropDuplicatesWithinWatermark` keeps one row per key and — unlike
+    plain dropDuplicates — EVICTS keys once they age past the
+    watermark, so state is bounded at 100 TB (the batch-side MERGE on
+    the sink remains the durable cross-restart guard; this trims
+    in-flight duplicates cheaply before the shuffle-heavy work)."""
+    return articles.dropDuplicatesWithinWatermark([key])
+
+
 def keyword_stream(articles: DataFrame) -> DataFrame:
     """Explode per-article keywords: uses the stored comma-joined
     keywords column when present, else regex noun extraction (F2) on

@@ -134,3 +134,35 @@ def test_watermark_present_in_plan(spark, tmp_path):
     articles = pipeline.article_stream(raw_stream, watermark="7 minutes")
     assert articles.isStreaming
     assert "eventtimewatermark" in articles._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """S14/J3 streaming twin: dropDuplicatesWithinWatermark keeps one
+    row per link (the reference's existsByLink write-path dedup) with
+    watermark-bounded state."""
+    log_dir = _write_event_log(tmp_path)
+    raw_stream = spark.readStream.schema(RAW_SCHEMA).json(log_dir)
+    deduped = pipeline.deduped_article_stream(pipeline.article_stream(raw_stream))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    _await(q)
+    out = spark.table("dedup_stream_test")
+    assert out.groupBy("link").count().filter(F.col("count") > 1).count() == 0
+
+    # parity: exactly one row per distinct quality-passing upserted link
+    raw_batch = spark.read.schema(RAW_SCHEMA).json(log_dir)
+    batch_articles = cdc.quality_filter(
+        cdc.after_image(
+            cdc.for_table(
+                cdc.upsert_ops(
+                    cdc.parse_envelope(raw_batch.selectExpr("CAST(value AS STRING) AS value"))
+                ),
+                "articles",
+            )
+        )
+    )
+    assert out.count() == batch_articles.select("link").distinct().count()
