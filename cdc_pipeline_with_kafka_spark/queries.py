@@ -1167,6 +1167,30 @@ _ISO_VALUES = """
 """
 
 
+def f12_day_range(spark, sf_dir):
+    """F12: date-pair → [start 00:00:00, end 23:59:59] expansion
+    (ArticleServiceImpl.java:210-218) applied as an event-time BETWEEN
+    predicate, counts per type inside the range."""
+    from .functions import dates
+
+    ev = _t(spark, sf_dir, "events")
+    start, end = dates.day_range(F.lit("2024-01-03"), F.lit("2024-01-05"))
+    return (
+        ev.filter(
+            F.col("ts").between(start.cast("timestamp_ntz"), end.cast("timestamp_ntz"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+F12_SQL = """
+SELECT event_type, count(*) AS cnt FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-05 23:59:59'
+GROUP BY event_type
+"""
+
+
 def f11_f13_coercions(spark, sf_dir):
     """F11+F13: ISO-8601 parse tolerating 'Z' + empty-string → NULL
     (SyncService.py:289-333)."""
@@ -1753,6 +1777,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f7_breaking_indicators": (f7_breaking_indicators, F7_SQL),
     "f8_classify_keyword": (f8_classify_keyword, F8_SQL),
     "f11_f13_coercions": (f11_f13_coercions, F11_SQL),
+    "f12_day_range": (f12_day_range, F12_SQL),
     "f9_log_view_weight": (f9_log_view_weight, F9_SQL),
     "f10_date_bucketing": (f10_date_bucketing, F10_SQL),
     "f14_json_extract": (f14_json_extract, F14_SQL),

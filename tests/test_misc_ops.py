@@ -70,3 +70,16 @@ def test_kafka_sink_options_parity(spark):
     assert opts["kafka.compression.type"] == "snappy"
     assert opts["kafka.acks"] == "all"
     assert opts["topic"] == "breaking-alerts"
+
+
+def test_day_range_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.functions import dates
+
+    start, end = dates.day_range(F.lit("2024-05-01"), F.lit("2024-05-03"))
+    row = spark.range(1).select(
+        start.cast("string").alias("s"), end.cast("string").alias("e")
+    ).first()
+    assert row["s"] == "2024-05-01 00:00:00"
+    assert row["e"] == "2024-05-03 23:59:59"
