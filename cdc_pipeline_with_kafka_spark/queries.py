@@ -999,6 +999,63 @@ FROM (VALUES {_KW_VALUES}) AS t(word)
 """
 
 
+_SENT_ROWS = [
+    (1, "속보 대통령이 국회에서 연설했다", "경제 정책과 금리가 관심사였다. Extra English 123!"),
+    (2, "인공지능 기술이 발전한다", None),
+    (3, None, "데이터를 처리하는 엔진은 빠르다"),
+    (4, "짧은 제목", "특수문자 !!! @@@ 테스트와 공백   정리"),
+]
+
+
+def f2_f3_f4_noun_extraction(spark, sf_dir):
+    """F3→F4→F2 text-prep pipeline: title×3-weighted concat, normalize
+    (strip non-word/non-Hangul, collapse whitespace), then Hangul-run
+    noun candidates with josa stripped and length ≥ 2
+    (hybrid_keyword_extractor.py:56-99)."""
+    df = spark.createDataFrame(_SENT_ROWS, "id int, title string, content string")
+    nouns = textfn.extract_korean_nouns(
+        textfn.normalize_text(textfn.weighted_text(F.col("title"), F.col("content")))
+    )
+    return df.select("id", F.explode(nouns).alias("noun"))
+
+
+_SENT_VALUES = ", ".join(
+    "({}, {}, {})".format(
+        i,
+        "NULL" if t is None else "'" + t + "'",
+        "NULL" if c is None else "'" + c + "'",
+    )
+    for i, t, c in _SENT_ROWS
+)
+
+F2_SQL = f"""
+WITH src AS (SELECT * FROM (VALUES {_SENT_VALUES}) AS t(id, title, content)),
+w AS (
+  SELECT id, concat_ws(' ', coalesce(title, ''), coalesce(title, ''),
+                       coalesce(title, ''), substr(coalesce(content, ''), 1, 1000)) AS wt
+  FROM src
+),
+n AS (
+  SELECT id, trim(regexp_replace(regexp_replace(wt, '[^\\w\\s가-힣]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS norm
+  FROM w
+),
+raw AS (SELECT id, unnest(regexp_extract_all(norm, '[가-힣]{{2,8}}')) AS tok FROM n),
+stripped AS (
+  SELECT id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(tok, '(은|는|이|가|을|를|의|에|로|으로)$', ''),
+          '(에서|에게|한테|부터|까지|마저|조차)$', ''),
+        '(와|과|하고|이랑|랑)$', ''),
+      '(도|만|까지도|마저도)$', '') AS noun
+  FROM raw
+)
+SELECT id, noun FROM stripped WHERE length(noun) >= 2
+"""
+
+
 def f5_keyword_validity(spark, sf_dir):
     """F5: keyword validity predicate (length band, digits, stopword,
     verb-ending — hybrid_keyword_extractor.py:173-188)."""
@@ -1771,6 +1828,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "o5_merge_keywords": (o5_merge_keywords, O5_SQL),
     "o7_dedup_by_key": (o7_dedup_by_key, O7_SQL),
     "f1_josa_strip": (f1_josa_strip, F1_SQL),
+    "f2_f3_f4_noun_extraction": (f2_f3_f4_noun_extraction, F2_SQL),
     "f5_keyword_validity": (f5_keyword_validity, F5_SQL),
     "f15_author_first_token": (f15_author_first_token, F15_SQL),
     "f6_tokenize_wordfreq": (f6_tokenize_wordfreq, F6_SQL),
