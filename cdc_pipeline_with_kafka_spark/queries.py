@@ -882,6 +882,24 @@ SELECT window_start, event_type, cnt FROM wc WHERE cnt >= 8
 """
 
 
+def o3_recent_alerts(spark, sf_dir):
+    """O3: newest-100 alert-log read (Redis LTRIM 0..99 semantics) —
+    TakeOrderedAndProject, never a full sort.  The events table stands
+    in for the alert log (ts values are unique in the fixture, so the
+    cap is deterministic)."""
+    from .operators import alerts as alerts_ops
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").alias("timestamp"), "event_type"
+    )
+    return alerts_ops.recent_alerts(ev, limit=100).select("event_id", "event_type")
+
+
+O3_SQL = """
+SELECT event_id, event_type FROM events ORDER BY ts DESC LIMIT 100
+"""
+
+
 def w10_surge_alerts(spark, sf_dir):
     """W10: ≥ratio growth vs previous window with min mentions
     (readme.md:210-213 300% rule; ratio tuned to the uniform test
@@ -1822,6 +1840,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w6_rank_change": (w6_rank_change, W6_SQL),
     "w8_timeline": (w8_timeline, W8_SQL),
     "w10_surge_alerts": (w10_surge_alerts, W10_SQL),
+    "o3_recent_alerts": (o3_recent_alerts, O3_SQL),
     "t4_session_window": (t4_session_window, T4_SQL),
     "w11_trending_threshold": (w11_trending_threshold, W11_SQL),
     "a2_windowed_collect": (a2_windowed_collect, A2_SQL),
