@@ -107,3 +107,50 @@ def test_minhash_estimate_tracks_true_jaccard(spark, texts):
         assert abs(r["est_jaccard"] - true_j) <= 0.45
         if texts[r["id_a"]].strip() and _py_token_jaccard(texts[r["id_a"]], texts[r["id_b"]]) == 1.0:
             assert r["est_jaccard"] == 1.0
+
+
+def _py_jaccard_pairs(docs: list[tuple[int, str]], n: int, threshold: float):
+    """Pure-Python n-gram Jaccard over normalized text (the model for
+    dedup.ngram_jaccard_pairs' posting-list plan)."""
+    sets = {}
+    for i, text in docs:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        toks = norm.split(" ")
+        grams = {
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+        sets[i] = grams
+    out = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+_DOC_TEXT = st.lists(
+    st.sampled_from(["the", "quick", "fox", "jumps", "over", "dog", "데이터", "엔진"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_DOC_TEXT, min_size=2, max_size=8), st.sampled_from([1, 2, 3]))
+def test_ngram_jaccard_pairs_match_python(spark, texts, n):
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3, n=n).collect()
+    }
+    want = _py_jaccard_pairs(docs, n, 0.3)
+    assert got == want
