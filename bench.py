@@ -109,7 +109,11 @@ def _cdc_throughput(spark, sf_dir: str) -> float:
             T.StructField("score", T.DoubleType()),
         ]
     )
-    n = ev.count()
+    # materialize the synthesized wire bytes once: the measured path is
+    # Kafka-shaped JSON -> parse -> filter -> after-image -> windowed
+    # count, not the test-only envelope encoding
+    raw = raw.persist()
+    n = raw.count()
 
     def run() -> None:
         parsed = cdc.parse_envelope(raw, row_schema=row_schema)
@@ -122,6 +126,7 @@ def _cdc_throughput(spark, sf_dir: str) -> float:
         start = time.perf_counter()
         run()
         elapsed = min(elapsed, time.perf_counter() - start)
+    raw.unpersist()
     return round(n / elapsed, 1)
 
 
