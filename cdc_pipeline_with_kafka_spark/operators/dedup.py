@@ -120,22 +120,26 @@ def ngram_jaccard_pairs(
     if max_gram_df is not None:
         postings = postings.filter(F.size("ms") <= max_gram_df)
     # upper-triangle expansion: posexplode + slice emits each unordered
-    # pair once — half the rows of a full m1×m2 expansion, no < filter
-    pairs = (
-        postings.select("ms", F.posexplode("ms").alias("p", "m1"))
-        .select("m1", F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("m2"))
+    # pair once — half the rows of a full m1×m2 expansion, no < filter.
+    # selectExpr strings keep py4j plan-construction round-trips low
+    # (see minhash_signatures).
+    pairs = postings.selectExpr("ms", "posexplode(ms) AS (p, m1)").selectExpr(
+        "m1", "explode(slice(ms, p + 2, size(ms))) AS m2"
     )
-    shared = pairs.groupBy(
-        F.least("m1.id", "m2.id").alias("id_a"),
-        F.greatest("m1.id", "m2.id").alias("id_b"),
-        F.when(F.col("m1.id") < F.col("m2.id"), F.col("m1.set_size")).otherwise(F.col("m2.set_size")).alias("size_a"),
-        F.when(F.col("m1.id") < F.col("m2.id"), F.col("m2.set_size")).otherwise(F.col("m1.set_size")).alias("size_b"),
-    ).agg(F.count(F.lit(1)).alias("shared"))
-    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
-    return (
-        shared.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    shared = (
+        pairs.selectExpr(
+            "least(m1.id, m2.id) AS id_a",
+            "greatest(m1.id, m2.id) AS id_b",
+            "IF(m1.id < m2.id, m1.set_size, m2.set_size) AS size_a",
+            "IF(m1.id < m2.id, m2.set_size, m1.set_size) AS size_b",
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
+    return shared.selectExpr(
+        "id_a", "id_b",
+        "round(shared / (size_a + size_b - shared), 6) AS jaccard",
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # Mersenne prime 2^31-1: affine rehash domain.  a*h+b stays < 2^62, no
@@ -198,12 +202,15 @@ def minhash_signatures(
     100 TB."""
     grams = gram_rows(df, shingle_n, text_col, id_col)
     base = grams.select("id", (_md5_hash64(F.col("gram")) % _MINHASH_P).alias("h"))
-    min_cols = []
-    for i in range(num_hashes):
-        a, b = _minhash_params(i)
-        min_cols.append(F.min((F.col("h") * a + b) % _MINHASH_P).alias(f"h{i}"))
-    mins = base.groupBy("id").agg(*min_cols)
-    return mins.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    # the whole signature is ONE SQL aggregate expression: composing
+    # hundreds of Column objects costs one py4j round-trip per operator
+    # (~1 s of pure driver time for a 16-hash tree); a single
+    # array(min(...), ...) expr is one call and one less projection
+    mins = ", ".join(
+        "min((h * {a} + {b}) % {p})".format(a=a, b=b, p=_MINHASH_P)
+        for a, b in (_minhash_params(i) for i in range(num_hashes))
+    )
+    return base.groupBy("id").agg(F.expr(f"array({mins})").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -227,21 +234,19 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
     # bucket key = struct of the band's signature values — exact
     # equality (no hash-collision false pairs), no md5 or key-string
-    # materialization
+    # materialization.  Built as one SQL string (see minhash_signatures
+    # on py4j construction cost).
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', named_struct({ks}))".format(
+            b=b,
+            ks=", ".join(
+                f"'k{r}', sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     band_entries = sigs.select(
-        "id", "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.struct(*[
-                        F.col("sig").getItem(b * rows_per_band + r).alias(f"k{r}")
-                        for r in range(rows_per_band)
-                    ]).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
+        "id", "sig", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("id", "sig", "bb.band", "bb.bucket")
     # Pairs via groupBy(bucket) + in-bucket expansion, NOT a self-join:
     # a self-join would recompute the whole scan→gram→sig pipeline for
@@ -264,44 +269,32 @@ def minhash_lsh_pairs(
     # flat positional sum instead of a zip_with/aggregate fold: HOF
     # lambdas are interpreted per element; 16 unrolled comparisons stay
     # in codegen
-    matches = sum(
-        (
-            F.when(F.col("m1.sig")[i] == F.col("m2.sig")[i], 1).otherwise(0)
-            for i in range(num_hashes)
-        ),
-        start=F.lit(0),
+    matches_sql = " + ".join(
+        f"(CASE WHEN m1.sig[{i}] = m2.sig[{i}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
     )
-    est_jaccard = matches / F.lit(float(num_hashes))
 
     # A pair colliding in k bands appears in k buckets; instead of a
     # dropDuplicates exchange, keep the pair only in its FIRST matching
     # band — computable locally because both signatures are in the row.
     # One less shuffle on the critical path.
-    def band_match(bnd: int) -> Column:
-        return F.lit(True) if rows_per_band == 0 else (
-            sum(
-                (
-                    F.when(
-                        F.col("m1.sig")[bnd * rows_per_band + r]
-                        == F.col("m2.sig")[bnd * rows_per_band + r],
-                        0,
-                    ).otherwise(1)
-                    for r in range(rows_per_band)
-                ),
-                start=F.lit(0),
-            )
-            == 0
+    def band_match(bnd: int) -> str:
+        return " AND ".join(
+            f"m1.sig[{bnd * rows_per_band + r}] = m2.sig[{bnd * rows_per_band + r}]"
+            for r in range(rows_per_band)
         )
 
-    first_band = F.lit(bands - 1)
-    for bnd in range(bands - 2, -1, -1):
-        first_band = F.when(band_match(bnd), F.lit(bnd)).otherwise(first_band)
+    first_band_sql = (
+        "CASE "
+        + " ".join(f"WHEN {band_match(b)} THEN {b}" for b in range(bands - 1))
+        + f" ELSE {bands - 1} END"
+    )
     return (
-        expanded.filter(F.col("band") == first_band)
-        .select(
-            F.least("m1.id", "m2.id").alias("id_a"),
-            F.greatest("m1.id", "m2.id").alias("id_b"),
-            F.round(est_jaccard, 6).alias("est_jaccard"),
+        expanded.filter(F.expr(f"band = ({first_band_sql})"))
+        .selectExpr(
+            "least(m1.id, m2.id) AS id_a",
+            "greatest(m1.id, m2.id) AS id_b",
+            f"round(({matches_sql}) / {float(num_hashes)}D, 6) AS est_jaccard",
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
@@ -313,13 +306,26 @@ def token_hashes(col: Column, salt: str = "sh:") -> Column:
     return F.transform(tokens, lambda t: _md5_hash64(t, salt=salt))
 
 
-def simhash_from_hashes(hashes: Column) -> Column:
+def simhash_from_hashes(hashes: Column | str) -> Column:
     """SimHash fingerprint from a precomputed hash array: each bit
     position accumulates +1/−1 votes across tokens; fingerprint bit =
     sign.  IMPORTANT: pass a MATERIALIZED column (e.g. produced behind
     an explode barrier) — this expression references `hashes` 60 times,
     and projection collapse would otherwise recompute the md5 per
     token per bit."""
+    # Accepts a column NAME (string) or a Column.  The string form
+    # builds the whole 60-bit fold as ONE SQL string — the Column form
+    # costs ~400 py4j round-trips (one per operator) and dominates
+    # driver-side plan construction time.  Bitwise-OR of disjoint masks
+    # is written as + (equivalent, and sums fold flat in SQL).
+    if isinstance(hashes, str):
+        terms = " + ".join(
+            f"(CASE WHEN aggregate({hashes}, 0, (acc, h) -> acc +"
+            f" (CASE WHEN (h & {1 << bit}) != 0 THEN 1 ELSE -1 END)) > 0"
+            f" THEN {1 << bit} ELSE 0 END)"
+            for bit in range(60)
+        )
+        return F.expr(f"CAST(({terms}) AS BIGINT)")
     # F.shiftleft needs a literal bit count, so build per-bit masks as
     # python ints (exact long literals, no float detour)
     fingerprint = F.lit(0).cast("long")
@@ -360,20 +366,15 @@ def simhash_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.array(token_hashes(F.col(text_col)))).alias("_hashes"),
     )
-    fps = hashed.select("id", simhash_from_hashes(F.col("_hashes")).alias("fp"))
+    fps = hashed.select("id", simhash_from_hashes("_hashes").alias("fp"))
     block_bits = 60 // blocks
-    mask = F.lit((1 << block_bits) - 1).cast("long")
+    mask_i = (1 << block_bits) - 1
+    block_structs = ", ".join(
+        f"named_struct('blk', {i}, 'key', shiftright(fp, {i * block_bits}) & {mask_i})"
+        for i in range(blocks)
+    )
     entries = fps.select(
-        "id", "fp",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("blk"),
-                    F.shiftright("fp", i * block_bits).bitwiseAND(mask).alias("key"),
-                )
-                for i in range(blocks)
-            ])
-        ).alias("e"),
+        "id", "fp", F.expr(f"explode(array({block_structs}))").alias("e")
     ).select("id", "fp", "e.blk", "e.key")
     # groupBy(bucket) + in-bucket expansion instead of a self-join: the
     # fingerprint pipeline (60 bit-votes per doc) is the dominant cost
@@ -394,22 +395,23 @@ def simhash_pairs(
                 F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("m2"))
     )
 
-    def block_match(i: int) -> Column:
+    def block_match(i: int) -> str:
         return (
-            F.shiftright(F.col("m1.fp"), i * block_bits).bitwiseAND(mask)
-            == F.shiftright(F.col("m2.fp"), i * block_bits).bitwiseAND(mask)
+            f"(shiftright(m1.fp, {i * block_bits}) & {mask_i})"
+            f" = (shiftright(m2.fp, {i * block_bits}) & {mask_i})"
         )
 
-    first_block = F.lit(blocks - 1)
-    for i in range(blocks - 2, -1, -1):
-        first_block = F.when(block_match(i), F.lit(i)).otherwise(first_block)
-    xor = F.col("m1.fp").bitwiseXOR(F.col("m2.fp"))
+    first_block_sql = (
+        "CASE "
+        + " ".join(f"WHEN {block_match(i)} THEN {i}" for i in range(blocks - 1))
+        + f" ELSE {blocks - 1} END"
+    )
     return (
-        pairs.filter(F.col("blk") == first_block)
-        .select(
-            F.least("m1.id", "m2.id").alias("id_a"),
-            F.greatest("m1.id", "m2.id").alias("id_b"),
-            F.bit_count(xor).alias("hamming"),
+        pairs.filter(F.expr(f"blk = ({first_block_sql})"))
+        .selectExpr(
+            "least(m1.id, m2.id) AS id_a",
+            "greatest(m1.id, m2.id) AS id_b",
+            "bit_count(m1.fp ^ m2.fp) AS hamming",
         )
         .filter(F.col("hamming") <= max_hamming)
     )
