@@ -37,6 +37,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized row count of a fixed input table: some queries need the
+    cardinality as a literal (e.g. a modulo join key).  The tables are
+    read-only test fixtures, so counting once per (sf_dir, table) —
+    instead of running a Spark job on every query BUILD — is safe."""
+    key = (sf_dir, name)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = _t(spark, sf_dir, name).count()
+    return _COUNT_CACHE[key]
+
+
 def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-grain event counts per event_type — the base aggregate the
     trend operators roll up from (SURVEY §2.4 A3)."""
@@ -544,7 +558,7 @@ def a12_breaking_words(spark, sf_dir):
 
     ev = spread(_t(spark, sf_dir, "events"))  # parallelize the probe side
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = _table_count(spark, sf_dir, "documents")
     stream = ev.join(
         docs, (F.col("event_id") % n_docs) == F.col("doc_id"), "inner"
     ).select("ts", F.col("lang").alias("category"), "source", F.col("text"))
