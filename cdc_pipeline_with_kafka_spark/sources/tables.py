@@ -10,6 +10,7 @@ single-node data volumes.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,7 +30,24 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# DataFrame cache keyed weakly by session: spark.read.parquet costs
+# ~100 ms of driver time (footer/schema read via py4j) per call, paid
+# on EVERY query build otherwise.  DataFrames are immutable, so
+# returning the same object is safe; entries die with their session.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    per_session = _DF_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in per_session:
+        per_session[key] = _load_table(spark, name, sf_dir)
+    return per_session[key]
+
+
+def _load_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     # Defensive runtime confs: the caller may hand us a session built
     # without session.get_spark() (e.g. the round driver's own session).
     # Both are runtime-settable; required for TIMESTAMP(NANOS) columns
