@@ -83,3 +83,23 @@ def test_day_range_boundaries(spark):
     ).first()
     assert row["s"] == "2024-05-01 00:00:00"
     assert row["e"] == "2024-05-03 23:59:59"
+
+
+def test_table_cache_isolated_per_sf_dir(spark):
+    from cdc_pipeline_with_kafka_spark.sources.tables import load_table
+
+    a = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+    b = load_table(spark, "lineitem", "/root/testdata/sf0.01")
+    assert a is not b
+    assert a.count() != b.count()
+    # same key returns the cached object (no re-read)
+    assert load_table(spark, "lineitem", "/root/testdata/sf0.01") is b
+
+
+def test_fixture_count_cache_isolated_per_sf_dir(spark):
+    from cdc_pipeline_with_kafka_spark import queries as q
+
+    n_small = q._table_count(spark, "/root/testdata/sf0.001", "lineitem")
+    n_big = q._table_count(spark, "/root/testdata/sf0.01", "lineitem")
+    assert n_small != n_big
+    assert q._COUNT_CACHE[("/root/testdata/sf0.001", "lineitem")] == n_small
