@@ -33,14 +33,19 @@ def main() -> None:
     # plan) is built once per query, the warm pass pays one-time
     # analysis/codegen, and the reported number is the best of two
     # executions of the prepared plan — what a resident engine serves
-    # for a repeated query.  (Client-side plan construction is a
-    # one-time cost per query shape; the min suppresses same-host
-    # scheduling noise.)
+    # for a repeated query.  build_s (plan construction, the py4j
+    # lever) and exec_s (first cold execution incl. analysis+codegen)
+    # are reported alongside so regressions in either stay visible.
     timings: dict[str, float] = {}
-    for name in q.BENCH_QUERIES:
-        fn, _sql = q.REGISTRY[name]
+    build_s: dict[str, float] = {}
+    exec_s: dict[str, float] = {}
+    for name, fn in q.BENCH_FNS.items():
+        start = time.perf_counter()
         df = fn(spark, sf_dir)
+        build_s[name] = round(time.perf_counter() - start, 3)
+        start = time.perf_counter()
         df.count()
+        exec_s[name] = round(time.perf_counter() - start, 3)
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
@@ -62,6 +67,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "build_s": build_s,
+                "exec_s": exec_s,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": cdc_rate,
             }

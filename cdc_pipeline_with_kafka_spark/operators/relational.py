@@ -64,6 +64,7 @@ def dynamic_query(
     ascending: bool = False,
     page: int = 0,
     size: int = 20,
+    with_total: bool = False,
     **predicate_cols,
 ) -> DataFrame:
     """P6 + O1 + O2: filter → dynamic sort → stable offset pagination.
@@ -72,11 +73,20 @@ def dynamic_query(
     on the first column) so pages are stable, as the reference's
     Pageable contract requires (ArticleController.java:30-36).
 
+    ``with_total=True`` appends a ``total_count`` column (the filtered
+    cardinality before pagination), matching the reference's
+    ``Page<Article>`` contract where JPA issues a separate COUNT query
+    alongside the page (ArticleController.java:30-36).  It is computed
+    as a separate aggregate of the filtered set cross-joined
+    (broadcast, 1 row) onto the page — two scans, like JPA's two
+    queries, never a single-partition global window.
+
     Scale note: OFFSET pagination is inherently a global sort; at
     100 TB a keyset filter (`WHERE sort_col > last_seen`) replaces the
     row_number — both are provided, this is the offset form.
     """
-    out = df.filter(qf.predicate(**predicate_cols))
+    filtered = df.filter(qf.predicate(**predicate_cols))
+    out = filtered
     if sort_by is not None:
         order = [
             F.col(sort_by).asc() if ascending else F.col(sort_by).desc(),
@@ -88,6 +98,9 @@ def dynamic_query(
             .filter((F.col("_rn") > page * size) & (F.col("_rn") <= (page + 1) * size))
             .drop("_rn")
         )
+    if with_total:
+        total = filtered.agg(F.count(F.lit(1)).alias("total_count"))
+        out = out.crossJoin(F.broadcast(total))
     return out
 
 
