@@ -36,15 +36,19 @@ def get_articles(
     ascending: bool = False,
     page: int = 0,
     size: int = 20,
+    with_total: bool = False,
 ) -> DataFrame:
     """ArticleController.getArticles (ArticleServiceImpl.java:38-51):
     dynamic predicate → sort → page → DTO projection with keyword
-    split (P7) and nested media (J1)."""
+    split (P7) and nested media (J1).  ``with_total=True`` adds the
+    Page-contract ``total_count`` column (the filtered cardinality the
+    reference's Page<Article> carries, ArticleController.java:30-36)."""
     qf = relational.QueryFilter(
         category=category, keyword=keyword, start_ts=start_ts, end_ts=end_ts
     )
     page_df = relational.dynamic_query(
-        articles, qf, sort_by=sort_by, ascending=ascending, page=page, size=size
+        articles, qf, sort_by=sort_by, ascending=ascending, page=page, size=size,
+        with_total=with_total,
     )
     out = page_df.withColumn("keyword_list", textfn.split_csv(F.col("keywords")))
     if media is not None:

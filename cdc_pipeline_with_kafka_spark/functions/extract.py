@@ -77,7 +77,10 @@ def _extract_py(text: str, cap: int = MAX_KEYWORDS) -> list[str]:
 
 # Per-executor model cache (broadcast-like lazy init; U1's "model per
 # executor" pattern without shipping the model through the closure).
+# Keyed per built UDF so two UDFs with different loaders never share a
+# scorer within one executor process.
 _MODEL: dict[str, object] = {}
+_UDF_SEQ = 0
 
 
 def _default_scorer(texts: Iterable[str]) -> list[list[str]]:
@@ -93,17 +96,75 @@ def make_extract_udf(
     scorer (e.g. a KeyBERT wrapper).  Heavy model libs are not in this
     container, so the default scorer is the deterministic algorithm —
     the UDF plumbing (Arrow batches, schema, lazy per-executor init)
-    is identical either way.
+    is identical either way.  `make_hashing_model_loader` below is a
+    complete in-container example of the loader contract.
     """
+    global _UDF_SEQ
+    _UDF_SEQ += 1
+    cache_key = f"scorer-{_UDF_SEQ}"
 
     @F.pandas_udf(ArrayType(StringType()))
     def extract_udf(texts: pd.Series) -> pd.Series:
-        if "scorer" not in _MODEL:
-            _MODEL["scorer"] = model_loader() if model_loader else _default_scorer
-        scorer = _MODEL["scorer"]
+        if cache_key not in _MODEL:
+            _MODEL[cache_key] = model_loader() if model_loader else _default_scorer
+        scorer = _MODEL[cache_key]
         return pd.Series(scorer(texts.fillna("").tolist()))
 
     return extract_udf
+
+
+def make_hashing_model_loader(dim: int = 256, cap: int = MAX_KEYWORDS):
+    """Worked example of the U1 `model_loader` contract: a KeyBERT-style
+    embedding scorer built from in-container parts (numpy + a hashing
+    vectorizer — no model weights needed).
+
+    The reference ranks candidate nouns by embedding similarity to the
+    document (hybrid_keyword_extractor.py:101-171, KeyBERT with KoBERT
+    vectors); this loader does exactly that shape with a deterministic
+    char-bigram hashing embedder standing in for the sentence encoder:
+
+      1. candidates = the same regex noun extraction,
+      2. embed document + candidates (L2-normalized hashed bigrams),
+      3. rank candidates by cosine(document, candidate), take top-cap.
+
+    Output therefore ORDERS BY RELEVANCE, unlike the default scorer's
+    first-appearance order — tests assert the orders diverge, proving a
+    real model changes results through this seam.  Swapping in an
+    actual encoder = replacing `_embed` with `model.encode`.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def loader():
+        def _embed(texts: list[str]) -> np.ndarray:
+            m = np.zeros((len(texts), dim), dtype=np.float64)
+            for i, t in enumerate(texts):
+                for j in range(len(t) - 1):
+                    h = int.from_bytes(
+                        hashlib.md5(t[j : j + 2].encode("utf-8")).digest()[:4], "big"
+                    )
+                    m[i, h % dim] += 1.0
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return m / norms
+
+        def scorer(texts: Iterable[str]) -> list[list[str]]:
+            out = []
+            for t in texts:
+                cands = _extract_py(t, cap=64)
+                if not cands:
+                    out.append([])
+                    continue
+                vecs = _embed([t] + cands)
+                sims = vecs[1:] @ vecs[0]
+                order = sorted(range(len(cands)), key=lambda i: (-sims[i], i))
+                out.append([cands[i] for i in order[:cap]])
+            return out
+
+        return scorer
+
+    return loader
 
 
 def extract_keywords(

@@ -1563,8 +1563,15 @@ FROM documents
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by token-set Jaccard ≥ 0.8 via inverted-index
-    join (never a cross join)."""
+    """Near-dup pairs by UNIGRAM token-set Jaccard ≥ 0.8.
+
+    RETIRED from the driver registry: on natural corpora unigram token
+    sets degenerate toward all-pairs candidates, so gating this config
+    would imply a scale path it isn't.  The canonical gate is the
+    trigram variant (dedup_ngram_jaccard3); the production-shaped
+    unigram config requires `max_gram_df` (posting-list cap, bounded in
+    tests/test_dedup_similarity.py::test_jaccard_max_gram_df_caps_hot_grams).
+    Kept as an oracle-checkable micro-gate for pytest parity only."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=1)
 

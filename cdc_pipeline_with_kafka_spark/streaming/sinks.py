@@ -100,11 +100,23 @@ def merge_upsert(
     for piece in new_rows[1:]:
         merged = merged.unionByName(piece, allowMissingColumns=True)
 
+    # The two-step write exists because `merged` reads from target_path
+    # (can't overwrite a path being scanned).  NOT atomic: a crash
+    # between the two overwrites can leave target_path mid-rewrite —
+    # the checkpointed source batch replays and the idempotent merge
+    # restores it, but a concurrent READER of the raw path can observe
+    # the partial state.  On Delta/Iceberg the same body is an atomic
+    # MERGE INTO and this window disappears; on raw parquet, point
+    # readers at a view/manifest, not the live path.
+    import shutil
+
     tmp = target_path + "._tmp"
     merged.write.mode("overwrite").parquet(tmp)
     result = spark.read.parquet(tmp)
     result.write.mode("overwrite").parquet(target_path)
-    return spark.read.parquet(target_path)
+    out = spark.read.parquet(target_path)  # reads the final path, not tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def merge_upsert_partitioned(
@@ -139,37 +151,59 @@ def merge_upsert_partitioned(
         .select("after.*")
         .filter(F.col(key).isNotNull() & F.col(partition_col).isNotNull())
     )
-    delete_rows = (
+    # deletes stay a DataFrame end-to-end: a bulk-delete CDC batch must
+    # never become a driver-side key list / giant IN expression — the
+    # delete set is applied via broadcast-able joins below.
+    deletes = (
         latest.filter(F.col("op") == "d")
         .select(
             F.col(f"before.{key}").alias(key),
             F.col(f"before.{partition_col}").alias(partition_col),
         )
         .filter(F.col(key).isNotNull())
-        .collect()
     )
-    delete_keys = [r[key] for r in delete_rows]
-    # touched = partitions with upserts ∪ partitions holding deleted rows
-    touched = {r[0] for r in upserts.select(partition_col).distinct().collect()}
-    touched |= {r[partition_col] for r in delete_rows if r[partition_col] is not None}
+    # The ONLY collect is the touched PARTITION VALUES — bounded by the
+    # number of event-day partitions a batch spans (a handful), never by
+    # row count.
+    touched = {
+        r[0]
+        for r in upserts.select(partition_col)
+        .union(deletes.select(partition_col))
+        .distinct()
+        .collect()
+        if r[0] is not None
+    }
     if not touched:
         return
     import os
 
+    delete_keys = deletes.select(key).distinct()
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path).filter(
             F.col(partition_col).isin(list(touched))
         )
         untouched = target.join(upserts.select(key).distinct(), key, "left_anti")
+        if not soft_delete:
+            # media-style hard delete (SyncService.py:277-283): drop
+            # deleted keys from the carried-over rows
+            untouched = untouched.join(delete_keys, key, "left_anti")
         merged = untouched.unionByName(upserts, allowMissingColumns=True)
     else:
         merged = upserts
-    if soft_delete and delete_keys:
-        merged = merged.withColumn(
-            "is_deleted",
-            F.when(F.col(key).isin(delete_keys), F.lit(True)).otherwise(
-                F.coalesce(F.col("is_deleted"), F.lit(False))
-            ),
+        if not soft_delete:
+            merged = merged.join(delete_keys, key, "left_anti")
+    if soft_delete:
+        # articles-style soft delete: mark via a join, not isin(list)
+        marks = delete_keys.withColumn("_mark_deleted", F.lit(True))
+        merged = (
+            merged.join(marks, key, "left")
+            .withColumn(
+                "is_deleted",
+                F.when(F.col("_mark_deleted"), F.lit(True)).otherwise(
+                    F.coalesce(F.col("is_deleted"), F.lit(False))
+                ),
+            )
+            .drop("_mark_deleted")
         )
     with _partition_overwrite(spark):
         (

@@ -41,6 +41,60 @@ def test_extract_py_mirror(spark):
     assert got[0] == "대통령" and "그리고" not in got and "2024" not in got
 
 
+def test_extract_with_real_model_loader(spark):
+    """U1 loader contract, worked end-to-end: a non-default model
+    (hashing-embedder KeyBERT-style scorer) wired through
+    make_extract_udf produces relevance-ordered output distinct from
+    the default first-appearance order, over the same candidate set."""
+    arts = make_articles(40)
+    df = spark.createDataFrame(
+        [(a["id"], a["title"], a["content"] + " " + a["title"]) for a in arts],
+        "id long, title string, content string",
+    )
+    default = {
+        r["id"]: r["keywords"]
+        for r in extract.extract_keywords(df, use_udf=True).collect()
+    }
+    model = {
+        r["id"]: r["keywords"]
+        for r in extract.extract_keywords(
+            df, use_udf=True, model_loader=extract.make_hashing_model_loader()
+        ).collect()
+    }
+    # same candidate universe (the model re-ranks, it doesn't invent):
+    # every model keyword also appears in the default (uncapped)
+    # candidate extraction for that document
+    import re
+
+    for i in default:
+        assert len(model[i]) <= extract.MAX_KEYWORDS
+        for kw in model[i]:
+            assert re.fullmatch(r"[가-힣]{2,8}", kw), kw
+    assert set().union(*model.values()) <= {
+        kw for i in default for kw in extract._extract_py(
+            " ".join([arts[i - 1]["title"]] * 3) + " "
+            + (arts[i - 1]["content"] + " " + arts[i - 1]["title"])[:1000],
+            cap=64,
+        )
+    }
+    # ...but the model changes the result for at least some documents
+    assert any(default[i] != model[i] for i in default)
+
+
+def test_model_loader_cache_is_per_udf(spark):
+    """Two UDFs built with different loaders must not share a cached
+    scorer within one executor process."""
+    df = spark.createDataFrame(TEXTS, "id long, title string, content string")
+    u_default = extract.make_extract_udf()
+    u_model = extract.make_extract_udf(extract.make_hashing_model_loader(cap=2))
+    out = df.select(
+        u_default(F.col("content")).alias("a"), u_model(F.col("content")).alias("b")
+    ).collect()
+    caps = {len(r["b"]) for r in out}
+    assert max(caps) <= 2  # the capped model actually ran (no cache bleed)
+    assert any(len(r["a"]) > 2 for r in out)  # default ran uncapped
+
+
 def test_is_important_threshold(spark):
     df = spark.createDataFrame([(100,), (20000,)], "views int")
     got = [r[0] for r in df.select(extract.is_important(F.col("views"))).collect()]
@@ -103,6 +157,23 @@ def test_api_get_articles_pagination_and_projection(spark):
     # non-deleted only, keyword_list is a clean array
     assert all(not r["is_deleted"] for r in page0)
     assert all(isinstance(r["keyword_list"], list) for r in page0)
+
+
+def test_api_get_articles_total_count(spark):
+    """Page contract: total_count = filtered cardinality (pre-page),
+    constant across pages, honoring the dynamic predicate."""
+    arts = _articles_df(spark)
+    n_live = arts.filter(~F.col("is_deleted")).count()
+    page0 = api.get_articles(arts, sort_by="created_at", page=0, size=10, with_total=True).collect()
+    page1 = api.get_articles(arts, sort_by="created_at", page=1, size=10, with_total=True).collect()
+    assert {r["total_count"] for r in page0} == {n_live}
+    assert {r["total_count"] for r in page1} == {n_live}
+    # predicate narrows the total, not just the page
+    filt = api.get_articles(
+        arts, keyword="속보", sort_by="created_at", size=10, with_total=True
+    ).collect()
+    if filt:
+        assert filt[0]["total_count"] < n_live
 
 
 def test_api_search_and_stats(spark):

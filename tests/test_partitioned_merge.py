@@ -45,6 +45,64 @@ def test_partitioned_merge_idempotent_and_partitioned(spark, tmp_path):
     assert df.groupBy("id").count().filter(F.col("count") > 1).count() == 0
 
 
+def _op_batch(spark, arts, op):
+    """Craft a batch of a single op type (delete batches need explicit
+    before-images; make_cdc_events randomizes ops)."""
+    import json
+    from datetime import datetime
+
+    events = []
+    for art in arts:
+        ts = datetime.fromisoformat(art["published_at"])
+        ts_ms = int((ts - datetime(1970, 1, 1)).total_seconds() * 1000)
+        payload = {
+            "op": op,
+            "before": art if op in ("u", "d") else None,
+            "after": None if op == "d" else art,
+            "source": {"table": "articles"},
+            "ts_ms": ts_ms,
+        }
+        events.append((str(art["id"]), json.dumps({"payload": payload}, ensure_ascii=False), ts.isoformat()))
+    raw = spark.createDataFrame(events, "key string, value string, kafka_ts string")
+    return cdc.parse_envelope(raw)
+
+
+def test_partitioned_merge_hard_delete_removes_rows(spark, tmp_path):
+    target = str(tmp_path / "t3")
+    arts = make_articles(60)
+    sinks.merge_upsert_partitioned(spark, _op_batch(spark, arts, "c"), target, soft_delete=False)
+    assert spark.read.parquet(target).count() == 60
+    doomed = arts[:7]
+    sinks.merge_upsert_partitioned(spark, _op_batch(spark, doomed, "d"), target, soft_delete=False)
+    remaining = {r["id"] for r in spark.read.parquet(target).select("id").collect()}
+    assert remaining == {a["id"] for a in arts[7:]}
+    # replay the delete batch: idempotent
+    sinks.merge_upsert_partitioned(spark, _op_batch(spark, doomed, "d"), target, soft_delete=False)
+    assert {r["id"] for r in spark.read.parquet(target).select("id").collect()} == remaining
+
+
+def test_partitioned_merge_soft_delete_marks_rows(spark, tmp_path):
+    target = str(tmp_path / "t4")
+    arts = make_articles(60)
+    for a in arts:
+        a["is_deleted"] = False
+    sinks.merge_upsert_partitioned(spark, _op_batch(spark, arts, "c"), target)
+    doomed = arts[:7]
+    sinks.merge_upsert_partitioned(spark, _op_batch(spark, doomed, "d"), target)
+    df = spark.read.parquet(target)
+    assert df.count() == 60  # soft delete keeps the rows
+    marked = {r["id"] for r in df.filter(F.col("is_deleted")).select("id").collect()}
+    assert marked == {a["id"] for a in doomed}
+
+
+def test_merge_upsert_cleans_tmp_dir(spark, tmp_path):
+    target = str(tmp_path / "t5")
+    arts = make_articles(20)
+    sinks.merge_upsert(spark, _op_batch(spark, arts, "c"), target)
+    assert os.path.exists(target)
+    assert not os.path.exists(target + "._tmp")
+
+
 def test_partitioned_merge_only_touches_batch_partitions(spark, tmp_path):
     target = str(tmp_path / "t2")
     arts = make_articles(150)
