@@ -1,0 +1,140 @@
+"""Training-data curation operators: deterministic sampling, context-
+length packing, and TF-IDF term ranking.
+
+These sit between dedup/quality-filtering and the training job: pick a
+reproducible subset, weight/describe terms, and lay documents out into
+fixed-token-budget blocks.  All three are pure DataFrame/SQL plans
+(oracle-checkable, whole-stage codegen, no Python in the loop).
+
+100 TB shape:
+- `hash_sample` is a stateless per-row filter — no shuffle, pushes to
+  the scan, and is REPRODUCIBLE (same hash → same subset on any
+  cluster size or run, unlike rand()-based sampling).
+- `pack_sequential` is one window cumsum per stratum — a single
+  shuffle by stratum, then streaming accumulation.  This is the
+  standard concat-then-chunk packing used for LLM pretraining batches:
+  documents are laid out in a deterministic order and cut into
+  `budget`-token blocks; a document may span blocks (start/end block
+  reported).
+- `tfidf_top_terms` is two aggregations (term-frequency per doc,
+  document-frequency per term) joined back — the df table is |vocab|
+  rows, broadcast-sized relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 hex chars of
+    md5(salt || key) as an integer, mod buckets.  Identical in DuckDB:
+    ('0x' || substr(md5(...), 1, 8))::BIGINT % buckets."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+
+
+def hash_sample(
+    df: DataFrame,
+    rate_pct: int,
+    key_col: str,
+    salt: str = "",
+    stratum_col: str | None = None,
+    stratum_rates: dict[str, int] | None = None,
+) -> DataFrame:
+    """Reproducible sampling: keep rows whose hash bucket < rate.
+
+    `stratum_rates` overrides the rate per stratum value (e.g. keep
+    80% of English, 100% of low-resource languages) — the standard
+    language-balancing move in corpus curation."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    if stratum_col is not None and stratum_rates:
+        rate: Column = F.lit(rate_pct)
+        for value, r in sorted(stratum_rates.items()):
+            rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
+    else:
+        rate = F.lit(rate_pct)
+    return df.filter(bucket < rate)
+
+
+def pack_sequential(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Concat-then-chunk packing: documents ordered by `order_col`
+    (per stratum when given) are concatenated and cut into
+    `budget`-token blocks.
+
+    Adds: `start_block` (block containing the doc's first token),
+    `end_block` (block of its last token), `block_offset` (token offset
+    inside start_block).  end_block > start_block ⇔ the doc spans a
+    block boundary.
+
+    A single-window global sort is fine per stratum (strata bound the
+    sort); for an unstratified 100 TB corpus, shard first (e.g. by
+    hash_bucket) so each shard packs independently."""
+    parts = [stratum_col] if stratum_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    pre = (cum - F.col(token_col)).cast("bigint")
+    return df.select(
+        *df.columns,
+        F.floor(pre / budget).cast("bigint").alias("start_block"),
+        F.floor((cum - 1) / budget).cast("bigint").alias("end_block"),
+        (pre % budget).alias("block_offset"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF over the corpus.
+
+    tf = in-doc term count; idf = ln((N + 1) / (df + 1)) + 1 (smoothed,
+    sklearn-style); deterministic tiebreak (score desc, term asc).
+    The corpus size N rides along as a broadcast 1-row aggregate —
+    never a driver-side count() in the plan builder."""
+    tokens = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rnk")
+    )

@@ -415,3 +415,96 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------- clustering
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, cluster_id)
+    with cluster_id = the minimum id reachable from each node.
+
+    This is the step that turns pairwise near-dup evidence (Jaccard /
+    MinHash / SimHash / embedding pairs) into dedup GROUPS so a single
+    canonical survivor can be chosen per group — without it, A~B and
+    B~C dedup to two overlapping pairs instead of one {A,B,C} cluster.
+
+    Spark-first iterative min-label propagation (no graph library):
+    each round every node takes min(own label, neighbors' labels); stop
+    when a round changes nothing.  Rounds needed = graph diameter —
+    near-dup clusters are small and dense, so this converges in a few
+    rounds (the classic large-star/small-star trick drops it to
+    O(log n) for pathological chains; the loop structure is identical).
+    `localCheckpoint` truncates lineage each round so the plan does not
+    grow with iterations — the standard Spark iterative-algorithm
+    pattern.  Each round is one shuffle of the EDGE list (grouped
+    min-agg), never a cross join.
+    """
+    edges = (
+        pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
+        .union(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster the near-dup pairs and mark one canonical survivor per
+    cluster (lowest id — deterministic).  Docs in no pair are their own
+    singleton cluster.  Output: docs + (cluster_id, is_canonical).
+
+    Scale shape: components run over the PAIR graph only (tiny relative
+    to the corpus); the final assignment is one left join back to the
+    corpus on the doc id."""
+    comp = connected_components(pairs, id_a, id_b)
+    return docs.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        *docs.columns,
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
+    )

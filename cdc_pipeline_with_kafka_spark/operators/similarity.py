@@ -299,16 +299,28 @@ def embedding_neardup_pairs(
     pairs almost always share all signs, so recall at 0.95+ stays
     near 1 even with few planes."""
     df = spread(df, id_col)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         if dim is None:
             raise ValueError("dim required for LSH blocking")
+        # one vectorized signature pass (matmul per Arrow batch) shared
+        # by both join branches — the per-plane HOF column expression
+        # (lsh_signature) costs 6 interpreted dot products per ROW per
+        # BRANCH; the UDF is one BLAS matmul per batch
         planes = _hyperplanes(dim, n_planes, seed)
-        a = a.withColumn("_bucket", lsh_signature(F.col("vec_a"), planes))
-        b = b.withColumn("_bucket", lsh_signature(F.col("vec_b"), planes))
+        sig = _signature_udf([planes])
+        bucketed = df.select(
+            F.col(id_col), F.col(vec_col), sig(F.col(vec_col))[0].alias("_bucket")
+        )
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "_bucket"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "_bucket"
+        )
         pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
     return (

@@ -555,6 +555,33 @@ GROUP BY event_type
 """
 
 
+def a_rollup_suite(spark, sf_dir):
+    """A3 + A13 in one tagged gate: trailing multi-window counts per
+    key, and the total/unique wordcloud rollup per bucket — both over
+    the shared hourly aggregate."""
+    a3 = a3_multi_window_counts(spark, sf_dir).select(
+        F.lit("a3").alias("suite_case"), F.col("event_type").alias("k"),
+        F.col("cnt_1h").cast("long").alias("v1"), F.col("cnt_6h").cast("long").alias("v2"),
+        F.col("cnt_24h").cast("long").alias("v3"), F.col("cnt_168h").cast("long").alias("v4"),
+    )
+    a13 = a13_wordcloud_rollup(spark, sf_dir).select(
+        F.lit("a13").alias("suite_case"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("k"),
+        F.col("total_count").cast("long").alias("v1"),
+        F.col("unique_keywords").cast("long").alias("v2"),
+        F.lit(-1).cast("long").alias("v3"), F.lit(-1).cast("long").alias("v4"),
+    )
+    return a3.unionByName(a13)
+
+
+def _a_rollup_suite_sql() -> str:
+    return f"""
+SELECT 'a3' AS suite_case, event_type AS k, cnt_1h AS v1, cnt_6h AS v2, cnt_24h AS v3, cnt_168h AS v4 FROM ({A3_SQL}) s1
+UNION ALL
+SELECT 'a13', strftime(bucket, '%Y-%m-%d %H:%M:%S'), total_count, unique_keywords, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM ({A13_SQL}) s2
+"""
+
+
 def a12_breaking_words(spark, sf_dir):
     """A12 (fused): hourly (window, lang) word stats over a synthetic
     text stream (events ⋈ documents by id-mod) — max word frequency +
@@ -714,13 +741,32 @@ def _w4_metrics(spark, sf_dir) -> DataFrame:
 
 
 def w4_compound_score(spark, sf_dir):
-    """W4: normalized weighted compound trend score
-    (advanced_trend_analyzer.py:208-236)."""
-    return _w4_metrics(spark, sf_dir).select(
+    """W4 + W5 in one gate: normalized weighted compound trend score
+    (advanced_trend_analyzer.py:208-236) for every key, plus
+    `topk_rank` (1..3 for the trending_ranking top-3, else -1) so the
+    W5 TakeOrdered ranking stays value-verified.  The top-3 membership
+    comes from the trends.trending_ranking OPERATOR (not re-derived),
+    joined back as a broadcast."""
+    from pyspark.sql.window import Window
+
+    base = _w4_metrics(spark, sf_dir).select(
         "event_type", "cnt_1h", "cnt_6h", "cnt_24h",
         F.round("velocity_1h", 6).alias("velocity_1h"),
         F.round("zscore", 6).alias("zscore"),
         "compound_score",
+    )
+    top = trends.trending_ranking(base, limit=3, key_col="event_type").select(
+        "event_type", F.lit(1).alias("_in_top")
+    )
+    w = Window.orderBy(F.col("compound_score").desc(), F.col("event_type").asc())
+    return (
+        base.withColumn("_rnk", F.row_number().over(w))
+        .join(F.broadcast(top), "event_type", "left")
+        .select(
+            "event_type", "cnt_1h", "cnt_6h", "cnt_24h", "velocity_1h",
+            "zscore", "compound_score",
+            F.when(F.col("_in_top") == 1, F.col("_rnk")).otherwise(F.lit(-1)).cast("int").alias("topk_rank"),
+        )
     )
 
 
@@ -770,8 +816,12 @@ W4_SQL = (
     _W4_CTE
     + """
 SELECT event_type, cnt_1h, cnt_6h, cnt_24h,
-       round(velocity_1h, 6) AS velocity_1h, round(zscore, 6) AS zscore, compound_score
-FROM scored
+       round(velocity_1h, 6) AS velocity_1h, round(zscore, 6) AS zscore, compound_score,
+       CAST(CASE WHEN rnk <= 3 THEN rnk ELSE -1 END AS INT) AS topk_rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY compound_score DESC, event_type ASC) AS rnk
+  FROM scored
+)
 """
 )
 
@@ -1632,6 +1682,40 @@ WHERE CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) >= 0.8
 """
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → canonical survivor per
+    cluster (lowest id).  The step that turns pairwise evidence into
+    dedup GROUPS: A~B, B~C collapse to one {A,B,C} cluster with one
+    survivor.  Spark side = iterative min-label propagation
+    (operators/dedup.connected_components); oracle = DuckDB recursive
+    CTE closure over the SAME trigram-Jaccard pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    return dedup.dedup_survivors(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE pr AS (__PAIRS__),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 def dedup_minhash_lsh3(spark, sf_dir):
     """MinHash+LSH on trigram shingles — the bench-scale configuration
     (distinct shingles → sane bucket sizes)."""
@@ -1694,6 +1778,94 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM sigs a JOIN sigs b ON a.id < b.id
 WHERE ({band_pred})
   AND ({matches}) / {float(num_hashes)} >= {threshold}
+"""
+
+
+# splice the jaccard3 pair query into the cluster oracle (plain string
+# assembly keeps DEDUP_JACCARD3_SQL single-sourced)
+DEDUP_CLUSTERS_SQL = DEDUP_CLUSTERS_SQL.replace("__PAIRS__", DEDUP_JACCARD3_SQL)
+
+_CURATION_RATES = {"en": 10, "zh": 40}  # stratified: downsample en, boost zh
+
+
+def curation_suite(spark, sf_dir):
+    """Training-data curation in one tagged gate:
+    - 'sample': reproducible hash sampling, stratified by lang
+      (20% default; en downsampled to 10%, zh boosted to 40% — the
+      corpus language-balancing move),
+    - 'pack'  : concat-then-chunk packing of docs into 4096-token
+      blocks per lang (start block | offset, end block),
+    - 'tfidf' : top-3 TF-IDF terms per document over the corpus.
+    All pure column plans (operators/curation.py)."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = curation.hash_sample(
+        docs, rate_pct=20, key_col="doc_id", salt="s1:",
+        stratum_col="lang", stratum_rates=_CURATION_RATES,
+    ).select(
+        F.lit("sample").alias("suite_case"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("lang").alias("v_str"),
+        F.lit(-1.0).alias("v_num"),
+    )
+    pack = curation.pack_sequential(
+        docs, token_col="n_chars", budget=4096, order_col="doc_id", stratum_col="lang"
+    ).select(
+        F.lit("pack").alias("suite_case"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "lang", F.col("start_block").cast("string"),
+                    F.col("block_offset").cast("string")).alias("v_str"),
+        F.col("end_block").cast("double").alias("v_num"),
+    )
+    tfidf = curation.tfidf_top_terms(docs, k=3).select(
+        F.lit("tfidf").alias("suite_case"),
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("rnk").cast("string")).alias("k"),
+        F.col("term").alias("v_str"),
+        F.col("tfidf").alias("v_num"),
+    )
+    return sample.unionByName(pack).unionByName(tfidf)
+
+
+CURATION_SUITE_SQL = """
+WITH sample AS (
+  SELECT doc_id, lang FROM documents
+  WHERE ('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 40 ELSE 20 END
+),
+packed AS (
+  SELECT doc_id, lang,
+         sum(n_chars) OVER w - n_chars AS pre,
+         sum(n_chars) OVER w AS cum
+  FROM documents
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+),
+tokens AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf * (ln(((SELECT count(*) FROM documents) + 1) / (df + 1)) + 1), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+),
+topk AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT 'sample' AS suite_case, CAST(doc_id AS VARCHAR) AS k, lang AS v_str, -1.0 AS v_num FROM sample
+UNION ALL
+SELECT 'pack', CAST(doc_id AS VARCHAR),
+       lang || '|' || CAST(CAST(floor(pre / 4096) AS BIGINT) AS VARCHAR)
+            || '|' || CAST(pre % 4096 AS VARCHAR),
+       CAST(floor((cum - 1) / 4096) AS DOUBLE)
+FROM packed
+UNION ALL
+SELECT 'tfidf', CAST(doc_id AS VARCHAR) || '|' || CAST(rnk AS VARCHAR), term, tfidf
+FROM topk WHERE rnk <= 3
 """
 
 
@@ -2102,7 +2274,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j4_stream_static_enrich": (j4_stream_static_enrich, J4_SQL),
     "text_length_stats": (text_length_stats, TEXT_LENGTH_SQL),
     "a1_windowed_count": (a1_windowed_count, A1_SQL),
-    "a3_multi_window_counts": (a3_multi_window_counts, A3_SQL),
+    "a_rollup_suite": (a_rollup_suite, _a_rollup_suite_sql()),
     "a4_sliding_window": (a4_sliding_window, A4_SQL),
     "a5_topk_per_group": (a5_topk_per_group, A5_SQL),
     "a6_topk_global": (a6_topk_global, A6_SQL),
@@ -2110,13 +2282,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a9_stats_per_group": (a9_stats_per_group, A9_SQL),
     "a11_daily_counts": (a11_daily_counts, A11_SQL),
     "a12_breaking_words": (a12_breaking_words, A12_SQL),
-    "a13_wordcloud_rollup": (a13_wordcloud_rollup, A13_SQL),
     "o2_offset_pagination_total": (o2_offset_pagination_total, O2_SQL),
     "w1_velocity": (w1_velocity, W1_SQL),
     "w2_zscore": (w2_zscore, W2_SQL),
     "w3_trend_direction": (w3_trend_direction, W3_SQL),
     "w4_compound_score": (w4_compound_score, W4_SQL),
-    "w5_trending_ranking": (w5_trending_ranking, W5_SQL),
     "w6_rank_change": (w6_rank_change, W6_SQL),
     "w8_timeline": (w8_timeline, W8_SQL),
     "w_alert_rules": (w_alert_rules, W_ALERT_RULES_SQL),
@@ -2132,6 +2302,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_profile": (text_profile, TEXT_PROFILE_SQL),
     "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard3": (dedup_ngram_jaccard3, DEDUP_JACCARD3_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "curation_suite": (curation_suite, CURATION_SUITE_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_oracle_sql(shingle_n=1)),
     "dedup_minhash_lsh3": (dedup_minhash_lsh3, _minhash_oracle_sql(shingle_n=3)),
     "dedup_simhash": (dedup_simhash, _simhash_oracle_sql()),
