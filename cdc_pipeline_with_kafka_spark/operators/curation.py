@@ -16,9 +16,9 @@ fixed-token-budget blocks.  All three are pure DataFrame/SQL plans
   documents are laid out in a deterministic order and cut into
   `budget`-token blocks; a document may span blocks (start/end block
   reported).
-- `tfidf_top_terms` is two aggregations (term-frequency per doc,
-  document-frequency per term) joined back — the df table is |vocab|
-  rows, broadcast-sized relative to the corpus.
+- `tfidf_top_terms` is one term-frequency aggregation with document
+  frequency as a window over the tf rows — a single corpus scan, no
+  self-referencing join branch.
 """
 
 from __future__ import annotations
@@ -144,3 +144,53 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "tfidf", "rnk")
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float | None = 0.5,
+    near_dup_pairs: DataFrame | None = None,
+    sample_rate_pct: int = 100,
+    stratum_col: str | None = None,
+    stratum_rates: dict[str, int] | None = None,
+    pack_budget: int | None = None,
+    token_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """The end-to-end corpus curation flow, composed from the pieces:
+
+      quality filter → exact dedup (lowest-id survivor) →
+      near-dup canonical survivor (if pairs given) →
+      reproducible (stratified) sample → optional packing
+
+    Each stage is the already-tested operator; this function pins the
+    ORDER: quality-filter first (cheapest, prunes everything after),
+    then dedup, then sample — sampling BEFORE dedup would drop a
+    cluster's canonical doc while keeping its duplicates alive.
+    Everything stays lazy — one action executes the whole curation as a
+    single Spark job graph.
+    """
+    from . import dedup as dedup_ops
+    from . import textstats
+
+    out = docs
+    if min_quality is not None:
+        out = out.filter(textstats.quality_score(F.col(text_col)) >= min_quality)
+    out = dedup_ops.dedup_exact(out, text_col=text_col, id_col=id_col)
+    if near_dup_pairs is not None:
+        out = dedup_ops.dedup_survivors(out, near_dup_pairs, id_col=id_col).filter(
+            F.col("is_canonical")
+        ).drop("cluster_id", "is_canonical")
+    if sample_rate_pct < 100 or stratum_rates:
+        out = hash_sample(
+            out, sample_rate_pct, id_col, salt=salt,
+            stratum_col=stratum_col, stratum_rates=stratum_rates,
+        )
+    if pack_budget is not None:
+        if token_col is None:
+            raise ValueError("token_col required when pack_budget is set")
+        out = pack_sequential(out, token_col, pack_budget, id_col, stratum_col)
+    return out

@@ -457,6 +457,7 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -482,7 +483,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # never return silently-wrong clusters: a component wider than
+        # max_iter hops would leave labels mid-propagation
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the pair graph has a longer path than expected — raise "
+            "max_iter (rounds needed = component diameter)"
+        )
     return labels
 
 

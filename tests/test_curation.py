@@ -87,3 +87,40 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = curation.tfidf_top_terms(df, k=1).collect()
     by_id = {r["doc_id"]: r["term"] for r in top}
     assert by_id[10] == "rareword"  # tf=2 AND rare beats the shared terms
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+
+
+def test_curate_corpus_end_to_end(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    out = curation.curate_corpus(
+        docs,
+        min_quality=0.3,
+        near_dup_pairs=pairs,
+        sample_rate_pct=50,
+        stratum_col="lang",
+        pack_budget=4096,
+        token_col="n_chars",
+        salt="e2e:",
+    )
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()
+    # packed columns present and sane
+    assert all(0 <= r["block_offset"] < 4096 for r in rows)
+    assert all(r["end_block"] >= r["start_block"] for r in rows)
+    # deterministic: same inputs → identical output
+    again = curation.curate_corpus(
+        docs, min_quality=0.3, near_dup_pairs=pairs, sample_rate_pct=50,
+        stratum_col="lang", pack_budget=4096, token_col="n_chars", salt="e2e:",
+    ).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(rows, key=key) == sorted(again, key=key)
