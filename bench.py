@@ -46,8 +46,10 @@ def main() -> None:
         start = time.perf_counter()
         df.count()
         exec_s[name] = round(time.perf_counter() - start, 3)
+        # best-of-3: same-host scheduling noise showed 2× swings on
+        # single post-warm passes; min of three is stable to ~±10%
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df.count()
             best = min(best, time.perf_counter() - start)

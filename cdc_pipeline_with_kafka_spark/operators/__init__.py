@@ -1,10 +1,24 @@
-from . import alerts, dedup, relational, similarity, textstats, trends, windows
+from . import (
+    alerts,
+    curation,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    skew,
+    textstats,
+    trends,
+    windows,
+)
 
 __all__ = [
     "alerts",
+    "curation",
     "dedup",
+    "multimodal",
     "relational",
     "similarity",
+    "skew",
     "textstats",
     "trends",
     "windows",
