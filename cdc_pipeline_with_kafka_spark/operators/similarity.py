@@ -234,6 +234,52 @@ def _ivf_assign_udf(cids: np.ndarray, cm: np.ndarray, nprobe: int):
     return assign
 
 
+def train_ivf_codebook(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rate_pct: int = 100,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Lloyd k-means codebook for IVF, trained on a (hash-sampled)
+    driver-side subset — the 'train offline, ship the codebook' path
+    the ivf_centroids docstring promises.
+
+    Deterministic: the sample is md5-bucket selected (reproducible on
+    any cluster size) and init takes the first `nlist` sample vectors
+    by id.  Empty clusters re-seed to the farthest point from its
+    centroid (standard fix).  The sample is bounded by rate, never the
+    corpus: at 100 TB you train on ~1e5 vectors and ship nlist × dim
+    floats to executors.  Returns (cids 0..nlist-1, L2-normalized
+    centroid matrix) — plug into ivf_ann_topk(centroids=...)."""
+    from .curation import hash_bucket
+
+    sampled = corpus
+    if sample_rate_pct < 100:
+        sampled = corpus.filter(
+            hash_bucket(F.col(id_col), salt=f"ivf{seed}:") < sample_rate_pct
+        )
+    rows = sampled.orderBy(F.col(id_col).asc()).select(id_col, vec_col).collect()
+    m = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    if len(m) < nlist:
+        raise ValueError(f"sample has {len(m)} vectors < nlist={nlist}")
+    cm = m[:nlist].copy()
+    for _ in range(iters):
+        sims = m @ cm.T  # cosine on normalized rows
+        assign = np.argmax(sims, axis=1)
+        new_cm = np.zeros_like(cm)
+        for c in range(nlist):
+            members = m[assign == c]
+            if len(members):
+                new_cm[c] = members.mean(axis=0)
+            else:  # re-seed an empty cluster with the globally worst-fit point
+                new_cm[c] = m[np.argmin(sims.max(axis=1))]
+        cm = _normalize_rows(new_cm)
+    return np.arange(nlist, dtype=np.int64), cm
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -243,6 +289,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: tuple | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed by nearest
     centroid (inverted file); each query probes its `nprobe` nearest
@@ -254,8 +301,11 @@ def ivf_ann_topk(
     every query then prunes to nprobe/nlist of the corpus via
     partition pruning.  Complements LSH (lsh_ann_topk): IVF gives
     tunable recall via nprobe and data-adaptive buckets via a trained
-    codebook."""
-    cids, cm = ivf_centroids(corpus, nlist, id_col, vec_col)
+    codebook (pass centroids=train_ivf_codebook(...); default is the
+    deterministic first-nlist quantizer for exact reproducibility)."""
+    cids, cm = centroids if centroids is not None else ivf_centroids(
+        corpus, nlist, id_col, vec_col
+    )
     assign1 = _ivf_assign_udf(cids, cm, 1)
     probe = _ivf_assign_udf(cids, cm, nprobe)
     assigned = spread(corpus, id_col).select(

@@ -222,3 +222,28 @@ def start_memory_query(df: DataFrame, name: str, trigger_seconds: int = 5, outpu
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def neardup_filtered_stream(
+    articles: DataFrame,
+    text_col: str = "content",
+    salt: str = "sdup:",
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: drop articles whose
+    SimHash fingerprint collides with one already seen inside the
+    watermark window.
+
+    Exact-text dedup (deduped_article_stream) misses re-posts with
+    trivial edits; hashing the simhash64 of the normalized text instead
+    of the raw text makes near-identical rewrites collide on the same
+    64-bit fingerprint with high probability while staying a pure
+    column expression — so the state store still only keeps one 8-byte
+    key per document within the watermark, and eviction semantics are
+    identical to the exact variant.  (Full Hamming-distance near-dup
+    needs the batch pigeonhole join — dedup.simhash_pairs; this is the
+    stream-side cheap filter in front of it.)"""
+    from ..operators import dedup as dedup_ops
+
+    return articles.withColumn(
+        "_fp", dedup_ops.simhash64(F.col(text_col), salt=salt)
+    ).dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")

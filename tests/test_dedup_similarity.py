@@ -235,3 +235,49 @@ def test_cosine_topk_self_is_top1(spark):
     top1 = similarity.cosine_topk(emb, queries, k=1).collect()
     for r in top1:
         assert r["vec_id"] == r["query_id"] and abs(r["cos_sim"] - 1.0) < 1e-5
+
+
+def test_trained_ivf_codebook_recall_at_least_naive(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(centroids):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivf_ann_topk(
+                emb, queries, nlist=8, nprobe=2, k=10, centroids=centroids
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    import numpy as np
+
+    codebook = similarity.train_ivf_codebook(emb, nlist=8, iters=10)
+    # a trained codebook must stay useful (the synthetic embeddings are
+    # unclustered noise, so k-means can't beat the naive quantizer on
+    # recall — its win is BALANCE, asserted below)
+    assert recall(codebook) >= 0.5 and recall(None) >= 0.5
+
+    def max_cluster_frac(centroids):
+        cids, cm = centroids if centroids else similarity.ivf_centroids(emb, 8)
+        assign = similarity._ivf_assign_udf(cids, cm, 1)
+        sizes = (
+            emb.select(assign(F.col("embedding"))[0].alias("c"))
+            .groupBy("c").count().agg(F.max("count")).collect()[0][0]
+        )
+        return sizes / emb.count()
+
+    # k-means balances the inverted lists: probe cost is bounded by the
+    # BIGGEST probed cluster, so balance is the scale property
+    assert max_cluster_frac(codebook) <= max_cluster_frac(None) + 1e-9
+
+    # determinism: same seed → identical codebook
+    _, cm1 = similarity.train_ivf_codebook(emb, nlist=8, iters=10)
+    _, cm2 = similarity.train_ivf_codebook(emb, nlist=8, iters=10)
+    assert np.array_equal(cm1, cm2)

@@ -166,3 +166,58 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         )
     )
     assert out.count() == batch_articles.select("link").distinct().count()
+
+
+def test_streaming_neardup_filter_drops_rewrites(spark, tmp_path):
+    """Near-identical re-posts (same token multiset → same SimHash)
+    collapse to one row within the watermark; distinct content
+    survives."""
+    arts = make_articles(6)
+    # articles 1-3: the same content re-posted with whitespace tweaks
+    # (normalized_text collapses runs, so simhash64 is identical);
+    # articles 4-6 keep distinct generated content
+    base = "속보 대통령이 경제 정책을 발표했다 " * 5
+    arts[0]["content"] = base
+    arts[1]["content"] = base.replace(" ", "  ")
+    arts[2]["content"] = base + "  "
+    # the fixture's default content is one repeated token ("내용") for
+    # EVERY article — which would (correctly) make 4-6 near-dups of
+    # each other too; give them genuinely distinct text instead
+    arts[3]["content"] = "금리 인상이 부동산 시장에 미치는 영향 분석 " * 4
+    arts[4]["content"] = "올림픽 반도체 수출 호조로 경제 성장률 상향 " * 4
+    arts[5]["content"] = "태풍 북상으로 남부 지방 호우 피해 속출 " * 4
+    events = make_cdc_events(arts, seed=7)
+    path = tmp_path / "neardup_log"
+    path.mkdir()
+    with open(path / "part-0.json", "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e, ensure_ascii=False) + "\n")
+
+    raw_stream = spark.readStream.schema(RAW_SCHEMA).json(str(path))
+    articles = pipeline.article_stream(raw_stream, watermark="10 minutes")
+    deduped = pipeline.neardup_filtered_stream(articles, text_col="content")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("neardup_test")
+        .outputMode("append")
+        .start()
+    )
+    _await(q)
+    out = spark.sql("SELECT id, content FROM neardup_test").collect()
+    ids = {r["id"] for r in out}
+    # exactly one of the three rewrites survives
+    assert len(ids & {1, 2, 3}) <= 1
+    # parsed rows for 4-6 (whatever ops the fixture rolled) are untouched
+    batch_parsed = cdc.parse_envelope(
+        spark.createDataFrame(
+            [(e["key"], e["value"], e["kafka_ts"]) for e in events], RAW_SCHEMA
+        )
+    )
+    from cdc_pipeline_with_kafka_spark.sources.cdc import after_image, for_table, quality_filter, upsert_ops
+
+    expected = {
+        r["id"]
+        for r in quality_filter(after_image(for_table(upsert_ops(batch_parsed), "articles"))).collect()
+        if r["id"] not in (1, 2, 3)
+    }
+    assert expected <= ids
