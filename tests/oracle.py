@@ -27,10 +27,20 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_value(v, ndigits: int = 4):
     if v is None:
         return None
+    # numpy scalars → Python scalars so the float/int tags below apply
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, ndigits)
+        # tag the type: the driver hashes pandas-rendered values where
+        # int64 1 != float64 1.0 (the round-1 a3/a13/w4 failure mode);
+        # Python's 1.0 == 1 would otherwise mask exactly that mismatch
+        return ("f", round(v, ndigits))
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon_value(x, ndigits) for x in v)
     if hasattr(v, "isoformat"):
