@@ -194,3 +194,55 @@ def curate_corpus(
             raise ValueError("token_col required when pack_budget is set")
         out = pack_sequential(out, token_col, pack_budget, id_col, stratum_col)
     return out
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap (the standard
+    GPT-3/PaLM eval-leakage check): a corpus document is contaminated
+    when it shares at least one distinct lowercase word ``n``-gram with
+    any benchmark document.
+
+    Returns one row per corpus doc: (id, n_hits = distinct benchmark
+    n-grams present in the doc, contaminated flag).
+
+    100 TB shape: the benchmark side is small by construction (eval
+    sets are MBs) — its distinct gram set is broadcast, so the corpus
+    pass is scan → explode → per-doc-distinct grams → broadcast
+    hash semi-join → per-doc count, with no shuffle of corpus text and
+    no all-pairs comparison.  The corpus-side distinct-per-doc happens
+    BEFORE the join via array_distinct inside the row (no extra
+    aggregation exchange).
+    """
+    from ..operators.textstats import _tokens, _word_ngrams
+    from ..util import spread
+
+    def doc_grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_word_ngrams(_tokens(F.col(text_col)), n))).alias(
+                "gram"
+            ),
+        )
+
+    bench_grams = doc_grams(benchmark).select("gram").distinct()
+    hits = (
+        doc_grams(spread(corpus, id_col))
+        .join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

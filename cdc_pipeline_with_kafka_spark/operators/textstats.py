@@ -120,3 +120,101 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         detect_language(c).alias("lang_detected"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+def _tokens(col: Column) -> Column:
+    """Non-empty whitespace tokens of the lowercased text."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def _word_ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams as a JVM array expression (no Python):
+    transform over sequence(0, size-n) with slice.  Empty array when
+    the document has fewer than n tokens (sequence would otherwise
+    count DOWN for a negative span)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+    top_ppm_max: int = 300_000,
+    dup_ppm_max: int = 300_000,
+) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021, §A1.1):
+
+    - ``top_ngram_ppm``  — parts-per-million of non-whitespace
+      characters covered by the single most-repeated word
+      ``top_n``-gram (count × gram chars / total chars).
+    - ``dup_ngram_ppm``  — ppm of characters covered by word
+      ``dup_n``-grams occurring ≥ 2 times (sum of count × gram chars /
+      total chars, clamped to 1e6 — overlapping occurrences are counted
+      per-occurrence, a documented simplification of the paper's
+      character-overlap dedup).
+    - ``keep``           — both fractions under their thresholds.
+
+    Fractions are BIGINT ppm via integer division (``DIV``) — exact and
+    engine-identical, where a float ``round(x, 6)`` diverges between
+    Spark (HALF_UP) and DuckDB (HALF_EVEN) whenever ``tot_chars`` is a
+    power of two.
+
+    100 TB shape: one explode of per-doc n-gram arrays (both sizes in a
+    single Generate via tagged concat), one (doc, tag, gram) partial-agg
+    shuffle, one per-doc agg, then a narrow join back to the doc list —
+    no self-joins, no Python.  Reference computes no such filter; this
+    is part of the training-data extension set (BASELINE.json).
+    """
+    toks = _tokens(F.col(text_col))
+    tot_chars = F.length(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", ""))
+    tagged = F.concat(
+        F.transform(
+            _word_ngrams(toks, top_n),
+            lambda g: F.struct(F.lit("top").alias("tag"), g.alias("gram")),
+        ),
+        F.transform(
+            _word_ngrams(toks, dup_n),
+            lambda g: F.struct(F.lit("dup").alias("tag"), g.alias("gram")),
+        ),
+    )
+    from ..util import spread
+
+    grams = (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(tagged).alias("tg"))
+        .select(id_col, F.col("tg.tag").alias("tag"), F.col("tg.gram").alias("gram"))
+    )
+    counts = grams.groupBy(id_col, "tag", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    gram_chars = F.length(F.regexp_replace(F.col("gram"), " ", ""))
+    per_doc = counts.groupBy(id_col).agg(
+        F.max(F.when(F.col("tag") == "top", F.col("cnt") * gram_chars)).alias("_top_chars"),
+        F.sum(
+            F.when(
+                (F.col("tag") == "dup") & (F.col("cnt") >= 2), F.col("cnt") * gram_chars
+            ).otherwise(F.lit(0))
+        ).alias("_dup_chars"),
+    )
+    base = df.select(F.col(id_col), tot_chars.alias("_tot_chars"))
+    out = base.join(per_doc, id_col, "left")
+    top_ppm = F.expr(
+        "CAST((coalesce(_top_chars, 0) * 1000000) DIV greatest(_tot_chars, 1) AS BIGINT)"
+    )
+    dup_ppm = F.expr(
+        "CAST(least((coalesce(_dup_chars, 0) * 1000000) DIV greatest(_tot_chars, 1), 1000000) AS BIGINT)"
+    )
+    return out.select(
+        F.col(id_col),
+        top_ppm.alias("top_ngram_ppm"),
+        dup_ppm.alias("dup_ngram_ppm"),
+        ((top_ppm <= F.lit(top_ppm_max)) & (dup_ppm <= F.lit(dup_ppm_max))).alias("keep"),
+    )

@@ -2246,6 +2246,197 @@ SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= {k}
 """
 
 
+# ------------------------------------------------- round-2 extensions:
+# repetition-quality filters, benchmark decontamination, int8-quantized
+# similarity, and the a1+a4 / a5+a6 suite merges that free their
+# registry slots.
+
+
+def a_windowed_suite(spark, sf_dir):
+    """A1 (30-min tumbling count) + A4 (30-min/10-min sliding count)
+    in one tagged gate — same (window_start, key, cnt) shape."""
+    a1 = a1_windowed_count(spark, sf_dir).select(
+        F.lit("a1").alias("suite_case"), "window_start", "event_type", "cnt"
+    )
+    a4 = a4_sliding_window(spark, sf_dir).select(
+        F.lit("a4").alias("suite_case"), "window_start", "event_type", "cnt"
+    )
+    return a1.unionByName(a4)
+
+
+A_WINDOWED_SUITE_SQL = f"""
+SELECT 'a1' AS suite_case, window_start, event_type, cnt FROM ({A1_SQL}) s1
+UNION ALL
+SELECT 'a4', window_start, event_type, cnt FROM ({A4_SQL}) s2
+"""
+
+
+def a_topk_suite(spark, sf_dir):
+    """A5 (top-k per group, WindowGroupLimit) + A6 (global top-k,
+    TakeOrderedAndProject) in one tagged long-format gate."""
+    a5 = a5_topk_per_group(spark, sf_dir).select(
+        F.lit("a5").alias("suite_case"),
+        F.col("p_brand").alias("grp"),
+        F.col("p_partkey").cast("string").alias("k"),
+        F.col("p_retailprice").cast("double").alias("v_num"),
+        F.col("rnk"),
+    )
+    a6 = a6_topk_global(spark, sf_dir).select(
+        F.lit("a6").alias("suite_case"),
+        F.lit("").alias("grp"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("cnt").cast("double").alias("v_num"),
+        F.lit(-1).alias("rnk"),
+    )
+    return a5.unionByName(a6)
+
+
+A_TOPK_SUITE_SQL = f"""
+SELECT 'a5' AS suite_case, p_brand AS grp, CAST(p_partkey AS VARCHAR) AS k,
+       CAST(p_retailprice AS DOUBLE) AS v_num, rnk
+FROM ({A5_SQL}) s1
+UNION ALL
+SELECT 'a6', '', CAST(user_id AS VARCHAR), CAST(cnt AS DOUBLE), -1
+FROM ({A6_SQL}) s2
+"""
+
+
+def quality_repetition(spark, sf_dir):
+    """Gopher-style repetition filters over documents: top-2-gram and
+    duplicated-5-gram character coverage, exact ppm integer arithmetic
+    (no float rounding → engine-tie-rule-proof oracle compare)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs)
+
+
+# ppm fractions via BIGINT integer division (DIV / //) — exact in both
+# engines; float round() differs on ties (Spark HALF_UP, DuckDB
+# HALF_EVEN) when tot_chars is a power of 2.
+QUALITY_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks,
+         length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS tot_chars
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+g5 AS (
+  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM base, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+  WHERE len(toks) >= 5
+),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+a2 AS (
+  SELECT doc_id, max(cnt * length(replace(gram, ' ', ''))) AS top_chars
+  FROM c2 GROUP BY 1
+),
+a5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(replace(gram, ' ', '')) ELSE 0 END) AS dup_chars
+  FROM c5 GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(coalesce(top_chars, 0) * 1000000 // greatest(tot_chars, 1) AS BIGINT) AS top_ngram_ppm,
+       CAST(least(coalesce(dup_chars, 0) * 1000000 // greatest(tot_chars, 1), 1000000) AS BIGINT) AS dup_ngram_ppm,
+       (coalesce(top_chars, 0) * 1000000 // greatest(tot_chars, 1) <= 300000
+        AND least(coalesce(dup_chars, 0) * 1000000 // greatest(tot_chars, 1), 1000000) <= 300000) AS keep
+FROM base b LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+"""
+
+
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any distinct lowercase
+    4-gram with the held-out benchmark slice (doc_id % 20 == 0) are
+    flagged; broadcast semi-join of the small benchmark gram set."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return curation.ngram_decontaminate(corpus, bench, n=4)
+
+
+DECONTAMINATE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+  FROM base, unnest(generate_series(1, len(toks) - 3)) AS t(i)
+  WHERE len(toks) >= 4
+),
+bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN bg USING (gram)
+  WHERE g.doc_id % 20 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+# int8-quantized cosine top-k (half-up floor(x/scale + 0.5) — identical
+# semantics in Spark and DuckDB, unlike round()'s tie rules).
+_SIM_TOPK_INT8_SQL = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE)
+           / (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) + 0.5)) AS qe
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+    FROM embeddings
+  )
+),
+q AS (SELECT vec_id AS query_id, qe AS qvec FROM qz WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.qe, q.qvec)
+               / (sqrt(list_dot_product(e.qe, e.qe))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos_sim
+  FROM qz e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+def sim_cosine_suite(spark, sf_dir):
+    """Exact + int8-quantized brute-force cosine top-10 for 5 query
+    vectors in one tagged gate: the quantized variant exercises
+    similarity.quantize_int8 (4× narrower vectors at 100 TB) through
+    the same scan/score/topk machinery."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    int8 = similarity.cosine_topk_int8(emb, queries, k=10)
+    return exact.select(F.lit("exact").alias("variant"), "*").unionByName(
+        int8.select(F.lit("int8").alias("variant"), "*")
+    )
+
+
+SIM_COSINE_SUITE_SQL = f"""
+SELECT 'exact' AS variant, query_id, vec_id, cos_sim, rnk FROM ({SIM_TOPK_SQL}) s1
+UNION ALL
+SELECT 'int8', query_id, vec_id, cos_sim, rnk FROM ({_SIM_TOPK_INT8_SQL}) s2
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2272,11 +2463,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j3_anti_join": (j3_anti_join, J3_SQL),
     "j4_stream_static_enrich": (j4_stream_static_enrich, J4_SQL),
     "text_length_stats": (text_length_stats, TEXT_LENGTH_SQL),
-    "a1_windowed_count": (a1_windowed_count, A1_SQL),
+    "a_windowed_suite": (a_windowed_suite, A_WINDOWED_SUITE_SQL),
     "a_rollup_suite": (a_rollup_suite, _a_rollup_suite_sql()),
-    "a4_sliding_window": (a4_sliding_window, A4_SQL),
-    "a5_topk_per_group": (a5_topk_per_group, A5_SQL),
-    "a6_topk_global": (a6_topk_global, A6_SQL),
+    "a_topk_suite": (a_topk_suite, A_TOPK_SUITE_SQL),
     "a_basic_aggs": (a_basic_aggs, A_BASIC_AGGS_SQL),
     "a9_stats_per_group": (a9_stats_per_group, A9_SQL),
     "a11_daily_counts": (a11_daily_counts, A11_SQL),
@@ -2306,7 +2495,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_oracle_sql(shingle_n=1)),
     "dedup_minhash_lsh3": (dedup_minhash_lsh3, _minhash_oracle_sql(shingle_n=3)),
     "dedup_simhash": (dedup_simhash, _simhash_oracle_sql()),
-    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "sim_cosine_topk": (sim_cosine_suite, SIM_COSINE_SUITE_SQL),
+    "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
+    "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "sim_embedding_neardup_lsh": (sim_embedding_neardup_lsh, _sim_neardup_lsh_sql()),
     "sim_lsh_ann_topk": (sim_lsh_ann_topk, _lsh_ann_oracle_sql()),
     "sim_ivf_ann_topk": (sim_ivf_ann_topk, SIM_IVF_SQL),
@@ -2343,6 +2534,8 @@ BENCH_FNS: dict[str, QueryFn] = {
     "multimodal_features": multimodal_features,
     # round 2+: curation layer (sample/pack/tfidf union; tfidf dominates)
     "curation_suite": curation_suite,
+    "quality_repetition": quality_repetition,
+    "decontaminate": decontaminate,
 }
 
 BENCH_QUERIES = list(BENCH_FNS)

@@ -1,0 +1,117 @@
+"""Repetition-quality filters (Gopher-style), benchmark
+decontamination, and int8 embedding quantization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark.operators import curation, similarity, textstats
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_hand_computed(spark):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.repetition_stats(
+            _docs(
+                spark,
+                [
+                    (1, "a b a b a b"),  # top bigram "a b" ×3 → covers all 6 chars
+                    (2, "x y z"),  # no repetition: top bigram ×1 = 2/3 chars
+                    (3, "hi"),  # single token: no n-grams at all
+                ],
+            )
+        ).collect()
+    }
+    # doc 1: top = 3 occurrences × 2 chars / 6 chars = 1.0; no repeated 5-gram
+    assert out[1]["top_ngram_ppm"] == 1_000_000
+    assert out[1]["dup_ngram_ppm"] == 0
+    assert out[1]["keep"] is False
+    # doc 2: 2*1e6 // 3 = 666666
+    assert out[2]["top_ngram_ppm"] == 666_666
+    assert out[2]["keep"] is False
+    # doc 3: no bigrams → 0/0 → 0 ppm, keep
+    assert out[3]["top_ngram_ppm"] == 0
+    assert out[3]["dup_ngram_ppm"] == 0
+    assert out[3]["keep"] is True
+
+
+def test_repetition_dup_ngram_counts_repeats(spark):
+    # "p q r s t" appears twice (10 tokens), so both 5-gram copies count:
+    # dup_chars = 2 × 5 = 10 of 10 chars → clamped 1e6 ppm
+    df = _docs(spark, [(1, "p q r s t p q r s t")])
+    row = textstats.repetition_stats(df).collect()[0]
+    assert row["dup_ngram_ppm"] == 1_000_000
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    bench = _docs(spark, [(0, "one two three four five")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "zzz two three four five yyy"),  # shares 4-grams
+            (2, "alpha beta gamma delta epsilon"),  # disjoint
+            (3, "one two three"),  # only a 3-gram — below n=4
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.ngram_decontaminate(corpus, bench, n=4).collect()}
+    # doc 1 shares "two three four five" (and "two three four" is not 4 tokens
+    # of bench? it is: bench grams: one-two-three-four, two-three-four-five)
+    assert out[1]["contaminated"] is True
+    assert out[1]["n_hits"] == 1  # only "two three four five" matches
+    assert out[2]["n_hits"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_hits"] == 0  # doc too short for any 4-gram overlap
+
+
+def test_quantize_int8_bounds_and_scale_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [3.0, 3.0, -3.0, 1.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = df.select(
+        "vec_id", similarity.quantize_int8(F.col("embedding")).alias("q")
+    ).collect()
+    q = {r["vec_id"]: r["q"] for r in rows}
+    # scale = 1.0/127 → [64, -127, 32, 0] (floor(63.5+0.5)=64, floor(31.75+.5)=32)
+    assert q[1] == [64.0, -127.0, 32.0, 0.0]
+    # max-magnitude element always maps to ±127
+    assert q[2] == [127.0, 127.0, -127.0, 64.0]
+    assert all(abs(v) <= 127 for vec in q.values() for v in vec)
+
+
+def test_int8_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    int8 = similarity.cosine_topk_int8(emb, queries, k=10)
+
+    def byq(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, i = byq(exact), byq(int8)
+    recalls = [len(e[qid] & i[qid]) / len(e[qid]) for qid in e]
+    assert min(recalls) >= 0.8, recalls
+
+
+def test_repetition_stats_gate_matches_oracle_shape(spark):
+    # the sf gate runs in test_oracle_parity; here just pin schema/dtypes
+    df = textstats.repetition_stats(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds == {
+        "doc_id": "bigint",
+        "top_ngram_ppm": "bigint",
+        "dup_ngram_ppm": "bigint",
+        "keep": "boolean",
+    }
