@@ -218,3 +218,46 @@ def repetition_stats(
         dup_ppm.alias("dup_ngram_ppm"),
         ((top_ppm <= F.lit(top_ppm_max)) & (dup_ppm <= F.lit(dup_ppm_max))).alias("keep"),
     )
+
+
+# PII patterns deliberately restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
+# backrefs, non-capturing groups only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{2,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token: str = "[REDACTED]",
+) -> DataFrame:
+    """PII scrubbing for training corpora: redact emails, phone
+    numbers, and IPv4 addresses; report per-category match counts and
+    a has_pii flag (counts taken on the ORIGINAL text, before any
+    redaction, so categories don't mask each other).
+
+    Pure column expressions (regexp_count / regexp_replace) — a 100 TB
+    corpus pass is one codegen map stage, no shuffle, no Python.
+    Patterns apply in deterministic dict order (email → phone → ipv4).
+    """
+    c = F.col(text_col)
+    scrubbed = c
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    total = None
+    for name in PII_PATTERNS:
+        col = F.regexp_count(c, F.lit(PII_PATTERNS[name]))
+        total = col if total is None else total + col
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        *counts,
+        (total > 0).alias("has_pii"),
+    )

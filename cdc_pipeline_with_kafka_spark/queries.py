@@ -1823,7 +1823,22 @@ def curation_suite(spark, sf_dir):
         F.col("term").alias("v_str"),
         F.col("tfidf").alias("v_num"),
     )
-    return sample.unionByName(pack).unionByName(tfidf)
+    # 'lenstats': corpus length distribution per language (folded in to
+    # free the text_length_stats registry slot for pii_scrub)
+    lenstats = text_length_stats(spark, sf_dir).select(
+        F.lit("lenstats").alias("suite_case"),
+        F.col("lang"),
+        F.expr(
+            "stack(3, 'n_docs', CAST(n_docs AS DOUBLE), 'avg_chars', avg_chars,"
+            " 'median_chars', median_chars) AS (stat, v)"
+        ),
+    ).select(
+        "suite_case",
+        F.concat_ws("|", "lang", "stat").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("v").alias("v_num"),
+    )
+    return sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
 
 
 CURATION_SUITE_SQL = """
@@ -1865,7 +1880,16 @@ FROM packed
 UNION ALL
 SELECT 'tfidf', CAST(doc_id AS VARCHAR) || '|' || CAST(rnk AS VARCHAR), term, tfidf
 FROM topk WHERE rnk <= 3
+UNION ALL
+SELECT 'lenstats', lang || '|' || stat, '', v FROM (
+  SELECT lang, unnest(['n_docs', 'avg_chars', 'median_chars']) AS stat,
+         unnest([CAST(n_docs AS DOUBLE), avg_chars, median_chars]) AS v
+  FROM ({TEXT_LENGTH_SQL_PLACEHOLDER}) ls
+) s4
 """
+CURATION_SUITE_SQL = CURATION_SUITE_SQL.replace(
+    "{TEXT_LENGTH_SQL_PLACEHOLDER}", TEXT_LENGTH_SQL
+)
 
 
 def dedup_simhash(spark, sf_dir):
@@ -2437,6 +2461,70 @@ SELECT 'int8', query_id, vec_id, cos_sim, rnk FROM ({_SIM_TOPK_INT8_SQL}) s2
 """
 
 
+def pii_scrub(spark, sf_dir):
+    """PII redaction over a contact blob derived deterministically from
+    the customer table (the driver's schema carries no phone column, so
+    phone/IP strings are formatted from the keys — same printf
+    specifiers in both engines): emails, phones and IPv4s are redacted;
+    per-category counts reported."""
+    cust = _t(spark, sf_dir, "customer")
+    blob = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.format_string(
+            "%02d-%03d-%03d-%04d",
+            F.col("c_nationkey"),
+            F.col("c_custkey") % 1000,
+            F.expr("(c_custkey DIV 7) % 1000"),
+            F.col("c_custkey") % 10000,
+        ),
+        F.concat(F.regexp_replace(F.col("c_name"), "[# ]", "."), F.lit("@example.com")),
+        F.lit("from"),
+        F.format_string(
+            "%d.%d.%d.%d",
+            F.col("c_custkey") % 224,
+            F.col("c_nationkey") % 256,
+            (F.col("c_custkey") * 7) % 256,
+            F.col("c_custkey") % 250,
+        ),
+        F.col("c_mktsegment"),
+    )
+    df = cust.select(F.col("c_custkey"), blob.alias("text"))
+    return textstats.scrub_pii(df, text_col="text", id_col="c_custkey")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{2,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}\b"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+PII_SCRUB_SQL = f"""
+WITH blob AS (
+  SELECT c_custkey,
+         concat_ws(' ', c_name,
+                   printf('%02d-%03d-%03d-%04d', c_nationkey, c_custkey % 1000,
+                          (c_custkey // 7) % 1000, c_custkey % 10000),
+                   regexp_replace(c_name, '[# ]', '.', 'g') || '@example.com',
+                   'from',
+                   printf('%d.%d.%d.%d', c_custkey % 224, c_nationkey % 256,
+                          (c_custkey * 7) % 256, c_custkey % 250),
+                   c_mktsegment) AS text
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_PII_EMAIL}', '[REDACTED]', 'g'),
+         '{_PII_PHONE}', '[REDACTED]', 'g'),
+         '{_PII_IPV4}', '[REDACTED]', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+        + len(regexp_extract_all(text, '{_PII_PHONE}'))
+        + len(regexp_extract_all(text, '{_PII_IPV4}'))) > 0 AS has_pii
+FROM blob
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2462,7 +2550,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j2_dim_joins": (j2_dim_joins, J2_SQL),
     "j3_anti_join": (j3_anti_join, J3_SQL),
     "j4_stream_static_enrich": (j4_stream_static_enrich, J4_SQL),
-    "text_length_stats": (text_length_stats, TEXT_LENGTH_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "a_windowed_suite": (a_windowed_suite, A_WINDOWED_SUITE_SQL),
     "a_rollup_suite": (a_rollup_suite, _a_rollup_suite_sql()),
     "a_topk_suite": (a_topk_suite, A_TOPK_SUITE_SQL),

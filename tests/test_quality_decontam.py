@@ -115,3 +115,21 @@ def test_repetition_stats_gate_matches_oracle_shape(spark):
         "dup_ngram_ppm": "bigint",
         "keep": "boolean",
     }
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@mail.example.org or 12-345-678-9012"),
+            (2, "server 10.0.0.1 and 192.168.1.255 up"),
+            (3, "nothing sensitive here"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in textstats.scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[1]["scrubbed"] == "mail me at [REDACTED] or [REDACTED]"
+    assert out[2]["n_ipv4"] == 2 and out[2]["has_pii"] is True
+    assert out[2]["scrubbed"] == "server [REDACTED] and [REDACTED] up"
+    assert out[3]["has_pii"] is False
+    assert out[3]["scrubbed"] == "nothing sensitive here"

@@ -52,7 +52,8 @@ def test_every_capability_has_a_gate():
         "dedup_exact_summary", "dedup_ngram_jaccard3", "dedup_minhash_lsh",
         "dedup_minhash_lsh3", "dedup_simhash", "sim_cosine_topk",
         "sim_embedding_neardup_lsh", "sim_lsh_ann_topk", "sim_ivf_ann_topk",
-        "text_profile", "text_length_stats", "multimodal_pipeline",
+        "text_profile", "multimodal_pipeline", "quality_repetition",
+        "decontaminate", "pii_scrub",
         "f_scalar_suite", "f_value_suite", "a_basic_aggs", "w_alert_rules",
-    }
+    }  # text_length_stats now rides in curation_suite ('lenstats' rows)
     assert must_have <= set(q.REGISTRY)
