@@ -134,9 +134,13 @@ def _cdc_throughput(spark, sf_dir: str) -> float:
         imgs = cdc.after_image(cdc.upsert_ops(parsed))
         imgs.groupBy(F.window("ts", "30 minutes"), "category").count().count()
 
-    run()  # warm (plan + codegen)
+    # two warm passes: the first pays plan+codegen, the second lets C2
+    # JIT compile the JSON-parse hot loop (measured: single-warm rates
+    # drift upward 94k→139k across repeats; double-warm is stable)
+    run()
+    run()
     elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         run()
         elapsed = min(elapsed, time.perf_counter() - start)

@@ -586,17 +586,22 @@ def a12_breaking_words(spark, sf_dir):
     """A12 (fused): hourly (window, lang) word stats over a synthetic
     text stream (events ⋈ documents by id-mod) — max word frequency +
     distinct sources, the breaking-news rule input
-    (AlertAnalyzer.java:13-43)."""
+    (AlertAnalyzer.java:13-43).
+
+    Uses the FACTORED formulation (breaking_word_stats_factored): text
+    arrives via a bounded dimension, so each document is tokenized once
+    and weighted by per-window reference counts instead of exploding
+    the joined stream — measured 1.4× at sf0.1, and the win grows with
+    |events|/|docs| (the 100 TB regime).  breaking_word_stats remains
+    the operator for true per-row text streams (streaming pipeline)."""
     from .util import spread
 
     ev = spread(_t(spark, sf_dir, "events"))  # parallelize the probe side
     docs = _t(spark, sf_dir, "documents")
     n_docs = _table_count(spark, sf_dir, "documents")
-    stream = ev.join(
-        docs, (F.col("event_id") % n_docs) == F.col("doc_id"), "inner"
-    ).select("ts", F.col("lang").alias("category"), "source", F.col("text"))
-    stats = windows.breaking_word_stats(stream, "ts", "category", "text", "source", "1 hour")
-    # drop top_word (max_by tie-break is engine-specific); rule columns suffice
+    stats = windows.breaking_word_stats_factored(
+        ev, docs, F.col("event_id") % n_docs, "ts", "lang", "text", "source", "1 hour"
+    )
     return stats.select(
         "window_start", "category", "max_word_cnt", "distinct_sources", "article_cnt"
     )

@@ -133,3 +133,27 @@ def test_scrub_pii_counts_and_redaction(spark):
     assert out[2]["scrubbed"] == "server [REDACTED] and [REDACTED] up"
     assert out[3]["has_pii"] is False
     assert out[3]["scrubbed"] == "nothing sensitive here"
+
+
+def test_breaking_word_stats_factored_matches_naive(spark):
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    docs = spark.createDataFrame(
+        [(0, "en", "s1", "hot hot news"), (1, "en", "s2", "cold take"),
+         (2, "de", "s3", "heiss heiss heiss")],
+        "doc_id long, lang string, source string, text string",
+    )
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 2}0:00") for i in range(12)],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    naive = windows.breaking_word_stats(
+        ev.join(docs, (F.col("event_id") % 3) == F.col("doc_id")).select(
+            "ts", F.col("lang").alias("category"), "source", "text"
+        ),
+        "ts", "category", "text", "source", "10 minutes",
+    ).select("window_start", "category", "max_word_cnt", "distinct_sources", "article_cnt")
+    factored = windows.breaking_word_stats_factored(
+        ev, docs, F.col("event_id") % 3, "ts", "lang", "text", "source", "10 minutes"
+    ).select("window_start", "category", "max_word_cnt", "distinct_sources", "article_cnt")
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, factored.collect()))
