@@ -300,6 +300,91 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup: check a NEW shard against a persisted
+    corpus signature index (the daily-ingest pattern — at 100 TB you
+    never re-sketch the corpus to admit a day's data).
+
+    ``index_sigs`` is a prior `minhash_signatures` output (id, sig),
+    read from storage; signatures are computed only for ``new_df``.
+    Returns candidate pairs (est_jaccard ≥ threshold) that involve at
+    least one new document — both new↔index and new↔new — with the
+    same banding/verification semantics as `minhash_lsh_pairs`, so
+    incremental(new) ≡ full-corpus pairs restricted to pairs touching
+    the new shard (asserted in tests).
+
+    Scale shape: the index side contributes only a band-explode of its
+    (constant-size) signatures — no text scan, no gram hashing.  Persist
+    the band entries as a table bucketed by (band, bucket) and even the
+    index-side shuffle disappears; the new side is a day's shard, orders
+    of magnitude smaller than the corpus.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(new_df, num_hashes, shingle_n, text_col, id_col)
+    sigs = (
+        index_sigs.selectExpr(f"{id_col} AS id", "sig", "false AS is_new")
+        .unionByName(new_sigs.selectExpr("id", "sig", "true AS is_new"))
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', named_struct({ks}))".format(
+            b=b,
+            ks=", ".join(
+                f"'k{r}', sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    band_entries = sigs.select(
+        "id", "sig", "is_new", F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select("id", "sig", "is_new", "bb.band", "bb.bucket")
+    buckets = (
+        band_entries.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sig", "is_new")).alias("ms"))
+        .filter((F.size("ms") > 1) & F.expr("exists(ms, m -> m.is_new)"))
+    )
+    expanded = (
+        buckets.select("band", "ms", F.posexplode("ms").alias("p", "m1"))
+        .select("band", "m1",
+                F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("m2"))
+        .filter(F.expr("m1.is_new OR m2.is_new"))
+    )
+    matches_sql = " + ".join(
+        f"(CASE WHEN m1.sig[{i}] = m2.sig[{i}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+
+    def band_match(bnd: int) -> str:
+        return " AND ".join(
+            f"m1.sig[{bnd * rows_per_band + r}] = m2.sig[{bnd * rows_per_band + r}]"
+            for r in range(rows_per_band)
+        )
+
+    first_band_sql = (
+        "CASE "
+        + " ".join(f"WHEN {band_match(b)} THEN {b}" for b in range(bands - 1))
+        + f" ELSE {bands - 1} END"
+    )
+    return (
+        expanded.filter(F.expr(f"band = ({first_band_sql})"))
+        .selectExpr(
+            "least(m1.id, m2.id) AS id_a",
+            "greatest(m1.id, m2.id) AS id_b",
+            f"round(({matches_sql}) / {float(num_hashes)}D, 6) AS est_jaccard",
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def token_hashes(col: Column, salt: str = "sh:") -> Column:
     """Distinct word tokens → 60-bit hash array (the SimHash input)."""
     tokens = F.array_distinct(F.split(normalized_text(col), " "))

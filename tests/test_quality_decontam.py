@@ -157,3 +157,28 @@ def test_breaking_word_stats_factored_matches_naive(spark):
         ev, docs, F.col("event_id") % 3, "ts", "lang", "text", "source", "10 minutes"
     ).select("window_start", "category", "max_word_cnt", "distinct_sources", "article_cnt")
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, factored.collect()))
+
+
+def test_minhash_incremental_equals_full_restricted(spark, tmp_path):
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    new_ids = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 7 == 0).collect()}
+    old = docs.filter(~F.col("doc_id").isin(list(new_ids)))
+    new = docs.filter(F.col("doc_id").isin(list(new_ids)))
+
+    # persist the corpus index, as a real ingest would
+    idx_path = str(tmp_path / "minhash_index")
+    dedup.minhash_signatures(old).selectExpr("id AS doc_id", "sig").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    inc = dedup.minhash_lsh_pairs_incremental(new, index, threshold=0.5)
+    full = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    full_touching_new = [
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    ]
+    inc_rows = [(r["id_a"], r["id_b"], r["est_jaccard"]) for r in inc.collect()]
+    assert sorted(inc_rows) == sorted(full_touching_new)
+    assert len(inc_rows) > 0  # non-vacuous on this corpus
