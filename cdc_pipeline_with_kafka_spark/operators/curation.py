@@ -246,3 +246,24 @@ def ngram_decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def contamination_flag_col(
+    text_col: Column, bench_grams: list[str], n: int = 4
+) -> Column:
+    """Streaming-safe decontamination: TRUE when the text shares any
+    word n-gram with ``bench_grams`` (the benchmark's distinct gram
+    list, collected once — eval sets are MB-scale, so the list ships
+    in the plan like a broadcast).
+
+    Pure column expression (arrays_overlap over the per-row gram
+    array), so it drops into `readStream` filters with no state and no
+    shuffle — the per-row form of `ngram_decontaminate`, which remains
+    the batch path for large benchmarks.
+    """
+    from ..operators.textstats import _tokens, _word_ngrams
+
+    grams = _word_ngrams(_tokens(text_col), n)
+    return F.arrays_overlap(
+        F.array_distinct(grams), F.array(*[F.lit(g) for g in bench_grams])
+    )

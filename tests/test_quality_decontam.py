@@ -182,3 +182,65 @@ def test_minhash_incremental_equals_full_restricted(spark, tmp_path):
     inc_rows = [(r["id_a"], r["id_b"], r["est_jaccard"]) for r in inc.collect()]
     assert sorted(inc_rows) == sorted(full_touching_new)
     assert len(inc_rows) > 0  # non-vacuous on this corpus
+
+
+def test_contamination_flag_col_matches_batch_join(spark):
+    from cdc_pipeline_with_kafka_spark.operators.textstats import _tokens, _word_ngrams
+
+    bench = _docs(spark, [(0, "one two three four five"), (1, "alpha beta gamma delta")])
+    corpus = _docs(
+        spark,
+        [(10, "x one two three four y"), (11, "clean text with no overlap at all"),
+         (12, "beta gamma delta alpha"), (13, "alpha beta gamma delta")],
+    )
+    bench_grams = [
+        r["gram"]
+        for r in bench.select(
+            F.explode(F.array_distinct(_word_ngrams(_tokens(F.col("text")), 4))).alias("gram")
+        ).distinct().collect()
+    ]
+    col_flags = {
+        r["doc_id"]: r["flag"]
+        for r in corpus.select(
+            "doc_id", curation.contamination_flag_col(F.col("text"), bench_grams, 4).alias("flag")
+        ).collect()
+    }
+    join_flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in curation.ngram_decontaminate(corpus, bench, n=4).collect()
+    }
+    assert col_flags == join_flags
+    assert col_flags[10] is True and col_flags[11] is False and col_flags[13] is True
+    # doc 12 permutes the words — no shared 4-gram
+    assert col_flags[12] is False
+
+
+def test_pii_and_contamination_compose_with_streaming(spark, tmp_path):
+    """scrub_pii and contamination_flag_col are stateless projections:
+    they run inside a readStream with no watermark or state store."""
+    import json as _json
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "call 12-345-678-9012 about one two three four"},
+        {"doc_id": 2, "text": "perfectly clean text here"},
+    ]
+    with open(src / "part-0.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    scrubbed = textstats.scrub_pii(stream).withColumn(
+        "contaminated",
+        curation.contamination_flag_col(F.col("scrubbed"), ["one two three four"], 4),
+    )
+    q = (
+        scrubbed.writeStream.format("memory").queryName("pii_stream_test")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable(); q.stop()
+    out = {r["doc_id"]: r.asDict() for r in spark.table("pii_stream_test").collect()}
+    assert out[1]["n_phone"] == 1 and "[REDACTED]" in out[1]["scrubbed"]
+    assert out[1]["contaminated"] is True
+    assert out[2]["has_pii"] is False and out[2]["contaminated"] is False
