@@ -267,3 +267,50 @@ def contamination_flag_col(
     return F.arrays_overlap(
         F.array_distinct(grams), F.array(*[F.lit(g) for g in bench_grams])
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap (the
+    context-window chunking step before tokenization/training; distinct
+    from pack_sequential, which concatenates docs INTO blocks).
+
+    Chunk k starts at token k·(chunk_tokens − overlap); the last chunk
+    starts at the first multiple that still covers the tail, so every
+    token lands in ≥1 chunk and a document shorter than one window is
+    a single chunk.  Empty documents produce no chunks.
+
+    One Generate per doc (sequence + transform + posexplode) — all JVM
+    expressions; no shuffle at all, so it composes with any downstream
+    partitioning at 100 TB.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    from ..operators.textstats import _tokens
+
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # K = number of EXTRA chunks beyond the first: ceil((n-chunk)/step)
+    k_max = F.greatest(
+        F.expr(f"CAST((size(_toks) - {chunk_tokens} + {step} - 1) DIV {step} AS INT)"),
+        F.lit(0),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), k_max),
+        lambda k: F.concat_ws(" ", F.slice(F.col("_toks"), k * step + 1, chunk_tokens)),
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn(
+            "n_tokens",
+            F.size(F.filter(F.split(F.col("chunk_text"), " "), lambda t: t != F.lit(""))),
+        )
+    )

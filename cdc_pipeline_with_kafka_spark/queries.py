@@ -1843,7 +1843,18 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("v").alias("v_num"),
     )
-    return sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
+    # 'chunk': context-window chunking (64-token windows, 16 overlap) —
+    # chunk text carried as md5 to keep compare rows narrow
+    chunk = curation.chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        F.lit("chunk").alias("suite_case"),
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")).alias("k"),
+        F.md5(F.col("chunk_text")).alias("v_str"),
+        F.col("n_tokens").cast("double").alias("v_num"),
+    )
+    return (
+        sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
+        .unionByName(chunk)
+    )
 
 
 CURATION_SUITE_SQL = """
@@ -1891,6 +1902,21 @@ SELECT 'lenstats', lang || '|' || stat, '', v FROM (
          unnest([CAST(n_docs AS DOUBLE), avg_chars, median_chars]) AS v
   FROM ({TEXT_LENGTH_SQL_PLACEHOLDER}) ls
 ) s4
+UNION ALL
+SELECT 'chunk', CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR),
+       md5(chunk_text),
+       CAST(len(list_filter(string_split(chunk_text, ' '), t -> t <> '')) AS DOUBLE)
+FROM (
+  SELECT doc_id, k,
+         array_to_string(toks[k * 48 + 1 : k * 48 + 64], ' ') AS chunk_text
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  ) b,
+  unnest(generate_series(0, greatest((len(toks) - 64 + 47) // 48, 0))) AS t(k)
+  WHERE len(toks) > 0
+) c
 """
 CURATION_SUITE_SQL = CURATION_SUITE_SQL.replace(
     "{TEXT_LENGTH_SQL_PLACEHOLDER}", TEXT_LENGTH_SQL

@@ -244,3 +244,22 @@ def test_pii_and_contamination_compose_with_streaming(spark, tmp_path):
     assert out[1]["n_phone"] == 1 and "[REDACTED]" in out[1]["scrubbed"]
     assert out[1]["contaminated"] is True
     assert out[2]["has_pii"] is False and out[2]["contaminated"] is False
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    # 100 tokens, 64-token chunks, 16 overlap → starts at 0 and 48
+    text100 = " ".join(f"t{i}" for i in range(100))
+    df = _docs(spark, [(1, text100), (2, "a b c"), (3, "   ")])
+    out = curation.chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 2
+    c0, c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert c0["n_tokens"] == 64 and c0["chunk_text"].startswith("t0 t1 ")
+    assert c1["n_tokens"] == 52 and c1["chunk_text"].startswith("t48 ")
+    # overlap region t48..t63 appears in both chunks
+    assert "t63" in c0["chunk_text"] and "t63" in c1["chunk_text"]
+    # short doc → single chunk; blank doc → no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
+    assert 3 not in by_doc
