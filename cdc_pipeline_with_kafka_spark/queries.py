@@ -1417,7 +1417,50 @@ def f_scalar_suite(spark, sf_dir):
                     F.col("changed_at"),
                     v_str=F.date_format("parsed_ts", "yyyy-MM-dd HH:mm:ss"),
                     v_num=F.col("val")),
+        # P3+P5: inserts-only + content-quality filter over an article
+        # frame derived from documents (op from doc_id%3; title blanked
+        # on doc_id%7 to exercise the title rule)
+        _suite_rows(_p3_p5_articles(spark, sf_dir), "p3_p5", F.col("id")),
+        # O6: order-preserving distinct of document tokens
+        _suite_rows(_o6_ordered_distinct(spark, sf_dir), "o6",
+                    F.col("doc_id"), v_str=F.col("dedup_tokens")),
+        # F18: truncate to 20 chars
+        _suite_rows(
+            _t(spark, sf_dir, "documents").select(
+                "doc_id", textfn.truncate(F.col("text"), 20).alias("tr")
+            ),
+            "f18", F.col("doc_id"), v_str=F.col("tr"),
+        ),
     ])
+
+
+def _p3_p5_articles(spark, sf_dir):
+    """Article frame for the P3/P5 gate branch: survivors of
+    inserts_only → quality_filter (sources/cdc.py)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.expr("CASE doc_id % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END").alias("op"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(F.col("source")).alias("title"),
+        F.col("text").alias("content"),
+    )
+    return cdc.quality_filter(cdc.inserts_only(docs)).select("id")
+
+
+def _o6_ordered_distinct(spark, sf_dir):
+    """O6 gate branch: first-occurrence-preserving distinct
+    (functions/extract.py ordered-distinct step) over document tokens."""
+    from .operators.textstats import _tokens
+
+    return (
+        _t(spark, sf_dir, "documents")
+        # whitespace-only docs yield no unnest rows in the oracle; drop
+        # them on both sides rather than emitting an empty-string row
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.array_distinct(_tokens(F.col("text")))).alias("dedup_tokens"),
+        )
+    )
 
 
 F_SCALAR_SUITE_SQL = f"""
@@ -1432,6 +1475,27 @@ UNION ALL
 SELECT 'f8', word, cls, -1.0 FROM ({F8_SQL}) s5
 UNION ALL
 SELECT 'f11_f13', changed_at, strftime(parsed_ts, '%Y-%m-%d %H:%M:%S'), CAST(val AS DOUBLE) FROM ({F11_SQL}) s6
+UNION ALL
+SELECT 'p3_p5', CAST(doc_id AS VARCHAR), '', -1.0
+FROM documents
+WHERE doc_id % 3 = 0
+  AND (CASE WHEN doc_id % 7 = 0 THEN '' ELSE source END) <> ''
+  AND (CASE WHEN doc_id % 7 = 0 THEN '' ELSE source END) IS NOT NULL
+  AND text IS NOT NULL AND length(text) >= 50
+UNION ALL
+SELECT 'o6', CAST(doc_id AS VARCHAR),
+       array_to_string(list(t ORDER BY mi), ' '), -1.0
+FROM (
+  SELECT doc_id, t, min(i) AS mi
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS t,
+           generate_subscripts(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''), 1) AS i
+    FROM documents WHERE trim(text) <> ''
+  ) tok GROUP BY doc_id, t
+) firsts GROUP BY doc_id
+UNION ALL
+SELECT 'f18', CAST(doc_id AS VARCHAR), substr(text, 1, 20), -1.0 FROM documents
 """
 
 
