@@ -314,3 +314,32 @@ def chunk_documents(
             F.size(F.filter(F.split(F.col("chunk_text"), " "), lambda t: t != F.lit(""))),
         )
     )
+
+
+def hash_sample_k(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    salt: str = "",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows by
+    md5(salt || key) within each stratum and keep the first k.
+
+    The rate-based `hash_sample` keeps a PROPORTION (binomially
+    distributed count); this keeps an exact COUNT — the eval-set /
+    few-shot carving primitive, stable under corpus growth (a new doc
+    enters the sample only by displacing the hash order boundary).
+
+    One window shuffle per stratum; at 100 TB prefer rate-based
+    pre-filtering (hash_sample at ~2k/N) before the exact-k window so
+    the sort input is thousands of rows, not the corpus.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    parts = [F.col(stratum_col)] if stratum_col else [F.lit(1)]
+    w = Window.partitionBy(*parts).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -263,3 +263,22 @@ def test_chunk_documents_windows_and_overlap(spark):
     # short doc → single chunk; blank doc → no chunks
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
     assert 3 not in by_doc
+
+
+def test_hash_sample_k_exact_and_stable(spark):
+    from .conftest import SF_SMOKE as _SF
+
+    docs = spark.read.parquet(f"{_SF}/documents.parquet").select("doc_id", "lang")
+    s1 = curation.hash_sample_k(docs, 5, "doc_id", salt="v1:", stratum_col="lang")
+    counts = {r["lang"]: r["cnt"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(c == 5 for c in counts.values())
+    # deterministic: same salt → same ids; growth-stability: removing
+    # other docs cannot change which of the SURVIVING ids rank first
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in curation.hash_sample_k(docs, 5, "doc_id", salt="v1:", stratum_col="lang").collect())
+    assert ids1 == ids2
+    shrunk = docs.filter((F.col("doc_id") % 2 == 0) | F.col("doc_id").isin(ids1))
+    ids3 = {r["doc_id"] for r in curation.hash_sample_k(shrunk, 5, "doc_id", salt="v1:", stratum_col="lang").collect()}
+    # every original sample member survives the shrink (its hash rank
+    # can only improve when competitors are removed)
+    assert set(ids1) <= ids3
