@@ -183,3 +183,59 @@ def daily_counts(df: DataFrame, date_col: str, days: int) -> DataFrame:
         .orderBy(F.col(date_col).desc())
         .limit(days)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: enrich each left row with the value columns
+    of the LATEST right row whose timestamp is ≤ the left row's (ties
+    included) — point-in-time enrichment (events against the most
+    recent aggregate/rate/state snapshot), an operator Spark's join
+    zoo lacks.
+
+    Union-and-carry formulation, NOT a range join: both sides are
+    tagged and unioned, then one window per key ordered by (ts, side)
+    carries the last non-null right values forward
+    (``last(..., ignorenulls=True)``).  Cost is ONE shuffle of
+    |left|+|right| rows and a per-key sort — no range-condition
+    BroadcastNestedLoop/cartesian blowup, which is what a naive
+    ``l.ts >= r.ts`` join plans at 100 TB.  Right rows sort before
+    left rows at equal timestamps, so same-instant snapshots are
+    visible (backward semantics, matching DuckDB's ASOF JOIN — the
+    oracle in tests).
+    """
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        *[F.col(k) for k in key_cols],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols if c not in key_cols],
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in value_cols],
+    )
+    tagged_right = right.select(
+        *[F.col(k) for k in key_cols],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in key_cols],
+        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+    )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        "*", *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols]
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *key_cols,
+        F.col("_ts").alias(left_ts),
+        *[c for c in lcols if c not in key_cols and c != left_ts],
+        *value_cols,
+    )

@@ -282,3 +282,37 @@ def test_hash_sample_k_exact_and_stable(spark):
     # every original sample member survives the shrink (its hash rank
     # can only improve when competitors are removed)
     assert set(ids1) <= ids3
+
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """Value-level oracle without a registry slot: the union-and-carry
+    asof_join must equal DuckDB's native ASOF JOIN on the same data."""
+    import duckdb
+
+    from cdc_pipeline_with_kafka_spark.operators.relational import asof_join
+
+    # small deterministic frames: rates change per key over time
+    left = spark.createDataFrame(
+        [("a", 5, 100), ("a", 15, 101), ("a", 25, 102), ("b", 7, 200), ("b", 10, 201), ("c", 3, 300)],
+        "k string, ts long, payload long",
+    )
+    right = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 10, 2.0), ("a", 25, 3.0), ("b", 10, 9.0)],
+        "k string, rts long, rate double",
+    )
+    got = sorted(
+        map(tuple, asof_join(left, right, ["k"], "ts", "rts", ["rate"]).collect())
+    )
+    con = duckdb.connect()
+    con.register("l", left.toPandas()); con.register("r", right.toPandas())
+    want = sorted(
+        map(tuple, con.execute(
+            "SELECT l.k, l.ts, l.payload, r.rate FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND l.ts >= r.rts ORDER BY 1, 2"
+        ).fetchall())
+    )
+    assert got == want
+    # spot semantics: ts=25 sees the same-instant snapshot 3.0;
+    # b@7 precedes any b snapshot -> NULL; c has no snapshots -> NULL
+    d = {(r[0], r[1]): r[3] for r in got}
+    assert d[("a", 25)] == 3.0 and d[("b", 7)] is None and d[("c", 3)] is None
