@@ -1513,7 +1513,20 @@ def f_value_suite(spark, sf_dir):
                     F.col("event_type"), v_num=F.col("cnt")),
         _suite_rows(f15_author_first_token(spark, sf_dir), "f15",
                     F.col("c_custkey"), v_str=F.col("author_name")),
+        # as-of join: each event enriched with the latest hourly count
+        # for its type at or before its timestamp (union-and-carry
+        # window; oracle = DuckDB native ASOF LEFT JOIN)
+        _suite_rows(_asof_enriched(spark, sf_dir), "asof",
+                    F.col("event_id"), v_num=F.coalesce(F.col("cnt"), F.lit(-1))),
     ])
+
+
+def _asof_enriched(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    hourly = _hourly_counts(spark, sf_dir)
+    return relational.asof_join(
+        ev, hourly, ["event_type"], "ts", "bucket", ["cnt"]
+    )
 
 
 F_VALUE_SUITE_SQL = f"""
@@ -1524,6 +1537,10 @@ UNION ALL
 SELECT 'f12', event_type, '', CAST(cnt AS DOUBLE) FROM ({F12_SQL}) s3
 UNION ALL
 SELECT 'f15', CAST(c_custkey AS VARCHAR), author_name, -1.0 FROM ({F15_SQL}) s4
+UNION ALL
+SELECT 'asof', CAST(e.event_id AS VARCHAR), '', CAST(coalesce(h.cnt, -1) AS DOUBLE)
+FROM events e ASOF LEFT JOIN ({_HOURLY_SQL}) h
+  ON e.event_type = h.event_type AND e.ts >= h.bucket
 """
 
 
