@@ -412,3 +412,42 @@ def cosine_topk_int8(
         queries.select(F.col(query_id_col), qc),
         k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
+
+
+def mean_pool(vectors: Column) -> Column:
+    """Element-wise mean of an array of equal-length vectors (chunk
+    embeddings → one document embedding, the standard pooling step).
+
+    Pure JVM fold: aggregate over zip_with(+), then one divide pass.
+    NULL when the array is empty.
+    """
+    n = F.size(vectors)
+    dim_zero = F.transform(
+        F.element_at(vectors, 1).cast("array<double>"), lambda _: F.lit(0.0)
+    )
+    summed = F.aggregate(
+        vectors,
+        dim_zero,
+        lambda acc, v: F.zip_with(acc, v.cast("array<double>"), lambda a, b: a + b),
+    )
+    return F.when(
+        n > 0, F.transform(summed, lambda s: s / n.cast("double"))
+    ).otherwise(F.lit(None).cast("array<double>"))
+
+
+def doc_embedding_from_chunks(
+    chunk_embs: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Collapse per-chunk embeddings to one mean-pooled vector per doc.
+
+    collect_list + JVM fold per group: state per key is
+    chunks/doc × dim floats — bounded by chunking policy, not corpus
+    size, so the single groupBy shuffle is the whole cost at 100 TB.
+    """
+    return (
+        chunk_embs.groupBy(id_col)
+        .agg(F.collect_list(F.col(vec_col)).alias("_chunks"))
+        .select(F.col(id_col), mean_pool(F.col("_chunks")).alias(vec_col))
+    )

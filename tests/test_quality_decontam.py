@@ -316,3 +316,23 @@ def test_asof_join_matches_duckdb_asof(spark):
     # b@7 precedes any b snapshot -> NULL; c has no snapshots -> NULL
     d = {(r[0], r[1]): r[3] for r in got}
     assert d[("a", 25)] == 3.0 and d[("b", 7)] is None and d[("c", 3)] is None
+
+
+def test_mean_pool_and_doc_embedding(spark):
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0]), (1, 1, [3.0, 4.0]), (2, 0, [5.0, 6.0])],
+        "doc_id long, chunk_idx int, embedding array<double>",
+    )
+    out = {
+        r["doc_id"]: r["embedding"]
+        for r in similarity.doc_embedding_from_chunks(df).collect()
+    }
+    assert out[1] == [2.0, 3.0]  # mean of (1,2) and (3,4)
+    assert out[2] == [5.0, 6.0]  # single chunk is its own mean
+    # pooled doc embeddings feed straight into cosine_topk
+    pooled = similarity.doc_embedding_from_chunks(df).withColumnRenamed("doc_id", "vec_id")
+    topk = similarity.cosine_topk(
+        pooled, pooled.selectExpr("vec_id AS query_id", "embedding"), k=1
+    )
+    self_top = {r["query_id"]: r["vec_id"] for r in topk.collect()}
+    assert self_top == {1: 1, 2: 2}
