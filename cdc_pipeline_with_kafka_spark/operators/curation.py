@@ -152,6 +152,9 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float | None = 0.5,
+    repetition_ppm_max: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 4,
     near_dup_pairs: DataFrame | None = None,
     sample_rate_pct: int = 100,
     stratum_col: str | None = None,
@@ -162,7 +165,9 @@ def curate_corpus(
 ) -> DataFrame:
     """The end-to-end corpus curation flow, composed from the pieces:
 
-      quality filter → exact dedup (lowest-id survivor) →
+      quality filter → repetition filter (if repetition_ppm_max) →
+      benchmark decontamination (if benchmark given) →
+      exact dedup (lowest-id survivor) →
       near-dup canonical survivor (if pairs given) →
       reproducible (stratified) sample → optional packing
 
@@ -179,6 +184,17 @@ def curate_corpus(
     out = docs
     if min_quality is not None:
         out = out.filter(textstats.quality_score(F.col(text_col)) >= min_quality)
+    if repetition_ppm_max is not None:
+        keep = textstats.repetition_stats(
+            out, text_col=text_col, id_col=id_col,
+            top_ppm_max=repetition_ppm_max, dup_ppm_max=repetition_ppm_max,
+        ).filter(F.col("keep")).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
+    if benchmark is not None:
+        clean = ngram_decontaminate(
+            out, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
+        ).filter(~F.col("contaminated")).select(id_col)
+        out = out.join(clean, id_col, "left_semi")
     out = dedup_ops.dedup_exact(out, text_col=text_col, id_col=id_col)
     if near_dup_pairs is not None:
         out = dedup_ops.dedup_survivors(out, near_dup_pairs, id_col=id_col).filter(

@@ -124,3 +124,27 @@ def test_curate_corpus_end_to_end(spark):
     ).collect()
     key = lambda r: r["doc_id"]
     assert sorted(rows, key=key) == sorted(again, key=key)
+
+
+def test_curate_corpus_with_repetition_and_decontamination(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique words alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "spam spam spam spam spam spam spam spam"),  # repetition-filtered
+            (3, "held out secret eval phrase plus other words here too"),
+            (4, "contains the held out secret eval phrase embedded inside"),  # contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "held out secret eval phrase")], "doc_id long, text string"
+    )
+    out = curation.curate_corpus(
+        docs.filter(F.col("doc_id") != 3),
+        min_quality=None,
+        repetition_ppm_max=500_000,
+        benchmark=bench,
+        decontam_n=4,
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1]  # 2 repetition-filtered, 4 decontaminated
