@@ -42,3 +42,39 @@ def bucketed_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, key, how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Data-lake layout writer: directory-partition by the prune
+    columns (date, tenant, lang, ...), optionally sort rows WITHIN
+    each output file, and cap file sizes.
+
+    At 100 TB this is what makes the read side cheap: partition
+    directories give Catalyst PartitionFilters (entire directories
+    skipped before any IO), in-file sort gives parquet min/max stats
+    that drive row-group skipping for range predicates, and
+    maxRecordsPerFile keeps files within executor-friendly sizes.
+    """
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def read_pruned(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Read a partitioned layout; apply partition-column filters BEFORE
+    anything else so they lower to PartitionFilters (directory pruning,
+    visible in the formatted plan)."""
+    return spark.read.parquet(path)

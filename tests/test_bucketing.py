@@ -48,3 +48,28 @@ def test_bucketed_join_no_shuffle(bucketed_tables):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_write_partitioned_prunes_directories(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.plans import explain_str
+    from cdc_pipeline_with_kafka_spark.sources import bucketing
+    from cdc_pipeline_with_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    bucketing.write_partitioned(
+        ev, path, ["day"], sort_cols=["ts"], max_records_per_file=100_000
+    )
+    n_days = ev.select("day").distinct().count()
+    assert n_days > 1
+    one_day = ev.select(F.max("day")).first()[0]
+    pruned = bucketing.read_pruned(spark, path).filter(F.col("day") == F.lit(one_day))
+    plan = explain_str(pruned)
+    # the day predicate must lower to a PartitionFilter (directory
+    # pruning), not a post-scan Filter
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+    assert pruned.count() == ev.filter(F.col("day") == F.lit(one_day)).count()
