@@ -78,3 +78,37 @@ def read_pruned(
     anything else so they lower to PartitionFilters (directory pruning,
     visible in the formatted plan)."""
     return spark.read.parquet(path)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partition_value,
+    target_files: int = 1,
+) -> int:
+    """Small-file compaction for one partition directory: rewrite
+    ``<path>/<col>=<value>`` into ``target_files`` files.
+
+    Streaming ingestion (micro-batches, maxRecordsPerFile caps) leaves
+    partitions as many small files; scans then pay per-file open/footer
+    cost.  This job reads ONLY the target directory (no full-table
+    scan), repartitions, writes beside it, and swaps directories.  The
+    swap is two renames — the same non-atomic window documented for
+    merge_upsert; on a transactional table format (Delta/Iceberg)
+    OPTIMIZE replaces this.  Returns the row count of the compacted
+    partition (sanity handle for the caller).
+    """
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"{partition_col}={partition_value}")
+    tmp_dir = part_dir + "._compact_tmp"
+    df = spark.read.parquet(part_dir)
+    n = df.count()
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp_dir)
+    old_dir = part_dir + "._compact_old"
+    os.rename(part_dir, old_dir)
+    os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
+    return n

@@ -73,3 +73,28 @@ def test_write_partitioned_prunes_directories(spark, tmp_path):
     # pruning), not a post-scan Filter
     assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
     assert pruned.count() == ev.filter(F.col("day") == F.lit(one_day)).count()
+
+
+def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.sources import bucketing
+    from cdc_pipeline_with_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_small_files")
+    # many writer tasks → each emits its own small file per day dir
+    bucketing.write_partitioned(ev.repartition(8), path, ["day"])
+    day = str(ev.select(F.max("day")).first()[0])
+    day_rows = ev.filter(F.col("day") == day).count()
+    before = len(glob.glob(f"{path}/day={day}/*.parquet"))
+    assert before > 1
+    n = bucketing.compact_partition(spark, path, "day", day, target_files=1)
+    after = len(glob.glob(f"{path}/day={day}/*.parquet"))
+    assert after == 1 and n == day_rows
+    # table still reads whole and partition-pruned
+    assert spark.read.parquet(path).filter(F.col("day") == F.lit(day)).count() == day_rows
