@@ -154,3 +154,52 @@ def test_ngram_jaccard_pairs_match_python(spark, texts, n):
     }
     want = _py_jaccard_pairs(docs, n, 0.3)
     assert got == want
+
+
+def _py_asof(left, right):
+    """Pure-Python backward as-of: latest right (ts, val) per key with
+    rts <= ts, else None."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, rts, val in right:
+        by_key[k].append((rts, val))
+    for k in by_key:
+        by_key[k].sort()
+    out = {}
+    for k, ts, lid in left:
+        best = None
+        for rts, val in by_key.get(k, []):
+            if rts <= ts:
+                best = val
+            else:
+                break
+        out[lid] = best
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 50), st.integers(0, 10_000)),
+        min_size=1, max_size=25, unique_by=lambda t: t[2],
+    ),
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 50), st.floats(0, 100, allow_nan=False)),
+        min_size=0, max_size=25, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_python_model(spark, left_rows, right_rows):
+    from cdc_pipeline_with_kafka_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(left_rows, "k string, ts long, lid long")
+    right = (
+        spark.createDataFrame(right_rows, "k string, rts long, val double")
+        if right_rows
+        else spark.createDataFrame([], "k string, rts long, val double")
+    )
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["val"]).collect()
+    }
+    assert got == _py_asof(left_rows, right_rows)
