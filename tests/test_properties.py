@@ -203,3 +203,38 @@ def test_asof_join_matches_python_model(spark, left_rows, right_rows):
         for r in asof_join(left, right, ["k"], "ts", "rts", ["val"]).collect()
     }
     assert got == _py_asof(left_rows, right_rows)
+
+
+def _py_repetition(text: str, top_n=2, dup_n=5):
+    from collections import Counter
+
+    toks = [t for t in text.lower().split() if t]
+    tot = sum(len(t) for t in toks)
+    if tot == 0:
+        return (0, 0)
+
+    def grams(n):
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)] if len(toks) >= n else []
+
+    c2, c5 = Counter(grams(top_n)), Counter(grams(dup_n))
+    top = max((cnt * len(g.replace(" ", "")) for g, cnt in c2.items()), default=0)
+    dup = sum(cnt * len(g.replace(" ", "")) for g, cnt in c5.items() if cnt >= 2)
+    return (top * 1_000_000 // tot, min(dup * 1_000_000 // tot, 1_000_000))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "b", "ccc", "dd", "e"]), min_size=0, max_size=30)
+        .map(" ".join),
+        min_size=1, max_size=10,
+    )
+)
+def test_repetition_stats_matches_python_model(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["top_ngram_ppm"], r["dup_ngram_ppm"])
+        for r in textstats.repetition_stats(df).collect()
+    }
+    want = {i: _py_repetition(t) for i, t in enumerate(texts)}
+    assert got == want
