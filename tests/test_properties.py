@@ -238,3 +238,59 @@ def test_repetition_stats_matches_python_model(spark, texts):
     }
     want = {i: _py_repetition(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["tok%d" % i for i in range(9)]), min_size=1, max_size=200)
+        .map(" ".join),
+        min_size=1, max_size=5,
+    )
+)
+def test_chunk_documents_invariants(spark, texts):
+    from cdc_pipeline_with_kafka_spark.operators.curation import chunk_documents
+
+    chunk, overlap, step = 16, 4, 12
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        # invariants: first chunk starts the doc, last covers the tail,
+        # chunk k is exactly tokens [k*step, k*step+chunk), size ≤ chunk
+        assert chunks[0]["chunk_text"].split()[0] == toks[0]
+        assert chunks[-1]["chunk_text"].split()[-1] == toks[-1]
+        for r in chunks:
+            ctoks = r["chunk_text"].split()
+            assert ctoks == toks[r["chunk_idx"] * step : r["chunk_idx"] * step + chunk]
+            assert r["n_tokens"] == len(ctoks) <= chunk
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-1e3, 1e3, allow_nan=False, width=32), min_size=1, max_size=16),
+        min_size=1, max_size=8,
+    )
+)
+def test_quantize_int8_error_bound(spark, vectors):
+    from cdc_pipeline_with_kafka_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(list(enumerate(vectors)), "vec_id long, v array<double>")
+    got = {
+        r["vec_id"]: r["q"]
+        for r in df.select("vec_id", quantize_int8(F.col("v")).alias("q")).collect()
+    }
+    for i, vec in enumerate(vectors):
+        amax = max(abs(x) for x in vec)
+        scale = amax / 127.0 if amax else 1.0
+        q = got[i]
+        assert all(abs(x) <= 127 for x in q)
+        # dequantization error within half a quantization step
+        assert all(abs(xq * scale - x) <= scale / 2 + 1e-9 for xq, x in zip(q, vec))
+        if amax:
+            assert 127.0 in [abs(x) for x in q]  # max element saturates
