@@ -294,3 +294,31 @@ def test_quantize_int8_error_bound(spark, vectors):
         assert all(abs(xq * scale - x) <= scale / 2 + 1e-9 for xq, x in zip(q, vec))
         if amax:
             assert 127.0 in [abs(x) for x in q]  # max element saturates
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.sampled_from(["hello", "x1", "v2.3", "a@b.io", "10.0.0.1",
+                                 "12-345-678-9012", "no-pii", "w"]),
+            ),
+            min_size=0, max_size=12,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    )
+)
+def test_scrub_pii_matches_python_re(spark, texts):
+    import re as _re
+
+    from cdc_pipeline_with_kafka_spark.operators.textstats import PII_PATTERNS, scrub_pii
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii(df).collect()}
+    for i, t in enumerate(texts):
+        scrubbed = t
+        for name, pat in PII_PATTERNS.items():
+            assert got[i][f"n_{name}"] == len(_re.findall(pat, t)), (name, t)
+            scrubbed = _re.sub(pat, "[REDACTED]", scrubbed)
+        assert got[i]["scrubbed"] == scrubbed, t
