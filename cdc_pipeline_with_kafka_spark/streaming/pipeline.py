@@ -247,3 +247,36 @@ def neardup_filtered_stream(
     return articles.withColumn(
         "_fp", dedup_ops.simhash64(F.col(text_col), salt=salt)
     ).dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
+
+
+def make_asof_enrich_sink(
+    snapshot_loader,
+    out_path: str,
+    key_cols: list[str],
+    stream_ts: str,
+    snap_ts: str,
+    value_cols: list[str],
+):
+    """foreachBatch sink: as-of-enrich each micro-batch against a
+    snapshot table and append the result (J4's time-aware sibling —
+    'latest aggregate AS OF the event's timestamp', not 'current
+    value at processing time').
+
+    ``snapshot_loader(spark) -> DataFrame`` is called per batch so a
+    slowly-changing snapshot (hourly trend table, rate table) is
+    re-read as it updates; the as-of join itself is the batch
+    union-and-carry operator (operators/relational.py), so each
+    micro-batch costs one shuffle of |batch|+|snapshot| — at scale
+    snapshots are aggregates, orders of magnitude smaller than raw
+    history.
+    """
+    from ..operators.relational import asof_join
+
+    def sink(batch_df, batch_id: int) -> None:
+        snap = snapshot_loader(batch_df.sparkSession)
+        enriched = asof_join(
+            batch_df, snap, key_cols, stream_ts, snap_ts, value_cols
+        )
+        enriched.write.mode("append").parquet(out_path)
+
+    return sink

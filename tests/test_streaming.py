@@ -221,3 +221,40 @@ def test_streaming_neardup_filter_drops_rewrites(spark, tmp_path):
         if r["id"] not in (1, 2, 3)
     }
     assert expected <= ids
+
+
+def test_foreachbatch_asof_enrichment_stream(spark, tmp_path):
+    """Streaming as-of enrichment: each micro-batch joins point-in-time
+    against a snapshot table (batch asof_join inside foreachBatch)."""
+    import json as _json
+
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    rows = [
+        {"k": "a", "ts": 5, "event_id": 1},
+        {"k": "a", "ts": 15, "event_id": 2},
+        {"k": "b", "ts": 3, "event_id": 3},
+    ]
+    with open(src / "part-0.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    snap_path = str(tmp_path / "snapshot")
+    spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 10, 2.0), ("b", 10, 9.0)], "k string, sts long, rate double"
+    ).write.parquet(snap_path)
+
+    out = str(tmp_path / "enriched")
+    stream = spark.readStream.schema("k string, ts long, event_id long").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            pipeline.make_asof_enrich_sink(
+                lambda s: s.read.parquet(snap_path), out, ["k"], "ts", "sts", ["rate"]
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["rate"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None}  # b@3 precedes its snapshot
