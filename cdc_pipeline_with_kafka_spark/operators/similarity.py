@@ -331,6 +331,60 @@ def ivf_ann_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: tuple,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF inverted file: (id, vec, centroid_id).
+
+    Write this once, partitioned by centroid_id
+    (`bucketing.write_partitioned(..., ["centroid_id"])`), and every
+    later query prunes to its nprobe directories — the 'index build'
+    half of the write-once/query-many IVF lifecycle at 100 TB."""
+    cids, cm = centroids
+    assign1 = _ivf_assign_udf(cids, cm, 1)
+    return spread(corpus, id_col).select(
+        F.col(id_col), F.col(vec_col), assign1(F.col(vec_col))[0].alias("centroid_id")
+    )
+
+
+def ivf_ann_topk_preassigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: tuple,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF query against a persisted `ivf_assign` table: no assignment
+    pass over the corpus — probe clusters, re-rank exactly, top-k.
+    Equal to ivf_ann_topk on the same codebook (asserted in tests)."""
+    cids, cm = centroids
+    probe = _ivf_assign_udf(cids, cm, nprobe)
+    qprobe = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+            F.explode(probe(F.col(vec_col))).alias("centroid_id"),
+        )
+    )
+    candidates = assigned.join(qprobe, "centroid_id")
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rnk")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -336,3 +336,25 @@ def test_mean_pool_and_doc_embedding(spark):
     )
     self_top = {r["query_id"]: r["vec_id"] for r in topk.collect()}
     assert self_top == {1: 1, 2: 2}
+
+
+def test_ivf_preassigned_matches_direct(spark, tmp_path):
+    from cdc_pipeline_with_kafka_spark.operators.similarity import (
+        ivf_ann_topk, ivf_ann_topk_preassigned, ivf_assign, ivf_centroids,
+    )
+    from cdc_pipeline_with_kafka_spark.sources.bucketing import write_partitioned
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_centroids(emb, 8)
+    direct = ivf_ann_topk(emb, queries, nlist=8, nprobe=2, k=10, centroids=cents)
+
+    # persist the inverted file partitioned by centroid, query from disk
+    idx = str(tmp_path / "ivf_index")
+    write_partitioned(ivf_assign(emb, cents), idx, ["centroid_id"])
+    assigned = spark.read.parquet(idx)
+    from_disk = ivf_ann_topk_preassigned(assigned, queries, cents, nprobe=2, k=10)
+
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, from_disk.collect()))
