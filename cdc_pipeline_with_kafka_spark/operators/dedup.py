@@ -502,6 +502,87 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_incremental(
+    new_df: DataFrame,
+    index_fps: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocks: int = 4,
+) -> DataFrame:
+    """Incremental SimHash near-dup: check a NEW shard against a
+    persisted fingerprint index (id, fp) — the SimHash counterpart of
+    `minhash_lsh_pairs_incremental`.  Fingerprints are computed only
+    for the new shard; the index side contributes one 8-byte value per
+    doc.  Returns pairs (hamming ≤ max_hamming) touching ≥1 new doc,
+    identical to full-corpus `simhash_pairs` restricted to the shard
+    (asserted in tests)."""
+    hashed = spread(new_df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(token_hashes(F.col(text_col)))).alias("_hashes"),
+    )
+    new_fps = hashed.select(
+        "id", simhash_from_hashes("_hashes").alias("fp"), F.lit(True).alias("is_new")
+    )
+    fps = (
+        index_fps.selectExpr(f"{id_col} AS id", "fp", "false AS is_new")
+        .unionByName(new_fps)
+    )
+    block_bits = 60 // blocks
+    mask_i = (1 << block_bits) - 1
+    block_structs = ", ".join(
+        f"named_struct('blk', {i}, 'key', shiftright(fp, {i * block_bits}) & {mask_i})"
+        for i in range(blocks)
+    )
+    entries = fps.select(
+        "id", "fp", "is_new", F.expr(f"explode(array({block_structs}))").alias("e")
+    ).select("id", "fp", "is_new", "e.blk", "e.key")
+    buckets = (
+        entries.groupBy("blk", "key")
+        .agg(F.collect_list(F.struct("id", "fp", "is_new")).alias("ms"))
+        .filter((F.size("ms") > 1) & F.expr("exists(ms, m -> m.is_new)"))
+    )
+    pairs = (
+        buckets.select("blk", "ms", F.posexplode("ms").alias("p", "m1"))
+        .select("blk", "m1",
+                F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("m2"))
+        .filter(F.expr("m1.is_new OR m2.is_new"))
+    )
+
+    def block_match(i: int) -> str:
+        return (
+            f"(shiftright(m1.fp, {i * block_bits}) & {mask_i})"
+            f" = (shiftright(m2.fp, {i * block_bits}) & {mask_i})"
+        )
+
+    first_block_sql = (
+        "CASE "
+        + " ".join(f"WHEN {block_match(i)} THEN {i}" for i in range(blocks - 1))
+        + f" ELSE {blocks - 1} END"
+    )
+    return (
+        pairs.filter(F.expr(f"blk = ({first_block_sql})"))
+        .selectExpr(
+            "least(m1.id, m2.id) AS id_a",
+            "greatest(m1.id, m2.id) AS id_b",
+            "bit_count(m1.fp ^ m2.fp) AS hamming",
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp) fingerprint table for persistence — the index side of
+    `simhash_pairs_incremental` (8 bytes per doc on disk)."""
+    hashed = spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array(token_hashes(F.col(text_col)))).alias("_hashes"),
+    )
+    return hashed.select(F.col(id_col), simhash_from_hashes("_hashes").alias("fp"))
+
+
 # ---------------------------------------------------------------- clustering
 
 

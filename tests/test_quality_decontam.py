@@ -358,3 +358,27 @@ def test_ivf_preassigned_matches_direct(spark, tmp_path):
     from_disk = ivf_ann_topk_preassigned(assigned, queries, cents, nprobe=2, k=10)
 
     assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, from_disk.collect()))
+
+
+def test_simhash_incremental_equals_full_restricted(spark, tmp_path):
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    new_ids = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 5 == 0).collect()}
+    old = docs.filter(~F.col("doc_id").isin(list(new_ids)))
+    new = docs.filter(F.col("doc_id").isin(list(new_ids)))
+
+    idx_path = str(tmp_path / "simhash_index")
+    dedup.simhash_fingerprints(old).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    inc = dedup.simhash_pairs_incremental(new, index, max_hamming=12)
+    full = dedup.simhash_pairs(docs, max_hamming=12)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    )
+    got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in inc.collect())
+    assert got == want
+    assert len(got) > 0
