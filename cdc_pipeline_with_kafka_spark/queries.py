@@ -1880,9 +1880,14 @@ def curation_suite(spark, sf_dir):
       corpus language-balancing move),
     - 'pack'  : concat-then-chunk packing of docs into 4096-token
       blocks per lang (start block | offset, end block),
-    - 'tfidf' : top-3 TF-IDF terms per document over the corpus.
-    All pure column plans (operators/curation.py)."""
-    from .operators import curation
+    - 'tfidf' : top-3 TF-IDF terms per document over the corpus,
+    - 'hh'    : exact top-5 corpus terms via the candidate/verify
+      heavy-hitter sketch (operators/sketch.py — no full-vocabulary
+      shuffle),
+    - 'quant' : per-lang n_chars quantiles (exact percentile; the
+      approx GK path is pytest-bounded in test_sketch.py).
+    All pure column plans (operators/curation.py, operators/sketch.py)."""
+    from .operators import curation, sketch
 
     docs = _t(spark, sf_dir, "documents")
     sample = curation.hash_sample(
@@ -1932,9 +1937,30 @@ def curation_suite(spark, sf_dir):
         F.md5(F.col("chunk_text")).alias("v_str"),
         F.col("n_tokens").cast("double").alias("v_num"),
     )
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    hh_topk, _hh_bound = sketch.heavy_hitters(words, "w", 5)
+    hh = hh_topk.select(
+        F.lit("hh").alias("suite_case"),
+        F.col("w").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("cnt").cast("double").alias("v_num"),
+    )
+    quant = sketch.quantile_summary(
+        docs, "n_chars", [0.25, 0.5, 0.75, 0.9], stratum_col="lang"
+    ).select(
+        F.lit("quant").alias("suite_case"),
+        F.concat_ws(
+            "|", "lang",
+            F.concat(F.lit("p"), (F.col("prob") * 100).cast("int").cast("string")),
+        ).alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("quantile").alias("v_num"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
-        .unionByName(chunk)
+        .unionByName(chunk).unionByName(hh).unionByName(quant)
     )
 
 
@@ -1998,6 +2024,20 @@ FROM (
   unnest(generate_series(0, greatest((len(toks) - 64 + 47) // 48, 0))) AS t(k)
   WHERE len(toks) > 0
 ) c
+UNION ALL
+SELECT 'hh', word, '', CAST(cnt AS DOUBLE) FROM (
+  SELECT term AS word, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rnk
+  FROM tokens GROUP BY term
+) h WHERE rnk <= 5
+UNION ALL
+SELECT 'quant', lang || '|' || lbl, '', q FROM (
+  SELECT lang,
+         unnest(['p25', 'p50', 'p75', 'p90']) AS lbl,
+         unnest([quantile_cont(n_chars, 0.25), quantile_cont(n_chars, 0.5),
+                 quantile_cont(n_chars, 0.75), quantile_cont(n_chars, 0.9)]) AS q
+  FROM documents GROUP BY lang
+) qq
 """
 CURATION_SUITE_SQL = CURATION_SUITE_SQL.replace(
     "{TEXT_LENGTH_SQL_PLACEHOLDER}", TEXT_LENGTH_SQL

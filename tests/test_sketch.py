@@ -1,0 +1,113 @@
+"""Sketch operators: heavy hitters (candidate/verify), quantile
+summaries, count-min sketch.  Equivalence against exact plans plus the
+probabilistic guarantees the docstrings promise."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark import plans
+from cdc_pipeline_with_kafka_spark.operators import sketch
+
+from .conftest import SF_CORRECT
+
+
+def _words(spark, n=20000, vocab=200, parts=8, zipf=True, seed=7):
+    rng = random.Random(seed)
+    if zipf:
+        # Zipf-ish: key i with weight 1/(i+1)
+        weights = [1.0 / (i + 1) for i in range(vocab)]
+        keys = rng.choices([f"k{i:04d}" for i in range(vocab)], weights=weights, k=n)
+    else:
+        keys = [f"k{rng.randrange(vocab):04d}" for _ in range(n)]
+    return spark.createDataFrame([(k,) for k in keys], "w string").repartition(parts)
+
+
+def test_heavy_hitters_matches_exact_topk(spark):
+    df = _words(spark)
+    topk, bound = sketch.heavy_hitters(df, "w", 10)
+    got = [(r["w"], r["cnt"]) for r in topk.collect()]
+    exact = [
+        (r["w"], r["cnt"])
+        for r in df.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
+    # Zipf head with factor 8 → provably exact
+    kth = got[-1][1]
+    assert kth >= bound.collect()[0]["missing_upper_bound"]
+
+
+def test_heavy_hitters_bound_is_sound_under_uniform_keys(spark):
+    """Adversarial shape: uniform keys, tiny candidate budget.  The
+    top-k itself may be unprovable, but the advertised invariant must
+    hold: no non-candidate key's true count exceeds the bound."""
+    df = _words(spark, n=5000, vocab=500, zipf=False)
+    m = 2 * 1  # k=1, factor=2
+    topk, bound = sketch.heavy_hitters(df, "w", 1, candidate_factor=2)
+    b = bound.collect()[0]["missing_upper_bound"]
+    local = df.select("w").mapInPandas(
+        sketch._local_topm("w", max(m, 2)), schema="w string, local_cnt long, is_thresh boolean"
+    )
+    candidates = {r["w"] for r in local.filter(~F.col("is_thresh")).collect()}
+    exact = df.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    worst_missing = max((r["cnt"] for r in exact if r["w"] not in candidates), default=0)
+    assert worst_missing <= b
+
+
+def test_heavy_hitters_verify_join_is_broadcast_semi(spark):
+    df = _words(spark, n=2000)
+    topk, _ = sketch.heavy_hitters(df, "w", 5)
+    plan = plans.formatted_plan(topk)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_quantile_summary_exact_matches_numpy(spark):
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    probs = [0.25, 0.5, 0.9]
+    got = {
+        (r["lang"], r["prob"]): r["quantile"]
+        for r in sketch.quantile_summary(docs, "n_chars", probs, stratum_col="lang").collect()
+    }
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        for p in probs:
+            want = float(np.percentile(grp["n_chars"].astype(float), p * 100))
+            assert got[(lang, p)] == pytest.approx(want, abs=1e-9)
+
+
+def test_quantile_summary_approx_within_rank_error(spark):
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    acc = 100  # rank error <= n/acc
+    got = {
+        r["prob"]: r["quantile"]
+        for r in sketch.quantile_summary(
+            docs, "n_chars", [0.5], approx=True, accuracy=acc
+        ).collect()
+    }
+    vals = np.sort(docs.select("n_chars").toPandas()["n_chars"].astype(float).values)
+    n = len(vals)
+    lo = vals[max(0, int(n * (0.5 - 1.0 / acc)) - 1)]
+    hi = vals[min(n - 1, int(n * (0.5 + 1.0 / acc)) + 1)]
+    assert lo <= got[0.5] <= hi
+
+
+def test_cms_overestimates_within_eps(spark):
+    df = _words(spark, n=10000, vocab=100)
+    eps = 0.001
+    row = sketch.cms_counts(df, "w", eps=eps).collect()[0]
+    exact = {r["w"]: r["cnt"] for r in df.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    est = sketch.cms_estimate(spark, row["sketch"], list(exact))
+    n = row["n"]
+    for k, e in est.items():
+        assert exact[k] <= e <= exact[k] + eps * n + 1
