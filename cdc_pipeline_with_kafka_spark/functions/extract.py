@@ -113,24 +113,65 @@ def make_extract_udf(
     return extract_udf
 
 
-def make_hashing_model_loader(dim: int = 256, cap: int = MAX_KEYWORDS):
+def mmr_select(
+    doc_sims,  # np.ndarray: relevance of each candidate to the document
+    cand_matrix,  # np.ndarray: candidate embedding rows (L2-normalized)
+    cap: int,
+    diversity: float = 0.3,
+) -> list[int]:
+    """Maximal Marginal Relevance: greedy selection trading relevance
+    against max-similarity-to-already-selected — the re-rank the
+    reference's KeyBERT path runs with use_mmr=True, diversity=0.3
+    (keyword-extraction/hybrid_keyword_extractor.py:33-54,101-171).
+
+    score(c) = (1 - diversity)·rel(c) − diversity·max_{s∈selected} sim(c, s)
+
+    First pick = highest relevance; ties break on candidate index
+    (first appearance).  Returns selected candidate indices in pick
+    order.  Pure numpy, runs inside the Arrow batch — no extra Spark
+    stage."""
+    import numpy as np
+
+    n = len(doc_sims)
+    if n == 0:
+        return []
+    selected = [int(np.lexsort((np.arange(n), -doc_sims))[0])]
+    remaining = [i for i in range(n) if i != selected[0]]
+    while remaining and len(selected) < cap:
+        sel_m = cand_matrix[selected]  # |S| × dim
+        max_sim = (cand_matrix[remaining] @ sel_m.T).max(axis=1)
+        mmr = (1.0 - diversity) * doc_sims[remaining] - diversity * max_sim
+        best = int(np.lexsort((np.array(remaining), -mmr))[0])
+        selected.append(remaining.pop(best))
+    return selected
+
+
+def make_hashing_model_loader(
+    dim: int = 256, cap: int = MAX_KEYWORDS, mmr_diversity: float | None = 0.3
+):
     """Worked example of the U1 `model_loader` contract: a KeyBERT-style
     embedding scorer built from in-container parts (numpy + a hashing
     vectorizer — no model weights needed).
 
     The reference ranks candidate nouns by embedding similarity to the
-    document (hybrid_keyword_extractor.py:101-171, KeyBERT with KoBERT
+    document and MMR-re-ranks with diversity 0.3
+    (hybrid_keyword_extractor.py:33-54,101-171, KeyBERT with KoBERT
     vectors); this loader does exactly that shape with a deterministic
     char-bigram hashing embedder standing in for the sentence encoder:
 
       1. candidates = the same regex noun extraction,
       2. embed document + candidates (L2-normalized hashed bigrams),
-      3. rank candidates by cosine(document, candidate), take top-cap.
+      3. rank candidates by cosine(document, candidate),
+      4. MMR re-rank (diversity=`mmr_diversity`, reference default 0.3)
+         so near-duplicate candidates don't crowd the top-cap; pass
+         mmr_diversity=None for pure-relevance order.
 
-    Output therefore ORDERS BY RELEVANCE, unlike the default scorer's
-    first-appearance order — tests assert the orders diverge, proving a
-    real model changes results through this seam.  Swapping in an
-    actual encoder = replacing `_embed` with `model.encode`.
+    Output therefore ORDERS BY (MMR-adjusted) RELEVANCE, unlike the
+    default scorer's first-appearance order — tests assert the orders
+    diverge, proving a real model changes results through this seam,
+    and that MMR diverges from pure relevance on near-dup candidates.
+    Swapping in an actual encoder = replacing `_embed` with
+    `model.encode`.
     """
     import hashlib
 
@@ -158,8 +199,11 @@ def make_hashing_model_loader(dim: int = 256, cap: int = MAX_KEYWORDS):
                     continue
                 vecs = _embed([t] + cands)
                 sims = vecs[1:] @ vecs[0]
-                order = sorted(range(len(cands)), key=lambda i: (-sims[i], i))
-                out.append([cands[i] for i in order[:cap]])
+                if mmr_diversity is not None:
+                    picks = mmr_select(sims, vecs[1:], cap, mmr_diversity)
+                else:
+                    picks = sorted(range(len(cands)), key=lambda i: (-sims[i], i))[:cap]
+                out.append([cands[i] for i in picks])
             return out
 
         return scorer

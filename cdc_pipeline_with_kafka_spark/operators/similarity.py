@@ -62,19 +62,28 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
 def _collect_query_matrix(queries: DataFrame, query_id_col: str, vec_col: str):
     rows = queries.collect()
     qids = [r[query_id_col] for r in rows]
-    qm = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    qm = np.array([r[vec_col] for r in rows], dtype=np.float64)
     return qids, qm
 
 
 def _cosine_scores_udf(qm: np.ndarray):
     """Arrow-batched scorer: one (batch × dim) @ (dim × Q) matmul per
-    Arrow batch.  qm ships to executors once via closure serialization
-    (the broadcast-small-side pattern)."""
+    Arrow batch.  qm (RAW float64, un-normalized) ships to executors
+    once via closure serialization (the broadcast-small-side pattern).
+
+    Operation order is dot-then-divide — dot(e,q) / (‖e‖·‖q‖) — the
+    same order every float64 SQL engine (DuckDB oracle included) uses,
+    so no value sits 1 ulp off a round(…,6) boundary the way a
+    normalize-then-matmul formulation can."""
+    qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+    qn[qn == 0] = 1.0
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def scores(embs: pd.Series) -> pd.Series:
-        m = _normalize_rows(np.stack(embs.to_numpy()).astype(np.float64))
-        s = np.round(m @ qm.T, 6)
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        en = np.sqrt(np.einsum("ij,ij->i", m, m))
+        en[en == 0] = 1.0
+        s = np.round((m @ qm.T) / (en[:, None] * qn[None, :]), 6)
         return pd.Series(list(s))
 
     return scores
@@ -242,6 +251,7 @@ def train_ivf_codebook(
     sample_rate_pct: int = 100,
     iters: int = 10,
     seed: int = 42,
+    max_train_rows: int = 100_000,
 ):
     """Lloyd k-means codebook for IVF, trained on a (hash-sampled)
     driver-side subset — the 'train offline, ship the codebook' path
@@ -250,18 +260,30 @@ def train_ivf_codebook(
     Deterministic: the sample is md5-bucket selected (reproducible on
     any cluster size) and init takes the first `nlist` sample vectors
     by id.  Empty clusters re-seed to the farthest point from its
-    centroid (standard fix).  The sample is bounded by rate, never the
-    corpus: at 100 TB you train on ~1e5 vectors and ship nlist × dim
-    floats to executors.  Returns (cids 0..nlist-1, L2-normalized
-    centroid matrix) — plug into ivf_ann_topk(centroids=...)."""
+    centroid (standard fix).
+
+    The driver-side collect is HARD-CAPPED at `max_train_rows`
+    (ordered limit, so the cap is deterministic): at 100 TB you train
+    on ~1e5 vectors and ship nlist × dim floats to executors — with
+    the cap, a caller leaving sample_rate_pct=100 on a huge corpus
+    trains on the first `max_train_rows` ids instead of OOMing the
+    driver.  Returns (cids 0..nlist-1, L2-normalized centroid matrix)
+    — plug into ivf_ann_topk(centroids=...)."""
     from .curation import hash_bucket
 
+    if max_train_rows <= 0:
+        raise ValueError(f"max_train_rows must be positive, got {max_train_rows}")
     sampled = corpus
     if sample_rate_pct < 100:
         sampled = corpus.filter(
             hash_bucket(F.col(id_col), salt=f"ivf{seed}:") < sample_rate_pct
         )
-    rows = sampled.orderBy(F.col(id_col).asc()).select(id_col, vec_col).collect()
+    rows = (
+        sampled.orderBy(F.col(id_col).asc())
+        .limit(max_train_rows)
+        .select(id_col, vec_col)
+        .collect()
+    )
     m = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
     if len(m) < nlist:
         raise ValueError(f"sample has {len(m)} vectors < nlist={nlist}")
@@ -465,6 +487,77 @@ def cosine_topk_int8(
         corpus.select(F.col(id_col), qc),
         queries.select(F.col(query_id_col), qc),
         k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def _quantize_rows_np(m: np.ndarray) -> np.ndarray:
+    """numpy twin of quantize_int8 (same half-up floor(x/scale + 0.5)
+    double math), for fused scans that quantize inside the scorer."""
+    amax = np.abs(m).max(axis=1)
+    scale = np.where(amax == 0.0, 1.0, amax / 127.0)
+    return np.floor(m / scale[:, None] + 0.5)
+
+
+def cosine_topk_suite(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact AND int8-quantized cosine top-k in ONE corpus scan.
+
+    cosine_topk + cosine_topk_int8 run back-to-back cost two full
+    scans and two pandas-UDF passes over identical bytes; here a single
+    Arrow batch is scored against both query matrices (raw float64 and
+    int8-quantized) — the quantization is a cheap in-batch numpy pass,
+    so the second variant rides the first scan's IO and deserialization
+    for free.  At 100 TB that halves the dominant cost (the scan).
+
+    Returns (variant, query_id, vec_id, cos_sim, rnk); variant ∈
+    {'exact','int8'}; per-(variant, query) top-k.  Scores are
+    dot-then-divide rounded to 6, identical to the unfused operators.
+    """
+    qids, qm = _collect_query_matrix(queries, query_id_col, vec_col)
+    nq = len(qids)
+    qmq = _quantize_rows_np(qm)
+    qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+    qn[qn == 0] = 1.0
+    qnq = np.sqrt(np.einsum("ij,ij->i", qmq, qmq))
+    qnq[qnq == 0] = 1.0
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def scores2(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        en = np.sqrt(np.einsum("ij,ij->i", m, m))
+        en[en == 0] = 1.0
+        ex = np.round((m @ qm.T) / (en[:, None] * qn[None, :]), 6)
+        mq = _quantize_rows_np(m)
+        enq = np.sqrt(np.einsum("ij,ij->i", mq, mq))
+        enq[enq == 0] = 1.0
+        i8 = np.round((mq @ qmq.T) / (enq[:, None] * qnq[None, :]), 6)
+        return pd.Series(list(np.concatenate([ex, i8], axis=1)))
+
+    qid_lookup = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        spread(corpus, id_col)
+        .select(F.col(id_col), scores2(F.col(vec_col)).alias("_scores"))
+        .select(F.col(id_col), F.posexplode("_scores").alias("_i", "cos_sim"))
+        .select(
+            F.when(F.col("_i") < nq, F.lit("exact")).otherwise(F.lit("int8")).alias("variant"),
+            qid_lookup[F.col("_i") % nq].alias(query_id_col),
+            F.col(id_col),
+            F.col("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("variant", query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("variant", query_id_col, id_col, "cos_sim", "rnk")
     )
 
 

@@ -2105,9 +2105,9 @@ SIM_TOPK_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         round(list_dot_product(e.embedding, q.qvec)
-               / (sqrt(list_dot_product(e.embedding, e.embedding))
-                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos_sim
+         round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) AS cos_sim
   FROM embeddings e CROSS JOIN q
 ),
 ranked AS (
@@ -2127,13 +2127,13 @@ def sim_embedding_neardup(spark, sf_dir):
 
 SIM_NEARDUP_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.embedding, b.embedding)
-             / (sqrt(list_dot_product(a.embedding, a.embedding))
-                * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos_sim
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.embedding, b.embedding)
-      / (sqrt(list_dot_product(a.embedding, a.embedding))
-         * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.75
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.75
 """
 
 
@@ -2577,9 +2577,9 @@ WITH qz AS (
 q AS (SELECT vec_id AS query_id, qe AS qvec FROM qz WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         round(list_dot_product(e.qe, q.qvec)
-               / (sqrt(list_dot_product(e.qe, e.qe))
-                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos_sim
+         round(list_dot_product(e.qe::DOUBLE[], q.qvec::DOUBLE[])
+               / (sqrt(list_dot_product(e.qe::DOUBLE[], e.qe::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) AS cos_sim
   FROM qz e CROSS JOIN q
 ),
 ranked AS (
@@ -2592,18 +2592,15 @@ SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
 
 def sim_cosine_suite(spark, sf_dir):
     """Exact + int8-quantized brute-force cosine top-10 for 5 query
-    vectors in one tagged gate: the quantized variant exercises
-    similarity.quantize_int8 (4× narrower vectors at 100 TB) through
-    the same scan/score/topk machinery."""
+    vectors in one tagged gate, computed in ONE corpus scan
+    (similarity.cosine_topk_suite): the quantized variant exercises
+    the int8 path (4× narrower vectors at 100 TB) riding the exact
+    scan's IO instead of re-reading the corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.cosine_topk(emb, queries, k=10)
-    int8 = similarity.cosine_topk_int8(emb, queries, k=10)
-    return exact.select(F.lit("exact").alias("variant"), "*").unionByName(
-        int8.select(F.lit("int8").alias("variant"), "*")
-    )
+    return similarity.cosine_topk_suite(emb, queries, k=10)
 
 
 SIM_COSINE_SUITE_SQL = f"""

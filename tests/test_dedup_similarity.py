@@ -8,6 +8,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_pipeline_with_kafka_spark.operators import dedup, similarity
@@ -281,3 +282,26 @@ def test_trained_ivf_codebook_recall_at_least_naive(spark):
     _, cm1 = similarity.train_ivf_codebook(emb, nlist=8, iters=10)
     _, cm2 = similarity.train_ivf_codebook(emb, nlist=8, iters=10)
     assert np.array_equal(cm1, cm2)
+
+
+def test_train_ivf_codebook_collect_is_capped(spark):
+    """The driver-side collect is hard-bounded by max_train_rows even at
+    the sample_rate_pct=100 default — a huge corpus can never OOM the
+    driver.  Capped training must equal training on the first
+    `max_train_rows` ids directly (the cap is an ordered limit, so it
+    is deterministic)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cap = max(16, n // 4)
+    _, capped = similarity.train_ivf_codebook(emb, nlist=8, iters=5, max_train_rows=cap)
+    head = emb.orderBy(F.col("vec_id").asc()).limit(cap)
+    _, direct = similarity.train_ivf_codebook(head, nlist=8, iters=5)
+    assert np.array_equal(capped, direct)
+
+    with pytest.raises(ValueError):
+        similarity.train_ivf_codebook(emb, nlist=8, max_train_rows=0)
+    # cap below nlist → too few sample vectors, loudly rejected
+    with pytest.raises(ValueError):
+        similarity.train_ivf_codebook(emb, nlist=8, max_train_rows=4)

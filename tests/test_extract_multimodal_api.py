@@ -95,6 +95,43 @@ def test_model_loader_cache_is_per_udf(spark):
     assert any(len(r["a"]) > 2 for r in out)  # default ran uncapped
 
 
+def test_mmr_select_demotes_near_duplicate():
+    """MMR (reference KeyBERT diversity=0.3 semantics): a candidate
+    nearly identical to the first pick is demoted below a less-relevant
+    but dissimilar candidate; pure relevance would keep it second."""
+    import numpy as np
+
+    cand = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])  # 0 ≡ 1, 2 ⟂
+    rel = np.array([0.9, 0.88, 0.6])
+    assert extract.mmr_select(rel, cand, cap=3, diversity=0.3) == [0, 2, 1]
+    # diversity off (0.0) degenerates to pure relevance order
+    assert extract.mmr_select(rel, cand, cap=3, diversity=0.0) == [0, 1, 2]
+    assert extract.mmr_select(np.array([]), cand[:0], cap=3) == []
+
+
+def test_mmr_scorer_diverges_from_pure_relevance(spark):
+    """A crafted doc whose top candidates are near-duplicates under the
+    bigram-hash embedder: the MMR loader (default, diversity 0.3) and
+    the pure-relevance loader (mmr_diversity=None) produce different
+    orders through the same Arrow seam."""
+    # 경제성장 / 경제성장률 share almost all char bigrams → near-dup
+    # candidates; the rest are dissimilar but document-relevant, so MMR
+    # pushes 경제성장 to the back while relevance keeps it second.
+    text = "경제성장 경제성장률 금리인상 물가상승 수출호조"
+    df = spark.createDataFrame([(1, text, text)], "id long, title string, content string")
+
+    def run(loader):
+        return extract.extract_keywords(
+            df, use_udf=True, model_loader=loader
+        ).collect()[0]["keywords"]
+
+    mmr = run(extract.make_hashing_model_loader())
+    rel = run(extract.make_hashing_model_loader(mmr_diversity=None))
+    assert set(mmr) == set(rel)  # same candidate universe, re-ranked
+    assert mmr != rel  # MMR demoted a near-duplicate
+    assert mmr[0] == rel[0]  # first pick = highest relevance in both
+
+
 def test_is_important_threshold(spark):
     df = spark.createDataFrame([(100,), (20000,)], "views int")
     got = [r[0] for r in df.select(extract.is_important(F.col("views"))).collect()]

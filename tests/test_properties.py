@@ -296,6 +296,65 @@ def test_quantize_int8_error_bound(spark, vectors):
             assert 127.0 in [abs(x) for x in q]  # max element saturates
 
 
+_COS_DIM = 6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=_COS_DIM, max_size=_COS_DIM,
+        ),
+        min_size=2, max_size=10,
+    )
+)
+def test_cosine_rounding_parity_spark_vs_duckdb(spark, vectors):
+    """The invariant the round-2 gate failures broke: for float32-stored
+    vectors, Spark's vectorized cosine scorer and the DuckDB oracle
+    formula (double casts, dot-then-divide, round 6) agree EXACTLY —
+    not within epsilon — because both compute the identical float64
+    expression.  Random float32 vectors, query = vector 0."""
+    import math as _math
+
+    import duckdb as _duckdb
+    import numpy as _np
+
+    from hypothesis import assume
+    from cdc_pipeline_with_kafka_spark.operators.similarity import cosine_topk
+
+    # store as float32 exactly like the parquet FLOAT[] column
+    vecs = [[float(_np.float32(x)) for x in v] for v in vectors]
+    assume(all(_math.sqrt(sum(x * x for x in v)) > 0 for v in vecs))
+
+    corpus = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        r["vec_id"]: r["cos_sim"]
+        for r in cosine_topk(corpus, queries, k=len(vecs)).collect()
+    }
+
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
+        for i, v in enumerate(vecs)
+    )
+    sql = f"""
+    WITH e(vec_id, v) AS (VALUES {rows}),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM e CROSS JOIN q
+    """
+    want = {int(i): float(c) for i, c in _duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(
