@@ -314,6 +314,33 @@ SELECT s_suppkey, s_name FROM supplier s
 WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
 """
 
+
+def pj_exists_suite(spark, sf_dir):
+    """P8 + J3 existence predicates in one tagged gate ('semi' =
+    suppliers appearing in lineitem, 'anti' = customers with no orders
+    — the dedup-insert anti-join).  Merged so the registry stays inside
+    the driver's 50-row budget while both join forms keep a value-level
+    oracle row (the anti branch alone is 0 rows at gate SF — riding
+    with the semi branch keeps the gate falsifiable)."""
+    semi = p8_semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("branch"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+    )
+    anti = j3_anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("branch"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+    )
+    return semi.unionByName(anti)
+
+
+PJ_EXISTS_SUITE_SQL = f"""
+SELECT 'semi' AS branch, s_suppkey AS key, s_name AS name FROM ({P8_SQL}) s
+UNION ALL
+SELECT 'anti', c_custkey, c_name FROM ({J3_SQL}) a
+"""
+
 # ---------------------------------------------------------------- aggregations
 
 
@@ -1868,7 +1895,54 @@ WHERE ({band_pred})
 
 # splice the jaccard3 pair query into the cluster oracle (plain string
 # assembly keeps DEDUP_JACCARD3_SQL single-sourced)
+_DEDUP_CLUSTERS_TEMPLATE = DEDUP_CLUSTERS_SQL
 DEDUP_CLUSTERS_SQL = DEDUP_CLUSTERS_SQL.replace("__PAIRS__", DEDUP_JACCARD3_SQL)
+
+
+def dedup_end_to_end(spark, sf_dir):
+    """The COMPLETE corpus-dedup pipeline a training-data user runs, in
+    one gate: raw documents → MinHash+LSH candidate pairs (trigram
+    shingles, the linear-candidate 100 TB path) → connected components
+    → survivor table with per-cluster sizes.  Supersedes the former
+    dedup_clusters gate (same clustering machinery, now fed by the
+    production MinHash path instead of the O(n²)-oracle Jaccard pairs,
+    plus the cluster-size rollup a dedup report needs).
+
+    Scale shape: pairs are LSH-banded (no self-join), components
+    iterate over the pair graph only (tiny vs corpus), sizes are one
+    window over the final assignment — the corpus itself is touched
+    exactly twice (shingle pass + final left join)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=16, bands=8, shingle_n=3
+    )
+    surv = dedup.dedup_survivors(docs.select("doc_id"), pairs)
+    return surv.select(
+        "doc_id",
+        "cluster_id",
+        "is_canonical",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint").alias("cluster_size"),
+    )
+
+
+DEDUP_E2E_SQL = (
+    _DEDUP_CLUSTERS_TEMPLATE
+    .replace("__PAIRS__", _minhash_oracle_sql(shingle_n=3))
+    .replace(
+        """SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
+        """SELECT doc_id, cluster_id, is_canonical,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+) assigned""",
+    )
+)
 
 _CURATION_RATES = {"en": 10, "zh": 40}  # stratified: downsample en, boost zh
 
@@ -2673,6 +2747,108 @@ SELECT c_custkey,
 FROM blob
 """
 
+# The 4-gram canary the stream-parity gate plants and then detects —
+# stands in for a benchmark's distinct-gram list (MB-scale, shipped in
+# the plan like a broadcast).
+_STREAM_BENCH_GRAMS = ["benchmark leak canary phrase"]
+
+
+def stream_parity_suite(spark, sf_dir):
+    """Streaming-vs-batch parity for the stateless extension tier,
+    oracle-anchored (VERDICT r2 next-round #6): the SAME column
+    expressions the streaming twin applies per micro-batch —
+    textstats.scrub_pii and curation.contamination_flag_col, proven to
+    run over a real readStream in tests/test_quality_decontam.py::
+    test_pii_and_contamination_compose_with_streaming — replayed over
+    the events table as a batch and value-checked against DuckDB.
+    Stateless projections are batch≡stream by construction, so a green
+    row certifies the stream path's VALUES, not just that it runs.
+
+    Each event synthesizes a text blob carrying real PII shapes
+    (email + IPv4 formatted from the keys — the driver schema has no
+    PII columns) and, on a deterministic subset, a planted benchmark
+    4-gram; branch 'pii' checks redaction + counts, branch 'contam'
+    checks gram-overlap flagging."""
+    from .operators import curation
+
+    ev = _t(spark, sf_dir, "events")
+    marker = F.when(
+        (F.col("event_type") == "error") & (F.col("user_id") % 3 == 0),
+        F.lit(" " + _STREAM_BENCH_GRAMS[0]),
+    ).otherwise(F.lit(""))
+    blob = F.concat(
+        F.concat_ws(
+            " ",
+            F.col("event_type"),
+            F.format_string("user%d@example.com", F.col("user_id")),
+            F.format_string(
+                "%d.%d.%d.%d",
+                F.col("user_id") % 224,
+                F.col("event_id") % 256,
+                (F.col("event_id") * 7) % 256,
+                F.col("user_id") % 250,
+            ),
+            F.col("props"),
+        ),
+        marker,
+    )
+    df = ev.select("event_id", blob.alias("text"))
+    pii = textstats.scrub_pii(df, text_col="text", id_col="event_id").select(
+        F.lit("pii").alias("branch"),
+        F.col("event_id").alias("id"),
+        F.col("scrubbed").alias("text_out"),
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")).cast("bigint").alias("n_pii"),
+        F.col("has_pii").alias("flag"),
+    )
+    contam = df.select(
+        F.lit("contam").alias("branch"),
+        F.col("event_id").alias("id"),
+        F.lit(None).cast("string").alias("text_out"),
+        F.lit(0).cast("bigint").alias("n_pii"),
+        curation.contamination_flag_col(F.col("text"), _STREAM_BENCH_GRAMS, 4).alias("flag"),
+    )
+    return pii.unionByName(contam)
+
+
+STREAM_PARITY_SQL = f"""
+WITH blob AS (
+  SELECT event_id,
+         concat_ws(' ', event_type,
+                   printf('user%d@example.com', user_id),
+                   printf('%d.%d.%d.%d', user_id % 224, event_id % 256,
+                          (event_id * 7) % 256, user_id % 250),
+                   props)
+         || (CASE WHEN event_type = 'error' AND user_id % 3 = 0
+                  THEN ' {_STREAM_BENCH_GRAMS[0]}' ELSE '' END) AS text
+  FROM events
+)
+SELECT 'pii' AS branch, event_id AS id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_PII_EMAIL}', '[REDACTED]', 'g'),
+         '{_PII_PHONE}', '[REDACTED]', 'g'),
+         '{_PII_IPV4}', '[REDACTED]', 'g') AS text_out,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{_PII_PHONE}'))
+            + len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_pii,
+       (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+        + len(regexp_extract_all(text, '{_PII_PHONE}'))
+        + len(regexp_extract_all(text, '{_PII_IPV4}'))) > 0 AS flag
+FROM blob
+UNION ALL
+SELECT 'contam', event_id, NULL, CAST(0 AS BIGINT),
+       list_has_any(
+         list_distinct(CASE WHEN len(toks) >= 4
+           THEN list_transform(generate_series(1, len(toks) - 3),
+                               i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+           ELSE [] END),
+         ['{_STREAM_BENCH_GRAMS[0]}'])
+FROM (
+  SELECT event_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+  FROM blob
+) t
+"""
+
 
 # ---------------------------------------------------------------- registry
 
@@ -2694,11 +2870,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "s5_table_scan_projection": (s5_table_scan_projection, S5_SQL),
     "p6_dynamic_filter": (p6_dynamic_filter, P6_SQL),
     "p7_projection_split": (p7_projection_split, P7_SQL),
-    "p8_semi_join": (p8_semi_join, P8_SQL),
+    # r3: P8 semi + J3 anti merged into one tagged gate (both keep
+    # value-level rows; frees a budget slot for stream_parity_suite)
+    "pj_exists_suite": (pj_exists_suite, PJ_EXISTS_SUITE_SQL),
     "j1_one_to_many_nested": (j1_one_to_many_nested, J1_SQL),
     "j2_dim_joins": (j2_dim_joins, J2_SQL),
-    "j3_anti_join": (j3_anti_join, J3_SQL),
     "j4_stream_static_enrich": (j4_stream_static_enrich, J4_SQL),
+    "stream_parity_suite": (stream_parity_suite, STREAM_PARITY_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "a_windowed_suite": (a_windowed_suite, A_WINDOWED_SUITE_SQL),
     "a_rollup_suite": (a_rollup_suite, _a_rollup_suite_sql()),
@@ -2727,7 +2905,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_profile": (text_profile, TEXT_PROFILE_SQL),
     "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard3": (dedup_ngram_jaccard3, DEDUP_JACCARD3_SQL),
-    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    # r3: supersedes dedup_clusters — same clustering machinery, now the
+    # full docs → MinHash pairs → components → survivors+sizes pipeline
+    "dedup_end_to_end": (dedup_end_to_end, DEDUP_E2E_SQL),
     "curation_suite": (curation_suite, CURATION_SUITE_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_oracle_sql(shingle_n=1)),
     "dedup_minhash_lsh3": (dedup_minhash_lsh3, _minhash_oracle_sql(shingle_n=3)),

@@ -166,6 +166,96 @@ def test_multimodal_real_decoder_stub_raises(spark):
         multimodal.real_decode_unavailable(b"x")
 
 
+def _make_wav(n_ch=1, rate=8000, bits=16, samples=(0, 16384, -16384, 32767)):
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes((s % 256) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * bits // 8,
+                      n_ch * bits // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _make_ppm(w=2, h=2, maxval=255, px=None):
+    px = px if px is not None else bytes(range(w * h * 3))
+    return f"P6\n# comment\n{w} {h}\n{maxval}\n".encode() + bytes(px)
+
+
+def test_decode_wav_real_bytes(spark):
+    import math
+
+    import pytest
+
+    feat = multimodal.decode_wav_features(_make_wav())
+    n_ch, rate, bits, frames, dur, rms, peak, zcr = feat
+    assert (n_ch, rate, bits, frames) == (1.0, 8000.0, 16.0, 4.0)
+    assert dur == round(4 / 8000, 6)
+    want_rms = math.sqrt((0 + 0.5**2 + 0.5**2 + (32767 / 32768) ** 2) / 4)
+    assert abs(rms - want_rms) < 1e-6
+    assert abs(peak - 32767 / 32768) < 1e-6
+    # sign changes: 0→+ no, +→- yes, -→+ yes → 2/3
+    assert abs(zcr - 2 / 3) < 1e-6
+
+    # 8-bit path
+    feat8 = multimodal.decode_wav_features(_make_wav(bits=8, samples=(128, 255, 0, 128)))
+    assert feat8[2] == 8.0 and feat8[3] == 4.0
+
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_features(b"not a wav")
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_features(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+
+
+def test_decode_ppm_real_bytes(spark):
+    import pytest
+
+    # 1x1 pure red at maxval 255
+    feat = multimodal.decode_ppm_features(_make_ppm(w=1, h=1, px=bytes([255, 0, 0])))
+    w, h, maxval, mr, mg, mb, lmean, lstd = feat
+    assert (w, h, maxval) == (1.0, 1.0, 255.0)
+    assert (mr, mg, mb) == (1.0, 0.0, 0.0)
+    assert abs(lmean - 0.299) < 1e-6 and lstd == 0.0
+
+    # 16-bit maxval path (big-endian samples per netpbm spec)
+    feat16 = multimodal.decode_ppm_features(
+        _make_ppm(w=1, h=1, maxval=65535, px=b"\xff\xff\x00\x00\x00\x00")
+    )
+    assert feat16[2] == 65535.0 and feat16[3] == 1.0
+
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm_features(b"P3\n1 1\n255\n1 2 3")  # ascii PPM
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm_features(b"P6\n1 1\n")  # truncated header
+
+
+def test_real_decoders_through_spark_pipeline(spark):
+    """The registered WAV/PPM codecs run through the same mapInPandas
+    plumbing as the fake decoder — the feature column carries real
+    decoded signal/pixel stats, per media type, in one pass."""
+    wav, ppm = _make_wav(), _make_ppm()
+    rows = [
+        (1, 10, "audio", bytearray(wav), "audio/wav", None, None, 1),
+        (2, 10, "image", bytearray(ppm), "image/x-portable-pixmap", 2, 2, None),
+        (3, 11, "video", bytearray(b"mp4"), "video/mp4", 1, 1, 1000),  # still fake
+    ]
+    assets = spark.createDataFrame(rows, multimodal.MEDIA_ASSET_SCHEMA)
+    multimodal.set_decoder("audio", multimodal.decode_wav_features)
+    multimodal.set_decoder("image", multimodal.decode_ppm_features)
+    try:
+        by_id = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    finally:
+        multimodal._DECODERS.pop("audio", None)
+        multimodal._DECODERS.pop("image", None)
+    assert by_id[1]["feature"] == multimodal.decode_wav_features(wav)
+    assert by_id[2]["feature"] == multimodal.decode_ppm_features(ppm)
+    assert by_id[3]["feature"] == multimodal._fake_feature(b"mp4")
+    assert by_id[1]["payload_bytes"] == len(wav)
+
+
 def test_frame_sample_plan(spark):
     rows = [(4, 12, "video", bytearray(b"mp4"), "video/mp4", 1280, 720, 3500)]
     assets = spark.createDataFrame(rows, multimodal.MEDIA_ASSET_SCHEMA)
