@@ -189,3 +189,47 @@ def cms_estimate(spark, sketch_bytes: bytes, keys: list) -> dict:
     bis = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
     return {k: cms.estimateCount(k) for k in keys}
+
+
+def hll_sketches(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count sketches (Datasketches HLL
+    via the built-in ``hll_sketch_agg``): (group_cols..., hll binary,
+    n_distinct estimate).
+
+    The MERGEABLE form of count-distinct for 100 TB rollups: unlike
+    ``approx_count_distinct`` (which returns only a number), the binary
+    sketch column can be persisted per shard/day/partition and later
+    combined with ``hll_merge`` — distinct users per day roll up to
+    per-month WITHOUT rescanning raw events, the exact pattern the
+    reference's Redis counter tables cannot express.  Standard error
+    ≈ 1.04/√2^lg_k (~1.6% at the default lg_k=12, 2 KB per sketch)."""
+    groups = group_cols or []
+    return df.groupBy(*groups).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("hll"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k))).alias(
+            "n_distinct"
+        ),
+    )
+
+
+def hll_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    hll_col: str = "hll",
+) -> DataFrame:
+    """Roll persisted HLL sketches up to a coarser grain: union the
+    sketches per (coarser) group and re-estimate.  Input rows are
+    KB-sized sketches, not raw data — a month-from-days rollup reads
+    30 rows per key, never the 100 TB of events behind them."""
+    groups = group_cols or []
+    merged = sketches.groupBy(*groups).agg(
+        F.hll_union_agg(F.col(hll_col)).alias("hll")
+    )
+    return merged.select(
+        *groups, "hll", F.hll_sketch_estimate(F.col("hll")).alias("n_distinct")
+    )

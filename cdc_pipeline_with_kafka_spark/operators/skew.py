@@ -38,13 +38,24 @@ def salted_join(
     small: DataFrame,
     key: str,
     salt_buckets: int = 16,
+    how: str = "inner",
 ) -> DataFrame:
     """Skewed-side salted equi-join: the skewed side gets a random salt
     in [0, buckets); the small side is exploded ×buckets so every
     (key, salt) combination finds its match.  Use when the small side
-    is too big to broadcast but the key distribution is Zipfian."""
+    is too big to broadcast but the key distribution is Zipfian — or in
+    stream-static micro-batch joins, where AQE's runtime skew split
+    does not apply.
+
+    how ∈ {inner, left}: each skewed row carries exactly one salt and
+    the small side carries every salt, so both forms are row-for-row
+    ≡ ``skewed.join(small, key, how)`` (asserted in tests) — 'left'
+    keeps unmatched skewed rows with nulls, exactly like the unsalted
+    left join."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     s = skewed.withColumn("_salt", (F.monotonically_increasing_id() % salt_buckets))
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
-    return s.join(replicated, [key, "_salt"]).drop("_salt")
+    return s.join(replicated, [key, "_salt"], how).drop("_salt")

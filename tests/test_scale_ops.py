@@ -42,6 +42,31 @@ def test_salted_join_equivalence(spark):
     assert d == s
 
 
+def test_salted_join_left_equivalence(spark):
+    """how='left': unmatched skewed rows survive with nulls, exactly
+    like the unsalted left join (the stream-static enrich shape where
+    the dimension is incomplete and AQE can't split the micro-batch)."""
+    import pytest
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_id", "event_type")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, type_id int"  # partial dim
+    )
+    direct = {
+        r["event_id"]: r["type_id"]
+        for r in ev.join(dim, "event_type", "left").collect()
+    }
+    salted = {
+        r["event_id"]: r["type_id"]
+        for r in skew.salted_join(ev, dim, "event_type", salt_buckets=4, how="left").collect()
+    }
+    assert salted == direct and len(salted) == ev.count()
+    assert any(v is None for v in salted.values())  # unmatched rows kept
+
+    with pytest.raises(ValueError):
+        skew.salted_join(ev, dim, "event_type", how="full")
+
+
 def test_aggregate_table_roundtrip_prune_and_expire(spark, tmp_path):
     base = datetime(2024, 3, 1)
     rows = [

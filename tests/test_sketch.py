@@ -111,3 +111,45 @@ def test_cms_overestimates_within_eps(spark):
     n = row["n"]
     for k, e in est.items():
         assert exact[k] <= e <= exact[k] + eps * n + 1
+
+
+def test_hll_sketch_estimate_within_error(spark):
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in sketch.hll_sketches(ev, "user_id", ["event_type"]).collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        # lg_k=12 → ~1.6% stderr; 5% is a >3σ band
+        assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """The 100 TB rollup invariant: per-day sketches merged up give the
+    SAME estimate as sketching the whole table directly (HLL union is
+    deterministic — same hashes, same registers), and no raw re-scan
+    is needed for the coarser grain."""
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    per_day = sketch.hll_sketches(ev, "user_id", ["event_type", "day"])
+    rolled = {
+        r["event_type"]: r["n_distinct"]
+        for r in sketch.hll_merge(per_day, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["n_distinct"]
+        for r in sketch.hll_sketches(ev, "user_id", ["event_type"]).collect()
+    }
+    assert rolled == direct
+    # global rollup (no groups) also works and matches
+    global_rolled = sketch.hll_merge(per_day).collect()[0]["n_distinct"]
+    global_direct = sketch.hll_sketches(ev, "user_id").collect()[0]["n_distinct"]
+    assert global_rolled == global_direct
