@@ -561,6 +561,183 @@ def cosine_topk_suite(
     )
 
 
+# ---------------------------------------------------------------- product quantization
+
+
+def train_pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    max_train_rows: int = 100_000,
+) -> np.ndarray:
+    """Train a product-quantization codebook (Jégou et al., 'Product
+    Quantization for Nearest Neighbor Search', TPAMI 2011): split the
+    L2-normalized vector into `m` subspaces and run Lloyd k-means with
+    `ksub` centroids independently in each.
+
+    Returns codebooks of shape (m, ksub, dim/m).  A 64-dim float32
+    embedding (256 B) compresses to m=8 one-byte codes — 32× — while
+    ADC scoring (pq_ann_topk) still approximates cosine well; at 100 TB
+    that is the difference between an in-memory index and one that
+    doesn't fit.  Driver-side training is HARD-CAPPED at
+    `max_train_rows` exactly like train_ivf_codebook; deterministic
+    (ordered sample, first-ksub init, farthest-point reseed)."""
+    if max_train_rows <= 0:
+        raise ValueError(f"max_train_rows must be positive, got {max_train_rows}")
+    rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(max_train_rows)
+        .select(vec_col)
+        .collect()
+    )
+    x = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    n, dim = x.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < ksub:
+        raise ValueError(f"sample has {n} vectors < ksub={ksub}")
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cm = sub[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            new_cm = np.zeros_like(cm)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    new_cm[c] = members.mean(axis=0)
+                else:
+                    new_cm[c] = sub[np.argmax(d2.min(axis=1))]
+            cm = new_cm
+        books[j] = cm
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int> of length m).
+
+    Vectorized per Arrow batch — one (batch × ksub) distance matrix per
+    subspace.  The codes table is the persisted index at 100 TB (m
+    bytes/vector); raw vectors are only re-read by the optional exact
+    refine stage."""
+    mm, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def encode(embs: pd.Series) -> pd.Series:
+        x = _normalize_rows(np.stack(embs.to_numpy()).astype(np.float64))
+        codes = np.zeros((len(x), mm), dtype=np.int64)
+        for j in range(mm):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            # ||s - c||² = ||s||² - 2s·c + ||c||²; argmin over c
+            d2 = (
+                -2.0 * (sub @ codebooks[j].T)
+                + (codebooks[j] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return spread(corpus, id_col).select(
+        F.col(id_col), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_ann_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    a PQ-encoded corpus: per query, a lookup table LUT[j][c] =
+    q_sub_j · centroid_jc is built once on the driver (m × ksub
+    doubles); each encoded row's approximate cosine is Σ_j
+    LUT[j][codes_j] — a pure table-gather per Arrow batch, no float
+    vector ever read.
+
+    refine > 0 re-ranks the top k·refine ADC candidates EXACTLY against
+    the raw vectors (requires `corpus`): the standard two-stage PQ
+    search — ADC reads m bytes/vector over everything, the exact pass
+    touches only k·refine rows per query.  Output (query_id, id,
+    score, rnk); score is the ADC approximation (refine=0) or exact
+    rounded cosine (refine>0)."""
+    mm, ksub, dsub = codebooks.shape
+    qids, qm_raw = _collect_query_matrix(queries, query_id_col, vec_col)
+    qm = _normalize_rows(qm_raw)
+    # LUT per query: (Q, m, ksub)
+    lut = np.stack(
+        [
+            np.stack(
+                [codebooks[j] @ qm[qi, j * dsub : (j + 1) * dsub] for j in range(mm)]
+            )
+            for qi in range(len(qids))
+        ]
+    )
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy()).astype(np.int64)  # batch × m
+        out = np.zeros((len(c), lut.shape[0]))
+        for qi in range(lut.shape[0]):
+            # gather: for each row, sum LUT[qi, j, code_j]
+            out[:, qi] = lut[qi][np.arange(mm)[None, :], c].sum(axis=1)
+        return pd.Series(list(np.round(out, 6)))
+
+    qid_lookup = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        encoded.select(F.col(id_col), adc_scores(F.col("codes")).alias("_s"))
+        .select(F.col(id_col), F.posexplode("_s").alias("_qidx", "score"))
+        .select(qid_lookup[F.col("_qidx")].alias(query_id_col), F.col(id_col), "score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    if refine <= 0:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(query_id_col, id_col, "score", "rnk")
+        )
+    if corpus is None:
+        raise ValueError("refine > 0 requires the raw corpus for the exact pass")
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k * refine)
+        .select(query_id_col, id_col)
+    )
+    qdf = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    )
+    exact = (
+        cand.join(spread(corpus, id_col).select(id_col, vec_col), id_col)
+        .join(qdf, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "score", "rnk")
+    )
+
+
 def mean_pool(vectors: Column) -> Column:
     """Element-wise mean of an array of equal-length vectors (chunk
     embeddings → one document embedding, the standard pooling step).

@@ -305,3 +305,67 @@ def test_train_ivf_codebook_collect_is_capped(spark):
     # cap below nlist → too few sample vectors, loudly rejected
     with pytest.raises(ValueError):
         similarity.train_ivf_codebook(emb, nlist=8, max_train_rows=4)
+
+
+def _clustered_vectors(n=400, n_centers=16, dim=64, noise=0.05, seed=0):
+    """Deterministic clustered vectors: PQ/ANN recall is meaningful on
+    clustered data (random noise has no true neighbors)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_centers, dim)
+    pts = centers[np.arange(n) % n_centers] + noise * rng.randn(n, dim)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return [(i, [float(x) for x in pts[i]]) for i in range(n)]
+
+
+def test_pq_ann_recall_and_compression(spark):
+    import numpy as np
+
+    rows = _clustered_vectors()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = similarity.train_pq_codebook(emb, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    encoded = similarity.pq_encode(emb, books)
+    first = encoded.orderBy("vec_id").first()
+    assert len(first["codes"]) == 8  # 64-dim float -> 8 codes (32x at fp32)
+    assert all(0 <= c < 16 for c in first["codes"])
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    refined = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.pq_ann_topk(
+            encoded, queries, books, k=10, refine=3, corpus=emb
+        ).collect()
+    }
+    recall = len(exact & refined) / len(exact)
+    assert recall >= 0.7, f"PQ+refine recall too low: {recall}"
+
+    # ADC-only: the query's own row must win (quantization error is
+    # symmetric, every other row is strictly farther)
+    adc = similarity.pq_ann_topk(encoded, queries, books, k=1).collect()
+    assert all(r["vec_id"] == r["query_id"] for r in adc)
+
+    # determinism: retrain -> identical codebooks
+    assert np.array_equal(books, similarity.train_pq_codebook(emb, m=8, ksub=16))
+
+
+def test_pq_validation_errors(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        similarity.train_pq_codebook(emb, m=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        similarity.train_pq_codebook(emb, m=8, ksub=16, max_train_rows=8)  # < ksub
+    with pytest.raises(ValueError):
+        similarity.train_pq_codebook(emb, m=8, max_train_rows=0)
+    books = similarity.train_pq_codebook(emb, m=8, ksub=16)
+    enc = similarity.pq_encode(emb, books)
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError):
+        similarity.pq_ann_topk(enc, q, books, refine=2)  # no corpus
