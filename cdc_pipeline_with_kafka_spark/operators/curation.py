@@ -212,6 +212,131 @@ def curate_corpus(
     return out
 
 
+def admit_shard(
+    shard: DataFrame,
+    *,
+    index_sigs: DataFrame | None = None,
+    index_hashes: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float | None = None,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> dict[str, DataFrame]:
+    """Admit a NEW shard (a day's crawl) against persisted corpus
+    state — the incremental form of `curate_corpus` that never
+    re-reads, re-hashes, or re-sketches the existing corpus:
+
+      1. quality gate (optional),
+      2. in-shard exact dedup (lowest id survives),
+      3. corpus exact dedup: content_hash anti-join vs `index_hashes`,
+      4. corpus near-dup: `minhash_lsh_pairs_incremental` vs
+         `index_sigs` — any shard doc banding with an INDEXED doc is
+         rejected,
+      5. in-shard near-dup: remaining new↔new pairs → connected
+         components → canonical survivor.
+
+    Returns four lazy DataFrames:
+      - ``admitted``:     shard rows that enter the corpus,
+      - ``rejected``:     (id, reason ∈ quality | exact_dup_shard |
+                          exact_dup_corpus | near_dup_corpus |
+                          near_dup_shard) — the audit trail,
+      - ``sigs_delta``:   MinHash signatures of admitted docs — append
+                          to the signature index,
+      - ``hashes_delta``: content hashes of admitted docs — append to
+                          the hash index.
+    Appending the deltas IS the state update; the next shard admits
+    against index ∪ delta.  Sequential admission keeps the earliest
+    shard's doc as canonical (ids grow across shards), matching the
+    batch pipeline's lowest-id rule.  Index sides join on KB-sized
+    sketch rows only — admission cost is O(|shard|), independent of
+    corpus size.  Pass index_sigs/index_hashes=None for the first
+    shard (cold start)."""
+    from ..util import spread
+    from . import dedup as dedup_ops
+    from . import textstats
+
+    alive = spread(shard, id_col)
+    rejected = []
+
+    def _reject(ids: DataFrame, reason: str) -> None:
+        rejected.append(
+            ids.select(F.col(id_col), F.lit(reason).alias("reason"))
+        )
+
+    if min_quality is not None:
+        bad = alive.filter(textstats.quality_score(F.col(text_col)) < min_quality)
+        _reject(bad, "quality")
+        alive = alive.filter(textstats.quality_score(F.col(text_col)) >= min_quality)
+
+    hashed = alive.withColumn(
+        "_ch", F.md5(dedup_ops.normalized_text(F.col(text_col)))
+    )
+    w = Window.partitionBy("_ch").orderBy(F.col(id_col).asc())
+    ranked = hashed.withColumn("_rn", F.row_number().over(w))
+    _reject(ranked.filter(F.col("_rn") > 1), "exact_dup_shard")
+    hashed = ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+    if index_hashes is not None:
+        idx_h = index_hashes.select(F.col("content_hash").alias("_ch")).distinct()
+        _reject(hashed.join(idx_h, "_ch", "left_semi"), "exact_dup_corpus")
+        hashed = hashed.join(idx_h, "_ch", "left_anti")
+    alive = hashed
+
+    if index_sigs is not None:
+        pairs = dedup_ops.minhash_lsh_pairs_incremental(
+            alive.drop("_ch"), index_sigs, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col,
+        )
+    else:
+        pairs = dedup_ops.minhash_lsh_pairs(
+            alive.drop("_ch"), threshold=threshold, num_hashes=num_hashes,
+            bands=bands, shingle_n=shingle_n, text_col=text_col, id_col=id_col,
+        )
+    pairs = pairs.persist()
+    shard_ids = alive.select(F.col(id_col).alias("_sid"))
+    # a pair touching a NON-shard id is a corpus near-dup for its shard
+    # member(s); ids are globally unique across shards by contract
+    corpus_pairs = (
+        pairs.join(shard_ids, pairs.id_a == F.col("_sid"), "left_anti")
+        .select(F.col("id_b").alias(id_col))
+        .union(
+            pairs.join(shard_ids, pairs.id_b == F.col("_sid"), "left_anti")
+            .select(F.col("id_a").alias(id_col))
+        )
+        .distinct()
+    )
+    _reject(alive.join(corpus_pairs, id_col, "left_semi"), "near_dup_corpus")
+    alive = alive.join(corpus_pairs, id_col, "left_anti")
+
+    intra = (
+        pairs.join(alive.select(F.col(id_col).alias("id_a")), "id_a", "left_semi")
+        .join(alive.select(F.col(id_col).alias("id_b")), "id_b", "left_semi")
+    )
+    surv = dedup_ops.dedup_survivors(alive.select(id_col), intra, id_col=id_col)
+    _reject(surv.filter(~F.col("is_canonical")), "near_dup_shard")
+    alive = alive.join(
+        surv.filter(F.col("is_canonical")).select(id_col), id_col, "left_semi"
+    )
+
+    admitted = alive.drop("_ch")
+    rej = rejected[0]
+    for r in rejected[1:]:
+        rej = rej.unionByName(r)
+    return {
+        "admitted": admitted,
+        "rejected": rej,
+        "sigs_delta": dedup_ops.minhash_signatures(
+            admitted, num_hashes=num_hashes, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col,
+        ).withColumnRenamed("id", id_col),
+        "hashes_delta": alive.select(F.col("_ch").alias("content_hash"), F.col(id_col)),
+    }
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

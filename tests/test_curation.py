@@ -148,3 +148,95 @@ def test_curate_corpus_with_repetition_and_decontamination(spark):
     )
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1]  # 2 repetition-filtered, 4 decontaminated
+
+
+# distinct quality-passing bases (stopwords + sane length); near-dups
+# are constructed ONLY by reusing a base — a shared filler prefix would
+# make unrelated docs shingle-similar and defeat the test
+_ALPHA = "the quick brown fox jumps over the lazy dog and it runs far away in the field today"
+_BETA = "a storm is coming to the coast and people are moving inland with their cars and boats"
+_GAMMA = "markets opened higher this morning as traders bet on a rate cut from the central bank"
+
+
+def test_admit_shard_cold_start_and_incremental(spark):
+    """Two-day shard admission against persisted index deltas: every
+    rejection reason fires, state never re-reads shard 1."""
+    shard1 = spark.createDataFrame(
+        [
+            (1, _ALPHA),
+            (2, _ALPHA),                          # exact dup of 1 (in-shard)
+            (3, _BETA),
+            (4, "tiny"),                          # fails quality
+        ],
+        "doc_id long, text string",
+    )
+    out1 = curation.admit_shard(shard1, min_quality=0.5)
+    admitted1 = {r["doc_id"] for r in out1["admitted"].collect()}
+    reasons1 = {r["doc_id"]: r["reason"] for r in out1["rejected"].collect()}
+    assert admitted1 == {1, 3}
+    assert reasons1 == {2: "exact_dup_shard", 4: "quality"}
+
+    sigs = out1["sigs_delta"].collect()
+    hashes = out1["hashes_delta"].collect()
+    assert {r["doc_id"] for r in sigs} == {1, 3} == {r["doc_id"] for r in hashes}
+
+    # persist state (collect-and-recreate simulates the parquet round trip)
+    index_sigs = spark.createDataFrame(sigs)
+    index_hashes = spark.createDataFrame(hashes)
+
+    shard2 = spark.createDataFrame(
+        [
+            (11, _ALPHA),                         # exact dup of corpus doc 1
+            (12, _ALPHA + " extra"),              # near dup of corpus doc 1
+            (13, _GAMMA),
+            (14, _GAMMA + " soon"),               # near dup of 13 (in-shard)
+            (15, "x"),                            # fails quality
+        ],
+        "doc_id long, text string",
+    )
+    out2 = curation.admit_shard(
+        shard2, index_sigs=index_sigs, index_hashes=index_hashes, min_quality=0.5
+    )
+    admitted2 = {r["doc_id"] for r in out2["admitted"].collect()}
+    reasons2 = {r["doc_id"]: r["reason"] for r in out2["rejected"].collect()}
+    assert reasons2[11] == "exact_dup_corpus"
+    assert reasons2[12] == "near_dup_corpus"
+    assert reasons2[15] == "quality"
+    assert reasons2[14] == "near_dup_shard"  # 13 is the lowest-id survivor
+    assert admitted2 == {13}
+    # deltas cover exactly the admitted docs
+    assert {r["doc_id"] for r in out2["sigs_delta"].collect()} == {13}
+
+
+def test_admit_shard_sequential_equals_batch(spark):
+    """Sequential two-shard admission == one-shot batch curation of the
+    union (ids grow across shards, so lowest-id survivorship agrees)."""
+    rows1 = [
+        (1, _ALPHA),
+        (2, _ALPHA),
+        (3, _BETA),
+    ]
+    rows2 = [
+        (11, _ALPHA),
+        (12, _GAMMA),
+    ]
+    s1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    s2 = spark.createDataFrame(rows2, "doc_id long, text string")
+
+    out1 = curation.admit_shard(s1, min_quality=0.5)
+    isig = spark.createDataFrame(out1["sigs_delta"].collect())
+    ihash = spark.createDataFrame(out1["hashes_delta"].collect())
+    out2 = curation.admit_shard(s2, index_sigs=isig, index_hashes=ihash, min_quality=0.5)
+    sequential = {r["doc_id"] for r in out1["admitted"].collect()} | {
+        r["doc_id"] for r in out2["admitted"].collect()
+    }
+
+    union = s1.unionByName(s2)
+    pairs = dedup.minhash_lsh_pairs(union, threshold=0.5)
+    batch = {
+        r["doc_id"]
+        for r in curation.curate_corpus(
+            union, min_quality=0.5, near_dup_pairs=pairs
+        ).collect()
+    }
+    assert sequential == batch
