@@ -249,6 +249,72 @@ def neardup_filtered_stream(
     ).dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
 
 
+def make_admit_shard_sink(
+    corpus_path: str,
+    sigs_path: str,
+    hashes_path: str,
+    rejected_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float | None = None,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+):
+    """foreachBatch sink running the incremental corpus-admission
+    pipeline (operators/curation.admit_shard) per micro-batch: each
+    batch is a 'shard' checked against the PERSISTED signature/hash
+    indexes, admitted docs append to the corpus, and the index deltas
+    append back to the same paths — so batch N+1 automatically admits
+    against everything batch ≤ N admitted.
+
+    The streaming form of the daily-ingest loop with the micro-batch
+    as the ingest grain: per batch the corpus-side cost is a scan of
+    the KB-per-doc sketch indexes, never the corpus text.  Index
+    append happens BEFORE the corpus append so a crash between the
+    two can only produce an over-complete index (a re-admitted batch
+    deduplicates against it — idempotent), never a corpus doc missing
+    from the index.  Exactly-once per path comes from the streaming
+    checkpoint as usual."""
+    from ..operators.curation import admit_shard
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def _load(path):
+            try:
+                df = spark.read.parquet(path)
+                return df if df.columns else None
+            except Exception:
+                return None  # first batch: no index yet
+
+        out = admit_shard(
+            batch_df,
+            index_sigs=_load(sigs_path),
+            index_hashes=_load(hashes_path),
+            text_col=text_col, id_col=id_col, min_quality=min_quality,
+            threshold=threshold, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n,
+        )
+        # Materialize EVERY output against the pre-append index state
+        # BEFORE the first append.  persist()+count() is NOT enough:
+        # appending to sigs/hashes refreshes those paths and Spark
+        # UNCACHES every plan that reads them, so a later write would
+        # re-evaluate against the index including this batch's own
+        # signatures and reject every doc as a duplicate of itself
+        # (read-your-own-writes).  localCheckpoint truncates lineage —
+        # the pinned outputs no longer reference the index paths at all.
+        pinned = {k: df.localCheckpoint(eager=True) for k, df in out.items()}
+        pinned["sigs_delta"].write.mode("append").parquet(sigs_path)
+        pinned["hashes_delta"].write.mode("append").parquet(hashes_path)
+        pinned["admitted"].write.mode("append").parquet(corpus_path)
+        if rejected_path is not None:
+            pinned["rejected"].write.mode("append").parquet(rejected_path)
+
+    return sink
+
+
 def make_asof_enrich_sink(
     snapshot_loader,
     out_path: str,

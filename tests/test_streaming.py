@@ -258,3 +258,57 @@ def test_foreachbatch_asof_enrichment_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["event_id"]: r["rate"] for r in spark.read.parquet(out).collect()}
     assert got == {1: 1.0, 2: 2.0, 3: None}  # b@3 precedes its snapshot
+
+
+def test_foreachbatch_admit_shard_stream(spark, tmp_path):
+    """Streaming corpus admission: two micro-batches (maxFilesPerTrigger
+    =1), the second batch's duplicates are rejected against the index
+    the FIRST batch appended — cross-batch state via the persisted
+    sketch indexes, no streaming state store."""
+    import json as _json
+
+    alpha = "the quick brown fox jumps over the lazy dog and it runs far away in the field today"
+    beta = "a storm is coming to the coast and people are moving inland with their cars and boats"
+    src = tmp_path / "admit_src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": alpha}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": beta}) + "\n")
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 11, "text": alpha}) + "\n")      # exact dup of 1
+        fh.write(_json.dumps({"doc_id": 12, "text": beta + " soon"}) + "\n")  # near dup of 2
+        fh.write(_json.dumps({"doc_id": 13, "text": "markets opened higher this morning as traders bet on a rate cut"}) + "\n")
+    # FileStreamSource orders batches by mtime — make b0 strictly older
+    # so batch 0 really is the first shard
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    hashes = str(tmp_path / "hashes")
+    rejected = str(tmp_path / "rejected")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            pipeline.make_admit_shard_sink(corpus, sigs, hashes, rejected)
+        )
+        .option("checkpointLocation", str(tmp_path / "admit_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert admitted == {1, 2, 13}
+    reasons = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rejected).collect()}
+    assert reasons == {11: "exact_dup_corpus", 12: "near_dup_corpus"}
+    # the indexes carry exactly the admitted docs
+    assert {r["doc_id"] for r in spark.read.parquet(sigs).collect()} == admitted
+    assert {r["doc_id"] for r in spark.read.parquet(hashes).collect()} == admitted
