@@ -2953,6 +2953,11 @@ BENCH_FNS: dict[str, QueryFn] = {
     "curation_suite": curation_suite,
     "quality_repetition": quality_repetition,
     "decontaminate": decontaminate,
+    # round 3+: full corpus-dedup pipeline (pairs → components →
+    # survivors); the component iterations run at BUILD time
+    # (localCheckpoint per round), so build_s carries them and the
+    # steady-state number is the prepared survivor-assignment plan
+    "dedup_end_to_end": dedup_end_to_end,
 }
 
 BENCH_QUERIES = list(BENCH_FNS)
