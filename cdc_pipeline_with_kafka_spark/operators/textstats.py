@@ -220,6 +220,46 @@ def repetition_stats(
     )
 
 
+# HTML entity map for strip_html (the common named entities; numeric
+# entities beyond &#39; are left as-is — rare in crawl text and cheap
+# to extend).
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Visible text from raw HTML: drop script/style/comment blocks,
+    strip tags, unescape the common entities, collapse whitespace —
+    the boilerplate-removal step between a crawl dump and every other
+    text operator (quality, dedup, language ID all assume visible
+    text, not markup).
+
+    Pure codegen regexp_replace chain — a 100 TB crawl pass is one map
+    stage, no Python.  Patterns avoid backreferences and lookarounds
+    so the same expressions run on Java regex and RE2-style engines
+    (script and style get separate passes instead of a `\\1` backref).
+    """
+    c = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def visible_text_ratio(col: Column) -> Column:
+    """len(visible text) / len(raw) — low values mean markup-dominated
+    pages (nav shells, link farms); a standard crawl-quality filter
+    alongside quality_score."""
+    n = F.length(col)
+    return F.when(
+        n > 0, F.round(F.length(strip_html(col)) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
 # PII patterns deliberately restricted to syntax with identical
 # semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
 # backrefs, non-capturing groups only.

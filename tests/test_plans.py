@@ -43,3 +43,19 @@ def test_windowed_count_single_shuffle(spark):
 
 def test_anti_join_small_side_broadcast(spark):
     assert plans.has_broadcast_join(q.j3_anti_join(spark, SF_CORRECT))
+
+
+def test_exists_suite_both_branches_broadcast(spark):
+    """The merged semi+anti gate keeps both existence joins broadcast —
+    the big probe side never shuffles for either branch."""
+    df = q.pj_exists_suite(spark, SF_CORRECT)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+
+
+def test_stream_parity_suite_is_shuffle_free(spark):
+    """Both branches are stateless per-row projections over the events
+    scan unioned together — zero exchanges, the shape that makes the
+    streaming twin trivially correct per micro-batch."""
+    df = q.stream_parity_suite(spark, SF_CORRECT)
+    assert plans.exchange_count(df) == 0

@@ -99,3 +99,32 @@ def test_parse_iso_ts_handles_z_suffix(spark):
 def test_empty_to_null(spark):
     assert _one(spark, dates.empty_to_null(F.lit("  "))) is None
     assert _one(spark, dates.empty_to_null(F.lit("x"))) == "x"
+
+
+def test_strip_html_visible_text(spark):
+    from cdc_pipeline_with_kafka_spark.operators import textstats
+
+    html = (
+        "<html><head><STYLE>body{color:red}</STYLE>"
+        "<script type='text/js'>var x = '<b>not text</b>';</script></head>"
+        "<body><!-- hidden comment --><h1>Title&nbsp;here</h1>"
+        "<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>\n"
+        "<div>  spaced   out  </div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "plain text"), (3, "")],
+                               "id long, text string")
+    got = {
+        r["id"]: (r["s"], r["ratio"])
+        for r in df.select(
+            "id",
+            textstats.strip_html(F.col("text")).alias("s"),
+            textstats.visible_text_ratio(F.col("text")).alias("ratio"),
+        ).collect()
+    }
+    assert got[1][0] == "Title here A & B <tag> \"q\" 's' spaced out"
+    assert 0.0 < got[1][1] < 0.25  # markup-dominated page
+    assert got[2] == ("plain text", 1.0)
+    assert got[3] == ("", 0.0)
+    # case-insensitive + multiline script/style removal really fired
+    assert "color" not in got[1][0] and "var x" not in got[1][0]
+    assert "hidden" not in got[1][0]
