@@ -1458,7 +1458,30 @@ def f_scalar_suite(spark, sf_dir):
             ),
             "f18", F.col("doc_id"), v_str=F.col("tr"),
         ),
+        # r3: strip_html — each doc's text wrapped in a fixed markup
+        # shell, visible text extracted back (boilerplate removal)
+        _suite_rows(_htmlstrip_rows(spark, sf_dir), "htmlstrip",
+                    F.col("doc_id"), v_str=F.col("vis")),
     ])
+
+
+_HTML_SHELL_PRE = (
+    '<html><head><SCRIPT>var x=1;</SCRIPT><style>css ignore</style></head>'
+    '<body><!-- note --><p class="t">'
+)
+_HTML_SHELL_POST = ' &amp; <b>tail</b> &#39;q&#39;</p></body></html>'
+
+
+def _htmlstrip_rows(spark, sf_dir):
+    """strip_html gate branch: wrap document text in a markup shell
+    exercising every removal rule (case-insensitive script, style,
+    comment, tags, entities) and extract the visible text back."""
+    from .operators.textstats import strip_html
+
+    blob = F.concat(F.lit(_HTML_SHELL_PRE), F.col("text"), F.lit(_HTML_SHELL_POST))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", strip_html(blob).alias("vis")
+    )
 
 
 def _p3_p5_articles(spark, sf_dir):
@@ -1523,6 +1546,22 @@ FROM (
 ) firsts GROUP BY doc_id
 UNION ALL
 SELECT 'f18', CAST(doc_id AS VARCHAR), substr(text, 1, 20), -1.0 FROM documents
+UNION ALL
+SELECT 'htmlstrip', CAST(doc_id AS VARCHAR),
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(
+        '{_HTML_SHELL_PRE.replace("'", "''")}' || text || '{_HTML_SHELL_POST.replace("'", "''")}',
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+    '\\s+', ' ', 'g')), -1.0
+FROM documents
 """
 
 
