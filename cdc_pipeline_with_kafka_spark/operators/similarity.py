@@ -738,6 +738,137 @@ def pq_ann_topk(
     )
 
 
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: tuple,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the combined IVF-PQ index: (id, centroid_id, codes)
+    — the classic IVFPQ layout (coarse quantizer prunes clusters,
+    product codes stand in for vectors).  One pass over the corpus
+    computes both the cluster assignment and the PQ codes; write it
+    partitioned by centroid_id and a query touches nprobe/nlist of an
+    index that is ~m bytes/vector — at 100 TB both prunings compound:
+    directory pruning × 32× narrower rows."""
+    cids, cm = centroids
+    assign1 = _ivf_assign_udf(cids, cm, 1)
+    mm, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def encode(embs: pd.Series) -> pd.Series:
+        x = _normalize_rows(np.stack(embs.to_numpy()).astype(np.float64))
+        codes = np.zeros((len(x), mm), dtype=np.int64)
+        for j in range(mm):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                -2.0 * (sub @ codebooks[j].T)
+                + (codebooks[j] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return spread(corpus, id_col).select(
+        F.col(id_col),
+        assign1(F.col(vec_col))[0].alias("centroid_id"),
+        encode(F.col(vec_col)).alias("codes"),
+    )
+
+
+def ivf_pq_ann_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: tuple,
+    codebooks: np.ndarray,
+    nprobe: int = 2,
+    k: int = 10,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query an `ivf_pq_index`: probe each query's `nprobe` nearest
+    clusters (partition pruning on the persisted index), ADC-score the
+    surviving rows from per-query lookup tables (codes only — no float
+    vectors read), exact-refine the top k·refine if requested.
+
+    The candidate row carries its query, so the scorer gathers from
+    that row's OWN query LUT (a (Q, m, ksub) stack ships once in the
+    closure; per batch it is one fancy-index gather + row sum)."""
+    cids, cm = centroids
+    mm, ksub, dsub = codebooks.shape
+    rows = queries.collect()
+    qids = [r[query_id_col] for r in rows]
+    qm = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    lut = np.stack(
+        [
+            np.stack(
+                [codebooks[j] @ qm[qi, j * dsub : (j + 1) * dsub] for j in range(mm)]
+            )
+            for qi in range(len(qids))
+        ]
+    )  # Q × m × ksub
+    probe = _ivf_assign_udf(cids, cm, nprobe)
+    qpos = {q: i for i, q in enumerate(qids)}
+    pos_expr = F.create_map(
+        *[x for q, i in qpos.items() for x in (F.lit(q), F.lit(i))]
+    )
+    qprobe = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            pos_expr[F.col(query_id_col)].alias("_qpos"),
+            F.explode(probe(F.col(vec_col))).alias("centroid_id"),
+        )
+    )
+    cand = index.join(qprobe, "centroid_id")
+
+    @F.pandas_udf(DoubleType())
+    def adc(codes: pd.Series, qpos_s: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy()).astype(np.int64)  # batch × m
+        qp = qpos_s.to_numpy().astype(np.int64)
+        # out[i, j] = lut[qp[i], j, c[i, j]] — one fancy-index gather
+        s = lut[qp[:, None], np.arange(mm)[None, :], c]
+        return pd.Series(np.round(s.sum(axis=1), 6))
+
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col),
+        adc(F.col("codes"), F.col("_qpos")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    if refine <= 0:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(query_id_col, id_col, "score", "rnk")
+        )
+    if corpus is None:
+        raise ValueError("refine > 0 requires the raw corpus for the exact pass")
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k * refine)
+        .select(query_id_col, id_col)
+    )
+    qdf = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    )
+    exact = (
+        top.join(spread(corpus, id_col).select(id_col, vec_col), id_col)
+        .join(qdf, query_id_col)
+        .select(
+            query_id_col, id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "score", "rnk")
+    )
+
+
 def mean_pool(vectors: Column) -> Column:
     """Element-wise mean of an array of equal-length vectors (chunk
     embeddings → one document embedding, the standard pooling step).

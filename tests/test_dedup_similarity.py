@@ -369,3 +369,39 @@ def test_pq_validation_errors(spark):
     q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError):
         similarity.pq_ann_topk(enc, q, books, refine=2)  # no corpus
+
+
+def test_ivf_pq_index_and_query(spark):
+    """The composed IVF-PQ path: cluster-pruned candidates scored from
+    PQ codes only, exact refine recovers brute-force top-k on
+    clustered data; ADC-only still finds the query's own cluster."""
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_ivf_codebook(emb, nlist=8, iters=5)
+    books = similarity.train_pq_codebook(emb, m=8, ksub=16)
+    index = similarity.ivf_pq_index(emb, cents, books)
+    row = index.orderBy("vec_id").first()
+    assert len(row["codes"]) == 8 and row["centroid_id"] in range(8)
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_pq_ann_topk(
+            index, queries, cents, books, nprobe=4, k=10, refine=3, corpus=emb
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+
+    adc_only = similarity.ivf_pq_ann_topk(index, queries, cents, books, nprobe=8, k=1)
+    assert all(r["vec_id"] == r["query_id"] for r in adc_only.collect())
+
+    with pytest.raises(ValueError):
+        similarity.ivf_pq_ann_topk(index, queries, cents, books, refine=2)
