@@ -381,3 +381,38 @@ def test_scrub_pii_matches_python_re(spark, texts):
             assert got[i][f"n_{name}"] == len(_re.findall(pat, t)), (name, t)
             scrubbed = _re.sub(pat, "[REDACTED]", scrubbed)
         assert got[i]["scrubbed"] == scrubbed, t
+
+
+def _py_strip_html(raw: str) -> str:
+    import re as _re
+
+    c = _re.sub(r"(?is)<script[^>]*>.*?</script>", " ", raw)
+    c = _re.sub(r"(?is)<style[^>]*>.*?</style>", " ", c)
+    c = _re.sub(r"(?s)<!--.*?-->", " ", c)
+    c = _re.sub(r"(?s)<[^>]*>", " ", c)
+    for ent, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'")]:
+        c = c.replace(ent, rep)
+    return _re.sub(r"\s+", " ", c).strip()
+
+
+_HTML_CHUNK = st.sampled_from([
+    "plain words here", "<b>bold</b>", "<script>alert('x')</script>",
+    "<STYLE media='a'>p,q</STYLE>", "<!-- note -->", "a &amp; b",
+    "&lt;tag&gt;", "<div class='c'>", "</div>", "&nbsp;", "text < math",
+    "5 > 3", "&quot;quoted&quot;", "tail",
+])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_HTML_CHUNK, min_size=0, max_size=12))
+def test_strip_html_matches_python_model(spark, chunks):
+    """Java-regex strip_html == Python-re model on arbitrary markup
+    compositions (incl. unclosed tags, bare < and >, mixed-case
+    blocks) — pins the engine-portability of the pattern set."""
+    from cdc_pipeline_with_kafka_spark.operators import textstats
+
+    raw = " ".join(chunks)
+    df = spark.createDataFrame([(raw,)], "t string")
+    got = df.select(textstats.strip_html(F.col("t")).alias("s")).collect()[0]["s"]
+    assert got == _py_strip_html(raw)

@@ -382,3 +382,28 @@ def test_simhash_incremental_equals_full_restricted(spark, tmp_path):
     got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in inc.collect())
     assert got == want
     assert len(got) > 0
+
+
+def test_ivf_pq_index_disk_roundtrip(spark, tmp_path):
+    """The IVF-PQ index written partitioned by centroid_id and read
+    back answers queries identically to the in-memory index — the
+    write-once / query-many lifecycle, with partition pruning on the
+    probed centroid directories."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity
+    from cdc_pipeline_with_kafka_spark.sources.bucketing import write_partitioned
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_ivf_codebook(emb, nlist=8, iters=5)
+    books = similarity.train_pq_codebook(emb, m=8, ksub=16)
+    index = similarity.ivf_pq_index(emb, cents, books)
+    direct = similarity.ivf_pq_ann_topk(index, queries, cents, books, nprobe=3, k=10)
+
+    path = str(tmp_path / "ivfpq_index")
+    write_partitioned(index, path, ["centroid_id"])
+    from_disk = similarity.ivf_pq_ann_topk(
+        spark.read.parquet(path), queries, cents, books, nprobe=3, k=10
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, from_disk.collect()))
