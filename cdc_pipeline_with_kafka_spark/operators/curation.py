@@ -296,7 +296,12 @@ def admit_shard(
             alive.drop("_ch"), threshold=threshold, num_hashes=num_hashes,
             bands=bands, shingle_n=shingle_n, text_col=text_col, id_col=id_col,
         )
-    pairs = pairs.persist()
+    # eager localCheckpoint, not persist(): the pair graph is consumed
+    # three times below, and in the streaming sink the index paths this
+    # plan reads get appended right after — a persisted plan would be
+    # uncached by that append and silently recompute against the new
+    # index; checkpointing truncates the lineage instead
+    pairs = pairs.localCheckpoint(eager=True)
     shard_ids = alive.select(F.col(id_col).alias("_sid"))
     # a pair touching a NON-shard id is a corpus near-dup for its shard
     # member(s); ids are globally unique across shards by contract
