@@ -212,6 +212,48 @@ def curate_corpus(
     return out
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split:",
+) -> DataFrame:
+    """Assign train/val/test splits WITHOUT near-duplicate leakage:
+    the split is hashed from the document's dedup CLUSTER id, so a
+    near-dup pair can never straddle train and eval — the leakage mode
+    plain per-doc hash splitting silently allows (a test doc's
+    paraphrase in train inflates eval scores).
+
+    `pairs` is any near-dup pair set (MinHash/SimHash/Jaccard); docs in
+    no pair are singleton clusters and split by their own id.  Weights
+    are integer percentages summing to 100 (default 96/2/2).  The
+    assignment is the same md5-bucket filter as hash_sample —
+    deterministic on any cluster size, stable across reruns, and
+    appending new docs never moves an existing doc's split.
+
+    Returns docs + (cluster_id, split)."""
+    from . import dedup as dedup_ops
+
+    weights = weights or {"train": 96, "val": 2, "test": 2}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    if pairs is not None:
+        assigned = dedup_ops.dedup_survivors(docs, pairs, id_col=id_col).drop(
+            "is_canonical"
+        )
+    else:
+        assigned = docs.withColumn("cluster_id", F.col(id_col))
+    bucket = hash_bucket(F.col("cluster_id"), salt=salt)
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += pct
+    return assigned.withColumn("split", expr)
+
+
 def admit_shard(
     shard: DataFrame,
     *,

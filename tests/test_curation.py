@@ -3,6 +3,7 @@ connected-components clustering."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_pipeline_with_kafka_spark.operators import curation, dedup
@@ -240,3 +241,45 @@ def test_admit_shard_sequential_equals_batch(spark):
         ).collect()
     }
     assert sequential == batch
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup pairs never straddle splits; singletons split by own
+    id; weights respected on aggregate; assignment is stable."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 401)], "doc_id long, text string"
+    )
+    # chain pairs: (1,2), (3,4), ..., (39,40) → 20 two-doc clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40, 2)], "id_a long, id_b long"
+    )
+    out = curation.leakage_safe_split(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert len(split_of) == 400
+    for a in range(1, 40, 2):
+        assert split_of[a] == split_of[a + 1], f"pair ({a},{a+1}) straddles splits"
+        assert cluster_of[a] == cluster_of[a + 1] == a
+    from collections import Counter
+
+    counts = Counter(split_of.values())
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 300  # ~96% of 400
+    # stability: rerun → identical assignment
+    again = {
+        r["doc_id"]: r["split"]
+        for r in curation.leakage_safe_split(docs, pairs).collect()
+    }
+    assert again == split_of
+    # appending docs never moves existing assignments
+    more = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 801)], "doc_id long, text string"
+    )
+    grown = {
+        r["doc_id"]: r["split"]
+        for r in curation.leakage_safe_split(more, pairs).collect()
+    }
+    assert all(grown[d] == s for d, s in split_of.items())
+
+    with pytest.raises(ValueError):
+        curation.leakage_safe_split(docs, weights={"train": 90, "val": 5})

@@ -1,0 +1,71 @@
+"""Bigram-LM perplexity scoring: fluent text scores lower than
+shuffled/gibberish text, training is deterministic, the filter keeps
+the plausible docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark.operators import lm
+
+_SENTS = [
+    "the cat sat on the mat",
+    "the dog ran in the park",
+    "a cat and a dog played in the park",
+    "the bird sat in a tree near the park",
+    "a dog sat near the cat on the mat",
+] * 8
+
+
+def _train_df(spark):
+    return spark.createDataFrame(
+        list(enumerate(_SENTS)), "doc_id long, text string"
+    )
+
+
+def test_fluent_beats_gibberish(spark):
+    model = lm.train_bigram_lm(_train_df(spark))
+    fluent = model.perplexity("the cat sat in the park")
+    scrambled = model.perplexity("park the in sat cat the")
+    gibberish = model.perplexity("zxq qlm wvb trk pld nfg")
+    # the ordering that makes the filter useful — and specifically the
+    # gibberish ≫ scrambled half, which plain add-k gets BACKWARDS
+    # without the UNK open-vocab mass spreading (lm.BigramLM docstring)
+    assert fluent < scrambled < gibberish
+    assert model.perplexity("") == float("inf")
+
+
+def test_training_deterministic_and_capped(spark):
+    df = _train_df(spark)
+    m1, m2 = lm.train_bigram_lm(df), lm.train_bigram_lm(df)
+    assert m1.uni == m2.uni and m1.bi == m2.bi and m1.vocab == m2.vocab
+    small = lm.train_bigram_lm(df, max_vocab=3)
+    assert len(small.vocab) == 3  # top-3 by frequency, rest folded to UNK
+    with pytest.raises(ValueError):
+        lm.train_bigram_lm(df, max_train_rows=0)
+
+
+def test_doc_perplexity_udf_matches_model(spark):
+    df = _train_df(spark)
+    model = lm.train_bigram_lm(df)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "qq zz xx"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ppl"] for r in lm.doc_perplexity(docs, model).collect()}
+    assert got[1] == round(model.perplexity("the cat sat on the mat"), 6)
+    assert got[2] == round(model.perplexity("qq zz xx"), 6)
+    assert got[3] == float("inf")  # null text
+
+
+def test_perplexity_filter_keeps_plausible(spark):
+    df = _train_df(spark)
+    model = lm.train_bigram_lm(df)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zxq qlm wvb trk pld nfg")],
+        "doc_id long, text string",
+    )
+    cutoff = model.perplexity("the cat sat on the mat") + 1.0
+    kept = [r["doc_id"] for r in lm.perplexity_filter(docs, model, cutoff).collect()]
+    assert kept == [1]
