@@ -212,6 +212,40 @@ def curate_corpus(
     return out
 
 
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row dataset card: doc count, token totals, exact-duplicate
+    rate, quality and length summary — the numbers every corpus
+    release publishes.  ONE scan, one aggregate: every metric is a
+    column expression over the same projection (the dup rate rides the
+    same pass as distinct-count of the normalized content hash)."""
+    from . import dedup as dedup_ops
+    from . import textstats
+
+    base = docs.select(
+        F.col(id_col),
+        textstats.token_count(F.col(text_col)).alias("_tok"),
+        F.length(F.col(text_col)).alias("_chars"),
+        textstats.quality_score(F.col(text_col)).alias("_q"),
+        F.md5(dedup_ops.normalized_text(F.col(text_col))).alias("_ch"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("_tok"), F.lit(0)).cast("bigint").alias("total_tokens"),
+        F.round(F.avg("_tok"), 2).alias("avg_tokens"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("_ch") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.avg("_q"), 4).alias("avg_quality"),
+        F.round(F.percentile(F.col("_chars").cast("double"), F.lit(0.5)), 1).alias(
+            "median_chars"
+        ),
+    )
+
+
 def leakage_safe_split(
     docs: DataFrame,
     pairs: DataFrame | None = None,

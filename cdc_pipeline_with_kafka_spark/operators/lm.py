@@ -144,11 +144,39 @@ def perplexity_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Keep documents the LM finds plausible (ppl ≤ max_ppl).  CCNet
-    buckets head/middle/tail by perplexity tercile; a caller wanting
-    that computes terciles with `sketch.quantile_summary` over
-    `doc_perplexity` output and filters per bucket."""
+    """Keep documents the LM finds plausible (ppl ≤ max_ppl)."""
     keep = doc_perplexity(docs, model, text_col, id_col).filter(
         F.col("ppl") <= max_ppl
     ).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    approx: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail: (id, ppl, bucket) with bucket cut at the
+    corpus's perplexity terciles.  `approx=True` computes the two cut
+    points with the mergeable GK sketch (the 100 TB path — exact
+    percentile buffers every value per group); the cuts are two scalar
+    doubles broadcast into the bucket expression, so the whole pass is
+    score → tiny agg → map."""
+    scored = doc_perplexity(docs, model, text_col, id_col)
+    finite = scored.filter(F.col("ppl") != float("inf"))
+    probs = F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))
+    agg = (
+        F.approx_percentile(F.col("ppl"), probs, F.lit(10_000))
+        if approx
+        else F.percentile(F.col("ppl"), probs)
+    ).alias("qs")
+    qs = finite.agg(agg).collect()[0]["qs"]
+    lo, hi = (float(qs[0]), float(qs[1])) if qs else (float("inf"), float("inf"))
+    bucket = (
+        F.when(F.col("ppl") <= lo, F.lit("head"))
+        .when(F.col("ppl") <= hi, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("bucket", bucket)

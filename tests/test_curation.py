@@ -283,3 +283,23 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
 
     with pytest.raises(ValueError):
         curation.leakage_safe_split(docs, weights={"train": 90, "val": 5})
+
+
+def test_corpus_report_single_row(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox"),   # exact dup
+            (3, "completely different words here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = curation.corpus_report(docs).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_docs"] == 4
+    assert row["total_tokens"] == 4 + 4 + 4 + 0
+    assert row["exact_dup_rate"] == 0.25  # 3 distinct contents / 4 docs
+    assert 0.0 <= row["avg_quality"] <= 1.0
+    assert row["median_chars"] > 0

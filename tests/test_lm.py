@@ -69,3 +69,24 @@ def test_perplexity_filter_keeps_plausible(spark):
     cutoff = model.perplexity("the cat sat on the mat") + 1.0
     kept = [r["doc_id"] for r in lm.perplexity_filter(docs, model, cutoff).collect()]
     assert kept == [1]
+
+
+def test_perplexity_buckets_terciles(spark):
+    df = _train_df(spark)
+    model = lm.train_bigram_lm(df)
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_SENTS[:5])]
+        + [(100, "park the in sat cat the"), (101, "zxq qlm wvb trk pld nfg")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bucket"] for r in lm.perplexity_buckets(docs, model).collect()}
+    assert out[101] == "tail"        # gibberish lands in the worst tercile
+    assert out[0] in ("head", "middle")  # training sentence scores well
+    from collections import Counter
+
+    counts = Counter(out.values())
+    assert set(counts) <= {"head", "middle", "tail"} and len(counts) >= 2
+    # exact and approx cuts agree on this tiny corpus
+    exact = {r["doc_id"]: r["bucket"]
+             for r in lm.perplexity_buckets(docs, model, approx=False).collect()}
+    assert exact == out
