@@ -619,18 +619,11 @@ def train_pq_codebook(
     return books
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebooks: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode vectors to PQ codes: (id, codes array<int> of length m).
-
-    Vectorized per Arrow batch — one (batch × ksub) distance matrix per
-    subspace.  The codes table is the persisted index at 100 TB (m
-    bytes/vector); raw vectors are only re-read by the optional exact
-    refine stage."""
+def _pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoder shared by pq_encode and ivf_pq_index:
+    one (batch × ksub) distance matrix per subspace, argmin code.
+    ||s − c||² = ||s||² − 2s·c + ||c||²; the ||s||² term is constant
+    per row so the argmin drops it."""
     mm, ksub, dsub = codebooks.shape
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -639,7 +632,6 @@ def pq_encode(
         codes = np.zeros((len(x), mm), dtype=np.int64)
         for j in range(mm):
             sub = x[:, j * dsub : (j + 1) * dsub]
-            # ||s - c||² = ||s||² - 2s·c + ||c||²; argmin over c
             d2 = (
                 -2.0 * (sub @ codebooks[j].T)
                 + (codebooks[j] ** 2).sum(axis=1)[None, :]
@@ -647,6 +639,20 @@ def pq_encode(
             codes[:, j] = np.argmin(d2, axis=1)
         return pd.Series(list(codes))
 
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int> of length m).
+
+    The codes table is the persisted index at 100 TB (m bytes/vector);
+    raw vectors are only re-read by the optional exact refine stage."""
+    encode = _pq_encode_udf(codebooks)
     return spread(corpus, id_col).select(
         F.col(id_col), encode(F.col(vec_col)).alias("codes")
     )
@@ -754,21 +760,7 @@ def ivf_pq_index(
     directory pruning × 32× narrower rows."""
     cids, cm = centroids
     assign1 = _ivf_assign_udf(cids, cm, 1)
-    mm, ksub, dsub = codebooks.shape
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def encode(embs: pd.Series) -> pd.Series:
-        x = _normalize_rows(np.stack(embs.to_numpy()).astype(np.float64))
-        codes = np.zeros((len(x), mm), dtype=np.int64)
-        for j in range(mm):
-            sub = x[:, j * dsub : (j + 1) * dsub]
-            d2 = (
-                -2.0 * (sub @ codebooks[j].T)
-                + (codebooks[j] ** 2).sum(axis=1)[None, :]
-            )
-            codes[:, j] = np.argmin(d2, axis=1)
-        return pd.Series(list(codes))
-
+    encode = _pq_encode_udf(codebooks)
     return spread(corpus, id_col).select(
         F.col(id_col),
         assign1(F.col(vec_col))[0].alias("centroid_id"),
