@@ -583,6 +583,52 @@ def simhash_fingerprints(
     return hashed.select(F.col(id_col), simhash_from_hashes("_hashes").alias("fp"))
 
 
+def verify_pairs_edit_distance(
+    pairs: DataFrame,
+    docs: DataFrame,
+    max_rel_dist: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Exact verification pass for near-dup CANDIDATE pairs: join the
+    texts back and keep pairs whose normalized Levenshtein distance is
+    ≤ max_rel_dist of the longer text.  Sketches (MinHash/SimHash)
+    answer 'probably similar'; this answers 'actually similar' — the
+    standard candidate → verify split, run only on the sketch output.
+
+    Scale shape: the pair list is tiny relative to the corpus, so the
+    two text joins are semi-join-pruned lookups, and the JVM
+    `levenshtein(a, b, threshold)` form SHORT-CIRCUITS: it returns -1
+    as soon as the running distance exceeds the per-pair budget, so a
+    wildly-different pair costs O(budget·min_len), not O(n·m).
+    Output: (id_a, id_b, edit_dist, rel_dist) for surviving pairs."""
+    ta = docs.select(F.col(id_col).alias(id_a), F.col(text_col).alias("_ta"))
+    tb = docs.select(F.col(id_col).alias(id_b), F.col(text_col).alias("_tb"))
+    joined = pairs.select(id_a, id_b).join(ta, id_a).join(tb, id_b)
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"))
+    # per-row threshold needs the SQL form — the Python F.levenshtein
+    # wrapper only accepts a literal int budget
+    dist = F.expr(
+        "levenshtein(_ta, _tb, CAST(ceil(greatest(length(_ta), length(_tb))"
+        f" * {float(max_rel_dist)}) AS INT))"
+    )
+    return (
+        joined.select(
+            id_a, id_b,
+            dist.alias("edit_dist"),
+            F.when(max_len > 0, F.round(dist / max_len, 6))
+            .otherwise(F.lit(0.0)).alias("rel_dist"),
+            max_len.alias("_ml"),
+        )
+        .filter((F.col("edit_dist") >= 0) | (F.col("_ml") == 0))
+        .withColumn("edit_dist", F.greatest(F.col("edit_dist"), F.lit(0)))
+        .withColumn("rel_dist", F.greatest(F.col("rel_dist"), F.lit(0.0)))
+        .drop("_ml")
+    )
+
+
 # ---------------------------------------------------------------- clustering
 
 

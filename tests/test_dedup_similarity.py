@@ -405,3 +405,45 @@ def test_ivf_pq_index_and_query(spark):
 
     with pytest.raises(ValueError):
         similarity.ivf_pq_ann_topk(index, queries, cents, books, refine=2)
+
+
+def _py_lev(a: str, b: str) -> int:
+    import numpy as np
+
+    dp = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return int(dp[len(b)])
+
+
+def test_verify_pairs_edit_distance(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),   # 3 edits
+            (3, "a completely different sentence altogether"),
+            (4, ""),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["rel_dist"])
+        for r in dedup.verify_pairs_edit_distance(pairs, docs, max_rel_dist=0.2).collect()
+    }
+    # (1,2) survives: true distance matches the python model and is <=20%
+    d12 = _py_lev(
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+    )
+    assert got[(1, 2)][0] == d12 == 3
+    assert got[(1, 2)][1] == round(d12 / len("the quick brown fox jumps over the lazy dog"), 6)
+    # (1,3) is pruned by the short-circuit threshold
+    assert (1, 3) not in got
+    # two empty docs are identical (distance 0), kept
+    assert got[(4, 5)] == (0, 0.0)
