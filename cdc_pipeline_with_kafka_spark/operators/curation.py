@@ -212,6 +212,63 @@ def curate_corpus(
     return out
 
 
+def chunk_by_sentences(
+    docs: DataFrame,
+    budget_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aware chunking: split on sentence boundaries
+    ([.!?] + whitespace) and cut chunks at token-budget boundaries so
+    a SENTENCE is never split across chunks — the chunking mode for
+    embedding/RAG pipelines where mid-sentence cuts poison the chunk
+    semantics (chunk_documents is the fixed-token-window alternative).
+
+    A chunk may exceed the budget only when one sentence alone does
+    (it becomes its own chunk rather than being split).  Plan shape:
+    split → posexplode → per-doc running token sum (window) → chunk id
+    from the PRE-sentence cumsum → groupBy(doc, chunk) concat — the
+    window and the groupBy hash-partition on the same doc key, so one
+    exchange covers both.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens)."""
+    from ..util import spread
+
+    sentences = F.filter(
+        F.split(F.col(text_col), r"(?<=[.!?])\s+"), lambda s: F.trim(s) != ""
+    )
+    exploded = (
+        spread(docs, id_col)
+        .select(F.col(id_col), F.posexplode(sentences).alias("_si", "_sent"))
+        .withColumn(
+            "_stok",
+            F.size(F.filter(F.split(F.trim(F.col("_sent")), r"\s+"), lambda t: t != F.lit(""))),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_si")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_chunk = exploded.withColumn(
+        "chunk_idx",
+        F.floor((F.sum("_stok").over(w) - F.col("_stok")) / budget_tokens).cast("int"),
+    )
+    grouped = with_chunk.groupBy(id_col, "chunk_idx").agg(
+        F.concat_ws(" ", F.array_sort(
+            F.collect_list(F.struct("_si", "_sent"))
+        ).getField("_sent")).alias("chunk_text"),
+        F.sum("_stok").cast("int").alias("n_tokens"),
+    )
+    # a giant sentence advances the cumsum by several budgets, leaving
+    # gaps in the raw chunk ids — renumber densely per doc (same
+    # partition key as the groupBy: no extra exchange)
+    w2 = Window.partitionBy(id_col).orderBy("chunk_idx")
+    return grouped.withColumn(
+        "chunk_idx", (F.dense_rank().over(w2) - 1).cast("int")
+    )
+
+
 def corpus_report(
     docs: DataFrame,
     text_col: str = "text",

@@ -303,3 +303,30 @@ def test_corpus_report_single_row(spark):
     assert row["exact_dup_rate"] == 0.25  # 3 distinct contents / 4 docs
     assert 0.0 <= row["avg_quality"] <= 1.0
     assert row["median_chars"] > 0
+
+
+def test_chunk_by_sentences_never_splits_a_sentence(spark):
+    s1 = "one two three four."           # 4 tokens
+    s2 = "five six seven eight nine!"    # 5 tokens
+    s3 = "ten eleven?"                   # 2 tokens
+    s4 = " ".join(f"w{i}" for i in range(15)) + "."  # 15 tokens, > budget alone
+    docs = spark.createDataFrame(
+        [(1, f"{s1} {s2} {s3} {s4}"), (2, "short doc."), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = curation.chunk_by_sentences(docs, budget_tokens=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # budget 8: cum_before = 0,4,9,11 → chunks floor/8 = 0,0,1,1 →
+    # renumbered [0: s1+s2, 1: s3+s4]
+    assert [r["chunk_idx"] for r in c1] == [0, 1]
+    assert c1[0]["chunk_text"] == f"{s1} {s2}" and c1[0]["n_tokens"] == 9
+    assert c1[1]["chunk_text"] == f"{s3} {s4}" and c1[1]["n_tokens"] == 17
+    # every sentence appears intact in exactly one chunk
+    joined = " ".join(r["chunk_text"] for r in c1)
+    for s in (s1, s2, s3, s4):
+        assert s in joined
+    assert by_doc[2][0]["chunk_text"] == "short doc."
+    assert 3 not in by_doc  # empty doc → no chunks
