@@ -229,6 +229,36 @@ _HTML_ENTITIES = [
 ]
 
 
+def encoding_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_bad_ppm: int = 5_000,
+) -> DataFrame:
+    """Per-doc encoding-health signals for crawl cleaning: replacement
+    characters (U+FFFD — a decoder already gave up), C0 control chars
+    (binary junk in 'text'), and the classic UTF-8-read-as-Latin-1
+    mojibake digraphs (Ã©-style, â€™-style).  Integer ppm like
+    repetition_stats (exact, engine-portable), plus a keep flag at
+    `max_bad_ppm` total badness.  One codegen map stage."""
+    c = F.col(text_col)
+    n = F.length(c)
+    repl = F.length(c) - F.length(F.regexp_replace(c, "�", ""))
+    ctrl = F.length(c) - F.length(
+        F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    moji = F.size(
+        F.regexp_extract_all(c, F.lit("(Ã[©¨«¯±¼½¾€‚„†‰‘’“”]|â€[™œ˜\"]|Â[ °«»])"), 1)
+    )
+    def ppm(cnt):
+        return F.when(n > 0, (cnt * 1_000_000 / n).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return df.select(
+        F.col(id_col),
+        ppm(repl).alias("replacement_ppm"),
+        ppm(ctrl).alias("control_ppm"),
+        ppm(moji).alias("mojibake_ppm"),
+        (ppm(repl) + ppm(ctrl) + ppm(moji) <= max_bad_ppm).alias("keep"),
+    )
+
+
 def strip_html(col: Column) -> Column:
     """Visible text from raw HTML: drop script/style/comment blocks,
     strip tags, unescape the common entities, collapse whitespace —

@@ -128,3 +128,26 @@ def test_strip_html_visible_text(spark):
     # case-insensitive + multiline script/style removal really fired
     assert "color" not in got[1][0] and "var x" not in got[1][0]
     assert "hidden" not in got[1][0]
+
+
+def test_encoding_stats_flags_mojibake_and_junk(spark):
+    from cdc_pipeline_with_kafka_spark.operators import textstats
+
+    clean = "a perfectly normal sentence with words in it"
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "cafÃ© visit â€™tis broken"),  # Ã© + â€™ mojibake
+            (3, "bad � bytes � here"),                        # replacement chars
+            (4, "ctrl\x00chars\x01embedded"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in textstats.encoding_stats(docs).collect()}
+    assert got[1]["replacement_ppm"] == got[1]["control_ppm"] == got[1]["mojibake_ppm"] == 0
+    assert got[1]["keep"] is True
+    assert got[2]["mojibake_ppm"] > 0 and not got[2]["keep"]
+    assert got[3]["replacement_ppm"] > 0 and not got[3]["keep"]
+    assert got[4]["control_ppm"] > 0 and not got[4]["keep"]
+    assert got[5]["keep"] is True  # empty doc: nothing bad in it
