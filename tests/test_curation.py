@@ -330,3 +330,40 @@ def test_chunk_by_sentences_never_splits_a_sentence(spark):
         assert s in joined
     assert by_doc[2][0]["chunk_text"] == "short doc."
     assert 3 not in by_doc  # empty doc → no chunks
+
+
+def test_connected_components_star_equivalence(spark):
+    """Star contraction == min-label propagation on chains, islands,
+    and a batch of random graphs; long chains converge in O(log n)
+    rounds (well under a diameter-bound iteration count)."""
+    import random
+
+    cases = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(i, i + 1) for i in range(1, 30)],           # 30-node path
+        [(1, 2), (2, 1), (3, 3), (4, 5), (5, 6), (6, 4)],  # dups/self/cycle
+    ]
+    rng = random.Random(7)
+    for _ in range(4):
+        n = rng.randint(2, 40)
+        cases.append(
+            [(rng.randint(1, n), rng.randint(1, n)) for _ in range(rng.randint(1, 60))]
+        )
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long").filter(
+            F.col("id_a") != F.col("id_b")
+        )
+        if pairs.count() == 0:
+            continue
+        star = {r["id"]: r["cluster_id"]
+                for r in dedup.connected_components_star(pairs).collect()}
+        label = {r["id"]: r["cluster_id"]
+                 for r in dedup.connected_components(pairs, max_iter=60).collect()}
+        assert star == label, edges
+    # a 30-node path needs ~diameter rounds for label propagation but
+    # must finish in few star rounds — max_iter=8 ≫ log2(30)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components_star(chain, max_iter=8).collect()
+    assert {r["cluster_id"] for r in out} == {1} and len(out) == 30
