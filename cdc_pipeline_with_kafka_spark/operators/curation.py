@@ -286,17 +286,23 @@ def corpus_report(
         F.col(id_col),
         textstats.token_count(F.col(text_col)).alias("_tok"),
         F.length(F.col(text_col)).alias("_chars"),
-        textstats.quality_score(F.col(text_col)).alias("_q"),
+        # integer micro-units: summing per-doc double qualities is
+        # accumulation-order-dependent in the last ulp (the exact
+        # float32/float64 failure class the sim gates hit in r2);
+        # an integer sum is order-independent in every engine
+        F.round(textstats.quality_score(F.col(text_col)) * 1_000_000)
+        .cast("bigint").alias("_qmicro"),
         F.md5(dedup_ops.normalized_text(F.col(text_col))).alias("_ch"),
     )
+    n = F.count(F.lit(1))
     return base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        n.cast("bigint").alias("n_docs"),
         F.coalesce(F.sum("_tok"), F.lit(0)).cast("bigint").alias("total_tokens"),
-        F.round(F.avg("_tok"), 2).alias("avg_tokens"),
-        F.round(
-            F.lit(1.0) - F.countDistinct("_ch") / F.count(F.lit(1)), 6
-        ).alias("exact_dup_rate"),
-        F.round(F.avg("_q"), 4).alias("avg_quality"),
+        F.round(F.coalesce(F.sum("_tok"), F.lit(0)) / n, 2).alias("avg_tokens"),
+        F.round(F.lit(1.0) - F.countDistinct("_ch") / n, 6).alias("exact_dup_rate"),
+        F.round(F.coalesce(F.sum("_qmicro"), F.lit(0)) / n / 1_000_000, 4).alias(
+            "avg_quality"
+        ),
         F.round(F.percentile(F.col("_chars").cast("double"), F.lit(0.5)), 1).alias(
             "median_chars"
         ),

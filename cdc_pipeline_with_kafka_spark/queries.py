@@ -2071,9 +2071,26 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("quantile").alias("v_num"),
     )
+    # 'report': the one-row dataset card (curation.corpus_report)
+    # melted to long rows; averages computed from integer sums inside
+    # the operator, so the cross-engine values are order-independent
+    report = curation.corpus_report(docs).selectExpr(
+        "stack(6, 'n_docs', CAST(n_docs AS DOUBLE),"
+        " 'total_tokens', CAST(total_tokens AS DOUBLE),"
+        " 'avg_tokens', avg_tokens,"
+        " 'exact_dup_rate', exact_dup_rate,"
+        " 'avg_quality', avg_quality,"
+        " 'median_chars', median_chars) AS (stat, v)"
+    ).select(
+        F.lit("report").alias("suite_case"),
+        F.col("stat").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("v").alias("v_num"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
+        .unionByName(report)
     )
 
 
@@ -2151,6 +2168,49 @@ SELECT 'quant', lang || '|' || lbl, '', q FROM (
                  quantile_cont(n_chars, 0.75), quantile_cont(n_chars, 0.9)]) AS q
   FROM documents GROUP BY lang
 ) qq
+UNION ALL
+SELECT 'report', stat, '', v FROM (
+  WITH rm AS (
+    SELECT doc_id,
+           CASE WHEN len(tokens) = 0 THEN 0 ELSE len(tokens) END AS ntok,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch,
+           CASE WHEN len(ltokens) > 0
+                THEN CAST(len(list_filter(ltokens, t -> list_contains(['the','and','of','to','is','in','that','it','a','an','for','on','with','as','was','are'], t))) AS DOUBLE) / len(ltokens)
+                ELSE 0.0 END AS sw,
+           CASE WHEN len(tokens) > 0
+                THEN CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens)
+                ELSE 0.0 END AS mwl
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tokens,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS ltokens
+      FROM documents
+    ) rb
+  ),
+  rq AS (
+    SELECT doc_id, ntok, nchars, ch,
+           CAST(round(round(least(ntok / 100.0, 1.0) * 0.4
+                + least(sw / 0.2, 1.0) * 0.4
+                + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+               * 1000000) AS BIGINT) AS qmicro
+    FROM rm
+  ),
+  ragg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(ntok), 0) AS BIGINT) AS total_tokens,
+           round(coalesce(sum(ntok), 0) / count(*), 2) AS avg_tokens,
+           round(1.0 - CAST(count(DISTINCT ch) AS DOUBLE) / count(*), 6) AS exact_dup_rate,
+           round(coalesce(sum(qmicro), 0) / count(*) / 1000000, 4) AS avg_quality,
+           round(quantile_cont(nchars, 0.5), 1) AS median_chars
+    FROM rq
+  )
+  SELECT unnest(['n_docs', 'total_tokens', 'avg_tokens', 'exact_dup_rate',
+                 'avg_quality', 'median_chars']) AS stat,
+         unnest([CAST(n_docs AS DOUBLE), CAST(total_tokens AS DOUBLE), avg_tokens,
+                 exact_dup_rate, avg_quality, median_chars]) AS v
+  FROM ragg
+) rep
 """
 CURATION_SUITE_SQL = CURATION_SUITE_SQL.replace(
     "{TEXT_LENGTH_SQL_PLACEHOLDER}", TEXT_LENGTH_SQL
