@@ -105,7 +105,7 @@ def cosine_topk(
     scored = (
         spread(corpus, id_col)
         .select(F.col(id_col), scorer(F.col(vec_col)).alias("_scores"))
-        .select(F.col(id_col), F.posexplode("_scores").alias("_qidx", "cos_sim"))
+        .select(F.col(id_col), F.posexplode_outer("_scores").alias("_qidx", "cos_sim"))
         .select(
             qid_lookup[F.col("_qidx")].alias(query_id_col), F.col(id_col), F.col("cos_sim")
         )
@@ -185,12 +185,12 @@ def lsh_ann_topk(
     c = (
         spread(corpus, id_col)
         .select(F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("_sigs"))
-        .select(F.col(id_col), F.col(vec_col), F.posexplode("_sigs").alias("_table", "_bucket"))
+        .select(F.col(id_col), F.col(vec_col), F.posexplode_outer("_sigs").alias("_table", "_bucket"))
     )
     q = F.broadcast(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
         .select(F.col(query_id_col), F.col("_qvec"), sig(F.col("_qvec")).alias("_sigs"))
-        .select(F.col(query_id_col), F.col("_qvec"), F.posexplode("_sigs").alias("_table", "_bucket"))
+        .select(F.col(query_id_col), F.col("_qvec"), F.posexplode_outer("_sigs").alias("_table", "_bucket"))
     )
     candidates = (
         c.join(q, ["_table", "_bucket"])
@@ -331,12 +331,12 @@ def ivf_ann_topk(
     assign1 = _ivf_assign_udf(cids, cm, 1)
     probe = _ivf_assign_udf(cids, cm, nprobe)
     assigned = spread(corpus, id_col).select(
-        F.col(id_col), F.col(vec_col), assign1(F.col(vec_col))[0].alias("centroid_id")
+        F.col(id_col), F.col(vec_col), F.coalesce(assign1(F.col(vec_col))[0], F.lit(-1)).alias("centroid_id")
     )
     qprobe = F.broadcast(
         queries.select(
             F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-            F.explode(probe(F.col(vec_col))).alias("centroid_id"),
+            F.explode_outer(probe(F.col(vec_col))).alias("centroid_id"),
         )
     )
     candidates = assigned.join(qprobe, "centroid_id")
@@ -368,7 +368,7 @@ def ivf_assign(
     cids, cm = centroids
     assign1 = _ivf_assign_udf(cids, cm, 1)
     return spread(corpus, id_col).select(
-        F.col(id_col), F.col(vec_col), assign1(F.col(vec_col))[0].alias("centroid_id")
+        F.col(id_col), F.col(vec_col), F.coalesce(assign1(F.col(vec_col))[0], F.lit(-1)).alias("centroid_id")
     )
 
 
@@ -390,7 +390,7 @@ def ivf_ann_topk_preassigned(
     qprobe = F.broadcast(
         queries.select(
             F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-            F.explode(probe(F.col(vec_col))).alias("centroid_id"),
+            F.explode_outer(probe(F.col(vec_col))).alias("centroid_id"),
         )
     )
     candidates = assigned.join(qprobe, "centroid_id")
@@ -439,7 +439,10 @@ def embedding_neardup_pairs(
         planes = _hyperplanes(dim, n_planes, seed)
         sig = _signature_udf([planes])
         bucketed = df.select(
-            F.col(id_col), F.col(vec_col), sig(F.col(vec_col))[0].alias("_bucket")
+            F.col(id_col), F.col(vec_col),
+            # coalesce folds the join's isnotnull(_bucket) check so it is
+            # not pushed below the exchange as a second UDF evaluation
+            F.coalesce(sig(F.col(vec_col))[0], F.lit("")).alias("_bucket")
         )
         a = bucketed.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "_bucket"
@@ -543,7 +546,7 @@ def cosine_topk_suite(
     scored = (
         spread(corpus, id_col)
         .select(F.col(id_col), scores2(F.col(vec_col)).alias("_scores"))
-        .select(F.col(id_col), F.posexplode("_scores").alias("_i", "cos_sim"))
+        .select(F.col(id_col), F.posexplode_outer("_scores").alias("_i", "cos_sim"))
         .select(
             F.when(F.col("_i") < nq, F.lit("exact")).otherwise(F.lit("int8")).alias("variant"),
             qid_lookup[F.col("_i") % nq].alias(query_id_col),
@@ -707,7 +710,7 @@ def pq_ann_topk(
     qid_lookup = F.array(*[F.lit(q) for q in qids])
     scored = (
         encoded.select(F.col(id_col), adc_scores(F.col("codes")).alias("_s"))
-        .select(F.col(id_col), F.posexplode("_s").alias("_qidx", "score"))
+        .select(F.col(id_col), F.posexplode_outer("_s").alias("_qidx", "score"))
         .select(qid_lookup[F.col("_qidx")].alias(query_id_col), F.col(id_col), "score")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -763,7 +766,7 @@ def ivf_pq_index(
     encode = _pq_encode_udf(codebooks)
     return spread(corpus, id_col).select(
         F.col(id_col),
-        assign1(F.col(vec_col))[0].alias("centroid_id"),
+        F.coalesce(assign1(F.col(vec_col))[0], F.lit(-1)).alias("centroid_id"),
         encode(F.col(vec_col)).alias("codes"),
     )
 
@@ -811,7 +814,7 @@ def ivf_pq_ann_topk(
         queries.select(
             F.col(query_id_col),
             pos_expr[F.col(query_id_col)].alias("_qpos"),
-            F.explode(probe(F.col(vec_col))).alias("centroid_id"),
+            F.explode_outer(probe(F.col(vec_col))).alias("centroid_id"),
         )
     )
     cand = index.join(qprobe, "centroid_id")

@@ -59,3 +59,21 @@ def test_stream_parity_suite_is_shuffle_free(spark):
     streaming twin trivially correct per micro-batch."""
     df = q.stream_parity_suite(spark, SF_CORRECT)
     assert plans.exchange_count(df) == 0
+
+
+def test_cosine_suite_single_udf_evaluation(spark):
+    """The Arrow scorer must appear EXACTLY once in the plan: plain
+    posexplode adds an implicit size>0 filter that Catalyst pushes
+    below the spread Exchange, re-evaluating the expensive UDF on the
+    pre-shuffle side (measured: 2 ArrowEvalPython nodes before the
+    posexplode_outer fix). Same guard for the IVF assignment, where
+    the join's isnotnull(centroid_id) played the same trick until the
+    coalesce fold."""
+    import re
+
+    p = plans.formatted_plan(q.REGISTRY["sim_cosine_topk"][0](spark, SF_CORRECT))
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1
+
+    p = plans.formatted_plan(q.sim_ivf_ann_topk(spark, SF_CORRECT))
+    # corpus assignment + query probe — one each, nothing re-evaluated
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 2
