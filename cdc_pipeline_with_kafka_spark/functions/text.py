@@ -38,22 +38,27 @@ BREAKING_KEYWORDS = [
 
 URGENT_CATEGORIES = ["정치", "사회", "세계"]
 
-# Josa (Korean particle) suffix patterns, 4 groups (hybrid_keyword_extractor.py:56-69).
+# Josa (Korean particle) suffix patterns — the reference's 4 groups,
+# verbatim content and order (hybrid_keyword_extractor.py:56-69). The
+# chain is order-sensitive: e.g. 학교까지도 loses 도 (group 2) leaving
+# 학교까지, and 사람들밖에 loses 에 (group 1) leaving 사람들밖.
 _JOSA_PATTERNS = [
-    r"(은|는|이|가|을|를|의|에|로|으로)$",
-    r"(에서|에게|한테|부터|까지|마저|조차)$",
-    r"(와|과|하고|이랑|랑)$",
-    r"(도|만|까지도|마저도)$",
+    r"(을|를|이|가|은|는|에|에서|에게|한테|께|으로|로|와|과|랑|이랑)$",
+    r"(의|도|만|까지|부터|마저|조차|밖에|뿐|라도|라서)$",
+    r"(에서|에게|한테서|로부터|으로부터)$",
+    r"(다가|면서|지만|거나|든지)$",
 ]
 
 
 def strip_josa(col: Column) -> Column:
-    """F1: strip Korean postposition suffixes (applied once per group,
-    in order, mirroring the reference's sequential re.sub chain)."""
+    """F1: strip Korean postposition suffixes — one `regexp_replace`
+    per group, in the reference's order, then trim, mirroring its
+    sequential `re.sub` chain + ``.strip()`` exactly
+    (hybrid_keyword_extractor.py:56-69)."""
     out = col
     for pat in _JOSA_PATTERNS:
         out = F.regexp_replace(out, pat, "")
-    return out
+    return F.trim(out)
 
 
 def extract_korean_nouns(col: Column) -> Column:

@@ -1091,9 +1091,26 @@ def f9_log_view_weight(spark, sf_dir):
 
 F9_SQL = "SELECT event_id, round(log10(value + 1), 6) AS log_weight FROM events"
 
+# Every particle in the reference's four groups
+# (hybrid_keyword_extractor.py:59-64) suffixed onto a stem, plus the
+# order-sensitive compounds (까지도, 밖에, 한테서, …) and non-particle
+# controls — so the gate pins the whole chain, not a subset.
 _KOREAN_WORDS = [
     "대통령이", "경제를", "부동산에서", "금리와", "올림픽도", "반도체",
     "그리고", "12345", "발표하다", "인공지능", "태풍", "한테",
+    # group 1, one word per alternative, reference order
+    "학교을", "학교를", "학교이", "학교가", "학교은", "학교는", "학교에",
+    "학교에서", "학교에게", "학교한테", "학교께", "학교으로", "학교로",
+    "학교와", "학교과", "학교랑", "학교이랑",
+    # group 2
+    "학교의", "학교도", "학교만", "학교까지", "학교부터", "학교마저",
+    "학교조차", "학교밖에", "학교뿐", "학교라도", "학교라서",
+    # group 3 (에서/에게 already hit by group 1)
+    "학교한테서", "학교로부터", "학교으로부터",
+    # group 4
+    "학교다가", "학교면서", "학교지만", "학교거나", "학교든지",
+    # compounds where group order decides the result
+    "학교까지도", "사람들밖에", "학교마저도", "회사로부터도", "친구한테서는",
 ]
 _KW_VALUES = ", ".join(f"('{w}')" for w in _KOREAN_WORDS)
 
@@ -1107,13 +1124,13 @@ def f1_josa_strip(spark, sf_dir):
 
 F1_SQL = f"""
 SELECT word,
-  regexp_replace(
+  trim(regexp_replace(
     regexp_replace(
       regexp_replace(
-        regexp_replace(word, '(은|는|이|가|을|를|의|에|로|으로)$', ''),
-        '(에서|에게|한테|부터|까지|마저|조차)$', ''),
-      '(와|과|하고|이랑|랑)$', ''),
-    '(도|만|까지도|마저도)$', '') AS stripped
+        regexp_replace(word, '(을|를|이|가|은|는|에|에서|에게|한테|께|으로|로|와|과|랑|이랑)$', ''),
+        '(의|도|만|까지|부터|마저|조차|밖에|뿐|라도|라서)$', ''),
+      '(에서|에게|한테서|로부터|으로부터)$', ''),
+    '(다가|면서|지만|거나|든지)$', '')) AS stripped
 FROM (VALUES {_KW_VALUES}) AS t(word)
 """
 
@@ -1162,13 +1179,13 @@ n AS (
 raw AS (SELECT id, unnest(regexp_extract_all(norm, '[가-힣]{{2,8}}')) AS tok FROM n),
 stripped AS (
   SELECT id,
-    regexp_replace(
+    trim(regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(tok, '(은|는|이|가|을|를|의|에|로|으로)$', ''),
-          '(에서|에게|한테|부터|까지|마저|조차)$', ''),
-        '(와|과|하고|이랑|랑)$', ''),
-      '(도|만|까지도|마저도)$', '') AS noun
+          regexp_replace(tok, '(을|를|이|가|은|는|에|에서|에게|한테|께|으로|로|와|과|랑|이랑)$', ''),
+          '(의|도|만|까지|부터|마저|조차|밖에|뿐|라도|라서)$', ''),
+        '(에서|에게|한테서|로부터|으로부터)$', ''),
+      '(다가|면서|지만|거나|든지)$', '')) AS noun
   FROM raw
 )
 SELECT id, noun FROM stripped WHERE length(noun) >= 2

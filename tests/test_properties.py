@@ -17,23 +17,27 @@ from cdc_pipeline_with_kafka_spark.operators import textstats
 # are batched into a single DataFrame per property.
 
 _WORD = st.text(
-    alphabet=st.sampled_from("가나다라마바사아자차대통령경제금리은는이가을를의에서와과도만"),
+    alphabet=st.sampled_from(
+        "가나다라마바사아자차대통령경제금리은는이가을를의에서와과도만"
+        "밖뿐라서한테께부터마저조차다가면서지만거나든지로"
+    ),
     min_size=1,
     max_size=12,
 )
 
+# The reference's four groups, verbatim (hybrid_keyword_extractor.py:59-64).
 _JOSA_PATTERNS = [
-    r"(은|는|이|가|을|를|의|에|로|으로)$",
-    r"(에서|에게|한테|부터|까지|마저|조차)$",
-    r"(와|과|하고|이랑|랑)$",
-    r"(도|만|까지도|마저도)$",
+    r"(을|를|이|가|은|는|에|에서|에게|한테|께|으로|로|와|과|랑|이랑)$",
+    r"(의|도|만|까지|부터|마저|조차|밖에|뿐|라도|라서)$",
+    r"(에서|에게|한테서|로부터|으로부터)$",
+    r"(다가|면서|지만|거나|든지)$",
 ]
 
 
 def _py_strip_josa(word: str) -> str:
     for pat in _JOSA_PATTERNS:
         word = re.sub(pat, "", word)
-    return word
+    return word.strip()
 
 
 @settings(max_examples=20, deadline=None)

@@ -27,6 +27,41 @@ def test_strip_josa(spark):
     assert got == cases
 
 
+def test_strip_josa_reference_chain_parity(spark):
+    """F1 fixture parity: Spark `strip_josa` must equal the reference's
+    sequential `re.sub` chain + ``.strip()``
+    (hybrid_keyword_extractor.py:56-69) on a word list covering every
+    particle in all four groups plus order-sensitive compounds."""
+    import re
+
+    from cdc_pipeline_with_kafka_spark.queries import _KOREAN_WORDS
+
+    # Transcribed verbatim from the reference (content and order).
+    josa_patterns = [
+        r"(을|를|이|가|은|는|에|에서|에게|한테|께|으로|로|와|과|랑|이랑)$",
+        r"(의|도|만|까지|부터|마저|조차|밖에|뿐|라도|라서)$",
+        r"(에서|에게|한테서|로부터|으로부터)$",
+        r"(다가|면서|지만|거나|든지)$",
+    ]
+
+    def reference_remove_josa(text_in: str) -> str:
+        for pattern in josa_patterns:
+            text_in = re.sub(pattern, "", text_in)
+        return text_in.strip()
+
+    df = spark.createDataFrame([(w,) for w in _KOREAN_WORDS], "w string")
+    got = {
+        r["w"]: r["s"]
+        for r in df.select("w", text.strip_josa(F.col("w")).alias("s")).collect()
+    }
+    expected = {w: reference_remove_josa(w) for w in _KOREAN_WORDS}
+    assert got == expected
+    # spot-check the order-sensitive compounds the old inventory got wrong
+    assert expected["학교까지도"] == "학교까지"
+    assert expected["사람들밖에"] == "사람들밖"
+    assert expected["친구한테서는"] == "친구"
+
+
 def test_extract_korean_nouns_filters_length(spark):
     out = _one(
         spark,
