@@ -224,48 +224,64 @@ def chunk_by_sentences(
     embedding/RAG pipelines where mid-sentence cuts poison the chunk
     semantics (chunk_documents is the fixed-token-window alternative).
 
-    A chunk may exceed the budget only when one sentence alone does
-    (it becomes its own chunk rather than being split).  Plan shape:
-    split → posexplode → per-doc running token sum (window) → chunk id
-    from the PRE-sentence cumsum → groupBy(doc, chunk) concat — the
-    window and the groupBy hash-partition on the same doc key, so one
-    exchange covers both.
+    Greedy accumulation with a HARD budget: sentences are appended to
+    the current chunk while they fit; a sentence that would overflow
+    starts a new chunk (the token counter resets at every chunk
+    boundary).  A chunk exceeds the budget only when one sentence
+    alone does (it becomes its own chunk rather than being split).
+
+    Plan shape: the whole scan is ONE `F.aggregate` over the per-doc
+    sentence array — a JVM-side fold, zero shuffles (the earlier
+    window+groupBy formulation cost an exchange and could overrun the
+    budget because its global cumsum never reset at boundaries).
 
     Output: (id, chunk_idx, chunk_text, n_tokens)."""
-    from ..util import spread
-
     sentences = F.filter(
         F.split(F.col(text_col), r"(?<=[.!?])\s+"), lambda s: F.trim(s) != ""
     )
-    exploded = (
-        spread(docs, id_col)
-        .select(F.col(id_col), F.posexplode(sentences).alias("_si", "_sent"))
-        .withColumn(
-            "_stok",
-            F.size(F.filter(F.split(F.trim(F.col("_sent")), r"\s+"), lambda t: t != F.lit(""))),
+    toks = F.transform(
+        sentences,
+        lambda s: F.size(F.filter(F.split(F.trim(s), r"\s+"), lambda t: t != F.lit(""))),
+    )
+    zipped = F.zip_with(
+        sentences, toks, lambda s, t: F.struct(s.alias("sent"), t.alias("tok"))
+    )
+    zero = F.struct(
+        F.lit(0).alias("used"),
+        F.array().cast("array<struct<chunk_text:string,n_tokens:int>>").alias("chunks"),
+    )
+
+    def _merge(acc, x):
+        start_new = (F.size(acc["chunks"]) == 0) | (
+            (acc["used"] + x["tok"]) > F.lit(budget_tokens)
         )
-    )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("_si")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    with_chunk = exploded.withColumn(
-        "chunk_idx",
-        F.floor((F.sum("_stok").over(w) - F.col("_stok")) / budget_tokens).cast("int"),
-    )
-    grouped = with_chunk.groupBy(id_col, "chunk_idx").agg(
-        F.concat_ws(" ", F.array_sort(
-            F.collect_list(F.struct("_si", "_sent"))
-        ).getField("_sent")).alias("chunk_text"),
-        F.sum("_stok").cast("int").alias("n_tokens"),
-    )
-    # a giant sentence advances the cumsum by several budgets, leaving
-    # gaps in the raw chunk ids — renumber densely per doc (same
-    # partition key as the groupBy: no extra exchange)
-    w2 = Window.partitionBy(id_col).orderBy("chunk_idx")
-    return grouped.withColumn(
-        "chunk_idx", (F.dense_rank().over(w2) - 1).cast("int")
+        last = F.element_at(acc["chunks"], -1)
+        appended = F.concat(
+            acc["chunks"],
+            F.array(F.struct(x["sent"].alias("chunk_text"), x["tok"].alias("n_tokens"))),
+        )
+        extended = F.concat(
+            F.slice(acc["chunks"], 1, F.size(acc["chunks"]) - 1),
+            F.array(
+                F.struct(
+                    F.concat_ws(" ", last["chunk_text"], x["sent"]).alias("chunk_text"),
+                    (last["n_tokens"] + x["tok"]).cast("int").alias("n_tokens"),
+                )
+            ),
+        )
+        return F.struct(
+            F.when(start_new, x["tok"]).otherwise(acc["used"] + x["tok"]).alias("used"),
+            F.when(start_new, appended).otherwise(extended).alias("chunks"),
+        )
+
+    chunks = F.aggregate(zipped, zero, _merge, lambda acc: acc["chunks"])
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
     )
 
 

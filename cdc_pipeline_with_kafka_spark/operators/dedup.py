@@ -601,8 +601,12 @@ def verify_pairs_edit_distance(
     Scale shape: the pair list is tiny relative to the corpus, so the
     two text joins are semi-join-pruned lookups, and the JVM
     `levenshtein(a, b, threshold)` form SHORT-CIRCUITS: it returns -1
-    as soon as the running distance exceeds the per-pair budget, so a
-    wildly-different pair costs O(budget·min_len), not O(n·m).
+    as soon as the running distance exceeds the per-pair budget
+    (`ceil(max_len·max_rel_dist)` — the cheap upper bound), and a
+    final `rel_dist <= max_rel_dist` filter enforces the exact
+    contract the ceil budget alone would leak (e.g. max_len=7,
+    budget ceil(1.4)=2 admits rel_dist≈0.286).  The levenshtein
+    expression is computed ONCE per row in an inner projection.
     Output: (id_a, id_b, edit_dist, rel_dist) for surviving pairs."""
     ta = docs.select(F.col(id_col).alias(id_a), F.col(text_col).alias("_ta"))
     tb = docs.select(F.col(id_col).alias(id_b), F.col(text_col).alias("_tb"))
@@ -615,16 +619,15 @@ def verify_pairs_edit_distance(
         f" * {float(max_rel_dist)}) AS INT))"
     )
     return (
-        joined.select(
-            id_a, id_b,
-            dist.alias("edit_dist"),
-            F.when(max_len > 0, F.round(dist / max_len, 6))
-            .otherwise(F.lit(0.0)).alias("rel_dist"),
-            max_len.alias("_ml"),
-        )
+        joined.select(id_a, id_b, dist.alias("edit_dist"), max_len.alias("_ml"))
         .filter((F.col("edit_dist") >= 0) | (F.col("_ml") == 0))
         .withColumn("edit_dist", F.greatest(F.col("edit_dist"), F.lit(0)))
-        .withColumn("rel_dist", F.greatest(F.col("rel_dist"), F.lit(0.0)))
+        .withColumn(
+            "rel_dist",
+            F.when(F.col("_ml") > 0, F.round(F.col("edit_dist") / F.col("_ml"), 6))
+            .otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("rel_dist") <= F.lit(float(max_rel_dist)))
         .drop("_ml")
     )
 

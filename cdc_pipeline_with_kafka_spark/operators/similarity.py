@@ -66,6 +66,29 @@ def _collect_query_matrix(queries: DataFrame, query_id_col: str, vec_col: str):
     return qids, qm
 
 
+def _empty_topk_frame(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    variant: bool = False,
+) -> DataFrame:
+    """Zero-row result with the operator's output schema (column types
+    inherited from the inputs) — the empty-query short-circuit."""
+    base = (
+        queries.select(F.col(query_id_col)).limit(0)
+        .crossJoin(corpus.select(F.col(id_col)).limit(0))
+        .withColumn("cos_sim", F.lit(None).cast("double"))
+        .withColumn("rnk", F.lit(None).cast("int"))
+    )
+    if variant:
+        return base.select(
+            F.lit(None).cast("string").alias("variant"),
+            query_id_col, id_col, "cos_sim", "rnk",
+        )
+    return base.select(query_id_col, id_col, "cos_sim", "rnk")
+
+
 def _cosine_scores_udf(qm: np.ndarray):
     """Arrow-batched scorer: one (batch × dim) @ (dim × Q) matmul per
     Arrow batch.  qm (RAW float64, un-normalized) ships to executors
@@ -100,6 +123,10 @@ def cosine_topk(
     """Exact top-k by cosine for each query vector: one corpus scan,
     vectorized scoring, per-query top-k via window row_number."""
     qids, qm = _collect_query_matrix(queries, query_id_col, vec_col)
+    if not qids:
+        # empty query set: the outer explode would otherwise emit one
+        # (null, null) row per corpus row (and _qidx % 0 is null)
+        return _empty_topk_frame(corpus, queries, id_col, query_id_col)
     scorer = _cosine_scores_udf(qm)
     qid_lookup = F.array(*[F.lit(q) for q in qids])
     scored = (
@@ -524,6 +551,10 @@ def cosine_topk_suite(
     """
     qids, qm = _collect_query_matrix(queries, query_id_col, vec_col)
     nq = len(qids)
+    if nq == 0:
+        # `_i % nq` is a modulo-by-zero (null) and the outer explode
+        # emits (null, null) rows labeled 'int8' — short-circuit instead
+        return _empty_topk_frame(corpus, queries, id_col, query_id_col, variant=True)
     qmq = _quantize_rows_np(qm)
     qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
     qn[qn == 0] = 1.0

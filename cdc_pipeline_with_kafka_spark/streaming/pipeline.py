@@ -271,12 +271,26 @@ def make_admit_shard_sink(
 
     The streaming form of the daily-ingest loop with the micro-batch
     as the ingest grain: per batch the corpus-side cost is a scan of
-    the KB-per-doc sketch indexes, never the corpus text.  Index
-    append happens BEFORE the corpus append so a crash between the
-    two can only produce an over-complete index (a re-admitted batch
-    deduplicates against it — idempotent), never a corpus doc missing
-    from the index.  Exactly-once per path comes from the streaming
-    checkpoint as usual."""
+    the KB-per-doc sketch indexes, never the corpus text.
+
+    Crash safety: every output lands in a ``batch_id=N`` subdirectory
+    written with mode("overwrite"), so a checkpoint REPLAY of batch N
+    (after a crash partway through the four writes) overwrites its own
+    partial output instead of appending a second copy.  When loading
+    the indexes, rows from the CURRENT batch_id are excluded — a
+    replayed batch therefore admits against exactly the pre-batch
+    index state and cannot reject its own docs as duplicates of their
+    partially-written first attempt.  Replay is deterministic given
+    the same input batch, so the combination (exclude-own-batch read +
+    per-batch overwrite) gives effective exactly-once per path.
+
+    Index-load failures are NOT a cold start: only path-does-not-exist
+    means "first batch".  Any other read error (storage blip,
+    corrupt footer, permissions) raises and fails the batch so the
+    checkpoint retries it — silently admitting with corpus-level
+    dedup disabled would let duplicates into the corpus permanently."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from ..operators.curation import admit_shard
 
     def sink(batch_df, batch_id: int) -> None:
@@ -284,10 +298,19 @@ def make_admit_shard_sink(
 
         def _load(path):
             try:
-                df = spark.read.parquet(path)
-                return df if df.columns else None
-            except Exception:
-                return None  # first batch: no index yet
+                df = spark.read.option("basePath", path).parquet(path)
+            except AnalysisException as exc:
+                msg = str(exc)
+                if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                    return None  # first batch: no index yet
+                raise
+            if not df.columns:
+                return None
+            if "batch_id" in df.columns:
+                # exclude this batch's own partial writes from a
+                # crashed earlier attempt (replay idempotency)
+                df = df.filter(F.col("batch_id") != batch_id).drop("batch_id")
+            return df
 
         out = admit_shard(
             batch_df,
@@ -306,11 +329,16 @@ def make_admit_shard_sink(
         # (read-your-own-writes).  localCheckpoint truncates lineage —
         # the pinned outputs no longer reference the index paths at all.
         pinned = {k: df.localCheckpoint(eager=True) for k, df in out.items()}
-        pinned["sigs_delta"].write.mode("append").parquet(sigs_path)
-        pinned["hashes_delta"].write.mode("append").parquet(hashes_path)
-        pinned["admitted"].write.mode("append").parquet(corpus_path)
+
+        def _write(df, path):
+            # batch_id-scoped subdirectory + overwrite = idempotent replay
+            df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+        _write(pinned["sigs_delta"], sigs_path)
+        _write(pinned["hashes_delta"], hashes_path)
+        _write(pinned["admitted"], corpus_path)
         if rejected_path is not None:
-            pinned["rejected"].write.mode("append").parquet(rejected_path)
+            _write(pinned["rejected"], rejected_path)
 
     return sink
 

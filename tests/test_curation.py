@@ -319,11 +319,15 @@ def test_chunk_by_sentences_never_splits_a_sentence(spark):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
-    # budget 8: cum_before = 0,4,9,11 → chunks floor/8 = 0,0,1,1 →
-    # renumbered [0: s1+s2, 1: s3+s4]
-    assert [r["chunk_idx"] for r in c1] == [0, 1]
-    assert c1[0]["chunk_text"] == f"{s1} {s2}" and c1[0]["n_tokens"] == 9
-    assert c1[1]["chunk_text"] == f"{s3} {s4}" and c1[1]["n_tokens"] == 17
+    # greedy, budget 8: s1(4) fits; +s2(5) would be 9 → new chunk;
+    # s2(5)+s3(2)=7 fits; +s4(15) would overflow → s4 alone
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"] == s1 and c1[0]["n_tokens"] == 4
+    assert c1[1]["chunk_text"] == f"{s2} {s3}" and c1[1]["n_tokens"] == 7
+    assert c1[2]["chunk_text"] == s4 and c1[2]["n_tokens"] == 15
+    # hard budget: only a chunk holding a single giant sentence may overrun
+    for r in c1:
+        assert r["n_tokens"] <= 8 or r["chunk_text"] == s4
     # every sentence appears intact in exactly one chunk
     joined = " ".join(r["chunk_text"] for r in c1)
     for s in (s1, s2, s3, s4):

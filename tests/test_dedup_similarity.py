@@ -426,11 +426,13 @@ def test_verify_pairs_edit_distance(spark):
             (3, "a completely different sentence altogether"),
             (4, ""),
             (5, ""),
+            (6, "abcdefg"),   # len 7: ceil(7*0.2)=2 budget admits dist 2,
+            (7, "abcdeXY"),   # but rel_dist 2/7≈0.286 > 0.2 → must be pruned
         ],
         "doc_id long, text string",
     )
     pairs = spark.createDataFrame(
-        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+        [(1, 2), (1, 3), (4, 5), (6, 7)], "id_a long, id_b long"
     )
     got = {
         (r["id_a"], r["id_b"]): (r["edit_dist"], r["rel_dist"])
@@ -447,3 +449,23 @@ def test_verify_pairs_edit_distance(spark):
     assert (1, 3) not in got
     # two empty docs are identical (distance 0), kept
     assert got[(4, 5)] == (0, 0.0)
+    # the ceil-budget leak case: inside the short-circuit budget but
+    # over the exact rel_dist contract → pruned by the final filter
+    assert (6, 7) not in got
+
+
+def test_cosine_topk_empty_queries(spark):
+    """Empty query set → empty result with the output schema, not
+    (null, null) garbage rows from the outer explode / modulo-by-zero."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty_q = emb.select(F.col("vec_id").alias("query_id"), "embedding").limit(0)
+    out = similarity.cosine_topk(emb, empty_q, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cos_sim", "rnk"]
+    suite = similarity.cosine_topk_suite(emb, empty_q, k=5)
+    assert suite.count() == 0
+    assert suite.columns == ["variant", "query_id", "vec_id", "cos_sim", "rnk"]
+    lsh = similarity.lsh_ann_topk(
+        emb, empty_q, dim=len(emb.first()["embedding"]), k=5
+    )
+    assert lsh.count() == 0

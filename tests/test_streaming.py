@@ -312,3 +312,74 @@ def test_foreachbatch_admit_shard_stream(spark, tmp_path):
     # the indexes carry exactly the admitted docs
     assert {r["doc_id"] for r in spark.read.parquet(sigs).collect()} == admitted
     assert {r["doc_id"] for r in spark.read.parquet(hashes).collect()} == admitted
+
+
+def test_admit_shard_sink_replay_after_partial_write(spark, tmp_path):
+    """Crash-replay idempotency: if a batch crashes AFTER its sigs/
+    hashes index writes but BEFORE its corpus write, the checkpoint
+    replays it.  The replay must not reject the batch's own docs
+    against its partially-written first attempt, and must not leave
+    duplicate index rows."""
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    hashes = str(tmp_path / "hashes")
+    rejected = str(tmp_path / "rejected")
+    sink = pipeline.make_admit_shard_sink(corpus, sigs, hashes, rejected)
+
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs far away today")],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+
+    b1 = spark.createDataFrame(
+        [(2, "a storm is coming to the coast and people are moving inland with boats")],
+        "doc_id long, text string",
+    )
+    # first attempt of batch 1: index writes land, corpus write crashes
+    from cdc_pipeline_with_kafka_spark.operators import curation, dedup
+
+    sig_delta = dedup.minhash_signatures(b1, text_col="text", id_col="doc_id")
+    sig_delta.withColumnRenamed("id", "doc_id").write.mode("overwrite").parquet(
+        f"{sigs}/batch_id=1"
+    )
+    (
+        b1.select(
+            F.md5(dedup.normalized_text(F.col("text"))).alias("content_hash"),
+            "doc_id",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{hashes}/batch_id=1")
+    )
+    # checkpoint replays batch 1 in full
+    sink(b1, 1)
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert admitted == {1, 2}  # doc 2 NOT lost to self-rejection
+    assert spark.read.parquet(rejected).count() == 0
+    # no duplicate index rows from the two attempts
+    assert spark.read.parquet(sigs).filter(F.col("doc_id") == 2).count() == 1
+    assert spark.read.parquet(hashes).filter(F.col("doc_id") == 2).count() == 1
+
+
+def test_admit_shard_sink_load_failure_is_not_cold_start(spark, tmp_path):
+    """A corrupt/unreadable index must FAIL the batch (so the
+    checkpoint retries), not silently disable corpus-level dedup."""
+    import pytest
+
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    hashes = str(tmp_path / "hashes")
+    sink = pipeline.make_admit_shard_sink(corpus, sigs, hashes)
+
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs far away today")],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    # corrupt the sigs index: a non-parquet file where a footer should be
+    bad_dir = tmp_path / "sigs" / "batch_id=99"
+    bad_dir.mkdir(parents=True)
+    (bad_dir / "part-00000.parquet").write_text("not a parquet file")
+    with pytest.raises(Exception):
+        sink(b0.selectExpr("doc_id + 10 AS doc_id", "text"), 2)
