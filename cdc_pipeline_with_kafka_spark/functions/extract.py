@@ -29,17 +29,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from .text import KOREAN_STOPWORDS, extract_korean_nouns, is_valid_keyword, weighted_text
+from .text import (
+    _JOSA_PATTERNS,
+    KOREAN_STOPWORDS,
+    extract_korean_nouns,
+    is_valid_keyword,
+    weighted_text,
+)
 
 MAX_KEYWORDS = 6  # hybrid_keyword_extractor.py:243-260 cap
 
 _HANGUL_RE = re.compile(r"[가-힣]{2,8}")
-_JOSA_RES = [
-    re.compile(r"(은|는|이|가|을|를|의|에|로|으로)$"),
-    re.compile(r"(에서|에게|한테|부터|까지|마저|조차)$"),
-    re.compile(r"(와|과|하고|이랑|랑)$"),
-    re.compile(r"(도|만|까지도|마저도)$"),
-]
+# Same four reference groups as the column path (text._JOSA_PATTERNS,
+# hybrid_keyword_extractor.py:59-64) — imported, not re-transcribed, so
+# the Python mirror can't drift from the Spark expression again.
+_JOSA_RES = [re.compile(p) for p in _JOSA_PATTERNS]
 _VERB_RE = re.compile(r"(하다|되다|있다|없다)$")
 _STOPWORDS = set(KOREAN_STOPWORDS)
 

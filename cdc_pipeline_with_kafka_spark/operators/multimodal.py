@@ -68,8 +68,8 @@ def real_decode_unavailable(payload: bytes) -> list[float]:
     raise NotImplementedError(
         "no codec for this media type in this container; register a "
         "decoder with set_decoder(media_type, fn) — pure-Python WAV "
-        "(decode_wav_features) and PPM (decode_ppm_features) codecs "
-        "ship in-container; JPEG/MP3/MP4 need external libs"
+        "(decode_wav_features), PPM/PNG/JPEG (decode_image_features) "
+        "codecs ship in-container; MP3/MP4 need external libs"
     )
 
 
@@ -185,6 +185,205 @@ def decode_ppm_features(payload: bytes, dim: int = 8) -> list[float]:
         round(float(means[2]), 6),
         round(float(luma.mean()), 6), round(float(luma.std()), 6),
     ]
+
+
+def decode_png_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container image decoder: full PNG decode via stdlib zlib
+    + numpy scanline unfiltering (no PIL), emitting the same 8-dim
+    pixel-stat shape as :func:`decode_ppm_features`:
+
+      [width, height, bit_depth, mean_r, mean_g, mean_b,
+       luma_mean, luma_std]          (channel stats normalized 0-1)
+
+    Supports non-interlaced 8/16-bit gray (0), RGB (2), palette (3),
+    gray+alpha (4) and RGBA (6) — i.e. every standard color type; alpha
+    is ignored for stats and gray replicates into r=g=b.  All five
+    scanline filters (none/sub/up/average/paeth) are reconstructed per
+    the PNG spec.  Raises ValueError on malformed payloads so the
+    quarantine path handles corrupt media.  The reference's media table
+    stores news-image URLs (crawler-service init.sql:36-45); this is
+    the in-container decode kernel for the common web-image case.
+    Register with set_decoder('image', ...) or use the sniffing
+    :func:`decode_image_features`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if n_ch is None or w < 1 or h < 1:
+        raise ValueError(f"bad PNG header {w}x{h} color={color}")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG unsupported")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise ValueError(f"unsupported PNG bit depth {depth} for color {color}")
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    except zlib.error as exc:
+        raise ValueError("corrupt IDAT stream") from exc
+    bpp = n_ch * depth // 8  # filter unit: bytes per pixel
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    # Scanline reconstruction (PNG spec §9): prev = zero row above.
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, cur = line[0], line[1:].astype(np.intp)
+        if ftype == 2:  # up — vectorized, no in-row dependency
+            cur = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # sub/average/paeth depend on recon[x-bpp]
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:  # paeth predictor
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    if depth == 16:
+        px = out.reshape(h, w, n_ch, 2).astype(np.float64)
+        px = (px[..., 0] * 256 + px[..., 1]) / 65535.0
+    else:
+        px = out.reshape(h, w, n_ch).astype(np.float64) / 255.0
+    if color == 3:  # palette index → PLTE RGB triples
+        if plte is None or len(plte) < 3:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3).astype(np.float64) / 255.0
+        idx = np.clip((px[:, :, 0] * 255).astype(np.intp), 0, len(pal) - 1)
+        rgb = pal[idx]
+    elif color in (0, 4):  # gray (+alpha) → replicate
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # RGB / RGBA — drop alpha
+        rgb = px[:, :, :3]
+    means = rgb.mean(axis=(0, 1))
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    return [
+        float(w), float(h), float(depth),
+        round(float(means[0]), 6), round(float(means[1]), 6),
+        round(float(means[2]), 6),
+        round(float(luma.mean()), 6), round(float(luma.std()), 6),
+    ]
+
+
+def decode_jpeg_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container JPEG header+stats decoder (no external codec):
+    walks the marker stream for frame geometry and profiles the
+    entropy-coded scan bytes, emitting a fixed 8-dim vector:
+
+      [width, height, precision_bits, n_components, n_quant_tables,
+       progressive_flag, scan_byte_mean, scan_byte_entropy]
+
+    Full baseline-JPEG pixel decode (Huffman + dequant + IDCT) is out
+    of scope for a pure-Python kernel — the geometry + component layout
+    + compressed-stream statistics are the features a curation pipeline
+    filters on (resolution gates, grayscale detection via n_components,
+    corruption via truncated scans).  scan_byte_mean is normalized to
+    0-1; scan_byte_entropy is Shannon bits/byte normalized by 8.
+    Raises ValueError on malformed payloads."""
+    import struct
+
+    import numpy as np
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    w = h = precision = n_comp = None
+    n_dqt, progressive = 0, 0
+    pos, scan_start = 2, None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before any SOS
+            break
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 baseline/ext/SOF2 progressive
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
+            precision, h, w, n_comp = struct.unpack(">BHHB", body[:6])
+            progressive = 1 if marker == 0xC2 else 0
+        elif marker == 0xDB:  # DQT — may pack several tables per segment
+            t = 0
+            while t < len(body):
+                n_dqt += 1
+                t += 1 + (64 if body[t] >> 4 == 0 else 128)
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            scan_start = pos + 2 + size
+            break
+        pos += 2 + size
+    if w is None or h is None or w < 1 or h < 1:
+        raise ValueError("no SOF frame header found")
+    if scan_start is None:
+        raise ValueError("no SOS scan found")
+    # Entropy data runs to EOI; 0xFF00 stuffing and RSTn stay in-stream.
+    scan = np.frombuffer(payload, dtype=np.uint8, offset=scan_start)
+    end = len(scan)
+    ff = np.flatnonzero(scan[:-1] == 0xFF)
+    for i in ff:
+        nxt = scan[i + 1]
+        if nxt == 0xD9:
+            end = i
+            break
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+            end = i  # next real marker (truncated/multi-scan) ends stats
+            break
+    scan = scan[:end]
+    if len(scan) == 0:
+        mean = ent = 0.0
+    else:
+        mean = float(scan.mean()) / 255.0
+        counts = np.bincount(scan, minlength=256).astype(np.float64)
+        p = counts[counts > 0] / len(scan)
+        ent = float(-(p * np.log2(p)).sum()) / 8.0
+    return [
+        float(w), float(h), float(precision), float(n_comp),
+        float(n_dqt), float(progressive), round(mean, 6), round(ent, 6),
+    ]
+
+
+def decode_image_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Magic-byte dispatching image decoder for the ``image`` registry
+    slot: PPM (P6), PNG and JPEG payloads all route to their real
+    in-container kernels from one registered decoder — the shape a
+    mixed web-crawl media column actually has."""
+    if payload[:2] == b"P6":
+        return decode_ppm_features(payload, dim)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_features(payload, dim)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg_features(payload, dim)
+    raise ValueError("unrecognized image container (not PPM/PNG/JPEG)")
 
 
 def extract_features(assets: DataFrame, batch_hint: int = 256) -> DataFrame:

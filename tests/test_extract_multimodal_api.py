@@ -232,6 +232,169 @@ def test_decode_ppm_real_bytes(spark):
         multimodal.decode_ppm_features(b"P6\n1 1\n")  # truncated header
 
 
+def _make_png(w=2, h=2, color=2, depth=8, pixels=None, filters=None, palette=None):
+    """Hand-build a PNG: IHDR + (PLTE) + IDAT(zlib of filtered scanlines)
+    + IEND.  `pixels` is the raw per-row sample bytes (post-recon);
+    `filters` picks the filter byte per row (default all 0 = None)."""
+    import struct
+    import zlib
+
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = n_ch * depth // 8
+    stride = w * bpp
+    if pixels is None:
+        pixels = bytes(range(h * stride))
+    filters = filters or [0] * h
+    raw = b""
+    prev = bytes(stride)
+    for y in range(h):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = filters[y]
+        if f == 0:
+            enc = row
+        elif f == 1:  # sub
+            enc = bytes((row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                        for x in range(stride))
+        elif f == 2:  # up
+            enc = bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        elif f == 3:  # average
+            enc = bytes((row[x] - ((row[x - bpp] if x >= bpp else 0) + prev[x]) // 2)
+                        & 0xFF for x in range(stride))
+        else:  # paeth
+            def pred(x):
+                a = row[x - bpp] if x >= bpp else 0
+                b, c = prev[x], (prev[x - bpp] if x >= bpp else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc = bytes((row[x] - pred(x)) & 0xFF for x in range(stride))
+        raw += bytes([f]) + enc
+        prev = row
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def _make_jpeg(w=4, h=3, n_comp=3, progressive=False, scan=b"\x12\x34\x56\x78"):
+    import struct
+
+    sof = 0xC2 if progressive else 0xC0
+    dqt_body = b"\x00" + bytes(64)  # one 8-bit table, id 0
+    sof_body = struct.pack(">BHHB", 8, h, w, n_comp) + bytes(3 * n_comp)
+    sos_body = bytes([n_comp]) + bytes(2 * n_comp) + b"\x00\x3f\x00"
+    return (b"\xff\xd8"
+            + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt_body)) + dqt_body
+            + bytes([0xFF, sof]) + struct.pack(">H", 2 + len(sof_body)) + sof_body
+            + b"\xff\xda" + struct.pack(">H", 2 + len(sos_body)) + sos_body
+            + scan + b"\xff\xd9")
+
+
+def test_decode_png_real_bytes(spark):
+    import pytest
+
+    # 1x1 pure red RGB, filter None
+    feat = multimodal.decode_png_features(_make_png(w=1, h=1, pixels=bytes([255, 0, 0])))
+    w, h, depth, mr, mg, mb, lmean, lstd = feat
+    assert (w, h, depth) == (1.0, 1.0, 8.0)
+    assert (mr, mg, mb) == (1.0, 0.0, 0.0)
+    assert abs(lmean - 0.299) < 1e-6 and lstd == 0.0
+
+    # every filter type reconstructs to the same pixels as filter-None
+    px = bytes([10, 200, 30, 40, 5, 250] * 2)  # 2x2 RGB
+    want = multimodal.decode_png_features(_make_png(pixels=px, filters=[0, 0]))
+    for f in (1, 2, 3, 4):
+        got = multimodal.decode_png_features(_make_png(pixels=px, filters=[f, f]))
+        assert got == want, f"filter {f} mismatch"
+
+    # grayscale replicates into RGB means
+    g = multimodal.decode_png_features(_make_png(w=2, h=1, color=0, pixels=bytes([0, 255])))
+    assert g[3] == g[4] == g[5] == 0.5 and g[6] == 0.5
+
+    # palette PNG routes indices through PLTE
+    p = multimodal.decode_png_features(
+        _make_png(w=2, h=1, color=3, pixels=bytes([0, 1]),
+                  palette=bytes([255, 0, 0, 0, 0, 255]))
+    )
+    assert (p[3], p[4], p[5]) == (0.5, 0.0, 0.5)  # half red, half blue
+
+    # RGBA alpha dropped; 16-bit depth path
+    a = multimodal.decode_png_features(
+        _make_png(w=1, h=1, color=6, pixels=bytes([255, 0, 0, 7]))
+    )
+    assert (a[3], a[4], a[5]) == (1.0, 0.0, 0.0)
+    d16 = multimodal.decode_png_features(
+        _make_png(w=1, h=1, color=0, depth=16, pixels=b"\xff\xff")
+    )
+    assert d16[2] == 16.0 and d16[3] == 1.0
+
+    with pytest.raises(ValueError):
+        multimodal.decode_png_features(b"\x89PNG\r\n\x1a\njunk")
+    with pytest.raises(ValueError):
+        multimodal.decode_png_features(b"not a png")
+
+
+def test_decode_jpeg_real_bytes(spark):
+    import math
+
+    import pytest
+
+    feat = multimodal.decode_jpeg_features(_make_jpeg())
+    w, h, prec, n_comp, n_dqt, prog, smean, sent = feat
+    assert (w, h, prec, n_comp, n_dqt, prog) == (4.0, 3.0, 8.0, 3.0, 1.0, 0.0)
+    scan = [0x12, 0x34, 0x56, 0x78]
+    assert abs(smean - sum(scan) / 4 / 255.0) < 1e-6
+    assert abs(sent - math.log2(4) / 8.0) < 1e-6  # 4 distinct bytes
+
+    prog_feat = multimodal.decode_jpeg_features(_make_jpeg(progressive=True, n_comp=1))
+    assert prog_feat[3] == 1.0 and prog_feat[5] == 1.0
+
+    # 0xFF00 stuffing stays in-stream; EOI terminates the stats window
+    stuffed = multimodal.decode_jpeg_features(_make_jpeg(scan=b"\xff\x00\x01"))
+    assert stuffed[6] > 0
+
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_features(b"\xff\xd8\xff\xc0\x00\x02")  # truncated SOF
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_features(b"GIF89a")
+
+
+def test_decode_image_dispatch(spark):
+    import pytest
+
+    assert multimodal.decode_image_features(_make_ppm()) == \
+        multimodal.decode_ppm_features(_make_ppm())
+    assert multimodal.decode_image_features(_make_png()) == \
+        multimodal.decode_png_features(_make_png())
+    assert multimodal.decode_image_features(_make_jpeg()) == \
+        multimodal.decode_jpeg_features(_make_jpeg())
+    with pytest.raises(ValueError):
+        multimodal.decode_image_features(b"GIF89a...")
+
+    # the dispatcher runs through the mapInPandas pipeline: one
+    # registered 'image' decoder handles a mixed PPM/PNG/JPEG column
+    rows = [
+        (1, 10, "image", bytearray(_make_ppm()), "image/x-portable-pixmap", 2, 2, None),
+        (2, 10, "image", bytearray(_make_png()), "image/png", 2, 2, None),
+        (3, 11, "image", bytearray(_make_jpeg()), "image/jpeg", 4, 3, None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.MEDIA_ASSET_SCHEMA)
+    multimodal.set_decoder("image", multimodal.decode_image_features)
+    try:
+        by_id = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    finally:
+        multimodal._DECODERS.pop("image", None)
+    assert by_id[1]["feature"] == multimodal.decode_ppm_features(_make_ppm())
+    assert by_id[2]["feature"] == multimodal.decode_png_features(_make_png())
+    assert by_id[3]["feature"] == multimodal.decode_jpeg_features(_make_jpeg())
+
+
 def test_real_decoders_through_spark_pipeline(spark):
     """The registered WAV/PPM codecs run through the same mapInPandas
     plumbing as the fake decoder — the feature column carries real
