@@ -65,20 +65,40 @@ def pack_sequential(
     budget: int,
     order_col: str,
     stratum_col: str | None = None,
+    shards: int = 32,
 ) -> DataFrame:
     """Concat-then-chunk packing: documents ordered by `order_col`
-    (per stratum when given) are concatenated and cut into
-    `budget`-token blocks.
+    (per stratum/shard) are concatenated and cut into `budget`-token
+    blocks.
 
     Adds: `start_block` (block containing the doc's first token),
     `end_block` (block of its last token), `block_offset` (token offset
     inside start_block).  end_block > start_block ⇔ the doc spans a
     block boundary.
 
-    A single-window global sort is fine per stratum (strata bound the
-    sort); for an unstratified 100 TB corpus, shard first (e.g. by
-    hash_bucket) so each shard packs independently."""
-    parts = [stratum_col] if stratum_col else []
+    Block numbering is PER PARTITION GROUP.  With `stratum_col`, the
+    group is the stratum (strata bound the sort, so a per-stratum
+    window is safe).  Without one, the rows are hash-sharded into
+    `shards` buckets on `order_col` and packed independently per shard
+    — an extra `pack_shard` output column makes (pack_shard, block) the
+    global block key.  This keeps the default path off a
+    single-partition global sort, which would serialize a 100 TB corpus
+    through one task; pass shards=1 to force the old global numbering
+    when the input is known small."""
+    cols = list(df.columns)
+    if stratum_col:
+        parts: list = [stratum_col]
+    else:
+        if shards < 1:
+            raise ValueError(f"shards must be >= 1, got {shards}")
+        shard_expr = (
+            F.lit(0)  # constant shard ⇒ plain global window, no fake hash
+            if shards == 1
+            else F.pmod(F.xxhash64(F.col(order_col)), F.lit(shards))
+        )
+        df = df.withColumn("pack_shard", shard_expr.cast("int"))
+        cols = cols + ["pack_shard"]
+        parts = [] if shards == 1 else ["pack_shard"]
     w = (
         Window.partitionBy(*parts)
         .orderBy(F.col(order_col).asc())
@@ -87,7 +107,7 @@ def pack_sequential(
     cum = F.sum(F.col(token_col)).over(w)
     pre = (cum - F.col(token_col)).cast("bigint")
     return df.select(
-        *df.columns,
+        *cols,
         F.floor(pre / budget).cast("bigint").alias("start_block"),
         F.floor((cum - 1) / budget).cast("bigint").alias("end_block"),
         (pre % budget).alias("block_offset"),

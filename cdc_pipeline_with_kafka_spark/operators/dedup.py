@@ -660,6 +660,22 @@ def connected_components(
     pattern.  Each round is one shuffle of the EDGE list (grouped
     min-agg), never a cross join.
     """
+    labels, converged = _propagate_min_labels(*_init_label_graph(pairs, id_a, id_b),
+                                              rounds=max_iter)
+    if not converged:
+        # never return silently-wrong clusters: a component wider than
+        # max_iter hops would leave labels mid-propagation
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the pair graph has a longer path than expected — raise "
+            "max_iter (rounds needed = component diameter), or use "
+            "algorithm='auto' / connected_components_auto"
+        )
+    return labels
+
+
+def _init_label_graph(pairs: DataFrame, id_a: str, id_b: str):
+    """Bidirectional edge list + identity labels, both checkpointed."""
     edges = (
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
         .union(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
@@ -672,8 +688,13 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    return edges, labels
+
+
+def _propagate_min_labels(edges: DataFrame, labels: DataFrame, rounds: int):
+    """Run up to `rounds` min-label rounds; returns (labels, converged)."""
     converged = False
-    for _ in range(max_iter):
+    for _ in range(rounds):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -700,15 +721,53 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    if not converged:
-        # never return silently-wrong clusters: a component wider than
-        # max_iter hops would leave labels mid-propagation
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the pair graph has a longer path than expected — raise "
-            "max_iter (rounds needed = component diameter)"
-        )
-    return labels
+    return labels, converged
+
+
+def connected_components_auto(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    label_rounds: int = 4,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Adaptive connected components: start with min-label propagation
+    (cheapest per round, converges in diameter rounds — optimal for the
+    small dense clusters near-dup graphs normally form), and if it has
+    not converged after `label_rounds` rounds, CONTRACT every node to
+    its current label and finish the contracted graph with large-star /
+    small-star (O(log n) rounds on any shape).
+
+    A user running dedup blind doesn't know whether their pair graph
+    hides a 10,000-hop chain of chained near-dups; auto makes that case
+    terminate in logarithmic rounds without giving up label
+    propagation's early exit on the common case.  The label rounds are
+    not wasted: contraction shrinks every already-collapsed cluster to
+    a single node before star starts.
+
+    Correctness of the handoff: each node's interim label is the min id
+    of SOME reachable subset containing itself, so the set of interim
+    labels within a component always contains the component minimum,
+    and contracting edges through labels preserves connectivity; star's
+    min over contracted nodes is therefore the true component min."""
+    edges, labels = _init_label_graph(pairs, id_a, id_b)
+    labels, converged = _propagate_min_labels(edges, labels, label_rounds)
+    if converged:
+        return labels
+    lu = labels.select(F.col("id").alias("src"), F.col("cluster_id").alias("_lu"))
+    lv = labels.select(F.col("id").alias("dst"), F.col("cluster_id").alias("_lv"))
+    contracted = (
+        edges.join(lu, "src")
+        .join(lv, "dst")
+        .filter(F.col("_lu") != F.col("_lv"))
+        .select(F.col("_lu").alias("id_a"), F.col("_lv").alias("id_b"))
+    )
+    star = connected_components_star(contracted, max_iter=max_iter).select(
+        F.col("id").alias("cluster_id"), F.col("cluster_id").alias("_final")
+    )
+    return labels.join(star, "cluster_id", "left").select(
+        "id", F.coalesce("_final", "cluster_id").alias("cluster_id")
+    )
 
 
 def connected_components_star(
@@ -811,13 +870,21 @@ def dedup_survivors(
     algorithm='label' (default) = min-label propagation — rounds =
     component diameter, ideal for the small dense clusters near-dup
     graphs actually form; 'star' = large-star/small-star contraction —
-    O(log n) rounds on ANY shape, the choice when chained near-dups
-    can form long paths (equivalence fuzz-tested).
+    O(log n) rounds on ANY shape; 'auto' = label propagation first,
+    contracting to star iff it hasn't converged after a few rounds —
+    the blind-default choice when the graph shape is unknown
+    (long-chain convergence asserted in tests).
 
     Scale shape: components run over the PAIR graph only (tiny relative
     to the corpus); the final assignment is one left join back to the
     corpus on the doc id."""
-    comp_fn = connected_components if algorithm == "label" else connected_components_star
+    comp_fn = {
+        "label": connected_components,
+        "star": connected_components_star,
+        "auto": connected_components_auto,
+    }.get(algorithm)
+    if comp_fn is None:
+        raise ValueError(f"unknown algorithm {algorithm!r}; use label|star|auto")
     comp = comp_fn(pairs, id_a, id_b)
     return docs.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"

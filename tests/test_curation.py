@@ -69,7 +69,9 @@ def test_pack_sequential_blocks(spark):
     )
     out = {
         r["doc_id"]: (r["start_block"], r["end_block"], r["block_offset"])
-        for r in curation.pack_sequential(df, "n_tokens", 250, "doc_id").collect()
+        for r in curation.pack_sequential(
+            df, "n_tokens", 250, "doc_id", shards=1
+        ).collect()
     }
     # cum: 100,200,300,350,650 → budget 250
     assert out[1] == (0, 0, 0)
@@ -79,6 +81,67 @@ def test_pack_sequential_blocks(spark):
     assert out[5] == (1, 2, 100)
     # invariant: blocks are contiguous and offsets stay inside budget
     assert all(0 <= off < 250 for _, _, off in out.values())
+
+
+def test_pack_sequential_unstratified_default_avoids_global_sort(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    # default (auto hash-shard): no single-partition window exchange
+    from cdc_pipeline_with_kafka_spark import plans
+
+    auto = curation.pack_sequential(df, "n_tokens", 100, "doc_id")
+    assert "SinglePartition" not in plans.formatted_plan(auto)
+    # shards=1 is the explicit opt-in to the old global numbering
+    glob = curation.pack_sequential(df, "n_tokens", 100, "doc_id", shards=1)
+    assert "SinglePartition" in plans.formatted_plan(glob)
+
+    rows = auto.collect()
+    assert all(0 <= r["block_offset"] < 100 for r in rows)
+    # per-shard packing ≡ independently packing each shard's rows
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["pack_shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            assert r["start_block"] == cum // 100
+            assert r["block_offset"] == cum % 100
+            cum += r["n_tokens"]
+            assert r["end_block"] == (cum - 1) // 100
+
+
+def test_connected_components_auto_long_chain(spark):
+    # 31-node path: diameter far beyond the label budget — auto must
+    # hand off to star contraction and still produce min-id clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    # the same budget given to plain label propagation is NOT enough
+    with pytest.raises(RuntimeError):
+        dedup.connected_components(pairs, max_iter=4)
+    comp = dedup.connected_components_auto(pairs, label_rounds=4).collect()
+    assert len(comp) == 31
+    assert {r["cluster_id"] for r in comp} == {0}
+    # survivors API: algorithm='auto' end to end
+    docs = spark.createDataFrame([(i,) for i in range(31)], "doc_id long")
+    surv = dedup.dedup_survivors(docs, pairs, algorithm="auto").collect()
+    assert sum(1 for r in surv if r["is_canonical"]) == 1
+    assert all(r["cluster_id"] == 0 for r in surv)
+
+
+def test_connected_components_auto_early_exit_matches_label(spark):
+    # dense small clusters: converges within the label budget, so auto
+    # returns the pure label-propagation result (no star pass)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "id_a long, id_b long"
+    )
+    auto = {r["id"]: r["cluster_id"]
+            for r in dedup.connected_components_auto(pairs).collect()}
+    label = {r["id"]: r["cluster_id"]
+             for r in dedup.connected_components(pairs).collect()}
+    assert auto == label == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
 def test_tfidf_rare_term_outranks_common(spark):
