@@ -150,8 +150,28 @@ def mmr_select(
     return selected
 
 
+def word_candidates(text: str, cap: int = 64) -> list[str]:
+    """Language-agnostic candidate generator for the hashing loader:
+    distinct lowercase word tokens (≥2 chars) in first-appearance
+    order.  The default `_extract_py` candidates are Hangul-only
+    (mirroring the reference's Korean news domain); this is the drop-in
+    for multilingual corpora."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for w in re.findall(r"\w{2,}", (text or "").lower()):
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+        if len(out) >= cap:
+            break
+    return out
+
+
 def make_hashing_model_loader(
-    dim: int = 256, cap: int = MAX_KEYWORDS, mmr_diversity: float | None = 0.3
+    dim: int = 256,
+    cap: int = MAX_KEYWORDS,
+    mmr_diversity: float | None = 0.3,
+    candidates: Callable[[str], list[str]] | None = None,
 ):
     """Worked example of the U1 `model_loader` contract: a KeyBERT-style
     embedding scorer built from in-container parts (numpy + a hashing
@@ -175,11 +195,17 @@ def make_hashing_model_loader(
     diverge, proving a real model changes results through this seam,
     and that MMR diverges from pure relevance on near-dup candidates.
     Swapping in an actual encoder = replacing `_embed` with
-    `model.encode`.
+    `model.encode`.  `candidates` overrides the candidate generator
+    (default: the reference's Hangul noun extraction; pass
+    `word_candidates` for multilingual corpora).
     """
     import hashlib
 
     import numpy as np
+
+    cand_fn = candidates if candidates is not None else (
+        lambda t: _extract_py(t, cap=64)
+    )
 
     def loader():
         def _embed(texts: list[str]) -> np.ndarray:
@@ -197,7 +223,7 @@ def make_hashing_model_loader(
         def scorer(texts: Iterable[str]) -> list[list[str]]:
             out = []
             for t in texts:
-                cands = _extract_py(t, cap=64)
+                cands = cand_fn(t)
                 if not cands:
                     out.append([])
                     continue

@@ -56,7 +56,15 @@ def train_bpe(
     word_freq: Counter = Counter()
     for r in rows:
         word_freq.update(_words(r[text_col] or ""))
+    return train_bpe_from_counts(word_freq, num_merges)
 
+
+def train_bpe_from_counts(
+    word_freq: Counter, num_merges: int
+) -> list[tuple[str, str]]:
+    """The pure training kernel behind `train_bpe`: learn merges from a
+    word-frequency table.  Exposed separately so the driver-side oracle
+    replay can train from the same counts without a SparkSession."""
     # word -> current symbol tuple (chars + EOW on the last char)
     symbols = {
         w: tuple(list(w[:-1]) + [w[-1] + EOW]) for w in word_freq if w

@@ -437,6 +437,33 @@ FROM orders GROUP BY 1 ORDER BY day DESC LIMIT 30
 """
 
 
+def a_stats_suite(spark, sf_dir):
+    """A9 + A11 in one tagged gate (r4 merge: frees a driver budget
+    row): per-group count/min/max stats and daily counts desc-limit."""
+    a9 = a9_stats_per_group(spark, sf_dir)
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+    return _union_all([
+        _suite_rows(a9, "a9_cnt", F.col("o_orderpriority"), v_num=F.col("cnt")),
+        _suite_rows(a9, "a9_min", F.col("o_orderpriority"),
+                    v_str=F.date_format("min_date", ts_fmt)),
+        _suite_rows(a9, "a9_max", F.col("o_orderpriority"),
+                    v_str=F.date_format("max_date", ts_fmt)),
+        _suite_rows(a11_daily_counts(spark, sf_dir), "a11",
+                    F.date_format("day", ts_fmt), v_num=F.col("cnt")),
+    ])
+
+
+A_STATS_SUITE_SQL = f"""
+SELECT 'a9_cnt' AS suite_case, o_orderpriority AS k, '' AS v_str, CAST(cnt AS DOUBLE) AS v_num FROM ({A9_SQL}) s1
+UNION ALL
+SELECT 'a9_min', o_orderpriority, strftime(min_date, '%Y-%m-%d %H:%M:%S'), -1.0 FROM ({A9_SQL}) s2
+UNION ALL
+SELECT 'a9_max', o_orderpriority, strftime(max_date, '%Y-%m-%d %H:%M:%S'), -1.0 FROM ({A9_SQL}) s3
+UNION ALL
+SELECT 'a11', strftime(day, '%Y-%m-%d %H:%M:%S'), '', CAST(cnt AS DOUBLE) FROM ({A11_SQL}) s4
+"""
+
+
 def a5_topk_per_group(spark, sf_dir):
     """A5: top-k per group via row_number (heap top-k in the reference,
     realtime_keyword_aggregator.py:163-181)."""
@@ -907,6 +934,51 @@ FROM lagged
 """
 
 
+def w_trend_suite(spark, sf_dir):
+    """W2 + W3 + W6 in one tagged gate (r4 merge: frees two driver
+    budget rows for the round-3 tier): z-score anomaly, trend
+    direction, rank-change indicators — all over the same hourly
+    counts.  Every value the three standalone gates checked keeps its
+    own suite row."""
+    k2 = F.concat_ws("|", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"),
+                     F.col("event_type"))
+    w2 = w2_zscore(spark, sf_dir)
+    w3 = w3_trend_direction(spark, sf_dir)
+    w6 = w6_rank_change(spark, sf_dir)
+    return _union_all([
+        _suite_rows(w2, "w2_z", k2, v_num=F.col("zscore")),
+        _suite_rows(w2, "w2_anom", k2, v_num=F.col("anomaly")),
+        _suite_rows(w2, "w2_cnt", k2, v_num=F.col("cnt")),
+        _suite_rows(w3, "w3", k2, v_str=F.col("direction"),
+                    v_num=F.col("velocity_1h")),
+        _suite_rows(w3, "w3_v6", k2, v_num=F.col("velocity_6h")),
+        _suite_rows(w6, "w6", k2, v_str=F.col("indicator"),
+                    v_num=F.col("rnk")),
+        _suite_rows(w6, "w6_prev", k2, v_num=F.col("prev_rnk")),
+        _suite_rows(w6, "w6_cnt", k2, v_num=F.col("cnt")),
+    ])
+
+
+_W_TREND_K = "strftime(bucket, '%Y-%m-%d %H:%M:%S') || '|' || event_type"
+W_TREND_SUITE_SQL = f"""
+SELECT 'w2_z' AS suite_case, {_W_TREND_K} AS k, '' AS v_str, zscore AS v_num FROM ({W2_SQL}) s1
+UNION ALL
+SELECT 'w2_anom', {_W_TREND_K}, '', anomaly FROM ({W2_SQL}) s2
+UNION ALL
+SELECT 'w2_cnt', {_W_TREND_K}, '', CAST(cnt AS DOUBLE) FROM ({W2_SQL}) s3
+UNION ALL
+SELECT 'w3', {_W_TREND_K}, direction, velocity_1h FROM ({W3_SQL}) s4
+UNION ALL
+SELECT 'w3_v6', {_W_TREND_K}, '', velocity_6h FROM ({W3_SQL}) s5
+UNION ALL
+SELECT 'w6', {_W_TREND_K}, indicator, CAST(rnk AS DOUBLE) FROM ({W6_SQL}) s6
+UNION ALL
+SELECT 'w6_prev', {_W_TREND_K}, '', CAST(prev_rnk AS DOUBLE) FROM ({W6_SQL}) s7
+UNION ALL
+SELECT 'w6_cnt', {_W_TREND_K}, '', CAST(cnt AS DOUBLE) FROM ({W6_SQL}) s8
+"""
+
+
 def w8_timeline(spark, sf_dir):
     """W8: dense per-minute series with zero-fill
     (advanced_trend_analyzer.py:314-329)."""
@@ -1077,6 +1149,31 @@ F14_SQL = """
 SELECT event_type, round(avg(k), 6) AS avg_k, max(k) AS max_k, count(*) AS cnt
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
 GROUP BY event_type
+"""
+
+
+def f_parse_suite(spark, sf_dir):
+    """F6 + F14 in one tagged gate (r4 merge: frees a driver budget
+    row): tokenize → global word frequencies, and JSON props decode →
+    per-type aggregates."""
+    f14 = f14_json_extract(spark, sf_dir)
+    return _union_all([
+        _suite_rows(f6_tokenize_wordfreq(spark, sf_dir), "f6",
+                    F.col("word"), v_num=F.col("cnt")),
+        _suite_rows(f14, "f14_avg", F.col("event_type"), v_num=F.col("avg_k")),
+        _suite_rows(f14, "f14_max", F.col("event_type"), v_num=F.col("max_k")),
+        _suite_rows(f14, "f14_cnt", F.col("event_type"), v_num=F.col("cnt")),
+    ])
+
+
+F_PARSE_SUITE_SQL = f"""
+SELECT 'f6' AS suite_case, word AS k, '' AS v_str, CAST(cnt AS DOUBLE) AS v_num FROM ({F6_SQL}) s1
+UNION ALL
+SELECT 'f14_avg', event_type, '', avg_k FROM ({F14_SQL}) s2
+UNION ALL
+SELECT 'f14_max', event_type, '', CAST(max_k AS DOUBLE) FROM ({F14_SQL}) s3
+UNION ALL
+SELECT 'f14_cnt', event_type, '', CAST(cnt AS DOUBLE) FROM ({F14_SQL}) s4
 """
 
 
@@ -2966,6 +3063,301 @@ FROM (
 """
 
 
+# ------------------------------------------------- round-4 tier gates
+
+
+def pq_recall(spark, sf_dir):
+    """PQ and IVF-PQ refined top-k recall vs the exact cosine gate —
+    the driver-level evidence that the compressed-index tier answers
+    real queries, not just unit fixtures.
+
+    No SQL oracle (k-means codebooks aren't SQL-expressible), but the
+    gate is SELF-ASSERTING: recall is computed eagerly against the
+    exact top-k and the build RAISES below threshold, so a quality
+    regression turns the driver row red instead of passing a weaker
+    rows-only check.  Determinism: both trainers use the ordered-limit
+    sample contract; the recall values are reproducible."""
+    k, thresholds = 10, {"pq": 0.7, "ivf_pq": 0.6}
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def _topk_sets(df) -> dict:
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = _topk_sets(similarity.cosine_topk(emb, queries, k=k))
+    books = similarity.train_pq_codebook(emb, m=8, ksub=64)
+    approx = {
+        "pq": _topk_sets(
+            similarity.pq_ann_topk(
+                similarity.pq_encode(emb, books), queries, books,
+                k=k, refine=3, corpus=emb,
+            )
+        )
+    }
+    cents = similarity.train_ivf_codebook(emb, nlist=16)
+    approx["ivf_pq"] = _topk_sets(
+        similarity.ivf_pq_ann_topk(
+            similarity.ivf_pq_index(emb, cents, books), queries, cents, books,
+            nprobe=4, k=k, refine=3, corpus=emb,
+        )
+    )
+    rows = []
+    for variant, got in approx.items():
+        recall = sum(
+            len(got.get(q, set()) & hits) / float(k) for q, hits in exact.items()
+        ) / max(len(exact), 1)
+        if recall < thresholds[variant]:
+            raise RuntimeError(
+                f"{variant} refined recall@{k} = {recall:.3f} < "
+                f"{thresholds[variant]} — compressed index quality regressed"
+            )
+        rows.append((variant, round(recall, 6), len(exact), k))
+    return spark.createDataFrame(
+        sorted(rows), "variant string, recall double, n_queries long, k long"
+    )
+
+
+_BPE_MERGES = 200
+_BPE_HEAD = 5
+
+
+def bpe_tokenize(spark, sf_dir):
+    """Trainable-BPE corpus accounting end to end: learn merges from
+    the corpus (driver-capped ordered sample), tokenize every document
+    with the Arrow-batched UDFs, emit per-doc token count + the first
+    tokens.  Oracle = the pinned pure-Python BPE model run driver-side
+    over the same parquet (deterministic merges make the distributed
+    path exactly reproducible)."""
+    from .operators import tokenize as tok
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = tok.train_bpe(docs, num_merges=_BPE_MERGES)
+    tok_udf, cnt_udf = tok.make_bpe_udfs(merges)
+    return docs.select(
+        "doc_id",
+        cnt_udf(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.concat_ws("|", F.slice(tok_udf(F.col("text")), 1, _BPE_HEAD)).alias(
+            "head_tokens"
+        ),
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _oracle_docs() -> list[tuple[int, str]]:
+    """(doc_id, text) of the driver's correctness-scale documents table,
+    read WITHOUT Spark — inputs for the pinned-Python-model oracles."""
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, coalesce(text, '') FROM "
+        f"'{_ORACLE_SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def _bpe_oracle_sql() -> str:
+    """VALUES oracle from the pinned pure-Python BPE model (tokenize.
+    bpe_tokenize_py): trains on the same ordered-capped sample contract
+    as train_bpe, entirely off-Spark.  Generated lazily (first
+    oracle_sql() call) so importing this module stays cheap."""
+    from collections import Counter
+
+    from .operators import tokenize as tok
+
+    rows = _oracle_docs()
+    wf: Counter = Counter()
+    for _, text in rows[:50_000]:  # train_bpe max_train_rows default
+        wf.update(tok._words(text))
+    merges = tok.train_bpe_from_counts(wf, num_merges=_BPE_MERGES)
+    vals = []
+    for doc_id, text in rows:
+        toks = tok.bpe_tokenize_py(text, merges)
+        head = _sql_quote("|".join(toks[:_BPE_HEAD]))
+        vals.append(f"({doc_id}, {len(toks)}, {head})")
+    return (
+        "SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_bpe_tokens, "
+        "head_tokens FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(doc_id, n, head_tokens)"
+    )
+
+
+def mmr_extract(spark, sf_dir):
+    """U1's FULL model seam at driver level: weighted text → hashing
+    embedder → cosine relevance → MMR re-rank (diversity 0.3) → cap,
+    through the real extract_keywords(use_udf=True) path over the
+    documents corpus (word-candidates generator — the test corpus has
+    no Hangul).  Oracle = the same pinned deterministic model replayed
+    driver-side in pure Python."""
+    from .functions import extract as ex
+
+    docs = _t(spark, sf_dir, "documents").withColumn("title", F.lit(""))
+    out = ex.extract_keywords(
+        docs,
+        title_col="title",
+        content_col="text",
+        out_col="keywords",
+        use_udf=True,
+        model_loader=ex.make_hashing_model_loader(
+            mmr_diversity=0.3, candidates=ex.word_candidates
+        ),
+    )
+    return out.select("doc_id", F.concat_ws("|", "keywords").alias("keywords"))
+
+
+def _mmr_oracle_sql() -> str:
+    """VALUES oracle for mmr_extract: the identical deterministic
+    scorer run driver-side (weighted_text mirrored as the same
+    3×title + first-1000-chars concat).  Lazily generated."""
+    from .functions import extract as ex
+
+    scorer = ex.make_hashing_model_loader(
+        mmr_diversity=0.3, candidates=ex.word_candidates
+    )()
+    rows = _oracle_docs()
+    texts = [" ".join(["", "", "", t[:1000]]) for _, t in rows]
+    kws = scorer(texts)
+    vals = [
+        f"({doc_id}, {_sql_quote('|'.join(kw))})"
+        for (doc_id, _), kw in zip(rows, kws)
+    ]
+    return (
+        "SELECT doc_id::BIGINT AS doc_id, keywords FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(doc_id, keywords)"
+    )
+
+
+def admit_shard_e2e(spark, sf_dir):
+    """The incremental-admission flagship at driver level: split the
+    corpus into two sequential shards (ids grow across shards), admit
+    shard 1 cold, admit shard 2 against shard 1's sig/hash index
+    deltas, and emit every document's terminal status + rejection
+    reason.  Exercises curation.admit_shard's whole ladder — in-shard
+    exact dedup, corpus exact dedup, corpus near-dup (incremental
+    MinHash vs the persisted index), in-shard near-dup components —
+    against a full SQL replay of the sequential semantics."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cutoff = _table_count(spark, sf_dir, "documents") // 2
+    r1 = curation.admit_shard(docs.filter(F.col("doc_id") < cutoff))
+    r2 = curation.admit_shard(
+        docs.filter(F.col("doc_id") >= cutoff),
+        index_sigs=r1["sigs_delta"],
+        index_hashes=r1["hashes_delta"],
+    )
+
+    def _status(res, shard):
+        adm = res["admitted"].select(
+            "doc_id",
+            F.lit(shard).cast("long").alias("shard"),
+            F.lit("admitted").alias("status"),
+            F.lit("").alias("reason"),
+        )
+        rej = res["rejected"].select(
+            "doc_id",
+            F.lit(shard).cast("long").alias("shard"),
+            F.lit("rejected").alias("status"),
+            "reason",
+        )
+        return adm.unionByName(rej)
+
+    return _status(r1, 1).unionByName(_status(r2, 2))
+
+
+def _admit_oracle_sql() -> str:
+    """SQL replay of two-shard sequential admission.  The pair source
+    is the same O(n²) MinHash oracle scan as the dedup gates; the
+    sequential ladder is replayed shard by shard: exact (row_number on
+    the normalized-content hash), exact-vs-corpus (hash semi-join on
+    shard 1's ADMITTED hashes), near-vs-corpus (a pair with an admitted
+    shard-1 partner), then in-shard components (recursive CTE, min-id
+    canonical).  A doc rejected at a rung never contributes its hash,
+    signature, or edges to later rungs — exactly admit_shard's
+    semantics."""
+    pairs = _minhash_oracle_sql(shingle_n=3)
+    norm = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return f"""
+WITH RECURSIVE
+pr AS ({pairs}),
+cut AS (SELECT count(*) // 2 AS c FROM documents),
+d1 AS (SELECT doc_id, text FROM documents WHERE doc_id < (SELECT c FROM cut)),
+d2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= (SELECT c FROM cut)),
+h1 AS (SELECT doc_id, {norm} AS ch,
+              row_number() OVER (PARTITION BY {norm} ORDER BY doc_id) AS rn
+       FROM d1),
+s1x AS (SELECT doc_id FROM h1 WHERE rn > 1),
+s1a AS (SELECT doc_id, ch FROM h1 WHERE rn = 1),
+e1 AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  WHERE id_a IN (SELECT doc_id FROM s1a) AND id_b IN (SELECT doc_id FROM s1a)
+  UNION
+  SELECT id_b, id_a FROM pr
+  WHERE id_a IN (SELECT doc_id FROM s1a) AND id_b IN (SELECT doc_id FROM s1a)
+),
+r1(id, lbl) AS (
+  SELECT src, src FROM e1
+  UNION
+  SELECT e.dst, r.lbl FROM e1 e JOIN r1 r ON e.src = r.id
+),
+c1 AS (SELECT id, min(lbl) AS cid FROM r1 GROUP BY id),
+s1n AS (SELECT id AS doc_id FROM c1 WHERE cid <> id),
+adm1 AS (SELECT a.doc_id, a.ch FROM s1a a
+         WHERE a.doc_id NOT IN (SELECT doc_id FROM s1n)),
+h2 AS (SELECT doc_id, {norm} AS ch,
+              row_number() OVER (PARTITION BY {norm} ORDER BY doc_id) AS rn
+       FROM d2),
+s2x AS (SELECT doc_id FROM h2 WHERE rn > 1),
+s2a AS (SELECT doc_id, ch FROM h2 WHERE rn = 1),
+s2xc AS (SELECT doc_id FROM s2a WHERE ch IN (SELECT ch FROM adm1)),
+s2b AS (SELECT doc_id FROM s2a WHERE ch NOT IN (SELECT ch FROM adm1)),
+s2nc AS (
+  SELECT DISTINCT s.doc_id FROM s2b s JOIN pr p
+    ON (p.id_a = s.doc_id AND p.id_b IN (SELECT doc_id FROM adm1))
+    OR (p.id_b = s.doc_id AND p.id_a IN (SELECT doc_id FROM adm1))
+),
+s2c AS (SELECT doc_id FROM s2b
+        WHERE doc_id NOT IN (SELECT doc_id FROM s2nc)),
+e2 AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  WHERE id_a IN (SELECT doc_id FROM s2c) AND id_b IN (SELECT doc_id FROM s2c)
+  UNION
+  SELECT id_b, id_a FROM pr
+  WHERE id_a IN (SELECT doc_id FROM s2c) AND id_b IN (SELECT doc_id FROM s2c)
+),
+r2(id, lbl) AS (
+  SELECT src, src FROM e2
+  UNION
+  SELECT e.dst, r.lbl FROM e2 e JOIN r2 r ON e.src = r.id
+),
+c2 AS (SELECT id, min(lbl) AS cid FROM r2 GROUP BY id),
+s2n AS (SELECT id AS doc_id FROM c2 WHERE cid <> id),
+adm2 AS (SELECT doc_id FROM s2c WHERE doc_id NOT IN (SELECT doc_id FROM s2n))
+SELECT doc_id, 1::BIGINT AS shard, 'admitted' AS status, '' AS reason FROM adm1
+UNION ALL SELECT doc_id, 1::BIGINT, 'rejected', 'exact_dup_shard' FROM s1x
+UNION ALL SELECT doc_id, 1::BIGINT, 'rejected', 'near_dup_shard' FROM s1n
+UNION ALL SELECT doc_id, 2::BIGINT, 'admitted', '' FROM adm2
+UNION ALL SELECT doc_id, 2::BIGINT, 'rejected', 'exact_dup_shard' FROM s2x
+UNION ALL SELECT doc_id, 2::BIGINT, 'rejected', 'exact_dup_corpus' FROM s2xc
+UNION ALL SELECT doc_id, 2::BIGINT, 'rejected', 'near_dup_corpus' FROM s2nc
+UNION ALL SELECT doc_id, 2::BIGINT, 'rejected', 'near_dup_shard' FROM s2n
+"""
+
+
+ADMIT_E2E_SQL = _admit_oracle_sql()
+
+
 # ---------------------------------------------------------------- registry
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2998,15 +3390,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a_rollup_suite": (a_rollup_suite, _a_rollup_suite_sql()),
     "a_topk_suite": (a_topk_suite, A_TOPK_SUITE_SQL),
     "a_basic_aggs": (a_basic_aggs, A_BASIC_AGGS_SQL),
-    "a9_stats_per_group": (a9_stats_per_group, A9_SQL),
-    "a11_daily_counts": (a11_daily_counts, A11_SQL),
+    # r4: A9 + A11 merged (frees one budget slot)
+    "a_stats_suite": (a_stats_suite, A_STATS_SUITE_SQL),
     "a12_breaking_words": (a12_breaking_words, A12_SQL),
     "o2_offset_pagination_total": (o2_offset_pagination_total, O2_SQL),
     "w1_velocity": (w1_velocity, W1_SQL),
-    "w2_zscore": (w2_zscore, W2_SQL),
-    "w3_trend_direction": (w3_trend_direction, W3_SQL),
+    # r4: W2 + W3 + W6 merged into one tagged gate (all values keep
+    # their own rows; frees two budget slots for the round-3 tier)
+    "w_trend_suite": (w_trend_suite, W_TREND_SUITE_SQL),
     "w4_compound_score": (w4_compound_score, W4_SQL),
-    "w6_rank_change": (w6_rank_change, W6_SQL),
     "w8_timeline": (w8_timeline, W8_SQL),
     "w_alert_rules": (w_alert_rules, W_ALERT_RULES_SQL),
     "o3_recent_alerts": (o3_recent_alerts, O3_SQL),
@@ -3016,8 +3408,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "o7_dedup_by_key": (o7_dedup_by_key, O7_SQL),
     "f_scalar_suite": (f_scalar_suite, F_SCALAR_SUITE_SQL),
     "f_value_suite": (f_value_suite, F_VALUE_SUITE_SQL),
-    "f6_tokenize_wordfreq": (f6_tokenize_wordfreq, F6_SQL),
-    "f14_json_extract": (f14_json_extract, F14_SQL),
+    # r4: F6 + F14 merged (frees one budget slot)
+    "f_parse_suite": (f_parse_suite, F_PARSE_SUITE_SQL),
     "text_profile": (text_profile, TEXT_PROFILE_SQL),
     "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard3": (dedup_ngram_jaccard3, DEDUP_JACCARD3_SQL),
@@ -3035,6 +3427,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim_lsh_ann_topk": (sim_lsh_ann_topk, _lsh_ann_oracle_sql()),
     "sim_ivf_ann_topk": (sim_ivf_ann_topk, SIM_IVF_SQL),
     "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_PIPELINE_SQL),
+    # r4 tier (slots freed by the w2/w3/w6, a9/a11, f6/f14 merges):
+    # sequential-admission flagship with a full SQL replay oracle
+    "admit_shard_e2e": (admit_shard_e2e, ADMIT_E2E_SQL),
+    # pinned-Python-model oracles, generated lazily at oracle_sql() time
+    "bpe_tokenize": (bpe_tokenize, _bpe_oracle_sql),
+    "mmr_extract": (mmr_extract, _mmr_oracle_sql),
+    # rows-only by necessity (k-means codebooks aren't SQL-expressible)
+    # but self-asserting: the build raises if refined recall regresses
+    "pq_recall": (pq_recall, None),
 }
 
 # Headline queries for bench.py — chosen to stress distinct physical
@@ -3083,5 +3484,23 @@ def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
+_SQL_CACHE: dict[str, str] = {}
+
+
+def resolve_sql(name: str, sql) -> str | None:
+    """Registry SQL entries may be strings or zero-arg builders (the
+    pinned-Python-model oracles train a model at build time, so they
+    run lazily at first oracle_sql() call, memoized)."""
+    if sql is None or isinstance(sql, str):
+        return sql
+    if name not in _SQL_CACHE:
+        _SQL_CACHE[name] = sql()
+    return _SQL_CACHE[name]
+
+
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: resolve_sql(name, sql)
+        for name, (_fn, sql) in REGISTRY.items()
+        if sql is not None
+    }

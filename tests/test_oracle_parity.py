@@ -24,7 +24,7 @@ def con():
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, con, name):
     fn, sql = q.REGISTRY[name]
-    ok, msg = compare(fn(spark, SF_CORRECT), con, sql)
+    ok, msg = compare(fn(spark, SF_CORRECT), con, q.resolve_sql(name, sql))
     assert ok, f"{name}: {msg}"
 
 

@@ -22,13 +22,17 @@ def test_registry_fits_driver_budget():
     )
 
 
+# rows-only entries are a DELIBERATE list, not an accident: each name
+# here must document in its docstring why no SQL oracle can exist and
+# how the gate still fails loudly (pq_recall self-asserts on recall)
+ROWS_ONLY_ALLOWED = {"pq_recall"}
+
+
 def test_queries_and_oracles_align():
     names = set(q.queries())
     oracles = set(q.oracle_sql())
     assert oracles <= names
-    # every registry entry currently carries an oracle — a rows-only
-    # (weaker-check) entry must be a deliberate choice, not an accident
-    assert names == oracles
+    assert names - oracles == ROWS_ONLY_ALLOWED
 
 
 def test_driver_shim_exposes_registry():
