@@ -217,7 +217,9 @@ def curate_corpus(
         out = out.join(clean, id_col, "left_semi")
     out = dedup_ops.dedup_exact(out, text_col=text_col, id_col=id_col)
     if near_dup_pairs is not None:
-        out = dedup_ops.dedup_survivors(out, near_dup_pairs, id_col=id_col).filter(
+        out = dedup_ops.dedup_survivors(
+            out, near_dup_pairs, id_col=id_col, algorithm="auto"
+        ).filter(
             F.col("is_canonical")
         ).drop("cluster_id", "is_canonical")
     if sample_rate_pct < 100 or stratum_rates:
@@ -372,7 +374,9 @@ def leakage_safe_split(
     if sum(weights.values()) != 100:
         raise ValueError(f"split weights must sum to 100, got {weights}")
     if pairs is not None:
-        assigned = dedup_ops.dedup_survivors(docs, pairs, id_col=id_col).drop(
+        assigned = dedup_ops.dedup_survivors(
+            docs, pairs, id_col=id_col, algorithm="auto"
+        ).drop(
             "is_canonical"
         )
     else:
@@ -496,7 +500,9 @@ def admit_shard(
         pairs.join(alive.select(F.col(id_col).alias("id_a")), "id_a", "left_semi")
         .join(alive.select(F.col(id_col).alias("id_b")), "id_b", "left_semi")
     )
-    surv = dedup_ops.dedup_survivors(alive.select(id_col), intra, id_col=id_col)
+    surv = dedup_ops.dedup_survivors(
+        alive.select(id_col), intra, id_col=id_col, algorithm="auto"
+    )
     _reject(surv.filter(~F.col("is_canonical")), "near_dup_shard")
     alive = alive.join(
         surv.filter(F.col("is_canonical")).select(id_col), id_col, "left_semi"

@@ -5,11 +5,13 @@ The reference's `media` table (init.sql:36-45) stores typed URLs; a
 ``binary`` column plus typed metadata, processed by Arrow-batched
 Pandas functions over ``mapInPandas``.
 
-The image/audio codecs are NOT in this container, so the decode kernels
-are STUBS behind ``set_decoder`` (a deterministic fake decoder is the
-default in tests) — but the Spark-side plumbing is real and tested:
-schema contracts, binary batching, partition sizing, UDF signatures.
-"""
+Real pure-Python codecs ship in-container for the uncompressed/simple
+container formats: WAV (audio), PPM/PNG/JPEG (image), YUV4MPEG2
+(video).  Compressed codecs needing external libs (MP3, H.264/MP4)
+remain stubs behind ``set_decoder`` (a deterministic fake decoder is
+the default in tests) — the Spark-side plumbing is identical either
+way: schema contracts, binary batching, partition sizing, UDF
+signatures."""
 
 from __future__ import annotations
 
@@ -69,7 +71,8 @@ def real_decode_unavailable(payload: bytes) -> list[float]:
         "no codec for this media type in this container; register a "
         "decoder with set_decoder(media_type, fn) — pure-Python WAV "
         "(decode_wav_features), PPM/PNG/JPEG (decode_image_features) "
-        "codecs ship in-container; MP3/MP4 need external libs"
+        "and YUV4MPEG2 (decode_y4m_features) codecs ship in-container; "
+        "MP3/H.264/MP4 need external libs"
     )
 
 
@@ -384,6 +387,96 @@ def decode_image_features(payload: bytes, dim: int = 8) -> list[float]:
     if payload[:3] == b"\xff\xd8\xff":
         return decode_jpeg_features(payload, dim)
     raise ValueError("unrecognized image container (not PPM/PNG/JPEG)")
+
+
+def decode_y4m_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container video decoder: parses YUV4MPEG2 ('.y4m', the
+    canonical uncompressed raw-video interchange container — plain
+    ASCII stream header + per-FRAME planar YUV bytes) and extracts a
+    fixed 8-dim signal-level feature vector:
+
+      [width, height, fps, n_frames, duration_s,
+       mean_luma, std_luma, motion]
+
+    motion = mean absolute per-pixel luma delta between consecutive
+    sampled frames (0 for a static clip) — the cheap temporal signal a
+    frame-sampling curation filter keys on.  Stats sample at most 16
+    evenly-spaced frames so decode cost is bounded per asset.  Supports
+    C420*/C422/C444/Cmono chroma; raises ValueError on malformed
+    payloads so the quarantine path handles corrupt media.  Register
+    with set_decoder('video', ...)."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing y4m stream-header terminator")
+    width = height = 0
+    fps_num, fps_den = 0, 1
+    chroma = "420"
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                width = int(val)
+            elif tag == b"H":
+                height = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                chroma = val.decode("ascii", "replace")
+        except ValueError as exc:
+            raise ValueError(f"bad y4m header token {tok!r}") from exc
+    if width < 1 or height < 1 or fps_num < 1 or fps_den < 1:
+        raise ValueError(f"bad y4m geometry W={width} H={height} F={fps_num}:{fps_den}")
+    y_size = width * height
+    if chroma.startswith("420"):
+        chroma_bytes = y_size // 2
+    elif chroma == "422":
+        chroma_bytes = y_size
+    elif chroma == "444":
+        chroma_bytes = 2 * y_size
+    elif chroma == "mono":
+        chroma_bytes = 0
+    else:
+        raise ValueError(f"unsupported y4m chroma subsampling C{chroma}")
+    frame_bytes = y_size + chroma_bytes
+
+    y_planes: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_bytes > len(payload):
+            raise ValueError("truncated y4m frame")
+        y_planes.append(payload[fnl + 1 : fnl + 1 + y_size])
+        pos = fnl + 1 + frame_bytes
+    n_frames = len(y_planes)
+    fps = fps_num / fps_den
+    if n_frames == 0:
+        return [float(width), float(height), round(fps, 6), 0.0, 0.0, 0.0, 0.0, 0.0]
+    step = max(1, n_frames // 16)
+    sampled = [
+        np.frombuffer(y_planes[i], dtype=np.uint8).astype(np.float64)
+        for i in range(0, n_frames, step)
+    ]
+    stack = np.stack(sampled)
+    motion = (
+        float(np.mean(np.abs(np.diff(stack, axis=0)))) if len(sampled) > 1 else 0.0
+    )
+    return [
+        float(width),
+        float(height),
+        round(fps, 6),
+        float(n_frames),
+        round(n_frames / fps, 6),
+        round(float(stack.mean()), 6),
+        round(float(stack.std()), 6),
+        round(motion, 6),
+    ]
 
 
 def extract_features(assets: DataFrame, batch_hint: int = 256) -> DataFrame:

@@ -395,27 +395,73 @@ def test_decode_image_dispatch(spark):
     assert by_id[3]["feature"] == multimodal.decode_jpeg_features(_make_jpeg())
 
 
+def _make_y4m(w=4, h=2, frames=2, chroma=b"C420", fps=b"F25:1"):
+    """Tiny YUV4MPEG2 clip: frame i's Y plane = bytes(i*10 .. i*10+w*h),
+    chroma planes constant 128."""
+    y_size = w * h
+    c_size = {b"C420": y_size // 2, b"C422": y_size, b"C444": 2 * y_size,
+              b"Cmono": 0}[chroma]
+    out = b"YUV4MPEG2 W%d H%d %s Ip A1:1 %s\n" % (w, h, fps, chroma)
+    for i in range(frames):
+        out += b"FRAME\n"
+        out += bytes((i * 10 + j) % 256 for j in range(y_size))
+        out += b"\x80" * c_size
+    return out
+
+
+def test_decode_y4m_real_bytes(spark):
+    import numpy as np
+    import pytest
+
+    clip = _make_y4m(w=4, h=2, frames=3)
+    w, h, fps, n, dur, mean, std, motion = multimodal.decode_y4m_features(clip)
+    assert (w, h, fps, n) == (4.0, 2.0, 25.0, 3.0)
+    assert dur == round(3 / 25, 6)
+    # Y planes are 0..7, 10..17, 20..27 → mean 13.5, every pixel moves 10/frame
+    planes = np.array([[i * 10 + j for j in range(8)] for i in range(3)], float)
+    assert mean == round(float(planes.mean()), 6)
+    assert std == round(float(planes.std()), 6)
+    assert motion == 10.0
+    # static single frame: zero motion, zero-safe
+    one = multimodal.decode_y4m_features(_make_y4m(frames=1))
+    assert one[3] == 1.0 and one[7] == 0.0
+    # all supported chroma layouts parse to the same luma stats
+    for chroma in (b"C422", b"C444", b"Cmono"):
+        f = multimodal.decode_y4m_features(_make_y4m(frames=3, chroma=chroma))
+        assert f[:2] == [4.0, 2.0] and f[7] == 10.0
+
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m_features(b"not a y4m")
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m_features(_make_y4m(frames=2)[:-3])  # truncated
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m_features(b"YUV4MPEG2 W4 H2 F25:1 C411\nFRAME\n")
+
+
 def test_real_decoders_through_spark_pipeline(spark):
-    """The registered WAV/PPM codecs run through the same mapInPandas
-    plumbing as the fake decoder — the feature column carries real
-    decoded signal/pixel stats, per media type, in one pass."""
-    wav, ppm = _make_wav(), _make_ppm()
+    """The registered WAV/PPM/Y4M codecs run through the same
+    mapInPandas plumbing as the fake decoder — the feature column
+    carries real decoded signal/pixel stats, per media type, in one
+    pass."""
+    wav, ppm, y4m = _make_wav(), _make_ppm(), _make_y4m()
     rows = [
         (1, 10, "audio", bytearray(wav), "audio/wav", None, None, 1),
         (2, 10, "image", bytearray(ppm), "image/x-portable-pixmap", 2, 2, None),
-        (3, 11, "video", bytearray(b"mp4"), "video/mp4", 1, 1, 1000),  # still fake
+        (3, 11, "video", bytearray(y4m), "video/x-yuv4mpeg", 4, 2, 80),
     ]
     assets = spark.createDataFrame(rows, multimodal.MEDIA_ASSET_SCHEMA)
     multimodal.set_decoder("audio", multimodal.decode_wav_features)
     multimodal.set_decoder("image", multimodal.decode_ppm_features)
+    multimodal.set_decoder("video", multimodal.decode_y4m_features)
     try:
         by_id = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
     finally:
         multimodal._DECODERS.pop("audio", None)
         multimodal._DECODERS.pop("image", None)
+        multimodal._DECODERS.pop("video", None)
     assert by_id[1]["feature"] == multimodal.decode_wav_features(wav)
     assert by_id[2]["feature"] == multimodal.decode_ppm_features(ppm)
-    assert by_id[3]["feature"] == multimodal._fake_feature(b"mp4")
+    assert by_id[3]["feature"] == multimodal.decode_y4m_features(y4m)
     assert by_id[1]["payload_bytes"] == len(wav)
 
 
