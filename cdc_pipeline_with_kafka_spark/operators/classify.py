@@ -1,0 +1,269 @@
+"""Trainable document classifiers and importance weighting for corpus
+curation — the "model-in-the-loop" quality tier of a training-data
+pipeline, built from pure aggregations so training runs as ONE Spark
+job with no driver-side iteration.
+
+- Multinomial Naive Bayes (`train_nb` / `nb_score`): the classic
+  fastText-style quality/domain classifier reduced to its aggregation
+  core — token-count statistics per class + Laplace smoothing.  Both
+  training and scoring are groupBy/join plans; nothing iterates.
+- DSIR importance weights (`dsir_weights` / `dsir_select`): Data
+  Selection via Importance Resampling (Xie et al. 2023,
+  arXiv:2302.03169) — hashed n-gram bag-of-words importance
+  log-ratios between a target distribution and the raw corpus.
+
+Determinism contract (shared with the DuckDB oracles): every per-token
+log-probability is quantized to an integer number of micro-nats
+(round(ln(p) * 1e6)) BEFORE summation, so document scores are exact
+integer sums — accumulation order across engines, partitions, and
+rounds cannot change a single bit.
+
+100 TB shape: model state is (vocab × classes) / (2^hash_bits) rows —
+KB-to-MB scale — and is broadcast into the scoring join; the corpus is
+touched once per phase with map-side partial aggregation.  Vocabulary
+is frequency-capped (`max_vocab`) so adversarial corpora can't inflate
+the broadcast side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..util import spread
+from .textstats import _tokens
+
+MICRO = 1_000_000
+
+
+def _micro_ln(col: Column) -> Column:
+    """Integer micro-nats: round(ln(x) * 1e6) as BIGINT — the
+    quantization both engines apply before any summation."""
+    return F.round(F.log(col) * MICRO).cast("long")
+
+
+def train_nb(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    max_vocab: int | None = 50_000,
+):
+    """Train a multinomial Naive Bayes classifier.
+
+    Returns (token_logp, class_stats):
+    - token_logp: (label, token, logp_micro) — ln P(token|label) with
+      Laplace add-1 smoothing over the *kept* vocabulary, in micro-nats;
+    - class_stats: (label, prior_micro, unseen_micro) — ln P(label) and
+      the smoothed log-probability for any token outside the (label,
+      token) table.
+
+    `max_vocab` keeps the most frequent tokens corpus-wide (ties break
+    lexicographically) so the model is a bounded broadcast at any corpus
+    size; tokens outside the vocabulary fall to unseen_micro, exactly as
+    unseen tokens do at scoring time.  Training is two aggregations over
+    one tokenized scan — no iteration, no driver-side state beyond the
+    model DataFrames themselves.
+    """
+    toks = spread(df, label_col).select(
+        F.col(label_col).alias("label"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    )
+    if max_vocab is not None:
+        freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
+        w = Window.orderBy(F.col("_n").desc(), F.col("token").asc())
+        vocab = freq.select("token", F.row_number().over(w).alias("_r")).filter(
+            F.col("_r") <= max_vocab
+        ).select("token")
+        toks = toks.join(F.broadcast(vocab), "token")
+    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab_size = counts.select("token").distinct().count()
+    totals = counts.groupBy("label").agg(F.sum("cnt").alias("n_tok"))
+    token_logp = counts.join(totals, "label").select(
+        "label",
+        "token",
+        _micro_ln((F.col("cnt") + 1) / (F.col("n_tok") + vocab_size)).alias("logp_micro"),
+    )
+    docs_per_label = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total_docs = df.count()
+    class_stats = docs_per_label.join(totals, "label", "left").select(
+        "label",
+        _micro_ln(F.col("n_docs") / F.lit(total_docs)).alias("prior_micro"),
+        _micro_ln(1 / (F.coalesce(F.col("n_tok"), F.lit(0)) + vocab_size)).alias(
+            "unseen_micro"
+        ),
+    )
+    return token_logp, class_stats
+
+
+def nb_score(
+    df: DataFrame,
+    token_logp: DataFrame,
+    class_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained NB model.
+
+    Returns (id, label, score_micro, predicted) — one row per document
+    per class, `predicted` marking the argmax (ties → smallest label).
+    score_micro = prior + Σ_token count·logp, all integer micro-nats.
+
+    Plan: tokenize once, aggregate to (doc, token, cnt), cross the few
+    class rows (broadcast), left-join the broadcast token table, one
+    groupBy(doc, label).  The corpus never joins itself and the model
+    side is bounded, so this scales linearly.
+    """
+    doc_tokens = spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("token")
+    ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    labeled = doc_tokens.crossJoin(F.broadcast(class_stats))
+    scored = labeled.join(
+        F.broadcast(token_logp), ["label", "token"], "left"
+    ).groupBy("id", "label").agg(
+        (
+            F.first("prior_micro")
+            + F.sum(F.col("cnt") * F.coalesce(F.col("logp_micro"), F.col("unseen_micro")))
+        ).alias("score_micro")
+    )
+    # docs with zero tokens still get prior-only scores
+    empties = df.select(F.col(id_col).alias("id")).join(
+        scored.select("id").distinct(), "id", "left_anti"
+    )
+    prior_only = empties.crossJoin(F.broadcast(class_stats)).select(
+        "id", "label", F.col("prior_micro").alias("score_micro")
+    )
+    allscores = scored.unionByName(prior_only)
+    w = Window.partitionBy("id").orderBy(F.col("score_micro").desc(), F.col("label").asc())
+    return allscores.select(
+        "id", "label", "score_micro", (F.row_number().over(w) == 1).alias("predicted")
+    )
+
+
+def nb_predict(
+    df: DataFrame,
+    token_logp: DataFrame,
+    class_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per document: (id, predicted_label, score_micro)."""
+    return (
+        nb_score(df, token_logp, class_stats, text_col=text_col, id_col=id_col)
+        .filter(F.col("predicted"))
+        .select("id", F.col("label").alias("predicted_label"), "score_micro")
+    )
+
+
+def _feature_hash(col: Column, hash_buckets: int) -> Column:
+    """Deterministic md5-based feature bucket, reproducible in DuckDB:
+    first 15 md5 hex chars mod buckets."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % hash_buckets
+    )
+
+
+def _doc_features(df: DataFrame, text_col: str, id_col: str, hash_buckets: int) -> DataFrame:
+    """Hashed unigram + bigram feature occurrences per document:
+    (id, bucket) with one row per occurrence (bag semantics)."""
+    toks = _tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode_outer(feats).alias("feat")
+    ).filter(F.col("feat").isNotNull()).select(
+        "id", _feature_hash(F.col("feat"), hash_buckets).alias("bucket")
+    )
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR log importance weights (Xie et al. 2023): for each raw
+    document, logw = Σ_features [ln p_target(bucket) − ln p_raw(bucket)]
+    over hashed unigram+bigram occurrences, with add-1 smoothing over
+    the `hash_buckets`-dimensional feature space.
+
+    Returns (id, n_feats, logw_micro) — integer micro-nats, exact sums.
+
+    The two distribution estimates are bucket-count aggregations whose
+    output is at most `hash_buckets` rows — broadcast scale by
+    construction, independent of corpus size.  Raw docs are then one
+    tokenize + broadcast-join + groupBy pass.
+    """
+    raw_feats = _doc_features(raw_df, text_col, id_col, hash_buckets)
+    target_feats = _doc_features(target_df, text_col, id_col, hash_buckets)
+
+    def dist(feats: DataFrame, name: str) -> DataFrame:
+        counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        total = feats.count()
+        return counts.select(
+            "bucket",
+            _micro_ln((F.col("c") + 1) / F.lit(total + hash_buckets)).alias(f"ln_{name}"),
+        ), _micro_ln(F.lit(1) / F.lit(total + hash_buckets)).alias(f"ln_{name}")
+
+    p_t, unseen_t = dist(target_feats, "t")
+    p_r, unseen_r = dist(raw_feats, "r")
+    ratio = (
+        p_t.join(p_r, "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("ln_t"), unseen_t) - F.coalesce(F.col("ln_r"), unseen_r)
+            ).alias("lr_micro"),
+        )
+    )
+    return (
+        raw_feats.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce(F.col("lr_micro"), unseen_t - unseen_r)).alias("logw_micro"),
+        )
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_buckets: int = 10_000,
+    normalize: bool = True,
+) -> DataFrame:
+    """Top-k raw documents by DSIR importance, deterministically ranked.
+
+    `normalize` divides the log-weight by the document's feature count
+    (per-feature average log-ratio) so long documents don't dominate
+    purely by length — the practical resampling variant.  Ranking key is
+    integer micro-nats with ascending id tie-breaks, so selection is
+    bit-stable across engines and runs.
+    """
+    w = dsir_weights(
+        raw_df, target_df, text_col=text_col, id_col=id_col, hash_buckets=hash_buckets
+    )
+    key = (
+        (F.col("logw_micro") / F.col("n_feats")).cast("long")
+        if normalize
+        else F.col("logw_micro")
+    )
+    ranked = w.select(
+        "id", "n_feats", "logw_micro", key.alias("rank_key")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("rank_key").desc(), F.col("id").asc())),
+    )
+    return ranked.filter(F.col("rnk") <= k).drop("rank_key")

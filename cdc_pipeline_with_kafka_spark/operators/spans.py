@@ -1,0 +1,229 @@
+"""Substring-level (span) deduplication — the Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499) exact-substring tier, re-expressed as DataFrame ops.
+
+Document-level dedup (operators/dedup.py) removes whole near-identical
+documents; this module removes *repeated passages* — boilerplate
+headers, license blocks, quoted chunks — that survive doc-level dedup
+because the surrounding text differs.  The reference pipeline has no
+analog (its dedup is link-level, ArticleServiceImpl.java:131-134); this
+is a training-data extension designed for the 100 TB corpus case.
+
+Spark-first formulation (no suffix array, no cross join):
+
+1. every k-token window of every document is hashed (md5 of the
+   space-joined window — deterministic across engines, so the DuckDB
+   oracle can reproduce it bit-for-bit);
+2. one groupBy(window_hash) counts distinct documents and picks the
+   canonical (minimum-id) holder — shuffle volume is one row per
+   window occurrence, with map-side partial aggregation; a boilerplate
+   window shared by millions of docs is ONE reduce key whose state is
+   (count, min), not a posting list, so hot windows don't skew;
+3. windows duplicated across ≥ min_docs documents flow back to their
+   positions via an equi-join on the hash, and per-document
+   gaps-and-islands window functions merge overlapping windows into
+   maximal spans;
+4. removal rebuilds the text with a JVM lambda filter over the token
+   array against the doc's own (collected, per-doc-bounded) span list —
+   the corpus text is never exploded to token-grain rows, so the
+   rewrite costs one equi-join plus per-row array work.
+
+Policies: 'all' removes every duplicated occurrence (Lee et al.'s
+choice — at most one copy of training data is lost corpus-wide only
+when keep_first is used); 'keep_first' preserves the occurrence in the
+lowest-id document holding each window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..util import spread
+from .textstats import _tokens, _word_ngrams
+
+
+def duplicated_windows(
+    df: DataFrame,
+    k: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All k-token window occurrences that appear in ≥ min_docs distinct
+    documents.
+
+    Returns (id, start, whash, n_docs, keep_id) — one row per duplicated
+    window *occurrence*; `start` is the 0-based token offset, `keep_id`
+    the minimum document id holding the window (the canonical copy under
+    policy='keep_first').
+
+    Two-pass shape: the window stream is produced twice (once into the
+    aggregate, once for the position join) but each pass is a pure map
+    stage over the scan — cheaper at scale than materializing positions
+    through the aggregation's shuffle.
+    """
+    if k < 2:
+        raise ValueError("window size k must be ≥ 2 tokens")
+    if min_docs < 2:
+        raise ValueError("min_docs must be ≥ 2 (a window is 'duplicated' across docs)")
+    toks = _tokens(F.col(text_col))
+    occurrences = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(_word_ngrams(toks, k)).alias("start", "gram"),
+    ).filter(F.col("gram").isNotNull()).select(
+        "id", "start", F.md5("gram").alias("whash")
+    )
+    dup = (
+        occurrences.groupBy("whash")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return occurrences.join(dup, "whash").select("id", "start", "whash", "n_docs", "keep_id")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    policy: str = "all",
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    Merges the (overlapping) duplicated k-windows of
+    `duplicated_windows` into maximal [span_start, span_end] token
+    intervals via gaps-and-islands: a running max of window end over
+    the per-document start order opens a new island exactly when a
+    window starts past every previous end + 1.  Returns
+    (id, span_start, span_end, n_windows).
+
+    policy='keep_first' exempts windows whose document IS the canonical
+    keep_id, so the corpus retains one copy of each passage.
+    """
+    if policy not in ("all", "keep_first"):
+        raise ValueError("policy must be 'all' or 'keep_first'")
+    wins = duplicated_windows(df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col)
+    if policy == "keep_first":
+        wins = wins.filter(F.col("id") != F.col("keep_id"))
+    wins = wins.select("id", "start", (F.col("start") + F.lit(k - 1)).alias("end"))
+    order = Window.partitionBy("id").orderBy("start")
+    prev_max_end = F.max("end").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    islands = wins.select(
+        "id", "start", "end",
+        F.when(prev_max_end.isNull() | (F.col("start") > prev_max_end + 1), 1)
+        .otherwise(0)
+        .alias("_new_island"),
+    ).select(
+        "id", "start", "end",
+        F.sum("_new_island").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("_island"),
+    )
+    return islands.groupBy("id", "_island").agg(
+        F.min("start").alias("span_start"),
+        F.max("end").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("_island")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    k: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    policy: str = "all",
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans removed.
+
+    Output: input columns + (cleaned_text, n_removed_tokens,
+    n_spans).  Documents with no duplicated span pass through with
+    cleaned_text = the normalized token join (lowercased, whitespace
+    collapsed — the same canonical form the window hashes were built
+    over, so removal offsets line up).
+
+    The rewrite is one equi-join (docs ⋈ per-doc span lists) plus a JVM
+    `filter(tokens, (t, i) -> no span covers i)` — span lists are
+    per-document-bounded (collect_list after island merge), and the
+    token array never leaves its row, so there is no token-grain
+    shuffle anywhere in the plan.
+    """
+    spans = duplicated_spans(
+        df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col, policy=policy
+    )
+    span_lists = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("n_removed_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    toks = _tokens(F.col(text_col))
+    joined = df.join(span_lists, df[id_col] == span_lists["id"], "left").drop(span_lists["id"])
+    no_span = F.col("_spans").isNull()
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        F.when(no_span, F.concat_ws(" ", toks))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("cleaned_text"),
+        F.coalesce(F.col("n_removed_tokens"), F.lit(0)).cast("long").alias("n_removed_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )
+
+
+def dedup_lines_across_docs(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    policy: str = "keep_first",
+) -> DataFrame:
+    """RefinedWeb-style cross-document line dedup: any normalized line
+    occurring in ≥ min_docs distinct documents is dropped from every
+    document (policy='all') or from all but the lowest-id holder
+    (policy='keep_first').
+
+    Same aggregation shape as `duplicated_windows` at line grain — one
+    groupBy(line_hash) with (countDistinct, min) state, then a hash
+    equi-join back to line positions and an in-row rebuild.  Output:
+    input columns + (cleaned_text, n_removed_lines).
+    """
+    if policy not in ("all", "keep_first"):
+        raise ValueError("policy must be 'all' or 'keep_first'")
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    occ = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(lines).alias("pos", "line"),
+    ).filter(F.col("line").isNotNull()).select(
+        "id", "pos", F.md5(F.lower(F.col("line"))).alias("lhash")
+    )
+    dup = (
+        occ.groupBy("lhash")
+        .agg(F.countDistinct("id").alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    removed = occ.join(dup, "lhash")
+    if policy == "keep_first":
+        removed = removed.filter(F.col("id") != F.col("keep_id"))
+    removed_pos = removed.groupBy("id").agg(
+        F.collect_set("pos").alias("_rm"), F.count(F.lit(1)).alias("n_removed_lines")
+    )
+    joined = df.join(removed_pos, df[id_col] == removed_pos["id"], "left").drop(removed_pos["id"])
+    kept = F.filter(lines, lambda l, i: ~F.array_contains(F.coalesce(F.col("_rm"), F.array()), i))
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        F.concat_ws("\n", kept).alias("cleaned_text"),
+        F.coalesce(F.col("n_removed_lines"), F.lit(0)).cast("long").alias("n_removed_lines"),
+    )

@@ -1,0 +1,145 @@
+"""Substring-level (span) dedup — operators/spans.py.
+
+Model: Lee et al. 2021 exact-substring dedup.  Tests pin the window
+hashing/counting semantics, the gaps-and-islands span merge, both
+removal policies, and the cross-document line dedup variant, against
+a hand-computable fixture plus a brute-force Python model.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark.operators import spans as S
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta unique one"),
+    (2, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+    (3, "totally different content with no overlap whatsoever here now"),
+    (4, "alpha beta gamma delta epsilon zeta eta theta unique one"),  # exact dup of 1
+]
+
+
+def _py_windows(docs, k, min_docs):
+    """Brute-force model: window -> set of doc ids."""
+    holders: dict[tuple, set] = {}
+    for did, text in docs:
+        toks = text.lower().split()
+        for i in range(len(toks) - k + 1):
+            holders.setdefault(tuple(toks[i : i + k]), set()).add(did)
+    out = []
+    for did, text in docs:
+        toks = text.lower().split()
+        for i in range(len(toks) - k + 1):
+            ids = holders[tuple(toks[i : i + k])]
+            if len(ids) >= min_docs:
+                out.append((did, i, len(ids), min(ids)))
+    return sorted(out)
+
+
+def test_duplicated_windows_match_python_model(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = sorted(
+        (r.id, r.start, r.n_docs, r.keep_id)
+        for r in S.duplicated_windows(df, k=5, min_docs=2).collect()
+    )
+    assert got == _py_windows(DOCS, 5, 2)
+
+
+def test_spans_merge_overlapping_windows(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        (r.id, r.span_start, r.span_end, r.n_windows)
+        for r in S.duplicated_spans(df, k=5, min_docs=2).collect()
+    }
+    # doc 1/4 share tokens 0..9 (10 tokens -> 6 windows of 5); doc 2's
+    # copy sits at offsets 2..9 (only the 8-token passage is shared).
+    assert got == {(1, 0, 9, 6), (2, 2, 9, 4), (4, 0, 9, 6)}
+
+
+def test_remove_keep_first_preserves_canonical_copy(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.cleaned_text, r.n_removed_tokens)
+        for r in S.remove_duplicated_spans(df, k=5, min_docs=2, policy="keep_first").collect()
+    }
+    assert out[1] == ("alpha beta gamma delta epsilon zeta eta theta unique one", 0)
+    assert out[2] == ("prefix words suffix", 8)
+    assert out[3][1] == 0
+    assert out[4] == ("", 10)  # exact dup fully removed
+
+
+def test_remove_policy_all_removes_every_occurrence(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.cleaned_text
+        for r in S.remove_duplicated_spans(df, k=5, min_docs=2, policy="all").collect()
+    }
+    assert out[1] == ""
+    assert out[2] == "prefix words suffix"
+    assert out[4] == ""
+
+
+def test_gap_between_spans_stays_split(spark):
+    # two shared passages separated by a unique middle -> two islands
+    docs = [
+        (1, "a b c d e MIDDLE1 unique1 v w x y z"),
+        (2, "a b c d e MIDDLE2 unique2 v w x y z"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        (r.id, r.span_start, r.span_end)
+        for r in S.duplicated_spans(df, k=5, min_docs=2).collect()
+    )
+    assert got == [(1, 0, 4), (1, 7, 11), (2, 0, 4), (2, 7, 11)]
+
+
+def test_short_docs_produce_no_windows(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
+    assert S.duplicated_windows(df, k=5, min_docs=2).count() == 0
+    out = S.remove_duplicated_spans(df, k=5, min_docs=2).collect()
+    assert all(r.n_spans == 0 and r.cleaned_text == r.text for r in out)
+
+
+def test_validation_errors(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        S.duplicated_windows(df, k=1)
+    with pytest.raises(ValueError):
+        S.duplicated_windows(df, min_docs=1)
+    with pytest.raises(ValueError):
+        S.duplicated_spans(df, policy="bogus")
+
+
+def test_dedup_lines_across_docs(spark):
+    docs = [
+        (1, "Shared Header\nbody one\nShared Footer"),
+        (2, "shared header\nbody two\nShared Footer"),
+        (3, "solo document"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    keep_first = {
+        r.doc_id: (r.cleaned_text, r.n_removed_lines)
+        for r in S.dedup_lines_across_docs(df, min_docs=2, policy="keep_first").collect()
+    }
+    # doc 1 holds the canonical copy of both shared lines (case-insensitive hash)
+    assert keep_first[1] == ("Shared Header\nbody one\nShared Footer", 0)
+    assert keep_first[2] == ("body two", 2)
+    assert keep_first[3] == ("solo document", 0)
+    removed_all = {
+        r.doc_id: r.cleaned_text
+        for r in S.dedup_lines_across_docs(df, min_docs=2, policy="all").collect()
+    }
+    assert removed_all[1] == "body one"
+    assert removed_all[2] == "body two"
+
+
+def test_remove_spans_plan_has_no_token_grain_shuffle(spark):
+    """The rewrite must not posexplode the corpus tokens: the only
+    Generate in the plan belongs to the window-hash pass, and the final
+    join is doc-grain."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    plan = S.remove_duplicated_spans(df, k=5, min_docs=2)._jdf.queryExecution().executedPlan().toString()
+    # token reconstruction is a filter() lambda, not an explode+groupBy
+    assert plan.count("Generate") <= 2  # window pass occurs twice (agg + position join)
