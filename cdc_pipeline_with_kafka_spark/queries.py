@@ -935,17 +935,22 @@ FROM lagged
 
 
 def w_trend_suite(spark, sf_dir):
-    """W2 + W3 + W6 in one tagged gate (r4 merge: frees two driver
-    budget rows for the round-3 tier): z-score anomaly, trend
-    direction, rank-change indicators — all over the same hourly
-    counts.  Every value the three standalone gates checked keeps its
-    own suite row."""
+    """W1 + W2 + W3 + W6 + W8 in one tagged gate (r4 merges: frees four
+    driver budget rows for the round-3/4 tiers): velocity, z-score
+    anomaly, trend direction, rank-change indicators — all over the
+    same hourly counts — plus the zero-filled minute timeline.  Every
+    value the five standalone gates checked keeps its own suite row."""
     k2 = F.concat_ws("|", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"),
                      F.col("event_type"))
+    k8 = F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+    w1 = w1_velocity(spark, sf_dir)
     w2 = w2_zscore(spark, sf_dir)
     w3 = w3_trend_direction(spark, sf_dir)
     w6 = w6_rank_change(spark, sf_dir)
+    w8 = w8_timeline(spark, sf_dir)
     return _union_all([
+        _suite_rows(w1, "w1_v", k2, v_num=F.col("velocity")),
+        _suite_rows(w1, "w1_cnt", k2, v_num=F.col("cnt")),
         _suite_rows(w2, "w2_z", k2, v_num=F.col("zscore")),
         _suite_rows(w2, "w2_anom", k2, v_num=F.col("anomaly")),
         _suite_rows(w2, "w2_cnt", k2, v_num=F.col("cnt")),
@@ -956,12 +961,17 @@ def w_trend_suite(spark, sf_dir):
                     v_num=F.col("rnk")),
         _suite_rows(w6, "w6_prev", k2, v_num=F.col("prev_rnk")),
         _suite_rows(w6, "w6_cnt", k2, v_num=F.col("cnt")),
+        _suite_rows(w8, "w8", k8, v_num=F.col("cnt")),
     ])
 
 
 _W_TREND_K = "strftime(bucket, '%Y-%m-%d %H:%M:%S') || '|' || event_type"
 W_TREND_SUITE_SQL = f"""
-SELECT 'w2_z' AS suite_case, {_W_TREND_K} AS k, '' AS v_str, zscore AS v_num FROM ({W2_SQL}) s1
+SELECT 'w1_v' AS suite_case, {_W_TREND_K} AS k, '' AS v_str, velocity AS v_num FROM ({W1_SQL}) s0a
+UNION ALL
+SELECT 'w1_cnt', {_W_TREND_K}, '', CAST(cnt AS DOUBLE) FROM ({W1_SQL}) s0b
+UNION ALL
+SELECT 'w2_z', {_W_TREND_K}, '', zscore FROM ({W2_SQL}) s1
 UNION ALL
 SELECT 'w2_anom', {_W_TREND_K}, '', anomaly FROM ({W2_SQL}) s2
 UNION ALL
@@ -1006,6 +1016,13 @@ minute AS (
 )
 SELECT cal.bucket, coalesce(minute.cnt, 0) AS cnt
 FROM cal LEFT JOIN minute USING (bucket)
+"""
+
+# W8 rides in w_trend_suite (r4 merge); its SQL is defined below the
+# suite literal, so the branch is appended here.
+W_TREND_SUITE_SQL += f"""
+UNION ALL
+SELECT 'w8', strftime(bucket, '%Y-%m-%d %H:%M:%S'), '', CAST(cnt AS DOUBLE) FROM ({W8_SQL}) s9
 """
 
 def t4_session_window(spark, sf_dir):
@@ -3358,6 +3375,226 @@ UNION ALL SELECT doc_id, 2::BIGINT, 'rejected', 'near_dup_shard' FROM s2n
 ADMIT_E2E_SQL = _admit_oracle_sql()
 
 
+# ---------------------------------------------------------------- round-4 tier
+
+
+def span_dedup(spark, sf_dir):
+    """Substring-level dedup (operators/spans.py — Lee et al. 2021
+    exact-substring tier): duplicated 10-token windows merged to
+    maximal spans (keep-first policy), then the in-row corpus rewrite.
+    Branches: 'span' = the maximal spans per doc (start/end/window
+    count), 'doc' = every document's rewrite (md5 of cleaned text +
+    removed-token count) — the whole remove path value-checked."""
+    from .operators import spans as spans_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    sp = spans_ops.duplicated_spans(docs, k=10, min_docs=2, policy="keep_first")
+    span_rows = _suite_rows(
+        sp, "span",
+        F.concat_ws("|", F.col("id").cast("string"), F.col("span_start").cast("string")),
+        v_str=F.col("span_end").cast("string"),
+        v_num=F.col("n_windows"),
+    )
+    cleaned = spans_ops.remove_duplicated_spans(docs, k=10, min_docs=2, policy="keep_first")
+    doc_rows = _suite_rows(
+        cleaned, "doc", F.col("doc_id"),
+        v_str=F.md5("cleaned_text"),
+        v_num=F.col("n_removed_tokens"),
+    )
+    return span_rows.unionByName(doc_rows)
+
+
+SPAN_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS win_start,
+         md5(array_to_string(t[i:i+9], ' ')) AS whash
+  FROM toks, unnest(generate_series(1, len(t) - 9)) AS g(i)
+),
+dup AS (
+  SELECT whash, min(doc_id) AS keep_id
+  FROM wins GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT wins.doc_id AS id, win_start AS s, win_start + 9 AS e
+  FROM wins JOIN dup USING (whash)
+  WHERE wins.doc_id <> dup.keep_id
+),
+isl AS (
+  SELECT id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM occ
+  WINDOW w AS (PARTITION BY id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT id, s, e,
+         sum(ni) OVER (PARTITION BY id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT id, island, min(s) AS span_start, max(e) AS span_end,
+         count(*) AS n_windows
+  FROM isl2 GROUP BY id, island
+),
+spanlists AS (
+  SELECT id,
+         list(struct_pack(ss := span_start, se := span_end) ORDER BY span_start) AS sl,
+         sum(span_end - span_start + 1) AS rm
+  FROM spans GROUP BY id
+),
+cleaned AS (
+  SELECT t.doc_id,
+         -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+         -- concat_ws over an empty array is ''
+         coalesce(
+           CASE WHEN sl.sl IS NULL THEN array_to_string(t.t, ' ')
+                ELSE array_to_string(
+                       list_transform(
+                         list_filter(
+                           CASE WHEN len(t.t) = 0 THEN []
+                                ELSE generate_series(0, len(t.t) - 1) END,
+                           i -> len(list_filter(sl.sl, sp -> i >= sp.ss AND i <= sp.se)) = 0),
+                         i -> t.t[i + 1]),
+                       ' ')
+           END, '') AS cleaned_text,
+         coalesce(sl.rm, 0) AS n_removed_tokens
+  FROM toks t LEFT JOIN spanlists sl ON t.doc_id = sl.id
+)
+SELECT 'span' AS suite_case,
+       CAST(id AS VARCHAR) || '|' || CAST(span_start AS VARCHAR) AS k,
+       CAST(span_end AS VARCHAR) AS v_str,
+       CAST(n_windows AS DOUBLE) AS v_num
+FROM spans
+UNION ALL
+SELECT 'doc', CAST(doc_id AS VARCHAR), md5(cleaned_text),
+       CAST(n_removed_tokens AS DOUBLE)
+FROM cleaned
+"""
+
+
+def classify_suite(spark, sf_dir):
+    """Model-in-the-loop curation (operators/classify.py) in one tagged
+    gate — everything in exact integer micro-nats, so cross-engine
+    float accumulation order cannot flip a value:
+    - 'nb'   : multinomial Naive Bayes trained on (lang ← text) over
+               the corpus itself, per-(doc, label) score,
+    - 'nbp'  : the argmax label per doc,
+    - 'dsir' : DSIR importance log-weights of every doc against the
+               lang='zh' target slice (hashed unigram+bigram features,
+               1024 buckets)."""
+    from .operators import classify as classify_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    token_logp, class_stats = classify_ops.train_nb(docs, "lang", max_vocab=None)
+    scored = classify_ops.nb_score(docs, token_logp, class_stats)
+    nb = _suite_rows(
+        scored, "nb",
+        F.concat_ws("|", F.col("id").cast("string"), F.col("label")),
+        v_num=F.col("score_micro"),
+    )
+    nbp = _suite_rows(
+        scored.filter(F.col("predicted")), "nbp", F.col("id"),
+        v_str=F.col("label"),
+    )
+    target = docs.filter(F.col("lang") == "zh")
+    weights = classify_ops.dsir_weights(docs, target, hash_buckets=1024)
+    dsir = _suite_rows(
+        weights, "dsir", F.col("id"),
+        v_str=F.col("n_feats").cast("string"),
+        v_num=F.col("logw_micro"),
+    )
+    return _union_all([nb, nbp, dsir])
+
+
+CLASSIFY_SUITE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+ltoks AS (SELECT lang AS label, unnest(t) AS token FROM base),
+counts AS (SELECT label, token, count(*) AS cnt FROM ltoks GROUP BY 1, 2),
+vs AS (SELECT count(DISTINCT token) AS v FROM counts),
+totals AS (SELECT label, sum(cnt) AS n_tok FROM counts GROUP BY 1),
+tlogp AS (
+  SELECT label, token,
+         CAST(round(ln((cnt + 1) / (n_tok + v)) * 1000000) AS BIGINT) AS lp
+  FROM counts JOIN totals USING (label), vs
+),
+cstats AS (
+  SELECT d.lang AS label,
+         CAST(round(ln(CAST(d.n AS DOUBLE) / (SELECT count(*) FROM documents)) * 1000000) AS BIGINT) AS prior,
+         CAST(round(ln(1.0 / (coalesce(t.n_tok, 0) + v.v)) * 1000000) AS BIGINT) AS unseen
+  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang) d
+  LEFT JOIN totals t ON t.label = d.lang, vs v
+),
+dt AS (
+  SELECT doc_id AS id, unnest(t) AS token FROM base
+),
+dtc AS (SELECT id, token, count(*) AS cnt FROM dt GROUP BY 1, 2),
+nbscore AS (
+  SELECT dtc.id, c.label,
+         any_value(c.prior) + sum(dtc.cnt * coalesce(tl.lp, c.unseen)) AS score_micro
+  FROM dtc CROSS JOIN cstats c
+  LEFT JOIN tlogp tl ON tl.label = c.label AND tl.token = dtc.token
+  GROUP BY dtc.id, c.label
+),
+empties AS (
+  SELECT b.doc_id AS id, c.label, c.prior AS score_micro
+  FROM base b CROSS JOIN cstats c
+  WHERE len(b.t) = 0
+),
+allscores AS (SELECT * FROM nbscore UNION ALL SELECT * FROM empties),
+pred AS (
+  SELECT id, label, score_micro,
+         row_number() OVER (PARTITION BY id ORDER BY score_micro DESC, label ASC) AS rn
+  FROM allscores
+),
+feats AS (
+  SELECT doc_id AS id, unnest(list_concat(t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END)) AS f
+  FROM base
+),
+fb AS (
+  SELECT id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bucket FROM feats
+),
+rawd AS (SELECT bucket, count(*) AS c FROM fb GROUP BY bucket),
+rawtot AS (SELECT count(*) AS n FROM fb),
+tgtf AS (SELECT bucket, count(*) AS c FROM fb
+         WHERE id IN (SELECT doc_id FROM documents WHERE lang = 'zh')
+         GROUP BY bucket),
+tgttot AS (SELECT count(*) AS n FROM fb
+           WHERE id IN (SELECT doc_id FROM documents WHERE lang = 'zh')),
+ratio AS (
+  SELECT coalesce(r.bucket, t.bucket) AS bucket,
+         CAST(round(ln((coalesce(t.c, 0) + 1.0) / ((SELECT n FROM tgttot) + 1024)) * 1000000) AS BIGINT)
+       - CAST(round(ln((coalesce(r.c, 0) + 1.0) / ((SELECT n FROM rawtot) + 1024)) * 1000000) AS BIGINT) AS lr
+  FROM rawd r FULL JOIN tgtf t ON r.bucket = t.bucket
+),
+dsir AS (
+  SELECT fb.id, count(*) AS n_feats, sum(ratio.lr) AS logw
+  FROM fb JOIN ratio USING (bucket)
+  GROUP BY fb.id
+)
+SELECT 'nb' AS suite_case,
+       CAST(id AS VARCHAR) || '|' || label AS k, '' AS v_str,
+       CAST(score_micro AS DOUBLE) AS v_num
+FROM allscores
+UNION ALL
+SELECT 'nbp', CAST(id AS VARCHAR), label, -1.0 FROM pred WHERE rn = 1
+UNION ALL
+SELECT 'dsir', CAST(id AS VARCHAR), CAST(n_feats AS VARCHAR), CAST(logw AS DOUBLE)
+FROM dsir
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -3394,12 +3631,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a_stats_suite": (a_stats_suite, A_STATS_SUITE_SQL),
     "a12_breaking_words": (a12_breaking_words, A12_SQL),
     "o2_offset_pagination_total": (o2_offset_pagination_total, O2_SQL),
-    "w1_velocity": (w1_velocity, W1_SQL),
-    # r4: W2 + W3 + W6 merged into one tagged gate (all values keep
-    # their own rows; frees two budget slots for the round-3 tier)
+    # r4: W1 + W2 + W3 + W6 + W8 merged into one tagged gate (all
+    # values keep their own rows; frees four budget slots for the
+    # round-3/4 tiers)
     "w_trend_suite": (w_trend_suite, W_TREND_SUITE_SQL),
     "w4_compound_score": (w4_compound_score, W4_SQL),
-    "w8_timeline": (w8_timeline, W8_SQL),
     "w_alert_rules": (w_alert_rules, W_ALERT_RULES_SQL),
     "o3_recent_alerts": (o3_recent_alerts, O3_SQL),
     "t4_session_window": (t4_session_window, T4_SQL),
@@ -3436,6 +3672,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only by necessity (k-means codebooks aren't SQL-expressible)
     # but self-asserting: the build raises if refined recall regresses
     "pq_recall": (pq_recall, None),
+    # r4 tier (slots freed by the w1/w8 merges): substring-level dedup
+    # and the NB/DSIR model-in-the-loop curation classifiers
+    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
+    "classify_suite": (classify_suite, CLASSIFY_SUITE_SQL),
 }
 
 # Headline queries for bench.py — chosen to stress distinct physical
