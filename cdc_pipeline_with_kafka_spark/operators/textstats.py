@@ -331,3 +331,62 @@ def scrub_pii(
         *counts,
         (total > 0).alias("has_pii"),
     )
+
+
+# ---------------------------------------------------------------- C4 heuristics
+
+
+C4_LINE_BLOCKLIST = ["javascript", "cookie policy", "terms of use", "privacy policy"]
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    line_blocklist: list[str] | None = None,
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020, §2.2 of
+    arXiv:1910.10683), as one codegen map stage per document:
+
+    - keep only lines that end in terminal punctuation (. ! ? ")
+      and have ≥ `min_words_per_line` words;
+    - drop lines containing a blocklist phrase (case-insensitive;
+      'javascript' etc.);
+    - flag the whole document for removal when it contains
+      'lorem ipsum' or a curly brace, or keeps < `min_kept_lines`
+      lines.
+
+    Output: input columns + (cleaned_text, n_lines, n_kept_lines,
+    keep).  All higher-order array functions on the line split — no
+    explode, no shuffle, no Python.
+    """
+    bl = [p.lower() for p in (line_blocklist or C4_LINE_BLOCKLIST)]
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+    def line_ok(l: Column) -> Column:
+        words = F.size(F.filter(F.split(l, r"\s+"), lambda t: t != F.lit("")))
+        terminal = l.rlike(r'[.!?"]$')
+        blocked = F.lit(False)
+        for p in bl:
+            blocked = blocked | F.lower(l).contains(p)
+        return (words >= min_words_per_line) & terminal & ~blocked
+
+    kept = F.filter(lines, line_ok)
+    lowered = F.lower(F.col(text_col))
+    doc_ok = (
+        (F.size(kept) >= min_kept_lines)
+        & ~lowered.contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return df.select(
+        *df.columns,
+        F.concat_ws("\n", kept).alias("cleaned_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        doc_ok.alias("keep"),
+    )
