@@ -76,7 +76,10 @@ def train_nb(
             F.col("_r") <= max_vocab
         ).select("token")
         toks = toks.join(F.broadcast(vocab), "token")
-    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    # localCheckpoint pins the (≤ vocab × classes)-row count table so
+    # the vocab-size action and both model outputs reuse ONE tokenize
+    # pass over the corpus instead of re-scanning per consumer
+    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     vocab_size = counts.select("token").distinct().count()
     totals = counts.groupBy("label").agg(F.sum("cnt").alias("n_tok"))
     token_logp = counts.join(totals, "label").select(
@@ -128,9 +131,11 @@ def nb_score(
             + F.sum(F.col("cnt") * F.coalesce(F.col("logp_micro"), F.col("unseen_micro")))
         ).alias("score_micro")
     )
-    # docs with zero tokens still get prior-only scores
-    empties = df.select(F.col(id_col).alias("id")).join(
-        scored.select("id").distinct(), "id", "left_anti"
+    # docs with zero tokens still get prior-only scores — detected by a
+    # shuffle-free token-count filter, not an anti-join against the
+    # scored output (which would re-shuffle the whole corpus)
+    empties = df.filter(F.size(_tokens(F.col(text_col))) == 0).select(
+        F.col(id_col).alias("id")
     )
     prior_only = empties.crossJoin(F.broadcast(class_stats)).select(
         "id", "label", F.col("prior_micro").alias("score_micro")
@@ -199,38 +204,52 @@ def dsir_weights(
     Returns (id, n_feats, logw_micro) — integer micro-nats, exact sums.
 
     The two distribution estimates are bucket-count aggregations whose
-    output is at most `hash_buckets` rows — broadcast scale by
-    construction, independent of corpus size.  Raw docs are then one
-    tokenize + broadcast-join + groupBy pass.
+    output is at most `hash_buckets` rows — they are COLLECTED to the
+    driver (hard-bounded by construction, same contract as the
+    codebook/BPE/LM trainers) so each corpus is tokenized exactly once
+    for its distribution, and the log-ratio table ships back as a
+    broadcast.  Raw docs then take one more tokenize + broadcast-join +
+    groupBy pass for the weights: two passes over raw, one over target,
+    total.
     """
+    import math
+
     raw_feats = _doc_features(raw_df, text_col, id_col, hash_buckets)
     target_feats = _doc_features(target_df, text_col, id_col, hash_buckets)
 
-    def dist(feats: DataFrame, name: str) -> DataFrame:
-        counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-        total = feats.count()
-        return counts.select(
-            "bucket",
-            _micro_ln((F.col("c") + 1) / F.lit(total + hash_buckets)).alias(f"ln_{name}"),
-        ), _micro_ln(F.lit(1) / F.lit(total + hash_buckets)).alias(f"ln_{name}")
+    def _ln_micro(p: float) -> int:
+        # HALF_UP away from zero — the same rounding Spark's round()
+        # and DuckDB's round() apply, NOT Python's banker's round
+        v = math.log(p) * MICRO
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
 
-    p_t, unseen_t = dist(target_feats, "t")
-    p_r, unseen_r = dist(raw_feats, "r")
-    ratio = (
-        p_t.join(p_r, "bucket", "full")
-        .select(
-            "bucket",
-            (
-                F.coalesce(F.col("ln_t"), unseen_t) - F.coalesce(F.col("ln_r"), unseen_r)
-            ).alias("lr_micro"),
+    def dist(feats: DataFrame) -> tuple[dict[int, int], int]:
+        rows = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+        return {r["bucket"]: r["c"] for r in rows}, sum(r["c"] for r in rows)
+
+    t_counts, t_total = dist(target_feats)
+    r_counts, r_total = dist(raw_feats)
+    spark = raw_df.sparkSession
+    ratio_rows = [
+        (
+            b,
+            _ln_micro((t_counts.get(b, 0) + 1) / (t_total + hash_buckets))
+            - _ln_micro((r_counts.get(b, 0) + 1) / (r_total + hash_buckets)),
         )
+        for b in set(t_counts) | set(r_counts)
+    ]
+    ratio = spark.createDataFrame(ratio_rows, "bucket long, lr_micro long")
+    # every raw bucket is in r_counts by construction, so the join
+    # never misses; 'left' + coalesce documents the invariant anyway
+    unseen_lr = _ln_micro(1 / (t_total + hash_buckets)) - _ln_micro(
+        1 / (r_total + hash_buckets)
     )
     return (
         raw_feats.join(F.broadcast(ratio), "bucket", "left")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum(F.coalesce(F.col("lr_micro"), unseen_t - unseen_r)).alias("logw_micro"),
+            F.sum(F.coalesce(F.col("lr_micro"), F.lit(unseen_lr))).alias("logw_micro"),
         )
     )
 
@@ -267,3 +286,32 @@ def dsir_select(
         F.row_number().over(Window.orderBy(F.col("rank_key").desc(), F.col("id").asc())),
     )
     return ranked.filter(F.col("rnk") <= k).drop("rank_key")
+
+
+def nb_filter(
+    df: DataFrame,
+    token_logp: DataFrame,
+    class_stats: DataFrame,
+    keep_label: str,
+    min_margin_micro: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents the NB model assigns to `keep_label` with a score
+    margin ≥ `min_margin_micro` over the best other class — the
+    classifier-filter stage of a curation pipeline (fastText-style
+    quality gate).  Margin is in micro-nats: 1e6 ≈ one nat of
+    log-likelihood separation.
+
+    One scoring pass + a doc-grain max-aggregation; the corpus is
+    never joined against itself."""
+    scores = nb_score(df, token_logp, class_stats, text_col=text_col, id_col=id_col)
+    margins = scores.groupBy("id").agg(
+        (
+            F.max(F.when(F.col("label") == keep_label, F.col("score_micro")))
+            - F.max(F.when(F.col("label") != keep_label, F.col("score_micro")))
+        ).alias("_margin")
+    ).filter(F.col("_margin") >= min_margin_micro)
+    return df.join(
+        margins.withColumnRenamed("id", id_col).select(id_col), id_col, "left_semi"
+    )

@@ -182,28 +182,59 @@ def curate_corpus(
     pack_budget: int | None = None,
     token_col: str | None = None,
     salt: str = "",
+    source_col: str | None = None,
+    source_max_dup_rate: float | None = None,
+    source_blocklist: list[str] | None = None,
+    nb_model: tuple | None = None,
+    nb_keep_label: str | None = None,
+    nb_min_margin_micro: int = 0,
+    span_dedup_k: int | None = None,
 ) -> DataFrame:
     """The end-to-end corpus curation flow, composed from the pieces:
 
-      quality filter → repetition filter (if repetition_ppm_max) →
+      domain filter (if source_* given) → quality filter →
+      repetition filter (if repetition_ppm_max) →
+      classifier filter (if nb_model given) →
       benchmark decontamination (if benchmark given) →
       exact dedup (lowest-id survivor) →
       near-dup canonical survivor (if pairs given) →
+      passage-level span removal (if span_dedup_k given) →
       reproducible (stratified) sample → optional packing
 
     Each stage is the already-tested operator; this function pins the
-    ORDER: quality-filter first (cheapest, prunes everything after),
-    then dedup, then sample — sampling BEFORE dedup would drop a
-    cluster's canonical doc while keeping its duplicates alive.
-    Everything stays lazy — one action executes the whole curation as a
-    single Spark job graph.
+    ORDER: domain/quality filters first (cheapest, prune everything
+    after), then dedup, then sample — sampling BEFORE dedup would drop
+    a cluster's canonical doc while keeping its duplicates alive.
+    Span removal runs AFTER doc-level dedup (whole-dup docs should die
+    as docs, not be hollowed out token by token) and BEFORE sampling
+    (the rewrite must see every surviving copy of a passage to pick
+    its canonical holder).  Everything stays lazy — one action executes
+    the whole curation as a single Spark job graph (the NB stage's
+    trainer, if given pre-trained model frames, adds none).
     """
     from . import dedup as dedup_ops
     from . import textstats
 
     out = docs
+    if source_col is not None and (source_max_dup_rate is not None or source_blocklist):
+        out = filter_by_source(
+            out, source_col=source_col, text_col=text_col, id_col=id_col,
+            max_dup_rate=source_max_dup_rate if source_max_dup_rate is not None else 1.0,
+            blocklist=source_blocklist,
+        )
     if min_quality is not None:
         out = out.filter(textstats.quality_score(F.col(text_col)) >= min_quality)
+    if nb_model is not None:
+        if nb_keep_label is None:
+            raise ValueError("nb_keep_label required when nb_model is set")
+        from .classify import nb_filter
+
+        token_logp, class_stats = nb_model
+        out = nb_filter(
+            out, token_logp, class_stats, nb_keep_label,
+            min_margin_micro=nb_min_margin_micro,
+            text_col=text_col, id_col=id_col,
+        )
     if repetition_ppm_max is not None:
         keep = textstats.repetition_stats(
             out, text_col=text_col, id_col=id_col,
@@ -222,6 +253,15 @@ def curate_corpus(
         ).filter(
             F.col("is_canonical")
         ).drop("cluster_id", "is_canonical")
+    if span_dedup_k is not None:
+        from .spans import remove_duplicated_spans
+
+        out = remove_duplicated_spans(
+            out, k=span_dedup_k, text_col=text_col, id_col=id_col,
+            policy="keep_first",
+        ).drop(text_col).withColumnRenamed("cleaned_text", text_col).drop(
+            "n_removed_tokens", "n_spans"
+        )
     if sample_rate_pct < 100 or stratum_rates:
         out = hash_sample(
             out, sample_rate_pct, id_col, salt=salt,
@@ -669,4 +709,79 @@ def hash_sample_k(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+def source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain/source-level corpus statistics — the rollup behind
+    URL-level curation (C4's blocklists, RefinedWeb's per-domain
+    filtering): one row per source with
+
+    - n_docs, total_tokens,
+    - avg_quality (micro-sum average of textstats.quality_score —
+      exact integer accumulation, order-independent),
+    - exact_dup_rate (1 − distinct content hashes / docs: a mirror/
+      scraper-loop detector),
+    - avg_chars.
+
+    One scan, one groupBy(source) with map-side partial aggregation;
+    skewed sources (one domain = half the corpus) are safe because
+    every aggregate is algebraic."""
+    from ..util import spread
+    from .textstats import quality_score, token_count
+    from .dedup import normalized_text
+
+    q_micro = F.round(quality_score(F.col(text_col)) * 1_000_000).cast("long")
+    return (
+        spread(df, source_col)
+        .select(
+            F.col(source_col).alias("source"),
+            token_count(F.col(text_col)).alias("_tok"),
+            q_micro.alias("_q"),
+            F.length(text_col).alias("_chars"),
+            F.md5(normalized_text(F.col(text_col))).alias("_ch"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("_q") / F.count(F.lit(1)) / 1_000_000, 4).alias("avg_quality"),
+            F.round(
+                1.0 - F.countDistinct("_ch").cast("double") / F.count(F.lit(1)), 6
+            ).alias("exact_dup_rate"),
+            F.round(F.sum("_chars") / F.count(F.lit(1)), 2).alias("avg_chars"),
+        )
+    )
+
+
+def filter_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_avg_quality: float = 0.0,
+    max_dup_rate: float = 1.0,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Drop every document from sources that fail domain-level rules:
+    average quality below `min_avg_quality`, exact-dup rate above
+    `max_dup_rate` (mirror detection), or an explicit blocklist.
+
+    The source rollup is tiny (one row per domain) and broadcast into
+    a semi-join — the corpus is scanned twice (stats + filter) but
+    never shuffled on the doc grain."""
+    stats = source_stats(df, source_col=source_col, text_col=text_col, id_col=id_col)
+    good = stats.filter(
+        (F.col("avg_quality") >= min_avg_quality)
+        & (F.col("exact_dup_rate") <= max_dup_rate)
+    ).select(F.col("source"))
+    if blocklist:
+        good = good.filter(~F.col("source").isin(list(blocklist)))
+    return df.join(
+        F.broadcast(good), df[source_col] == good["source"], "left_semi"
     )

@@ -2218,10 +2218,25 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("v").alias("v_num"),
     )
+    # 'src': domain-level rollup (curation.source_stats) — the
+    # URL/domain curation tier, one row per (source, stat)
+    src = curation.source_stats(docs).selectExpr(
+        "source",
+        "stack(5, 'n_docs', CAST(n_docs AS DOUBLE),"
+        " 'total_tokens', CAST(total_tokens AS DOUBLE),"
+        " 'avg_quality', avg_quality,"
+        " 'exact_dup_rate', exact_dup_rate,"
+        " 'avg_chars', avg_chars) AS (stat, v)"
+    ).select(
+        F.lit("src").alias("suite_case"),
+        F.concat_ws("|", "source", "stat").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("v").alias("v_num"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
-        .unionByName(report)
+        .unionByName(report).unionByName(src)
     )
 
 
@@ -2342,6 +2357,44 @@ SELECT 'report', stat, '', v FROM (
                  exact_dup_rate, avg_quality, median_chars]) AS v
   FROM ragg
 ) rep
+UNION ALL
+SELECT 'src', source || '|' || stat, '', v FROM (
+  WITH sb AS (
+    SELECT source,
+           list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tokens,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS ltokens,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+    FROM documents
+  ),
+  sq AS (
+    SELECT source,
+           CASE WHEN len(tokens) = 0 THEN 0 ELSE len(tokens) END AS ntok,
+           nchars, ch,
+           CAST(round(round(least(len(tokens) / 100.0, 1.0) * 0.4
+                + least((CASE WHEN len(ltokens) > 0
+                              THEN CAST(len(list_filter(ltokens, t -> list_contains(['the','and','of','to','is','in','that','it','a','an','for','on','with','as','was','are'], t))) AS DOUBLE) / len(ltokens)
+                              ELSE 0.0 END) / 0.2, 1.0) * 0.4
+                + (CASE WHEN (CASE WHEN len(tokens) > 0
+                                   THEN CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens)
+                                   ELSE 0.0 END) BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+               * 1000000) AS BIGINT) AS qmicro
+    FROM sb
+  ),
+  sagg AS (
+    SELECT source, count(*) AS n_docs, sum(ntok) AS total_tokens,
+           round(sum(qmicro) / count(*) / 1000000.0, 4) AS avg_quality,
+           round(1.0 - count(DISTINCT ch) * 1.0 / count(*), 6) AS exact_dup_rate,
+           round(sum(nchars) / count(*), 2) AS avg_chars
+    FROM sq GROUP BY source
+  )
+  SELECT source,
+         unnest(['n_docs', 'total_tokens', 'avg_quality', 'exact_dup_rate', 'avg_chars']) AS stat,
+         unnest([CAST(n_docs AS DOUBLE), CAST(total_tokens AS DOUBLE), avg_quality,
+                 exact_dup_rate, avg_chars]) AS v
+  FROM sagg
+) srcq
 """
 CURATION_SUITE_SQL = CURATION_SUITE_SQL.replace(
     "{TEXT_LENGTH_SQL_PLACEHOLDER}", TEXT_LENGTH_SQL
@@ -3715,6 +3768,11 @@ BENCH_FNS: dict[str, QueryFn] = {
     # (localCheckpoint per round), so build_s carries them and the
     # steady-state number is the prepared survivor-assignment plan
     "dedup_end_to_end": dedup_end_to_end,
+    # round 4+: substring-level dedup (window hash agg + islands +
+    # in-row rewrite) and the NB/DSIR classifier tier (tokenize +
+    # broadcast model joins, integer micro-nat sums)
+    "span_dedup": span_dedup,
+    "classify_suite": classify_suite,
 }
 
 BENCH_QUERIES = list(BENCH_FNS)

@@ -434,3 +434,78 @@ def test_connected_components_star_equivalence(spark):
     )
     out = dedup.connected_components_star(chain, max_iter=8).collect()
     assert {r["cluster_id"] for r in out} == {1} and len(out) == 30
+
+
+def test_source_stats_and_filter_by_source(spark):
+    from cdc_pipeline_with_kafka_spark.operators.curation import (
+        filter_by_source,
+        source_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good", "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "good", "a different sentence with the usual stopwords in it for now"),
+            (3, "mirror", "identical mirrored page content here"),
+            (4, "mirror", "identical mirrored page content here"),
+            (5, "mirror", "identical  mirrored   page content here"),  # ws-normalized dup
+            (6, "junk", "zzz"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    stats = {r.source: r for r in source_stats(docs).collect()}
+    assert stats["good"].n_docs == 2 and stats["good"].exact_dup_rate == 0.0
+    # 3 docs, 1 distinct normalized hash -> dup rate 2/3
+    assert stats["mirror"].n_docs == 3
+    assert abs(stats["mirror"].exact_dup_rate - round(1 - 1 / 3, 6)) < 1e-9
+    assert stats["junk"].total_tokens == 1
+
+    kept = filter_by_source(docs, max_dup_rate=0.5)
+    assert {r.source for r in kept.collect()} == {"good", "junk"}
+    kept2 = filter_by_source(docs, max_dup_rate=0.5, blocklist=["junk"])
+    assert {r.source for r in kept2.collect()} == {"good"}
+    # domain rollup must broadcast into the corpus filter
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_curate_corpus_round4_stages_compose(spark):
+    """Domain filter -> NB classifier filter -> exact dedup -> span
+    removal, all composed through curate_corpus."""
+    from cdc_pipeline_with_kafka_spark.operators import classify as C
+    from cdc_pipeline_with_kafka_spark.operators.curation import curate_corpus
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "good", f"the quick brown fox jumps over the dog {shared}"),
+            (2, "good", f"prefix words and more text here now {shared}"),
+            (3, "mirror", "same page every time"),
+            (4, "mirror", "same page every time"),
+            (5, "mirror", "same  page EVERY time"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (100, "keep", "the quick brown fox jumps over the dog alpha beta gamma "
+                          "delta epsilon zeta eta theta iota kappa prefix words "
+                          "more text here now"),
+            (101, "drop", "same page every time again and again"),
+        ],
+        ["doc_id", "label", "text"],
+    )
+    model = C.train_nb(train, "label")
+    out = curate_corpus(
+        docs,
+        min_quality=None,
+        source_col="source",
+        source_max_dup_rate=0.5,      # kills the mirror domain
+        nb_model=model,
+        nb_keep_label="keep",
+        span_dedup_k=5,               # strips the shared passage from doc 2
+    ).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert shared in out[0].text            # canonical holder keeps it
+    assert shared not in out[1].text
+    assert out[1].text == "prefix words and more text here now"

@@ -77,3 +77,23 @@ def test_cosine_suite_single_udf_evaluation(spark):
     p = plans.formatted_plan(q.sim_ivf_ann_topk(spark, SF_CORRECT))
     # corpus assignment + query probe — one each, nothing re-evaluated
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 2
+
+
+def test_span_dedup_no_token_grain_shuffle(spark):
+    """span_dedup's rewrite must stay doc-grain: Generates belong to the
+    window-hash pass only (occurrence stream built twice per branch:
+    agg + position join; the gate unions two branches), never a token
+    posexplode feeding the reconstruction."""
+    df = q.span_dedup(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") <= 4
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 4
+
+
+def test_classify_suite_model_joins_broadcast(spark):
+    """The NB/DSIR model sides must broadcast — a SortMergeJoin here
+    means the corpus is being shuffled against KB-scale model state."""
+    df = q.classify_suite(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
