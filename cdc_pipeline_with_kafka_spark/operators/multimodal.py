@@ -131,18 +131,12 @@ def decode_wav_features(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
-def decode_ppm_features(payload: bytes, dim: int = 8) -> list[float]:
-    """REAL in-container image decoder: parses binary PPM (P6) bytes —
-    header tokens (width, height, maxval, '#' comments skipped) then a
-    raw RGB raster — and extracts a fixed 8-dim feature vector:
-
-      [width, height, maxval, mean_r, mean_g, mean_b,
-       luma_mean, luma_std]          (channel stats normalized 0-1)
-
-    Pure numpy; maxval ≤ 255 (1 byte/channel) and 256-65535
-    (2 bytes/channel, big-endian per the netpbm spec) both supported.
-    Raises ValueError on malformed payloads.  Register with
-    set_decoder('image', ...)."""
+def _ppm_raster(payload: bytes):
+    """Parse binary PPM (P6) bytes → (w, h, maxval, h×w×3 uint raster).
+    Header tokens (width, height, maxval, '#' comments skipped), then a
+    raw RGB raster; maxval ≤ 255 is 1 byte/channel, 256-65535 is
+    2 bytes/channel big-endian per the netpbm spec.  Raises ValueError
+    on malformed payloads (quarantine path)."""
     import numpy as np
 
     if not payload.startswith(b"P6"):
@@ -179,7 +173,23 @@ def decode_ppm_features(payload: bytes, dim: int = 8) -> list[float]:
         raster = np.frombuffer(payload, dtype=np.uint8, count=n_vals, offset=i)
     else:
         raster = np.frombuffer(payload, dtype=">u2", count=n_vals, offset=i)
-    px = raster.reshape(h, w, 3).astype(np.float64) / float(maxval)
+    if raster.size < n_vals:
+        raise ValueError("truncated PPM raster")
+    return w, h, maxval, raster.reshape(h, w, 3)
+
+
+def decode_ppm_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container image decoder: parses binary PPM (P6) bytes
+    (via _ppm_raster) and extracts a fixed 8-dim feature vector:
+
+      [width, height, maxval, mean_r, mean_g, mean_b,
+       luma_mean, luma_std]          (channel stats normalized 0-1)
+
+    Register with set_decoder('image', ...)."""
+    import numpy as np
+
+    w, h, maxval, raster = _ppm_raster(payload)
+    px = raster.astype(np.float64) / float(maxval)
     means = px.mean(axis=(0, 1))
     luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
     return [
@@ -534,3 +544,107 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
     )
+
+
+# ---------------------------------------------------------------- transforms
+
+# binary → binary transform registry, the write-side mirror of
+# _DECODERS: media pipelines resize/re-encode assets, not just read
+# them.  Compressed formats (JPEG/PNG re-encode, H.264) stay honest
+# NotImplementedError stubs behind the same seam.
+_TRANSFORMS: dict[str, Callable[[bytes], bytes]] = {}
+
+
+def set_transform(media_type: str, fn: Callable[[bytes], bytes]) -> None:
+    _TRANSFORMS[media_type] = fn
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a binary PPM (P6) image, pure numpy:
+    integer index maps select source rows/columns, the raster is
+    re-encoded at the same maxval.  The uniform-resize step of an
+    image training pipeline, with no image library in the container.
+    Raises ValueError on malformed payloads (→ quarantine)."""
+    import numpy as np
+
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad target size {out_w}x{out_h}")
+    w, h, maxval, raster = _ppm_raster(payload)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    resized = raster[rows][:, cols]
+    header = f"P6\n{out_w} {out_h}\n{maxval}\n".encode()
+    if maxval < 256:
+        body = resized.astype(np.uint8).tobytes()
+    else:
+        body = resized.astype(">u2").tobytes()
+    return header + body
+
+
+def transform_assets(
+    assets: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """Re-encode every asset through its registered transform (e.g.
+    `set_transform('image', lambda p: resize_ppm(p, 64, 64))`) via
+    mapInPandas — the same Arrow binary-batch shape as
+    extract_features, writing bytes instead of features.
+
+    Assets whose media type has no registered transform pass through
+    unchanged (transform_applied=false); transforms that raise mark
+    the row quarantined (payload NULL, error message kept) so one
+    corrupt asset can't fail a 100 TB rewrite job.
+
+    Output: (asset_id, media_type, payload, n_bytes_in, n_bytes_out,
+    transform_applied, error)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_bytes_in", T.LongType()),
+            T.StructField("n_bytes_out", T.LongType()),
+            T.StructField("transform_applied", T.BooleanType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, n_in, n_out, applied, errs = [], [], [], [], []
+            for mt, payload in zip(pdf["media_type"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                n_in.append(len(raw))
+                fn = _TRANSFORMS.get(mt)
+                if fn is None:
+                    outs.append(raw)
+                    n_out.append(len(raw))
+                    applied.append(False)
+                    errs.append(None)
+                    continue
+                try:
+                    t = fn(raw)
+                    outs.append(t)
+                    n_out.append(len(t))
+                    applied.append(True)
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — quarantine, not crash
+                    outs.append(None)
+                    n_out.append(0)
+                    applied.append(False)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": outs,
+                    "n_bytes_in": n_in,
+                    "n_bytes_out": n_out,
+                    "transform_applied": applied,
+                    "error": errs,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=out_schema)

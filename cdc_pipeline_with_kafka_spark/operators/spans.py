@@ -137,6 +137,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     policy: str = "all",
+    spans_df: DataFrame | None = None,
 ) -> DataFrame:
     """Rewrite each document with its duplicated spans removed.
 
@@ -151,8 +152,12 @@ def remove_duplicated_spans(
     per-document-bounded (collect_list after island merge), and the
     token array never leaves its row, so there is no token-grain
     shuffle anywhere in the plan.
+
+    Pass `spans_df` (a `duplicated_spans` output, possibly pinned with
+    localCheckpoint) to reuse an already-computed span table — a caller
+    that also reports the spans themselves halves the window passes.
     """
-    spans = duplicated_spans(
+    spans = spans_df if spans_df is not None else duplicated_spans(
         df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col, policy=policy
     )
     span_lists = spans.groupBy("id").agg(

@@ -3441,14 +3441,21 @@ def span_dedup(spark, sf_dir):
     from .operators import spans as spans_ops
 
     docs = _t(spark, sf_dir, "documents")
-    sp = spans_ops.duplicated_spans(docs, k=10, min_docs=2, policy="keep_first")
+    # one span table feeds BOTH branches: localCheckpoint pins the
+    # (spans-only, corpus-small) result so the rewrite branch doesn't
+    # re-run the two window passes the span branch already paid for
+    sp = spans_ops.duplicated_spans(
+        docs, k=10, min_docs=2, policy="keep_first"
+    ).localCheckpoint()
     span_rows = _suite_rows(
         sp, "span",
         F.concat_ws("|", F.col("id").cast("string"), F.col("span_start").cast("string")),
         v_str=F.col("span_end").cast("string"),
         v_num=F.col("n_windows"),
     )
-    cleaned = spans_ops.remove_duplicated_spans(docs, k=10, min_docs=2, policy="keep_first")
+    cleaned = spans_ops.remove_duplicated_spans(
+        docs, k=10, min_docs=2, policy="keep_first", spans_df=sp
+    )
     doc_rows = _suite_rows(
         cleaned, "doc", F.col("doc_id"),
         v_str=F.md5("cleaned_text"),

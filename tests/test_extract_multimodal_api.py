@@ -576,3 +576,54 @@ def test_api_wordcloud(spark):
     out = api.wordcloud(counts, top_k=2).collect()
     assert len(out) == 2
     assert out[0]["total_count"] == 16 and out[0]["unique_keywords"] == 3
+
+
+def test_resize_ppm_real_bytes():
+    from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
+
+    # 4x2 image, distinct corner colors
+    raster = bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 0,
+         10, 10, 10,  20, 20, 20,  30, 30, 30,  40, 40, 40]
+    )
+    ppm = b"P6\n4 2\n255\n" + raster
+    small = mm.resize_ppm(ppm, 2, 1)
+    w, h, maxval, r = mm._ppm_raster(small)
+    assert (w, h, maxval) == (2, 1, 255)
+    # nearest-neighbor keeps source pixels (0,0) and (0,2)
+    assert r[0, 0].tolist() == [255, 0, 0]
+    assert r[0, 1].tolist() == [0, 0, 255]
+    up = mm.resize_ppm(ppm, 8, 4)
+    w2, h2, _, r2 = mm._ppm_raster(up)
+    assert (w2, h2) == (8, 4)
+    assert r2[0, 0].tolist() == [255, 0, 0]  # upscale replicates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.resize_ppm(b"P6 garbage", 2, 2)
+    with _pytest.raises(ValueError):
+        mm.resize_ppm(ppm, 0, 2)
+
+
+def test_transform_assets_resize_passthrough_and_quarantine(spark):
+    from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
+
+    raster = bytes(range(48))
+    ppm = b"P6\n4 4\n255\n" + raster
+    rows = [
+        (1, "image", bytearray(ppm)),
+        (2, "audio", bytearray(b"RIFFxxxx")),   # no transform registered
+        (3, "image", bytearray(b"not a ppm")),  # quarantined
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media_type string, payload binary")
+    mm.set_transform("image", lambda p: mm.resize_ppm(p, 2, 2))
+    try:
+        out = {r.asset_id: r for r in mm.transform_assets(df).collect()}
+    finally:
+        mm._TRANSFORMS.pop("image", None)
+    assert out[1].transform_applied and out[1].error is None
+    w, h, _, _ = mm._ppm_raster(bytes(out[1].payload))
+    assert (w, h) == (2, 2)
+    assert out[1].n_bytes_out < out[1].n_bytes_in
+    assert not out[2].transform_applied and bytes(out[2].payload) == b"RIFFxxxx"
+    assert out[3].payload is None and "ValueError" in out[3].error
