@@ -189,3 +189,40 @@ def test_nb_model_side_is_broadcast(spark):
     tl, cs = C.train_nb(train, "label")
     plan = C.nb_score(docs, tl, cs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_nb_filter_composes_with_streaming(spark, tmp_path):
+    """The NB filter stage works per micro-batch (foreachBatch admits a
+    shard the same way the batch pipeline would): a stream of docs is
+    filtered against a pre-trained broadcast model, matching the batch
+    nb_filter output exactly."""
+    import json as _json
+
+    train = spark.createDataFrame(TRAIN, ["doc_id", "label", "text"])
+    tl, cs = C.train_nb(train, "label")
+    # pin the model: tiny frames, re-read per micro-batch otherwise
+    tl, cs = tl.localCheckpoint(), cs.localCheckpoint()
+
+    rows = [
+        {"doc_id": 10, "text": "buy cheap deals now"},
+        {"doc_id": 11, "text": "quarterly meeting review notes"},
+        {"doc_id": 12, "text": "meeting agenda review please"},
+    ]
+    src = tmp_path / "nb_stream_src"
+    src.mkdir()
+    with open(src / "part-0.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+    docs = spark.createDataFrame([(r["doc_id"], r["text"]) for r in rows], ["doc_id", "text"])
+    batch_kept = {r.doc_id for r in C.nb_filter(docs, tl, cs, "ham").collect()}
+
+    got = []
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+
+    def sink(bdf, _bid):
+        got.extend(r.doc_id for r in C.nb_filter(bdf, tl, cs, "ham").collect())
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable(); q.stop()
+    assert set(got) == batch_kept == {11, 12}

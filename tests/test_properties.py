@@ -420,3 +420,47 @@ def test_strip_html_matches_python_model(spark, chunks):
     df = spark.createDataFrame([(raw,)], "t string")
     got = df.select(textstats.strip_html(F.col("t")).alias("s")).collect()[0]["s"]
     assert got == _py_strip_html(raw)
+
+
+# ---------------------------------------------------------------- spans
+
+
+def _py_span_removal(docs, k, min_docs, policy):
+    """Brute-force substring-dedup model mirroring operators/spans.py."""
+    holders: dict[tuple, set] = {}
+    for did, text in docs:
+        toks = text.lower().split()
+        for i in range(len(toks) - k + 1):
+            holders.setdefault(tuple(toks[i : i + k]), set()).add(did)
+    out = {}
+    for did, text in docs:
+        toks = text.lower().split()
+        removed = set()
+        for i in range(len(toks) - k + 1):
+            ids = holders[tuple(toks[i : i + k])]
+            if len(ids) >= min_docs and (policy == "all" or min(ids) != did):
+                removed.update(range(i, i + k))
+        kept = [t for j, t in enumerate(toks) if j not in removed]
+        out[did] = (" ".join(kept), len(removed))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from(["all", "keep_first"]),
+)
+def test_span_removal_matches_bruteforce(spark, doc_texts, policy):
+    from cdc_pipeline_with_kafka_spark.operators import spans as S
+
+    docs = list(enumerate(doc_texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_removed_tokens)
+        for r in S.remove_duplicated_spans(df, k=3, min_docs=2, policy=policy).collect()
+    }
+    assert got == _py_span_removal(docs, 3, 2, policy)
