@@ -189,9 +189,11 @@ def curate_corpus(
     nb_keep_label: str | None = None,
     nb_min_margin_micro: int = 0,
     span_dedup_k: int | None = None,
+    c4_rules: bool = False,
 ) -> DataFrame:
     """The end-to-end corpus curation flow, composed from the pieces:
 
+      C4 line/page heuristics (if c4_rules) →
       domain filter (if source_* given) → quality filter →
       repetition filter (if repetition_ppm_max) →
       classifier filter (if nb_model given) →
@@ -216,6 +218,14 @@ def curate_corpus(
     from . import textstats
 
     out = docs
+    if c4_rules:
+        from .textstats import c4_clean
+
+        out = c4_clean(out, text_col=text_col, id_col=id_col).filter(
+            F.col("keep")
+        ).drop(text_col).withColumnRenamed("cleaned_text", text_col).drop(
+            "n_lines", "n_kept_lines", "keep"
+        )
     if source_col is not None and (source_max_dup_rate is not None or source_blocklist):
         out = filter_by_source(
             out, source_col=source_col, text_col=text_col, id_col=id_col,
@@ -784,4 +794,32 @@ def filter_by_source(
         good = good.filter(~F.col("source").isin(list(blocklist)))
     return df.join(
         F.broadcast(good), df[source_col] == good["source"], "left_semi"
+    )
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible corpus shuffle for training-order randomization:
+    rows are totally ordered by md5(salt || key) — a pseudorandom
+    permutation that is identical on every run, cluster size, and
+    engine, and changes completely with the salt (epoch number →
+    fresh order each epoch, no state kept anywhere).
+
+    Scale shape: repartitionByRange on the hash + sortWithinPartitions
+    — a range shuffle, not a single-partition global sort, so writing
+    the shuffled corpus parallelizes across the cluster and file k
+    holds the k-th contiguous hash range (readers stream files in
+    name order to consume the permutation).
+
+    Output: input columns + `_shuffle_key` (drop it after writing, or
+    keep it as the tiebreak-free sort key)."""
+    key = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    out = df.withColumn("_shuffle_key", key)
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, F.col("_shuffle_key")).sortWithinPartitions(
+        "_shuffle_key"
     )

@@ -44,6 +44,17 @@ from ..util import spread
 from .textstats import _tokens, _word_ngrams
 
 
+def _window_occurrences(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, start, whash) for every k-token window occurrence."""
+    toks = _tokens(F.col(text_col))
+    return spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(_word_ngrams(toks, k)).alias("start", "gram"),
+    ).filter(F.col("gram").isNotNull()).select(
+        "id", "start", F.md5("gram").alias("whash")
+    )
+
+
 def duplicated_windows(
     df: DataFrame,
     k: int = 10,
@@ -68,13 +79,7 @@ def duplicated_windows(
         raise ValueError("window size k must be ≥ 2 tokens")
     if min_docs < 2:
         raise ValueError("min_docs must be ≥ 2 (a window is 'duplicated' across docs)")
-    toks = _tokens(F.col(text_col))
-    occurrences = spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.posexplode_outer(_word_ngrams(toks, k)).alias("start", "gram"),
-    ).filter(F.col("gram").isNotNull()).select(
-        "id", "start", F.md5("gram").alias("whash")
-    )
+    occurrences = _window_occurrences(df, k, text_col, id_col)
     dup = (
         occurrences.groupBy("whash")
         .agg(
@@ -111,7 +116,16 @@ def duplicated_spans(
     wins = duplicated_windows(df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col)
     if policy == "keep_first":
         wins = wins.filter(F.col("id") != F.col("keep_id"))
-    wins = wins.select("id", "start", (F.col("start") + F.lit(k - 1)).alias("end"))
+    return _merge_islands(
+        wins.select("id", "start", (F.col("start") + F.lit(k - 1)).alias("end"))
+    )
+
+
+def _merge_islands(wins: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of (id, start, end) token windows into
+    maximal disjoint [span_start, span_end] intervals per id: a running
+    max of end over the per-id start order opens a new island exactly
+    when a window starts past every previous end + 1."""
     order = Window.partitionBy("id").orderBy("start")
     prev_max_end = F.max("end").over(order.rowsBetween(Window.unboundedPreceding, -1))
     islands = wins.select(
@@ -182,6 +196,70 @@ def remove_duplicated_spans(
         .alias("cleaned_text"),
         F.coalesce(F.col("n_removed_tokens"), F.lit(0)).cast("long").alias("n_removed_tokens"),
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    policy: str = "keep_first",
+) -> DataFrame:
+    """Maximal REPEATED spans counting occurrences anywhere — including
+    inside the same document (the self-repeating boilerplate case
+    `duplicated_spans`' distinct-doc counting deliberately ignores, and
+    the removal analog of textstats.repetition_stats' flags).
+
+    A window qualifies when it occurs ≥ min_count times corpus-wide;
+    policy='keep_first' exempts the globally first occurrence (minimum
+    (id, start) — deterministic), 'all' removes every occurrence.
+    Aggregation state per window hash is (count, min-struct): hot
+    boilerplate stays one reduce key, exactly as in
+    `duplicated_windows`.  Returns (id, span_start, span_end,
+    n_windows)."""
+    if k < 2:
+        raise ValueError("window size k must be ≥ 2 tokens")
+    if min_count < 2:
+        raise ValueError("min_count must be ≥ 2")
+    if policy not in ("all", "keep_first"):
+        raise ValueError("policy must be 'all' or 'keep_first'")
+    occ = _window_occurrences(df, k, text_col, id_col)
+    rep = (
+        occ.groupBy("whash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("id", "start")).alias("_first"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+    )
+    wins = occ.join(rep, "whash")
+    if policy == "keep_first":
+        wins = wins.filter(
+            (F.col("id") != F.col("_first.id")) | (F.col("start") != F.col("_first.start"))
+        )
+    return _merge_islands(
+        wins.select("id", "start", (F.col("start") + F.lit(k - 1)).alias("end"))
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    policy: str = "keep_first",
+) -> DataFrame:
+    """Rewrite documents with their repeated spans removed (within-doc
+    repeats included) — same in-row rewrite as
+    `remove_duplicated_spans`, driven by `repeated_spans`."""
+    spans = repeated_spans(
+        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col, policy=policy
+    )
+    return remove_duplicated_spans(
+        df, k=k, text_col=text_col, id_col=id_col, policy=policy, spans_df=spans
     )
 
 

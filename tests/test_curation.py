@@ -509,3 +509,41 @@ def test_curate_corpus_round4_stages_compose(spark):
     assert shared in out[0].text            # canonical holder keeps it
     assert shared not in out[1].text
     assert out[1].text == "prefix words and more text here now"
+
+
+def test_curate_corpus_c4_stage(spark):
+    from cdc_pipeline_with_kafka_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A first proper sentence with enough words here.\n"
+                "A second proper sentence with enough words too!\n"
+                "And a third proper closing sentence right here."),
+            (2, "no punctuation no luck\nstill nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_corpus(docs, min_quality=None, c4_rules=True).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].text.count("\n") == 2  # cleaned text replaces the column
+
+
+def test_shuffle_deterministic_permutation(spark):
+    from cdc_pipeline_with_kafka_spark.operators.curation import shuffle_deterministic
+
+    df = spark.range(1, 201).select(F.col("id").alias("doc_id"))
+
+    def order(salt):
+        rows = shuffle_deterministic(df, salt=salt, partitions=4).collect()
+        # partition-major order: toLocalIterator preserves partition
+        # order; within a collect the planner concatenates partitions
+        return [r.doc_id for r in rows]
+
+    a, b = order("epoch1:"), order("epoch1:")
+    assert a == b                      # reproducible across runs
+    assert sorted(a) == list(range(1, 201))  # a permutation
+    c = order("epoch2:")
+    assert c != a                      # salt changes the order
+    # no single-partition global sort in the plan
+    plan = shuffle_deterministic(df, salt="x", partitions=4)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan

@@ -143,3 +143,51 @@ def test_remove_spans_plan_has_no_token_grain_shuffle(spark):
     plan = S.remove_duplicated_spans(df, k=5, min_docs=2)._jdf.queryExecution().executedPlan().toString()
     # token reconstruction is a filter() lambda, not an explode+groupBy
     assert plan.count("Generate") <= 2  # window pass occurs twice (agg + position join)
+
+
+def test_repeated_spans_catch_within_doc_repeats(spark):
+    """A passage repeated inside ONE document is invisible to
+    duplicated_spans (distinct-doc counting) but caught by
+    repeated_spans."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon filler alpha beta gamma delta epsilon"),
+        (2, "totally different words with no repetition at all here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    assert S.duplicated_spans(df, k=5, min_docs=2).count() == 0
+    got = {
+        (r.id, r.span_start, r.span_end)
+        for r in S.repeated_spans(df, k=5, min_count=2, policy="keep_first").collect()
+    }
+    # first occurrence (tokens 0-4) kept; the repeat at 6-10 removed
+    assert got == {(1, 6, 10)}
+    out = {r.doc_id: r.cleaned_text for r in S.remove_repeated_spans(df, k=5, min_count=2).collect()}
+    assert out[1] == "alpha beta gamma delta epsilon filler"
+    assert out[2] == docs[1][1]
+
+
+def test_repeated_spans_policy_all_and_cross_doc(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon unique one"),
+        (2, "prefix alpha beta gamma delta epsilon suffix"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # cross-doc repeats count toward min_count too
+    kf = {r.doc_id: r.cleaned_text for r in S.remove_repeated_spans(df, k=5, min_count=2).collect()}
+    assert kf[1] == "alpha beta gamma delta epsilon unique one"
+    assert kf[2] == "prefix suffix"
+    al = {r.doc_id: r.cleaned_text for r in S.remove_repeated_spans(df, k=5, min_count=2, policy="all").collect()}
+    assert al[1] == "unique one"
+    assert al[2] == "prefix suffix"
+
+
+def test_repeated_spans_validation(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.repeated_spans(df, k=1)
+    with _pytest.raises(ValueError):
+        S.repeated_spans(df, min_count=1)
+    with _pytest.raises(ValueError):
+        S.repeated_spans(df, policy="nope")
