@@ -310,3 +310,47 @@ def dedup_lines_across_docs(
         F.concat_ws("\n", kept).alias("cleaned_text"),
         F.coalesce(F.col("n_removed_lines"), F.lit(0)).cast("long").alias("n_removed_lines"),
     )
+
+
+def build_window_index(
+    corpus: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Persistable window-hash index of a corpus: one (whash) row per
+    DISTINCT k-token window, 16 bytes each — the span-dedup analog of
+    the MinHash/SimHash signature indexes the admission pipeline keeps.
+    Write it once; `remove_corpus_spans` strips incoming shards against
+    it without ever re-scanning corpus text, and appending the new
+    shard's windows (same expression) keeps it current."""
+    return _window_occurrences(corpus, k, text_col, id_col).select("whash").distinct()
+
+
+def remove_corpus_spans(
+    shard: DataFrame,
+    window_index: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental passage dedup for shard admission: remove from each
+    incoming document every span whose k-token windows ALREADY exist in
+    the corpus window index (the corpus keeps its copy, so policy is
+    implicitly keep-corpus).
+
+    Cost is O(|shard| windows): one semi-join of the shard's window
+    stream against the index (hash-distributed equi-join; the shard
+    side is the small one), then the standard islands merge + in-row
+    rewrite.  Corpus text is never touched — the index rows are the
+    whole corpus footprint, mirroring minhash_lsh_pairs_incremental's
+    contract.  Output: shard columns + (cleaned_text,
+    n_removed_tokens, n_spans)."""
+    occ = _window_occurrences(shard, k, text_col, id_col)
+    hits = occ.join(window_index.select("whash"), "whash", "left_semi")
+    spans = _merge_islands(
+        hits.select("id", "start", (F.col("start") + F.lit(k - 1)).alias("end"))
+    )
+    return remove_duplicated_spans(
+        shard, k=k, text_col=text_col, id_col=id_col, policy="all", spans_df=spans
+    )

@@ -3550,7 +3550,10 @@ def classify_suite(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     token_logp, class_stats = classify_ops.train_nb(docs, "lang", max_vocab=None)
-    scored = classify_ops.nb_score(docs, token_logp, class_stats)
+    # pin the (doc × label)-row scores: the 'nb' and 'nbp' branches
+    # both read them, and re-scoring would re-tokenize the corpus per
+    # branch per execution (same move as span_dedup's span table)
+    scored = classify_ops.nb_score(docs, token_logp, class_stats).localCheckpoint()
     nb = _suite_rows(
         scored, "nb",
         F.concat_ws("|", F.col("id").cast("string"), F.col("label")),

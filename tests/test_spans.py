@@ -191,3 +191,36 @@ def test_repeated_spans_validation(spark):
         S.repeated_spans(df, min_count=1)
     with _pytest.raises(ValueError):
         S.repeated_spans(df, policy="nope")
+
+
+def test_remove_corpus_spans_incremental(spark):
+    """Admission-time passage dedup: a shard doc repeating a corpus
+    passage is stripped via the persisted window index alone; the rest
+    of the shard passes through; appending the shard's windows keeps
+    the index current for the next shard."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta closing words")],
+        ["doc_id", "text"],
+    )
+    idx = S.build_window_index(corpus, k=5)
+    shard = spark.createDataFrame(
+        [
+            (10, "intro text alpha beta gamma delta epsilon zeta eta theta outro"),
+            (11, "completely novel content with no corpus overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in S.remove_corpus_spans(shard, idx, k=5).collect()}
+    assert out[10].cleaned_text == "intro text outro"
+    assert out[10].n_removed_tokens == 8
+    assert out[11].cleaned_text == shard.collect()[1].text.lower()
+    assert out[11].n_spans == 0
+    # index update: after appending shard windows, a doc repeating
+    # shard 1's novel passage is stripped next round
+    idx2 = idx.unionByName(S.build_window_index(shard, k=5)).distinct()
+    shard2 = spark.createDataFrame(
+        [(20, "completely novel content with no corpus overlap at all plus more")],
+        ["doc_id", "text"],
+    )
+    out2 = S.remove_corpus_spans(shard2, idx2, k=5).collect()[0]
+    assert out2.cleaned_text == "plus more"
