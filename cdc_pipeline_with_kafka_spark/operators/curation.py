@@ -823,3 +823,34 @@ def shuffle_deterministic(
     return out.repartitionByRange(n, F.col("_shuffle_key")).sortWithinPartitions(
         "_shuffle_key"
     )
+
+
+def build_mixture(
+    parts: dict[str, tuple[DataFrame, int]],
+    key_col: str = "doc_id",
+    salt: str = "mix:",
+) -> DataFrame:
+    """Compose a training mixture from named corpora: each part is
+    (DataFrame, rate_pct) — the deterministic hash-sampled fraction of
+    that corpus to include — and rows carry a `mixture_source` tag.
+
+    The sampling is the zero-shuffle md5 filter (`hash_sample`), so
+    re-running with the same salt reproduces the mixture exactly and
+    raising one part's rate strictly grows its contribution (nested
+    samples) without touching the others — the knob-turning workflow
+    of data-mixture tuning.  Schemas must align on the common columns
+    (unionByName with allowMissingColumns; absent columns null-fill).
+    """
+    if not parts:
+        raise ValueError("at least one mixture part required")
+    out = None
+    for name, (df, rate_pct) in sorted(parts.items()):
+        if not 0 <= rate_pct <= 100:
+            raise ValueError(f"rate_pct for {name!r} must be 0-100, got {rate_pct}")
+        sampled = hash_sample(
+            df, rate_pct=rate_pct, key_col=key_col, salt=f"{salt}{name}:"
+        ).withColumn("mixture_source", F.lit(name))
+        out = sampled if out is None else out.unionByName(
+            sampled, allowMissingColumns=True
+        )
+    return out

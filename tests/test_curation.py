@@ -547,3 +547,31 @@ def test_shuffle_deterministic_permutation(spark):
     # no single-partition global sort in the plan
     plan = shuffle_deterministic(df, salt="x", partitions=4)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+
+
+def test_build_mixture_reproducible_and_nested(spark):
+    from cdc_pipeline_with_kafka_spark.operators.curation import build_mixture
+
+    web = spark.range(1, 1001).select(F.col("id").alias("doc_id"))
+    code = spark.range(1, 1001).select(F.col("id").alias("doc_id"), F.lit("py").alias("lang"))
+    m1 = build_mixture({"web": (web, 30), "code": (code, 10)})
+    m2 = build_mixture({"web": (web, 30), "code": (code, 10)})
+    r1 = {(r.mixture_source, r.doc_id) for r in m1.collect()}
+    assert r1 == {(r.mixture_source, r.doc_id) for r in m2.collect()}  # reproducible
+    by_src = {}
+    for src, _ in r1:
+        by_src[src] = by_src.get(src, 0) + 1
+    assert 0.2 < by_src["web"] / 1000 < 0.4
+    assert 0.05 < by_src["code"] / 1000 < 0.16
+    # missing columns null-fill through unionByName
+    assert {r.lang for r in m1.collect()} == {None, "py"}
+    # raising one rate strictly grows that part, keeps the other fixed
+    m3 = {(r.mixture_source, r.doc_id) for r in build_mixture({"web": (web, 60), "code": (code, 10)}).collect()}
+    assert {d for s, d in r1 if s == "web"} <= {d for s, d in m3 if s == "web"}
+    assert {d for s, d in r1 if s == "code"} == {d for s, d in m3 if s == "code"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_mixture({})
+    with _pytest.raises(ValueError):
+        build_mixture({"x": (web, 101)})
