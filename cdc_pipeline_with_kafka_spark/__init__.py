@@ -16,7 +16,8 @@ Layout
 - ``sources``    : batch table loaders, CDC (file/kafka) readers
 - ``functions``  : scalar column functions (text/date/scoring)
 - ``operators``  : relational / windowed / trend / alert / dedup /
-                   similarity / text-stats operator library
+                   spans / similarity / classify / curation / sketch /
+                   text-stats / multimodal operator library
 - ``streaming``  : watermarked streaming pipelines + foreachBatch MERGE sinks
 """
 

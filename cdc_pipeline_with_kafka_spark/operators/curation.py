@@ -446,6 +446,8 @@ def admit_shard(
     *,
     index_sigs: DataFrame | None = None,
     index_hashes: DataFrame | None = None,
+    index_windows: DataFrame | None = None,
+    span_k: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float | None = None,
@@ -465,7 +467,12 @@ def admit_shard(
          `index_sigs` — any shard doc banding with an INDEXED doc is
          rejected,
       5. in-shard near-dup: remaining new↔new pairs → connected
-         components → canonical survivor.
+         components → canonical survivor,
+      6. (if span_k set) passage strip: corpus-known spans removed
+         from admitted docs via `spans.remove_corpus_spans` against
+         `index_windows`; `windows_delta` (distinct window hashes of
+         the admitted docs' FINAL text) comes back for the index
+         append, so later shards strip passages this shard introduced.
 
     Returns four lazy DataFrames:
       - ``admitted``:     shard rows that enter the corpus,
@@ -559,6 +566,26 @@ def admit_shard(
     )
 
     admitted = alive.drop("_ch")
+    # hashes_delta hashes the PRE-strip text (corpus identity), so it
+    # is derived before any passage rewrite
+    hashes_delta = alive.select(F.col("_ch").alias("content_hash"), F.col(id_col))
+    out_extra = {}
+    if span_k is not None:
+        from .spans import build_window_index, remove_corpus_spans
+
+        if index_windows is not None:
+            admitted = (
+                remove_corpus_spans(
+                    admitted, index_windows, k=span_k,
+                    text_col=text_col, id_col=id_col,
+                )
+                .drop(text_col)
+                .withColumnRenamed("cleaned_text", text_col)
+                .drop("n_removed_tokens", "n_spans")
+            )
+        out_extra["windows_delta"] = build_window_index(
+            admitted, k=span_k, text_col=text_col, id_col=id_col
+        )
     rej = rejected[0]
     for r in rejected[1:]:
         rej = rej.unionByName(r)
@@ -569,7 +596,8 @@ def admit_shard(
             admitted, num_hashes=num_hashes, shingle_n=shingle_n,
             text_col=text_col, id_col=id_col,
         ).withColumnRenamed("id", id_col),
-        "hashes_delta": alive.select(F.col("_ch").alias("content_hash"), F.col(id_col)),
+        "hashes_delta": hashes_delta,
+        **out_extra,
     }
 
 

@@ -575,3 +575,39 @@ def test_build_mixture_reproducible_and_nested(spark):
         build_mixture({})
     with _pytest.raises(ValueError):
         build_mixture({"x": (web, 101)})
+
+
+def test_admit_shard_passage_strip_stage(spark):
+    """span_k wires remove_corpus_spans into admission: shard-2 docs
+    lose passages shard 1 already contributed, and windows_delta keeps
+    the index current."""
+    s1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta and a unique closing line here")],
+        ["doc_id", "text"],
+    )
+    out1 = curation.admit_shard(s1, span_k=5)
+    assert {r.doc_id for r in out1["admitted"].collect()} == {1}
+    widx = out1["windows_delta"].localCheckpoint()
+    assert widx.count() > 0
+
+    s2 = spark.createDataFrame(
+        [
+            (10, "fresh intro alpha beta gamma delta epsilon zeta eta theta fresh outro"),
+            (11, "entirely new material that shares nothing with the corpus text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out2 = curation.admit_shard(
+        s2,
+        index_sigs=out1["sigs_delta"].localCheckpoint(),
+        index_hashes=out1["hashes_delta"].localCheckpoint(),
+        index_windows=widx,
+        span_k=5,
+    )
+    adm = {r.doc_id: r.text for r in out2["admitted"].collect()}
+    assert adm[10] == "fresh intro fresh outro"
+    assert "entirely new material" in adm[11]
+    # the delta reflects FINAL text: stripped passage's windows absent
+    w2 = {r.whash for r in out2["windows_delta"].collect()}
+    w1 = {r.whash for r in widx.collect()}
+    assert not (w1 & w2)
