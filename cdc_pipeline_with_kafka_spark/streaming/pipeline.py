@@ -254,6 +254,8 @@ def make_admit_shard_sink(
     sigs_path: str,
     hashes_path: str,
     rejected_path: str | None = None,
+    windows_path: str | None = None,
+    span_k: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float | None = None,
@@ -288,7 +290,12 @@ def make_admit_shard_sink(
     means "first batch".  Any other read error (storage blip,
     corrupt footer, permissions) raises and fails the batch so the
     checkpoint retries it — silently admitting with corpus-level
-    dedup disabled would let duplicates into the corpus permanently."""
+    dedup disabled would let duplicates into the corpus permanently.
+
+    Optional passage tier: pass ``windows_path`` + ``span_k`` and each
+    batch also strips corpus-known spans from its admitted docs
+    (admit_shard stage 6) and appends the final-text window hashes --
+    the streaming form of the incremental span index."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from ..operators.curation import admit_shard
@@ -316,6 +323,8 @@ def make_admit_shard_sink(
             batch_df,
             index_sigs=_load(sigs_path),
             index_hashes=_load(hashes_path),
+            index_windows=_load(windows_path) if windows_path is not None else None,
+            span_k=span_k,
             text_col=text_col, id_col=id_col, min_quality=min_quality,
             threshold=threshold, num_hashes=num_hashes, bands=bands,
             shingle_n=shingle_n,
@@ -336,6 +345,8 @@ def make_admit_shard_sink(
 
         _write(pinned["sigs_delta"], sigs_path)
         _write(pinned["hashes_delta"], hashes_path)
+        if "windows_delta" in pinned and windows_path is not None:
+            _write(pinned["windows_delta"], windows_path)
         _write(pinned["admitted"], corpus_path)
         if rejected_path is not None:
             _write(pinned["rejected"], rejected_path)

@@ -383,3 +383,46 @@ def test_admit_shard_sink_load_failure_is_not_cold_start(spark, tmp_path):
     (bad_dir / "part-00000.parquet").write_text("not a parquet file")
     with pytest.raises(Exception):
         sink(b0.selectExpr("doc_id + 10 AS doc_id", "text"), 2)
+
+
+def test_foreachbatch_admit_with_passage_strip(spark, tmp_path):
+    """Streaming admission with the span tier: batch 2's doc loses the
+    passage batch 1 contributed, via the persisted window index."""
+    import json as _json
+
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    hashes = str(tmp_path / "hashes")
+    windows = str(tmp_path / "windows")
+    chk = str(tmp_path / "chk")
+
+    def write_batch(fname, rows):
+        with open(src / fname, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    sink = pipeline.make_admit_shard_sink(
+        corpus, sigs, hashes, windows_path=windows, span_k=5
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = stream.writeStream.foreachBatch(sink).option("checkpointLocation", chk).start()
+    write_batch("b1.json", [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta plus closing words"},
+    ])
+    q.processAllAvailable()
+    write_batch("b2.json", [
+        {"doc_id": 10, "text": "one two three four five six seven eight nine ten "
+                               "alpha beta gamma delta epsilon zeta eta theta "
+                               "eleven twelve thirteen fourteen fifteen sixteen"},
+    ])
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert got[1].startswith("alpha beta")
+    assert got[10] == ("one two three four five six seven eight nine ten "
+                       "eleven twelve thirteen fourteen fifteen sixteen")
+    assert spark.read.parquet(windows).count() > 0
