@@ -32,6 +32,15 @@ Policies: 'all' removes every duplicated occurrence (Lee et al.'s
 choice — at most one copy of training data is lost corpus-wide only
 when keep_first is used); 'keep_first' preserves the occurrence in the
 lowest-id document holding each window.
+
+Variants sharing the same machinery:
+- `repeated_spans` counts occurrences (within-doc repeats included),
+  the removal analog of textstats.repetition_stats;
+- `dedup_lines_across_docs` runs the aggregation at line grain
+  (RefinedWeb-style);
+- `build_window_index` / `remove_corpus_spans` are the incremental
+  admission pair: a persisted 16-byte-per-window hash index lets a
+  new shard strip corpus-known passages in O(|shard|).
 """
 
 from __future__ import annotations
