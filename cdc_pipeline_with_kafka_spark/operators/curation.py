@@ -882,3 +882,35 @@ def build_mixture(
             sampled, allowMissingColumns=True
         )
     return out
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Version diff between two corpus snapshots: one row per doc id
+    with status ∈ added | removed | changed | unchanged (content
+    compared by normalized-text hash, the exact-dedup canonical form).
+
+    The release-audit primitive: diff this release's corpus against
+    the last, feed 'changed'+'added' into decontamination/eval
+    refresh, and alarm on unexpected 'removed' counts.  One full outer
+    join on the id — both sides reduce to (id, 16-byte hash) before
+    the shuffle, so the compare moves hashes, not text."""
+    from .dedup import normalized_text
+
+    o = old.select(F.col(id_col).alias("id"), F.md5(normalized_text(F.col(text_col))).alias("_oh"))
+    n = new.select(F.col(id_col).alias("id"), F.md5(normalized_text(F.col(text_col))).alias("_nh"))
+    return (
+        o.join(n, "id", "full")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("_oh").isNull(), "added")
+            .when(F.col("_nh").isNull(), "removed")
+            .when(F.col("_oh") == F.col("_nh"), "unchanged")
+            .otherwise("changed")
+            .alias("status"),
+        )
+    )

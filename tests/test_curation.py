@@ -611,3 +611,19 @@ def test_admit_shard_passage_strip_stage(spark):
     w2 = {r.whash for r in out2["windows_delta"].collect()}
     w1 = {r.whash for r in widx.collect()}
     assert not (w1 & w2)
+
+
+def test_corpus_diff_statuses(spark):
+    from cdc_pipeline_with_kafka_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "kept the same"), (2, "gets edited"), (3, "will be dropped")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "kept  THE   same"), (2, "was edited"), (4, "brand new doc")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # normalized compare: case/whitespace changes are 'unchanged'
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
