@@ -1593,6 +1593,15 @@ def f_scalar_suite(spark, sf_dir):
         # shell, visible text extracted back (boilerplate removal)
         _suite_rows(_htmlstrip_rows(spark, sf_dir), "htmlstrip",
                     F.col("doc_id"), v_str=F.col("vis")),
+        # r4: C4 line/page heuristics — synthesized multi-line docs
+        # (testdata has no newlines) through textstats.c4_clean; both
+        # the line filters and the page-kill rules are value-checked
+        _suite_rows(_c4_rows(spark, sf_dir), "c4",
+                    F.col("doc_id"), v_str=F.col("clean_md5"),
+                    v_num=F.col("n_kept_lines")),
+        _suite_rows(_c4_rows(spark, sf_dir), "c4keep",
+                    F.col("doc_id"), v_str=F.col("n_lines").cast("string"),
+                    v_num=F.col("keep").cast("int")),
     ])
 
 
@@ -1612,6 +1621,37 @@ def _htmlstrip_rows(spark, sf_dir):
     blob = F.concat(F.lit(_HTML_SHELL_PRE), F.col("text"), F.lit(_HTML_SHELL_POST))
     return _t(spark, sf_dir, "documents").select(
         "doc_id", strip_html(blob).alias("vis")
+    )
+
+
+def _c4_rows(spark, sf_dir):
+    """c4_clean gate branch: build deterministic multi-line documents —
+    a good lead line, a too-short line, a blocklist (javascript) line,
+    a no-terminal-punctuation line, a good closer, an extra good line
+    on even ids (3 kept → page survives), plus lorem-ipsum (ids %5==0)
+    and curly-brace (ids %7==3) page kills."""
+    from .operators.textstats import c4_clean
+
+    t = F.col("text")
+    blob = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Alpha intro keeps the line alive with "),
+                 F.substring(t, 1, 40), F.lit(" included.")),
+        F.lit("short line."),
+        F.concat(F.lit("Please enable javascript feature to view "),
+                 F.col("source"), F.lit(" today.")),
+        F.substring(t, 1, 60),
+        F.lit("A closing proper sentence keeps this document alive today!"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("Another fine sentence appears in the even documents right here.")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Lorem ipsum dolor sit amet line.")),
+        F.when(F.col("doc_id") % 7 == 3, F.lit("code block { inside } this line.")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", blob.alias("text"))
+    return c4_clean(docs).select(
+        "doc_id",
+        F.md5(F.coalesce("cleaned_text", F.lit(""))).alias("clean_md5"),
+        "n_kept_lines", "n_lines", "keep",
     )
 
 
@@ -1693,6 +1733,60 @@ SELECT 'htmlstrip', CAST(doc_id AS VARCHAR),
       '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
     '\\s+', ' ', 'g')), -1.0
 FROM documents
+"""
+
+# 'c4' / 'c4keep' branches appended as a PLAIN string (the suite literal
+# above is an f-string; the brace-kill fixture line would need escaping)
+F_SCALAR_SUITE_SQL = F_SCALAR_SUITE_SQL + """
+UNION ALL
+SELECT c4_case, c4_k, c4_vs, c4_vn FROM (
+  WITH c4b AS (
+    SELECT doc_id,
+           'Alpha intro keeps the line alive with ' || substr(text, 1, 40) || ' included.'
+           || chr(10) || 'short line.'
+           || chr(10) || 'Please enable javascript feature to view ' || source || ' today.'
+           || chr(10) || substr(text, 1, 60)
+           || chr(10) || 'A closing proper sentence keeps this document alive today!'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN chr(10) || 'Another fine sentence appears in the even documents right here.'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || 'Lorem ipsum dolor sit amet line.'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 3
+                   THEN chr(10) || 'code block { inside } this line.'
+                   ELSE '' END AS blob
+    FROM documents
+  ),
+  c4f AS (
+    SELECT doc_id, blob,
+           list_filter(list_transform(string_split(blob, chr(10)), l -> trim(l)),
+                       l -> l <> '') AS lines
+    FROM c4b
+  ),
+  c4k AS (
+    SELECT doc_id, blob, lines,
+           list_filter(lines, l ->
+             len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5
+             AND regexp_matches(l, '[.!?"]$')
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT contains(lower(l), 'cookie policy')
+             AND NOT contains(lower(l), 'terms of use')
+             AND NOT contains(lower(l), 'privacy policy')) AS kept
+    FROM c4f
+  )
+  SELECT 'c4' AS c4_case, CAST(doc_id AS VARCHAR) AS c4_k,
+         md5(coalesce(array_to_string(kept, chr(10)), '')) AS c4_vs,
+         CAST(len(kept) AS DOUBLE) AS c4_vn
+  FROM c4k
+  UNION ALL
+  SELECT 'c4keep', CAST(doc_id AS VARCHAR), CAST(len(lines) AS VARCHAR),
+         CASE WHEN len(kept) >= 3
+                   AND NOT contains(lower(blob), 'lorem ipsum')
+                   AND NOT contains(blob, '{')
+              THEN 1.0 ELSE 0.0 END
+  FROM c4k
+) c4rows
 """
 
 
