@@ -3555,7 +3555,25 @@ def span_dedup(spark, sf_dir):
         v_str=F.md5("cleaned_text"),
         v_num=F.col("n_removed_tokens"),
     )
-    return span_rows.unionByName(doc_rows)
+    # 'line': RefinedWeb-style cross-doc line dedup over synthesized
+    # multi-line docs (shared header everywhere, text-prefix middle,
+    # shared footer on even ids) — testdata has no newlines
+    multiline = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Shared corpus header line"),
+            F.substring("text", 1, 50),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("Common footer for even docs")),
+        ).alias("text"),
+    )
+    line_rows = _suite_rows(
+        spans_ops.dedup_lines_across_docs(multiline, min_docs=2, policy="keep_first"),
+        "line", F.col("doc_id"),
+        v_str=F.md5("cleaned_text"),
+        v_num=F.col("n_removed_lines"),
+    )
+    return span_rows.unionByName(doc_rows).unionByName(line_rows)
 
 
 SPAN_DEDUP_SQL = """
@@ -3627,6 +3645,50 @@ UNION ALL
 SELECT 'doc', CAST(doc_id AS VARCHAR), md5(cleaned_text),
        CAST(n_removed_tokens AS DOUBLE)
 FROM cleaned
+UNION ALL
+SELECT 'line', CAST(doc_id AS VARCHAR), md5(ct), CAST(nrm AS DOUBLE) FROM (
+  WITH lb AS (
+    SELECT doc_id,
+           'Shared corpus header line' || chr(10) || substr(text, 1, 50)
+           || CASE WHEN doc_id % 2 = 0
+                   THEN chr(10) || 'Common footer for even docs'
+                   ELSE '' END AS mtext
+    FROM documents
+  ),
+  lls AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(mtext, chr(10)), l -> trim(l)),
+                       l -> l <> '') AS lines
+    FROM lb
+  ),
+  locc AS (
+    SELECT doc_id, i - 1 AS pos, md5(lower(lines[i])) AS lhash
+    FROM lls, unnest(generate_series(1, len(lines))) AS g(i)
+  ),
+  ldup AS (
+    SELECT lhash, min(doc_id) AS keep_id
+    FROM locc GROUP BY lhash HAVING count(DISTINCT doc_id) >= 2
+  ),
+  lrm AS (
+    SELECT locc.doc_id, pos FROM locc JOIN ldup USING (lhash)
+    WHERE locc.doc_id <> ldup.keep_id
+  ),
+  lrml AS (SELECT doc_id, list(pos) AS rp, count(*) AS nrm FROM lrm GROUP BY doc_id),
+  lcleaned AS (
+    SELECT l.doc_id,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(
+                 CASE WHEN len(l.lines) = 0 THEN []
+                      ELSE generate_series(0, len(l.lines) - 1) END,
+                 i -> r.rp IS NULL OR NOT list_contains(r.rp, i)),
+               i -> l.lines[i + 1]),
+             chr(10)), '') AS ct,
+           coalesce(r.nrm, 0) AS nrm
+    FROM lls l LEFT JOIN lrml r USING (doc_id)
+  )
+  SELECT doc_id, ct, nrm FROM lcleaned
+) lrows
 """
 
 
