@@ -2327,10 +2327,21 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("v").alias("v_num"),
     )
+    # 'bloom': the membership sketch's full 64-bit word map over doc
+    # ids (4096 bits, k=3) — deterministic md5 bit positions, so the
+    # filter contents are value-checked bit-for-bit cross-engine
+    bloom = sketch.bloom_build(
+        docs.select("doc_id"), "doc_id", num_bits=4096, k=3
+    ).select(
+        F.lit("bloom").alias("suite_case"),
+        F.col("word_idx").cast("string").alias("k"),
+        F.col("word").cast("string").alias("v_str"),
+        F.lit(-1.0).alias("v_num"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
-        .unionByName(report).unionByName(src)
+        .unionByName(report).unionByName(src).unionByName(bloom)
     )
 
 
@@ -2489,6 +2500,23 @@ SELECT 'src', source || '|' || stat, '', v FROM (
                  exact_dup_rate, avg_chars]) AS v
   FROM sagg
 ) srcq
+UNION ALL
+SELECT 'bloom', CAST(word_idx AS VARCHAR), CAST(word AS VARCHAR), -1.0 FROM (
+  WITH bpos AS (
+    SELECT doc_id, unnest([0, 1, 2]) AS i FROM documents
+  ),
+  bbits AS (
+    SELECT (('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4096) AS p
+    FROM bpos
+  ),
+  bwords AS (
+    SELECT p // 64 AS word_idx,
+           CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1)
+                ELSE (1::BIGINT << CAST(p % 64 AS INT)) END AS w
+    FROM bbits
+  )
+  SELECT word_idx, bit_or(w) AS word FROM bwords GROUP BY word_idx
+) brows
 """
 CURATION_SUITE_SQL = CURATION_SUITE_SQL.replace(
     "{TEXT_LENGTH_SQL_PLACEHOLDER}", TEXT_LENGTH_SQL
