@@ -344,3 +344,48 @@ def bloom_to_bytes(bloom: DataFrame, num_bits: int) -> bytes:
     for r in bloom.collect():
         words[r["word_idx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
     return words.tobytes()
+
+
+def bloom_probe_bytes(
+    df: DataFrame,
+    key_col: str,
+    bloom_bytes: bytes,
+    num_bits: int,
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized twin of `bloom_probe`: the dense word array from
+    `bloom_to_bytes` ships in the mapInPandas closure, so probing is a
+    pure map stage — no join, no re-aggregation, the right shape when
+    the probe side is a massive stream and the filter fits in executor
+    memory (num_bits/8 bytes per task).
+
+    Output: input rows + might_contain.  Hash positions are the same
+    md5-salted arithmetic as the build, computed in Python here —
+    hashlib.md5 and the JVM md5 agree by definition."""
+    import hashlib
+
+    import numpy as np
+
+    if len(bloom_bytes) != num_bits // 8:
+        raise ValueError(
+            f"bloom_bytes has {len(bloom_bytes)} bytes, expected {num_bits // 8}"
+        )
+    words = np.frombuffer(bloom_bytes, dtype=np.uint64)
+    out_fields = df.schema.fields + [T.StructField("might_contain", T.BooleanType())]
+    out_schema = T.StructType(out_fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def contains(key) -> bool:
+            s = str(key)
+            for i in range(k):
+                p = int(hashlib.md5(f"b{i}:{s}".encode()).hexdigest()[:15], 16) % num_bits
+                if not (int(words[p // 64]) >> (p % 64)) & 1:
+                    return False
+            return True
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["might_contain"] = [contains(v) for v in pdf[key_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

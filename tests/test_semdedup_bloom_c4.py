@@ -144,3 +144,26 @@ def test_c4_clean_no_shuffle_in_plan(spark):
     df = spark.createDataFrame(C4_DOCS, ["doc_id", "text"])
     plan = ts.c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bloom_probe_bytes_matches_join_probe(spark):
+    n, nb, k = 500, 1 << 13, 4
+    keys = spark.range(n).select(F.concat(F.lit("key"), F.col("id")).alias("k"))
+    mixed = spark.range(2 * n).select(
+        F.when(F.col("id") < n, F.concat(F.lit("key"), F.col("id")))
+        .otherwise(F.concat(F.lit("no"), F.col("id"))).alias("k")
+    )
+    bloom = sk.bloom_build(keys, "k", num_bits=nb, k=k)
+    via_join = {
+        r.k: r.might_contain
+        for r in sk.bloom_probe(mixed, "k", bloom, num_bits=nb, k=k).collect()
+    }
+    dense = sk.bloom_to_bytes(bloom, nb)
+    via_bytes = {
+        r.k: r.might_contain
+        for r in sk.bloom_probe_bytes(mixed, "k", dense, num_bits=nb, k=k).collect()
+    }
+    assert via_join == via_bytes
+    assert all(via_bytes[f"key{i}"] for i in range(n))  # no false negatives
+    with pytest.raises(ValueError):
+        sk.bloom_probe_bytes(mixed, "k", dense[:-1], num_bits=nb, k=k)
