@@ -914,3 +914,48 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+def release_corpus(
+    docs: DataFrame,
+    out_path: str,
+    *,
+    near_dup_pairs: DataFrame | None = None,
+    split_weights: dict[str, int] | None = None,
+    shuffle_salt: str = "release:",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_records_per_file: int | None = None,
+    **curate_kwargs,
+) -> DataFrame:
+    """One-call corpus release: curate → leakage-safe split →
+    deterministic shuffle → partitioned lake write.
+
+      1. `curate_corpus(docs, near_dup_pairs=…, **curate_kwargs)` —
+         every filter/dedup stage of the pipeline, one lazy plan;
+      2. `leakage_safe_split` on the SAME near-dup pairs, so a test
+         doc's paraphrase can never sit in train;
+      3. `shuffle_deterministic(salt=shuffle_salt)` — training order
+         fixed by the salt, reproducible on any cluster;
+      4. `bucketing.write_partitioned(partition_cols=['split'])` —
+         readers prune to their split directory, files hold contiguous
+         shuffle-hash ranges.
+
+    Returns the written DataFrame (lazily re-readable from out_path).
+    Everything under one deterministic contract: same inputs + same
+    salts → byte-identical release."""
+    from ..sources.bucketing import write_partitioned
+
+    curated = curate_corpus(
+        docs, near_dup_pairs=near_dup_pairs, id_col=id_col, text_col=text_col,
+        **curate_kwargs,
+    )
+    split = leakage_safe_split(
+        curated, pairs=near_dup_pairs, weights=split_weights, id_col=id_col
+    )
+    shuffled = shuffle_deterministic(split, key_col=id_col, salt=shuffle_salt)
+    write_partitioned(
+        shuffled.drop("_shuffle_key"), out_path, ["split"],
+        sort_cols=None, max_records_per_file=max_records_per_file,
+    )
+    return docs.sparkSession.read.parquet(out_path)

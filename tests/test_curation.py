@@ -627,3 +627,39 @@ def test_corpus_diff_statuses(spark):
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     # normalized compare: case/whitespace changes are 'unchanged'
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_release_corpus_end_to_end(spark, tmp_path):
+    from cdc_pipeline_with_kafka_spark.operators.curation import release_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    out_path = str(tmp_path / "release")
+    released = release_corpus(
+        docs, out_path,
+        near_dup_pairs=pairs,
+        split_weights={"train": 90, "val": 5, "test": 5},
+        min_quality=0.3,
+    )
+    rows = released.collect()
+    assert 0 < len(rows) < docs.count()
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # near-dup clusters never straddle splits
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # split directories exist for pruning
+    import os
+
+    assert any(d.startswith("split=") for d in os.listdir(out_path))
+    # deterministic: a second release to a new path is identical
+    out2 = str(tmp_path / "release2")
+    released2 = release_corpus(
+        docs, out2, near_dup_pairs=pairs,
+        split_weights={"train": 90, "val": 5, "test": 5}, min_quality=0.3,
+    )
+    a = {(r.doc_id, r.split) for r in rows}
+    b = {(r.doc_id, r.split) for r in released2.collect()}
+    assert a == b
