@@ -23,10 +23,16 @@ Spark-first formulation (no suffix array, no cross join):
    positions via an equi-join on the hash, and per-document
    gaps-and-islands window functions merge overlapping windows into
    maximal spans;
-4. removal rebuilds the text with a JVM lambda filter over the token
-   array against the doc's own (collected, per-doc-bounded) span list —
-   the corpus text is never exploded to token-grain rows, so the
-   rewrite costs one equi-join plus per-row array work.
+4. removal cuts the matched token RANGES out of the ORIGINAL text
+   (Lee et al.'s semantics): the original non-whitespace runs and the
+   original separator runs are re-interleaved JVM-side, dropping each
+   removed token together with its trailing separator — casing,
+   newlines, and punctuation spacing survive, and a document with no
+   duplicated span passes through byte-identical.  Matching is still
+   case-insensitive (windows hash the lowercased tokens); only the
+   match side normalizes, never the rewrite side.  The corpus text is
+   never exploded to token-grain rows, so the rewrite costs one
+   equi-join plus per-row array work.
 
 Policies: 'all' removes every duplicated occurrence (Lee et al.'s
 choice — at most one copy of training data is lost corpus-wide only
@@ -162,19 +168,24 @@ def remove_duplicated_spans(
     policy: str = "all",
     spans_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Rewrite each document with its duplicated spans removed.
+    """Rewrite each document with its duplicated spans CUT FROM THE
+    ORIGINAL TEXT (Lee et al. 2021's range-cut semantics).
 
     Output: input columns + (cleaned_text, n_removed_tokens,
     n_spans).  Documents with no duplicated span pass through with
-    cleaned_text = the normalized token join (lowercased, whitespace
-    collapsed — the same canonical form the window hashes were built
-    over, so removal offsets line up).
+    cleaned_text byte-identical to the input — casing, newlines, and
+    punctuation spacing are preserved everywhere.  Only window
+    MATCHING is normalized (lowercased tokens); the rewrite
+    re-interleaves the original non-whitespace runs with the original
+    separator runs, dropping each removed token together with its
+    trailing separator (so "a B.\\nc" minus token 1 is "a c", keeping
+    the document's own whitespace elsewhere).
 
-    The rewrite is one equi-join (docs ⋈ per-doc span lists) plus a JVM
-    `filter(tokens, (t, i) -> no span covers i)` — span lists are
-    per-document-bounded (collect_list after island merge), and the
-    token array never leaves its row, so there is no token-grain
-    shuffle anywhere in the plan.
+    The rewrite is one equi-join (docs ⋈ per-doc span lists) plus JVM
+    array lambdas over regexp_extract_all token/separator runs — span
+    lists are per-document-bounded (collect_list after island merge),
+    and the token array never leaves its row, so there is no
+    token-grain shuffle anywhere in the plan.
 
     Pass `spans_df` (a `duplicated_spans` output, possibly pinned with
     localCheckpoint) to reuse an already-computed span table — a caller
@@ -188,20 +199,57 @@ def remove_duplicated_spans(
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("n_removed_tokens"),
         F.count(F.lit(1)).alias("n_spans"),
     )
-    toks = _tokens(F.col(text_col))
     joined = df.join(span_lists, df[id_col] == span_lists["id"], "left").drop(span_lists["id"])
     no_span = F.col("_spans").isNull()
-    kept = F.filter(
-        toks,
-        lambda t, i: ~F.exists(
-            F.col("_spans"),
-            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    # Original-text reconstruction: token runs and separator runs of the
+    # RAW text.  Token j's (0-based) trailing separator sits at 1-based
+    # seps index j+1+off, where off=1 iff the text begins with
+    # whitespace (then seps[1] is the preserved leading run).  Keeping
+    # every token therefore rebuilds the input exactly; dropping token j
+    # drops its trailing separator with it.
+    text = F.col(text_col)
+    toks_orig = F.regexp_extract_all(text, F.lit(r"\S+"), 0)
+    seps = F.regexp_extract_all(text, F.lit(r"\s+"), 0)
+    n_tok = F.size(toks_orig)
+    starts_ws = text.rlike(r"^\s")
+    off = F.when(starts_ws, F.lit(1)).otherwise(F.lit(0))
+    lead = F.when(starts_ws, F.element_at(seps, 1)).otherwise(F.lit(""))
+    removed = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    # A kept token keeps its trailing separator iff another kept token
+    # follows (_lk = last kept index) or it closes the document (then
+    # the separator is the document's own trailing whitespace) — so a
+    # removed TAIL takes the separator before it along, and a middle
+    # cut collapses to the single separator that preceded it.
+    enriched = joined.withColumn(
+        "_lk",
+        F.array_max(
+            F.filter(
+                F.when(n_tok > 0, F.sequence(F.lit(0), n_tok - F.lit(1)))
+                .otherwise(F.array().cast("array<int>")),
+                lambda i: ~removed(i),
+            )
         ),
     )
-    return joined.select(
+    keep_sep = lambda i: (i < F.col("_lk")) | (i == n_tok - F.lit(1))  # noqa: E731
+    pieces = F.transform(
+        toks_orig,
+        lambda t, i: F.when(removed(i), F.lit("")).otherwise(
+            F.concat(
+                t,
+                F.when(
+                    keep_sep(i),
+                    F.coalesce(F.try_element_at(seps, i + F.lit(1) + off), F.lit("")),
+                ).otherwise(F.lit("")),
+            )
+        ),
+    )
+    return enriched.select(
         *[F.col(c) for c in df.columns],
-        F.when(no_span, F.concat_ws(" ", toks))
-        .otherwise(F.concat_ws(" ", kept))
+        F.when(no_span, text)
+        .otherwise(F.concat(lead, F.array_join(pieces, "")))
         .alias("cleaned_text"),
         F.coalesce(F.col("n_removed_tokens"), F.lit(0)).cast("long").alias("n_removed_tokens"),
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
@@ -288,11 +336,18 @@ def dedup_lines_across_docs(
     groupBy(line_hash) with (countDistinct, min) state, then a hash
     equi-join back to line positions and an in-row rebuild.  Output:
     input columns + (cleaned_text, n_removed_lines).
+
+    Matching normalizes (trimmed, lowercased, blank lines skipped);
+    the REBUILD keeps the document's original lines — casing, interior
+    whitespace, and blank lines survive, and a doc losing no line
+    passes through byte-identical (modulo nothing: split+join on \\n is
+    the identity).
     """
     if policy not in ("all", "keep_first"):
         raise ValueError("policy must be 'all' or 'keep_first'")
+    all_lines = F.split(F.col(text_col), r"\n", -1)
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        F.transform(all_lines, lambda l: F.trim(l)),
         lambda l: l != F.lit(""),
     )
     occ = spread(df, id_col).select(
@@ -313,10 +368,22 @@ def dedup_lines_across_docs(
         F.collect_set("pos").alias("_rm"), F.count(F.lit(1)).alias("n_removed_lines")
     )
     joined = df.join(removed_pos, df[id_col] == removed_pos["id"], "left").drop(removed_pos["id"])
-    kept = F.filter(lines, lambda l, i: ~F.array_contains(F.coalesce(F.col("_rm"), F.array()), i))
+    # Rebuild from the ORIGINAL lines: a raw line at position i maps to
+    # normalized position = count of non-blank trimmed lines before it;
+    # blank lines (never hashed) always survive.
+    norm_pos = lambda i: F.size(  # noqa: E731
+        F.filter(F.slice(all_lines, F.lit(1), i), lambda x: F.trim(x) != F.lit(""))
+    )
+    kept = F.filter(
+        all_lines,
+        lambda l, i: (F.trim(l) == F.lit(""))
+        | ~F.array_contains(F.coalesce(F.col("_rm"), F.array().cast("array<int>")), norm_pos(i)),
+    )
     return joined.select(
         *[F.col(c) for c in df.columns],
-        F.concat_ws("\n", kept).alias("cleaned_text"),
+        F.when(F.col("_rm").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws("\n", kept))
+        .alias("cleaned_text"),
         F.coalesce(F.col("n_removed_lines"), F.lit(0)).cast("long").alias("n_removed_lines"),
     )
 

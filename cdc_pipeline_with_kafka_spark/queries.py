@@ -3646,23 +3646,39 @@ spanlists AS (
          sum(span_end - span_start + 1) AS rm
   FROM spans GROUP BY id
 ),
+raw AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\\S+') AS tko,
+         regexp_extract_all(text, '\\s+') AS sps,
+         CASE WHEN regexp_matches(text, '^\\s') THEN 1 ELSE 0 END AS woff
+  FROM documents
+),
+-- range-cut rebuild over the ORIGINAL text: kept token i keeps its
+-- trailing separator iff a kept token follows (i < last-kept) or it is
+-- the document's final token; leading whitespace always survives
 cleaned AS (
-  SELECT t.doc_id,
-         -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
-         -- concat_ws over an empty array is ''
-         coalesce(
-           CASE WHEN sl.sl IS NULL THEN array_to_string(t.t, ' ')
-                ELSE array_to_string(
-                       list_transform(
-                         list_filter(
-                           CASE WHEN len(t.t) = 0 THEN []
-                                ELSE generate_series(0, len(t.t) - 1) END,
-                           i -> len(list_filter(sl.sl, sp -> i >= sp.ss AND i <= sp.se)) = 0),
-                         i -> t.t[i + 1]),
-                       ' ')
-           END, '') AS cleaned_text,
+  SELECT r.doc_id,
+         CASE WHEN sl.sl IS NULL THEN r.text
+              ELSE CASE WHEN r.woff = 1 THEN r.sps[1] ELSE '' END ||
+                   coalesce(array_to_string(
+                     list_transform(
+                       CASE WHEN len(r.tko) = 0 THEN []
+                            ELSE generate_series(0, len(r.tko) - 1) END,
+                       i -> CASE WHEN len(list_filter(sl.sl, sp -> i >= sp.ss AND i <= sp.se)) > 0
+                                 THEN ''
+                                 ELSE r.tko[i + 1] ||
+                                      CASE WHEN i = len(r.tko) - 1
+                                             OR i < list_max(list_filter(
+                                                  CASE WHEN len(r.tko) = 0 THEN []
+                                                       ELSE generate_series(0, len(r.tko) - 1) END,
+                                                  j -> len(list_filter(sl.sl, sp -> j >= sp.ss AND j <= sp.se)) = 0))
+                                           THEN coalesce(r.sps[i + 1 + r.woff], '')
+                                           ELSE '' END
+                            END),
+                     '') , '')
+         END AS cleaned_text,
          coalesce(sl.rm, 0) AS n_removed_tokens
-  FROM toks t LEFT JOIN spanlists sl ON t.doc_id = sl.id
+  FROM raw r LEFT JOIN spanlists sl ON r.doc_id = sl.id
 )
 SELECT 'span' AS suite_case,
        CAST(id AS VARCHAR) || '|' || CAST(span_start AS VARCHAR) AS k,
@@ -3684,7 +3700,8 @@ SELECT 'line', CAST(doc_id AS VARCHAR), md5(ct), CAST(nrm AS DOUBLE) FROM (
     FROM documents
   ),
   lls AS (
-    SELECT doc_id,
+    SELECT doc_id, mtext,
+           string_split(mtext, chr(10)) AS al,
            list_filter(list_transform(string_split(mtext, chr(10)), l -> trim(l)),
                        l -> l <> '') AS lines
     FROM lb
@@ -3702,16 +3719,25 @@ SELECT 'line', CAST(doc_id AS VARCHAR), md5(ct), CAST(nrm AS DOUBLE) FROM (
     WHERE locc.doc_id <> ldup.keep_id
   ),
   lrml AS (SELECT doc_id, list(pos) AS rp, count(*) AS nrm FROM lrm GROUP BY doc_id),
+  -- rebuild from the ORIGINAL raw lines (blank lines and interior
+  -- whitespace survive); raw line i maps to normalized position
+  -- = count of non-blank trimmed lines before it
   lcleaned AS (
     SELECT l.doc_id,
-           coalesce(array_to_string(
-             list_transform(
-               list_filter(
-                 CASE WHEN len(l.lines) = 0 THEN []
-                      ELSE generate_series(0, len(l.lines) - 1) END,
-                 i -> r.rp IS NULL OR NOT list_contains(r.rp, i)),
-               i -> l.lines[i + 1]),
-             chr(10)), '') AS ct,
+           CASE WHEN r.rp IS NULL THEN l.mtext
+                ELSE coalesce(array_to_string(
+                  list_transform(
+                    list_filter(
+                      CASE WHEN len(l.al) = 0 THEN []
+                           ELSE generate_series(1, len(l.al)) END,
+                      i -> trim(l.al[i]) = ''
+                           OR NOT list_contains(
+                                r.rp,
+                                len(list_filter(list_slice(l.al, 1, i - 1),
+                                                x -> trim(x) <> '')))),
+                    i -> l.al[i]),
+                  chr(10)), '')
+           END AS ct,
            coalesce(r.nrm, 0) AS nrm
     FROM lls l LEFT JOIN lrml r USING (doc_id)
   )

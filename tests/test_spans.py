@@ -102,6 +102,66 @@ def test_short_docs_produce_no_windows(spark):
     assert all(r.n_spans == 0 and r.cleaned_text == r.text for r in out)
 
 
+def test_rewrite_preserves_original_text_fidelity(spark):
+    """Range-cut semantics (Lee et al.): casing, newlines, punctuation
+    spacing and leading/trailing whitespace of the ORIGINAL text
+    survive the rewrite; only the matched ranges are cut.  Matching is
+    case-insensitive, rewriting is not."""
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"Keep Me.\n  {shared} tail words here"),
+        (2, f"ALPHA Beta GAMMA delta EPSILON\ttrailing Unique Words"),
+        (3, "  Leading ws kept\nAnd NO span here at all  "),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.cleaned_text, r.n_removed_tokens)
+        for r in S.remove_duplicated_spans(df, k=5, min_docs=2, policy="all").collect()
+    }
+    # doc 1: tokens 2..6 cut with their separators (incl. the "\n  "
+    # after "Me." staying put — it precedes the span); original casing kept
+    assert out[1] == ("Keep Me.\n  tail words here", 5)
+    # doc 2: uppercase copy matched case-insensitively; the \t after the
+    # span's last token travels with it
+    assert out[2] == ("trailing Unique Words", 5)
+    # doc 3: untouched docs are byte-identical (leading + trailing ws)
+    assert out[3] == ("  Leading ws kept\nAnd NO span here at all  ", 0)
+
+
+def test_rewrite_tail_cut_drops_preceding_separator(spark):
+    """A span reaching the end of the document takes the separator
+    before it along (no dangling trailing whitespace), while a doc
+    whose final token survives keeps its own trailing whitespace."""
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"Unique Opening Words then {shared}"),
+        (2, f"{shared} kept tail\n"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.cleaned_text
+        for r in S.remove_duplicated_spans(df, k=5, min_docs=2, policy="all").collect()
+    }
+    assert out[1] == "Unique Opening Words then"
+    assert out[2] == "kept tail\n"
+
+
+def test_line_dedup_preserves_untrimmed_lines_and_blanks(spark):
+    docs = [
+        (1, "  Shared Header  \n\nBody One here\nShared Footer"),
+        (2, "Shared Header\nBody Two there\n\nShared Footer"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.cleaned_text, r.n_removed_lines)
+        for r in S.dedup_lines_across_docs(df, min_docs=2, policy="keep_first").collect()
+    }
+    # doc 1 is canonical: byte-identical, blank line and padding intact
+    assert out[1] == ("  Shared Header  \n\nBody One here\nShared Footer", 0)
+    # doc 2 loses both shared lines but keeps its own blank line
+    assert out[2] == ("Body Two there\n", 2)
+
+
 def test_validation_errors(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
@@ -213,7 +273,8 @@ def test_remove_corpus_spans_incremental(spark):
     out = {r.doc_id: r for r in S.remove_corpus_spans(shard, idx, k=5).collect()}
     assert out[10].cleaned_text == "intro text outro"
     assert out[10].n_removed_tokens == 8
-    assert out[11].cleaned_text == shard.collect()[1].text.lower()
+    # no corpus overlap → byte-identical passthrough (original casing)
+    assert out[11].cleaned_text == shard.collect()[1].text
     assert out[11].n_spans == 0
     # index update: after appending shard windows, a doc repeating
     # shard 1's novel passage is stripped next round
