@@ -43,6 +43,22 @@ def _micro_ln(col: Column) -> Column:
     return F.round(F.log(col) * MICRO).cast("long")
 
 
+def _vocab_topk(toks: DataFrame, max_vocab: int) -> DataFrame:
+    """Exact global top-max_vocab tokens by (frequency desc, token asc)
+    as an ORDER BY + LIMIT: compiles to TakeOrderedAndProject — every
+    partition keeps its own bounded top and the driver merges the
+    partials.  NOT an unpartitioned row_number window, which would
+    serialize the full distinct-token table through one task at corpus
+    scale (plan-pinned in test_plans)."""
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("token").asc())
+        .limit(max_vocab)
+        .select("token")
+    )
+
+
 def train_nb(
     df: DataFrame,
     label_col: str,
@@ -70,12 +86,7 @@ def train_nb(
         F.explode(_tokens(F.col(text_col))).alias("token"),
     )
     if max_vocab is not None:
-        freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
-        w = Window.orderBy(F.col("_n").desc(), F.col("token").asc())
-        vocab = freq.select("token", F.row_number().over(w).alias("_r")).filter(
-            F.col("_r") <= max_vocab
-        ).select("token")
-        toks = toks.join(F.broadcast(vocab), "token")
+        toks = toks.join(F.broadcast(_vocab_topk(toks, max_vocab)), "token")
     # localCheckpoint pins the (≤ vocab × classes)-row count table so
     # the vocab-size action and both model outputs reuse ONE tokenize
     # pass over the corpus instead of re-scanning per consumer
@@ -270,6 +281,12 @@ def dsir_select(
     purely by length — the practical resampling variant.  Ranking key is
     integer micro-nats with ascending id tie-breaks, so selection is
     bit-stable across engines and runs.
+
+    Plan shape: the global top-k is an ORDER BY + LIMIT
+    (TakeOrderedAndProject — per-partition bounded partials, driver
+    merge), never an unpartitioned row_number over all doc weights; the
+    rank numbers are then assigned over the ≤ k selected rows only, so
+    the single-partition window is bounded by k, not the corpus.
     """
     w = dsir_weights(
         raw_df, target_df, text_col=text_col, id_col=id_col, hash_buckets=hash_buckets
@@ -279,13 +296,15 @@ def dsir_select(
         if normalize
         else F.col("logw_micro")
     )
-    ranked = w.select(
-        "id", "n_feats", "logw_micro", key.alias("rank_key")
-    ).withColumn(
+    topk = (
+        w.select("id", "n_feats", "logw_micro", key.alias("rank_key"))
+        .orderBy(F.col("rank_key").desc(), F.col("id").asc())
+        .limit(k)
+    )
+    return topk.withColumn(
         "rnk",
         F.row_number().over(Window.orderBy(F.col("rank_key").desc(), F.col("id").asc())),
-    )
-    return ranked.filter(F.col("rnk") <= k).drop("rank_key")
+    ).drop("rank_key")
 
 
 def nb_filter(

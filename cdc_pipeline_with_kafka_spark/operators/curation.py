@@ -942,8 +942,12 @@ def release_corpus(
          shuffle-hash ranges.
 
     Returns the written DataFrame (lazily re-readable from out_path).
-    Everything under one deterministic contract: same inputs + same
-    salts → byte-identical release."""
+    Determinism contract: same inputs + same salts → row/CONTENT-
+    identical release (every row, its split assignment, and its
+    shuffle key are bit-stable).  File LAYOUT is not pinned:
+    shuffle_deterministic's repartitionByRange samples partition
+    boundaries and defaults to the cluster's parallelism, so file
+    counts/boundaries may differ across runs or cluster sizes."""
     from ..sources.bucketing import write_partitioned
 
     curated = curate_corpus(

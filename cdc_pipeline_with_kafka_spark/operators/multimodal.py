@@ -583,22 +583,34 @@ def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
 
 def transform_assets(
     assets: DataFrame,
-    target_w: int = 64,
-    target_h: int = 64,
-    batch_hint: int = 256,
+    target_w: int | None = None,
+    target_h: int | None = None,
 ) -> DataFrame:
     """Re-encode every asset through its registered transform (e.g.
     `set_transform('image', lambda p: resize_ppm(p, 64, 64))`) via
     mapInPandas — the same Arrow binary-batch shape as
     extract_features, writing bytes instead of features.
 
-    Assets whose media type has no registered transform pass through
-    unchanged (transform_applied=false); transforms that raise mark
-    the row quarantined (payload NULL, error message kept) so one
-    corrupt asset can't fail a 100 TB rewrite job.
+    Passing `target_w`/`target_h` (both required together) applies
+    `resize_ppm(payload, target_w, target_h)` to 'image' assets with
+    no explicitly registered transform — an explicit
+    `set_transform('image', ...)` still wins.  The registry snapshot
+    is captured at call time and shipped in the task closure, so a
+    concurrent `set_transform` cannot change a running job.
+
+    Assets whose media type has no transform (registered or implied)
+    pass through unchanged (transform_applied=false); transforms that
+    raise mark the row quarantined (payload NULL, error message kept)
+    so one corrupt asset can't fail a 100 TB rewrite job.
 
     Output: (asset_id, media_type, payload, n_bytes_in, n_bytes_out,
     transform_applied, error)."""
+    if (target_w is None) != (target_h is None):
+        raise ValueError("target_w and target_h must be given together")
+    transforms = dict(_TRANSFORMS)
+    if target_w is not None and "image" not in transforms:
+        w, h = int(target_w), int(target_h)
+        transforms["image"] = lambda p: resize_ppm(p, w, h)
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType()),
@@ -617,7 +629,7 @@ def transform_assets(
             for mt, payload in zip(pdf["media_type"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 n_in.append(len(raw))
-                fn = _TRANSFORMS.get(mt)
+                fn = transforms.get(mt)
                 if fn is None:
                     outs.append(raw)
                     n_out.append(len(raw))

@@ -359,11 +359,14 @@ def bloom_probe_bytes(
     the probe side is a massive stream and the filter fits in executor
     memory (num_bits/8 bytes per task).
 
-    Output: input rows + might_contain.  Hash positions are the same
-    md5-salted arithmetic as the build, computed in Python here —
-    hashlib.md5 and the JVM md5 agree by definition."""
-    import hashlib
-
+    Output: input rows + might_contain.  The k bit positions are
+    computed JVM-SIDE with the exact `_bloom_positions` codegen
+    expression the build uses (one `cast('string')` normalization for
+    build and both probes — no Python str() divergence for booleans
+    etc.), and the pandas stage is a pure numpy gather over the word
+    array: no per-row Python, no hashing outside the JVM.  NULL keys
+    NULL-propagate (might_contain = NULL), matching `bloom_probe`'s
+    left-join behavior."""
     import numpy as np
 
     if len(bloom_bytes) != num_bits // 8:
@@ -373,19 +376,28 @@ def bloom_probe_bytes(
     words = np.frombuffer(bloom_bytes, dtype=np.uint64)
     out_fields = df.schema.fields + [T.StructField("might_contain", T.BooleanType())]
     out_schema = T.StructType(out_fields)
+    # -1 sentinel rows (NULL key → codegen positions would be NULL) keep
+    # the Arrow column a dense non-null k-wide int64 matrix
+    key = F.col(key_col)
+    pos = F.when(
+        key.isNotNull(), _bloom_positions(key.cast("string"), num_bits, k)
+    ).otherwise(F.array_repeat(F.lit(-1).cast("long"), k))
+    with_pos = df.withColumn("_bloom_pos", pos)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def contains(key) -> bool:
-            s = str(key)
-            for i in range(k):
-                p = int(hashlib.md5(f"b{i}:{s}".encode()).hexdigest()[:15], 16) % num_bits
-                if not (int(words[p // 64]) >> (p % 64)) & 1:
-                    return False
-            return True
-
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["might_contain"] = [contains(v) for v in pdf[key_col]]
-            yield pdf
+            out = pdf.drop(columns=["_bloom_pos"])
+            if len(pdf) == 0:
+                out["might_contain"] = pd.Series([], dtype=bool)
+                yield out
+                continue
+            mat = np.vstack(pdf["_bloom_pos"].to_numpy()).astype(np.int64, copy=False)
+            valid = mat[:, 0] >= 0
+            idx = np.where(valid[:, None], mat, 0)
+            bits = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+            mc = pd.array(bits.all(axis=1), dtype="boolean")
+            mc[~valid] = pd.NA
+            out["might_contain"] = mc
+            yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return with_pos.mapInPandas(run, schema=out_schema)

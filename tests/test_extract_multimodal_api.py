@@ -627,3 +627,32 @@ def test_transform_assets_resize_passthrough_and_quarantine(spark):
     assert out[1].n_bytes_out < out[1].n_bytes_in
     assert not out[2].transform_applied and bytes(out[2].payload) == b"RIFFxxxx"
     assert out[3].payload is None and "ValueError" in out[3].error
+
+
+def test_transform_assets_honors_target_size_params(spark):
+    """transform_assets(df, w, h) resizes images with NO registered
+    transform (the params are load-bearing, not decorative); an
+    explicit set_transform('image', ...) still wins."""
+    from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
+
+    ppm = b"P6\n4 4\n255\n" + bytes(range(48))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm))],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = mm.transform_assets(df, 2, 2).collect()[0]
+    assert out.transform_applied
+    w, h, _, _ = mm._ppm_raster(bytes(out.payload))
+    assert (w, h) == (2, 2)
+    # explicit registration overrides the implied resize
+    mm.set_transform("image", lambda p: mm.resize_ppm(p, 3, 3))
+    try:
+        out2 = mm.transform_assets(df, 2, 2).collect()[0]
+    finally:
+        mm._TRANSFORMS.pop("image", None)
+    w2, h2, _, _ = mm._ppm_raster(bytes(out2.payload))
+    assert (w2, h2) == (3, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.transform_assets(df, 2, None)

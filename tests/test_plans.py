@@ -97,3 +97,30 @@ def test_classify_suite_model_joins_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nb_vocab_cap_and_dsir_topk_are_take_ordered(spark):
+    """The two classifier top-k sites must compile to
+    TakeOrderedAndProject (bounded per-partition partials + driver
+    merge), never an unpartitioned row_number window that serializes
+    the full token/weight table through one task at corpus scale."""
+    from cdc_pipeline_with_kafka_spark.operators import classify as C
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"tok{i} shared words here {i % 3}") for i in range(20)],
+        ["doc_id", "lang", "text"],
+    )
+    from pyspark.sql import functions as F
+
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    vocab = C._vocab_topk(toks, 5)
+    p = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    # and the trained model actually respects the cap end-to-end
+    tl, _cs = C.train_nb(docs.withColumnRenamed("lang", "label"), "label", max_vocab=5)
+    assert tl.select("token").distinct().count() <= 5
+
+    sel = C.dsir_select(docs, docs.filter("lang = 'de'"), k=3, hash_buckets=64)
+    p2 = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p2

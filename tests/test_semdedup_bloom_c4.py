@@ -167,3 +167,42 @@ def test_bloom_probe_bytes_matches_join_probe(spark):
     assert all(via_bytes[f"key{i}"] for i in range(n))  # no false negatives
     with pytest.raises(ValueError):
         sk.bloom_probe_bytes(mixed, "k", dense[:-1], num_bits=nb, k=k)
+
+
+def test_bloom_probe_bytes_nonstring_and_null_keys_match_join_probe(spark):
+    """Build and both probes share ONE key normalization (JVM
+    cast('string')): boolean keys hash as 'true'/'false' everywhere,
+    and NULL keys NULL-propagate in both probe variants."""
+    nb, k = 1 << 10, 3
+    base = spark.createDataFrame([(True,), (None,)], "k boolean")
+    bloom = sk.bloom_build(base.filter("k is not null"), "k", num_bits=nb, k=k)
+    probe = spark.createDataFrame([(True,), (False,), (None,)], "k boolean")
+    via_join = {
+        r.k: r.might_contain
+        for r in sk.bloom_probe(probe, "k", bloom, num_bits=nb, k=k).collect()
+    }
+    dense = sk.bloom_to_bytes(bloom, nb)
+    via_bytes = {
+        r.k: r.might_contain
+        for r in sk.bloom_probe_bytes(probe, "k", dense, num_bits=nb, k=k).collect()
+    }
+    assert via_join == via_bytes
+    assert via_bytes[True] is True
+    assert via_bytes[None] is None
+
+
+def test_bloom_probe_bytes_has_no_python_hashing(spark):
+    """The dense probe's Python stage must be a numpy gather only: the
+    k md5 positions appear in the JVM plan (conv/substring/md5 chain),
+    shipped into mapInPandas as a column — not recomputed per row in
+    Python."""
+    nb, k = 1 << 10, 3
+    keys = spark.range(4).select(F.col("id").cast("string").alias("k"))
+    dense = sk.bloom_to_bytes(sk.bloom_build(keys, "k", num_bits=nb, k=k), nb)
+    df = sk.bloom_probe_bytes(keys, "k", dense, num_bits=nb, k=k)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5" in plan  # positions computed JVM-side
+    import inspect
+
+    src = inspect.getsource(sk.bloom_probe_bytes)
+    assert "hashlib" not in src
