@@ -314,6 +314,16 @@ def train_ivf_codebook(
     m = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
     if len(m) < nlist:
         raise ValueError(f"sample has {len(m)} vectors < nlist={nlist}")
+    return np.arange(nlist, dtype=np.int64), ivf_kmeans_np(m, nlist, iters)
+
+
+def ivf_kmeans_np(m: np.ndarray, nlist: int, iters: int = 10) -> np.ndarray:
+    """Pure-numpy Lloyd core of `train_ivf_codebook` (cosine metric on
+    L2-normalized rows, first-nlist init, farthest-point reseed of
+    empty clusters).  Factored out so the pinned-codebook DuckDB
+    oracle (queries._pq_oracle_sql) trains THE SAME centroids from the
+    same ordered sample entirely off-Spark — the BPE/MMR pinned-model
+    pattern."""
     cm = m[:nlist].copy()
     for _ in range(iters):
         sims = m @ cm.T  # cosine on normalized rows
@@ -326,7 +336,7 @@ def train_ivf_codebook(
             else:  # re-seed an empty cluster with the globally worst-fit point
                 new_cm[c] = m[np.argmin(sims.max(axis=1))]
         cm = _normalize_rows(new_cm)
-    return np.arange(nlist, dtype=np.int64), cm
+    return cm
 
 
 def ivf_ann_topk(
@@ -633,6 +643,14 @@ def train_pq_codebook(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     if n < ksub:
         raise ValueError(f"sample has {n} vectors < ksub={ksub}")
+    return pq_kmeans_np(x, m, ksub, iters)
+
+
+def pq_kmeans_np(x: np.ndarray, m: int, ksub: int, iters: int = 10) -> np.ndarray:
+    """Pure-numpy per-subspace Lloyd core of `train_pq_codebook`
+    (L2 metric, first-ksub init, farthest-point reseed).  Factored out
+    for the pinned-codebook oracle — see `ivf_kmeans_np`."""
+    n, dim = x.shape
     dsub = dim // m
     books = np.zeros((m, ksub, dsub))
     for j in range(m):

@@ -3263,12 +3263,14 @@ def pq_recall(spark, sf_dir):
     the driver-level evidence that the compressed-index tier answers
     real queries, not just unit fixtures.
 
-    No SQL oracle (k-means codebooks aren't SQL-expressible), but the
-    gate is SELF-ASSERTING: recall is computed eagerly against the
-    exact top-k and the build RAISES below threshold, so a quality
-    regression turns the driver row red instead of passing a weaker
-    rows-only check.  Determinism: both trainers use the ordered-limit
-    sample contract; the recall values are reproducible."""
+    Oracle = `_pq_oracle_sql`: the deterministic trainers (shared
+    numpy k-means cores, same ordered-limit sample contract) rerun
+    driver-side off-Spark, and encode/ADC/probe/refine are replayed in
+    numpy with the same round-6 quantization — the pinned-model
+    pattern of bpe_tokenize/mmr_extract.  The gate additionally
+    SELF-ASSERTS: recall is computed eagerly against the exact top-k
+    and the build RAISES below threshold, so a quality regression
+    turns the driver row red even if the replay agreed."""
     k, thresholds = 10, {"pq": 0.7, "ivf_pq": 0.6}
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -3381,6 +3383,129 @@ def _bpe_oracle_sql() -> str:
         "head_tokens FROM (VALUES "
         + ", ".join(vals)
         + ") AS t(doc_id, n, head_tokens)"
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """Pinned-codebook VALUES oracle for pq_recall: the same
+    deterministic trainers (similarity.pq_kmeans_np / ivf_kmeans_np on
+    the ordered-limit sample) run driver-side over the same parquet
+    WITHOUT Spark, then encode, ADC scoring, IVF probing, and the
+    exact refine are replayed in numpy — identical vectorized formulas
+    and round-6 quantization, with the refine cosine mirroring the JVM
+    `cosine` column's sequential left-fold accumulation and HALF_UP
+    rounding.  Emits the (variant, recall, n_queries, k) rows the
+    distributed path must reproduce."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from .operators import similarity as sim
+
+    k, refine, nlist, nprobe, mm, ksub = 10, 3, 16, 4, 8, 64
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"'{_ORACLE_SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    dsub = dim // mm
+    qsel = ids < 10
+    qids = ids[qsel]
+    qm_raw = X[qsel]
+    nq = len(qids)
+    pos_of = {int(v): p for p, v in enumerate(ids)}
+
+    def topk_sets(scores: np.ndarray, kk: int) -> dict:
+        # rank by (score desc, id asc) — the Spark windows' exact keys
+        out = {}
+        for qi in range(nq):
+            order = np.lexsort((ids, -scores[:, qi]))
+            out[int(qids[qi])] = set(ids[order[:kk]].tolist())
+        return out
+
+    # exact gate — _cosine_scores_udf's formula verbatim
+    en = np.sqrt(np.einsum("ij,ij->i", X, X))
+    en[en == 0] = 1.0
+    qn = np.sqrt(np.einsum("ij,ij->i", qm_raw, qm_raw))
+    qn[qn == 0] = 1.0
+    exact = topk_sets(np.round((X @ qm_raw.T) / (en[:, None] * qn[None, :]), 6), k)
+
+    def _fold(a: np.ndarray, b: np.ndarray) -> float:
+        acc = 0.0
+        for i in range(len(a)):
+            acc = acc + float(a[i]) * float(b[i])
+        return acc
+
+    def _jvm_cosine6(a: np.ndarray, b: np.ndarray) -> float:
+        c = _fold(a, b) / (math.sqrt(_fold(a, a)) * math.sqrt(_fold(b, b)))
+        # F.round on double = BigDecimal.valueOf(toString) + HALF_UP
+        return float(Decimal(repr(c)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    def refine_sets(adc_scores: np.ndarray, valid: np.ndarray | None) -> dict:
+        got = {}
+        for qi in range(nq):
+            vidx = (
+                np.arange(n) if valid is None else np.nonzero(valid[:, qi])[0]
+            )
+            order = vidx[np.lexsort((ids[vidx], -adc_scores[vidx, qi]))]
+            cand = ids[order[: k * refine]]
+            scs = np.array(
+                [_jvm_cosine6(X[pos_of[int(c)]], qm_raw[qi]) for c in cand]
+            )
+            order2 = np.lexsort((cand, -scs))
+            got[int(qids[qi])] = set(cand[order2[:k]].tolist())
+        return got
+
+    # PQ: trainer core + _pq_encode_udf + pq_ann_topk's LUT, verbatim
+    xn = sim._normalize_rows(X)
+    books = sim.pq_kmeans_np(xn[:100_000], mm, ksub, 10)
+    codes = np.zeros((n, mm), dtype=np.int64)
+    for j in range(mm):
+        sub = xn[:, j * dsub : (j + 1) * dsub]
+        d2 = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = np.argmin(d2, axis=1)
+    qmn = sim._normalize_rows(qm_raw)
+    lut = np.stack(
+        [
+            np.stack([books[j] @ qmn[qi, j * dsub : (j + 1) * dsub] for j in range(mm)])
+            for qi in range(nq)
+        ]
+    )
+    adc = np.zeros((n, nq))
+    for qi in range(nq):
+        adc[:, qi] = lut[qi][np.arange(mm)[None, :], codes].sum(axis=1)
+    adc = np.round(adc, 6)
+    got = {"pq": refine_sets(adc, None)}
+
+    # IVF-PQ: shared centroids + _ivf_assign_udf's round-6 lexsort
+    cm = sim.ivf_kmeans_np(xn, nlist, 10)
+    cids = np.arange(nlist, dtype=np.int64)
+    s_corpus = np.round(xn @ cm.T, 6)
+    assign1 = cids[
+        np.lexsort((np.broadcast_to(cids, s_corpus.shape), -s_corpus), axis=1)[:, 0]
+    ]
+    s_q = np.round(qmn @ cm.T, 6)
+    probes = cids[np.lexsort((np.broadcast_to(cids, s_q.shape), -s_q), axis=1)[:, :nprobe]]
+    valid = np.zeros((n, nq), dtype=bool)
+    for qi in range(nq):
+        valid[:, qi] = np.isin(assign1, probes[qi])
+    got["ivf_pq"] = refine_sets(adc, valid)
+
+    out_rows = []
+    for variant in ("ivf_pq", "pq"):
+        g = got[variant]
+        recall = sum(
+            len(g.get(q, set()) & hits) / float(k) for q, hits in exact.items()
+        ) / max(len(exact), 1)
+        out_rows.append(f"('{variant}', {round(recall, 6)!r}, {len(exact)}, {k})")
+    return (
+        "SELECT variant, CAST(recall AS DOUBLE) AS recall, "
+        "CAST(nq AS BIGINT) AS n_queries, CAST(kk AS BIGINT) AS k "
+        "FROM (VALUES " + ", ".join(out_rows) + ") AS t(variant, recall, nq, kk)"
     )
 
 
@@ -3944,7 +4069,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mmr_extract": (mmr_extract, _mmr_oracle_sql),
     # rows-only by necessity (k-means codebooks aren't SQL-expressible)
     # but self-asserting: the build raises if refined recall regresses
-    "pq_recall": (pq_recall, None),
+    "pq_recall": (pq_recall, _pq_oracle_sql),
     # r4 tier (slots freed by the w1/w8 merges): substring-level dedup
     # and the NB/DSIR model-in-the-loop curation classifiers
     "span_dedup": (span_dedup, SPAN_DEDUP_SQL),

@@ -24,8 +24,9 @@ def test_registry_fits_driver_budget():
 
 # rows-only entries are a DELIBERATE list, not an accident: each name
 # here must document in its docstring why no SQL oracle can exist and
-# how the gate still fails loudly (pq_recall self-asserts on recall)
-ROWS_ONLY_ALLOWED = {"pq_recall"}
+# how the gate still fails loudly.  Empty since round 5: pq_recall
+# gained a pinned-codebook oracle (the last holdout).
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_queries_and_oracles_align():
