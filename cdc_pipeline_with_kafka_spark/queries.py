@@ -3386,6 +3386,305 @@ def _bpe_oracle_sql() -> str:
     )
 
 
+def sim_ann_suite(spark, sf_dir):
+    """sim_lsh_ann_topk + sim_ivf_ann_topk in one tagged gate (r5
+    merge — frees a budget slot; both ANN paths keep every
+    (query, hit, score, rank) row)."""
+    lsh = _suite_rows(
+        sim_lsh_ann_topk(spark, sf_dir), "lsh",
+        F.concat_ws("|", F.col("query_id").cast("string"), F.col("vec_id").cast("string")),
+        v_str=F.col("rnk").cast("string"),
+        v_num=F.col("cos_sim"),
+    )
+    ivf = _suite_rows(
+        sim_ivf_ann_topk(spark, sf_dir), "ivf",
+        F.concat_ws("|", F.col("query_id").cast("string"), F.col("vec_id").cast("string")),
+        v_str=F.col("rnk").cast("string"),
+        v_num=F.col("cos_sim"),
+    )
+    return lsh.unionByName(ivf)
+
+
+def _sim_ann_suite_sql() -> str:
+    return f"""
+SELECT 'lsh' AS suite_case,
+       CAST(query_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR) AS k,
+       CAST(rnk AS VARCHAR) AS v_str, CAST(cos_sim AS DOUBLE) AS v_num
+FROM ({_lsh_ann_oracle_sql()}) s1
+UNION ALL
+SELECT 'ivf', CAST(query_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR),
+       CAST(rnk AS VARCHAR), CAST(cos_sim AS DOUBLE)
+FROM ({SIM_IVF_SQL}) s2
+"""
+
+
+def dedup_minhash_suite(spark, sf_dir):
+    """dedup_minhash_lsh (unigram shingles) + dedup_minhash_lsh3
+    (trigram) in one tagged gate (r5 merge — frees a budget slot; both
+    configurations keep every candidate-pair row)."""
+    uni = _suite_rows(
+        dedup_minhash_lsh(spark, sf_dir), "uni",
+        F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
+        v_num=F.col("est_jaccard"),
+    )
+    tri = _suite_rows(
+        dedup_minhash_lsh3(spark, sf_dir), "tri",
+        F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
+        v_num=F.col("est_jaccard"),
+    )
+    return uni.unionByName(tri)
+
+
+def _dedup_minhash_suite_sql() -> str:
+    return f"""
+SELECT 'uni' AS suite_case,
+       CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) AS k,
+       '' AS v_str, CAST(est_jaccard AS DOUBLE) AS v_num
+FROM ({_minhash_oracle_sql(shingle_n=1)}) s1
+UNION ALL
+SELECT 'tri', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
+       '', CAST(est_jaccard AS DOUBLE)
+FROM ({_minhash_oracle_sql(shingle_n=3)}) s2
+"""
+
+
+_SEMDEDUP_NLIST = 8
+_SEMDEDUP_T = 0.9
+_SEMDEDUP_TWIN = 100_000
+
+
+def _semdedup_corpus(spark, sf_dir):
+    """embeddings + identical-embedding twins (vec_id + 100000 for
+    vec_id %% 17 == 0): the synthetic corpus has no organic near-dups
+    (max pairwise cosine ≈ 0.51), so the twins provide real semantic-
+    duplicate structure with clean separation from the threshold."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + _SEMDEDUP_TWIN).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(twins)
+
+
+def semdedup(spark, sf_dir):
+    """SemDeDup at driver level (similarity.semantic_dedup, Abbas et
+    al. 2023) with TRAINED centroids: k-means codebook → nearest-
+    centroid blocking → intra-cluster cosine pairs → connected
+    components → canonical survivors.  Oracle = pinned-centroid
+    replay: the trained matrix (deterministic ordered-sample trainer,
+    rerun off-Spark via ivf_kmeans_np) embeds as a VALUES table and
+    assignment/pairing/survivorship re-run in SQL.
+    Branches: 'assign' = every doc's nearest centroid (the blocking
+    decision itself), 'pair' = discovered duplicate pairs with their
+    cosine, 'surv' = every doc's (cluster_id, is_canonical)."""
+    corpus = _semdedup_corpus(spark, sf_dir)
+    cents = similarity.train_ivf_codebook(corpus, nlist=_SEMDEDUP_NLIST)
+    assigned = similarity.ivf_assign(corpus, cents)
+    assign_rows = _suite_rows(
+        assigned, "assign", F.col("vec_id"), v_num=F.col("centroid_id")
+    )
+    pairs = similarity.semantic_dedup_pairs(
+        corpus, cents, threshold=_SEMDEDUP_T
+    ).localCheckpoint()
+    pair_rows = _suite_rows(
+        pairs, "pair",
+        F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
+        v_str=F.col("centroid_id").cast("string"),
+        v_num=F.col("cos_sim"),
+    )
+    surv = dedup.dedup_survivors(corpus.select("vec_id"), pairs, id_col="vec_id")
+    surv_rows = _suite_rows(
+        surv, "surv", F.col("vec_id"),
+        v_str=F.col("is_canonical").cast("string"),
+        v_num=F.col("cluster_id"),
+    )
+    return _union_all([assign_rows, pair_rows, surv_rows])
+
+
+def _semdedup_oracle_sql() -> str:
+    """Pinned-centroid oracle for the semdedup gate: retrain the
+    centroids off-Spark (duckdb read + similarity.ivf_kmeans_np on the
+    same ordered sample), embed them as VALUES, and replay nearest-
+    centroid assignment (round-6, centroid-id tiebreak — mirroring
+    _ivf_assign_udf), intra-cluster pairing at the threshold, and
+    min-id survivorship in SQL.  Twin edges are disjoint, so
+    components need no recursion: cluster(twin) = twin − offset."""
+    import duckdb
+    import numpy as np
+
+    from .operators import similarity as sim
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"'{_ORACLE_SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    twin_sel = [i for i, v in enumerate(ids) if v % 17 == 0]
+    # train matrix = union ordered by vec_id: originals, then twins
+    # (+offset keeps them past every original id)
+    m = sim._normalize_rows(np.vstack([X, X[twin_sel]]))[:100_000]
+    cm = sim.ivf_kmeans_np(m, _SEMDEDUP_NLIST, 10)
+    cent_vals = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in cm[c])}]::DOUBLE[])"
+        for c in range(_SEMDEDUP_NLIST)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SEMDEDUP_TWIN}, embedding FROM embeddings WHERE vec_id % 17 = 0
+),
+cent(cid, cvec) AS (VALUES {cent_vals}),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                 / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) DESC,
+                 c.cid ASC) AS crnk
+  FROM corpus e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, embedding, cid AS centroid_id FROM sims WHERE crnk = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim,
+         a.centroid_id
+  FROM assigned a JOIN assigned b USING (centroid_id)
+  WHERE a.vec_id < b.vec_id
+),
+dup_pairs AS (SELECT * FROM pairs WHERE cos_sim >= {_SEMDEDUP_T}),
+clusters AS (
+  SELECT c.vec_id,
+         coalesce(p1.id_a, c.vec_id) AS cluster_id
+  FROM corpus c
+  LEFT JOIN dup_pairs p1 ON c.vec_id = p1.id_b
+)
+SELECT 'assign' AS suite_case, CAST(vec_id AS VARCHAR) AS k,
+       '' AS v_str, CAST(centroid_id AS DOUBLE) AS v_num
+FROM assigned
+UNION ALL
+SELECT 'pair', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
+       CAST(centroid_id AS VARCHAR), CAST(cos_sim AS DOUBLE)
+FROM dup_pairs
+UNION ALL
+SELECT 'surv', CAST(vec_id AS VARCHAR),
+       CAST(cluster_id = vec_id AS VARCHAR), CAST(cluster_id AS DOUBLE)
+FROM clusters
+"""
+
+
+def corpus_release_suite(spark, sf_dir):
+    """The corpus-release builder tier (curation.build_mixture /
+    corpus_diff / leakage_safe_split / shuffle_deterministic)
+    value-checked PER DOCUMENT — driver-level evidence for the
+    one-call release story (release_corpus end-to-end, which only adds
+    the lake write, stays pytest).
+    Branches:
+      'mix'  : three hash-disjoint parts at 60/100/25 pct — every
+               surviving row's source tag (nested-sample arithmetic);
+      'diff' : corpus_diff against a synthesized next snapshot (drop
+               %7, edit %5, add %11 under shifted ids) — every doc's
+               added/removed/changed/unchanged status;
+      'split': leakage_safe_split over synthesized near-dup pairs
+               ((d, d+1) for d %% 10 == 0) — cluster and split per
+               doc, proving pairs never straddle splits;
+      'shuf' : shuffle_deterministic's md5 permutation key per doc."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mix = curation.build_mixture(
+        {
+            "web": (docs.filter(F.col("doc_id") % 3 == 0), 60),
+            "books": (docs.filter(F.col("doc_id") % 3 == 1), 100),
+            "code": (docs.filter(F.col("doc_id") % 3 == 2), 25),
+        }
+    )
+    mix_rows = _suite_rows(mix, "mix", F.col("doc_id"), v_str=F.col("mixture_source"))
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" EDITED"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    diff_rows = _suite_rows(
+        curation.corpus_diff(docs, new), "diff", F.col("doc_id"), v_str=F.col("status")
+    )
+    pairs = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    split = curation.leakage_safe_split(docs.select("doc_id"), pairs=pairs)
+    split_rows = _suite_rows(
+        split, "split", F.col("doc_id"),
+        v_str=F.col("split"), v_num=F.col("cluster_id"),
+    )
+    shuf = curation.shuffle_deterministic(docs.select("doc_id"), salt="release:")
+    shuf_rows = _suite_rows(shuf, "shuf", F.col("doc_id"), v_str=F.col("_shuffle_key"))
+    return _union_all([mix_rows, diff_rows, split_rows, shuf_rows])
+
+
+CORPUS_RELEASE_SUITE_SQL = """
+WITH mix AS (
+  SELECT doc_id, 'web' AS src FROM documents
+  WHERE doc_id % 3 = 0
+    AND ('0x' || substr(md5('mix:web:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 60
+  UNION ALL
+  SELECT doc_id, 'books' FROM documents
+  WHERE doc_id % 3 = 1
+    AND ('0x' || substr(md5('mix:books:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 100
+  UNION ALL
+  SELECT doc_id, 'code' FROM documents
+  WHERE doc_id % 3 = 2
+    AND ('0x' || substr(md5('mix:code:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 25
+),
+diff AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'removed'
+              WHEN doc_id % 5 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 11 = 0
+),
+-- disjoint (d, d+1) near-dup edges: cluster = the pair minimum when
+-- the partner exists, else the doc's own id
+clusters AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 0
+                   AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)
+              THEN d.doc_id
+              WHEN d.doc_id % 10 = 1
+                   AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id - 1)
+              THEN d.doc_id - 1
+              ELSE d.doc_id END AS cluster_id
+  FROM documents d
+),
+splits AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, cluster_id,
+           ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+    FROM clusters
+  )
+)
+SELECT 'mix' AS suite_case, CAST(doc_id AS VARCHAR) AS k, src AS v_str, -1.0 AS v_num FROM mix
+UNION ALL
+SELECT 'diff', CAST(doc_id AS VARCHAR), status, -1.0 FROM diff
+UNION ALL
+SELECT 'split', CAST(doc_id AS VARCHAR), split, CAST(cluster_id AS DOUBLE) FROM splits
+UNION ALL
+SELECT 'shuf', CAST(doc_id AS VARCHAR),
+       md5('release:' || CAST(doc_id AS VARCHAR)), -1.0
+FROM documents
+"""
+
+
 def _pq_oracle_sql() -> str:
     """Pinned-codebook VALUES oracle for pq_recall: the same
     deterministic trainers (similarity.pq_kmeans_np / ivf_kmeans_np on
@@ -4051,15 +4350,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # full docs → MinHash pairs → components → survivors+sizes pipeline
     "dedup_end_to_end": (dedup_end_to_end, DEDUP_E2E_SQL),
     "curation_suite": (curation_suite, CURATION_SUITE_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_oracle_sql(shingle_n=1)),
-    "dedup_minhash_lsh3": (dedup_minhash_lsh3, _minhash_oracle_sql(shingle_n=3)),
+    # r5: unigram + trigram MinHash configs merged (frees one slot)
+    "dedup_minhash_suite": (dedup_minhash_suite, _dedup_minhash_suite_sql),
     "dedup_simhash": (dedup_simhash, _simhash_oracle_sql()),
     "sim_cosine_topk": (sim_cosine_suite, SIM_COSINE_SUITE_SQL),
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "sim_embedding_neardup_lsh": (sim_embedding_neardup_lsh, _sim_neardup_lsh_sql()),
-    "sim_lsh_ann_topk": (sim_lsh_ann_topk, _lsh_ann_oracle_sql()),
-    "sim_ivf_ann_topk": (sim_ivf_ann_topk, SIM_IVF_SQL),
+    # r5: LSH + IVF ANN merged (frees one slot)
+    "sim_ann_suite": (sim_ann_suite, _sim_ann_suite_sql),
     "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_PIPELINE_SQL),
     # r4 tier (slots freed by the w2/w3/w6, a9/a11, f6/f14 merges):
     # sequential-admission flagship with a full SQL replay oracle
@@ -4074,6 +4373,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # and the NB/DSIR model-in-the-loop curation classifiers
     "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
     "classify_suite": (classify_suite, CLASSIFY_SUITE_SQL),
+    # r5 tier (slots freed by the minhash / ANN merges): SemDeDup with
+    # a pinned-centroid oracle, and the corpus-release builder tier
+    "semdedup": (semdedup, _semdedup_oracle_sql),
+    "corpus_release_suite": (corpus_release_suite, CORPUS_RELEASE_SUITE_SQL),
 }
 
 # Headline queries for bench.py — chosen to stress distinct physical

@@ -54,11 +54,13 @@ def test_every_capability_has_a_gate():
     """The 14 training-data extension capabilities each keep a
     value-level gate row after the suite merge."""
     must_have = {
-        "dedup_exact_summary", "dedup_ngram_jaccard3", "dedup_minhash_lsh",
-        "dedup_minhash_lsh3", "dedup_simhash", "sim_cosine_topk",
-        "sim_embedding_neardup_lsh", "sim_lsh_ann_topk", "sim_ivf_ann_topk",
+        "dedup_exact_summary", "dedup_ngram_jaccard3",
+        # r5 merges: minhash uni+tri → dedup_minhash_suite,
+        # LSH/IVF ANN → sim_ann_suite (all rows keep their own tags)
+        "dedup_minhash_suite", "dedup_simhash", "sim_cosine_topk",
+        "sim_embedding_neardup_lsh", "sim_ann_suite",
         "text_profile", "multimodal_pipeline", "quality_repetition",
-        "decontaminate", "pii_scrub",
+        "decontaminate", "pii_scrub", "semdedup", "corpus_release_suite",
         "f_scalar_suite", "f_value_suite", "a_basic_aggs", "w_alert_rules",
     }  # text_length_stats now rides in curation_suite ('lenstats' rows)
     assert must_have <= set(q.REGISTRY)

@@ -362,6 +362,124 @@ def test_admit_shard_sink_replay_after_partial_write(spark, tmp_path):
     assert spark.read.parquet(hashes).filter(F.col("doc_id") == 2).count() == 1
 
 
+def test_admit_sink_crash_replay_matches_uninterrupted_run(spark, tmp_path):
+    """Full failure injection for the exactly-once contract: run batch
+    1 to completion, then DELETE its corpus/rejected outputs
+    (simulating a crash after the index appends but before the data
+    writes) and replay it.  Every output path must end up
+    row-identical to an uninterrupted twin run — this fails if either
+    the batch_id-scoped overwrite or the exclude-own-batch index read
+    is removed (the replayed batch would then reject its docs against
+    their own partial first attempt, or double-append)."""
+    import shutil
+
+    def run(root, crash_replay: bool):
+        p = {k: str(root / k) for k in ("corpus", "sigs", "hashes", "rejected")}
+        sink = pipeline.make_admit_shard_sink(
+            p["corpus"], p["sigs"], p["hashes"], p["rejected"]
+        )
+        b0 = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+                (2, "completely unrelated second document about sailing the open seas"),
+            ],
+            "doc_id long, text string",
+        )
+        b1 = spark.createDataFrame(
+            [
+                # exact dup of corpus doc 1 → rejected on replay too
+                (10, "the quick brown fox jumps over the lazy dog and runs far away"),
+                (11, "a genuinely fresh document about mountain hiking trails"),
+            ],
+            "doc_id long, text string",
+        )
+        sink(b0, 0)
+        sink(b1, 1)
+        if crash_replay:
+            # crash point: indexes for batch 1 are on disk, data
+            # writes are not — then the checkpoint replays batch 1
+            shutil.rmtree(f"{p['corpus']}/batch_id=1")
+            shutil.rmtree(f"{p['rejected']}/batch_id=1")
+            sink(b1, 1)
+        return p
+
+    ref = tmp_path / "ref"
+    crash = tmp_path / "crash"
+    ref.mkdir()
+    crash.mkdir()
+    rp = run(ref, crash_replay=False)
+    cp = run(crash, crash_replay=True)
+    for key in ("corpus", "sigs", "hashes", "rejected"):
+        want = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(rp[key]).collect()
+        )
+        got = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(cp[key]).collect()
+        )
+        assert got == want, f"{key} diverged after crash-replay"
+    admitted = {r["doc_id"] for r in spark.read.parquet(cp["corpus"]).collect()}
+    assert admitted == {1, 2, 11}
+    reasons = {r["doc_id"]: r["reason"] for r in spark.read.parquet(cp["rejected"]).collect()}
+    assert reasons == {10: "exact_dup_corpus"}
+
+
+def test_admit_sink_passage_tier_matches_batch_admit_shard(spark, tmp_path):
+    """Sequential-stream ≡ batch for span stripping: feeding two
+    shards through make_admit_shard_sink's passage tier must produce
+    exactly the texts batch admit_shard(span_k=...) produces when
+    chained through its windows_delta — including the subtle part,
+    that shard 2 is stripped against shard 1's FINAL (post-strip)
+    window index, not its raw text windows."""
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    s1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta and one unique closing line")],
+        "doc_id long, text string",
+    )
+    s2 = spark.createDataFrame(
+        [
+            (10, "fresh intro alpha beta gamma delta epsilon zeta eta theta fresh outro"),
+            (11, "entirely new material that shares nothing with the corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # batch path: explicit index chaining
+    out1 = curation.admit_shard(s1, span_k=5)
+    out2 = curation.admit_shard(
+        s2,
+        index_sigs=out1["sigs_delta"].localCheckpoint(),
+        index_hashes=out1["hashes_delta"].localCheckpoint(),
+        index_windows=out1["windows_delta"].localCheckpoint(),
+        span_k=5,
+    )
+    batch_texts = {
+        r["doc_id"]: r["text"]
+        for df in (out1["admitted"], out2["admitted"])
+        for r in df.collect()
+    }
+    # stream path: the sink chains the same indexes through the paths
+    p = {k: str(tmp_path / k) for k in ("corpus", "sigs", "hashes", "windows")}
+    sink = pipeline.make_admit_shard_sink(
+        p["corpus"], p["sigs"], p["hashes"], windows_path=p["windows"], span_k=5
+    )
+    sink(s1, 0)
+    sink(s2, 1)
+    stream_texts = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(p["corpus"]).collect()
+    }
+    assert stream_texts == batch_texts
+    # the persisted window index equals the batch path's chained deltas
+    batch_windows = {
+        r["whash"]
+        for df in (out1["windows_delta"], out2["windows_delta"])
+        for r in df.collect()
+    }
+    stream_windows = {r["whash"] for r in spark.read.parquet(p["windows"]).collect()}
+    assert stream_windows == batch_windows
+
+
 def test_admit_shard_sink_load_failure_is_not_cold_start(spark, tmp_path):
     """A corrupt/unreadable index must FAIL the batch (so the
     checkpoint retries), not silently disable corpus-level dedup."""
