@@ -309,27 +309,443 @@ def decode_png_features(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
-def decode_jpeg_features(payload: bytes, dim: int = 8) -> list[float]:
-    """REAL in-container JPEG header+stats decoder (no external codec):
-    walks the marker stream for frame geometry and profiles the
-    entropy-coded scan bytes, emitting a fixed 8-dim vector:
+# JPEG zigzag scan order (index i holds the raster position of the
+# i-th zigzag coefficient) — ITU-T T.81 Figure 5
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
 
-      [width, height, precision_bits, n_components, n_quant_tables,
-       progressive_flag, scan_byte_mean, scan_byte_entropy]
 
-    Full baseline-JPEG pixel decode (Huffman + dequant + IDCT) is out
-    of scope for a pure-Python kernel — the geometry + component layout
-    + compressed-stream statistics are the features a curation pipeline
-    filters on (resolution gates, grayscale detection via n_components,
-    corruption via truncated scans).  scan_byte_mean is normalized to
-    0-1; scan_byte_entropy is Shannon bits/byte normalized by 8.
-    Raises ValueError on malformed payloads."""
+def _dct_matrix():
+    """8×8 DCT-II basis T with T[k,n] = c_k/2 · cos((2n+1)kπ/16):
+    forward F = T·f·Tᵀ, inverse f = Tᵀ·F·T."""
+    import numpy as np
+
+    n = np.arange(8)
+    T = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    T[0] /= np.sqrt(2.0)
+    return T
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; restart markers are consumed via sync_restart()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.p >= len(self.d):
+                raise ValueError("truncated JPEG scan")
+            b = self.d[self.p]
+            self.p += 1
+            if b == 0xFF:
+                nxt = self.d[self.p] if self.p < len(self.d) else None
+                if nxt == 0x00:
+                    self.p += 1
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the RSTn marker between intervals."""
+        self.nbits = 0
+        if self.p + 1 >= len(self.d) or self.d[self.p] != 0xFF or not (
+            0xD0 <= self.d[self.p + 1] <= 0xD7
+        ):
+            raise ValueError("missing JPEG restart marker")
+        self.p += 2
+
+
+def _huff_decode_map(bits: list[int], vals: bytes) -> dict:
+    """Canonical Huffman (length, code) → symbol map from a DHT
+    segment's 16 length counts + value list."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_decode_pixels(payload: bytes):
+    """Full baseline-JPEG (SOF0, Huffman) pixel decode in pure
+    numpy/Python: marker parse → canonical Huffman entropy decode →
+    dequantize → de-zigzag → 8×8 IDCT → MCU plane assembly → chroma
+    upsample → YCbCr→RGB.  Supports 1- or 3-component frames, any
+    1-2× sampling factors, 8/16-bit DQT, and DRI restart markers.
+    Returns (w, h, precision, rgb float64 HxWx3 in [0,1]).  Raises
+    ValueError on progressive (SOF2), arithmetic coding, or malformed
+    streams — callers fall back to the header+stats path."""
     import struct
 
     import numpy as np
 
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG marker stream")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
+            precision, h, w, n_comp = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + 3 * n_comp:
+                raise ValueError("truncated SOF components")
+            comps = []
+            for c in range(n_comp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (precision, h, w, comps)
+        elif marker in (0xC2, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDB:  # DQT
+            t = 0
+            while t < len(body):
+                pq, tq = body[t] >> 4, body[t] & 0xF
+                t += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[t : t + 64], dtype=np.uint8).astype(np.float64)
+                    t += 64
+                else:
+                    tbl = np.frombuffer(body[t : t + 128], dtype=">u2").astype(np.float64)
+                    t += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            t = 0
+            while t < len(body):
+                tc, th = body[t] >> 4, body[t] & 0xF
+                bits = list(body[t + 1 : t + 17])
+                n = sum(bits)
+                vals = body[t + 17 : t + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_map(bits, vals)
+                t += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tables[cid] = (tt >> 4, tt & 0xF)
+            scan_pos = pos + 2 + size
+            break
+        pos += 2 + size
+
+    precision, h, w, comps = frame
+    for c in comps:
+        if c["id"] not in scan_tables or c["tq"] not in qt:
+            raise ValueError("JPEG scan references missing component/quant table")
+        tdc, tac = scan_tables[c["id"]]
+        if tdc not in huff_dc or tac not in huff_ac:
+            raise ValueError("JPEG scan references missing Huffman table")
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise ValueError(f"unsupported sampling factors {c['h']}x{c['v']}")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+    T = _dct_matrix()
+    planes = {
+        c["id"]: np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8))
+        for c in comps
+    }
+    reader = _JpegBitReader(payload, scan_pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_i = 0
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.sync_restart()
+                pred = {c["id"]: 0 for c in comps}
+            mcu_i += 1
+            for c in comps:
+                dc_tbl = huff_dc[scan_tables[c["id"]][0]]
+                ac_tbl = huff_ac[scan_tables[c["id"]][1]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64)
+                        s = _huff_read(reader, dc_tbl)
+                        diff = _extend(reader.receive(s), s)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(reader, ac_tbl)
+                            r, size_ = rs >> 4, rs & 0xF
+                            if size_ == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _extend(reader.receive(size_), size_)
+                            k += 1
+                        block = np.zeros(64)
+                        block[_JPEG_ZIGZAG] = zz * q
+                        spatial = T.T @ block.reshape(8, 8) @ T + 128.0
+                        y0, x0 = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        cw, ch = -(-w * c["h"] // hmax), -(-h * c["v"] // vmax)
+        p = p[:ch, :cw]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        rgb = np.repeat(np.clip(full[0], 0, 255)[:, :, None], 3, axis=2)
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
+    else:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    return w, h, precision, rgb / 255.0
+
+
+def encode_jpeg_baseline(
+    rgb: "np.ndarray", qtable_value: int = 1, restart_interval: int = 0
+) -> bytes:
+    """Minimal baseline-JPEG encoder (pure numpy/Python) — the
+    write-side twin of `_jpeg_decode_pixels` for the transform seam
+    and its round-trip tests.  Input: HxWx3 float64 RGB in [0,1] or
+    HxW grayscale.  Uses a flat quantization table (qtable_value=1 ≈
+    near-lossless for smooth content) and simple canonical Huffman
+    tables (12 four-bit DC codes, 256 nine-bit AC codes), no chroma
+    subsampling — small output, trivially spec-conformant."""
+    import struct
+
+    import numpy as np
+
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    x = np.clip(np.asarray(rgb, dtype=np.float64), 0.0, 1.0) * 255.0
+    if gray:
+        planes = [x]
+    else:
+        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = bytes(range(12))
+    ac_bits = [0] * 16
+    ac_bits[8], ac_bits[9] = 255, 1  # 255 rs symbols at 9 bits + one at 10
+    ac_vals = bytes(range(256))
+
+    def canonical_codes(bits):
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[k] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_codes = canonical_codes(dc_bits)
+    ac_codes = {}
+    for i, (length, code) in canonical_codes(ac_bits).items():
+        ac_codes[ac_vals[i]] = (length, code)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    q = np.full(64, qtable_value, dtype=np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + q.tobytes()
+    n_comp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for cid in range(1, n_comp + 1):
+        sof += bytes([cid, 0x11, 0])  # no subsampling, qtable 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc in (0, 1):
+        bits = dc_bits if tc == 0 else ac_bits
+        vals = dc_vals if tc == 0 else ac_vals
+        body = bytes([tc << 4]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart_interval)
+    sos = bytes([n_comp])
+    for cid in range(1, n_comp + 1):
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bitbuf: list[int] = [0, 0]  # acc, nbits
+
+    def put_bits(code: int, length: int):
+        acc, nb = bitbuf
+        acc = (acc << length) | code
+        nb += length
+        while nb >= 8:
+            nb -= 8
+            byte = (acc >> nb) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bitbuf[0] = acc & ((1 << nb) - 1)
+        bitbuf[1] = nb
+
+    def flush_bits():
+        if bitbuf[1]:
+            pad = 8 - bitbuf[1]
+            put_bits((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+    def category(v: int) -> int:
+        return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+    T = _dct_matrix()
+    bw, bh = -(-w // 8), -(-h // 8)
+    padded = []
+    for p in planes:
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+    pred = [0] * n_comp
+    mcu_i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                flush_bits()
+                out += bytes([0xFF, 0xD0 + ((mcu_i // restart_interval - 1) % 8)])
+                pred = [0] * n_comp
+            mcu_i += 1
+            for ci, p in enumerate(padded):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeffs = T @ block @ T.T
+                zz = np.round(coeffs.reshape(64)[_JPEG_ZIGZAG] / qtable_value).astype(int)
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s = category(diff)
+                length, code = dc_codes[s]
+                put_bits(code, length)
+                if s:
+                    put_bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_codes[0xF0]
+                        put_bits(code, length)
+                        run -= 16
+                    s = category(v)
+                    length, code = ac_codes[(run << 4) | s]
+                    put_bits(code, length)
+                    put_bits(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    length, code = ac_codes[0x00]
+                    put_bits(code, length)
+    flush_bits()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def reencode_jpeg(payload: bytes, qtable_value: int = 8) -> bytes:
+    """Recompress a baseline JPEG through the pure-numpy codec pair
+    (pixel decode → flat-quant re-encode) — the image-compression
+    transform for the write-side registry:
+    ``set_transform('image', lambda p: reencode_jpeg(p, 16))``.
+    Raises ValueError on non-baseline input (→ quarantine)."""
+    _w, _h, _prec, rgb = _jpeg_decode_pixels(payload)
+    return encode_jpeg_baseline(rgb, qtable_value=qtable_value)
+
+
+def decode_jpeg_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container JPEG decoder (no external codec).  Baseline
+    (SOF0, Huffman) payloads get a FULL pixel decode
+    (`_jpeg_decode_pixels`: Huffman → dequant → IDCT → upsample →
+    YCbCr→RGB) and emit the same pixel-stat vector shape as PNG/PPM:
+
+      [width, height, precision_bits, mean_r, mean_g, mean_b,
+       luma_mean, luma_std]
+
+    Progressive/arithmetic or otherwise undecodable streams fall back
+    to the header+stats profile:
+
+      [width, height, precision_bits, n_components, n_quant_tables,
+       progressive_flag, scan_byte_mean, scan_byte_entropy]
+
+    scan_byte_mean is normalized to 0-1; scan_byte_entropy is Shannon
+    bits/byte normalized by 8.  Raises ValueError on malformed
+    payloads (→ quarantine)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    try:
+        w, h, precision, rgb = _jpeg_decode_pixels(payload)
+    except ValueError:
+        pass  # non-baseline / undecodable → header+stats profile below
+    else:
+        means = rgb.mean(axis=(0, 1))
+        luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        return [
+            float(w), float(h), float(precision),
+            round(float(means[0]), 6), round(float(means[1]), 6),
+            round(float(means[2]), 6),
+            round(float(luma.mean()), 6), round(float(luma.std()), 6),
+        ]
     w = h = precision = n_comp = None
     n_dqt, progressive = 0, 0
     pos, scan_start = 2, None

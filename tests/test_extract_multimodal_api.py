@@ -656,3 +656,68 @@ def test_transform_assets_honors_target_size_params(spark):
 
     with _pytest.raises(ValueError):
         mm.transform_assets(df, 2, None)
+
+
+def test_jpeg_baseline_pixel_roundtrip(spark):
+    """Full baseline-JPEG pixel decode: encode_jpeg_baseline →
+    _jpeg_decode_pixels recovers the pixels to within quantization
+    error, and decode_jpeg_features emits the PNG/PPM-shaped
+    pixel-stat vector for baseline payloads."""
+    import numpy as np
+    import pytest
+
+    g = np.linspace(0.0, 1.0, 16 * 24).reshape(16, 24)
+    jp = multimodal.encode_jpeg_baseline(g, qtable_value=1)
+    w, h, prec, rgb = multimodal._jpeg_decode_pixels(jp)
+    assert (w, h, prec) == (24, 16, 8)
+    assert np.abs(rgb[:, :, 0] - g).max() < 0.005
+
+    # color, non-multiple-of-8 dims (edge-replicated padding blocks)
+    rgbi = np.zeros((10, 13, 3))
+    rgbi[:, :, 0] = np.linspace(0, 1, 10)[:, None]
+    rgbi[:, :, 1] = 0.5
+    rgbi[:, :, 2] = np.linspace(1, 0, 13)[None, :]
+    jp2 = multimodal.encode_jpeg_baseline(rgbi, qtable_value=1)
+    w2, h2, _, rgb2 = multimodal._jpeg_decode_pixels(jp2)
+    assert (w2, h2) == (13, 10)
+    assert np.abs(rgb2 - rgbi).max() < 0.01
+
+    # restart markers reset DC predictors and byte-align
+    jp3 = multimodal.encode_jpeg_baseline(g, qtable_value=1, restart_interval=2)
+    _, _, _, rgb3 = multimodal._jpeg_decode_pixels(jp3)
+    assert np.abs(rgb3[:, :, 0] - g).max() < 0.005
+
+    # feature vector is the pixel-stat shape with known values
+    feat = multimodal.decode_jpeg_features(jp2)
+    assert feat[:3] == [13.0, 10.0, 8.0]
+    assert abs(feat[3] - rgb2[:, :, 0].mean()) < 1e-5  # mean_r
+    luma = 0.299 * rgb2[:, :, 0] + 0.587 * rgb2[:, :, 1] + 0.114 * rgb2[:, :, 2]
+    assert abs(feat[6] - luma.mean()) < 1e-5
+    assert abs(feat[7] - luma.std()) < 1e-5
+
+    # coarser quantization still reconstructs approximately
+    jp4 = multimodal.encode_jpeg_baseline(rgbi, qtable_value=8)
+    assert len(jp4) < len(jp2)
+    _, _, _, rgb4 = multimodal._jpeg_decode_pixels(jp4)
+    assert np.abs(rgb4 - rgbi).max() < 0.06
+
+    # the pixel path refuses what it can't decode (falls back upstream)
+    with pytest.raises(ValueError):
+        multimodal._jpeg_decode_pixels(_make_jpeg())  # no DHT/zero sampling
+    with pytest.raises(ValueError):
+        multimodal._jpeg_decode_pixels(_make_jpeg(progressive=True))
+
+
+def test_reencode_jpeg_transform(spark):
+    import numpy as np
+    import pytest
+
+    rgbi = np.zeros((8, 8, 3))
+    rgbi[:, :, 0] = np.linspace(0, 1, 8)[:, None]
+    src = multimodal.encode_jpeg_baseline(rgbi, qtable_value=1)
+    small = multimodal.reencode_jpeg(src, qtable_value=16)
+    assert len(small) < len(src)
+    _, _, _, rgb = multimodal._jpeg_decode_pixels(small)
+    assert np.abs(rgb - rgbi).max() < 0.12
+    with pytest.raises(ValueError):
+        multimodal.reencode_jpeg(b"not a jpeg")
