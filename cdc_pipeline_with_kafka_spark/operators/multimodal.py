@@ -69,10 +69,11 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 def real_decode_unavailable(payload: bytes) -> list[float]:
     raise NotImplementedError(
         "no codec for this media type in this container; register a "
-        "decoder with set_decoder(media_type, fn) — pure-Python WAV "
-        "(decode_wav_features), PPM/PNG/JPEG (decode_image_features) "
-        "and YUV4MPEG2 (decode_y4m_features) codecs ship in-container; "
-        "MP3/H.264/MP4 need external libs"
+        "decoder with set_decoder(media_type, fn) — pure-Python WAV/MP3 "
+        "(decode_audio_features), PPM/PNG/JPEG (decode_image_features) "
+        "and YUV4MPEG2/MP4 (decode_y4m_features/decode_mp4_features) "
+        "kernels ship in-container; compressed-audio sample decode "
+        "(MDCT synthesis) and H.264 pixel decode need external libs"
     )
 
 
@@ -813,6 +814,188 @@ def decode_image_features(payload: bytes, dim: int = 8) -> list[float]:
     if payload[:3] == b"\xff\xd8\xff":
         return decode_jpeg_features(payload, dim)
     raise ValueError("unrecognized image container (not PPM/PNG/JPEG)")
+
+
+# MPEG-audio header tables (ISO/IEC 11172-3 / 13818-3): bitrate kbps by
+# (version-group, layer) and sample rate by version
+_MP3_BITRATES = {
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {1.0: [44100, 48000, 32000], 2.0: [22050, 24000, 16000], 2.5: [11025, 12000, 8000]}
+
+
+def decode_mp3_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container MP3/MPEG-audio CONTAINER parser (no external
+    codec): skips an ID3v2 tag, then walks the frame-header chain
+    (sync, version, layer, bitrate/samplerate indexes, padding) frame
+    by frame, emitting a fixed 8-dim vector:
+
+      [version, layer, n_frames, duration_s, mean_bitrate_kbps,
+       sample_rate, channels, vbr_flag]
+
+    Sample synthesis (Huffman + MDCT filterbank) stays out of scope —
+    duration/bitrate/channel layout are what audio curation filters
+    key on (length gates, VBR detection, mono/stereo balance).
+    Supports MPEG-1/2/2.5 Layers I-III.  Raises ValueError on
+    payloads with no valid frame chain (→ quarantine)."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0.0
+    bitrates: list[int] = []
+    version = layer = sr = channels = None
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        vbits = (b1 >> 3) & 3
+        if vbits == 1:
+            break  # reserved version
+        v = {0: 2.5, 2: 2.0, 3: 1.0}[vbits]
+        lbits = (b1 >> 1) & 3
+        if lbits == 0:
+            break  # reserved layer
+        lyr = 4 - lbits  # 3→I, 2→II, 1→III
+        br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break  # free-format/bad
+        vgroup = 1 if v == 1.0 else 2
+        br = _MP3_BITRATES[(vgroup, lyr)][br_idx - 1] * 1000
+        srate = _MP3_RATES[v][sr_idx]
+        pad = (b2 >> 1) & 1
+        if lyr == 1:
+            frame_len = (12 * br // srate + pad) * 4
+            spf = 384
+        else:
+            spf = 1152 if (lyr == 2 or v == 1.0) else 576
+            frame_len = spf // 8 * br // srate + pad
+        if frame_len <= 4 or pos + frame_len > len(payload):
+            break
+        if version is None:
+            version, layer, sr = v, lyr, srate
+            channels = 1 if (b3 >> 6) & 3 == 3 else 2
+        n_frames += 1
+        total_samples += spf
+        bitrates.append(br // 1000)
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no valid MPEG-audio frame chain")
+    return [
+        float(version), float(layer), float(n_frames),
+        round(total_samples / sr, 6),
+        round(sum(bitrates) / len(bitrates), 6),
+        float(sr), float(channels),
+        1.0 if len(set(bitrates)) > 1 else 0.0,
+    ]
+
+
+def decode_mp4_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container MP4/ISO-BMFF CONTAINER parser (no external
+    codec): walks the box tree (32/64-bit sizes), reads mvhd
+    timescale/duration (v0 and v1), counts trak boxes, takes the
+    presentation width/height from the first tkhd with nonzero
+    geometry, and sums mdat payload bytes.  Emits:
+
+      [duration_s, timescale, n_tracks, width, height,
+       n_top_boxes, mdat_bytes, mvhd_version]
+
+    H.264/H.265 pixel decode stays out of scope — container-level
+    duration/geometry/stream-size are the frame-sampling planner's
+    inputs (frame_sample_plan needs duration_ms, resolution gates need
+    width/height).  Raises ValueError when no ftyp/moov structure is
+    found (→ quarantine)."""
+    import struct
+
+    def walk(lo: int, hi: int):
+        p = lo
+        while p + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[p : p + 4])
+            btype = payload[p + 4 : p + 8]
+            body = p + 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", payload[p + 8 : p + 16])
+                body = p + 16
+            elif size == 0:
+                size = hi - p
+            if size < 8 or p + size > hi:
+                raise ValueError("malformed MP4 box size")
+            yield btype, body, p + size
+            p += size
+
+    if len(payload) < 8:
+        raise ValueError("not an MP4 payload")
+    have_ftyp = have_moov = False
+    n_top = n_tracks = 0
+    duration_s = timescale = width = height = mdat_bytes = 0.0
+    mvhd_version = -1.0
+
+    for btype, body, end in walk(0, len(payload)):
+        n_top += 1
+        if btype == b"ftyp":
+            have_ftyp = True
+        elif btype == b"mdat":
+            mdat_bytes += end - body
+        elif btype == b"moov":
+            have_moov = True
+            for ityp, ibody, iend in walk(body, end):
+                if ityp == b"mvhd":
+                    ver = payload[ibody]
+                    mvhd_version = float(ver)
+                    if ver == 1:
+                        ts, dur = struct.unpack(">IQ", payload[ibody + 20 : ibody + 32])
+                    else:
+                        ts, dur = struct.unpack(">II", payload[ibody + 12 : ibody + 20])
+                    timescale = float(ts)
+                    duration_s = round(dur / ts, 6) if ts else 0.0
+                elif ityp == b"trak":
+                    n_tracks += 1
+                    for ttyp, tbody, tend in walk(ibody, iend):
+                        if ttyp == b"tkhd" and not width:
+                            w16, h16 = struct.unpack(">II", payload[tend - 8 : tend])
+                            if w16 and h16:
+                                width, height = w16 / 65536.0, h16 / 65536.0
+    if not (have_ftyp or have_moov):
+        raise ValueError("no ftyp/moov box — not an MP4")
+    return [
+        duration_s, timescale, float(n_tracks), round(width, 6),
+        round(height, 6), float(n_top), float(mdat_bytes), mvhd_version,
+    ]
+
+
+def decode_audio_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Magic-byte dispatching audio decoder for the ``audio`` registry
+    slot: RIFF/WAVE → PCM signal stats, ID3/MPEG sync → MP3 container
+    stats."""
+    if payload[:4] == b"RIFF":
+        return decode_wav_features(payload, dim)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return decode_mp3_features(payload, dim)
+    raise ValueError("unrecognized audio container (not WAV/MP3)")
+
+
+def decode_video_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Magic-byte dispatching video decoder for the ``video`` registry
+    slot: YUV4MPEG2 → real frame/motion stats, ISO-BMFF → MP4
+    container stats."""
+    if payload.startswith(b"YUV4MPEG2"):
+        return decode_y4m_features(payload, dim)
+    if len(payload) >= 8 and payload[4:8] in (
+        b"ftyp", b"moov", b"mdat", b"free", b"wide", b"skip"
+    ):
+        return decode_mp4_features(payload, dim)
+    raise ValueError("unrecognized video container (not Y4M/MP4)")
 
 
 def decode_y4m_features(payload: bytes, dim: int = 8) -> list[float]:

@@ -4421,6 +4421,11 @@ BENCH_FNS: dict[str, QueryFn] = {
     # broadcast model joins, integer micro-nat sums)
     "span_dedup": span_dedup,
     "classify_suite": classify_suite,
+    # round 5+: trained-centroid SemDeDup (assign + cluster-blocked
+    # pairs + survivors) and the corpus-release builder tier (mixture
+    # / diff / leakage-safe split / deterministic shuffle key)
+    "semdedup": semdedup,
+    "corpus_release_suite": corpus_release_suite,
 }
 
 BENCH_QUERIES = list(BENCH_FNS)

@@ -721,3 +721,91 @@ def test_reencode_jpeg_transform(spark):
     assert np.abs(rgb - rgbi).max() < 0.12
     with pytest.raises(ValueError):
         multimodal.reencode_jpeg(b"not a jpeg")
+
+
+def _make_mp3(n_frames=3, bitrate_idx=9, version_bits=3, layer_bits=1,
+              sr_idx=0, mono=False, id3=False, vary_bitrate=False):
+    """Hand-built MPEG-audio frame chain (headers + zero payload)."""
+    out = bytearray()
+    if id3:
+        out += b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    for i in range(n_frames):
+        bi = bitrate_idx + (i % 2 if vary_bitrate else 0)
+        b1 = 0xE0 | (version_bits << 3) | (layer_bits << 1) | 1
+        b2 = (bi << 4) | (sr_idx << 2)
+        b3 = 0xC0 if mono else 0x00
+        hdr = bytes([0xFF, b1, b2, b3])
+        # V1 L3 frame length = 144 * br / sr
+        br = multimodal._MP3_BITRATES[(1, 3)][bi - 1] * 1000
+        flen = 144 * br // 44100
+        out += hdr + bytes(flen - 4)
+    return bytes(out)
+
+
+def _box(btype, body):
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _make_mp4(dur=90, ts=30, w=640, h=360, v1=False):
+    import struct
+
+    if v1:
+        mvhd = bytes([1]) + bytes(3) + bytes(16) + struct.pack(">IQ", ts, dur * ts) + bytes(80)
+    else:
+        mvhd = bytes([0]) + bytes(3) + bytes(8) + struct.pack(">II", ts, dur * ts) + bytes(80)
+    tkhd = bytes(4) + bytes(76) + struct.pack(">II", w << 16, h << 16)
+    trak = _box(b"tkhd", tkhd)
+    moov = _box(b"mvhd", mvhd) + _box(b"trak", trak)
+    return (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + _box(b"moov", moov) + _box(b"mdat", bytes(100)))
+
+
+def test_decode_mp3_real_bytes(spark):
+    import pytest
+
+    v, lyr, nf, dur, br, sr, ch, vbr = multimodal.decode_mp3_features(_make_mp3())
+    assert (v, lyr, nf) == (1.0, 3.0, 3.0)
+    assert sr == 44100.0 and ch == 2.0 and vbr == 0.0
+    assert br == 128.0  # index 9 in the V1L3 table
+    assert abs(dur - 3 * 1152 / 44100) < 1e-5
+
+    # ID3v2 tag skipped; mono + VBR detected
+    f = multimodal.decode_mp3_features(_make_mp3(id3=True, mono=True, vary_bitrate=True))
+    assert f[2] == 3.0 and f[6] == 1.0 and f[7] == 1.0
+
+    with pytest.raises(ValueError):
+        multimodal.decode_mp3_features(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError):
+        multimodal.decode_mp3_features(b"\xff\xfb")  # sync but no frame
+
+
+def test_decode_mp4_real_bytes(spark):
+    import pytest
+
+    dur, ts, nt, w, h, nb, mdat, ver = multimodal.decode_mp4_features(_make_mp4())
+    assert (dur, ts, nt) == (90.0, 30.0, 1.0)
+    assert (w, h) == (640.0, 360.0)
+    assert nb == 3.0 and mdat == 100.0 and ver == 0.0
+
+    f1 = multimodal.decode_mp4_features(_make_mp4(v1=True, dur=7))
+    assert f1[0] == 7.0 and f1[7] == 1.0
+
+    with pytest.raises(ValueError):
+        multimodal.decode_mp4_features(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        multimodal.decode_mp4_features(_box(b"moov", b"\x00\x00\x00\x03badbytes"))
+
+
+def test_audio_video_dispatchers(spark):
+    import pytest
+
+    assert multimodal.decode_audio_features(_make_mp3()) == \
+        multimodal.decode_mp3_features(_make_mp3())
+    assert multimodal.decode_video_features(_make_mp4()) == \
+        multimodal.decode_mp4_features(_make_mp4())
+    with pytest.raises(ValueError):
+        multimodal.decode_audio_features(b"OggS....")
+    with pytest.raises(ValueError):
+        multimodal.decode_video_features(b"MKV.....")

@@ -124,3 +124,26 @@ def test_nb_vocab_cap_and_dsir_topk_are_take_ordered(spark):
     sel = C.dsir_select(docs, docs.filter("lang = 'de'"), k=3, hash_buckets=64)
     p2 = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p2
+
+
+def test_semdedup_gate_plan_shape(spark):
+    """One ArrowEvalPython (the assignment matmul, never re-evaluated)
+    and at most one SortMergeJoin (the intra-cluster self-join — the
+    designed corpus-grain shuffle, co-partitioned on centroid_id)."""
+    import re
+
+    df = q.semdedup(spark, SF_CORRECT)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython", p)) <= 1
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_corpus_release_gate_is_hash_arithmetic(spark):
+    """mixture/split/shuffle branches are codegen map stages; the only
+    SortMergeJoins are the corpus_diff full outer (hash-reduced sides)
+    and the leakage-split pairs join (corpus-scale pairs, not
+    broadcastable)."""
+    df = q.corpus_release_suite(spark, SF_CORRECT)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("SortMergeJoin") <= 2
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

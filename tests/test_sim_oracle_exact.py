@@ -20,8 +20,8 @@ from .oracle import compare, duckdb_con
 SIM_GATES = [
     "sim_cosine_topk",
     "sim_embedding_neardup_lsh",
-    "sim_lsh_ann_topk",
-    "sim_ivf_ann_topk",
+    # r5: LSH + IVF ANN merged into one tagged suite ('lsh'/'ivf' rows)
+    "sim_ann_suite",
 ]
 
 
@@ -37,5 +37,18 @@ def test_sim_gate_exact(spark, sf_and_con, name):
     sf_dir, con = sf_and_con
     fn, sql = q.REGISTRY[name]
     assert sql is not None, f"{name} lost its oracle"
-    ok, msg = compare(fn(spark, sf_dir), con, sql, ndigits=9)
+    ok, msg = compare(fn(spark, sf_dir), con, q.resolve_sql(name, sql), ndigits=9)
     assert ok, f"{name} @ {sf_dir}: {msg}"
+
+
+def test_semdedup_gate_exact_at_oracle_scale(spark):
+    """semdedup at 9-decimal parity — only at the driver's oracle
+    scale: its pinned centroids are trained on _ORACLE_SF_DIR, so the
+    cross-sf parametrization above doesn't apply."""
+    con = duckdb_con(SF_CORRECT)
+    try:
+        fn, sql = q.REGISTRY["semdedup"]
+        ok, msg = compare(fn(spark, SF_CORRECT), con, q.resolve_sql("semdedup", sql), ndigits=9)
+        assert ok, f"semdedup @ {SF_CORRECT}: {msg}"
+    finally:
+        con.close()
