@@ -190,10 +190,12 @@ def curate_corpus(
     nb_min_margin_micro: int = 0,
     span_dedup_k: int | None = None,
     c4_rules: bool = False,
+    gopher_filter: bool = False,
 ) -> DataFrame:
     """The end-to-end corpus curation flow, composed from the pieces:
 
       C4 line/page heuristics (if c4_rules) →
+      Gopher page-quality rules (if gopher_filter) →
       domain filter (if source_* given) → quality filter →
       repetition filter (if repetition_ppm_max) →
       classifier filter (if nb_model given) →
@@ -225,6 +227,16 @@ def curate_corpus(
             F.col("keep")
         ).drop(text_col).withColumnRenamed("cleaned_text", text_col).drop(
             "n_lines", "n_kept_lines", "keep"
+        )
+    if gopher_filter:
+        from .textstats import gopher_rules
+
+        out = gopher_rules(out, text_col=text_col, id_col=id_col).filter(
+            F.col("keep")
+        ).drop(
+            "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "required_hits", "keep",
         )
     if source_col is not None and (source_max_dup_rate is not None or source_blocklist):
         out = filter_by_source(

@@ -339,6 +339,105 @@ def scrub_pii(
 C4_LINE_BLOCKLIST = ["javascript", "cookie policy", "terms of use", "privacy policy"]
 
 
+# Gopher required words (Rae et al. 2021, arXiv:2112.11446 A1.1): a
+# document must contain ≥2 of these to pass the "stop word" rule
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality heuristics (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1.1), as ONE codegen map stage per document — the
+    companion page-level filter to `c4_clean`'s line-level rules:
+
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (# and ellipsis) ≤ max_symbol_word_ratio;
+    - ≤ max_bullet_line_frac of lines start with a bullet;
+    - ≤ max_ellipsis_line_frac of lines end with an ellipsis;
+    - ≥ min_alpha_word_frac of words contain an alphabetic char;
+    - ≥ min_required_hits of the GOPHER_REQUIRED_WORDS present.
+
+    Output: input columns + (n_words, mean_word_len,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, required_hits, keep).  All ratios are single
+    int/int float divisions, so the rule booleans are bit-identical
+    across float64 engines (DuckDB oracle replays them exactly).  No
+    explode, no shuffle, no Python.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = (
+        (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / F.lit(3)
+        + (F.length(text) - F.length(F.regexp_replace(text, "…", "")))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[•\-\*▪●]")))
+        .cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+        .cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    lower_words = F.transform(words, lambda w: F.lower(w))
+    required_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_WORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (required_hits >= min_required_hits)
+    )
+    return df.select(
+        *df.columns,
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        required_hits.cast("long").alias("required_hits"),
+        keep.alias("keep"),
+    )
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",

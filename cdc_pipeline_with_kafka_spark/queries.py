@@ -1602,7 +1602,23 @@ def f_scalar_suite(spark, sf_dir):
         _suite_rows(_c4_rows(spark, sf_dir), "c4keep",
                     F.col("doc_id"), v_str=F.col("n_lines").cast("string"),
                     v_num=F.col("keep").cast("int")),
+        # r5: Gopher page-quality rules (Rae et al. 2021) over the raw
+        # documents — verdict bit + word count, then required-word hits
+        # + mean word length, all value-checked per doc
+        _suite_rows(_gopher_rows(spark, sf_dir), "gopher",
+                    F.col("doc_id"), v_str=F.col("keep").cast("string"),
+                    v_num=F.col("n_words")),
+        _suite_rows(_gopher_rows(spark, sf_dir), "gopherv",
+                    F.col("doc_id"), v_str=F.col("required_hits").cast("string"),
+                    v_num=F.col("mean_word_len")),
     ])
+
+
+def _gopher_rows(spark, sf_dir):
+    """gopher_rules gate branch over the raw documents table."""
+    from .operators.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 _HTML_SHELL_PRE = (
@@ -1787,6 +1803,56 @@ SELECT c4_case, c4_k, c4_vs, c4_vn FROM (
               THEN 1.0 ELSE 0.0 END
   FROM c4k
 ) c4rows
+UNION ALL
+SELECT g_case, g_k, g_vs, g_vn FROM (
+  WITH gw AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS words,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                       l -> l <> '') AS glines
+    FROM documents
+  ),
+  gs AS (
+    SELECT doc_id,
+           len(words) AS n_words,
+           CASE WHEN len(words) > 0
+                THEN CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE) / len(words)
+                ELSE 0.0 END AS mean_wl,
+           CASE WHEN len(words) > 0
+                THEN CAST((len(text) - len(replace(text, '#', '')))
+                     + (len(text) - len(replace(text, '...', ''))) / 3
+                     + (len(text) - len(replace(text, chr(8230), ''))) AS DOUBLE) / len(words)
+                ELSE 0.0 END AS sym_ratio,
+           CASE WHEN len(glines) > 0
+                THEN CAST(len(list_filter(glines, l -> regexp_matches(l, '^[•\\-\\*▪●]'))) AS DOUBLE) / len(glines)
+                ELSE 0.0 END AS bullet_frac,
+           CASE WHEN len(glines) > 0
+                THEN CAST(len(list_filter(glines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(glines)
+                ELSE 0.0 END AS ell_frac,
+           CASE WHEN len(words) > 0
+                THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words)
+                ELSE 0.0 END AS alpha_frac,
+           len(list_filter(['the','be','to','of','and','that','have','with'],
+                           s -> list_contains(list_transform(words, w -> lower(w)), s))) AS req_hits
+    FROM gw
+  ),
+  gk AS (
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_wl >= 3.0 AND mean_wl <= 10.0
+            AND sym_ratio <= 0.1
+            AND bullet_frac <= 0.9 AND ell_frac <= 0.3
+            AND alpha_frac >= 0.8 AND req_hits >= 2) AS keep
+    FROM gs
+  )
+  SELECT 'gopher' AS g_case, CAST(doc_id AS VARCHAR) AS g_k,
+         CAST(keep AS VARCHAR) AS g_vs, CAST(n_words AS DOUBLE) AS g_vn
+  FROM gk
+  UNION ALL
+  SELECT 'gopherv', CAST(doc_id AS VARCHAR), CAST(req_hits AS VARCHAR),
+         round(mean_wl, 6)
+  FROM gk
+) gopherrows
 """
 
 

@@ -407,3 +407,43 @@ def test_ivf_pq_index_disk_roundtrip(spark, tmp_path):
         spark.read.parquet(path), queries, cents, books, nprobe=3, k=10
     )
     assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, from_disk.collect()))
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Gopher page-quality heuristics (Rae et al. 2021 A1.1): one
+    fixture doc per rule, each failing exactly its targeted check."""
+    good_words = ("the quick brown fox and that dog have fun with everyone "
+                  "of them today because words keep flowing nicely onward " * 5)
+    docs = [
+        (1, good_words),                                   # passes everything
+        (2, "the of and short"),                           # too few words
+        (3, " ".join(["a"] * 60) + " the of"),             # mean word len < 3
+        (4, good_words + " " + "#tag " * 30),              # symbol ratio > 0.1
+        (5, "\n".join(["• " + good_words[:40] + " the of and that be"] * 10)),  # bullets
+        (6, "\n".join([good_words[:50] + " the of and..."] * 10)),  # ellipsis lines
+        (7, good_words + " " + " ".join(["12345"] * 60)),  # alpha frac < 0.8
+        (8, " ".join(["zebra quokka wombat numbat"] * 20)),  # no required words
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.gopher_rules(df, min_words=20).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].n_words < 20
+    assert not out[3].keep and out[3].mean_word_len < 3.0
+    assert not out[4].keep and out[4].symbol_word_ratio > 0.1
+    assert not out[5].keep and out[5].bullet_line_frac > 0.9
+    assert not out[6].keep and out[6].ellipsis_line_frac > 0.3
+    assert not out[7].keep and out[7].alpha_word_frac < 0.8
+    assert not out[8].keep and out[8].required_hits < 2
+
+
+def test_curate_corpus_gopher_stage(spark):
+    from cdc_pipeline_with_kafka_spark.operators.curation import curate_corpus
+
+    good = ("the quick brown fox and that dog have fun with everyone "
+            "of them today because words keep flowing nicely onward " * 5)
+    docs = spark.createDataFrame(
+        [(1, good), (2, "tiny doc the of")], ["doc_id", "text"]
+    )
+    out = curate_corpus(docs, min_quality=None, gopher_filter=True).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert set(out[0].asDict()) == {"doc_id", "text"}  # stats columns dropped
