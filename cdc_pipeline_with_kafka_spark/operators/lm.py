@@ -100,10 +100,22 @@ def train_bigram_lm(
         .select(text_col)
         .collect()
     )
+    return train_bigram_lm_from_texts(
+        [r[text_col] for r in rows], max_vocab=max_vocab, add_k=add_k
+    )
+
+
+def train_bigram_lm_from_texts(
+    texts: list, max_vocab: int = 50_000, add_k: float = 0.5
+) -> BigramLM:
+    """Pure-Python trainer core shared by `train_bigram_lm` (after its
+    ordered-limit collect) and the pinned-model DuckDB oracle
+    (queries._classify_suite_sql) — the BPE `train_bpe_from_counts`
+    pattern."""
     raw_uni: Counter = Counter()
     docs_toks = []
-    for r in rows:
-        toks = _toks(r[text_col])
+    for text in texts:
+        toks = _toks(text)
         docs_toks.append(toks)
         raw_uni.update(toks)
     vocab = {

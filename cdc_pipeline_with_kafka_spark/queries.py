@@ -4270,7 +4270,19 @@ def classify_suite(spark, sf_dir):
         v_str=F.col("n_feats").cast("string"),
         v_num=F.col("logw_micro"),
     )
-    return _union_all([nb, nbp, dsir])
+    # r5: 'ppl' — CCNet bigram-LM perplexity per doc (lm.py); the
+    # deterministic trainer (ordered-limit sample, lexicographic vocab
+    # ties) makes the scores pinned-model-oracle-checkable.  The
+    # tercile BUCKETS stay pytest (approx_percentile sketch cuts are
+    # engine-specific).
+    from .operators import lm as lm_ops
+
+    model = lm_ops.train_bigram_lm(docs)
+    ppl = _suite_rows(
+        lm_ops.doc_perplexity(docs, model), "ppl",
+        F.col("doc_id"), v_num=F.col("ppl"),
+    )
+    return _union_all([nb, nbp, dsir, ppl])
 
 
 CLASSIFY_SUITE_SQL = """
@@ -4358,6 +4370,30 @@ FROM dsir
 """
 
 
+def _classify_suite_sql() -> str:
+    """CLASSIFY_SUITE_SQL + the 'ppl' branch as a pinned-model VALUES
+    table: the identical pure-Python bigram LM
+    (lm.train_bigram_lm_from_texts — the trainer core the Spark path
+    collects into) retrained off-Spark over the same parquet, scored
+    driver-side with the same round-6 policy.  Lazily built."""
+    from .operators import lm as lm_ops
+
+    rows = _oracle_docs()
+    model = lm_ops.train_bigram_lm_from_texts([t for _, t in rows[:50_000]])
+    vals = []
+    for doc_id, text in rows:
+        p = round(model.perplexity(text), 6)
+        lit = "CAST('infinity' AS DOUBLE)" if p == float("inf") else repr(p)
+        vals.append(f"({doc_id}, {lit})")
+    return (
+        CLASSIFY_SUITE_SQL
+        + "\nUNION ALL\nSELECT 'ppl', CAST(doc_id AS VARCHAR), '', "
+        "CAST(p AS DOUBLE) FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS pplv(doc_id, p)"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -4438,7 +4474,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # r4 tier (slots freed by the w1/w8 merges): substring-level dedup
     # and the NB/DSIR model-in-the-loop curation classifiers
     "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
-    "classify_suite": (classify_suite, CLASSIFY_SUITE_SQL),
+    "classify_suite": (classify_suite, _classify_suite_sql),
     # r5 tier (slots freed by the minhash / ANN merges): SemDeDup with
     # a pinned-centroid oracle, and the corpus-release builder tier
     "semdedup": (semdedup, _semdedup_oracle_sql),
