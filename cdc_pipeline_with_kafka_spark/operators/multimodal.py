@@ -1088,13 +1088,14 @@ def decode_y4m_features(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
-def extract_features(assets: DataFrame, batch_hint: int = 256) -> DataFrame:
+def extract_features(assets: DataFrame) -> DataFrame:
     """Decode/feature-extract every asset via mapInPandas.
 
     Arrow ships the binary column in batches; the decoder runs once per
-    row inside the batch loop.  At 100 TB the input is repartitioned so
-    a task holds ~batch_hint assets (binary payloads dominate memory —
-    size partitions by bytes, not rows)."""
+    row inside the batch loop.  Task sizing is the CALLER's lever
+    (binary payloads dominate memory — size partitions by bytes via
+    spark.sql.files.maxPartitionBytes or an explicit repartition, not
+    by row count); this function adds no shuffle of its own."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -439,9 +439,22 @@ FROM orders GROUP BY 1 ORDER BY day DESC LIMIT 30
 
 def a_stats_suite(spark, sf_dir):
     """A9 + A11 in one tagged gate (r4 merge: frees a driver budget
-    row): per-group count/min/max stats and daily counts desc-limit."""
+    row): per-group count/min/max stats and daily counts desc-limit.
+
+    r5 adds the HLL sketch tier: 'hll' = distinct users per event type
+    via the MERGEABLE Datasketches sketch, 'hllm' = the per-type
+    sketches UNIONED to a global estimate through sketch.hll_merge.
+    At gate cardinalities (≪ sparse-mode promotion) Datasketches HLL
+    estimates are EXACT, so both branches value-check against plain
+    COUNT(DISTINCT) — the sketch path and the rollup path must land on
+    the true number, not merely near it."""
     a9 = a9_stats_per_group(spark, sf_dir)
     ts_fmt = "yyyy-MM-dd HH:mm:ss"
+    from .operators import sketch as sketch_ops
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = sketch_ops.hll_sketches(ev, "user_id", ["event_type"])
+    merged = sketch_ops.hll_merge(per_type.select("hll"))
     return _union_all([
         _suite_rows(a9, "a9_cnt", F.col("o_orderpriority"), v_num=F.col("cnt")),
         _suite_rows(a9, "a9_min", F.col("o_orderpriority"),
@@ -450,6 +463,9 @@ def a_stats_suite(spark, sf_dir):
                     v_str=F.date_format("max_date", ts_fmt)),
         _suite_rows(a11_daily_counts(spark, sf_dir), "a11",
                     F.date_format("day", ts_fmt), v_num=F.col("cnt")),
+        _suite_rows(per_type, "hll", F.col("event_type"),
+                    v_num=F.col("n_distinct")),
+        _suite_rows(merged, "hllm", F.lit("all"), v_num=F.col("n_distinct")),
     ])
 
 
@@ -461,6 +477,12 @@ UNION ALL
 SELECT 'a9_max', o_orderpriority, strftime(max_date, '%Y-%m-%d %H:%M:%S'), -1.0 FROM ({A9_SQL}) s3
 UNION ALL
 SELECT 'a11', strftime(day, '%Y-%m-%d %H:%M:%S'), '', CAST(cnt AS DOUBLE) FROM ({A11_SQL}) s4
+UNION ALL
+SELECT 'hll', event_type, '', CAST(count(DISTINCT user_id) AS DOUBLE)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'hllm', 'all', '', CAST(count(DISTINCT user_id) AS DOUBLE)
+FROM events
 """
 
 
