@@ -4490,8 +4490,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # pinned-Python-model oracles, generated lazily at oracle_sql() time
     "bpe_tokenize": (bpe_tokenize, _bpe_oracle_sql),
     "mmr_extract": (mmr_extract, _mmr_oracle_sql),
-    # rows-only by necessity (k-means codebooks aren't SQL-expressible)
-    # but self-asserting: the build raises if refined recall regresses
+    # r5: pinned-codebook oracle (trainers rerun off-Spark, ADC/refine
+    # replayed in numpy); the build ALSO self-asserts on refined recall
     "pq_recall": (pq_recall, _pq_oracle_sql),
     # r4 tier (slots freed by the w1/w8 merges): substring-level dedup
     # and the NB/DSIR model-in-the-loop curation classifiers
