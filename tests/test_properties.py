@@ -464,3 +464,32 @@ def test_span_removal_matches_bruteforce(spark, doc_texts, policy):
         for r in S.remove_duplicated_spans(df, k=3, min_docs=2, policy=policy).collect()
     }
     assert got == _py_span_removal(docs, 3, 2, policy)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),   # width
+    st.integers(min_value=1, max_value=20),   # height
+    st.booleans(),                            # grayscale vs color
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+    st.sampled_from([0, 3]),                  # restart interval
+)
+def test_jpeg_codec_roundtrip_property(w, h, gray, seed, dri):
+    """encode_jpeg_baseline → _jpeg_decode_pixels recovers ANY small
+    image to within flat-quant error (±0.5/255 per DCT coefficient →
+    ≲0.02 pixel error), for arbitrary sizes (incl. non-multiple-of-8),
+    gray and color, with and without restart markers."""
+    import numpy as np
+
+    from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.rand(h, w) if gray else rng.rand(h, w, 3)
+    payload = mm.encode_jpeg_baseline(img, qtable_value=1, restart_interval=dri)
+    dw, dh, prec, rgb = mm._jpeg_decode_pixels(payload)
+    assert (dw, dh, prec) == (w, h, 8)
+    got = rgb[:, :, 0] if gray else rgb
+    # random (noisy) content stresses every AC coefficient; quant=1
+    # bounds each coefficient error at 0.5, giving ~0.03 worst-case
+    # pixel error after the IDCT for color (chroma transform adds ~1.8x)
+    assert np.abs(got - img).max() < (0.05 if gray else 0.09)
