@@ -1977,13 +1977,30 @@ def text_profile(spark, sf_dir):
     """Text-analysis pass: token counts, stopword/punct ratios, quality
     score, fingerprint, AND marker-stopword language ID — one JVM-side
     map stage (text_profile already computes lang_detected; this gate
-    covers what used to be the separate text_langid row)."""
+    covers what used to be the separate text_langid row).
+
+    r5 adds the encoding-health columns (textstats.encoding_stats) over
+    a junk-injected twin of each doc (control char on %3, U+FFFD on
+    %4, mojibake digraph on %5 — the clean corpus has none), value-
+    checking the replacement/control/mojibake ppm math and keep flag."""
     docs = _t(spark, sf_dir, "documents")
     out = textstats.text_profile(docs)
+    junk = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\x01")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("�")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 2, F.lit(" Ã© tail")).otherwise(F.lit("")),
+    )
+    enc = textstats.encoding_stats(
+        docs.select("doc_id", junk.alias("text")), max_bad_ppm=2000
+    ).select(
+        "doc_id", "replacement_ppm", "control_ppm", "mojibake_ppm",
+        F.col("keep").alias("enc_keep"),
+    )
     return out.select(
         "doc_id", "n_tokens", "stopword_ratio", "mean_word_len", "quality",
         "fingerprint", "lang_detected",
-    )
+    ).join(enc, "doc_id")
 
 
 TEXT_PROFILE_SQL = """
@@ -2016,9 +2033,36 @@ SELECT m.doc_id, n_tokens,
            + least(stopword_ratio / 0.2, 1.0) * 0.4
            + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-       lang.lang_detected AS lang_detected
+       lang.lang_detected AS lang_detected,
+       enc.replacement_ppm, enc.control_ppm, enc.mojibake_ppm, enc.enc_keep
 FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN (__LANGID__) lang ON m.doc_id = lang.doc_id
+JOIN (__ENC__) enc ON m.doc_id = enc.doc_id
+"""
+
+TEXT_ENC_SQL = """
+WITH blob AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN chr(1) ELSE '' END
+              || CASE WHEN doc_id % 4 = 1 THEN '�' ELSE '' END
+              || CASE WHEN doc_id % 5 = 2 THEN ' Ã© tail' ELSE '' END AS b
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, len(b) AS n,
+         len(b) - len(replace(b, '�', '')) AS repl,
+         len(b) - len(regexp_replace(b, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS ctrl,
+         len(regexp_extract_all(b, '(Ã[©¨«¯±¼½¾€‚„†‰‘’“”]|â€[™œ˜"]|Â[ °«»])', 1)) AS moji
+  FROM blob
+)
+SELECT doc_id,
+       CASE WHEN n > 0 THEN CAST(floor(repl * 1000000.0 / n) AS BIGINT) ELSE 0 END AS replacement_ppm,
+       CASE WHEN n > 0 THEN CAST(floor(ctrl * 1000000.0 / n) AS BIGINT) ELSE 0 END AS control_ppm,
+       CASE WHEN n > 0 THEN CAST(floor(moji * 1000000.0 / n) AS BIGINT) ELSE 0 END AS mojibake_ppm,
+       (CASE WHEN n > 0 THEN CAST(floor(repl * 1000000.0 / n) AS BIGINT) ELSE 0 END
+        + CASE WHEN n > 0 THEN CAST(floor(ctrl * 1000000.0 / n) AS BIGINT) ELSE 0 END
+        + CASE WHEN n > 0 THEN CAST(floor(moji * 1000000.0 / n) AS BIGINT) ELSE 0 END) <= 2000 AS enc_keep
+FROM cnt
 """
 
 
@@ -2053,7 +2097,7 @@ FROM s
 
 # splice the langid subquery into the merged profile oracle (plain
 # string assembly — TEXT_LANGID_SQL is defined after TEXT_PROFILE_SQL)
-TEXT_PROFILE_SQL = TEXT_PROFILE_SQL.replace("__LANGID__", TEXT_LANGID_SQL)
+TEXT_PROFILE_SQL = TEXT_PROFILE_SQL.replace("__LANGID__", TEXT_LANGID_SQL).replace("__ENC__", TEXT_ENC_SQL)
 
 # ---------------------------------------------------------------- dedup extensions
 
@@ -3509,18 +3553,32 @@ FROM ({SIM_IVF_SQL}) s2
 def dedup_minhash_suite(spark, sf_dir):
     """dedup_minhash_lsh (unigram shingles) + dedup_minhash_lsh3
     (trigram) in one tagged gate (r5 merge — frees a budget slot; both
-    configurations keep every candidate-pair row)."""
+    configurations keep every candidate-pair row), plus 'ed' — the
+    candidate → verify split: the trigram candidates re-checked by
+    exact (budget-short-circuited) Levenshtein, surviving pairs with
+    their absolute and relative distances value-checked."""
     uni = _suite_rows(
         dedup_minhash_lsh(spark, sf_dir), "uni",
         F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
         v_num=F.col("est_jaccard"),
     )
+    tri_pairs = dedup_minhash_lsh3(spark, sf_dir).localCheckpoint()
     tri = _suite_rows(
-        dedup_minhash_lsh3(spark, sf_dir), "tri",
+        tri_pairs, "tri",
         F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
         v_num=F.col("est_jaccard"),
     )
-    return uni.unionByName(tri)
+    docs = _t(spark, sf_dir, "documents")
+    verified = dedup.verify_pairs_edit_distance(
+        tri_pairs, docs, max_rel_dist=0.5
+    )
+    ed = _suite_rows(
+        verified, "ed",
+        F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
+        v_str=F.col("edit_dist").cast("string"),
+        v_num=F.col("rel_dist"),
+    )
+    return _union_all([uni, tri, ed])
 
 
 def _dedup_minhash_suite_sql() -> str:
@@ -3533,6 +3591,22 @@ UNION ALL
 SELECT 'tri', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
        '', CAST(est_jaccard AS DOUBLE)
 FROM ({_minhash_oracle_sql(shingle_n=3)}) s2
+UNION ALL
+SELECT 'ed', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
+       CAST(edit_dist AS VARCHAR), CAST(rel_dist AS DOUBLE)
+FROM (
+  SELECT p.id_a, p.id_b,
+         levenshtein(a.text, b.text) AS edit_dist,
+         greatest(len(a.text), len(b.text)) AS ml,
+         CASE WHEN greatest(len(a.text), len(b.text)) > 0
+              THEN round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                         / greatest(len(a.text), len(b.text)), 6)
+              ELSE 0.0 END AS rel_dist
+  FROM ({_minhash_oracle_sql(shingle_n=3)}) p
+  JOIN documents a ON p.id_a = a.doc_id
+  JOIN documents b ON p.id_b = b.doc_id
+) v
+WHERE rel_dist <= 0.5 AND edit_dist <= ceil(0.5 * ml)
 """
 
 
@@ -3713,7 +3787,13 @@ def corpus_release_suite(spark, sf_dir):
     )
     shuf = curation.shuffle_deterministic(docs.select("doc_id"), salt="release:")
     shuf_rows = _suite_rows(shuf, "shuf", F.col("doc_id"), v_str=F.col("_shuffle_key"))
-    return _union_all([mix_rows, diff_rows, split_rows, shuf_rows])
+    # 'mixk': exact-k-per-stratum eval-set carve (hash_sample_k) — 7
+    # docs per language by md5 rank, the growth-stable few-shot picker
+    full = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    carve = curation.hash_sample_k(full, k=7, key_col="doc_id", salt="carve:",
+                                   stratum_col="lang")
+    mixk_rows = _suite_rows(carve, "mixk", F.col("doc_id"), v_str=F.col("lang"))
+    return _union_all([mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows])
 
 
 CORPUS_RELEASE_SUITE_SQL = """
@@ -3770,6 +3850,15 @@ UNION ALL
 SELECT 'shuf', CAST(doc_id AS VARCHAR),
        md5('release:' || CAST(doc_id AS VARCHAR)), -1.0
 FROM documents
+UNION ALL
+SELECT 'mixk', CAST(doc_id AS VARCHAR), lang, -1.0 FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('carve:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= 7
 """
 
 
@@ -4113,7 +4202,28 @@ def span_dedup(spark, sf_dir):
         v_str=F.md5("cleaned_text"),
         v_num=F.col("n_removed_lines"),
     )
-    return span_rows.unionByName(doc_rows).unionByName(line_rows)
+    # 'rep': repeated_spans' occurrence-count mode (within-doc repeats
+    # included) over docs synthesized to self-repeat their first 80
+    # chars — keep_first exempts the global (id, start)-minimum
+    # occurrence; the rewrite machinery is shared with 'doc', so only
+    # the span coordinates need their own rows
+    rep_docs = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.substring("text", 1, 80),
+            F.substring("text", 1, 80),
+            F.lit("closing unique tail words"),
+        ).alias("text"),
+    )
+    rep_rows = _suite_rows(
+        spans_ops.repeated_spans(rep_docs, k=5, min_count=2, policy="keep_first"),
+        "rep",
+        F.concat_ws("|", F.col("id").cast("string"), F.col("span_start").cast("string")),
+        v_str=F.col("span_end").cast("string"),
+        v_num=F.col("n_windows"),
+    )
+    return _union_all([span_rows, doc_rows, line_rows, rep_rows])
 
 
 SPAN_DEDUP_SQL = """
@@ -4255,6 +4365,45 @@ SELECT 'line', CAST(doc_id AS VARCHAR), md5(ct), CAST(nrm AS DOUBLE) FROM (
   )
   SELECT doc_id, ct, nrm FROM lcleaned
 ) lrows
+UNION ALL
+SELECT 'rep', CAST(id AS VARCHAR) || '|' || CAST(s AS VARCHAR),
+       CAST(e AS VARCHAR), CAST(nw AS DOUBLE) FROM (
+  WITH rtoks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(trim(
+             substr(text, 1, 80) || ' ' || substr(text, 1, 80)
+             || ' closing unique tail words'
+           )), '\\s+'), t -> t <> '') AS t
+    FROM documents
+  ),
+  rwins AS (
+    SELECT doc_id, i - 1 AS ws, md5(array_to_string(t[i:i+4], ' ')) AS whash
+    FROM rtoks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+  ),
+  rocc AS (
+    SELECT doc_id, ws,
+           count(*) OVER (PARTITION BY whash) AS n_occ,
+           row_number() OVER (PARTITION BY whash ORDER BY doc_id, ws) AS rn
+    FROM rwins
+  ),
+  rrem AS (
+    SELECT doc_id AS id, ws AS s2, ws + 4 AS e2
+    FROM rocc WHERE n_occ >= 2 AND rn > 1
+  ),
+  risl AS (
+    SELECT id, s2, e2,
+           CASE WHEN max(e2) OVER w IS NULL OR s2 > max(e2) OVER w + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM rrem
+    WINDOW w AS (PARTITION BY id ORDER BY s2 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+  ),
+  risl2 AS (
+    SELECT id, s2, e2,
+           sum(ni) OVER (PARTITION BY id ORDER BY s2 ROWS UNBOUNDED PRECEDING) AS isl
+    FROM risl
+  )
+  SELECT id, min(s2) AS s, max(e2) AS e, count(*) AS nw
+  FROM risl2 GROUP BY id, isl
+) reprows
 """
 
 
