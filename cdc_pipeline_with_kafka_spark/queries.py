@@ -2470,10 +2470,19 @@ def curation_suite(spark, sf_dir):
         F.col("word").cast("string").alias("v_str"),
         F.lit(-1.0).alias("v_num"),
     )
+    # 'schunk': sentence-aware chunking (budget walk resets per chunk;
+    # a sentence is never split) — the embedding/RAG chunking mode
+    schunk = curation.chunk_by_sentences(docs, budget_tokens=64).select(
+        F.lit("schunk").alias("suite_case"),
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")).alias("k"),
+        F.md5(F.col("chunk_text")).alias("v_str"),
+        F.col("n_tokens").cast("double").alias("v_num"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
         .unionByName(report).unionByName(src).unionByName(bloom)
+        .unionByName(schunk)
     )
 
 
@@ -2653,6 +2662,42 @@ SELECT 'bloom', CAST(word_idx AS VARCHAR), CAST(word AS VARCHAR), -1.0 FROM (
 CURATION_SUITE_SQL = CURATION_SUITE_SQL.replace(
     "{TEXT_LENGTH_SQL_PLACEHOLDER}", TEXT_LENGTH_SQL
 )
+
+# 'schunk' branch (r5): sentence-aware chunking — the sentence split
+# is replayed without lookbehind (RE2) by marking boundaries with
+# chr(30), and the greedy budget walk is a per-doc recursive CTE whose
+# counter resets exactly like the Spark fold's.
+CURATION_SUITE_SQL = CURATION_SUITE_SQL + """
+UNION ALL
+SELECT 'schunk', CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR),
+       md5(chunk_text), CAST(n_tokens AS DOUBLE) FROM (
+  WITH RECURSIVE sbase AS (
+    SELECT doc_id,
+           list_filter(
+             string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'), chr(30)),
+             s -> trim(s) <> '') AS sents
+    FROM documents
+  ),
+  ssents AS (
+    SELECT doc_id, i AS idx, sents[i] AS sent,
+           len(list_filter(string_split_regex(trim(sents[i]), '\\s+'), x -> x <> '')) AS tok
+    FROM sbase, unnest(generate_series(1, len(sents))) AS g(i)
+  ),
+  walk(doc_id, idx, chunk_idx, used) AS (
+    SELECT doc_id, 1, 0, tok FROM ssents WHERE idx = 1
+    UNION ALL
+    SELECT s.doc_id, s.idx,
+           CASE WHEN w.used + s.tok > 64 THEN w.chunk_idx + 1 ELSE w.chunk_idx END,
+           CASE WHEN w.used + s.tok > 64 THEN s.tok ELSE w.used + s.tok END
+    FROM walk w JOIN ssents s ON s.doc_id = w.doc_id AND s.idx = w.idx + 1
+  )
+  SELECT w.doc_id, w.chunk_idx,
+         string_agg(s.sent, ' ' ORDER BY w.idx) AS chunk_text,
+         sum(s.tok) AS n_tokens
+  FROM walk w JOIN ssents s ON s.doc_id = w.doc_id AND s.idx = w.idx
+  GROUP BY 1, 2
+) scrows
+"""
 
 
 def dedup_simhash(spark, sf_dir):
