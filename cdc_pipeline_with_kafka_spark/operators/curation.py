@@ -463,6 +463,7 @@ def admit_shard(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float | None = None,
+    gopher_filter: bool = False,
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 8,
@@ -488,7 +489,7 @@ def admit_shard(
 
     Returns four lazy DataFrames:
       - ``admitted``:     shard rows that enter the corpus,
-      - ``rejected``:     (id, reason ∈ quality | exact_dup_shard |
+      - ``rejected``:     (id, reason ∈ quality | gopher | exact_dup_shard |
                           exact_dup_corpus | near_dup_corpus |
                           near_dup_shard) — the audit trail,
       - ``sigs_delta``:   MinHash signatures of admitted docs — append
@@ -518,6 +519,14 @@ def admit_shard(
         bad = alive.filter(textstats.quality_score(F.col(text_col)) < min_quality)
         _reject(bad, "quality")
         alive = alive.filter(textstats.quality_score(F.col(text_col)) >= min_quality)
+    if gopher_filter:
+        from .textstats import gopher_rules
+
+        flagged = gopher_rules(alive, text_col=text_col, id_col=id_col)
+        _reject(flagged.filter(~F.col("keep")), "gopher")
+        alive = alive.join(
+            flagged.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
 
     hashed = alive.withColumn(
         "_ch", F.md5(dedup_ops.normalized_text(F.col(text_col)))

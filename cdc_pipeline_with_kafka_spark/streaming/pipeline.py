@@ -259,6 +259,7 @@ def make_admit_shard_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float | None = None,
+    gopher_filter: bool = False,
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 8,
@@ -326,6 +327,7 @@ def make_admit_shard_sink(
             index_windows=_load(windows_path) if windows_path is not None else None,
             span_k=span_k,
             text_col=text_col, id_col=id_col, min_quality=min_quality,
+            gopher_filter=gopher_filter,
             threshold=threshold, num_hashes=num_hashes, bands=bands,
             shingle_n=shingle_n,
         )

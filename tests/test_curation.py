@@ -663,3 +663,18 @@ def test_release_corpus_end_to_end(spark, tmp_path):
     a = {(r.doc_id, r.split) for r in rows}
     b = {(r.doc_id, r.split) for r in released2.collect()}
     assert a == b
+
+
+def test_admit_shard_gopher_stage(spark):
+    """gopher_filter wires the Rae et al. page-quality rules into
+    admission: failing docs reject with reason 'gopher' before any
+    dedup work touches them."""
+    good = ("the quick brown fox and that dog have fun with everyone "
+            "of them today because words keep flowing nicely onward " * 5)
+    shard = spark.createDataFrame(
+        [(1, good), (2, "tiny the of")], ["doc_id", "text"]
+    )
+    out = curation.admit_shard(shard, gopher_filter=True)
+    assert {r.doc_id for r in out["admitted"].collect()} == {1}
+    reasons = {r.doc_id: r.reason for r in out["rejected"].collect()}
+    assert reasons == {2: "gopher"}
