@@ -524,8 +524,12 @@ def admit_shard(
 
         flagged = gopher_rules(alive, text_col=text_col, id_col=id_col)
         _reject(flagged.filter(~F.col("keep")), "gopher")
-        alive = alive.join(
-            flagged.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        # filter + drop (the curate_corpus pattern) — no join in the
+        # admission hot path
+        alive = flagged.filter(F.col("keep")).drop(
+            "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "required_hits", "keep",
         )
 
     hashed = alive.withColumn(

@@ -408,8 +408,19 @@ def _jpeg_decode_pixels(payload: bytes):
     upsample → YCbCr→RGB.  Supports 1- or 3-component frames, any
     1-2× sampling factors, 8/16-bit DQT, and DRI restart markers.
     Returns (w, h, precision, rgb float64 HxWx3 in [0,1]).  Raises
-    ValueError on progressive (SOF2), arithmetic coding, or malformed
-    streams — callers fall back to the header+stats path."""
+    ValueError on progressive (SOF2), arithmetic coding, or ANY
+    malformed stream (truncated segments raise struct.error/IndexError
+    internally and are converted) — callers fall back to the
+    header+stats path or quarantine."""
+    import struct
+
+    try:
+        return _jpeg_decode_pixels_inner(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _jpeg_decode_pixels_inner(payload: bytes):
     import struct
 
     import numpy as np
@@ -711,19 +722,22 @@ def reencode_jpeg(payload: bytes, qtable_value: int = 8) -> bytes:
 
 
 def decode_jpeg_features(payload: bytes, dim: int = 8) -> list[float]:
-    """REAL in-container JPEG decoder (no external codec).  Baseline
-    (SOF0, Huffman) payloads get a FULL pixel decode
+    """REAL in-container JPEG decoder (no external codec).  The vector
+    is 9-dim and SELF-DESCRIBING: element 0 is a decoded flag so a
+    consumer can never mistake one layout for the other on a mixed
+    corpus.  Baseline (SOF0, Huffman) payloads get a FULL pixel decode
     (`_jpeg_decode_pixels`: Huffman → dequant → IDCT → upsample →
-    YCbCr→RGB) and emit the same pixel-stat vector shape as PNG/PPM:
+    YCbCr→RGB):
 
-      [width, height, precision_bits, mean_r, mean_g, mean_b,
+      [1.0, width, height, precision_bits, mean_r, mean_g, mean_b,
        luma_mean, luma_std]
 
     Progressive/arithmetic or otherwise undecodable streams fall back
     to the header+stats profile:
 
-      [width, height, precision_bits, n_components, n_quant_tables,
-       progressive_flag, scan_byte_mean, scan_byte_entropy]
+      [0.0, width, height, precision_bits, n_components,
+       n_quant_tables, progressive_flag, scan_byte_mean,
+       scan_byte_entropy]
 
     scan_byte_mean is normalized to 0-1; scan_byte_entropy is Shannon
     bits/byte normalized by 8.  Raises ValueError on malformed
@@ -742,7 +756,7 @@ def decode_jpeg_features(payload: bytes, dim: int = 8) -> list[float]:
         means = rgb.mean(axis=(0, 1))
         luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
         return [
-            float(w), float(h), float(precision),
+            1.0, float(w), float(h), float(precision),
             round(float(means[0]), 6), round(float(means[1]), 6),
             round(float(means[2]), 6),
             round(float(luma.mean()), 6), round(float(luma.std()), 6),
@@ -797,7 +811,7 @@ def decode_jpeg_features(payload: bytes, dim: int = 8) -> list[float]:
         p = counts[counts > 0] / len(scan)
         ent = float(-(p * np.log2(p)).sum()) / 8.0
     return [
-        float(w), float(h), float(precision), float(n_comp),
+        0.0, float(w), float(h), float(precision), float(n_comp),
         float(n_dqt), float(progressive), round(mean, 6), round(ent, 6),
     ]
 
@@ -912,8 +926,18 @@ def decode_mp4_features(payload: bytes, dim: int = 8) -> list[float]:
     H.264/H.265 pixel decode stays out of scope — container-level
     duration/geometry/stream-size are the frame-sampling planner's
     inputs (frame_sample_plan needs duration_ms, resolution gates need
-    width/height).  Raises ValueError when no ftyp/moov structure is
-    found (→ quarantine)."""
+    width/height).  Raises ValueError on malformed payloads — missing
+    ftyp/moov, bad box sizes, or truncated box bodies (struct/index
+    errors are converted) — so the quarantine path handles them."""
+    import struct
+
+    try:
+        return _decode_mp4_features_inner(payload, dim)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed MP4 stream: {exc}") from exc
+
+
+def _decode_mp4_features_inner(payload: bytes, dim: int) -> list[float]:
     import struct
 
     def walk(lo: int, hi: int):

@@ -346,18 +346,19 @@ def test_decode_jpeg_real_bytes(spark):
     import pytest
 
     feat = multimodal.decode_jpeg_features(_make_jpeg())
-    w, h, prec, n_comp, n_dqt, prog, smean, sent = feat
+    decoded, w, h, prec, n_comp, n_dqt, prog, smean, sent = feat
+    assert decoded == 0.0  # header+stats profile (no Huffman tables)
     assert (w, h, prec, n_comp, n_dqt, prog) == (4.0, 3.0, 8.0, 3.0, 1.0, 0.0)
     scan = [0x12, 0x34, 0x56, 0x78]
     assert abs(smean - sum(scan) / 4 / 255.0) < 1e-6
     assert abs(sent - math.log2(4) / 8.0) < 1e-6  # 4 distinct bytes
 
     prog_feat = multimodal.decode_jpeg_features(_make_jpeg(progressive=True, n_comp=1))
-    assert prog_feat[3] == 1.0 and prog_feat[5] == 1.0
+    assert prog_feat[0] == 0.0 and prog_feat[4] == 1.0 and prog_feat[6] == 1.0
 
     # 0xFF00 stuffing stays in-stream; EOI terminates the stats window
     stuffed = multimodal.decode_jpeg_features(_make_jpeg(scan=b"\xff\x00\x01"))
-    assert stuffed[6] > 0
+    assert stuffed[7] > 0
 
     with pytest.raises(ValueError):
         multimodal.decode_jpeg_features(b"\xff\xd8\xff\xc0\x00\x02")  # truncated SOF
@@ -687,13 +688,13 @@ def test_jpeg_baseline_pixel_roundtrip(spark):
     _, _, _, rgb3 = multimodal._jpeg_decode_pixels(jp3)
     assert np.abs(rgb3[:, :, 0] - g).max() < 0.005
 
-    # feature vector is the pixel-stat shape with known values
+    # feature vector is the flagged pixel-stat shape with known values
     feat = multimodal.decode_jpeg_features(jp2)
-    assert feat[:3] == [13.0, 10.0, 8.0]
-    assert abs(feat[3] - rgb2[:, :, 0].mean()) < 1e-5  # mean_r
+    assert feat[:4] == [1.0, 13.0, 10.0, 8.0]
+    assert abs(feat[4] - rgb2[:, :, 0].mean()) < 1e-5  # mean_r
     luma = 0.299 * rgb2[:, :, 0] + 0.587 * rgb2[:, :, 1] + 0.114 * rgb2[:, :, 2]
-    assert abs(feat[6] - luma.mean()) < 1e-5
-    assert abs(feat[7] - luma.std()) < 1e-5
+    assert abs(feat[7] - luma.mean()) < 1e-5
+    assert abs(feat[8] - luma.std()) < 1e-5
 
     # coarser quantization still reconstructs approximately
     jp4 = multimodal.encode_jpeg_baseline(rgbi, qtable_value=8)
