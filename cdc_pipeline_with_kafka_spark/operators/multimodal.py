@@ -125,7 +125,13 @@ def decode_wav_features(payload: bytes, dim: int = 8) -> list[float]:
         return [float(n_ch), float(rate), float(bits), 0.0, 0.0, 0.0, 0.0, 0.0]
     rms = float(np.sqrt(np.mean(norm * norm)))
     peak = float(np.abs(norm).max())
-    zcr = float(np.mean(np.signbit(norm[1:]) != np.signbit(norm[:-1])))
+    # single-sample audio has no crossings (mean over an empty diff
+    # would be NaN, which poisons downstream aggregates silently)
+    zcr = (
+        float(np.mean(np.signbit(norm[1:]) != np.signbit(norm[:-1])))
+        if len(norm) >= 2
+        else 0.0
+    )
     return [
         float(n_ch), float(rate), float(bits), float(frames),
         round(frames / rate, 6), round(rms, 6), round(peak, 6), round(zcr, 6),
@@ -984,7 +990,10 @@ def _decode_mp4_features_inner(payload: bytes, dim: int) -> list[float]:
                 elif ityp == b"trak":
                     n_tracks += 1
                     for ttyp, tbody, tend in walk(ibody, iend):
-                        if ttyp == b"tkhd" and not width:
+                        # the geometry slice must stay INSIDE the tkhd
+                        # body — a truncated box would otherwise read
+                        # header bytes as width/height silently
+                        if ttyp == b"tkhd" and not width and tend - tbody >= 76:
                             w16, h16 = struct.unpack(">II", payload[tend - 8 : tend])
                             if w16 and h16:
                                 width, height = w16 / 65536.0, h16 / 65536.0

@@ -810,3 +810,23 @@ def test_audio_video_dispatchers(spark):
         multimodal.decode_audio_features(b"OggS....")
     with pytest.raises(ValueError):
         multimodal.decode_video_features(b"MKV.....")
+
+
+def test_wav_single_sample_and_short_tkhd_robustness(spark):
+    """Edge hardening: a 1-sample WAV yields zcr 0.0 (not NaN), and a
+    truncated tkhd box never reads header bytes as width/height."""
+    import math
+    import struct
+
+    wav = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 3) + b"abc")
+    feat = multimodal.decode_wav_features(wav)
+    assert all(not math.isnan(x) for x in feat)
+    assert feat[3] == 1.0 and feat[7] == 0.0  # one frame, zcr 0
+
+    mp4 = (_box(b"ftyp", b"isom")
+           + _box(b"moov", _box(b"trak", _box(b"tkhd", b"\x00\x00\x00"))))
+    f = multimodal.decode_mp4_features(mp4)
+    assert f[3] == 0.0 and f[4] == 0.0  # width/height stay unset

@@ -493,3 +493,36 @@ def test_jpeg_codec_roundtrip_property(w, h, gray, seed, dri):
     # bounds each coefficient error at 0.5, giving ~0.03 worst-case
     # pixel error after the IDCT for color (chroma transform adds ~1.8x)
     assert np.abs(got - img).max() < (0.05 if gray else 0.09)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.sampled_from([
+        b"", b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"P6\n", b"RIFF",
+        b"YUV4MPEG2 ", b"ID3", b"\xff\xfb",
+        b"\x00\x00\x00\x10ftyp", b"\x00\x00\x00\x01moov",
+    ]),
+    st.binary(max_size=48),
+)
+def test_media_parsers_raise_only_valueerror(prefix, tail):
+    """Decoder quarantine contract (the round-5 review's bug class):
+    on ARBITRARY malformed bytes — including payloads that pass the
+    magic-byte sniff — every media parser either returns a feature
+    list or raises ValueError.  struct.error / IndexError / KeyError
+    escaping a decoder fails a whole Spark task instead of
+    quarantining one asset."""
+    from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
+
+    payload = prefix + tail
+    for fn in (
+        mm.decode_jpeg_features, mm.decode_png_features,
+        mm.decode_ppm_features, mm.decode_wav_features,
+        mm.decode_mp3_features, mm.decode_mp4_features,
+        mm.decode_y4m_features, mm.decode_image_features,
+        mm.decode_audio_features, mm.decode_video_features,
+    ):
+        try:
+            out = fn(payload)
+        except ValueError:
+            continue
+        assert isinstance(out, list) and all(isinstance(x, float) for x in out)
