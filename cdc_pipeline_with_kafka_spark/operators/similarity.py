@@ -938,17 +938,34 @@ def doc_embedding_from_chunks(
     chunk_embs: DataFrame,
     id_col: str = "doc_id",
     vec_col: str = "embedding",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Collapse per-chunk embeddings to one mean-pooled vector per doc.
 
     collect_list + JVM fold per group: state per key is
     chunks/doc × dim floats — bounded by chunking policy, not corpus
     size, so the single groupBy shuffle is the whole cost at 100 TB.
+
+    Pass `order_col` (e.g. chunk_idx) to SORT the collected chunks
+    before the fold: float addition is order-dependent, so without it
+    the pooled vector can drift by an ulp between runs/cluster
+    layouts (collect_list order is not deterministic).  With it the
+    result is bit-stable and oracle-checkable.
     """
+    if order_col is None:
+        agg = F.collect_list(F.col(vec_col)).alias("_chunks")
+        chunks: Column = F.col("_chunks")
+    else:
+        agg = F.sort_array(
+            F.collect_list(
+                F.struct(F.col(order_col).alias("o"), F.col(vec_col).alias("v"))
+            )
+        ).alias("_chunks")
+        chunks = F.transform(F.col("_chunks"), lambda s: s["v"])
     return (
         chunk_embs.groupBy(id_col)
-        .agg(F.collect_list(F.col(vec_col)).alias("_chunks"))
-        .select(F.col(id_col), mean_pool(F.col("_chunks")).alias(vec_col))
+        .agg(agg)
+        .select(F.col(id_col), mean_pool(chunks).alias(vec_col))
     )
 
 

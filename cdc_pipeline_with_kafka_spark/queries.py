@@ -3256,13 +3256,58 @@ def sim_cosine_suite(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.cosine_topk_suite(emb, queries, k=10)
+    base = similarity.cosine_topk_suite(emb, queries, k=10)
+    # 'pool' (r5): chunk-embedding mean pooling — vectors grouped into
+    # pseudo-docs (vec_id % 100), order-pinned fold (order_col), every
+    # pooled element value-checked.  Column reuse: query_id = doc,
+    # vec_id = dimension index, cos_sim = pooled value, rnk = n_chunks.
+    chunks = emb.select(
+        (F.col("vec_id") % 100).alias("doc"), "vec_id", "embedding"
+    )
+    pooled = similarity.doc_embedding_from_chunks(
+        chunks, id_col="doc", order_col="vec_id"
+    )
+    nch = chunks.groupBy("doc").agg(F.count(F.lit(1)).alias("_n"))
+    pool_rows = (
+        pooled.join(nch, "doc")
+        .select("doc", "_n", F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            F.lit("pool").alias("variant"),
+            F.col("doc").cast("long").alias("query_id"),
+            F.col("dim").cast("long").alias("vec_id"),
+            (F.round("val", 6) + F.lit(0.0)).alias("cos_sim"),
+            F.col("_n").cast("int").alias("rnk"),
+        )
+    )
+    return base.unionByName(pool_rows)
 
 
 SIM_COSINE_SUITE_SQL = f"""
 SELECT 'exact' AS variant, query_id, vec_id, cos_sim, rnk FROM ({SIM_TOPK_SQL}) s1
 UNION ALL
 SELECT 'int8', query_id, vec_id, cos_sim, rnk FROM ({_SIM_TOPK_INT8_SQL}) s2
+UNION ALL
+SELECT 'pool', doc, dim, round(val, 6) + 0.0, n FROM (
+  WITH ch AS (
+    SELECT vec_id % 100 AS doc, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  ),
+  agg AS (
+    SELECT doc, list(v ORDER BY vec_id) AS vs, count(*) AS n FROM ch GROUP BY doc
+  ),
+  -- list_reduce seeds with the FIRST element, Spark's fold with a
+  -- zero vector: (0.0 + x) == x exactly in IEEE, so the two
+  -- accumulation sequences are bit-identical over the sorted chunks
+  pooled AS (
+    SELECT doc, n,
+           list_transform(
+             list_reduce(vs, (a, b) -> list_transform(generate_series(1, len(a)),
+                                                      i -> a[i] + b[i])),
+             x -> x / n) AS pv
+    FROM agg
+  )
+  SELECT doc, n, i - 1 AS dim, pv[i] AS val
+  FROM pooled, unnest(generate_series(1, len(pv))) AS g(i)
+) poolrows
 """
 
 

@@ -447,3 +447,21 @@ def test_curate_corpus_gopher_stage(spark):
     out = curate_corpus(docs, min_quality=None, gopher_filter=True).collect()
     assert [r.doc_id for r in out] == [1]
     assert set(out[0].asDict()) == {"doc_id", "text"}  # stats columns dropped
+
+
+def test_doc_embedding_order_pinned_fold(spark):
+    """order_col sorts the collected chunks before the fold, making
+    the pooled vector independent of input row order (float addition
+    is order-dependent at the ulp level; collect_list order is not
+    deterministic)."""
+    rows = [(1, i, [float(i) * 1e-8 + 0.1, 1.0 / (i + 3)]) for i in range(6)]
+    fwd = spark.createDataFrame(rows, "doc_id long, chunk_idx long, embedding array<double>")
+    rev = spark.createDataFrame(list(reversed(rows)), "doc_id long, chunk_idx long, embedding array<double>")
+    a = similarity.doc_embedding_from_chunks(fwd, order_col="chunk_idx").collect()[0]["embedding"]
+    b = similarity.doc_embedding_from_chunks(rev, order_col="chunk_idx").collect()[0]["embedding"]
+    assert a == b  # bit-identical, not merely close
+    # and the mean itself is right
+    import numpy as np
+
+    want = np.mean([r[2] for r in rows], axis=0)
+    assert np.allclose(a, want)
