@@ -2702,9 +2702,45 @@ SELECT 'schunk', CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR),
 
 def dedup_simhash(spark, sf_dir):
     """SimHash fingerprints + Hamming-distance pairs via pigeonhole
-    blocking."""
+    blocking.  r5: tagged suite — 'full' = whole-corpus pairs, 'inc' =
+    the incremental shard-vs-index path (8-byte fingerprint index
+    persisted for ids < cutoff, shard = the rest), which must equal
+    the full pair set restricted to pairs touching the shard — the
+    contract its docstring promises, now value-checked at driver
+    level, not just in pytest."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=12)
+    pair_key = F.concat_ws(
+        "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+    )
+    full = _suite_rows(
+        dedup.simhash_pairs(docs, max_hamming=12), "full",
+        pair_key, v_num=F.col("hamming"),
+    )
+    cutoff = _table_count(spark, sf_dir, "documents") // 2
+    index = dedup.simhash_fingerprints(docs.filter(F.col("doc_id") < cutoff))
+    shard = docs.filter(F.col("doc_id") >= cutoff)
+    inc = _suite_rows(
+        dedup.simhash_pairs_incremental(shard, index, max_hamming=12), "inc",
+        pair_key, v_num=F.col("hamming"),
+    )
+    return full.unionByName(inc)
+
+
+def _simhash_suite_sql() -> str:
+    base = _simhash_oracle_sql()
+    return f"""
+SELECT 'full' AS suite_case,
+       CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) AS k,
+       '' AS v_str, CAST(hamming AS DOUBLE) AS v_num
+FROM ({base}) s1
+UNION ALL
+-- incremental ≡ full restricted to pairs touching the shard: pairs
+-- are (least, greatest), so id_b >= cutoff ⇔ at least one shard doc
+SELECT 'inc', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
+       '', CAST(hamming AS DOUBLE)
+FROM ({base}) s2
+WHERE id_b >= (SELECT count(*) // 2 FROM documents)
+"""
 
 
 def _simhash_oracle_sql(max_hamming: int = 12, blocks: int = 4) -> str:
@@ -4715,7 +4751,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "curation_suite": (curation_suite, CURATION_SUITE_SQL),
     # r5: unigram + trigram MinHash configs merged (frees one slot)
     "dedup_minhash_suite": (dedup_minhash_suite, _dedup_minhash_suite_sql),
-    "dedup_simhash": (dedup_simhash, _simhash_oracle_sql()),
+    "dedup_simhash": (dedup_simhash, _simhash_suite_sql),
     "sim_cosine_topk": (sim_cosine_suite, SIM_COSINE_SUITE_SQL),
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
