@@ -3704,7 +3704,23 @@ def dedup_minhash_suite(spark, sf_dir):
         v_str=F.col("edit_dist").cast("string"),
         v_num=F.col("rel_dist"),
     )
-    return _union_all([uni, tri, ed])
+    # 'inc' (r5): the shard-vs-persisted-signature-index path — must
+    # equal the full trigram pair set restricted to shard-touching
+    # pairs (the operator's documented contract, driver-level)
+    cutoff = _table_count(spark, sf_dir, "documents") // 2
+    index = dedup.minhash_signatures(docs.filter(F.col("doc_id") < cutoff)).selectExpr(
+        "id AS doc_id", "sig"
+    )
+    inc = _suite_rows(
+        dedup.minhash_lsh_pairs_incremental(
+            docs.filter(F.col("doc_id") >= cutoff), index,
+            threshold=0.5, num_hashes=16, bands=8, shingle_n=3,
+        ),
+        "inc",
+        F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
+        v_num=F.col("est_jaccard"),
+    )
+    return _union_all([uni, tri, ed, inc])
 
 
 def _dedup_minhash_suite_sql() -> str:
@@ -3733,6 +3749,13 @@ FROM (
   JOIN documents b ON p.id_b = b.doc_id
 ) v
 WHERE rel_dist <= 0.5 AND edit_dist <= ceil(0.5 * ml)
+UNION ALL
+-- incremental ≡ full trigram pairs restricted to shard-touching
+-- pairs ((least, greatest) ordering ⇒ id_b >= cutoff suffices)
+SELECT 'inc', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
+       '', CAST(est_jaccard AS DOUBLE)
+FROM ({_minhash_oracle_sql(shingle_n=3)}) s4
+WHERE id_b >= (SELECT count(*) // 2 FROM documents)
 """
 
 
