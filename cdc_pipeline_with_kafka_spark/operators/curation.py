@@ -775,6 +775,45 @@ def hash_sample_k(
     )
 
 
+def sample_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str,
+    key_col: str,
+    salt: str = "",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic TOKEN-budget carve: rank rows by md5(salt || key)
+    (per stratum) and keep the maximal hash-ordered prefix whose
+    cumulative token count stays ≤ budget_tokens.
+
+    Mixtures are specified in tokens, not document counts (a "30B
+    tokens of web, 5B of code" recipe) — `hash_sample`/`hash_sample_k`
+    carve by rate/row count; this carves by the unit training actually
+    consumes.  Same determinism contract: growth-stable (a new doc
+    enters only by displacing the hash-order boundary), reproducible
+    on any cluster size.
+
+    One window cumsum per stratum — the pack_sequential shuffle shape.
+    Output: input columns + `_cum_tokens` (the running total INCLUDING
+    the row; drop it after auditing).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be ≥ 0, got {budget_tokens}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    parts = [F.col(stratum_col)] if stratum_col else [F.lit(1)]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("_cum_tokens", cum.cast("bigint"))
+        .filter(F.col("_cum_tokens") <= budget_tokens)
+    )
+
+
 def source_stats(
     df: DataFrame,
     source_col: str = "source",

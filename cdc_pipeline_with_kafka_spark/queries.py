@@ -3938,11 +3938,24 @@ def corpus_release_suite(spark, sf_dir):
     shuf_rows = _suite_rows(shuf, "shuf", F.col("doc_id"), v_str=F.col("_shuffle_key"))
     # 'mixk': exact-k-per-stratum eval-set carve (hash_sample_k) — 7
     # docs per language by md5 rank, the growth-stable few-shot picker
-    full = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    full = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     carve = curation.hash_sample_k(full, k=7, key_col="doc_id", salt="carve:",
                                    stratum_col="lang")
     mixk_rows = _suite_rows(carve, "mixk", F.col("doc_id"), v_str=F.col("lang"))
-    return _union_all([mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows])
+    # 'tokb': TOKEN-budget carve (sample_token_budget) — 5000 chars
+    # per language by md5 rank; every kept doc's running total
+    # value-checked (tokens are the unit mixtures are specified in)
+    tokb = curation.sample_token_budget(
+        full, budget_tokens=5000, token_col="n_chars", key_col="doc_id",
+        salt="tok:", stratum_col="lang",
+    )
+    tokb_rows = _suite_rows(
+        tokb, "tokb", F.col("doc_id"),
+        v_str=F.col("lang"), v_num=F.col("_cum_tokens"),
+    )
+    return _union_all(
+        [mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows, tokb_rows]
+    )
 
 
 CORPUS_RELEASE_SUITE_SQL = """
@@ -4008,6 +4021,16 @@ SELECT 'mixk', CAST(doc_id AS VARCHAR), lang, -1.0 FROM (
          ) AS rk
   FROM documents
 ) WHERE rk <= 7
+UNION ALL
+SELECT 'tokb', CAST(doc_id AS VARCHAR), lang, CAST(cum AS DOUBLE) FROM (
+  SELECT doc_id, lang,
+         sum(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY md5('tok:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+) WHERE cum <= 5000
 """
 
 

