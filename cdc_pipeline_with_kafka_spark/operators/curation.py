@@ -782,6 +782,7 @@ def sample_token_budget(
     key_col: str,
     salt: str = "",
     stratum_col: str | None = None,
+    bucket_hex_chars: int = 3,
 ) -> DataFrame:
     """Deterministic TOKEN-budget carve: rank rows by md5(salt || key)
     (per stratum) and keep the maximal hash-ordered prefix whose
@@ -794,23 +795,92 @@ def sample_token_budget(
     enters only by displacing the hash-order boundary), reproducible
     on any cluster size.
 
-    One window cumsum per stratum — the pack_sequential shuffle shape.
+    100 TB shape — TWO-PASS BOUNDARY-BUCKET CARVE, never a global
+    window.  The md5 hex string's lexicographic order equals its
+    numeric order, so its first `bucket_hex_chars` chars (default 3 →
+    4096 buckets) partition the per-stratum total order into
+    contiguous, ordered ranges:
+
+    1. one bounded shuffle aggregates token sums per
+       (stratum, bucket);
+    2. a driver prefix-scan over that ≤ 16^bucket_hex_chars ×
+       n_strata-row table (the ONLY collect — bounded by construction,
+       not by data volume) finds each bucket's entering cumulative
+       offset and discards buckets that start past the budget;
+    3. the per-row cumsum window runs partitioned by
+       (stratum, bucket) — every task holds ~1/4096th of a stratum,
+       and buckets wholly past the boundary never reach the sort.
+
+    Identical output to the single-window formulation (integer sums
+    are associative; within-bucket order is the same (md5, key)
+    order).  Intended for mixture strata (languages/sources/splits —
+    up to thousands of values); the driver table is
+    n_strata × n_used_buckets rows.
+
     Output: input columns + `_cum_tokens` (the running total INCLUDING
     the row; drop it after auditing).
     """
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be ≥ 0, got {budget_tokens}")
+    if not 1 <= bucket_hex_chars <= 8:
+        raise ValueError(f"bucket_hex_chars must be in [1, 8], got {bucket_hex_chars}")
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    parts = [F.col(stratum_col)] if stratum_col else [F.lit(1)]
+    bucket = F.conv(F.substring(h, 1, bucket_hex_chars), 16, 10).cast("int")
+    base = df.withColumn("_tb_h", h).withColumn("_tb_b", bucket)
+    strata = [stratum_col] if stratum_col else []
+
+    # Pass 1: per-(stratum, bucket) token sums — one small shuffle,
+    # output ≤ 16^bucket_hex_chars rows per stratum.
+    bstats = (
+        base.groupBy(*strata, "_tb_b")
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("_tb_sum"))
+        .collect()
+    )
+
+    # Driver prefix-scan (bounded): entering offset per bucket; keep
+    # only buckets whose offset can still admit rows.
+    by_stratum: dict = {}
+    for r in bstats:
+        s = r[stratum_col] if stratum_col else None
+        by_stratum.setdefault(s, []).append((r["_tb_b"], r["_tb_sum"]))
+    offsets = []  # (stratum?, bucket, entering_offset)
+    for s, rows in by_stratum.items():
+        cum = 0
+        for b, tot in sorted(rows):
+            if cum > budget_tokens:
+                break  # token sums are ≥ 0: nothing later can be kept
+            offsets.append((s, b, cum) if stratum_col else (b, cum))
+            cum += tot
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    fields = []
+    if stratum_col:
+        fields.append(StructField(stratum_col, df.schema[stratum_col].dataType, True))
+    fields += [StructField("_tb_b", IntegerType(), True),
+               StructField("_tb_off", LongType(), True)]
+    off_df = spark.createDataFrame(offsets, StructType(fields))
+
+    # Pass 2: broadcast the offset table (prunes past-boundary buckets
+    # before any sort), then a cumsum window per (stratum, bucket).
+    off_small = off_df.withColumnRenamed("_tb_b", "_tb_b2")
+    cond = base["_tb_b"] == F.col("_tb_b2")
+    if stratum_col:
+        off_small = off_small.withColumnRenamed(stratum_col, "_tb_s2")
+        cond = cond & base[stratum_col].eqNullSafe(F.col("_tb_s2"))
+    joined = base.join(F.broadcast(off_small), cond, "inner")
+    parts = ([F.col(stratum_col)] if stratum_col else []) + [F.col("_tb_b")]
     w = (
         Window.partitionBy(*parts)
-        .orderBy(h.asc(), F.col(key_col).asc())
+        .orderBy(F.col("_tb_h").asc(), F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(token_col)).over(w)
+    cum = F.col("_tb_off") + F.sum(F.col(token_col)).over(w)
     return (
-        df.withColumn("_cum_tokens", cum.cast("bigint"))
+        joined.withColumn("_cum_tokens", cum.cast("bigint"))
         .filter(F.col("_cum_tokens") <= budget_tokens)
+        .drop("_tb_h", "_tb_b", "_tb_b2", "_tb_s2", "_tb_off")
     )
 
 

@@ -147,3 +147,22 @@ def test_corpus_release_gate_is_hash_arithmetic(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("SortMergeJoin") <= 2
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_token_budget_carve_no_global_window(spark):
+    """sample_token_budget's per-row cumsum must run partitioned by the
+    md5-range bucket (driver prefix-scan supplies each bucket's
+    entering offset) — never the unpartitioned / per-stratum-global
+    window that serializes the corpus through one task (the defect
+    class train_nb/dsir_select shed in r5)."""
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    for stratum in (None, "lang"):
+        out = curation.sample_token_budget(
+            docs, 5000, "n_chars", "doc_id", salt="tok:", stratum_col=stratum
+        )
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in p
+        assert "SinglePartition" not in p, f"stratum={stratum}: global window"
+        assert "_tb_b" in p  # cumsum partition key includes the bucket
