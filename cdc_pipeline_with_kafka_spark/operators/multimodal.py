@@ -727,11 +727,16 @@ def reencode_jpeg(payload: bytes, qtable_value: int = 8) -> bytes:
     return encode_jpeg_baseline(rgb, qtable_value=qtable_value)
 
 
-def decode_jpeg_features(payload: bytes, dim: int = 8) -> list[float]:
+def decode_jpeg_features(payload: bytes) -> list[float]:
     """REAL in-container JPEG decoder (no external codec).  The vector
-    is 9-dim and SELF-DESCRIBING: element 0 is a decoded flag so a
-    consumer can never mistake one layout for the other on a mixed
-    corpus.  Baseline (SOF0, Huffman) payloads get a FULL pixel decode
+    is 9-dim; element 0 is a decoded flag so the two CURRENT layouts
+    (pixel-decoded vs header-stats fallback, both 9-dim) can never be
+    mistaken for each other.  LAYOUT VERSION BREAK: the pre-r5 8-dim
+    layout put width at element 0, which can equal 1.0 — features
+    persisted by that layout are NOT distinguishable from flag-prefixed
+    vectors by value and must be re-extracted (length 8 vs 9 is the
+    only safe discriminator).  Baseline (SOF0, Huffman) payloads get a
+    FULL pixel decode
     (`_jpeg_decode_pixels`: Huffman → dequant → IDCT → upsample →
     YCbCr→RGB):
 
@@ -832,7 +837,7 @@ def decode_image_features(payload: bytes, dim: int = 8) -> list[float]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_features(payload, dim)
     if payload[:3] == b"\xff\xd8\xff":
-        return decode_jpeg_features(payload, dim)
+        return decode_jpeg_features(payload)
     raise ValueError("unrecognized image container (not PPM/PNG/JPEG)")
 
 
@@ -853,10 +858,19 @@ def decode_mp3_features(payload: bytes, dim: int = 8) -> list[float]:
     """REAL in-container MP3/MPEG-audio CONTAINER parser (no external
     codec): skips an ID3v2 tag, then walks the frame-header chain
     (sync, version, layer, bitrate/samplerate indexes, padding) frame
-    by frame, emitting a fixed 8-dim vector:
+    by frame, emitting a fixed 9-dim vector:
 
       [version, layer, n_frames, duration_s, mean_bitrate_kbps,
-       sample_rate, channels, vbr_flag]
+       sample_rate, channels, vbr_flag, parsed_frac]
+
+    duration_s is accumulated PER FRAME as samples/that-frame's-rate,
+    so sample-rate-switching chains get the correct total (sr in the
+    vector reports the FIRST frame's rate).  parsed_frac is the
+    fraction of payload bytes consumed by the valid frame chain —
+    < 1.0 flags a truncated or partially corrupt stream instead of
+    silently undercounting it.  LAYOUT NOTE: parsed_frac was APPENDED
+    to the previous 8-dim layout (existing element indices unchanged);
+    feature stores written before it can be told apart by length.
 
     Sample synthesis (Huffman + MDCT filterbank) stays out of scope —
     duration/bitrate/channel layout are what audio curation filters
@@ -871,7 +885,7 @@ def decode_mp3_features(payload: bytes, dim: int = 8) -> list[float]:
         )
         pos = 10 + size
     n_frames = 0
-    total_samples = 0.0
+    total_dur = 0.0
     bitrates: list[int] = []
     version = layer = sr = channels = None
     while pos + 4 <= len(payload):
@@ -905,17 +919,18 @@ def decode_mp3_features(payload: bytes, dim: int = 8) -> list[float]:
             version, layer, sr = v, lyr, srate
             channels = 1 if (b3 >> 6) & 3 == 3 else 2
         n_frames += 1
-        total_samples += spf
+        total_dur += spf / srate  # per-frame rate: rate-switch-correct
         bitrates.append(br // 1000)
         pos += frame_len
     if n_frames == 0:
         raise ValueError("no valid MPEG-audio frame chain")
     return [
         float(version), float(layer), float(n_frames),
-        round(total_samples / sr, 6),
+        round(total_dur, 6),
         round(sum(bitrates) / len(bitrates), 6),
         float(sr), float(channels),
         1.0 if len(set(bitrates)) > 1 else 0.0,
+        round(pos / len(payload), 6),
     ]
 
 

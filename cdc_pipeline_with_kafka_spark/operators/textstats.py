@@ -372,10 +372,12 @@ def gopher_rules(
 
     Output: input columns + (n_words, mean_word_len,
     symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
-    alpha_word_frac, required_hits, keep).  All ratios are single
-    int/int float divisions, so the rule booleans are bit-identical
-    across float64 engines (DuckDB oracle replays them exactly).  No
-    explode, no shuffle, no Python.
+    alpha_word_frac, required_hits, keep).  Every ratio — including
+    symbol_word_ratio, whose numerator is kept in 3×-scaled integer
+    units — is a SINGLE int/int float division with no intermediate
+    float additions, so the rule booleans are bit-identical across
+    float64 engines (DuckDB oracle replays them exactly).  No explode,
+    no shuffle, no Python.
     """
     text = F.col(text_col)
     words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != F.lit(""))
@@ -383,12 +385,15 @@ def gopher_rules(
     sum_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
     mean_wl = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(F.lit(0.0))
     n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
-    n_ellipsis = (
-        (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / F.lit(3)
-        + (F.length(text) - F.length(F.regexp_replace(text, "…", "")))
-    )
+    # All-integer numerator scaled by 3 (a '...' contributes its 3
+    # removed chars directly; '#' and '…' are tripled), so the ratio is
+    # ONE int/int double division — no intermediate float additions
+    # whose association could differ from the oracle's.
+    dots_chars = F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    n_uni = F.length(text) - F.length(F.regexp_replace(text, "…", ""))
+    sym3 = F.lit(3) * n_hash + dots_chars + F.lit(3) * n_uni
     symbol_ratio = F.when(
-        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+        n_words > 0, sym3.cast("double") / (F.lit(3) * n_words)
     ).otherwise(F.lit(0.0))
     lines = F.filter(
         F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),

@@ -1841,9 +1841,10 @@ SELECT g_case, g_k, g_vs, g_vn FROM (
                 THEN CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE) / len(words)
                 ELSE 0.0 END AS mean_wl,
            CASE WHEN len(words) > 0
-                THEN CAST((len(text) - len(replace(text, '#', '')))
-                     + (len(text) - len(replace(text, '...', ''))) / 3
-                     + (len(text) - len(replace(text, chr(8230), ''))) AS DOUBLE) / len(words)
+                THEN CAST(3 * (len(text) - len(replace(text, '#', '')))
+                     + (len(text) - len(replace(text, '...', '')))
+                     + 3 * (len(text) - len(replace(text, chr(8230), ''))) AS DOUBLE)
+                     / (3 * len(words))
                 ELSE 0.0 END AS sym_ratio,
            CASE WHEN len(glines) > 0
                 THEN CAST(len(list_filter(glines, l -> regexp_matches(l, '^[•\\-\\*▪●]'))) AS DOUBLE) / len(glines)

@@ -766,15 +766,21 @@ def _make_mp4(dur=90, ts=30, w=640, h=360, v1=False):
 def test_decode_mp3_real_bytes(spark):
     import pytest
 
-    v, lyr, nf, dur, br, sr, ch, vbr = multimodal.decode_mp3_features(_make_mp3())
+    v, lyr, nf, dur, br, sr, ch, vbr, frac = multimodal.decode_mp3_features(_make_mp3())
     assert (v, lyr, nf) == (1.0, 3.0, 3.0)
     assert sr == 44100.0 and ch == 2.0 and vbr == 0.0
     assert br == 128.0  # index 9 in the V1L3 table
     assert abs(dur - 3 * 1152 / 44100) < 1e-5
+    assert frac == 1.0  # whole payload is a valid frame chain
 
     # ID3v2 tag skipped; mono + VBR detected
     f = multimodal.decode_mp3_features(_make_mp3(id3=True, mono=True, vary_bitrate=True))
     assert f[2] == 3.0 and f[6] == 1.0 and f[7] == 1.0
+
+    # truncated chain: garbage tail after the valid frames lowers the
+    # parsed-bytes fraction instead of silently vanishing
+    trunc = multimodal.decode_mp3_features(_make_mp3() + b"\x00" * 400)
+    assert trunc[2] == 3.0 and trunc[8] < 1.0
 
     with pytest.raises(ValueError):
         multimodal.decode_mp3_features(b"\x00\x01\x02\x03")
