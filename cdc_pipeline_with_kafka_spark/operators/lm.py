@@ -175,17 +175,39 @@ def perplexity_buckets(
     points with the mergeable GK sketch (the 100 TB path — exact
     percentile buffers every value per group); the cuts are two scalar
     doubles broadcast into the bucket expression, so the whole pass is
-    score → tiny agg → map."""
+    score → tiny agg → map.
+
+    `approx=False` is the EXACT small-regime branch: each cut is the
+    ppl value at rank ceil(k·n/3) of the sorted finite scores — a
+    type-1 (no-interpolation) quantile computed as ORDER BY + LIMIT →
+    TakeOrderedAndProject + max, so it is rank-deterministic and
+    replayable verbatim by a SQL oracle (no engine-specific
+    interpolation arithmetic, and both branches return actual data
+    values, never synthesized midpoints)."""
     scored = doc_perplexity(docs, model, text_col, id_col)
     finite = scored.filter(F.col("ppl") != float("inf"))
-    probs = F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))
-    agg = (
-        F.approx_percentile(F.col("ppl"), probs, F.lit(10_000))
-        if approx
-        else F.percentile(F.col("ppl"), probs)
-    ).alias("qs")
-    qs = finite.agg(agg).collect()[0]["qs"]
-    lo, hi = (float(qs[0]), float(qs[1])) if qs else (float("inf"), float("inf"))
+    if approx:
+        probs = F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))
+        qs = finite.agg(
+            F.approx_percentile(F.col("ppl"), probs, F.lit(10_000)).alias("qs")
+        ).collect()[0]["qs"]
+        lo, hi = (float(qs[0]), float(qs[1])) if qs else (float("inf"), float("inf"))
+    else:
+        n = finite.count()
+        if n == 0:
+            lo = hi = float("inf")
+        else:
+            def _cut(rank: int) -> float:
+                row = (
+                    finite.orderBy(F.col("ppl").asc())
+                    .limit(rank)
+                    .agg(F.max("ppl"))
+                    .collect()[0][0]
+                )
+                return float(row)
+
+            lo = _cut(-(-n // 3))
+            hi = _cut(-(-2 * n // 3))
     bucket = (
         F.when(F.col("ppl") <= lo, F.lit("head"))
         .when(F.col("ppl") <= hi, F.lit("middle"))

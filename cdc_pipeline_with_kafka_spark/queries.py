@@ -4616,9 +4616,7 @@ def classify_suite(spark, sf_dir):
     )
     # r5: 'ppl' — CCNet bigram-LM perplexity per doc (lm.py); the
     # deterministic trainer (ordered-limit sample, lexicographic vocab
-    # ties) makes the scores pinned-model-oracle-checkable.  The
-    # tercile BUCKETS stay pytest (approx_percentile sketch cuts are
-    # engine-specific).
+    # ties) makes the scores pinned-model-oracle-checkable.
     from .operators import lm as lm_ops
 
     model = lm_ops.train_bigram_lm(docs)
@@ -4626,7 +4624,15 @@ def classify_suite(spark, sf_dir):
         lm_ops.doc_perplexity(docs, model), "ppl",
         F.col("doc_id"), v_num=F.col("ppl"),
     )
-    return _union_all([nb, nbp, dsir, ppl])
+    # r6: 'pplb' — the CCNet head/middle/tail terciles via the EXACT
+    # rank-based branch (value at rank ceil(k·n/3), TakeOrdered cuts):
+    # bucket assignment is value-checked per doc; the GK-sketch branch
+    # stays the 100 TB path with a pytest equivalence-at-tolerance.
+    pplb = _suite_rows(
+        lm_ops.perplexity_buckets(docs, model, approx=False), "pplb",
+        F.col("doc_id"), v_str=F.col("bucket"), v_num=F.col("ppl"),
+    )
+    return _union_all([nb, nbp, dsir, ppl, pplb])
 
 
 CLASSIFY_SUITE_SQL = """
@@ -4715,26 +4721,52 @@ FROM dsir
 
 
 def _classify_suite_sql() -> str:
-    """CLASSIFY_SUITE_SQL + the 'ppl' branch as a pinned-model VALUES
-    table: the identical pure-Python bigram LM
+    """CLASSIFY_SUITE_SQL + the 'ppl'/'pplb' branches from a
+    pinned-model VALUES table: the identical pure-Python bigram LM
     (lm.train_bigram_lm_from_texts — the trainer core the Spark path
     collects into) retrained off-Spark over the same parquet, scored
-    driver-side with the same round-6 policy.  Lazily built."""
+    driver-side with the same round-6 policy.  The tercile cuts are
+    recomputed IN SQL from that table with the same rank-ceil(k·n/3)
+    definition the exact Spark branch uses (only n itself comes from
+    the replay — a structural count).  Lazily built."""
     from .operators import lm as lm_ops
 
     rows = _oracle_docs()
     model = lm_ops.train_bigram_lm_from_texts([t for _, t in rows[:50_000]])
     vals = []
+    n_finite = 0
     for doc_id, text in rows:
         p = round(model.perplexity(text), 6)
         lit = "CAST('infinity' AS DOUBLE)" if p == float("inf") else repr(p)
         vals.append(f"({doc_id}, {lit})")
-    return (
-        CLASSIFY_SUITE_SQL
-        + "\nUNION ALL\nSELECT 'ppl', CAST(doc_id AS VARCHAR), '', "
-        "CAST(p AS DOUBLE) FROM (VALUES "
+        if p != float("inf"):
+            n_finite += 1
+    if n_finite:
+        r1, r2 = -(-n_finite // 3), -(-2 * n_finite // 3)
+        cuts = (
+            f"pcuts AS (SELECT (SELECT max(p) FROM (SELECT p FROM pplv "
+            f"WHERE isfinite(p) ORDER BY p LIMIT {r1})) AS lo, "
+            f"(SELECT max(p) FROM (SELECT p FROM pplv "
+            f"WHERE isfinite(p) ORDER BY p LIMIT {r2})) AS hi),\n"
+        )
+    else:
+        cuts = ("pcuts AS (SELECT CAST('infinity' AS DOUBLE) AS lo, "
+                "CAST('infinity' AS DOUBLE) AS hi),\n")
+    sql = CLASSIFY_SUITE_SQL.replace(
+        "WITH base AS (",
+        "WITH pplv AS (SELECT * FROM (VALUES "
         + ", ".join(vals)
-        + ") AS pplv(doc_id, p)"
+        + ") AS v(doc_id, p)),\n" + cuts + "base AS (",
+        1,
+    )
+    return (
+        sql
+        + "\nUNION ALL\nSELECT 'ppl', CAST(doc_id AS VARCHAR), '', "
+        "CAST(p AS DOUBLE) FROM pplv"
+        + "\nUNION ALL\nSELECT 'pplb', CAST(doc_id AS VARCHAR), "
+        "CASE WHEN p <= (SELECT lo FROM pcuts) THEN 'head' "
+        "WHEN p <= (SELECT hi FROM pcuts) THEN 'middle' ELSE 'tail' END, "
+        "CAST(p AS DOUBLE) FROM pplv"
     )
 
 

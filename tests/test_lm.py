@@ -90,3 +90,27 @@ def test_perplexity_buckets_terciles(spark):
     exact = {r["doc_id"]: r["bucket"]
              for r in lm.perplexity_buckets(docs, model, approx=False).collect()}
     assert exact == out
+
+
+def test_buckets_exact_vs_gk_equivalence_at_tolerance(spark):
+    """The GK-sketch terciles (100 TB path) must agree with the exact
+    rank-based cuts up to sketch accuracy: both branches return actual
+    data values (no interpolation), so at n ≪ accuracy=10k the sketch
+    is lossless and bucket assignment may differ only on docs tied at
+    a cut boundary."""
+    from .conftest import SF_CORRECT
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    model = lm.train_bigram_lm(docs)
+    exact = {r.doc_id: r.bucket
+             for r in lm.perplexity_buckets(docs, model, approx=False).collect()}
+    gk = {r.doc_id: r.bucket
+          for r in lm.perplexity_buckets(docs, model).collect()}
+    assert exact.keys() == gk.keys()
+    n = len(exact)
+    n_diff = sum(1 for k in exact if exact[k] != gk[k])
+    assert n_diff / n <= 0.02, f"{n_diff}/{n} bucket disagreements"
