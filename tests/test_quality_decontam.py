@@ -3,6 +3,7 @@ decontamination, and int8 embedding quantization."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_pipeline_with_kafka_spark.operators import curation, similarity, textstats
@@ -465,3 +466,56 @@ def test_doc_embedding_order_pinned_fold(spark):
 
     want = np.mean([r[2] for r in rows], axis=0)
     assert np.allclose(a, want)
+
+
+@pytest.mark.parametrize("cut_frac", ["zero", "one", "half", "all_but_one", "all"])
+def test_incremental_equivalence_boundary_shards(spark, cut_frac):
+    """incremental ≡ full restricted-to-shard must hold at the shard
+    boundaries where incremental paths historically break: empty index
+    (cold start), single-doc index, the half split the driver gate
+    uses, single-doc shard, and empty shard (no-op ingest) — for BOTH
+    MinHash-LSH and SimHash."""
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs before the night falls",
+        "a stitch in time saves nine but only when the thread holds firm",
+        "all that glitters is not gold yet the miners keep on digging deep",
+    ]
+    rows = []
+    for i in range(20):
+        t = base[i % 4]
+        if i >= 12:
+            t = t + f" tail{i}"  # near-dup variants of the same bases
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = len(rows)
+    cut = {"zero": 0, "one": 1, "half": n // 2, "all_but_one": n - 1, "all": n}[cut_frac]
+    old = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+    new_ids = set(range(cut, n))
+
+    mh_index = dedup.minhash_signatures(old).selectExpr("id AS doc_id", "sig")
+    inc = dedup.minhash_lsh_pairs_incremental(new, mh_index, threshold=0.5)
+    full = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["est_jaccard"]) for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    )
+    got = sorted((r["id_a"], r["id_b"], r["est_jaccard"]) for r in inc.collect())
+    assert got == want
+    if cut_frac in ("zero", "one", "half"):
+        assert len(got) > 0  # non-vacuous where the shard holds dups
+
+    sh_index = dedup.simhash_fingerprints(old)
+    inc_s = dedup.simhash_pairs_incremental(new, sh_index, max_hamming=12)
+    full_s = dedup.simhash_pairs(docs, max_hamming=12)
+    want_s = sorted(
+        (r["id_a"], r["id_b"], r["hamming"]) for r in full_s.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    )
+    got_s = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in inc_s.collect())
+    assert got_s == want_s
+    if cut_frac in ("zero", "one", "half"):
+        assert len(got_s) > 0
