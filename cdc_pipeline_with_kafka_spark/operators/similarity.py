@@ -950,9 +950,21 @@ def doc_embedding_from_chunks(
     before the fold: float addition is order-dependent, so without it
     the pooled vector can drift by an ulp between runs/cluster
     layouts (collect_list order is not deterministic).  With it the
-    result is bit-stable and oracle-checkable.
+    result is bit-stable and oracle-checkable.  Pooling WITHOUT an
+    order column emits a RuntimeWarning so nondeterminism is never
+    silent on the default path.
     """
     if order_col is None:
+        import warnings
+
+        warnings.warn(
+            "doc_embedding_from_chunks called without order_col: "
+            "collect_list order is nondeterministic, so pooled vectors "
+            "may drift by an ulp between runs — pass order_col (e.g. "
+            "chunk_idx) for bit-stable output.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         agg = F.collect_list(F.col(vec_col)).alias("_chunks")
         chunks: Column = F.col("_chunks")
     else:

@@ -324,14 +324,21 @@ def test_mean_pool_and_doc_embedding(spark):
         [(1, 0, [1.0, 2.0]), (1, 1, [3.0, 4.0]), (2, 0, [5.0, 6.0])],
         "doc_id long, chunk_idx int, embedding array<double>",
     )
-    out = {
-        r["doc_id"]: r["embedding"]
-        for r in similarity.doc_embedding_from_chunks(df).collect()
-    }
+    # the no-order path must WARN (nondeterministic fold order is
+    # never silent); the ordered path must not
+    with pytest.warns(RuntimeWarning, match="without order_col"):
+        unordered = similarity.doc_embedding_from_chunks(df)
+    out = {r["doc_id"]: r["embedding"] for r in unordered.collect()}
     assert out[1] == [2.0, 3.0]  # mean of (1,2) and (3,4)
     assert out[2] == [5.0, 6.0]  # single chunk is its own mean
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        ordered = similarity.doc_embedding_from_chunks(df, order_col="chunk_idx")
     # pooled doc embeddings feed straight into cosine_topk
-    pooled = similarity.doc_embedding_from_chunks(df).withColumnRenamed("doc_id", "vec_id")
+    with pytest.warns(RuntimeWarning):
+        pooled = similarity.doc_embedding_from_chunks(df).withColumnRenamed("doc_id", "vec_id")
     topk = similarity.cosine_topk(
         pooled, pooled.selectExpr("vec_id AS query_id", "embedding"), k=1
     )
