@@ -544,3 +544,72 @@ def test_foreachbatch_admit_with_passage_strip(spark, tmp_path):
     assert got[10] == ("one two three four five six seven eight nine ten "
                        "eleven twelve thirteen fourteen fifteen sixteen")
     assert spark.read.parquet(windows).count() > 0
+
+
+def test_passage_tier_crash_replay_matches_uninterrupted_run(spark, tmp_path):
+    """Failure injection for the span-variant of the admission sink:
+    crash AFTER the windows_delta/sigs/hashes index appends but BEFORE
+    the corpus write, replay the batch, and assert both the admitted
+    TEXT and the persisted WINDOW INDEX are row-identical to an
+    uninterrupted twin.  This fails if the batch_id exclusion is
+    dropped from the windows read: the replayed batch would then strip
+    its own docs against their first attempt's window hashes (every
+    ≥k-token doc in the batch is a full self-overlap), mangling the
+    admitted text."""
+    import shutil
+
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta and one unique closing line")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            # repeats a corpus span (but under the near-dup threshold)
+            # → must be span-stripped on replay too
+            (10, "fresh intro with many extra leading words here alpha beta gamma "
+                 "delta epsilon zeta eta theta plus plenty of genuinely new trailing "
+                 "content about completely different topics"),
+            # fresh ≥k-token doc: self-strips to nothing if the replay
+            # reads its own first-attempt windows_delta
+            (11, "entirely new material that shares nothing with the corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def run(root, crash_replay: bool):
+        p = {k: str(root / k) for k in ("corpus", "sigs", "hashes", "windows")}
+        sink = pipeline.make_admit_shard_sink(
+            p["corpus"], p["sigs"], p["hashes"],
+            windows_path=p["windows"], span_k=5,
+        )
+        sink(b0, 0)
+        sink(b1, 1)
+        if crash_replay:
+            # crash point: windows/sigs/hashes appends for batch 1 are
+            # on disk, the corpus write is not — checkpoint replays
+            shutil.rmtree(f"{p['corpus']}/batch_id=1")
+            sink(b1, 1)
+        return p
+
+    ref = tmp_path / "ref"
+    crash = tmp_path / "crash"
+    ref.mkdir()
+    crash.mkdir()
+    rp = run(ref, crash_replay=False)
+    cp = run(crash, crash_replay=True)
+    for key in ("corpus", "sigs", "hashes", "windows"):
+        want = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(rp[key]).collect()
+        )
+        got = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(cp[key]).collect()
+        )
+        assert got == want, f"{key} diverged after passage-tier crash-replay"
+    texts = {r["doc_id"]: r["text"] for r in spark.read.parquet(cp["corpus"]).collect()}
+    assert texts[11] == "entirely new material that shares nothing with the corpus at all"
+    assert "alpha beta gamma delta epsilon" not in texts[10]  # span stripped
+    assert "fresh intro" in texts[10]
