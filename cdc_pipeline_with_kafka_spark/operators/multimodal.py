@@ -337,47 +337,40 @@ def _dct_matrix():
     return T
 
 
-class _JpegBitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; restart markers are consumed via sync_restart()."""
+def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Vectorized entropy-scan preprocessing: starting at ``pos``,
+    classify every 0xFF in ONE numpy pass (stuffed 0xFF00 / RSTn
+    restart marker / terminating marker or EOF), strip the stuffing
+    bytes with `np.delete`, and return one unstuffed bytes chunk per
+    restart interval.  This removes the per-byte Python marker checks
+    from the decode loop entirely — the sequential Huffman walk then
+    runs over plain unstuffed bytes."""
+    import numpy as np
 
-    def __init__(self, data: bytes, pos: int):
-        self.d = data
-        self.p = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.p >= len(self.d):
-                raise ValueError("truncated JPEG scan")
-            b = self.d[self.p]
-            self.p += 1
-            if b == 0xFF:
-                nxt = self.d[self.p] if self.p < len(self.d) else None
-                if nxt == 0x00:
-                    self.p += 1
-                else:
-                    raise ValueError("unexpected marker inside entropy data")
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def sync_restart(self) -> None:
-        """Byte-align and consume the RSTn marker between intervals."""
-        self.nbits = 0
-        if self.p + 1 >= len(self.d) or self.d[self.p] != 0xFF or not (
-            0xD0 <= self.d[self.p + 1] <= 0xD7
-        ):
-            raise ValueError("missing JPEG restart marker")
-        self.p += 2
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.shape[0]
+    ffs = np.nonzero(arr[pos:] == 0xFF)[0] + pos
+    valid = ffs[ffs + 1 < n]
+    nxt = arr[valid + 1]
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    term = valid[(nxt != 0) & ~is_rst]
+    if term.size:
+        end = int(term[0])
+    elif ffs.size and int(ffs[-1]) == n - 1:
+        end = int(ffs[-1])  # lone trailing 0xFF: scan data ends there
+    else:
+        end = n
+    sel = valid < end
+    valid, nxt = valid[sel], nxt[sel]
+    stuffed_zeros = valid[nxt == 0] + 1  # positions of the 0x00 pads
+    rsts = valid[(nxt >= 0xD0) & (nxt <= 0xD7)]
+    segments: list[bytes] = []
+    seg_start = pos
+    for b in rsts.tolist() + [end]:
+        dl = stuffed_zeros[(stuffed_zeros >= seg_start) & (stuffed_zeros < b)]
+        segments.append(np.delete(arr[seg_start:b], dl - seg_start).tobytes())
+        seg_start = b + 2  # skip the RSTn marker bytes
+    return segments
 
 
 def _huff_decode_map(bits: list[int], vals: bytes) -> dict:
@@ -393,14 +386,19 @@ def _huff_decode_map(bits: list[int], vals: bytes) -> dict:
     return out
 
 
-def _huff_read(reader: _JpegBitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+def _huff_lut(table: dict) -> tuple[int, list[int]]:
+    """Flat table-driven decoder from a canonical (length, code)→sym
+    map: (maxlen, lut) where lut[peek(maxlen)] = (sym << 5) | length
+    and 0 marks an invalid prefix.  Each code fills its 2^(maxlen−len)
+    aliases with one slice assignment, so the build is O(table size),
+    and a symbol decode is one list index."""
+    maxlen = max(length for length, _ in table)
+    lut = [0] * (1 << maxlen)
+    for (length, code), sym in table.items():
+        span = 1 << (maxlen - length)
+        start = code << (maxlen - length)
+        lut[start : start + span] = [(sym << 5) | length] * span
+    return maxlen, lut
 
 
 def _extend(v: int, s: int) -> int:
@@ -513,45 +511,133 @@ def _jpeg_decode_pixels_inner(payload: bytes):
         c["id"]: np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8))
         for c in comps
     }
-    reader = _JpegBitReader(payload, scan_pos)
+    segments = _split_entropy_segments(payload, scan_pos)
+    dc_luts = {th: _huff_lut(t) for th, t in huff_dc.items()}
+    ac_luts = {th: _huff_lut(t) for th, t in huff_ac.items()}
+    # the sequential pass only DECODES coefficients — pure-int Python
+    # with the bit accumulator INLINED as locals (the call overhead of
+    # a reader object is ~3× the arithmetic at this grain); dequant,
+    # de-zigzag, IDCT and plane assembly are batched numpy afterwards.
+    # acc holds `nbits` MSB-first bits; past the segment end, zero pad
+    # bits are appended and `pad` tracks them — CONSUMING one raises
+    # (truncation detection).
+    coeffs: dict[int, list] = {c["id"]: [] for c in comps}
+    coords: dict[int, list] = {c["id"]: [] for c in comps}
     pred = {c["id"]: 0 for c in comps}
+    seg_i = 0
+    d = segments[0]
+    nd = len(d)
+    p = acc = nbits = pad = 0
     mcu_i = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                reader.sync_restart()
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing JPEG restart marker")
+                d = segments[seg_i]
+                nd = len(d)
+                p = acc = nbits = pad = 0
                 pred = {c["id"]: 0 for c in comps}
             mcu_i += 1
             for c in comps:
-                dc_tbl = huff_dc[scan_tables[c["id"]][0]]
-                ac_tbl = huff_ac[scan_tables[c["id"]][1]]
-                q = qt[c["tq"]]
+                dc_len, dc_lut = dc_luts[scan_tables[c["id"]][0]]
+                ac_len, ac_lut = ac_luts[scan_tables[c["id"]][1]]
+                cid = c["id"]
+                pred_c = pred[cid]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64)
-                        s = _huff_read(reader, dc_tbl)
-                        diff = _extend(reader.receive(s), s)
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
+                        zz = [0] * 64
+                        # refill to ≥32 bits (4-byte batch when
+                        # available): covers dc_len(≤16)+s(≤15)
+                        if nbits < 32:
+                            if p + 4 <= nd:
+                                acc = ((acc & ((1 << nbits) - 1)) << 32) | int.from_bytes(d[p : p + 4], "big")
+                                p += 4
+                                nbits += 32
+                            else:
+                                while nbits < 32:
+                                    if p < nd:
+                                        acc = ((acc & ((1 << nbits) - 1)) << 8) | d[p]
+                                        p += 1
+                                    else:
+                                        acc = (acc & ((1 << nbits) - 1)) << 8
+                                        pad += 8
+                                    nbits += 8
+                        e = dc_lut[(acc >> (nbits - dc_len)) & ((1 << dc_len) - 1)]
+                        if e == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        nbits -= e & 31
+                        s = e >> 5
+                        if s:
+                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                            nbits -= s
+                            pred_c += v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        if nbits < pad:
+                            raise ValueError("truncated JPEG scan")
+                        zz[0] = pred_c
                         k = 1
                         while k < 64:
-                            rs = _huff_read(reader, ac_tbl)
-                            r, size_ = rs >> 4, rs & 0xF
+                            # refill to ≥31: covers ac_len(≤16)+size(≤15)
+                            if nbits < 31:
+                                if p + 4 <= nd:
+                                    acc = ((acc & ((1 << nbits) - 1)) << 32) | int.from_bytes(d[p : p + 4], "big")
+                                    p += 4
+                                    nbits += 32
+                                else:
+                                    while nbits < 32:
+                                        if p < nd:
+                                            acc = ((acc & ((1 << nbits) - 1)) << 8) | d[p]
+                                            p += 1
+                                        else:
+                                            acc = (acc & ((1 << nbits) - 1)) << 8
+                                            pad += 8
+                                        nbits += 8
+                            e = ac_lut[(acc >> (nbits - ac_len)) & ((1 << ac_len) - 1)]
+                            if e == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            nbits -= e & 31
+                            rs = e >> 5
+                            size_ = rs & 0xF
                             if size_ == 0:
-                                if r == 15:
+                                if nbits < pad:
+                                    raise ValueError("truncated JPEG scan")
+                                if rs == 0xF0:
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("JPEG AC run overflow")
-                            zz[k] = _extend(reader.receive(size_), size_)
+                            v = (acc >> (nbits - size_)) & ((1 << size_) - 1)
+                            nbits -= size_
+                            if nbits < pad:
+                                raise ValueError("truncated JPEG scan")
+                            zz[k] = (
+                                v - (1 << size_) + 1
+                                if v < (1 << (size_ - 1))
+                                else v
+                            )
                             k += 1
-                        block = np.zeros(64)
-                        block[_JPEG_ZIGZAG] = zz * q
-                        spatial = T.T @ block.reshape(8, 8) @ T + 128.0
-                        y0, x0 = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                        pred[cid] = pred_c
+                        coeffs[cid].append(zz)
+                        coords[cid].append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                        )
+
+    for c in comps:
+        cid = c["id"]
+        if not coeffs[cid]:
+            continue
+        zzs = np.asarray(coeffs[cid], dtype=np.float64)  # (N, 64) zigzag
+        deq = np.empty_like(zzs)
+        deq[:, _JPEG_ZIGZAG] = zzs * qt[c["tq"]][None, :]
+        blocks = deq.reshape(-1, 8, 8)
+        # batched 2-D IDCT: Tᵀ·F·T over every block in two tensordots
+        spatial = np.einsum("ij,njk,kl->nil", T.T, blocks, T) + 128.0
+        plane = planes[cid]
+        for (y0, x0), sp in zip(coords[cid], spatial):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = sp
 
     full = []
     for c in comps:
