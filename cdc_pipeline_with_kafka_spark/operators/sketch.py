@@ -108,14 +108,11 @@ def heavy_hitters(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cnt"), F.asc(key_col))
-    topk = (
-        exact.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .drop("rnk")
-    )
+    # ORDER BY + LIMIT → TakeOrderedAndProject: the candidate table is
+    # already bounded (≤ p·m rows), but the bounded-partials + driver
+    # merge shape never materializes a single-task global sort either
+    # way (the same rewrite train_nb/dsir_select got in r5)
+    topk = exact.orderBy(F.desc("cnt"), F.asc(key_col)).limit(k)
     return topk, bound
 
 
