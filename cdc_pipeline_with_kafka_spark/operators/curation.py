@@ -1097,3 +1097,70 @@ def release_corpus(
         sort_cols=None, max_records_per_file=max_records_per_file,
     )
     return docs.sparkSession.read.parquet(out_path)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_phases: int = 3,
+    cuts: list[float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "",
+    ascending: bool = True,
+) -> DataFrame:
+    """Phase-bucketed curriculum ordering: assign every document a
+    training PHASE by its score (quality, perplexity, length — the
+    standard quality-annealed data schedule: low phases first, the
+    best data last), with a deterministic hash shuffle WITHIN each
+    phase.
+
+    Pass explicit ``cuts`` (ascending phase boundaries; phase i = the
+    rows with score ≤ cuts[i], last phase = the rest) for the 100 TB
+    path — thresholds come from a prior `quantile_summary`/
+    `source_stats` pass or the training recipe itself.  With
+    ``cuts=None`` the n_phases−1 boundaries are computed EXACTLY as
+    rank-ceil(k·n/n_phases) score values via ORDER BY + LIMIT →
+    TakeOrderedAndProject (the small-regime branch `lm.
+    perplexity_buckets` uses — rank-deterministic, oracle-replayable,
+    never an unpartitioned window).  ``ascending=False`` flips the
+    phase direction (highest scores train first).
+
+    Output: input columns + ``phase`` (0-based int) + ``_order_key``
+    (md5(salt ‖ phase ‖ key)).  (phase, _order_key) is the total
+    training order; deliberately NO global row index — writers sort by
+    it per file (`shuffle_deterministic`'s repartitionByRange shape),
+    so producing the manifest never serializes the corpus through one
+    task.  Re-salt per epoch for a fresh within-phase order while the
+    phase schedule stays fixed."""
+    if n_phases < 1:
+        raise ValueError(f"n_phases must be ≥ 1, got {n_phases}")
+    sc = F.col(score_col)
+    if cuts is None:
+        finite = df.filter(sc.isNotNull())
+        n = finite.count()
+        cuts = []
+        for k in range(1, n_phases):
+            r = -(-k * n // n_phases)
+            if r < 1:
+                continue
+            row = (
+                finite.orderBy(sc.asc())
+                .limit(r)
+                .agg(F.max(sc))
+                .collect()[0][0]
+            )
+            cuts.append(float(row))
+    if sorted(cuts) != list(cuts):
+        raise ValueError(f"cuts must be ascending, got {cuts}")
+    phase: Column = F.lit(len(cuts))
+    for i in range(len(cuts) - 1, -1, -1):
+        phase = F.when(sc <= F.lit(cuts[i]), F.lit(i)).otherwise(phase)
+    if not ascending:
+        phase = F.lit(len(cuts)) - phase
+    order_key = F.md5(
+        F.concat(F.lit(salt), phase.cast("string"), F.lit("|"),
+                 F.col(key_col).cast("string"))
+    )
+    return df.withColumn("phase", phase.cast("int")).withColumn(
+        "_order_key", order_key
+    )

@@ -3954,8 +3954,20 @@ def corpus_release_suite(spark, sf_dir):
         tokb, "tokb", F.col("doc_id"),
         v_str=F.col("lang"), v_num=F.col("_cum_tokens"),
     )
+    # 'curr': curriculum ordering (r6) — 3 phases cut at the EXACT
+    # rank-ceil(k·n/3) n_chars terciles (TakeOrdered cuts, the pplb
+    # machinery), deterministic within-phase order key; every doc's
+    # (phase, order_key) value-checked
+    curr = curation.curriculum_order(
+        full, score_col="n_chars", n_phases=3, salt="cur:",
+    )
+    curr_rows = _suite_rows(
+        curr, "curr", F.col("doc_id"),
+        v_str=F.col("_order_key"), v_num=F.col("phase"),
+    )
     return _union_all(
-        [mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows, tokb_rows]
+        [mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows, tokb_rows,
+         curr_rows]
     )
 
 
@@ -4032,6 +4044,27 @@ SELECT 'tokb', CAST(doc_id AS VARCHAR), lang, CAST(cum AS DOUBLE) FROM (
          ) AS cum
   FROM documents
 ) WHERE cum <= 5000
+UNION ALL
+SELECT 'curr', CAST(doc_id AS VARCHAR),
+       md5('cur:' || CAST(phase AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)),
+       CAST(phase AS DOUBLE)
+FROM (
+  WITH ranked AS (
+    SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+           count(*) OVER () AS n
+    FROM documents WHERE n_chars IS NOT NULL
+  ),
+  ccuts AS (
+    SELECT max(CASE WHEN rn = (n + 2) // 3 THEN n_chars END) AS c1,
+           max(CASE WHEN rn = (2 * n + 2) // 3 THEN n_chars END) AS c2
+    FROM ranked
+  )
+  SELECT doc_id,
+         CASE WHEN n_chars <= (SELECT c1 FROM ccuts) THEN 0
+              WHEN n_chars <= (SELECT c2 FROM ccuts) THEN 1
+              ELSE 2 END AS phase
+  FROM documents
+)
 """
 
 

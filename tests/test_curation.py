@@ -719,3 +719,54 @@ def test_sample_token_budget_properties(spark):
     assert got2 == got
     with _pytest.raises(ValueError):
         curation.sample_token_budget(df, -1, "n_tok", "doc_id")
+
+
+def test_curriculum_order_phases_and_determinism(spark):
+    """Phase assignment by explicit cuts and by exact rank-terciles;
+    within-phase order is a deterministic salt-keyed permutation; the
+    manifest plan is a pure map — zero exchanges, no global window."""
+    import pytest as _pytest
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, score int")
+
+    # explicit cuts: the 100 TB path (thresholds from the recipe)
+    out = curation.curriculum_order(
+        df, "score", cuts=[25.0, 60.0], salt="e0:"
+    )
+    got = {r.doc_id: r.phase for r in out.collect()}
+    for i, s in rows:
+        want = 0 if s <= 25 else (1 if s <= 60 else 2)
+        assert got[i] == want
+    # descending: best data (phase high scores) first
+    desc = curation.curriculum_order(
+        df, "score", cuts=[25.0, 60.0], salt="e0:", ascending=False
+    )
+    gd = {r.doc_id: r.phase for r in desc.collect()}
+    assert all(gd[i] == 2 - got[i] for i, _ in rows)
+
+    # exact rank-tercile cuts: ceil(k*n/3)-th smallest score values
+    auto = curation.curriculum_order(df, "score", n_phases=3, salt="e0:")
+    scores = sorted(s for _, s in rows)
+    n = len(scores)
+    c1, c2 = scores[-(-n // 3) - 1], scores[-(-2 * n // 3) - 1]
+    ga = {r.doc_id: r.phase for r in auto.collect()}
+    for i, s in rows:
+        assert ga[i] == (0 if s <= c1 else (1 if s <= c2 else 2))
+    # phases are roughly balanced and the order key is salt-stable
+    k1 = {r.doc_id: r._order_key for r in auto.collect()}
+    k2 = {r.doc_id: r._order_key for r in curation.curriculum_order(
+        df, "score", n_phases=3, salt="e0:").collect()}
+    assert k1 == k2
+    k3 = {r.doc_id: r._order_key for r in curation.curriculum_order(
+        df, "score", n_phases=3, salt="e1:").collect()}
+    assert k1 != k3  # fresh epoch order under a new salt
+
+    # manifest plan: pure map stage (cuts are literals), no exchange
+    from cdc_pipeline_with_kafka_spark import plans
+    assert plans.exchange_count(out) == 0
+
+    with _pytest.raises(ValueError):
+        curation.curriculum_order(df, "score", cuts=[60.0, 25.0])
+    with _pytest.raises(ValueError):
+        curation.curriculum_order(df, "score", n_phases=0)
