@@ -169,6 +169,7 @@ def perplexity_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     approx: bool = True,
+    scored_df: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail: (id, ppl, bucket) with bucket cut at the
     corpus's perplexity terciles.  `approx=True` computes the two cut
@@ -183,8 +184,17 @@ def perplexity_buckets(
     TakeOrderedAndProject + max, so it is rank-deterministic and
     replayable verbatim by a SQL oracle (no engine-specific
     interpolation arithmetic, and both branches return actual data
-    values, never synthesized midpoints)."""
-    scored = doc_perplexity(docs, model, text_col, id_col)
+    values, never synthesized midpoints).
+
+    Pass ``scored_df`` (a `doc_perplexity` output, possibly pinned
+    with localCheckpoint) to reuse already-computed scores — a caller
+    that also reports the raw perplexities halves the Arrow scoring
+    passes (the `remove_duplicated_spans(spans_df=…)` pattern)."""
+    scored = (
+        scored_df
+        if scored_df is not None
+        else doc_perplexity(docs, model, text_col, id_col)
+    )
     finite = scored.filter(F.col("ppl") != float("inf"))
     if approx:
         probs = F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))

@@ -4653,8 +4653,12 @@ def classify_suite(spark, sf_dir):
     from .operators import lm as lm_ops
 
     model = lm_ops.train_bigram_lm(docs)
+    # pin the per-doc scores once: 'ppl' and 'pplb' both read them,
+    # and the tercile cuts replay the same pinned values — one Arrow
+    # scoring pass for the whole LM tier (the spans_df reuse pattern)
+    ppl_scored = lm_ops.doc_perplexity(docs, model).localCheckpoint()
     ppl = _suite_rows(
-        lm_ops.doc_perplexity(docs, model), "ppl",
+        ppl_scored, "ppl",
         F.col("doc_id"), v_num=F.col("ppl"),
     )
     # r6: 'pplb' — the CCNet head/middle/tail terciles via the EXACT
@@ -4662,7 +4666,9 @@ def classify_suite(spark, sf_dir):
     # bucket assignment is value-checked per doc; the GK-sketch branch
     # stays the 100 TB path with a pytest equivalence-at-tolerance.
     pplb = _suite_rows(
-        lm_ops.perplexity_buckets(docs, model, approx=False), "pplb",
+        lm_ops.perplexity_buckets(docs, model, approx=False,
+                                  scored_df=ppl_scored),
+        "pplb",
         F.col("doc_id"), v_str=F.col("bucket"), v_num=F.col("ppl"),
     )
     return _union_all([nb, nbp, dsir, ppl, pplb])
