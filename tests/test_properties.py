@@ -526,3 +526,39 @@ def test_media_parsers_raise_only_valueerror(prefix, tail):
         except ValueError:
             continue
         assert isinstance(out, list) and all(isinstance(x, float) for x in out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=25),
+    budget=st.integers(min_value=0, max_value=4000),
+)
+def test_token_budget_two_pass_matches_model(spark, toks, budget):
+    """The r6 two-pass boundary-bucket carve ≡ the reference model
+    (sort by (md5, key), keep every row whose running total fits the
+    budget) — including zero-token docs, budget=0, and a budget larger
+    than the corpus.  Also invariant to the bucket granularity: 16
+    buckets and 4096 buckets must produce identical rows (the
+    boundary-bucket carve is a pure partitioning of the same total
+    order)."""
+    import hashlib
+
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    rows = list(enumerate(toks))
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    ranked = sorted(rows, key=lambda r: (hashlib.md5(f"h:{r[0]}".encode()).hexdigest(), r[0]))
+    want, cum = set(), 0
+    for did, nt in ranked:
+        cum += nt
+        if cum <= budget:
+            want.add((did, cum))
+    outs = []
+    for hex_chars in (1, 3):
+        out = curation.sample_token_budget(
+            df, budget, "n_tok", "doc_id", salt="h:",
+            bucket_hex_chars=hex_chars,
+        )
+        outs.append({(r.doc_id, r._cum_tokens) for r in out.collect()})
+    assert outs[0] == want
+    assert outs[1] == want
