@@ -1164,3 +1164,87 @@ def curriculum_order(
     return df.withColumn("phase", phase.cast("int")).withColumn(
         "_order_key", order_key
     )
+
+
+def plan_epoch_mixture(
+    sources: DataFrame,
+    budget_tokens: int,
+    max_epochs_ppm: int = 4_000_000,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Epoch-aware repetition planning for data-constrained training
+    (Muennighoff et al. 2023, arXiv:2305.16264: repeating data up to
+    ~4 epochs is nearly as good as fresh data, then returns decay):
+    split a global token budget across sources by WATER-FILLING —
+    epochs_s = min(max_epochs, λ·w_s) with one global λ chosen so the
+    weighted allocations exactly exhaust the budget; high-weight
+    sources hit the epoch cap first and the remainder is shared
+    proportionally.
+
+    ALL arithmetic is exact integer (epochs in ppm; the boundary
+    condition is a cross-multiplied comparison, λ is applied as ONE
+    integer floor-division `B'·w // W'`), so the plan is
+    bit-reproducible and SQL-replayable (HUGEINT cumsums) — no float
+    accumulation anywhere.  Driver-side over the per-source rollup
+    (`source_stats` grain — one row per source, bounded by the domain
+    count, the ONLY collect).  `weight_col` defaults to every source
+    weighing 1.
+
+    Output: (source, n_tokens, weight, epochs_ppm, alloc_tokens,
+    capped) — Σ alloc_tokens ≤ budget_tokens (floor slack only).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be ≥ 0, got {budget_tokens}")
+    if max_epochs_ppm < 0:
+        raise ValueError(f"max_epochs_ppm must be ≥ 0, got {max_epochs_ppm}")
+    w_expr = F.col(weight_col) if weight_col else F.lit(1)
+    rows = (
+        sources.select(
+            F.col(source_col).cast("string").alias("s"),
+            F.col(tokens_col).cast("long").alias("t"),
+            w_expr.cast("long").alias("w"),
+        ).collect()
+    )
+    srows = sorted(((r["s"], int(r["t"]), int(r["w"])) for r in rows),
+                   key=lambda r: (-r[2], r[0]))
+    budget_ppm = budget_tokens * 1_000_000
+    total_wt = sum(t * w for _, t, w in srows)
+    cap_before = wt_before = 0
+    n_capped = 0
+    for s, t, w in srows:
+        # source caps iff the uniform λ over the remainder would give
+        # it ≥ max_epochs: (B − capped)·w ≥ max_e·(remaining weighted)
+        if w > 0 and (budget_ppm - cap_before) * w >= (
+            max_epochs_ppm * (total_wt - wt_before)
+        ):
+            n_capped += 1
+            cap_before += t * max_epochs_ppm
+            wt_before += t * w
+        else:
+            break  # sorted by weight desc: nothing later caps either
+    b_rem = budget_ppm - cap_before
+    w_rem = total_wt - wt_before
+    out = []
+    for i, (s, t, w) in enumerate(srows):
+        if i < n_capped:
+            e, capped = max_epochs_ppm, True
+        elif w_rem > 0:
+            e, capped = (b_rem * w) // w_rem, False
+        else:
+            e, capped = 0, False
+        out.append((s, t, w, e, (t * e) // 1_000_000, capped))
+
+    from pyspark.sql.types import (BooleanType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField(source_col, StringType(), True),
+        StructField(tokens_col, LongType(), True),
+        StructField("weight", LongType(), True),
+        StructField("epochs_ppm", LongType(), True),
+        StructField("alloc_tokens", LongType(), True),
+        StructField("capped", BooleanType(), True),
+    ])
+    return sources.sparkSession.createDataFrame(out, schema)

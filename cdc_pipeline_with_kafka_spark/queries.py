@@ -3965,9 +3965,31 @@ def corpus_release_suite(spark, sf_dir):
         curr, "curr", F.col("doc_id"),
         v_str=F.col("_order_key"), v_num=F.col("phase"),
     )
+    # 'epoch': epoch-aware repetition planning (r6, Muennighoff et al.
+    # 2023 water-filling) — per-source token rollup with a varied
+    # deterministic weight (1 + src_idx % 7) so the gate exercises the
+    # capped/uncapped boundary; every source's (capped, alloc,
+    # epochs_ppm) value-checked against a HUGEINT-cumsum SQL replay
+    srcs = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("n_tokens"))
+        .withColumn(
+            "w", F.lit(1) + F.substring("source", 4, 10).cast("long") % 7
+        )
+    )
+    ep = curation.plan_epoch_mixture(
+        srcs, budget_tokens=350_000, weight_col="w"
+    )
+    ep_rows = _suite_rows(
+        ep, "epoch", F.col("source"),
+        v_str=F.concat_ws("|", F.col("capped").cast("string"),
+                          F.col("alloc_tokens").cast("string")),
+        v_num=F.col("epochs_ppm"),
+    )
     return _union_all(
         [mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows, tokb_rows,
-         curr_rows]
+         curr_rows, ep_rows]
     )
 
 
@@ -4064,6 +4086,47 @@ FROM (
               WHEN n_chars <= (SELECT c2 FROM ccuts) THEN 1
               ELSE 2 END AS phase
   FROM documents
+)
+UNION ALL
+SELECT 'epoch', source,
+       CAST(capped AS VARCHAR) || '|' || CAST((t * e) // 1000000 AS VARCHAR),
+       CAST(e AS DOUBLE)
+FROM (
+  WITH esrc AS (
+    SELECT source, CAST(sum(n_chars) AS HUGEINT) AS t,
+           CAST(1 + CAST(substr(source, 4) AS BIGINT) % 7 AS HUGEINT) AS w
+    FROM documents GROUP BY source
+  ),
+  ecum AS (
+    SELECT *,
+      coalesce(sum(t * 4000000) OVER (ORDER BY w DESC, source ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap_before,
+      coalesce(sum(t * w) OVER (ORDER BY w DESC, source ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wt_before,
+      sum(t * w) OVER () AS wt_total,
+      row_number() OVER (ORDER BY w DESC, source ASC) AS rn
+    FROM esrc
+  ),
+  eb AS (
+    SELECT coalesce(min(rn), (SELECT count(*) + 1 FROM ecum)) - 1 AS K
+    FROM ecum
+    WHERE NOT ((350000000000 - cap_before) * w >= 4000000 * (wt_total - wt_before))
+  ),
+  eparams AS (
+    SELECT 350000000000
+           - coalesce(sum(CASE WHEN rn <= (SELECT K FROM eb)
+                               THEN t * 4000000 END), 0) AS b_rem,
+           coalesce(sum(CASE WHEN rn > (SELECT K FROM eb)
+                             THEN t * w END), 0) AS w_rem
+    FROM ecum
+  )
+  SELECT source, t, rn,
+         rn <= (SELECT K FROM eb) AS capped,
+         CASE WHEN rn <= (SELECT K FROM eb) THEN CAST(4000000 AS HUGEINT)
+              WHEN (SELECT w_rem FROM eparams) > 0
+                THEN ((SELECT b_rem FROM eparams) * w) // (SELECT w_rem FROM eparams)
+              ELSE 0 END AS e
+  FROM ecum
 )
 """
 

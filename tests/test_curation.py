@@ -801,3 +801,53 @@ def test_curriculum_manifest_write_roundtrip(spark, tmp_path):
     one = back.filter("phase = 2")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_plan_epoch_mixture_water_filling(spark):
+    """Water-filling epoch planner: high-weight sources cap at
+    max_epochs first, the remainder shares λ proportionally, the
+    budget is exhausted up to floor slack, and the degenerate regimes
+    (budget ≥ all caps, budget 0, weight 0) behave."""
+    import pytest as _pytest
+
+    rows = [("a", 10_000, 8), ("b", 20_000, 4), ("c", 30_000, 1),
+            ("d", 5_000, 1)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long, w long")
+
+    out = {r.source: r for r in curation.plan_epoch_mixture(
+        df, budget_tokens=120_000, weight_col="w").collect()}
+    # 'a' (w=8) must cap at 4 epochs; 'c'/'d' (w=1) share λ equally
+    assert out["a"].capped and out["a"].epochs_ppm == 4_000_000
+    assert out["c"].epochs_ppm == out["d"].epochs_ppm
+    assert not out["c"].capped
+    # uncapped epochs are proportional to weight (same λ, floor-div)
+    if not out["b"].capped:
+        assert abs(out["b"].epochs_ppm - 4 * out["c"].epochs_ppm) <= 4
+    # budget exhausted to floor slack, never exceeded
+    total = sum(r.alloc_tokens for r in out.values())
+    assert total <= 120_000
+    assert total >= 120_000 - len(rows) - sum(t for _, t, _ in rows) // 10**6 - 4
+    # allocation math is self-consistent
+    for r in out.values():
+        assert r.alloc_tokens == (r.n_tokens * r.epochs_ppm) // 1_000_000
+
+    # budget covers every source at max epochs → all capped
+    big = {r.source: r for r in curation.plan_epoch_mixture(
+        df, budget_tokens=10_000_000, weight_col="w").collect()}
+    assert all(r.capped and r.epochs_ppm == 4_000_000 for r in big.values())
+
+    # zero budget → zero everywhere
+    zero = curation.plan_epoch_mixture(df, 0, weight_col="w").collect()
+    assert all(r.epochs_ppm == 0 and r.alloc_tokens == 0 for r in zero)
+
+    # zero-weight sources get nothing and never cap
+    wz = spark.createDataFrame(
+        [("a", 1_000, 1), ("z", 1_000, 0)], "source string, n_tokens long, w long"
+    )
+    got = {r.source: r for r in curation.plan_epoch_mixture(
+        wz, 2_000, weight_col="w").collect()}
+    assert got["z"].epochs_ppm == 0 and not got["z"].capped
+    assert got["a"].alloc_tokens > 0
+
+    with _pytest.raises(ValueError):
+        curation.plan_epoch_mixture(df, -1)
