@@ -836,3 +836,24 @@ def test_wav_single_sample_and_short_tkhd_robustness(spark):
            + _box(b"moov", _box(b"trak", _box(b"tkhd", b"\x00\x00\x00"))))
     f = multimodal.decode_mp4_features(mp4)
     assert f[3] == 0.0 and f[4] == 0.0  # width/height stay unset
+
+
+def test_decode_mp3_rate_switching_duration(spark):
+    """A sample-rate-switching chain (V1L3 at 44100 then 32000) must
+    report duration accumulated per frame at EACH frame's own rate —
+    the r5 bug divided total samples by the first frame's rate."""
+    def frame(sr_idx, srate):
+        b1 = 0xE0 | (3 << 3) | (1 << 1) | 1
+        b2 = (9 << 4) | (sr_idx << 2)
+        hdr = bytes([0xFF, b1, b2, 0x00])
+        br = multimodal._MP3_BITRATES[(1, 3)][8] * 1000
+        flen = 144 * br // srate
+        return hdr + bytes(flen - 4)
+
+    payload = frame(0, 44100) * 2 + frame(1, 48000)
+    f = multimodal.decode_mp3_features(payload)
+    assert f[2] == 3.0  # all three frames parsed
+    want = 2 * 1152 / 44100 + 1152 / 48000
+    assert abs(f[3] - want) < 1e-5
+    assert f[5] == 44100.0  # reported sr = FIRST frame's rate
+    assert f[8] == 1.0
