@@ -376,6 +376,16 @@ def make_asof_enrich_sink(
     micro-batch costs one shuffle of |batch|+|snapshot| — at scale
     snapshots are aggregates, orders of magnitude smaller than raw
     history.
+
+    Crash safety matches the admission sink's contract: each batch
+    lands in a ``batch_id=N`` subdirectory with mode("overwrite"), so
+    a checkpoint REPLAY of a crashed batch overwrites its own partial
+    output instead of appending a second copy.  (A caveat the
+    admission sink doesn't have: the snapshot is re-read at replay
+    time, so exactly-once holds when the snapshot is
+    versioned/append-only over snap_ts — the as-of filter then picks
+    the same rows — which is the shape the aggregate tables here
+    have.)
     """
     from ..operators.relational import asof_join
 
@@ -384,6 +394,6 @@ def make_asof_enrich_sink(
         enriched = asof_join(
             batch_df, snap, key_cols, stream_ts, snap_ts, value_cols
         )
-        enriched.write.mode("append").parquet(out_path)
+        enriched.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     return sink

@@ -613,3 +613,28 @@ def test_passage_tier_crash_replay_matches_uninterrupted_run(spark, tmp_path):
     assert texts[11] == "entirely new material that shares nothing with the corpus at all"
     assert "alpha beta gamma delta epsilon" not in texts[10]  # span stripped
     assert "fresh intro" in texts[10]
+
+
+def test_asof_sink_replay_idempotent(spark, tmp_path):
+    """The as-of enrichment sink must survive a checkpoint replay
+    without double-appending: batch_id-scoped overwrite (the admission
+    sink's contract) — replaying batch 0 leaves exactly one copy."""
+    snap_path = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 10, 2.0)], "k string, sts long, rate double"
+    ).write.parquet(snap_path)
+    out = str(tmp_path / "enriched")
+    sink = pipeline.make_asof_enrich_sink(
+        lambda s: s.read.parquet(snap_path), out, ["k"], "ts", "sts", ["rate"]
+    )
+    batch = spark.createDataFrame(
+        [("a", 5, 1), ("a", 15, 2)], "k string, ts long, event_id long"
+    )
+    sink(batch, 0)
+    sink(batch, 0)  # checkpoint replay after a crash
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # not 4
+    assert {r["event_id"]: r["rate"] for r in rows} == {1: 1.0, 2: 2.0}
+    # a SECOND batch lands alongside, not over, the first
+    sink(spark.createDataFrame([("a", 20, 3)], "k string, ts long, event_id long"), 1)
+    assert spark.read.parquet(out).count() == 3
