@@ -77,19 +77,12 @@ def real_decode_unavailable(payload: bytes) -> list[float]:
     )
 
 
-def decode_wav_features(payload: bytes, dim: int = 8) -> list[float]:
-    """REAL in-container audio decoder: parses RIFF/WAVE PCM bytes
-    (stdlib struct + numpy, no external codec) and extracts a fixed
-    8-dim signal-level feature vector:
-
-      [n_channels, sample_rate, bits_per_sample, frames,
-       duration_s, rms, peak, zero_crossing_rate]
-
-    Supports PCM 8-bit unsigned and 16-bit signed little-endian (the
-    canonical uncompressed WAV encodings).  Raises ValueError on
-    malformed payloads so the quarantine path (not silent garbage)
-    handles corrupt media.  Register with set_decoder('audio', ...).
-    """
+def _wav_pcm(payload: bytes):
+    """Parse RIFF/WAVE PCM bytes → (n_ch, rate, bits, normalized
+    float64 interleaved samples in [-1, 1)).  Supports PCM 8-bit
+    unsigned and 16-bit signed little-endian; raises ValueError on
+    malformed payloads (→ quarantine).  Shared by the feature decoder
+    and the resample transform."""
     import struct
 
     import numpy as np
@@ -120,6 +113,25 @@ def decode_wav_features(payload: bytes, dim: int = 8) -> list[float]:
         norm = samples / 32768.0
     else:
         norm = (np.frombuffer(data_body, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return n_ch, rate, bits, norm
+
+
+def decode_wav_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container audio decoder: parses RIFF/WAVE PCM bytes
+    (stdlib struct + numpy, no external codec) and extracts a fixed
+    8-dim signal-level feature vector:
+
+      [n_channels, sample_rate, bits_per_sample, frames,
+       duration_s, rms, peak, zero_crossing_rate]
+
+    Supports PCM 8-bit unsigned and 16-bit signed little-endian (the
+    canonical uncompressed WAV encodings).  Raises ValueError on
+    malformed payloads so the quarantine path (not silent garbage)
+    handles corrupt media.  Register with set_decoder('audio', ...).
+    """
+    import numpy as np
+
+    n_ch, rate, bits, norm = _wav_pcm(payload)
     frames = len(norm) // n_ch
     if frames == 0:
         return [float(n_ch), float(rate), float(bits), 0.0, 0.0, 0.0, 0.0, 0.0]
@@ -1313,6 +1325,124 @@ def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
     else:
         body = resized.astype(">u2").tobytes()
     return header + body
+
+
+def resample_wav(payload: bytes, out_rate: int) -> bytes:
+    """Linear-interpolation resample of RIFF/WAVE PCM audio to
+    ``out_rate``, pure numpy — the uniform-sample-rate step of an
+    audio training pipeline (models want one rate; crawled audio has
+    many).  Channel count is preserved; output is 16-bit signed PCM
+    regardless of input depth (the training-standard encoding).
+    Register with ``set_transform('audio', lambda p:
+    resample_wav(p, 16000))``.  Raises ValueError on malformed or
+    non-PCM payloads (→ quarantine)."""
+    import struct
+
+    import numpy as np
+
+    if out_rate < 1:
+        raise ValueError(f"bad target rate {out_rate}")
+    n_ch, rate, _bits, norm = _wav_pcm(payload)
+    frames = len(norm) // n_ch
+    planar = norm[: frames * n_ch].reshape(frames, n_ch)
+    out_frames = max(1, round(frames * out_rate / rate)) if frames else 0
+    if frames:
+        # sample positions in source time; endpoints clamp
+        pos = np.minimum(np.arange(out_frames) * (rate / out_rate), frames - 1)
+        src = np.arange(frames, dtype=np.float64)
+        resampled = np.stack(
+            [np.interp(pos, src, planar[:, c]) for c in range(n_ch)], axis=1
+        )
+    else:
+        resampled = planar
+    pcm = np.clip(np.round(resampled * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, out_rate, out_rate * n_ch * 2, n_ch * 2, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def resize_y4m(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of every frame of a YUV4MPEG2 stream,
+    pure numpy — the uniform-resolution step of a video training
+    pipeline.  All planes (Y and, where present, subsampled U/V) are
+    resized with integer index maps; header geometry is rewritten and
+    fps/chroma/interlace tags pass through.  For subsampled chroma
+    (C420*/C422) the target dimensions must be compatible with the
+    subsampling grid (even where the source plane is halved), else
+    ValueError.  Register with ``set_transform('video', lambda p:
+    resize_y4m(p, 256, 144))``."""
+    import numpy as np
+
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad target size {out_w}x{out_h}")
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing y4m stream-header terminator")
+    width = height = 0
+    chroma = "420"
+    out_tokens = []
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            width = int(val)
+            out_tokens.append(b"W%d" % out_w)
+        elif tag == b"H":
+            height = int(val)
+            out_tokens.append(b"H%d" % out_h)
+        else:
+            if tag == b"C":
+                chroma = val.decode("ascii", "replace")
+            out_tokens.append(tok)
+    if width < 1 or height < 1:
+        raise ValueError(f"bad y4m geometry W={width} H={height}")
+    if chroma.startswith("420"):
+        cw, ch_, ocw, och = width // 2, height // 2, out_w // 2, out_h // 2
+        if out_w % 2 or out_h % 2:
+            raise ValueError("C420 target dimensions must be even")
+    elif chroma == "422":
+        cw, ch_, ocw, och = width // 2, height, out_w // 2, out_h
+        if out_w % 2:
+            raise ValueError("C422 target width must be even")
+    elif chroma == "444":
+        cw, ch_, ocw, och = width, height, out_w, out_h
+    elif chroma == "mono":
+        cw = ch_ = ocw = och = 0
+    else:
+        raise ValueError(f"unsupported y4m chroma subsampling C{chroma}")
+
+    def _resize_plane(buf: bytes, w: int, h: int, ow: int, oh: int) -> bytes:
+        plane = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+        rows = (np.arange(oh) * h) // oh
+        cols = (np.arange(ow) * w) // ow
+        return plane[rows][:, cols].tobytes()
+
+    frame_bytes = width * height + 2 * cw * ch_
+    out = bytearray(b"YUV4MPEG2 " + b" ".join(out_tokens) + b"\n")
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_bytes > len(payload):
+            raise ValueError("truncated y4m frame")
+        out += payload[pos : fnl + 1]  # FRAME line (params pass through)
+        p = fnl + 1
+        out += _resize_plane(payload[p : p + width * height], width, height,
+                             out_w, out_h)
+        p += width * height
+        for _ in range(2 if cw else 0):
+            out += _resize_plane(payload[p : p + cw * ch_], cw, ch_, ocw, och)
+            p += cw * ch_
+        pos = fnl + 1 + frame_bytes
+    return bytes(out)
 
 
 def transform_assets(

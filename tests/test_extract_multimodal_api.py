@@ -857,3 +857,63 @@ def test_decode_mp3_rate_switching_duration(spark):
     assert abs(f[3] - want) < 1e-5
     assert f[5] == 44100.0  # reported sr = FIRST frame's rate
     assert f[8] == 1.0
+
+
+def test_resample_wav_rate_and_duration(spark):
+    import numpy as np
+    import pytest
+
+    # 1 kHz ramp, 100 frames stereo at 8000 Hz
+    frames = 100
+    samples = []
+    for i in range(frames):
+        samples += [i * 200 - 10000, 10000 - i * 200]  # L ramp up, R down
+    src = _make_wav(n_ch=2, rate=8000, bits=16, samples=samples)
+    out = multimodal.resample_wav(src, 16000)
+    ch, rate, bits, frames_o, dur, rms, peak, zcr = multimodal.decode_wav_features(out)
+    assert (ch, rate, bits) == (2.0, 16000.0, 16.0)
+    assert frames_o == 200  # 2× the frames at 2× the rate
+    src_dur = multimodal.decode_wav_features(src)[4]
+    assert abs(dur - src_dur) < 1e-3  # duration preserved
+    # downsample halves the frame count; monotone ramp stays monotone
+    down = multimodal.resample_wav(src, 4000)
+    assert multimodal.decode_wav_features(down)[3] == 50.0
+    import struct as _st
+    pcm = np.frombuffer(down[-50 * 4:], dtype="<i2").reshape(50, 2)
+    assert (np.diff(pcm[:, 0].astype(int)) >= 0).all()
+    # 8-bit input comes out as 16-bit PCM
+    out8 = multimodal.resample_wav(_make_wav(bits=8, samples=(0, 64, 128, 192)), 8000)
+    assert multimodal.decode_wav_features(out8)[2] == 16.0
+    with pytest.raises(ValueError):
+        multimodal.resample_wav(src, 0)
+    with pytest.raises(ValueError):
+        multimodal.resample_wav(b"RIFFxxxxJUNK", 8000)
+
+
+def test_resize_y4m_geometry_and_content(spark):
+    import pytest
+
+    clip = _make_y4m(w=4, h=2, frames=3)
+    out = multimodal.resize_y4m(clip, 8, 4)
+    w, h, fps, nf, dur, mean_l, std_l, motion = multimodal.decode_y4m_features(out)
+    src_feat = multimodal.decode_y4m_features(clip)
+    assert (w, h) == (8.0, 4.0)
+    assert (fps, nf, dur) == (src_feat[2], src_feat[3], src_feat[4])
+    # nearest-neighbor upsample preserves mean luma exactly (each
+    # source pixel is replicated the same number of times: 4|8, 2|4)
+    assert abs(mean_l - src_feat[5]) < 1e-9
+    # mono and 444 paths
+    mono = multimodal.resize_y4m(_make_y4m(chroma=b"Cmono"), 2, 2)
+    assert multimodal.decode_y4m_features(mono)[:2] == [2.0, 2.0]
+    c444 = multimodal.resize_y4m(_make_y4m(chroma=b"C444"), 3, 5)
+    assert multimodal.decode_y4m_features(c444)[:2] == [3.0, 5.0]
+    with pytest.raises(ValueError):
+        multimodal.resize_y4m(clip, 3, 2)  # odd width on C420
+    with pytest.raises(ValueError):
+        multimodal.resize_y4m(b"nope", 2, 2)
+    # registry seam: the transform drops into set_transform('video')
+    multimodal.set_transform("video", lambda p: multimodal.resize_y4m(p, 2, 2))
+    try:
+        assert multimodal._TRANSFORMS["video"](clip).startswith(b"YUV4MPEG2 W2 H2")
+    finally:
+        multimodal._TRANSFORMS.pop("video", None)
