@@ -562,3 +562,47 @@ def test_token_budget_two_pass_matches_model(spark, toks, budget):
         outs.append({(r.doc_id, r._cum_tokens) for r in out.collect()})
     assert outs[0] == want
     assert outs[1] == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    srcs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50_000),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=1, max_size=8,
+    ),
+    budget=st.integers(min_value=0, max_value=400_000),
+)
+def test_epoch_mixture_waterfill_optimality(spark, srcs, budget):
+    """KKT characterization of the water-filling allocation: at the
+    final λ = B'/W', every capped source's weight satisfies
+    B'·w ≥ max_e·W', every uncapped source's is ≤ it with
+    epochs = B'·w // W' exactly, and the capped tier alone never
+    overruns the budget."""
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    MAXE = 4_000_000
+    rows = [(f"s{i}", t, w) for i, (t, w) in enumerate(srcs)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long, w long")
+    out = curation.plan_epoch_mixture(df, budget, weight_col="w").collect()
+    assert len(out) == len(rows)
+    by = {r.source: r for r in out}
+    b_ppm = budget * 1_000_000
+    capped = [r for r in out if r.capped]
+    uncapped = [r for r in out if not r.capped]
+    b_rem = b_ppm - sum(r.n_tokens * MAXE for r in capped)
+    w_rem = sum(r.n_tokens * r.weight for r in uncapped)
+    assert b_rem >= 0  # capping alone never overruns
+    for r in capped:
+        assert r.epochs_ppm == MAXE
+        assert b_rem * r.weight >= MAXE * w_rem
+    for r in uncapped:
+        if w_rem > 0:
+            assert r.epochs_ppm == (b_rem * r.weight) // w_rem
+            assert b_rem * r.weight <= MAXE * w_rem or r.weight == 0
+        else:
+            assert r.epochs_ppm == 0
+        assert r.epochs_ppm <= MAXE
+    for r in out:
+        assert r.alloc_tokens == (r.n_tokens * r.epochs_ppm) // 1_000_000
+    assert sum(r.alloc_tokens for r in out) <= budget
