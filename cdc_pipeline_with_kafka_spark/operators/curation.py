@@ -1060,6 +1060,9 @@ def release_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_records_per_file: int | None = None,
+    curriculum_score_col: str | None = None,
+    curriculum_cuts: list[float] | None = None,
+    curriculum_phases: int = 3,
     **curate_kwargs,
 ) -> DataFrame:
     """One-call corpus release: curate → leakage-safe split →
@@ -1074,6 +1077,15 @@ def release_corpus(
       4. `bucketing.write_partitioned(partition_cols=['split'])` —
          readers prune to their split directory, files hold contiguous
          shuffle-hash ranges.
+
+    Pass ``curriculum_score_col`` to release a CURRICULUM manifest
+    instead of a flat shuffle: step 3 becomes `curriculum_order`
+    (phase by score — explicit ``curriculum_cuts`` or exact rank
+    terciles — salt-keyed order within each phase) and the write
+    partitions by ['split', 'phase'] with an in-file sort on
+    `_order_key`, so a trainer streams phase directories in order and
+    files in key order — the full quality-annealed schedule with no
+    global sort anywhere.
 
     Returns the written DataFrame (lazily re-readable from out_path).
     Determinism contract: same inputs + same salts → row/CONTENT-
@@ -1091,6 +1103,17 @@ def release_corpus(
     split = leakage_safe_split(
         curated, pairs=near_dup_pairs, weights=split_weights, id_col=id_col
     )
+    if curriculum_score_col is not None:
+        ordered = curriculum_order(
+            split, curriculum_score_col, n_phases=curriculum_phases,
+            cuts=curriculum_cuts, key_col=id_col, salt=shuffle_salt,
+        )
+        write_partitioned(
+            ordered, out_path, ["split", "phase"],
+            sort_cols=["_order_key"],
+            max_records_per_file=max_records_per_file,
+        )
+        return docs.sparkSession.read.parquet(out_path)
     shuffled = shuffle_deterministic(split, key_col=id_col, salt=shuffle_salt)
     write_partitioned(
         shuffled.drop("_shuffle_key"), out_path, ["split"],

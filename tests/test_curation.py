@@ -851,3 +851,40 @@ def test_plan_epoch_mixture_water_filling(spark):
 
     with _pytest.raises(ValueError):
         curation.plan_epoch_mixture(df, -1)
+
+
+def test_release_corpus_curriculum_manifest(spark, tmp_path):
+    """release_corpus(curriculum_score_col=...) writes the
+    quality-annealed layout: split/phase directory tree, phases cut at
+    the score terciles, and within-phase order pinned by the salt."""
+    import os
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "release")
+    back = curation.release_corpus(
+        docs, out,
+        min_quality=None,
+        curriculum_score_col="n_chars",
+        shuffle_salt="rc:",
+    )
+    assert back.count() == docs.count()
+    assert {"split", "phase", "_order_key"} <= set(back.columns)
+    # directory tree: split=*/phase=* (partition pruning layout)
+    splits = [d for d in os.listdir(out) if d.startswith("split=")]
+    assert splits
+    phases = [d for d in os.listdir(os.path.join(out, splits[0]))
+              if d.startswith("phase=")]
+    assert len(phases) >= 2
+    # phases respect the score cuts: max score in phase 0 ≤ min in 2
+    p0max = back.filter("phase = 0").agg(F.max("n_chars")).collect()[0][0]
+    p2min = back.filter("phase = 2").agg(F.min("n_chars")).collect()[0][0]
+    assert p0max <= p2min
+    # same salt → identical manifest on a rerun
+    out2 = str(tmp_path / "release2")
+    again = curation.release_corpus(
+        docs, out2, min_quality=None,
+        curriculum_score_col="n_chars", shuffle_salt="rc:",
+    )
+    a = sorted((r.doc_id, r.split, r.phase, r._order_key) for r in back.collect())
+    b = sorted((r.doc_id, r.split, r.phase, r._order_key) for r in again.collect())
+    assert a == b
