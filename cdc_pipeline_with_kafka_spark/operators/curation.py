@@ -1271,3 +1271,60 @@ def plan_epoch_mixture(
         StructField("capped", BooleanType(), True),
     ])
     return sources.sparkSession.createDataFrame(out, schema)
+
+
+def materialize_epoch_plan(
+    parts: dict[str, DataFrame],
+    plan: DataFrame,
+    token_col: str,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Turn a `plan_epoch_mixture` allocation into actual training
+    rows — the step that makes the plan a corpus rather than a report.
+    For each source with epochs e (ppm): every doc appears
+    floor(e) times (tagged ``epoch_idx`` 0..floor(e)−1 via one
+    `explode(sequence(...))` — no join, no shuffle), and the
+    FRACTIONAL remainder epoch is a deterministic `sample_token_budget`
+    carve (budget = alloc_tokens − floor(e)·source_tokens, exact
+    integers) tagged ``epoch_idx = floor(e)``.
+
+    Composition of two oracle-gated primitives; growth-stable and
+    reproducible for the same reasons they are.  The plan table is
+    collected driver-side (bounded: one row per source).  Output:
+    input columns + (source, epoch_idx)."""
+    prows = {r[source_col]: r for r in plan.collect()}
+    outs: list[DataFrame] = []
+    for name, df in sorted(parts.items()):
+        if name not in prows:
+            raise ValueError(f"source {name!r} missing from the epoch plan")
+        r = prows[name]
+        n_full = int(r["epochs_ppm"]) // 1_000_000
+        tagged = df.withColumn(source_col, F.lit(name))
+        if n_full > 0:
+            outs.append(
+                tagged.withColumn(
+                    "epoch_idx",
+                    F.explode(F.sequence(F.lit(0), F.lit(n_full - 1))),
+                )
+            )
+        frac_budget = int(r["alloc_tokens"]) - n_full * int(r["n_tokens"])
+        if frac_budget > 0:
+            carve = sample_token_budget(
+                tagged, frac_budget, token_col, key_col,
+                salt=f"{salt}{name}:e{n_full}:",
+            )
+            outs.append(
+                carve.drop("_cum_tokens").withColumn("epoch_idx", F.lit(n_full))
+            )
+    if not outs:
+        first = next(iter(sorted(parts.items())))[1]
+        return (
+            first.withColumn(source_col, F.lit(""))
+            .withColumn("epoch_idx", F.lit(0)).limit(0)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -888,3 +888,46 @@ def test_release_corpus_curriculum_manifest(spark, tmp_path):
     a = sorted((r.doc_id, r.split, r.phase, r._order_key) for r in back.collect())
     b = sorted((r.doc_id, r.split, r.phase, r._order_key) for r in again.collect())
     assert a == b
+
+
+def test_materialize_epoch_plan_rows(spark):
+    """plan → rows: floor(e) full copies per doc + a deterministic
+    fractional carve, token totals within one-doc slack of the
+    allocation, reproducible."""
+    a = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "doc_id long, n_tok long"
+    )
+    b = spark.createDataFrame(
+        [(100 + i, 200) for i in range(5)], "doc_id long, n_tok long"
+    )
+    parts = {"a": a, "b": b}
+    srcs = spark.createDataFrame(
+        [("a", 1000, 4), ("b", 1000, 1)], "source string, n_tokens long, w long"
+    )
+    plan = curation.plan_epoch_mixture(srcs, budget_tokens=5500, weight_col="w")
+    out = curation.materialize_epoch_plan(parts, plan, "n_tok", salt="m:")
+    rows = out.collect()
+    pr = {r.source: r for r in plan.collect()}
+    for name, df in parts.items():
+        e = pr[name].epochs_ppm
+        n_full = e // 1_000_000
+        got_tokens = sum(r.n_tok for r in rows if r.source == name)
+        # every doc appears exactly n_full times with epoch_idx < n_full
+        full_counts = {}
+        for r in rows:
+            if r.source == name and r.epoch_idx < n_full:
+                full_counts[r.doc_id] = full_counts.get(r.doc_id, 0) + 1
+        if n_full:
+            assert set(full_counts.values()) == {n_full}
+            assert len(full_counts) == df.count()
+        # token total within one max-doc of the planned allocation
+        assert got_tokens <= pr[name].alloc_tokens
+        assert pr[name].alloc_tokens - got_tokens <= 200
+    # reproducible
+    again = curation.materialize_epoch_plan(parts, plan, "n_tok", salt="m:")
+    assert sorted((r.source, r.doc_id, r.epoch_idx) for r in again.collect()) == \
+           sorted((r.source, r.doc_id, r.epoch_idx) for r in rows)
+    # unknown source in parts → loud failure
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.materialize_epoch_plan({"zz": a}, plan, "n_tok")
