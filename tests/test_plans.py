@@ -166,3 +166,18 @@ def test_token_budget_carve_no_global_window(spark):
         assert "Window" in p
         assert "SinglePartition" not in p, f"stratum={stratum}: global window"
         assert "_tb_b" in p  # cumsum partition key includes the bucket
+
+
+def test_tfidf_window_form_exchange_budget(spark):
+    """tfidf_top_terms' document frequency must stay a WINDOW over the
+    tf rows: the agg+join formulation re-ran the scan→explode→tf
+    pipeline per branch (measured r1: 14 exchanges, 3 scans).  Freeze
+    the fixed plan: ≤5 exchanges, ≤2 parquet scans."""
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    df = curation.tfidf_top_terms(docs, k=3)
+    df.count()  # AQE-final executed plan is the honest count
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") <= 5
+    assert p.count("Scan parquet") <= 2
