@@ -3987,9 +3987,41 @@ def corpus_release_suite(spark, sf_dir):
                           F.col("alloc_tokens").cast("string")),
         v_num=F.col("epochs_ppm"),
     )
+    # 'mat': epoch-plan MATERIALIZATION (r6) over three sources with a
+    # budget that mixes capped/fractional outcomes — every emitted
+    # training row (source, doc, epoch_idx) value-checked, including
+    # the fractional-epoch hash-prefix carve membership
+    mat_three = ("src0", "src1", "src2")
+    mat_parts = {
+        s: _t(spark, sf_dir, "documents")
+        .filter(F.col("source") == s)
+        .select("doc_id", "source", "n_chars")
+        for s in mat_three
+    }
+    mat_src = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(*mat_three))
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("n_tokens"))
+        .withColumn(
+            "w", F.lit(1) + F.substring("source", 4, 10).cast("long") % 7
+        )
+    )
+    mat_plan = curation.plan_epoch_mixture(
+        mat_src, budget_tokens=80_000, weight_col="w"
+    )
+    mat = curation.materialize_epoch_plan(
+        mat_parts, mat_plan, "n_chars", salt="mat:"
+    )
+    mat_rows = _suite_rows(
+        mat, "mat",
+        F.concat_ws("|", "source", F.col("doc_id").cast("string"),
+                    F.col("epoch_idx").cast("string")),
+        v_num=F.col("n_chars"),
+    )
     return _union_all(
         [mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows, tokb_rows,
-         curr_rows, ep_rows]
+         curr_rows, ep_rows, mat_rows]
     )
 
 
@@ -4127,6 +4159,77 @@ FROM (
                 THEN ((SELECT b_rem FROM eparams) * w) // (SELECT w_rem FROM eparams)
               ELSE 0 END AS e
   FROM ecum
+)
+UNION ALL
+SELECT 'mat',
+       source || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(eidx AS VARCHAR),
+       '', CAST(n_chars AS DOUBLE)
+FROM (
+  WITH m_src AS (
+    SELECT source, CAST(sum(n_chars) AS HUGEINT) AS t,
+           CAST(1 + CAST(substr(source, 4) AS BIGINT) % 7 AS HUGEINT) AS w
+    FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+  ),
+  m_cum AS (
+    SELECT *,
+      coalesce(sum(t * 4000000) OVER (ORDER BY w DESC, source ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap_before,
+      coalesce(sum(t * w) OVER (ORDER BY w DESC, source ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wt_before,
+      sum(t * w) OVER () AS wt_total,
+      row_number() OVER (ORDER BY w DESC, source ASC) AS rn
+    FROM m_src
+  ),
+  m_eb AS (
+    SELECT coalesce(min(rn), (SELECT count(*) + 1 FROM m_cum)) - 1 AS K
+    FROM m_cum
+    WHERE NOT ((80000000000 - cap_before) * w >= 4000000 * (wt_total - wt_before))
+  ),
+  m_par AS (
+    SELECT 80000000000
+           - coalesce(sum(CASE WHEN rn <= (SELECT K FROM m_eb)
+                               THEN t * 4000000 END), 0) AS b_rem,
+           coalesce(sum(CASE WHEN rn > (SELECT K FROM m_eb)
+                             THEN t * w END), 0) AS w_rem
+    FROM m_cum
+  ),
+  m_plan AS (
+    SELECT source, t,
+           CASE WHEN rn <= (SELECT K FROM m_eb) THEN CAST(4000000 AS HUGEINT)
+                WHEN (SELECT w_rem FROM m_par) > 0
+                  THEN ((SELECT b_rem FROM m_par) * w) // (SELECT w_rem FROM m_par)
+                ELSE 0 END AS e
+    FROM m_cum
+  ),
+  m_nf AS (
+    SELECT source, t, e, CAST(e // 1000000 AS BIGINT) AS nf,
+           (t * e) // 1000000 - CAST(e // 1000000 AS BIGINT) * t AS fb
+    FROM m_plan
+  ),
+  m_full AS (
+    SELECT d.source, d.doc_id, d.n_chars, gs.eidx
+    FROM documents d JOIN m_nf p USING (source),
+         LATERAL (SELECT unnest(generate_series(0, p.nf - 1)) AS eidx) gs
+    WHERE d.source IN ('src0', 'src1', 'src2')
+  ),
+  m_carve AS (
+    SELECT source, doc_id, n_chars, nf AS eidx
+    FROM (
+      SELECT d.source, d.doc_id, d.n_chars, p.nf, p.fb,
+             sum(d.n_chars) OVER (
+               PARTITION BY d.source
+               ORDER BY md5('mat:' || d.source || ':e'
+                            || CAST(p.nf AS VARCHAR) || ':'
+                            || CAST(d.doc_id AS VARCHAR)) ASC,
+                        d.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents d JOIN m_nf p USING (source)
+      WHERE d.source IN ('src0', 'src1', 'src2')
+    ) WHERE fb > 0 AND cum <= fb
+  )
+  SELECT source, doc_id, n_chars, eidx FROM m_full
+  UNION ALL
+  SELECT source, doc_id, n_chars, eidx FROM m_carve
 )
 """
 
