@@ -1063,6 +1063,7 @@ def release_corpus(
     curriculum_score_col: str | None = None,
     curriculum_cuts: list[float] | None = None,
     curriculum_phases: int = 3,
+    manifest: bool = True,
     **curate_kwargs,
 ) -> DataFrame:
     """One-call corpus release: curate → leakage-safe split →
@@ -1086,6 +1087,13 @@ def release_corpus(
     `_order_key`, so a trainer streams phase directories in order and
     files in key order — the full quality-annealed schedule with no
     global sort anywhere.
+
+    Unless ``manifest=False``, a `_MANIFEST.json` data card lands
+    next to the data: per-split doc counts, token totals (when
+    ``token_col`` is passed) and an order-independent content
+    checksum (`corpus_manifest`) plus the release parameters — two
+    releases compare content-equal by checksum without pinning file
+    layout.
 
     Returns the written DataFrame (lazily re-readable from out_path).
     Determinism contract: same inputs + same salts → row/CONTENT-
@@ -1113,13 +1121,34 @@ def release_corpus(
             sort_cols=["_order_key"],
             max_records_per_file=max_records_per_file,
         )
-        return docs.sparkSession.read.parquet(out_path)
-    shuffled = shuffle_deterministic(split, key_col=id_col, salt=shuffle_salt)
-    write_partitioned(
-        shuffled.drop("_shuffle_key"), out_path, ["split"],
-        sort_cols=None, max_records_per_file=max_records_per_file,
-    )
-    return docs.sparkSession.read.parquet(out_path)
+    else:
+        shuffled = shuffle_deterministic(split, key_col=id_col, salt=shuffle_salt)
+        write_partitioned(
+            shuffled.drop("_shuffle_key"), out_path, ["split"],
+            sort_cols=None, max_records_per_file=max_records_per_file,
+        )
+    released = docs.sparkSession.read.parquet(out_path)
+    if manifest:
+        import json as _json
+        import os as _os
+
+        card = {
+            "splits": corpus_manifest(
+                released, id_col=id_col, text_col=text_col,
+                token_col=curate_kwargs.get("token_col"),
+            ),
+            "params": {
+                "shuffle_salt": shuffle_salt,
+                "split_weights": split_weights,
+                "curriculum_score_col": curriculum_score_col,
+                "curriculum_phases": (
+                    curriculum_phases if curriculum_score_col else None
+                ),
+            },
+        }
+        with open(_os.path.join(out_path, "_MANIFEST.json"), "w") as fh:
+            _json.dump(card, fh, indent=2, default=str)
+    return released
 
 
 def curriculum_order(
@@ -1327,4 +1356,45 @@ def materialize_epoch_plan(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    return out
+
+
+def corpus_manifest(
+    df: DataFrame,
+    split_col: str | None = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> list[dict]:
+    """Release data card: one summary dict per split (or one total when
+    ``split_col`` is None/absent) with n_docs, total_tokens (when a
+    token column is present), and an ORDER-INDEPENDENT content
+    checksum — bit_xor of xxhash64(id ‖ md5(text)) — so two releases
+    compare content-equal without fixing file layout (release_corpus
+    deliberately does not pin layout).  One aggregation pass; the
+    result is a handful of rows collected driver-side."""
+    cols = set(df.columns)
+    keys = [split_col] if split_col and split_col in cols else []
+    checksum = F.expr(
+        f"bit_xor(xxhash64(concat(cast({id_col} AS string), "
+        f"md5(coalesce({text_col}, '')))))"
+        if text_col in cols
+        else f"bit_xor(xxhash64(cast({id_col} AS string)))"
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        checksum.alias("content_checksum"),
+    ]
+    if token_col and token_col in cols:
+        aggs.append(F.sum(token_col).cast("bigint").alias("total_tokens"))
+    rows = df.groupBy(*keys).agg(*aggs).collect()
+    out = []
+    for r in sorted(rows, key=lambda r: str(r[split_col]) if keys else ""):
+        d = {"n_docs": r["n_docs"],
+             "content_checksum": int(r["content_checksum"])}
+        if keys:
+            d["split"] = r[split_col]
+        if token_col and token_col in cols:
+            d["total_tokens"] = int(r["total_tokens"])
+        out.append(d)
     return out

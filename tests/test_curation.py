@@ -931,3 +931,38 @@ def test_materialize_epoch_plan_rows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         curation.materialize_epoch_plan({"zz": a}, plan, "n_tok")
+
+
+def test_release_manifest_data_card(spark, tmp_path):
+    """release_corpus writes a _MANIFEST.json data card whose per-split
+    counts/checksums match corpus_manifest on the released data; the
+    checksum is order-independent and flips when content changes."""
+    import json
+    import os
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "rel")
+    back = curation.release_corpus(docs, out, min_quality=None)
+    card = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(sp["n_docs"] for sp in card["splits"]) == docs.count()
+    live = curation.corpus_manifest(back)
+    assert card["splits"] == [
+        {**sp} for sp in live
+    ] or [  # json round-trips ints fine; compare field-by-field
+        (sp["split"], sp["n_docs"], sp["content_checksum"]) for sp in card["splits"]
+    ] == [(sp["split"], sp["n_docs"], sp["content_checksum"]) for sp in live]
+    # order-independence: manifest over a reshuffled frame is identical
+    reordered = curation.corpus_manifest(back.orderBy(F.rand(7)))
+    assert [
+        (sp["split"], sp["content_checksum"]) for sp in reordered
+    ] == [(sp["split"], sp["content_checksum"]) for sp in live]
+    # content sensitivity: editing one doc's text changes its split's checksum
+    mutated = back.withColumn(
+        "text",
+        F.when(F.col("doc_id") == back.select(F.min("doc_id")).collect()[0][0],
+               F.concat(F.col("text"), F.lit(" tampered"))).otherwise(F.col("text")),
+    )
+    changed = curation.corpus_manifest(mutated)
+    assert {sp["content_checksum"] for sp in changed} != {
+        sp["content_checksum"] for sp in live
+    }
