@@ -1093,7 +1093,11 @@ def release_corpus(
     ``token_col`` is passed) and an order-independent content
     checksum (`corpus_manifest`) plus the release parameters — two
     releases compare content-equal by checksum without pinning file
-    layout.
+    layout.  The underscore prefix makes Spark/Hadoop readers skip the
+    file when scanning the directory.  The manifest is written with
+    the driver's local filesystem API; an object-store release
+    (s3://, gs://) would route this one small file through the
+    JVM Hadoop FileSystem instead.
 
     Returns the written DataFrame (lazily re-readable from out_path).
     Determinism contract: same inputs + same salts → row/CONTENT-
@@ -1371,8 +1375,10 @@ def corpus_manifest(
     token column is present), and an ORDER-INDEPENDENT content
     checksum — bit_xor of xxhash64(id ‖ md5(text)) — so two releases
     compare content-equal without fixing file layout (release_corpus
-    deliberately does not pin layout).  One aggregation pass; the
-    result is a handful of rows collected driver-side."""
+    deliberately does not pin layout).  One aggregation pass (bit_xor
+    and sum are partial-aggregable, so the shuffle carries one row per
+    split); the result is a handful of rows collected driver-side.
+    An empty frame/split yields n_docs=0 with checksum 0."""
     cols = set(df.columns)
     keys = [split_col] if split_col and split_col in cols else []
     checksum = F.expr(
@@ -1383,10 +1389,13 @@ def corpus_manifest(
     )
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        checksum.alias("content_checksum"),
+        F.coalesce(checksum, F.lit(0)).alias("content_checksum"),
     ]
     if token_col and token_col in cols:
-        aggs.append(F.sum(token_col).cast("bigint").alias("total_tokens"))
+        aggs.append(
+            F.coalesce(F.sum(token_col).cast("bigint"), F.lit(0))
+            .alias("total_tokens")
+        )
     rows = df.groupBy(*keys).agg(*aggs).collect()
     out = []
     for r in sorted(rows, key=lambda r: str(r[split_col]) if keys else ""):

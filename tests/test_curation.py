@@ -966,3 +966,10 @@ def test_release_manifest_data_card(spark, tmp_path):
     assert {sp["content_checksum"] for sp in changed} != {
         sp["content_checksum"] for sp in live
     }
+    # empty frame: one zeroed total row, no NULL->int crash
+    empty = curation.corpus_manifest(
+        back.limit(0), split_col=None, token_col="n_chars"
+    )
+    assert empty == [
+        {"n_docs": 0, "content_checksum": 0, "total_tokens": 0}
+    ]
