@@ -819,6 +819,11 @@ def sample_token_budget(
 
     Output: input columns + `_cum_tokens` (the running total INCLUDING
     the row; drop it after auditing).
+
+    NULL keys hash to NULL and sort FIRST (Spark asc null ordering) as
+    one tie-group; with several NULL-key rows the order within that
+    group is undefined — the determinism contract assumes keys are
+    unique and non-null, as every keyed carve here does.
     """
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be ≥ 0, got {budget_tokens}")
@@ -846,7 +851,9 @@ def sample_token_budget(
     offsets = []  # (stratum?, bucket, entering_offset)
     for s, rows in by_stratum.items():
         cum = 0
-        for b, tot in sorted(rows):
+        # NULL keys hash to a NULL bucket; Spark's asc sort puts NULLs
+        # first, so the None bucket is the earliest range.
+        for b, tot in sorted(rows, key=lambda t: (t[0] is not None, t[0] or 0)):
             if cum > budget_tokens:
                 break  # token sums are ≥ 0: nothing later can be kept
             offsets.append((s, b, cum) if stratum_col else (b, cum))
@@ -865,7 +872,7 @@ def sample_token_budget(
     # Pass 2: broadcast the offset table (prunes past-boundary buckets
     # before any sort), then a cumsum window per (stratum, bucket).
     off_small = off_df.withColumnRenamed("_tb_b", "_tb_b2")
-    cond = base["_tb_b"] == F.col("_tb_b2")
+    cond = base["_tb_b"].eqNullSafe(F.col("_tb_b2"))
     if stratum_col:
         off_small = off_small.withColumnRenamed(stratum_col, "_tb_s2")
         cond = cond & base[stratum_col].eqNullSafe(F.col("_tb_s2"))

@@ -721,6 +721,23 @@ def test_sample_token_budget_properties(spark):
         curation.sample_token_budget(df, -1, "n_tok", "doc_id")
 
 
+def test_sample_token_budget_null_key(spark):
+    """A NULL key hashes to the NULL bucket which sorts FIRST (Spark
+    asc null ordering): it is carved like any other row, not silently
+    dropped, and with an ample budget everything survives."""
+    rows = [(None, 10)] + [(i, 10) for i in range(9)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    kept_all = curation.sample_token_budget(
+        df, budget_tokens=1000, token_col="n_tok", key_col="doc_id"
+    )
+    assert kept_all.count() == 10
+    # NULL sorts first, so any budget >= 10 admits the null-key row
+    kept_one = curation.sample_token_budget(
+        df, budget_tokens=10, token_col="n_tok", key_col="doc_id"
+    ).collect()
+    assert len(kept_one) == 1 and kept_one[0].doc_id is None
+
+
 def test_curriculum_order_phases_and_determinism(spark):
     """Phase assignment by explicit cuts and by exact rank-terciles;
     within-phase order is a deterministic salt-keyed permutation; the
