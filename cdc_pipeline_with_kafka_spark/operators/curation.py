@@ -1194,7 +1194,14 @@ def curriculum_order(
     it per file (`shuffle_deterministic`'s repartitionByRange shape),
     so producing the manifest never serializes the corpus through one
     task.  Re-salt per epoch for a fresh within-phase order while the
-    phase schedule stays fixed."""
+    phase schedule stays fixed.
+
+    NULL scores fall through every ``score <= cut`` comparison into
+    the HIGHEST-SCORE phase (and are excluded from the exact-rank
+    boundary computation when ``cuts=None``): last in the default
+    ascending schedule, FIRST when ``ascending=False`` — unscorable
+    docs are never dropped; pre-filter or coalesce the score if either
+    placement is wrong for the recipe."""
     if n_phases < 1:
         raise ValueError(f"n_phases must be ≥ 1, got {n_phases}")
     sc = F.col(score_col)
@@ -1333,7 +1340,13 @@ def materialize_epoch_plan(
     Composition of two oracle-gated primitives; growth-stable and
     reproducible for the same reasons they are.  The plan table is
     collected driver-side (bounded: one row per source).  Output:
-    input columns + (source, epoch_idx)."""
+    input columns + (source, epoch_idx).
+
+    Every source in ``parts`` must appear in the plan (ValueError
+    otherwise); the converse is allowed — plan rows with no matching
+    ``parts`` entry are skipped, so passing a subset of parts
+    deliberately materializes a partial corpus (their allocation is
+    simply not drawn)."""
     prows = {r[source_col]: r for r in plan.collect()}
     outs: list[DataFrame] = []
     for name, df in sorted(parts.items()):
