@@ -1025,6 +1025,98 @@ def build_mixture(
     return out
 
 
+def temperature_weights_core(
+    pairs: list[tuple[str, int]], alpha: float, scale_ppm: int
+) -> list[tuple[str, int, int]]:
+    """Pure-Python core of `temperature_weights` (factored out so the
+    DuckDB gate oracle can rerun the IDENTICAL float sequence
+    off-Spark — the pinned-model oracle pattern): w_s = n_s^alpha,
+    normalized and scaled to integer parts-per-`scale_ppm` with
+    LARGEST-REMAINDER rounding (ties broken by source name), so the
+    weights sum to exactly scale_ppm whenever any source is
+    non-empty.  Returns (source, n_tokens, weight_ppm, epoch_weight)
+    sorted by source, where epoch_weight = weight_ppm·10^12 // n is
+    the integer PER-TOKEN weight (∝ p_s/t_s) the epoch planner
+    needs."""
+    import math
+
+    ws = [(s, int(t), float(t) ** alpha if t > 0 else 0.0) for s, t in pairs]
+    total = math.fsum(w for _, _, w in ws)
+    if total <= 0.0:
+        return sorted(((s, t, 0, 0) for s, t, _ in ws), key=lambda r: r[0])
+    base = []
+    for s, t, w in ws:
+        x = w / total * scale_ppm
+        base.append((s, t, x, math.floor(x)))
+    rem = scale_ppm - sum(b for *_, b in base)
+    order = sorted(
+        range(len(base)),
+        key=lambda i: (-(base[i][2] - base[i][3]), base[i][0]),
+    )
+    bump = set(order[: max(rem, 0)])
+    out = []
+    for i, (s, t, _x, b) in enumerate(base):
+        ppm = b + (1 if i in bump else 0)
+        # per-token weight ∝ p_s / t_s, the epoch-planner bridge;
+        # any common scale cancels through the water-fill's λ
+        out.append((s, t, ppm, (ppm * 10**12) // t if t > 0 else 0))
+    return sorted(out, key=lambda r: r[0])
+
+
+def temperature_weights(
+    sources: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    scale_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based mixture weights (multilingual-sampling
+    standard: XLM-R, Conneau et al. 2020 §3.1; mT5, Xue et al. 2021
+    §3.2): p_s ∝ n_s^alpha over a per-source token rollup.  alpha=1
+    is proportional (big sources dominate), alpha=0 is uniform;
+    0.2–0.5 is the published up-sample-the-tail band.
+
+    Output: (source, n_tokens, weight_ppm, epoch_weight).
+    weight_ppm is the source's MIXTURE SHARE in integer
+    parts-per-million, summing to EXACTLY scale_ppm
+    (largest-remainder rounding, source-name tie-break) —
+    bit-reproducible, no float in the output.  epoch_weight =
+    weight_ppm·10^12 // n_tokens is the PER-TOKEN weight (∝ p_s/t_s):
+    the epoch planner multiplies its weight by the source SIZE, so
+    handing it the share directly would give big sources more epochs
+    — the opposite of temperature sampling.  Empty sources (n=0) get
+    weight 0 at any alpha.
+
+    Driver-side over the per-source rollup (`source_stats` grain —
+    bounded by the domain count, the ONLY collect).  Composes with the
+    epoch planner: `plan_epoch_mixture(temperature_weights(rollup),
+    weight_col='epoch_weight')` is α-sampling WITH the ≤4-epoch
+    repetition cap — the data-constrained recipe end-to-end (each
+    source's allocation share tracks weight_ppm until its cap binds);
+    or feed budget_s = budget·weight_ppm//scale_ppm into
+    `sample_token_budget` for a single-epoch carve."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be ≥ 0, got {alpha}")
+    if scale_ppm < 1:
+        raise ValueError(f"scale_ppm must be ≥ 1, got {scale_ppm}")
+    rows = sources.select(
+        F.col(source_col).cast("string").alias("s"),
+        F.col(tokens_col).cast("long").alias("t"),
+    ).collect()
+    out = temperature_weights_core(
+        [(r["s"], int(r["t"] or 0)) for r in rows], alpha, scale_ppm
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField(source_col, StringType(), True),
+        StructField(tokens_col, LongType(), True),
+        StructField("weight_ppm", LongType(), True),
+        StructField("epoch_weight", LongType(), True),
+    ])
+    return sources.sparkSession.createDataFrame(out, schema)
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

@@ -3902,7 +3902,11 @@ def corpus_release_suite(spark, sf_dir):
       'split': leakage_safe_split over synthesized near-dup pairs
                ((d, d+1) for d %% 10 == 0) — cluster and split per
                doc, proving pairs never straddle splits;
-      'shuf' : shuffle_deterministic's md5 permutation key per doc."""
+      'shuf' : shuffle_deterministic's md5 permutation key per doc;
+    plus (r5/r6, commented inline below): 'mixk' exact-k carve,
+    'tokb' token-budget carve, 'curr' curriculum phases, 'epoch'
+    water-fill plan, 'mat' plan materialization, 'temp' temperature
+    mixture weights."""
     from .operators import curation
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4019,9 +4023,25 @@ def corpus_release_suite(spark, sf_dir):
                     F.col("epoch_idx").cast("string")),
         v_num=F.col("n_chars"),
     )
+    # 'temp': temperature mixture weights (r6; XLM-R/mT5 α-sampling,
+    # α=0.3) over the per-source n_chars rollup — every source's
+    # (weight_ppm, epoch_weight) value-checked against a
+    # pinned-Python oracle (temperature_weights_core rerun off-Spark
+    # on the same rollup: identical float sequence, integer output)
+    tw = curation.temperature_weights(
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("n_tokens")),
+        alpha=0.3,
+    )
+    temp_rows = _suite_rows(
+        tw, "temp", F.col("source"),
+        v_str=F.col("epoch_weight").cast("string"),
+        v_num=F.col("weight_ppm"),
+    )
     return _union_all(
         [mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows, tokb_rows,
-         curr_rows, ep_rows, mat_rows]
+         curr_rows, ep_rows, mat_rows, temp_rows]
     )
 
 
@@ -4231,6 +4251,35 @@ FROM (
   UNION ALL
   SELECT source, doc_id, n_chars, eidx FROM m_carve
 )
+"""
+
+
+def _corpus_release_suite_sql() -> str:
+    """CORPUS_RELEASE_SUITE_SQL plus the 'temp' branch as a
+    pinned-Python VALUES table: `curation.temperature_weights_core`
+    (the exact function the Spark path collects into) rerun off-Spark
+    on the same per-source rollup read via DuckDB — identical float
+    sequence, integer (weight_ppm, epoch_weight) output, so the
+    branch is a full value-level gate without putting `pow` float
+    parity between two engines on the line."""
+    import duckdb
+
+    from .operators.curation import temperature_weights_core
+
+    rows = duckdb.sql(
+        f"SELECT source, CAST(sum(n_chars) AS BIGINT) FROM "
+        f"'{_ORACLE_SF_DIR}/documents.parquet' GROUP BY source ORDER BY source"
+    ).fetchall()
+    out = temperature_weights_core(
+        [(s, int(t)) for s, t in rows], 0.3, 1_000_000
+    )
+    values = ",\n".join(
+        f"('{s}', '{ew}', {ppm})" for s, _t, ppm, ew in out
+    )
+    return CORPUS_RELEASE_SUITE_SQL + f"""
+UNION ALL
+SELECT 'temp', source, ew, CAST(ppm AS DOUBLE)
+FROM (VALUES {values}) AS tw(source, ew, ppm)
 """
 
 
@@ -5059,7 +5108,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # r5 tier (slots freed by the minhash / ANN merges): SemDeDup with
     # a pinned-centroid oracle, and the corpus-release builder tier
     "semdedup": (semdedup, _semdedup_oracle_sql),
-    "corpus_release_suite": (corpus_release_suite, CORPUS_RELEASE_SUITE_SQL),
+    "corpus_release_suite": (corpus_release_suite, _corpus_release_suite_sql),
 }
 
 # Headline queries for bench.py — chosen to stress distinct physical

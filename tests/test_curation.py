@@ -990,3 +990,66 @@ def test_release_manifest_data_card(spark, tmp_path):
     assert empty == [
         {"n_docs": 0, "content_checksum": 0, "total_tokens": 0}
     ]
+
+
+def test_temperature_weights_alpha_behavior(spark):
+    """alpha=1 -> proportional ppm; alpha=0 -> uniform over non-empty
+    sources; weights always sum to exactly scale_ppm; empty sources
+    get 0; deterministic across calls."""
+    rows = [("web", 800), ("books", 150), ("code", 50), ("empty", 0)]
+    src = spark.createDataFrame(rows, ["source", "n_tokens"])
+
+    prop = {r.source: r.weight_ppm
+            for r in curation.temperature_weights(src, alpha=1.0).collect()}
+    assert prop == {"web": 800_000, "books": 150_000, "code": 50_000, "empty": 0}
+
+    unif = {r.source: r.weight_ppm
+            for r in curation.temperature_weights(src, alpha=0.0).collect()}
+    assert unif["empty"] == 0
+    live = [v for k, v in unif.items() if k != "empty"]
+    assert sum(unif.values()) == 1_000_000
+    assert max(live) - min(live) <= 1  # uniform up to largest-remainder
+
+    mid = {r.source: r.weight_ppm
+           for r in curation.temperature_weights(src, alpha=0.3).collect()}
+    assert sum(mid.values()) == 1_000_000
+    # temperature compresses: tail up-sampled, head down-sampled
+    assert mid["code"] > prop["code"] and mid["web"] < prop["web"]
+    # order preserved: more tokens never means a smaller weight
+    assert mid["web"] >= mid["books"] >= mid["code"] >= mid["empty"]
+
+    again = {r.source: r.weight_ppm
+             for r in curation.temperature_weights(src, alpha=0.3).collect()}
+    assert again == mid
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.temperature_weights(src, alpha=-0.1)
+    with _pytest.raises(ValueError):
+        curation.temperature_weights(src, scale_ppm=0)
+
+
+def test_temperature_weights_compose_epoch_planner(spark):
+    """The documented composition: alpha-weights feed plan_epoch_mixture
+    as weight_col, producing a capped water-fill whose allocations
+    follow the temperature ordering."""
+    rows = [("web", 80_000), ("books", 15_000), ("code", 5_000)]
+    src = spark.createDataFrame(rows, ["source", "n_tokens"])
+    w = curation.temperature_weights(src, alpha=0.3)
+    plan = curation.plan_epoch_mixture(
+        w, budget_tokens=150_000, weight_col="epoch_weight"
+    )
+    got = {r.source: r for r in plan.collect()}
+    assert sum(r.alloc_tokens for r in got.values()) <= 150_000
+    # per-token priority follows the alpha weight: code (highest share
+    # per token) reaches the epoch cap first, web never repeats much
+    assert got["code"].epochs_ppm >= got["books"].epochs_ppm >= got["web"].epochs_ppm
+    assert got["code"].capped and got["code"].epochs_ppm == 4_000_000
+    # uncapped sources' allocation shares track their weight_ppm
+    wppm = {r.source: r.weight_ppm for r in w.collect()}
+    rem_alloc = 150_000 - got["code"].alloc_tokens
+    rem_ppm = wppm["web"] + wppm["books"]
+    for s in ("web", "books"):
+        assert abs(
+            got[s].alloc_tokens - rem_alloc * wppm[s] / rem_ppm
+        ) < rem_alloc * 0.001
