@@ -606,3 +606,44 @@ def test_epoch_mixture_waterfill_optimality(spark, srcs, budget):
     for r in out:
         assert r.alloc_tokens == (r.n_tokens * r.epochs_ppm) // 1_000_000
     assert sum(r.alloc_tokens for r in out) <= budget
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12),
+             min_size=1, max_size=40),
+    st.sampled_from([0.0, 0.2, 0.3, 0.5, 0.7, 1.0]),
+)
+@settings(max_examples=60, deadline=None)
+def test_temperature_weights_core_invariants(tokens, alpha):
+    """Pure-core invariants of the alpha-sampling weights: ppm sums to
+    exactly the scale whenever any source is non-empty; empty sources
+    get 0; weights are monotone in size; alpha=1 ppm matches the exact
+    proportional largest-remainder apportionment; epoch_weight is the
+    documented floor-division of ppm."""
+    from cdc_pipeline_with_kafka_spark.operators.curation import (
+        temperature_weights_core,
+    )
+
+    pairs = [(f"s{i:03d}", t) for i, t in enumerate(tokens)]
+    out = temperature_weights_core(pairs, alpha, 1_000_000)
+    assert [s for s, *_ in out] == sorted(s for s, _ in pairs)
+    by = {s: (t, ppm, ew) for s, t, ppm, ew in out}
+    total = sum(tokens)
+    if total == 0 or (alpha > 0 and all(t == 0 for t in tokens)):
+        assert all(ppm == 0 for _, ppm, _ in by.values())
+    else:
+        assert sum(ppm for _, ppm, _ in by.values()) == 1_000_000
+    for s, t, ppm, ew in out:
+        if t == 0 and alpha >= 0:
+            assert ppm == 0 and ew == 0
+        assert ew == ((ppm * 10**12) // t if t > 0 else 0)
+    # monotone: STRICTLY more tokens never means a smaller share
+    # (equal sizes may differ by the ±1 largest-remainder bump)
+    ranked = sorted(out, key=lambda r: (r[1], r[2]))
+    for (s1, t1, p1, _), (s2, t2, p2, _) in zip(ranked, ranked[1:]):
+        assert p1 <= p2 if t1 < t2 else abs(p1 - p2) <= 1
+    # alpha=1: proportional apportionment within largest-remainder
+    if alpha == 1.0 and total > 0:
+        for s, t, ppm, _ in out:
+            exact = t / total * 1_000_000
+            assert abs(ppm - exact) < 1.0 + 1e-6
