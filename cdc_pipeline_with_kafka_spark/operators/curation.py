@@ -1485,19 +1485,25 @@ def corpus_manifest(
     """Release data card: one summary dict per split (or one total when
     ``split_col`` is None/absent) with n_docs, total_tokens (when a
     token column is present), and an ORDER-INDEPENDENT content
-    checksum — bit_xor of xxhash64(id ‖ md5(text)) — so two releases
-    compare content-equal without fixing file layout (release_corpus
-    deliberately does not pin layout).  One aggregation pass (bit_xor
-    and sum are partial-aggregable, so the shuffle carries one row per
-    split); the result is a handful of rows collected driver-side.
-    An empty frame/split yields n_docs=0 with checksum 0."""
+    checksum — bit_xor over the first 60 bits of
+    md5(id ‖ md5(text)) as an integer — so two releases compare
+    content-equal without fixing file layout (release_corpus
+    deliberately does not pin layout).  md5-based rather than
+    xxhash64 so the checksum replays EXACTLY in any engine with md5 +
+    hex→int (the DuckDB gate oracle does; xxhash64 has no cross-engine
+    twin).  One aggregation pass (bit_xor and sum are
+    partial-aggregable, so the shuffle carries one row per split); the
+    result is a handful of rows collected driver-side.  An empty
+    frame/split yields n_docs=0 with checksum 0."""
     cols = set(df.columns)
     keys = [split_col] if split_col and split_col in cols else []
-    checksum = F.expr(
-        f"bit_xor(xxhash64(concat(cast({id_col} AS string), "
-        f"md5(coalesce({text_col}, '')))))"
+    inner = (
+        f"concat(cast({id_col} AS string), md5(coalesce({text_col}, '')))"
         if text_col in cols
-        else f"bit_xor(xxhash64(cast({id_col} AS string)))"
+        else f"cast({id_col} AS string)"
+    )
+    checksum = F.expr(
+        f"bit_xor(cast(conv(substr(md5({inner}), 1, 15), 16, 10) AS bigint))"
     )
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),

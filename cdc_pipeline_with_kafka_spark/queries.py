@@ -3906,7 +3906,7 @@ def corpus_release_suite(spark, sf_dir):
     plus (r5/r6, commented inline below): 'mixk' exact-k carve,
     'tokb' token-budget carve, 'curr' curriculum phases, 'epoch'
     water-fill plan, 'mat' plan materialization, 'temp' temperature
-    mixture weights."""
+    mixture weights, 'mani' release data card."""
     from .operators import curation
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4039,9 +4039,24 @@ def corpus_release_suite(spark, sf_dir):
         v_str=F.col("epoch_weight").cast("string"),
         v_num=F.col("weight_ppm"),
     )
+    # 'mani': release data card (r6) — corpus_manifest grouped by lang
+    # over the full documents table: per-group n_docs, token total and
+    # the order-independent md5-fold content checksum, each
+    # value-checked (the checksum replays exactly in SQL — the reason
+    # it is md5-based, not xxhash64)
+    mani = curation.corpus_manifest(
+        _t(spark, sf_dir, "documents"), split_col="lang",
+        token_col="n_chars",
+    )
+    mani_rows = spark.createDataFrame(
+        [("mani", d["split"],
+          f"{d['content_checksum']}|{d['total_tokens']}",
+          float(d["n_docs"])) for d in mani],
+        "suite_case string, k string, v_str string, v_num double",
+    )
     return _union_all(
         [mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows, tokb_rows,
-         curr_rows, ep_rows, mat_rows, temp_rows]
+         curr_rows, ep_rows, mat_rows, temp_rows, mani_rows]
     )
 
 
@@ -4251,6 +4266,14 @@ FROM (
   UNION ALL
   SELECT source, doc_id, n_chars, eidx FROM m_carve
 )
+UNION ALL
+SELECT 'mani', lang,
+       CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || md5(coalesce(text, ''))), 1, 15)
+                    )::BIGINT) AS VARCHAR)
+       || '|' || CAST(sum(n_chars) AS VARCHAR),
+       CAST(count(*) AS DOUBLE)
+FROM documents GROUP BY lang
 """
 
 
