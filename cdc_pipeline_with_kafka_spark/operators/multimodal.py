@@ -219,24 +219,16 @@ def decode_ppm_features(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
-def decode_png_features(payload: bytes, dim: int = 8) -> list[float]:
-    """REAL in-container image decoder: full PNG decode via stdlib zlib
-    + numpy scanline unfiltering (no PIL), emitting the same 8-dim
-    pixel-stat shape as :func:`decode_ppm_features`:
-
-      [width, height, bit_depth, mean_r, mean_g, mean_b,
-       luma_mean, luma_std]          (channel stats normalized 0-1)
+def _png_rgb(payload: bytes):
+    """Full PNG decode via stdlib zlib + numpy scanline unfiltering (no
+    PIL) → (w, h, bit_depth, h×w×3 float64 RGB in [0,1]).
 
     Supports non-interlaced 8/16-bit gray (0), RGB (2), palette (3),
     gray+alpha (4) and RGBA (6) — i.e. every standard color type; alpha
-    is ignored for stats and gray replicates into r=g=b.  All five
-    scanline filters (none/sub/up/average/paeth) are reconstructed per
-    the PNG spec.  Raises ValueError on malformed payloads so the
-    quarantine path handles corrupt media.  The reference's media table
-    stores news-image URLs (crawler-service init.sql:36-45); this is
-    the in-container decode kernel for the common web-image case.
-    Register with set_decoder('image', ...) or use the sniffing
-    :func:`decode_image_features`."""
+    is dropped and gray replicates into r=g=b.  All five scanline
+    filters (none/sub/up/average/paeth) are reconstructed per the PNG
+    spec.  Raises ValueError on malformed payloads so the quarantine
+    path handles corrupt media."""
     import struct
     import zlib
 
@@ -318,6 +310,22 @@ def decode_png_features(payload: bytes, dim: int = 8) -> list[float]:
         rgb = np.repeat(px[:, :, :1], 3, axis=2)
     else:  # RGB / RGBA — drop alpha
         rgb = px[:, :, :3]
+    return w, h, depth, rgb
+
+
+def decode_png_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container image decoder: full PNG decode (see
+    :func:`_png_rgb`), emitting the same 8-dim pixel-stat shape as
+    :func:`decode_ppm_features`:
+
+      [width, height, bit_depth, mean_r, mean_g, mean_b,
+       luma_mean, luma_std]          (channel stats normalized 0-1)
+
+    The reference's media table stores news-image URLs (crawler-service
+    init.sql:36-45); this is the in-container decode kernel for the
+    common web-image case.  Register with set_decoder('image', ...) or
+    use the sniffing :func:`decode_image_features`."""
+    w, h, depth, rgb = _png_rgb(payload)
     means = rgb.mean(axis=(0, 1))
     luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
     return [
@@ -1524,3 +1532,197 @@ def transform_assets(
             )
 
     return assets.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------- perceptual hashing
+
+# Image near-dup for multimodal training corpora (the LAION-style
+# curation step): a 64-bit perceptual hash (pHash — Zauner 2010,
+# "Implementation and Benchmarking of Perceptual Image Hash
+# Functions") over the decoded raster, then Hamming-distance pairs via
+# the same pigeonhole blocking the text SimHash tier uses
+# (operators/dedup.py simhash_pairs).  Robust to re-encoding,
+# brightness shifts (only the DC coefficient moves) and small pixel
+# jitter; exact byte dedup (dedup_assets_exact) misses all of those.
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("phash_error", T.StringType()),
+    ]
+)
+
+
+def _dct_matrix_n(n: int):
+    """n×n orthonormal DCT-II basis M (M·Mᵀ = I): generalizes the
+    JPEG 8×8 _dct_matrix to the 32×32 pHash transform."""
+    import numpy as np
+
+    k = np.arange(n)
+    M = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    M *= np.sqrt(2.0 / n)
+    M[0] /= np.sqrt(2.0)
+    return M
+
+
+def _rgb_raster(payload: bytes):
+    """Sniff-decode an image payload → (w, h, h×w×3 float64 RGB in
+    [0,1]) using the in-container codecs: PPM (P6), PNG, baseline
+    JPEG.  Raises ValueError for unknown magics / malformed payloads
+    (quarantine path)."""
+    if payload.startswith(b"P6"):
+        w, h, maxval, raster = _ppm_raster(payload)
+        import numpy as np
+
+        return w, h, raster.astype(np.float64) / float(maxval)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, _depth, rgb = _png_rgb(payload)
+        return w, h, rgb
+    if payload[:2] == b"\xff\xd8":
+        w, h, _prec, rgb = _jpeg_decode_pixels(payload)
+        return w, h, rgb
+    raise ValueError("unknown image magic for perceptual hash")
+
+
+def _resize_gray(a, oh: int, ow: int):
+    """Deterministic grayscale resize to oh×ow: integer box-mean
+    prefilter when downscaling ≥2× (antialias), then center-sample
+    index mapping.  Pure numpy, no interpolation library — the same
+    bits on every host, which the pinned-Python oracle replay relies
+    on."""
+    import numpy as np
+
+    h, w = a.shape
+    fh, fw = max(h // oh, 1), max(w // ow, 1)
+    if fh > 1 or fw > 1:
+        a = a[: (h // fh) * fh, : (w // fw) * fw]
+        a = a.reshape(h // fh, fh, w // fw, fw).mean(axis=(1, 3))
+        h, w = a.shape
+    yi = np.minimum(((np.arange(oh) + 0.5) * h / oh).astype(np.intp), h - 1)
+    xi = np.minimum(((np.arange(ow) + 0.5) * w / ow).astype(np.intp), w - 1)
+    return a[np.ix_(yi, xi)]
+
+
+def phash64(payload: bytes, hash_size: int = 8, img_size: int = 32) -> int:
+    """64-bit perceptual hash of an image payload (PPM/PNG/JPEG).
+
+    luma → img_size² grayscale (box-prefiltered center sampling) →
+    2-D orthonormal DCT-II → top-left hash_size² low-frequency block →
+    bit i = 1 iff coefficient > median of the block EXCLUDING the DC
+    term (brightness lives only in DC, so a uniform brightness shift
+    flips at most the DC bit).  Returned as a SIGNED 64-bit int (Spark
+    LongType / DuckDB BIGINT two's complement)."""
+    import numpy as np
+
+    _w, _h, rgb = _rgb_raster(payload)
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    g = _resize_gray(luma, img_size, img_size)
+    M = _dct_matrix_n(img_size)
+    d = (M @ g) @ M.T
+    low = d[:hash_size, :hash_size].ravel()
+    med = float(np.median(low[1:]))
+    bits = low > med
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def phash_assets(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    hash_size: int = 8,
+    img_size: int = 32,
+) -> DataFrame:
+    """Perceptual-hash every image asset via mapInPandas → (asset_id,
+    phash, phash_error).  Decode failures yield phash NULL + the error
+    string (quarantine rows), matching transform_assets' convention.
+    Embarrassingly parallel — no shuffle; partition sizing by payload
+    bytes is the caller's lever, as for extract_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes: list[int | None] = []
+            errs: list[str | None] = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    hashes.append(phash64(raw, hash_size, img_size))
+                    errs.append(None)
+                except ValueError as exc:
+                    hashes.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "phash_error": errs,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 10,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+    blocks: int = 4,
+) -> DataFrame:
+    """Image near-dup pairs: Hamming distance ≤ max_hamming over 64-bit
+    perceptual hashes, pigeonhole-blocked exactly like the text tier
+    (dedup.simhash_pairs): split the hash into `blocks` 16-bit blocks;
+    candidates share ≥1 block (guaranteed recall for hamming < blocks,
+    LSH-grade recall above), groupBy(bucket) + upper-triangle in-bucket
+    expansion, first-matching-block filter instead of a dropDuplicates
+    exchange, exact popcount verification.  Linear candidate
+    generation at corpus scale — never an all-pairs join."""
+    block_bits = 64 // blocks
+    mask_i = (1 << block_bits) - 1
+    fps = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+    )
+    block_structs = ", ".join(
+        f"named_struct('blk', {i}, 'key', shiftright(fp, {i * block_bits}) & {mask_i})"
+        for i in range(blocks)
+    )
+    entries = fps.select(
+        "id", "fp", F.expr(f"explode(array({block_structs}))").alias("e")
+    ).select("id", "fp", "e.blk", "e.key")
+    buckets = (
+        entries.groupBy("blk", "key")
+        .agg(F.collect_list(F.struct("id", "fp")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = (
+        buckets.select("blk", "ms", F.posexplode("ms").alias("p", "m1"))
+        .select("blk", "m1",
+                F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("m2"))
+    )
+
+    def block_match(i: int) -> str:
+        return (
+            f"(shiftright(m1.fp, {i * block_bits}) & {mask_i})"
+            f" = (shiftright(m2.fp, {i * block_bits}) & {mask_i})"
+        )
+
+    first_block_sql = (
+        "CASE "
+        + " ".join(f"WHEN {block_match(i)} THEN {i}" for i in range(blocks - 1))
+        + f" ELSE {blocks - 1} END"
+    )
+    return (
+        pairs.filter(F.expr(f"blk = ({first_block_sql})"))
+        .selectExpr(
+            "least(m1.id, m2.id) AS id_a",
+            "greatest(m1.id, m2.id) AS id_b",
+            "bit_count(m1.fp ^ m2.fp) AS hamming",
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

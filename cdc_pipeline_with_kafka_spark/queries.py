@@ -2979,10 +2979,90 @@ FROM (
 """
 
 
+def _phash_gate_ppm(text: str, variant: int, w: int = 24, h: int = 24) -> bytes:
+    """Deterministic P6 payload for the pHash gate: the raster is
+    sha256-expanded from the doc text (texture differs per doc, and
+    duplicate texts yield identical images — real dedup behavior);
+    variant 1 is a clipped +3 brightness shift, the canonical
+    perturbation pHash is designed to survive (only the DC coefficient
+    moves).  Pure Python/numpy — rerun verbatim by the pinned oracle."""
+    import hashlib
+
+    import numpy as np
+
+    need = w * h * 3
+    body = b""
+    i = 0
+    while len(body) < need:
+        body += hashlib.sha256(f"{text}:{i}".encode("utf-8")).digest()
+        i += 1
+    a = np.frombuffer(body[:need], dtype=np.uint8)
+    if variant:
+        a = np.minimum(a.astype(np.int64) + 3, 255).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _phash_gate_hashes(spark, sf_dir):
+    """Image-typed docs (doc_id % 3 == 0) → two synthetic PPM variants
+    each (asset_id = doc_id·2 + variant) → phash_assets."""
+    from .operators import multimodal
+
+    import pandas as pd
+
+    variants = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id", "text",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("variant"),
+        )
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"] * 2 + pdf["variant"],
+                    "payload": [
+                        _phash_gate_ppm(t, v)
+                        for t, v in zip(pdf["text"], pdf["variant"])
+                    ],
+                }
+            )
+
+    assets = variants.mapInPandas(synth, "asset_id long, payload binary")
+    return multimodal.phash_assets(assets)
+
+
 def multimodal_pipeline(spark, sf_dir):
-    """multimodal_features + multimodal_frames in one tagged gate:
-    the mapInPandas binary-payload feature plumbing and the
-    frames-as-rows-before-decode sampling plan."""
+    """multimodal_features + multimodal_frames + the perceptual-hash
+    near-dup tier in one tagged gate: the mapInPandas binary-payload
+    feature plumbing, the frames-as-rows-before-decode sampling plan,
+    'ph' = 64-bit pHash per synthetic image asset (value-checked as
+    two exact 32-bit halves against a pinned-Python replay), 'php' =
+    Hamming-≤6 near-dup pairs via the pigeonhole-blocked phash_pairs
+    (the DuckDB side replays candidate generation + popcount on the
+    same VALUES table)."""
+    from .operators import multimodal
+
+    hashes = _phash_gate_hashes(spark, sf_dir)
+    ph = hashes.select(
+        F.lit("ph").alias("suite_case"),
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.lit("").alias("k"),
+        F.lit("").alias("v_str"),
+        (F.col("phash").bitwiseAND(F.lit(4294967295))).cast("double").alias("v_num1"),
+        (F.shiftright("phash", 32).bitwiseAND(F.lit(4294967295)))
+        .cast("double").alias("v_num2"),
+    )
+    php = multimodal.phash_pairs(hashes, max_hamming=6).select(
+        F.lit("php").alias("suite_case"),
+        F.col("id_a").cast("long").alias("asset_id"),
+        F.col("id_b").cast("string").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("hamming").cast("double").alias("v_num1"),
+        F.lit(-1.0).alias("v_num2"),
+    )
     feats = multimodal_features(spark, sf_dir).select(
         F.lit("features").alias("suite_case"),
         F.col("asset_id").cast("long").alias("asset_id"),
@@ -2999,16 +3079,54 @@ def multimodal_pipeline(spark, sf_dir):
         F.col("frame_ts_ms").cast("double").alias("v_num1"),
         F.lit(-1.0).alias("v_num2"),
     )
-    return feats.unionByName(frames)
+    return feats.unionByName(frames).unionByName(ph).unionByName(php)
 
 
-MULTIMODAL_PIPELINE_SQL = f"""
+def _multimodal_pipeline_sql() -> str:
+    """Lazy builder (pinned-Python-model oracle pattern): the pHash
+    values are recomputed off-Spark — duckdb reads the same documents
+    parquet, _phash_gate_ppm + operators.multimodal.phash64 run
+    verbatim — and land as a VALUES table; the pigeonhole candidate
+    generation (share ≥1 of four 16-bit blocks) and popcount verify
+    are replayed as DuckDB SQL, mirroring _simhash_oracle_sql."""
+    import duckdb
+
+    from .operators.multimodal import phash64
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"'{_ORACLE_SF_DIR}/documents.parquet' WHERE doc_id % 3 = 0 "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    vals = ", ".join(
+        f"({doc_id * 2 + variant}, {phash64(_phash_gate_ppm(text, variant))})"
+        for doc_id, text in rows
+        for variant in (0, 1)
+    )
+    share = " OR ".join(
+        f"((a.fp >> {s}) & 65535) = ((b.fp >> {s}) & 65535)"
+        for s in (0, 16, 32, 48)
+    )
+    return f"""
+WITH ph(asset_id, fp) AS (VALUES {vals})
 SELECT 'features' AS suite_case, asset_id, media_type || '|' || CAST(payload_bytes AS VARCHAR) AS k,
        content_hash AS v_str, CAST(f0 AS DOUBLE) AS v_num1, CAST(feature_sum AS DOUBLE) AS v_num2
 FROM ({MULTIMODAL_FEATURES_SQL}) s1
 UNION ALL
 SELECT 'frames', asset_id, CAST(frame_idx AS VARCHAR), '', CAST(frame_ts_ms AS DOUBLE), -1.0
 FROM ({MULTIMODAL_FRAMES_SQL}) s2
+UNION ALL
+SELECT 'ph', asset_id, '', '',
+       CAST(fp & 4294967295 AS DOUBLE),
+       CAST((fp >> 32) & 4294967295 AS DOUBLE)
+FROM ph
+UNION ALL
+SELECT 'php', a.asset_id, CAST(b.asset_id AS VARCHAR), '',
+       CAST(bit_count(xor(a.fp, b.fp)) AS DOUBLE), -1.0
+FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+WHERE ({share}) AND bit_count(xor(a.fp, b.fp)) <= 6
 """
 
 
@@ -5114,7 +5232,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim_embedding_neardup_lsh": (sim_embedding_neardup_lsh, _sim_neardup_lsh_sql()),
     # r5: LSH + IVF ANN merged (frees one slot)
     "sim_ann_suite": (sim_ann_suite, _sim_ann_suite_sql),
-    "multimodal_pipeline": (multimodal_pipeline, MULTIMODAL_PIPELINE_SQL),
+    "multimodal_pipeline": (multimodal_pipeline, _multimodal_pipeline_sql),
     # r4 tier (slots freed by the w2/w3/w6, a9/a11, f6/f14 merges):
     # sequential-admission flagship with a full SQL replay oracle
     "admit_shard_e2e": (admit_shard_e2e, ADMIT_E2E_SQL),
