@@ -1052,3 +1052,151 @@ def semantic_dedup(
         max_cluster_size=max_cluster_size,
     )
     return dedup_survivors(df, pairs, id_col=id_col, algorithm="auto")
+
+
+# ---------------------------------------------------------------- distributed k-means
+
+# train_ivf_codebook trains on a driver-side capped sample (≤1e5
+# vectors) — the right call when a sample suffices.  When the model
+# must see EVERY vector (cluster balancing for SemDeDup blocking, or a
+# corpus whose modes a sample misses), Lloyd iterations have to run on
+# the cluster: assignment is an embarrassingly-parallel codegen map,
+# the update is one groupBy(centroid) shuffle of k×(d+1) partial-agg
+# cells per task — the classic MLlib shape, but with EXACTLY
+# reproducible arithmetic so the pinned-Python oracle can replay it:
+#
+#   · distances: per-centroid left-fold Σ(x−c)² in float64, dimension
+#     order fixed → the JVM and a Python loop produce the same bits;
+#     argmin ties break to the lowest centroid id (array_position
+#     finds the FIRST minimum).
+#   · update: per-dimension sums of floor(x·1e6) as INTEGERS — order-
+#     independent across partitions, so the shuffle can combine
+#     partials in any order; centroid_j = qsum_j / (count·1e6) is one
+#     float64 division replayed identically on the driver and in the
+#     oracle.  Empty clusters keep their previous centroid.
+
+
+def kmeans_train_distributed(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd k-means over the FULL corpus (squared-L2).
+
+    Init = first k vectors by id (deterministic, the ivf_kmeans_np
+    convention).  Per iteration: one job with a single groupBy shuffle
+    whose payload is k rows × (d+1) integer cells; the corpus is never
+    collected.  Returns (cids, centroid float64 matrix) — the same
+    tuple shape train_ivf_codebook returns, pluggable into ivf_assign
+    / semantic_dedup (note: those assign by cosine; Lloyd's euclidean
+    assignment coincides on L2-normalized inputs).
+
+    Driver traffic per iteration is k×(d+1) longs — independent of
+    corpus size, so the loop holds at 100 TB where the capped trainer
+    would have to subsample."""
+    init_rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"corpus has {len(init_rows)} vectors < k={k}")
+    cm = [[float(v) for v in r[vec_col]] for r in init_rows]
+    d = len(cm[0])
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        cid = _kmeans_assign_col(vec, cm)
+        qsums = [
+            F.sum(F.floor(F.element_at(F.col("_v"), j + 1) * 1e6).cast("long")).alias(f"q{j}")
+            for j in range(d)
+        ]
+        stats = (
+            corpus.select(cid.alias("cid"), vec.alias("_v"))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("cnt"), *qsums)
+            .collect()
+        )
+        by_cid = {r["cid"]: r for r in stats}
+        cm = [
+            _kmeans_centroid_update(by_cid.get(c), cm[c], d) for c in range(k)
+        ]
+    return np.arange(k, dtype=np.int64), np.array(cm, dtype=np.float64)
+
+
+def _kmeans_assign_col(vec: Column, cm: list[list[float]]) -> Column:
+    """Nearest-centroid id as a pure codegen column: per-centroid
+    left-fold Σ(x−c)² (fixed dimension order → reproducible bits),
+    first-minimum tie-break via array_position."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            for c in cm
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _kmeans_centroid_update(row, prev: list[float], d: int) -> list[float]:
+    """One centroid from its aggregated (cnt, Σfloor(x·1e6)) cells —
+    float64 division on the driver, shared verbatim by the oracle
+    replay.  None/empty → keep the previous centroid."""
+    if row is None or row["cnt"] == 0:
+        return list(prev)
+    n = row["cnt"]
+    return [row[f"q{j}"] / (n * 1e6) for j in range(d)]
+
+
+def kmeans_lloyd_replay(vecs: list[tuple[int, list[float]]], k: int, iters: int = 4):
+    """Pure-Python twin of kmeans_train_distributed for the pinned-
+    model oracle (queries._semdedup_oracle_sql 'km' rows) and the
+    equivalence pytest: same init, the same left-fold float64 distance
+    sequence, the same floor(x·1e6) integer sums.  Returns
+    (centroid matrix as lists, {id: cid} final assignment)."""
+    import math
+
+    ordered = sorted(vecs, key=lambda r: r[0])
+    if len(ordered) < k:
+        raise ValueError(f"corpus has {len(ordered)} vectors < k={k}")
+    cm = [[float(v) for v in ordered[c][1]] for c in range(k)]
+    d = len(cm[0])
+    assign: dict[int, int] = {}
+    for _ in range(iters):
+        cnts = [0] * k
+        qsums = [[0] * d for _ in range(k)]
+        for vid, v in ordered:
+            dists = []
+            for c in cm:
+                acc = 0.0
+                for j in range(d):
+                    x = float(v[j]) - c[j]
+                    acc = acc + x * x
+                dists.append(acc)
+            cid = dists.index(min(dists))
+            assign[vid] = cid
+            cnts[cid] += 1
+            for j in range(d):
+                qsums[cid][j] += math.floor(float(v[j]) * 1e6)
+        cm = [
+            [qsums[c][j] / (cnts[c] * 1e6) for j in range(d)] if cnts[c] else list(cm[c])
+            for c in range(k)
+        ]
+    # final assignment against the FINAL centroids (what ivf_assign /
+    # the gate's assignment pass sees)
+    for vid, v in ordered:
+        dists = []
+        for c in cm:
+            acc = 0.0
+            for j in range(d):
+                x = float(v[j]) - c[j]
+                acc = acc + x * x
+            dists.append(acc)
+        assign[vid] = dists.index(min(dists))
+    return cm, assign

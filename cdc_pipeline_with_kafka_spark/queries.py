@@ -3927,7 +3927,28 @@ def semdedup(spark, sf_dir):
         v_str=F.col("is_canonical").cast("string"),
         v_num=F.col("cluster_id"),
     )
-    return _union_all([assign_rows, pair_rows, surv_rows])
+    # r6: 'km'/'kmc' — the DISTRIBUTED Lloyd trainer (full-corpus, no
+    # driver cap) value-checked end-to-end: final per-vector
+    # assignments and every centroid cell must match the pinned
+    # pure-Python replay bit-for-bit (exact quantized-integer update,
+    # reproducible left-fold distances — similarity.py kmeans notes).
+    _kc, kcm = similarity.kmeans_train_distributed(corpus, k=4, iters=3)
+    kvec = F.col("embedding").cast("array<double>")
+    km_assign = corpus.select(
+        "vec_id",
+        similarity._kmeans_assign_col(kvec, [list(c) for c in kcm]).alias("cid"),
+    )
+    km_rows = _suite_rows(km_assign, "km", F.col("vec_id"), v_num=F.col("cid"))
+    kmc_rows = _suite_rows(
+        spark.createDataFrame(
+            [(c, j, float(kcm[c][j])) for c in range(4) for j in range(kcm.shape[1])],
+            "c int, j int, v double",
+        ),
+        "kmc",
+        F.concat_ws("|", F.col("c").cast("string"), F.col("j").cast("string")),
+        v_num=F.col("v"),
+    )
+    return _union_all([assign_rows, pair_rows, surv_rows, km_rows, kmc_rows])
 
 
 def _semdedup_oracle_sql() -> str:
@@ -3957,6 +3978,20 @@ def _semdedup_oracle_sql() -> str:
     cent_vals = ", ".join(
         f"({c}, [{', '.join(repr(x) for x in cm[c])}]::DOUBLE[])"
         for c in range(_SEMDEDUP_NLIST)
+    )
+    # r6 'km'/'kmc': replay the distributed Lloyd trainer in pure
+    # Python over the SAME corpus (originals + %17 twins) — exact
+    # arithmetic (kmeans_lloyd_replay docstring), so values embed
+    # verbatim (repr round-trips float64 through DuckDB literals).
+    kvecs = [(int(v), X[i]) for i, v in enumerate(ids)] + [
+        (int(ids[i]) + _SEMDEDUP_TWIN, X[i]) for i in twin_sel
+    ]
+    kcm, kassign = sim.kmeans_lloyd_replay(kvecs, k=4, iters=3)
+    km_vals = ", ".join(f"({vid}, {cid})" for vid, cid in sorted(kassign.items()))
+    kmc_vals = ", ".join(
+        f"({c}, {j}, {kcm[c][j]!r})"
+        for c in range(4)
+        for j in range(len(kcm[0]))
     )
     return f"""
 WITH corpus AS (
@@ -4002,6 +4037,12 @@ UNION ALL
 SELECT 'surv', CAST(vec_id AS VARCHAR),
        CAST(cluster_id = vec_id AS VARCHAR), CAST(cluster_id AS DOUBLE)
 FROM clusters
+UNION ALL
+SELECT 'km', CAST(vid AS VARCHAR), '', CAST(cid AS DOUBLE)
+FROM (VALUES {km_vals}) km(vid, cid)
+UNION ALL
+SELECT 'kmc', CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR), '', CAST(v AS DOUBLE)
+FROM (VALUES {kmc_vals}) kmc(c, j, v)
 """
 
 
