@@ -1726,3 +1726,91 @@ def phash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def phash_pairs_incremental(
+    new_hashes: DataFrame,
+    index_hashes: DataFrame,
+    max_hamming: int = 10,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+    blocks: int = 4,
+) -> DataFrame:
+    """Incremental image near-dup: a NEW shard of perceptual hashes
+    against a persisted (asset_id, phash) index — the image counterpart
+    of dedup.simhash_pairs_incremental, for rolling shard admission:
+    new assets hash once (8 bytes/asset of index growth), the corpus
+    is never re-hashed.  Returns pairs touching ≥1 new asset, identical
+    to full-corpus `phash_pairs` restricted to the shard (asserted in
+    tests and at driver level by the gate's 'phinc' rows)."""
+    block_bits = 64 // blocks
+    mask_i = (1 << block_bits) - 1
+    fps = (
+        index_hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("fp"),
+                F.lit(False).alias("is_new"))
+        .unionByName(
+            new_hashes.filter(F.col(hash_col).isNotNull()).select(
+                F.col(id_col).alias("id"), F.col(hash_col).alias("fp"),
+                F.lit(True).alias("is_new"),
+            )
+        )
+    )
+    block_structs = ", ".join(
+        f"named_struct('blk', {i}, 'key', shiftright(fp, {i * block_bits}) & {mask_i})"
+        for i in range(blocks)
+    )
+    entries = fps.select(
+        "id", "fp", "is_new", F.expr(f"explode(array({block_structs}))").alias("e")
+    ).select("id", "fp", "is_new", "e.blk", "e.key")
+    buckets = (
+        entries.groupBy("blk", "key")
+        .agg(F.collect_list(F.struct("id", "fp", "is_new")).alias("ms"))
+        .filter((F.size("ms") > 1) & F.expr("exists(ms, m -> m.is_new)"))
+    )
+    pairs = (
+        buckets.select("blk", "ms", F.posexplode("ms").alias("p", "m1"))
+        .select("blk", "m1",
+                F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("m2"))
+        .filter(F.expr("m1.is_new OR m2.is_new"))
+    )
+
+    def block_match(i: int) -> str:
+        return (
+            f"(shiftright(m1.fp, {i * block_bits}) & {mask_i})"
+            f" = (shiftright(m2.fp, {i * block_bits}) & {mask_i})"
+        )
+
+    first_block_sql = (
+        "CASE "
+        + " ".join(f"WHEN {block_match(i)} THEN {i}" for i in range(blocks - 1))
+        + f" ELSE {blocks - 1} END"
+    )
+    return (
+        pairs.filter(F.expr(f"blk = ({first_block_sql})"))
+        .selectExpr(
+            "least(m1.id, m2.id) AS id_a",
+            "greatest(m1.id, m2.id) AS id_b",
+            "bit_count(m1.fp ^ m2.fp) AS hamming",
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_assets_perceptual(
+    assets: DataFrame,
+    max_hamming: int = 10,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """End-to-end perceptual image dedup: phash_assets → pigeonhole
+    pairs → connected components → one canonical survivor per visual-
+    duplicate group (lowest id) — the image twin of
+    dedup.dedup_survivors' text pipeline.  Undecodable assets keep
+    is_canonical=true (quarantine is a separate policy decision).
+    Output: (asset_id, phash, phash_error, cluster_id, is_canonical)."""
+    from .dedup import dedup_survivors
+
+    hashes = phash_assets(assets, id_col=id_col, payload_col=payload_col)
+    pairs = phash_pairs(hashes, max_hamming=max_hamming, id_col="asset_id")
+    return dedup_survivors(hashes, pairs, id_col="asset_id")

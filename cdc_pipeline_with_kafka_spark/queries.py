@@ -3045,7 +3045,9 @@ def multimodal_pipeline(spark, sf_dir):
     same VALUES table)."""
     from .operators import multimodal
 
-    hashes = _phash_gate_hashes(spark, sf_dir)
+    # one synth+hash pass shared by the 'ph'/'php'/'phinc' branches
+    # (branch-sharing seam, the spans_df/scored_df pattern)
+    hashes = _phash_gate_hashes(spark, sf_dir).localCheckpoint()
     ph = hashes.select(
         F.lit("ph").alias("suite_case"),
         F.col("asset_id").cast("long").alias("asset_id"),
@@ -3057,6 +3059,22 @@ def multimodal_pipeline(spark, sf_dir):
     )
     php = multimodal.phash_pairs(hashes, max_hamming=6).select(
         F.lit("php").alias("suite_case"),
+        F.col("id_a").cast("long").alias("asset_id"),
+        F.col("id_b").cast("string").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("hamming").cast("double").alias("v_num1"),
+        F.lit(-1.0).alias("v_num2"),
+    )
+    # 'phinc': incremental shard-vs-index ≡ full restricted to pairs
+    # touching the shard — the rolling-admission contract, held at
+    # driver level like the text tier's simhash/minhash 'inc' rows
+    cutoff = _table_count(spark, sf_dir, "documents")
+    phinc = multimodal.phash_pairs_incremental(
+        hashes.filter(F.col("asset_id") >= cutoff),
+        hashes.filter(F.col("asset_id") < cutoff),
+        max_hamming=6,
+    ).select(
+        F.lit("phinc").alias("suite_case"),
         F.col("id_a").cast("long").alias("asset_id"),
         F.col("id_b").cast("string").alias("k"),
         F.lit("").alias("v_str"),
@@ -3079,7 +3097,10 @@ def multimodal_pipeline(spark, sf_dir):
         F.col("frame_ts_ms").cast("double").alias("v_num1"),
         F.lit(-1.0).alias("v_num2"),
     )
-    return feats.unionByName(frames).unionByName(ph).unionByName(php)
+    return (
+        feats.unionByName(frames).unionByName(ph)
+        .unionByName(php).unionByName(phinc)
+    )
 
 
 def _multimodal_pipeline_sql() -> str:
@@ -3127,6 +3148,14 @@ SELECT 'php', a.asset_id, CAST(b.asset_id AS VARCHAR), '',
        CAST(bit_count(xor(a.fp, b.fp)) AS DOUBLE), -1.0
 FROM ph a JOIN ph b ON a.asset_id < b.asset_id
 WHERE ({share}) AND bit_count(xor(a.fp, b.fp)) <= 6
+UNION ALL
+-- incremental ≡ full restricted to pairs touching the shard: pairs
+-- are (least, greatest), so id_b ≥ cutoff ⇔ at least one shard asset
+SELECT 'phinc', a.asset_id, CAST(b.asset_id AS VARCHAR), '',
+       CAST(bit_count(xor(a.fp, b.fp)) AS DOUBLE), -1.0
+FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+WHERE ({share}) AND bit_count(xor(a.fp, b.fp)) <= 6
+  AND b.asset_id >= (SELECT count(*) FROM documents)
 """
 
 

@@ -148,3 +148,48 @@ def test_phash_assets_quarantines_undecodable(spark):
 def test_phash_rejects_truncated_raster():
     with pytest.raises(ValueError):
         mm.phash64(_to_ppm(_noise_rgb("trunc"))[:-20])
+
+
+@pytest.mark.parametrize("cut_frac", [0, 1, 15, 29, 30])
+def test_phash_incremental_equals_full_at_boundary_cutoffs(spark, cut_frac):
+    """shard-vs-index ≡ full pairs restricted to the shard, including
+    the boundary shards (empty index / empty shard) where incremental
+    paths historically break."""
+    rows = []
+    for i in range(15):
+        rgb = _noise_rgb(f"inc{i}")
+        rows.append((2 * i, _to_ppm(rgb)))
+        rows.append((2 * i + 1, _to_ppm(np.minimum(rgb + 3 / 255.0, 1.0))))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashes = mm.phash_assets(df).localCheckpoint()
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.phash_pairs(hashes, max_hamming=6).collect()
+    }
+    cutoff = cut_frac  # asset ids are 0..29
+    inc = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.phash_pairs_incremental(
+            hashes.filter(F.col("asset_id") >= cutoff),
+            hashes.filter(F.col("asset_id") < cutoff),
+            max_hamming=6,
+        ).collect()
+    }
+    want = {(a, b, h) for (a, b, h) in full if b >= cutoff}
+    assert inc == want
+
+
+def test_dedup_assets_perceptual_survivors(spark):
+    rgb = _noise_rgb("surv")
+    rows = [
+        (10, _to_ppm(rgb)),
+        (11, _to_ppm(np.minimum(rgb + 3 / 255.0, 1.0))),  # near-dup of 10
+        (12, _to_ppm(_noise_rgb("other"))),               # unrelated
+        (13, b"undecodable"),                             # quarantine
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r.asset_id: r for r in mm.dedup_assets_perceptual(df, max_hamming=6).collect()}
+    assert out[10].is_canonical and out[10].cluster_id == 10
+    assert not out[11].is_canonical and out[11].cluster_id == 10
+    assert out[12].is_canonical
+    assert out[13].is_canonical and out[13].phash is None
