@@ -1103,24 +1103,35 @@ def kmeans_train_distributed(
         raise ValueError(f"corpus has {len(init_rows)} vectors < k={k}")
     cm = [[float(v) for v in r[vec_col]] for r in init_rows]
     d = len(cm[0])
-    vec = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
-        cid = _kmeans_assign_col(vec, cm)
-        qsums = [
-            F.sum(F.floor(F.element_at(F.col("_v"), j + 1) * 1e6).cast("long")).alias(f"q{j}")
-            for j in range(d)
-        ]
-        stats = (
-            corpus.select(cid.alias("cid"), vec.alias("_v"))
-            .groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("cnt"), *qsums)
-            .collect()
-        )
+        stats = _kmeans_iter_stats(corpus, cm, vec_col).collect()
         by_cid = {r["cid"]: r for r in stats}
         cm = [
             _kmeans_centroid_update(by_cid.get(c), cm[c], d) for c in range(k)
         ]
     return np.arange(k, dtype=np.int64), np.array(cm, dtype=np.float64)
+
+
+def _kmeans_iter_stats(
+    corpus: DataFrame, cm: list[list[float]], vec_col: str
+) -> DataFrame:
+    """One Lloyd iteration's update aggregate as a DataFrame (the
+    trainer collects its ≤k rows): assignment map → groupBy(cid) with
+    integer partial-agg cells.  Factored out so test_plans can pin the
+    shape — partial aggregation (map-side combine), no Window, no
+    join."""
+    d = len(cm[0])
+    vec = F.col(vec_col).cast("array<double>")
+    cid = _kmeans_assign_col(vec, cm)
+    qsums = [
+        F.sum(F.floor(F.element_at(F.col("_v"), j + 1) * 1e6).cast("long")).alias(f"q{j}")
+        for j in range(d)
+    ]
+    return (
+        corpus.select(cid.alias("cid"), vec.alias("_v"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cnt"), *qsums)
+    )
 
 
 def _kmeans_assign_col(vec: Column, cm: list[list[float]]) -> Column:

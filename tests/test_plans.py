@@ -181,3 +181,39 @@ def test_tfidf_window_form_exchange_budget(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") <= 5
     assert p.count("Scan parquet") <= 2
+
+
+def test_phash_pairs_no_join_linear_candidates(spark):
+    """Image near-dup candidates come from groupBy(bucket) + in-bucket
+    expansion — NEVER a self-join or cartesian: the linear-candidate
+    contract that survives a 100 TB image corpus."""
+    import hashlib
+
+    from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
+
+    rows = [
+        (i, b"P6\n4 4\n255\n" + hashlib.sha256(str(i).encode()).digest()[:48])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = mm.phash_pairs(mm.phash_assets(df), max_hamming=6)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert plans.has_partial_aggregation(out)
+
+
+def test_kmeans_iteration_is_one_partial_agg(spark):
+    """The distributed Lloyd update: codegen assignment map feeding ONE
+    groupBy(cid) with map-side-combined integer cells — no Window, no
+    join, no Python eval; per-iteration shuffle payload is k×(d+1)
+    longs per task regardless of corpus size."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    cm = [[float(v) for v in r.embedding] for r in emb.orderBy("vec_id").limit(3).collect()]
+    stats = sim._kmeans_iter_stats(emb, cm, "embedding")
+    p = stats._jdf.queryExecution().executedPlan().toString()
+    assert plans.has_partial_aggregation(stats)
+    assert "Window" not in p and "Join" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
