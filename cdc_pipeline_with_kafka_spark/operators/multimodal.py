@@ -1814,3 +1814,95 @@ def dedup_assets_perceptual(
     hashes = phash_assets(assets, id_col=id_col, payload_col=payload_col)
     pairs = phash_pairs(hashes, max_hamming=max_hamming, id_col="asset_id")
     return dedup_survivors(hashes, pairs, id_col="asset_id")
+
+
+# ---------------------------------------------------------------- audio fingerprinting
+
+# Audio near-dup, the WAV counterpart of phash64: a 64-bit envelope +
+# zero-crossing fingerprint (the Haitsma-Kalker 2002 "robust audio
+# hashing" family, reduced to two rate-invariant per-window features).
+# Robust to volume scaling (both features are level-relative) and to
+# resampling (windows divide the CLIP, zero-crossings normalize per
+# second); discriminative across unrelated clips.  Pairs reuse
+# phash_pairs / phash_pairs_incremental verbatim (hash_col="ahash").
+
+AHASH_WINDOWS = 32  # 32 windows × 2 features = 64 bits
+
+
+def ahash64(payload: bytes) -> int:
+    """64-bit audio fingerprint of a RIFF/WAVE payload.
+
+    mono mix → 32 equal windows over the clip → per window
+    (log-energy, zero-crossings/sec) → bit = feature > median of its
+    feature's 32 values (ties → 0; energy bits first, ZCR bits in the
+    high half).  Signed 64-bit (Spark LongType / DuckDB BIGINT)."""
+    import numpy as np
+
+    n_ch, rate, _bits, norm = _wav_pcm(payload)
+    if norm.size < n_ch * AHASH_WINDOWS:
+        raise ValueError(
+            f"clip too short for fingerprint: {norm.size} samples"
+        )
+    frames = norm[: (norm.size // n_ch) * n_ch].reshape(-1, n_ch)
+    mono = frames.mean(axis=1)
+    n = mono.size
+    bounds = [(w * n) // AHASH_WINDOWS for w in range(AHASH_WINDOWS + 1)]
+    energies = []
+    zcrs = []
+    for w in range(AHASH_WINDOWS):
+        seg = mono[bounds[w] : bounds[w + 1]]
+        energies.append(float(np.log1p(np.sum(seg * seg))))
+        signs = np.signbit(seg)
+        crossings = int(np.count_nonzero(signs[1:] != signs[:-1]))
+        zcrs.append(crossings * rate / max(seg.size, 1))
+    v = 0
+    for row, base in ((energies, 0), (zcrs, AHASH_WINDOWS)):
+        med = float(np.median(row))
+        for i, x in enumerate(row):
+            if x > med:
+                v |= 1 << (base + i)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def ahash_assets(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fingerprint every audio asset via mapInPandas → (asset_id,
+    ahash, ahash_error) — same quarantine convention as phash_assets;
+    feed the result to phash_pairs(hash_col='ahash') for near-dup
+    pairs or phash_pairs_incremental for rolling admission."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes: list[int | None] = []
+            errs: list[str | None] = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    hashes.append(ahash64(raw))
+                    errs.append(None)
+                except ValueError as exc:
+                    hashes.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                    "ahash_error": errs,
+                }
+            )
+
+    return assets.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("ahash", T.LongType()),
+                T.StructField("ahash_error", T.StringType()),
+            ]
+        ),
+    )

@@ -3002,6 +3002,68 @@ def _phash_gate_ppm(text: str, variant: int, w: int = 24, h: int = 24) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+def _ahash_gate_wav(text: str, variant: int, n: int = 2048, rate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono WAV for the audio-fingerprint gate:
+    samples are a sha256-expanded stream keyed by the doc text (white
+    noise with doc-specific envelope); variant 1 halves the volume —
+    the canonical perturbation ahash64 is level-invariant to.  Pure
+    Python/numpy, rerun verbatim by the pinned oracle."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    need = n * 2
+    body = b""
+    i = 0
+    while len(body) < need:
+        body += hashlib.sha256(f"wav:{text}:{i}".encode("utf-8")).digest()
+        i += 1
+    samples = np.frombuffer(body[:need], dtype="<i2").astype(np.int64)
+    samples = samples // 2  # headroom so the variant halving never wraps
+    if variant:
+        samples = samples // 2
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _ahash_gate_hashes(spark, sf_dir):
+    """Audio-typed docs (doc_id % 3 == 1) → two synthetic WAV variants
+    each (asset_id = doc_id·2 + variant) → ahash_assets."""
+    from .operators import multimodal
+
+    import pandas as pd
+
+    variants = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            "doc_id", "text",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("variant"),
+        )
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"] * 2 + pdf["variant"],
+                    "payload": [
+                        _ahash_gate_wav(t, v)
+                        for t, v in zip(pdf["text"], pdf["variant"])
+                    ],
+                }
+            )
+
+    assets = variants.mapInPandas(synth, "asset_id long, payload binary")
+    return multimodal.ahash_assets(assets)
+
+
 def _phash_gate_hashes(spark, sf_dir):
     """Image-typed docs (doc_id % 3 == 0) → two synthetic PPM variants
     each (asset_id = doc_id·2 + variant) → phash_assets."""
@@ -3081,6 +3143,29 @@ def multimodal_pipeline(spark, sf_dir):
         F.col("hamming").cast("double").alias("v_num1"),
         F.lit(-1.0).alias("v_num2"),
     )
+    # 'ah'/'ahp': the audio-fingerprint twin (ahash64 envelope+ZCR
+    # hash; pairs REUSE phash_pairs via hash_col) — same pinned-replay
+    # + SQL-pair-replay oracle split as the image tier
+    ahashes = _ahash_gate_hashes(spark, sf_dir).localCheckpoint()
+    ah = ahashes.select(
+        F.lit("ah").alias("suite_case"),
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.lit("").alias("k"),
+        F.lit("").alias("v_str"),
+        (F.col("ahash").bitwiseAND(F.lit(4294967295))).cast("double").alias("v_num1"),
+        (F.shiftright("ahash", 32).bitwiseAND(F.lit(4294967295)))
+        .cast("double").alias("v_num2"),
+    )
+    ahp = multimodal.phash_pairs(
+        ahashes, max_hamming=6, hash_col="ahash"
+    ).select(
+        F.lit("ahp").alias("suite_case"),
+        F.col("id_a").cast("long").alias("asset_id"),
+        F.col("id_b").cast("string").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("hamming").cast("double").alias("v_num1"),
+        F.lit(-1.0).alias("v_num2"),
+    )
     feats = multimodal_features(spark, sf_dir).select(
         F.lit("features").alias("suite_case"),
         F.col("asset_id").cast("long").alias("asset_id"),
@@ -3100,6 +3185,7 @@ def multimodal_pipeline(spark, sf_dir):
     return (
         feats.unionByName(frames).unionByName(ph)
         .unionByName(php).unionByName(phinc)
+        .unionByName(ah).unionByName(ahp)
     )
 
 
@@ -3112,12 +3198,17 @@ def _multimodal_pipeline_sql() -> str:
     are replayed as DuckDB SQL, mirroring _simhash_oracle_sql."""
     import duckdb
 
-    from .operators.multimodal import phash64
+    from .operators.multimodal import ahash64, phash64
 
     con = duckdb.connect()
     rows = con.execute(
         "SELECT doc_id, text FROM "
         f"'{_ORACLE_SF_DIR}/documents.parquet' WHERE doc_id % 3 = 0 "
+        "ORDER BY doc_id"
+    ).fetchall()
+    arows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"'{_ORACLE_SF_DIR}/documents.parquet' WHERE doc_id % 3 = 1 "
         "ORDER BY doc_id"
     ).fetchall()
     con.close()
@@ -3126,12 +3217,19 @@ def _multimodal_pipeline_sql() -> str:
         for doc_id, text in rows
         for variant in (0, 1)
     )
+    avals = ", ".join(
+        f"({doc_id * 2 + variant}, {ahash64(_ahash_gate_wav(text, variant))})"
+        for doc_id, text in arows
+        for variant in (0, 1)
+    )
     share = " OR ".join(
         f"((a.fp >> {s}) & 65535) = ((b.fp >> {s}) & 65535)"
         for s in (0, 16, 32, 48)
     )
+    ashare = share.replace("a.fp", "aa.fp").replace("b.fp", "ab.fp")
     return f"""
-WITH ph(asset_id, fp) AS (VALUES {vals})
+WITH ph(asset_id, fp) AS (VALUES {vals}),
+     ah(asset_id, fp) AS (VALUES {avals})
 SELECT 'features' AS suite_case, asset_id, media_type || '|' || CAST(payload_bytes AS VARCHAR) AS k,
        content_hash AS v_str, CAST(f0 AS DOUBLE) AS v_num1, CAST(feature_sum AS DOUBLE) AS v_num2
 FROM ({MULTIMODAL_FEATURES_SQL}) s1
@@ -3156,6 +3254,16 @@ SELECT 'phinc', a.asset_id, CAST(b.asset_id AS VARCHAR), '',
 FROM ph a JOIN ph b ON a.asset_id < b.asset_id
 WHERE ({share}) AND bit_count(xor(a.fp, b.fp)) <= 6
   AND b.asset_id >= (SELECT count(*) FROM documents)
+UNION ALL
+SELECT 'ah', asset_id, '', '',
+       CAST(fp & 4294967295 AS DOUBLE),
+       CAST((fp >> 32) & 4294967295 AS DOUBLE)
+FROM ah
+UNION ALL
+SELECT 'ahp', aa.asset_id, CAST(ab.asset_id AS VARCHAR), '',
+       CAST(bit_count(xor(aa.fp, ab.fp)) AS DOUBLE), -1.0
+FROM ah aa JOIN ah ab ON aa.asset_id < ab.asset_id
+WHERE ({ashare}) AND bit_count(xor(aa.fp, ab.fp)) <= 6
 """
 
 
