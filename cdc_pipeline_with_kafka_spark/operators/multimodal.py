@@ -1152,24 +1152,11 @@ def decode_video_features(payload: bytes, dim: int = 8) -> list[float]:
     raise ValueError("unrecognized video container (not Y4M/MP4)")
 
 
-def decode_y4m_features(payload: bytes, dim: int = 8) -> list[float]:
-    """REAL in-container video decoder: parses YUV4MPEG2 ('.y4m', the
-    canonical uncompressed raw-video interchange container — plain
-    ASCII stream header + per-FRAME planar YUV bytes) and extracts a
-    fixed 8-dim signal-level feature vector:
-
-      [width, height, fps, n_frames, duration_s,
-       mean_luma, std_luma, motion]
-
-    motion = mean absolute per-pixel luma delta between consecutive
-    sampled frames (0 for a static clip) — the cheap temporal signal a
-    frame-sampling curation filter keys on.  Stats sample at most 16
-    evenly-spaced frames so decode cost is bounded per asset.  Supports
-    C420*/C422/C444/Cmono chroma; raises ValueError on malformed
-    payloads so the quarantine path handles corrupt media.  Register
-    with set_decoder('video', ...)."""
-    import numpy as np
-
+def _y4m_luma_planes(payload: bytes):
+    """Parse YUV4MPEG2 → (width, height, fps, [per-frame Y-plane
+    bytes]).  The shared header+frame walk under decode_y4m_features
+    and vhash64; raises ValueError on malformed payloads (quarantine
+    path)."""
     if not payload.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
     nl = payload.find(b"\n")
@@ -1217,8 +1204,30 @@ def decode_y4m_features(payload: bytes, dim: int = 8) -> list[float]:
             raise ValueError("truncated y4m frame")
         y_planes.append(payload[fnl + 1 : fnl + 1 + y_size])
         pos = fnl + 1 + frame_bytes
+    return width, height, fps_num / fps_den, y_planes
+
+
+def decode_y4m_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL in-container video decoder: parses YUV4MPEG2 ('.y4m', the
+    canonical uncompressed raw-video interchange container — plain
+    ASCII stream header + per-FRAME planar YUV bytes, via
+    _y4m_luma_planes) and extracts a fixed 8-dim signal-level feature
+    vector:
+
+      [width, height, fps, n_frames, duration_s,
+       mean_luma, std_luma, motion]
+
+    motion = mean absolute per-pixel luma delta between consecutive
+    sampled frames (0 for a static clip) — the cheap temporal signal a
+    frame-sampling curation filter keys on.  Stats sample at most 16
+    evenly-spaced frames so decode cost is bounded per asset.  Supports
+    C420*/C422/C444/Cmono chroma; raises ValueError on malformed
+    payloads so the quarantine path handles corrupt media.  Register
+    with set_decoder('video', ...)."""
+    import numpy as np
+
+    width, height, fps, y_planes = _y4m_luma_planes(payload)
     n_frames = len(y_planes)
-    fps = fps_num / fps_den
     if n_frames == 0:
         return [float(width), float(height), round(fps, 6), 0.0, 0.0, 0.0, 0.0, 0.0]
     step = max(1, n_frames // 16)
@@ -1903,6 +1912,95 @@ def ahash_assets(
                 T.StructField("asset_id", T.LongType()),
                 T.StructField("ahash", T.LongType()),
                 T.StructField("ahash_error", T.StringType()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------- video fingerprinting
+
+VHASH_FRAMES = 9  # odd sample count → majority vote has no 50/50 ties
+
+
+def vhash64(payload: bytes) -> int:
+    """64-bit video fingerprint of a YUV4MPEG2 payload: sample
+    VHASH_FRAMES evenly-spaced frames (center-of-bucket, the
+    _resize_gray index rule), pHash each frame's LUMA plane (the DCT
+    path of phash64 — no chroma), then majority-vote each of the 64
+    bits across frames.  An odd frame count makes the vote tie-free,
+    so the hash is stable under any single-frame perturbation;
+    frame-rate changes and re-encodes that keep content move few
+    bits.  Signed 64-bit, pairable with phash_pairs(hash_col=...)."""
+    import numpy as np
+
+    width, height, _fps, y_planes = _y4m_luma_planes(payload)
+    if not y_planes:
+        raise ValueError("empty y4m clip: no frames to fingerprint")
+    n = len(y_planes)
+    k = min(VHASH_FRAMES, n)
+    idx = sorted({((i + 0.5) * n) // k for i in range(k)})
+    votes = np.zeros(64, dtype=np.int64)
+    n_voted = 0
+    for fi in idx:
+        luma = (
+            np.frombuffer(y_planes[int(fi)], dtype=np.uint8)
+            .astype(np.float64)
+            .reshape(height, width)
+            / 255.0
+        )
+        g = _resize_gray(luma, 32, 32)
+        M = _dct_matrix_n(32)
+        d = (M @ g) @ M.T
+        low = d[:8, :8].ravel()
+        med = float(np.median(low[1:]))
+        votes += (low > med).astype(np.int64)
+        n_voted += 1
+    v = 0
+    for i in range(64):
+        if 2 * votes[i] > n_voted:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def vhash_assets(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fingerprint every video asset via mapInPandas → (asset_id,
+    vhash, vhash_error); quarantine convention and pair machinery as
+    the image/audio tiers (phash_pairs / phash_pairs_incremental with
+    hash_col='vhash')."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes: list[int | None] = []
+            errs: list[str | None] = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    hashes.append(vhash64(raw))
+                    errs.append(None)
+                except ValueError as exc:
+                    hashes.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "vhash": pd.array(hashes, dtype="Int64"),
+                    "vhash_error": errs,
+                }
+            )
+
+    return assets.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("vhash", T.LongType()),
+                T.StructField("vhash_error", T.StringType()),
             ]
         ),
     )

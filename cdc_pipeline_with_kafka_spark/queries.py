@@ -3064,6 +3064,67 @@ def _ahash_gate_hashes(spark, sf_dir):
     return multimodal.ahash_assets(assets)
 
 
+def _vhash_gate_y4m(
+    text: str, variant: int, n_frames: int = 6, w: int = 24, h: int = 24
+) -> bytes:
+    """Deterministic mono YUV4MPEG2 clip for the video-fingerprint
+    gate: per-frame per-pixel noise sha256-expanded from the doc text
+    (full-rank texture keeps every DCT coefficient away from the
+    median, so the variant twin hashes identically); variant 1 is the
+    clipped +3 brightness shift.  Pure Python/numpy — rerun verbatim
+    by the pinned oracle."""
+    import hashlib
+
+    import numpy as np
+
+    frames = []
+    need = w * h
+    for f in range(n_frames):
+        body = b""
+        i = 0
+        while len(body) < need:
+            body += hashlib.sha256(f"y4m:{text}:{f}:{i}".encode("utf-8")).digest()
+            i += 1
+        a = np.frombuffer(body[:need], dtype=np.uint8)
+        if variant:
+            a = np.minimum(a.astype(np.int64) + 3, 255).astype(np.uint8)
+        frames.append(a.tobytes())
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode()
+    return hdr + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def _vhash_gate_hashes(spark, sf_dir):
+    """Video-typed docs (doc_id % 3 == 2) → two synthetic Y4M variants
+    each (asset_id = doc_id·2 + variant) → vhash_assets."""
+    from .operators import multimodal
+
+    import pandas as pd
+
+    variants = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            "doc_id", "text",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("variant"),
+        )
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"] * 2 + pdf["variant"],
+                    "payload": [
+                        _vhash_gate_y4m(t, v)
+                        for t, v in zip(pdf["text"], pdf["variant"])
+                    ],
+                }
+            )
+
+    assets = variants.mapInPandas(synth, "asset_id long, payload binary")
+    return multimodal.vhash_assets(assets)
+
+
 def _phash_gate_hashes(spark, sf_dir):
     """Image-typed docs (doc_id % 3 == 0) → two synthetic PPM variants
     each (asset_id = doc_id·2 + variant) → phash_assets."""
@@ -3166,6 +3227,28 @@ def multimodal_pipeline(spark, sf_dir):
         F.col("hamming").cast("double").alias("v_num1"),
         F.lit(-1.0).alias("v_num2"),
     )
+    # 'vh'/'vhp': the video-fingerprint twin (vhash64 — per-frame luma
+    # pHash, tie-free majority vote across sampled frames)
+    vhashes = _vhash_gate_hashes(spark, sf_dir).localCheckpoint()
+    vh = vhashes.select(
+        F.lit("vh").alias("suite_case"),
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.lit("").alias("k"),
+        F.lit("").alias("v_str"),
+        (F.col("vhash").bitwiseAND(F.lit(4294967295))).cast("double").alias("v_num1"),
+        (F.shiftright("vhash", 32).bitwiseAND(F.lit(4294967295)))
+        .cast("double").alias("v_num2"),
+    )
+    vhp = multimodal.phash_pairs(
+        vhashes, max_hamming=6, hash_col="vhash"
+    ).select(
+        F.lit("vhp").alias("suite_case"),
+        F.col("id_a").cast("long").alias("asset_id"),
+        F.col("id_b").cast("string").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("hamming").cast("double").alias("v_num1"),
+        F.lit(-1.0).alias("v_num2"),
+    )
     feats = multimodal_features(spark, sf_dir).select(
         F.lit("features").alias("suite_case"),
         F.col("asset_id").cast("long").alias("asset_id"),
@@ -3186,6 +3269,7 @@ def multimodal_pipeline(spark, sf_dir):
         feats.unionByName(frames).unionByName(ph)
         .unionByName(php).unionByName(phinc)
         .unionByName(ah).unionByName(ahp)
+        .unionByName(vh).unionByName(vhp)
     )
 
 
@@ -3198,7 +3282,7 @@ def _multimodal_pipeline_sql() -> str:
     are replayed as DuckDB SQL, mirroring _simhash_oracle_sql."""
     import duckdb
 
-    from .operators.multimodal import ahash64, phash64
+    from .operators.multimodal import ahash64, phash64, vhash64
 
     con = duckdb.connect()
     rows = con.execute(
@@ -3209,6 +3293,11 @@ def _multimodal_pipeline_sql() -> str:
     arows = con.execute(
         "SELECT doc_id, text FROM "
         f"'{_ORACLE_SF_DIR}/documents.parquet' WHERE doc_id % 3 = 1 "
+        "ORDER BY doc_id"
+    ).fetchall()
+    vrows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"'{_ORACLE_SF_DIR}/documents.parquet' WHERE doc_id % 3 = 2 "
         "ORDER BY doc_id"
     ).fetchall()
     con.close()
@@ -3226,10 +3315,17 @@ def _multimodal_pipeline_sql() -> str:
         f"((a.fp >> {s}) & 65535) = ((b.fp >> {s}) & 65535)"
         for s in (0, 16, 32, 48)
     )
+    vvals = ", ".join(
+        f"({doc_id * 2 + variant}, {vhash64(_vhash_gate_y4m(text, variant))})"
+        for doc_id, text in vrows
+        for variant in (0, 1)
+    )
     ashare = share.replace("a.fp", "aa.fp").replace("b.fp", "ab.fp")
+    vshare = share.replace("a.fp", "va.fp").replace("b.fp", "vb.fp")
     return f"""
 WITH ph(asset_id, fp) AS (VALUES {vals}),
-     ah(asset_id, fp) AS (VALUES {avals})
+     ah(asset_id, fp) AS (VALUES {avals}),
+     vh(asset_id, fp) AS (VALUES {vvals})
 SELECT 'features' AS suite_case, asset_id, media_type || '|' || CAST(payload_bytes AS VARCHAR) AS k,
        content_hash AS v_str, CAST(f0 AS DOUBLE) AS v_num1, CAST(feature_sum AS DOUBLE) AS v_num2
 FROM ({MULTIMODAL_FEATURES_SQL}) s1
@@ -3264,6 +3360,16 @@ SELECT 'ahp', aa.asset_id, CAST(ab.asset_id AS VARCHAR), '',
        CAST(bit_count(xor(aa.fp, ab.fp)) AS DOUBLE), -1.0
 FROM ah aa JOIN ah ab ON aa.asset_id < ab.asset_id
 WHERE ({ashare}) AND bit_count(xor(aa.fp, ab.fp)) <= 6
+UNION ALL
+SELECT 'vh', asset_id, '', '',
+       CAST(fp & 4294967295 AS DOUBLE),
+       CAST((fp >> 32) & 4294967295 AS DOUBLE)
+FROM vh
+UNION ALL
+SELECT 'vhp', va.asset_id, CAST(vb.asset_id AS VARCHAR), '',
+       CAST(bit_count(xor(va.fp, vb.fp)) AS DOUBLE), -1.0
+FROM vh va JOIN vh vb ON va.asset_id < vb.asset_id
+WHERE ({vshare}) AND bit_count(xor(va.fp, vb.fp)) <= 6
 """
 
 
