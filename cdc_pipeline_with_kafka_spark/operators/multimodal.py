@@ -1683,6 +1683,7 @@ def phash_pairs(
     id_col: str = "asset_id",
     hash_col: str = "phash",
     blocks: int = 4,
+    type_col: str | None = None,
 ) -> DataFrame:
     """Image near-dup pairs: Hamming distance ≤ max_hamming over 64-bit
     perceptual hashes, pigeonhole-blocked exactly like the text tier
@@ -1691,21 +1692,26 @@ def phash_pairs(
     LSH-grade recall above), groupBy(bucket) + upper-triangle in-bucket
     expansion, first-matching-block filter instead of a dropDuplicates
     exchange, exact popcount verification.  Linear candidate
-    generation at corpus scale — never an all-pairs join."""
+    generation at corpus scale — never an all-pairs join.
+
+    `type_col` (e.g. media_type for mixed phash/ahash/vhash corpora)
+    joins the bucket key so hashes only pair within their own type —
+    cross-type Hamming proximity is meaningless."""
     block_bits = 64 // blocks
     mask_i = (1 << block_bits) - 1
+    tcols = [type_col] if type_col else []
     fps = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp"), *tcols
     )
     block_structs = ", ".join(
         f"named_struct('blk', {i}, 'key', shiftright(fp, {i * block_bits}) & {mask_i})"
         for i in range(blocks)
     )
     entries = fps.select(
-        "id", "fp", F.expr(f"explode(array({block_structs}))").alias("e")
-    ).select("id", "fp", "e.blk", "e.key")
+        "id", "fp", *tcols, F.expr(f"explode(array({block_structs}))").alias("e")
+    ).select("id", "fp", *tcols, "e.blk", "e.key")
     buckets = (
-        entries.groupBy("blk", "key")
+        entries.groupBy("blk", "key", *tcols)
         .agg(F.collect_list(F.struct("id", "fp")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
@@ -1744,6 +1750,7 @@ def phash_pairs_incremental(
     id_col: str = "asset_id",
     hash_col: str = "phash",
     blocks: int = 4,
+    type_col: str | None = None,
 ) -> DataFrame:
     """Incremental image near-dup: a NEW shard of perceptual hashes
     against a persisted (asset_id, phash) index — the image counterpart
@@ -1754,13 +1761,14 @@ def phash_pairs_incremental(
     tests and at driver level by the gate's 'phinc' rows)."""
     block_bits = 64 // blocks
     mask_i = (1 << block_bits) - 1
+    tcols = [type_col] if type_col else []
     fps = (
         index_hashes.filter(F.col(hash_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("fp"),
+        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("fp"), *tcols,
                 F.lit(False).alias("is_new"))
         .unionByName(
             new_hashes.filter(F.col(hash_col).isNotNull()).select(
-                F.col(id_col).alias("id"), F.col(hash_col).alias("fp"),
+                F.col(id_col).alias("id"), F.col(hash_col).alias("fp"), *tcols,
                 F.lit(True).alias("is_new"),
             )
         )
@@ -1770,10 +1778,11 @@ def phash_pairs_incremental(
         for i in range(blocks)
     )
     entries = fps.select(
-        "id", "fp", "is_new", F.expr(f"explode(array({block_structs}))").alias("e")
-    ).select("id", "fp", "is_new", "e.blk", "e.key")
+        "id", "fp", "is_new", *tcols,
+        F.expr(f"explode(array({block_structs}))").alias("e"),
+    ).select("id", "fp", "is_new", *tcols, "e.blk", "e.key")
     buckets = (
-        entries.groupBy("blk", "key")
+        entries.groupBy("blk", "key", *tcols)
         .agg(F.collect_list(F.struct("id", "fp", "is_new")).alias("ms"))
         .filter((F.size("ms") > 1) & F.expr("exists(ms, m -> m.is_new)"))
     )
@@ -2004,3 +2013,147 @@ def vhash_assets(
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------- multimodal admission
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("fp", T.LongType()),
+        T.StructField("fp_error", T.StringType()),
+    ]
+)
+
+_FINGERPRINTERS: dict[str, Callable[[bytes], int]] = {}
+
+
+def _fingerprint_for(media_type: str) -> Callable[[bytes], int]:
+    if not _FINGERPRINTERS:
+        _FINGERPRINTERS.update(
+            {"image": phash64, "audio": ahash64, "video": vhash64}
+        )
+    fn = _FINGERPRINTERS.get(media_type)
+    if fn is None:
+        raise ValueError(f"no fingerprinter for media_type {media_type!r}")
+    return fn
+
+
+def fingerprint_assets(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    type_col: str = "media_type",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Type-dispatched perceptual fingerprints in ONE mapInPandas pass:
+    image → phash64, audio → ahash64, video → vhash64 → (asset_id,
+    media_type, fp, fp_error).  Unknown types and decode failures
+    quarantine as fp NULL + the error string.  Pair within type via
+    phash_pairs(..., hash_col='fp', type_col='media_type')."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps: list[int | None] = []
+            errs: list[str | None] = []
+            for mt, payload in zip(pdf[type_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    fps.append(_fingerprint_for(mt)(raw))
+                    errs.append(None)
+                except ValueError as exc:
+                    fps.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": pdf[type_col],
+                    "fp": pd.array(fps, dtype="Int64"),
+                    "fp_error": errs,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FINGERPRINT_SCHEMA)
+
+
+def admit_assets(
+    shard: DataFrame,
+    index_fps: DataFrame | None,
+    max_hamming: int = 6,
+    id_col: str = "asset_id",
+    type_col: str = "media_type",
+    payload_col: str = "payload",
+) -> dict[str, DataFrame]:
+    """Incremental multimodal-asset admission: fingerprint the shard
+    and reject perceptual duplicates against the persisted index
+    (asset_id, media_type, fp) AND within the shard itself — the
+    asset-tier twin of curation.admit_shard.
+
+    Greedy-by-id within the shard: of a duplicate pair both in the
+    shard, the LOWER asset_id survives (a chain admits only its
+    lowest member — deterministic, replayable).  Undecodable payloads
+    reject with reason 'undecodable'.  Returns
+      admitted  : shard rows that survive
+      rejected  : (asset_id, media_type, reason) — 'exact_dup'
+                  (hamming 0), 'near_dup' (1..max_hamming),
+                  'undecodable'
+      fps_delta : fingerprints of the admitted assets (append to the
+                  index; 16 bytes/asset of index growth per shard).
+    Per-shard cost is shard-sized: the corpus contributes only its
+    fingerprint index, never payload bytes."""
+    fps = fingerprint_assets(
+        shard, id_col=id_col, type_col=type_col, payload_col=payload_col
+    ).localCheckpoint(eager=True)
+    good = fps.filter(F.col("fp").isNotNull())
+    if index_fps is None:
+        index = good.filter(F.lit(False)).select("asset_id", "media_type", "fp")
+    else:
+        index = index_fps.select("asset_id", "media_type", "fp")
+    pairs = phash_pairs_incremental(
+        good, index, max_hamming=max_hamming,
+        id_col="asset_id", hash_col="fp", type_col="media_type",
+    )
+    new_ids = good.select(F.col("asset_id").alias("nid"))
+    marked = (
+        pairs.join(
+            new_ids.withColumnRenamed("nid", "id_a").withColumn("a_new", F.lit(True)),
+            "id_a", "left",
+        )
+        .join(
+            new_ids.withColumnRenamed("nid", "id_b").withColumn("b_new", F.lit(True)),
+            "id_b", "left",
+        )
+        .fillna(False, ["a_new", "b_new"])
+    )
+    # reject the new side of mixed pairs; of a new-new pair, the
+    # greater id (id_b — pairs are least/greatest)
+    rejected_ids = (
+        marked.filter(F.col("b_new")).select(F.col("id_b").alias("rid"), "hamming")
+        .unionByName(
+            marked.filter(F.col("a_new") & ~F.col("b_new"))
+            .select(F.col("id_a").alias("rid"), "hamming")
+        )
+        .groupBy("rid")
+        .agg(F.min("hamming").alias("min_hamming"))
+    )
+    rejected = (
+        fps.join(rejected_ids, fps[id_col] == F.col("rid"), "inner")
+        .select(
+            id_col, type_col,
+            F.when(F.col("min_hamming") == 0, "exact_dup")
+            .otherwise("near_dup").alias("reason"),
+        )
+        .unionByName(
+            fps.filter(F.col("fp").isNull())
+            .select(id_col, type_col, F.lit("undecodable").alias("reason"))
+        )
+    )
+    admitted = shard.join(
+        rejected.select(F.col(id_col).alias("_rj")),
+        shard[id_col] == F.col("_rj"), "left_anti",
+    )
+    fps_delta = good.join(
+        rejected.select(F.col(id_col).alias("_rj")),
+        good["asset_id"] == F.col("_rj"), "left_anti",
+    ).select("asset_id", "media_type", "fp")
+    return {"admitted": admitted, "rejected": rejected, "fps_delta": fps_delta}

@@ -397,3 +397,69 @@ def make_asof_enrich_sink(
         enriched.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     return sink
+
+
+def make_admit_assets_sink(
+    assets_path: str,
+    fps_path: str,
+    rejected_path: str | None = None,
+    max_hamming: int = 6,
+    id_col: str = "asset_id",
+    type_col: str = "media_type",
+    payload_col: str = "payload",
+):
+    """foreachBatch sink for rolling MULTIMODAL admission
+    (operators/multimodal.admit_assets): each micro-batch of assets is
+    fingerprinted (image→pHash, audio→aHash, video→vHash) and
+    perceptual duplicates are rejected against the persisted
+    fingerprint index; admitted payloads append to the asset lake and
+    the 16-byte/asset fingerprint deltas append to the index — batch
+    N+1 admits against everything batch ≤ N admitted, and the corpus
+    payload bytes are never re-read.
+
+    Crash safety is the make_admit_shard_sink contract verbatim:
+    batch_id-scoped overwrite subdirectories + exclude-own-batch index
+    reads ⇒ idempotent replay; index-load failures other than
+    path-does-not-exist fail the batch (silently admitting with dedup
+    disabled would poison the corpus permanently)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from ..operators.multimodal import admit_assets
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def _load(path):
+            try:
+                df = spark.read.option("basePath", path).parquet(path)
+            except AnalysisException as exc:
+                msg = str(exc)
+                if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                    return None  # first batch: no index yet
+                raise
+            if not df.columns:
+                return None
+            if "batch_id" in df.columns:
+                df = df.filter(F.col("batch_id") != batch_id).drop("batch_id")
+            return df
+
+        out = admit_assets(
+            batch_df,
+            index_fps=_load(fps_path),
+            max_hamming=max_hamming,
+            id_col=id_col, type_col=type_col, payload_col=payload_col,
+        )
+        # pin every output against the pre-append index state before
+        # the first append (read-your-own-writes — see
+        # make_admit_shard_sink)
+        pinned = {k: df.localCheckpoint(eager=True) for k, df in out.items()}
+
+        def _write(df, path):
+            df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+        _write(pinned["fps_delta"], fps_path)
+        _write(pinned["admitted"], assets_path)
+        if rejected_path is not None:
+            _write(pinned["rejected"], rejected_path)
+
+    return sink

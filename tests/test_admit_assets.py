@@ -1,0 +1,193 @@
+"""Multimodal asset admission (multimodal.admit_assets +
+streaming.make_admit_assets_sink): rolling perceptual dedup across
+image/audio/video shards against a persisted 16-byte/asset
+fingerprint index — the asset twin of the text admission tier."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
+from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+ASSET_SCHEMA = "asset_id long, media_type string, payload binary"
+
+
+def _ppm(seed: str, shift=0, w=24, h=24) -> bytes:
+    body = b""
+    i = 0
+    while len(body) < w * h * 3:
+        body += hashlib.sha256(f"img:{seed}:{i}".encode()).digest()
+        i += 1
+    a = np.frombuffer(body[: w * h * 3], dtype=np.uint8)
+    if shift:
+        a = np.minimum(a.astype(np.int64) + shift, 255).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _wav(seed: str, halve=False, n=2048) -> bytes:
+    body = b""
+    i = 0
+    while len(body) < n * 2:
+        body += hashlib.sha256(f"wav:{seed}:{i}".encode()).digest()
+        i += 1
+    samples = np.frombuffer(body[: n * 2], dtype="<i2").astype(np.int64) // 2
+    if halve:
+        samples = samples // 2
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _y4m(seed: str, shift=0, n=6, w=24, h=24) -> bytes:
+    frames = []
+    for f in range(n):
+        body = b""
+        i = 0
+        while len(body) < w * h:
+            body += hashlib.sha256(f"y4m:{seed}:{f}:{i}".encode()).digest()
+            i += 1
+        a = np.frombuffer(body[: w * h], dtype=np.uint8)
+        if shift:
+            a = np.minimum(a.astype(np.int64) + shift, 255).astype(np.uint8)
+        frames.append(a.tobytes())
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode()
+    return hdr + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def test_fingerprint_assets_dispatches_by_type(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "image", _ppm("a")),
+            (2, "audio", _wav("a")),
+            (3, "video", _y4m("a")),
+            (4, "hologram", b"???"),
+        ],
+        ASSET_SCHEMA,
+    )
+    out = {r.asset_id: r for r in mm.fingerprint_assets(df).collect()}
+    assert out[1].fp == mm.phash64(_ppm("a"))
+    assert out[2].fp == mm.ahash64(_wav("a"))
+    assert out[3].fp == mm.vhash64(_y4m("a"))
+    assert out[4].fp is None and "hologram" in out[4].fp_error
+
+
+def test_admit_assets_within_shard_and_against_index(spark):
+    shard = spark.createDataFrame(
+        [
+            (10, "image", _ppm("x")),
+            (11, "image", _ppm("x", shift=3)),   # near-dup of 10 → lower id wins
+            (12, "audio", _wav("y")),
+            (13, "video", _y4m("z")),
+            (14, "image", b"garbage"),
+        ],
+        ASSET_SCHEMA,
+    )
+    out = mm.admit_assets(shard, index_fps=None)
+    admitted = {r.asset_id for r in out["admitted"].collect()}
+    reasons = {r.asset_id: r.reason for r in out["rejected"].collect()}
+    assert admitted == {10, 12, 13}
+    assert reasons[11] in ("exact_dup", "near_dup")
+    assert reasons[14] == "undecodable"
+    fps_delta = {r.asset_id for r in out["fps_delta"].collect()}
+    assert fps_delta == {10, 12, 13}
+
+    # second shard against the first shard's index: volume-scaled audio
+    # twin rejected as exact_dup; cross-type fp collisions cannot pair
+    idx = out["fps_delta"]
+    shard2 = spark.createDataFrame(
+        [
+            (20, "audio", _wav("y", halve=True)),  # level twin of 12
+            (21, "image", _ppm("new")),
+        ],
+        ASSET_SCHEMA,
+    )
+    out2 = mm.admit_assets(shard2, index_fps=idx)
+    assert {r.asset_id for r in out2["admitted"].collect()} == {21}
+    reasons2 = {r.asset_id: r.reason for r in out2["rejected"].collect()}
+    assert reasons2[20] == "exact_dup"
+
+
+def test_streaming_asset_admission_two_batches(spark, tmp_path):
+    """Two micro-batches through make_admit_assets_sink: the second
+    batch's perceptual twins are rejected against the index the first
+    batch appended — cross-batch state via the persisted fingerprint
+    parquet, no streaming state store, payload bytes never re-read."""
+    import os
+    import time
+
+    src = tmp_path / "assets_src"
+    src.mkdir()
+    b0 = spark.createDataFrame(
+        [(1, "image", _ppm("p")), (2, "audio", _wav("q")), (3, "video", _y4m("r"))],
+        ASSET_SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (11, "image", _ppm("p", shift=3)),  # near-dup of asset 1
+            (12, "video", _y4m("r", shift=3)),  # near-dup of asset 3
+            (13, "image", _ppm("fresh")),
+        ],
+        ASSET_SCHEMA,
+    )
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    now = time.time()
+    for root, _dirs, files in os.walk(src / "b0"):
+        for f in files:
+            os.utime(os.path.join(root, f), (now - 60, now - 60))
+
+    assets = str(tmp_path / "assets")
+    fps = str(tmp_path / "fps")
+    rejected = str(tmp_path / "rejected")
+    stream = (
+        spark.readStream.schema(ASSET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            pipeline.make_admit_assets_sink(assets, fps, rejected)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    admitted = {r.asset_id for r in spark.read.parquet(assets).collect()}
+    assert admitted == {1, 2, 3, 13}
+    reasons = {
+        r.asset_id: r.reason for r in spark.read.parquet(rejected).collect()
+    }
+    assert set(reasons) == {11, 12} and all(
+        v in ("exact_dup", "near_dup") for v in reasons.values()
+    )
+    idx = {r.asset_id for r in spark.read.parquet(fps).collect()}
+    assert idx == admitted
+
+
+def test_asset_sink_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch (same batch_id) after a crash between the fps
+    write and the assets write must not reject the batch's own assets
+    against their partially-written first attempt."""
+    assets = str(tmp_path / "assets")
+    fps = str(tmp_path / "fps")
+    rejected = str(tmp_path / "rejected")
+    sink = pipeline.make_admit_assets_sink(assets, fps, rejected)
+    b0 = spark.createDataFrame([(1, "image", _ppm("solo"))], ASSET_SCHEMA)
+    sink(b0, 0)
+    sink(b0, 0)  # full replay — overwrite, not append
+    rows = spark.read.parquet(assets).collect()
+    assert {r.asset_id for r in rows} == {1} and len(rows) == 1
+    fp_rows = spark.read.parquet(fps).collect()
+    assert len(fp_rows) == 1
+    assert spark.read.parquet(rejected).count() == 0

@@ -637,11 +637,18 @@ def test_temperature_weights_core_invariants(tokens, alpha):
         if t == 0 and alpha >= 0:
             assert ppm == 0 and ew == 0
         assert ew == ((ppm * 10**12) // t if t > 0 else 0)
-    # monotone: STRICTLY more tokens never means a smaller share
-    # (equal sizes may differ by the ±1 largest-remainder bump)
-    ranked = sorted(out, key=lambda r: (r[1], r[2]))
+    # monotone in the IDEAL WEIGHT t^alpha (not raw tokens: at alpha=0
+    # every non-empty source has equal weight, so the ±1 largest-
+    # remainder bump can legitimately cross different token counts);
+    # strict weight order is preserved exactly by largest remainder —
+    # equal floors imply ordered remainders, so a bumped smaller quota
+    # forces the larger quota's bump too
+    def _w(t):
+        return 0.0 if t == 0 else float(t) ** alpha
+
+    ranked = sorted(out, key=lambda r: (_w(r[1]), r[2]))
     for (s1, t1, p1, _), (s2, t2, p2, _) in zip(ranked, ranked[1:]):
-        assert p1 <= p2 if t1 < t2 else abs(p1 - p2) <= 1
+        assert p1 <= p2 if _w(t1) < _w(t2) else abs(p1 - p2) <= 1
     # alpha=1: proportional apportionment within largest-remainder
     if alpha == 1.0 and total > 0:
         for s, t, ppm, _ in out:
