@@ -862,10 +862,20 @@ def dedup_survivors(
     id_a: str = "id_a",
     id_b: str = "id_b",
     algorithm: str = "label",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Cluster the near-dup pairs and mark one canonical survivor per
-    cluster (lowest id — deterministic).  Docs in no pair are their own
-    singleton cluster.  Output: docs + (cluster_id, is_canonical).
+    cluster.  Docs in no pair are their own singleton cluster.
+    Output: docs + (cluster_id, is_canonical).
+
+    Survivor policy: default = lowest id (zero extra shuffle —
+    is_canonical is just cluster_id == id).  `score_col` = keep the
+    HIGHEST-scoring member instead (ties → lowest id) — what
+    production pipelines actually want: of a duplicate cluster, keep
+    the longest / highest-quality / most-recent copy, not whichever
+    crawled first.  The winner election runs on the PAIR-GRAPH-sized
+    membership table (max_by aggregate), never a corpus-wide window —
+    the corpus pays only the same final left join.
 
     algorithm='label' (default) = min-label propagation — rounds =
     component diameter, ideal for the small dense clusters near-dup
@@ -886,10 +896,31 @@ def dedup_survivors(
     if comp_fn is None:
         raise ValueError(f"unknown algorithm {algorithm!r}; use label|star|auto")
     comp = comp_fn(pairs, id_a, id_b)
-    return docs.join(
-        comp.withColumnRenamed("id", id_col), id_col, "left"
-    ).select(
-        *docs.columns,
-        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
-        (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
+    if score_col is None:
+        return docs.join(
+            comp.withColumnRenamed("id", id_col), id_col, "left"
+        ).select(
+            *docs.columns,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
+        )
+    # quality policy: elect argmax(score, then lowest id) per cluster
+    # over the membership table only (singletons stay self-canonical)
+    members = comp.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")),
+        "id",
+    )
+    winners = members.groupBy("cluster_id").agg(
+        F.max_by("id", F.struct(F.col("_score"), (-F.col("id")).alias("_nid")))
+        .alias("_winner")
+    )
+    return (
+        docs.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .join(winners, "cluster_id", "left")
+        .select(
+            *docs.columns,
+            "cluster_id",
+            (F.coalesce("_winner", F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
+        )
     )

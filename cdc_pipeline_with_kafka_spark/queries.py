@@ -2313,11 +2313,17 @@ def dedup_end_to_end(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(
         docs, threshold=0.5, num_hashes=16, bands=8, shingle_n=3
     )
-    surv = dedup.dedup_survivors(docs.select("doc_id"), pairs)
+    # score_col engages the quality survivor policy (keep the LONGEST
+    # member, ties → lowest id); the id policy stays derivable as
+    # cluster_id == doc_id, so one call value-checks both (r6)
+    surv = dedup.dedup_survivors(
+        docs.select("doc_id", "n_chars"), pairs, score_col="n_chars"
+    )
     return surv.select(
         "doc_id",
         "cluster_id",
-        "is_canonical",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+        F.col("is_canonical").alias("q_canonical"),
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint").alias("cluster_size"),
     )
 
@@ -2331,9 +2337,12 @@ DEDUP_E2E_SQL = (
        coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
         """SELECT doc_id, cluster_id, is_canonical,
+       row_number() OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+       ) = 1 AS q_canonical,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM (
-  SELECT d.doc_id,
+  SELECT d.doc_id, d.n_chars,
          coalesce(c.cluster_id, d.doc_id) AS cluster_id,
          coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id

@@ -469,3 +469,48 @@ def test_cosine_topk_empty_queries(spark):
         emb, empty_q, dim=len(emb.first()["embedding"]), k=5
     )
     assert lsh.count() == 0
+
+
+def test_dedup_survivors_quality_policy(spark):
+    """score_col elects the highest-scoring member per cluster (ties →
+    lowest id); singletons stay canonical; default policy unchanged."""
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7), (9, 3)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 9)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_survivors(docs, pairs, score_col="quality").collect()
+    }
+    # cluster {1,2,3}: top score 9 shared by 2 and 3 → lowest id 2 wins
+    assert not out[1].is_canonical and out[2].is_canonical and not out[3].is_canonical
+    # cluster {4,9}: 4 has the higher score
+    assert out[4].is_canonical and not out[9].is_canonical
+    assert all(out[d].cluster_id == 1 for d in (1, 2, 3))
+    # default policy on the same graph keeps the lowest ids
+    base = {
+        r.doc_id: r.is_canonical
+        for r in dedup.dedup_survivors(docs, pairs).collect()
+    }
+    assert base == {1: True, 2: False, 3: False, 4: True, 9: False}
+
+
+def test_dedup_survivors_quality_singleton_and_star(spark):
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(7, 1), (8, 100)], "doc_id long, quality long"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_survivors(
+            docs, pairs, score_col="quality", algorithm="star"
+        ).collect()
+    }
+    assert out[7].is_canonical and out[8].is_canonical  # all singletons
