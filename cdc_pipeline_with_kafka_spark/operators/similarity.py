@@ -1034,6 +1034,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = 100_000,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Full SemDeDup: cluster-blocked cosine pairs → connected
     components (adaptive label/star) → one canonical survivor per
@@ -1051,7 +1052,9 @@ def semantic_dedup(
         df, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col,
         max_cluster_size=max_cluster_size,
     )
-    return dedup_survivors(df, pairs, id_col=id_col, algorithm="auto")
+    return dedup_survivors(
+        df, pairs, id_col=id_col, algorithm="auto", score_col=score_col
+    )
 
 
 # ---------------------------------------------------------------- distributed k-means
