@@ -1214,3 +1214,144 @@ def kmeans_lloyd_replay(vecs: list[tuple[int, list[float]]], k: int, iters: int 
             dists.append(acc)
         assign[vid] = dists.index(min(dists))
     return cm, assign
+
+
+def kmeans_state(cm, cnts, qsums):
+    """Cluster-state triple for ROLLING k-means: (float64 centroid
+    rows, per-cluster point counts, per-cluster integer
+    floor(x·1e6)-sum cells).  The integer cells are the exact
+    sufficient statistic: merging two states is element-wise long
+    addition, so shards can be absorbed in any order with bit-identical
+    results."""
+    return [list(c) for c in cm], list(cnts), [list(q) for q in qsums]
+
+
+def kmeans_state_df(spark, state) -> DataFrame:
+    """Persistable form of the cluster state: one row per cluster
+    (cid, cnt, qsum array<long>, centroid array<double>) — k rows, a
+    few KB; write to the lake next to the fingerprint indexes."""
+    cm, cnts, qsums = state
+    rows = [
+        (c, int(cnts[c]), [int(x) for x in qsums[c]], [float(x) for x in cm[c]])
+        for c in range(len(cm))
+    ]
+    return spark.createDataFrame(
+        rows, "cid int, cnt long, qsum array<long>, centroid array<double>"
+    )
+
+
+def kmeans_state_from_df(df: DataFrame):
+    rows = sorted(df.collect(), key=lambda r: r["cid"])
+    return kmeans_state(
+        [r["centroid"] for r in rows],
+        [r["cnt"] for r in rows],
+        [r["qsum"] for r in rows],
+    )
+
+
+def kmeans_update_distributed(
+    shard: DataFrame,
+    state,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Online k-means for rolling admission: assign a NEW shard to the
+    CURRENT centroids (one codegen map + one k×(d+1)-integer-cell
+    groupBy — the _kmeans_iter_stats plan), absorb its integer cells
+    into the persisted cluster state, and recompute centroids as
+    exact running means.  Previously admitted points keep their
+    assignment (admission pipelines never revisit history); centroids
+    drift as data accrues — classic single-pass online Lloyd.
+
+    Exactness contract matches kmeans_train_distributed: integer cells
+    make the merge associative and order-free across shards, so
+    shard-at-a-time ≡ all-at-once single iteration from the same
+    centroids (asserted in tests and replayed by
+    kmeans_update_replay).  Returns (assigned_df, new_state) where
+    assigned_df = (id, cid) for the shard against the PRE-update
+    centroids."""
+    cm, cnts, qsums = state
+    d = len(cm[0])
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = shard.select(
+        F.col(id_col), _kmeans_assign_col(vec, cm).alias("cid")
+    )
+    stats = _kmeans_iter_stats(shard, cm, vec_col).collect()
+    new_cnts = list(cnts)
+    new_qsums = [list(q) for q in qsums]
+    for r in stats:
+        c = r["cid"]
+        new_cnts[c] += r["cnt"]
+        for j in range(d):
+            new_qsums[c][j] += r[f"q{j}"]
+    new_cm = [
+        [new_qsums[c][j] / (new_cnts[c] * 1e6) for j in range(d)]
+        if new_cnts[c]
+        else list(cm[c])
+        for c in range(len(cm))
+    ]
+    return assigned, kmeans_state(new_cm, new_cnts, new_qsums)
+
+
+def kmeans_update_replay(vecs: list[tuple[int, list[float]]], state):
+    """Pure-Python twin of kmeans_update_distributed (pinned-oracle /
+    equivalence tests): same assignment folds, same integer-cell
+    merge.  Returns ({id: cid} against pre-update centroids,
+    new_state)."""
+    import math
+
+    cm, cnts, qsums = state
+    d = len(cm[0])
+    assign: dict[int, int] = {}
+    new_cnts = list(cnts)
+    new_qsums = [list(q) for q in qsums]
+    for vid, v in sorted(vecs, key=lambda r: r[0]):
+        dists = []
+        for c in cm:
+            acc = 0.0
+            for j in range(d):
+                x = float(v[j]) - c[j]
+                acc = acc + x * x
+            dists.append(acc)
+        cid = dists.index(min(dists))
+        assign[vid] = cid
+        new_cnts[cid] += 1
+        for j in range(d):
+            new_qsums[cid][j] += math.floor(float(v[j]) * 1e6)
+    new_cm = [
+        [new_qsums[c][j] / (new_cnts[c] * 1e6) for j in range(d)]
+        if new_cnts[c]
+        else list(cm[c])
+        for c in range(len(cm))
+    ]
+    return assign, kmeans_state(new_cm, new_cnts, new_qsums)
+
+
+def kmeans_state_from_training(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train with kmeans_train_distributed, then run ONE more stats
+    pass against the final centroids to seed the online state (counts
+    + integer cells of the full training corpus)."""
+    _cids, cm_arr = kmeans_train_distributed(
+        corpus, k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cm = [list(c) for c in cm_arr]
+    d = len(cm[0])
+    stats = {r["cid"]: r for r in _kmeans_iter_stats(corpus, cm, vec_col).collect()}
+    cnts = [stats[c]["cnt"] if c in stats else 0 for c in range(k)]
+    qsums = [
+        [stats[c][f"q{j}"] for j in range(d)] if c in stats else [0] * d
+        for c in range(k)
+    ]
+    # running-mean centroids of the seeded state (NOT the trained cm:
+    # the state's invariant is centroid = qsum/(cnt·1e6) exactly)
+    cm_seed = [
+        [qsums[c][j] / (cnts[c] * 1e6) for j in range(d)] if cnts[c] else list(cm[c])
+        for c in range(k)
+    ]
+    return kmeans_state(cm_seed, cnts, qsums)

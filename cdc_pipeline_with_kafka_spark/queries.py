@@ -4184,23 +4184,49 @@ def semdedup(spark, sf_dir):
     # assignments and every centroid cell must match the pinned
     # pure-Python replay bit-for-bit (exact quantized-integer update,
     # reproducible left-fold distances — similarity.py kmeans notes).
-    _kc, kcm = similarity.kmeans_train_distributed(corpus, k=4, iters=3)
+    _kc, kcm = similarity.kmeans_train_distributed(corpus, k=4, iters=2)
     kvec = F.col("embedding").cast("array<double>")
     km_assign = corpus.select(
         "vec_id",
         similarity._kmeans_assign_col(kvec, [list(c) for c in kcm]).alias("cid"),
     )
     km_rows = _suite_rows(km_assign, "km", F.col("vec_id"), v_num=F.col("cid"))
+    d = kcm.shape[1]
     kmc_rows = _suite_rows(
         spark.createDataFrame(
-            [(c, j, float(kcm[c][j])) for c in range(4) for j in range(kcm.shape[1])],
+            [(c, j, float(kcm[c][j])) for c in range(4) for j in range(d)],
             "c int, j int, v double",
         ),
         "kmc",
         F.concat_ws("|", F.col("c").cast("string"), F.col("j").cast("string")),
         v_num=F.col("v"),
     )
-    return _union_all([assign_rows, pair_rows, surv_rows, km_rows, kmc_rows])
+    # r6 'kmu'/'kmuc': the ONLINE path — seed integer cluster state
+    # from the originals against the trained centroids, absorb the
+    # twin shard, value-check the shard assignments and every updated
+    # centroid cell against the pure-Python replay (exact: assignment
+    # folds + associative integer-cell merge)
+    zero_state = similarity.kmeans_state(
+        [list(c) for c in kcm], [0] * 4, [[0] * d for _ in range(4)]
+    )
+    originals = corpus.filter(F.col("vec_id") < _SEMDEDUP_TWIN)
+    twins = corpus.filter(F.col("vec_id") >= _SEMDEDUP_TWIN)
+    _a0, seeded = similarity.kmeans_update_distributed(originals, zero_state)
+    kmu_assign, upd_state = similarity.kmeans_update_distributed(twins, seeded)
+    kmu_rows = _suite_rows(kmu_assign, "kmu", F.col("vec_id"), v_num=F.col("cid"))
+    ucm = upd_state[0]
+    kmuc_rows = _suite_rows(
+        spark.createDataFrame(
+            [(c, j, float(ucm[c][j])) for c in range(4) for j in range(d)],
+            "c int, j int, v double",
+        ),
+        "kmuc",
+        F.concat_ws("|", F.col("c").cast("string"), F.col("j").cast("string")),
+        v_num=F.col("v"),
+    )
+    return _union_all(
+        [assign_rows, pair_rows, surv_rows, km_rows, kmc_rows, kmu_rows, kmuc_rows]
+    )
 
 
 def _semdedup_oracle_sql() -> str:
@@ -4238,12 +4264,24 @@ def _semdedup_oracle_sql() -> str:
     kvecs = [(int(v), X[i]) for i, v in enumerate(ids)] + [
         (int(ids[i]) + _SEMDEDUP_TWIN, X[i]) for i in twin_sel
     ]
-    kcm, kassign = sim.kmeans_lloyd_replay(kvecs, k=4, iters=3)
+    kcm, kassign = sim.kmeans_lloyd_replay(kvecs, k=4, iters=2)
     km_vals = ", ".join(f"({vid}, {cid})" for vid, cid in sorted(kassign.items()))
     kmc_vals = ", ".join(
         f"({c}, {j}, {kcm[c][j]!r})"
         for c in range(4)
         for j in range(len(kcm[0]))
+    )
+    # 'kmu'/'kmuc' replay: zero-seeded state + originals, then the
+    # twin shard — same sequence as the gate's Spark path
+    kd = len(kcm[0])
+    zero_state = sim.kmeans_state(kcm, [0] * 4, [[0] * kd for _ in range(4)])
+    originals_v = [(int(v), X[i]) for i, v in enumerate(ids)]
+    twins_v = [(int(ids[i]) + _SEMDEDUP_TWIN, X[i]) for i in twin_sel]
+    _a0, seeded = sim.kmeans_update_replay(originals_v, zero_state)
+    kmu_assign, upd_state = sim.kmeans_update_replay(twins_v, seeded)
+    kmu_vals = ", ".join(f"({vid}, {cid})" for vid, cid in sorted(kmu_assign.items()))
+    kmuc_vals = ", ".join(
+        f"({c}, {j}, {upd_state[0][c][j]!r})" for c in range(4) for j in range(kd)
     )
     return f"""
 WITH corpus AS (
@@ -4295,6 +4333,12 @@ FROM (VALUES {km_vals}) km(vid, cid)
 UNION ALL
 SELECT 'kmc', CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR), '', CAST(v AS DOUBLE)
 FROM (VALUES {kmc_vals}) kmc(c, j, v)
+UNION ALL
+SELECT 'kmu', CAST(vid AS VARCHAR), '', CAST(cid AS DOUBLE)
+FROM (VALUES {kmu_vals}) kmu(vid, cid)
+UNION ALL
+SELECT 'kmuc', CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR), '', CAST(v AS DOUBLE)
+FROM (VALUES {kmuc_vals}) kmuc(c, j, v)
 """
 
 

@@ -82,3 +82,65 @@ def test_k_larger_than_corpus_raises(spark):
         sim.kmeans_train_distributed(df, k=5)
     with pytest.raises(ValueError, match="< k="):
         sim.kmeans_lloyd_replay([(0, [0.0, 0.0, 0.0])], k=2)
+
+
+def test_online_update_matches_replay_and_is_shard_order_exact(spark):
+    """kmeans_update_distributed ≡ pure replay, and absorbing two
+    shards one at a time yields the SAME integer state as absorbing
+    them together (associative merge) — assignments always against the
+    pre-update centroids."""
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(30, 6)).astype(np.float32)
+    df = _df(spark, base)
+    state0 = sim.kmeans_state_from_training(df, k=3, iters=2)
+
+    shard_a = rng.normal(size=(8, 6)).astype(np.float32)
+    shard_b = rng.normal(size=(5, 6)).astype(np.float32)
+
+    def sdf(mat, off):
+        rows = [(off + i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a1, st1 = sim.kmeans_update_distributed(sdf(shard_a, 100), state0)
+    a2, st2 = sim.kmeans_update_distributed(sdf(shard_b, 200), st1)
+
+    vecs_a = [(100 + i, [float(x) for x in shard_a[i]]) for i in range(len(shard_a))]
+    vecs_b = [(200 + i, [float(x) for x in shard_b[i]]) for i in range(len(shard_b))]
+    ra, rst1 = sim.kmeans_update_replay(vecs_a, state0)
+    rb, rst2 = sim.kmeans_update_replay(vecs_b, rst1)
+
+    assert {r.vec_id: r.cid for r in a1.collect()} == ra
+    assert {r.vec_id: r.cid for r in a2.collect()} == rb
+    assert st2 == rst2  # exact: centroids, counts, integer cells
+
+    # sequential(two shards) state ≡ replay applied to the union in
+    # one go IF the intermediate centroid drift is replayed — i.e. the
+    # state is a pure function of (state0, shard sequence); re-running
+    # the same sequence is bit-identical
+    a1x, st1x = sim.kmeans_update_distributed(sdf(shard_a, 100), state0)
+    assert st1x == st1
+
+
+def test_state_df_roundtrip(spark):
+    rng = np.random.default_rng(5)
+    df = _df(spark, rng.normal(size=(12, 4)).astype(np.float32))
+    state = sim.kmeans_state_from_training(df, k=2, iters=2)
+    back = sim.kmeans_state_from_df(sim.kmeans_state_df(spark, state))
+    assert back == state
+
+
+def test_update_empty_cluster_keeps_centroid(spark):
+    # a shard far from centroid 1's region leaves its cells untouched
+    base = np.zeros((6, 3), dtype=np.float32)
+    base[3:] += 10.0
+    df = _df(spark, base)
+    state = sim.kmeans_state_from_training(df, k=2, iters=2)
+    shard = spark.createDataFrame(
+        [(50, [0.1, 0.1, 0.1])], "vec_id long, embedding array<float>"
+    )
+    _a, st = sim.kmeans_update_distributed(shard, state)
+    # the far cluster's count did not change; its centroid is identical
+    changed = [c for c in range(2) if st[1][c] != state[1][c]]
+    assert len(changed) == 1
+    untouched = 1 - changed[0]
+    assert st[0][untouched] == state[0][untouched]
