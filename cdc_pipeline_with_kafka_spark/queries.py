@@ -5636,6 +5636,11 @@ BENCH_FNS: dict[str, QueryFn] = {
     # / diff / leakage-safe split / deterministic shuffle key)
     "semdedup": semdedup,
     "corpus_release_suite": corpus_release_suite,
+    # round 6: the multimodal fingerprint tier (synth + pHash/aHash/
+    # vHash mapInPandas passes + pigeonhole pairs + incremental) —
+    # the whole 9-branch gate, so the bench tracks the real decode+
+    # hash+pair cost, not just the metadata plumbing
+    "multimodal_pipeline": multimodal_pipeline,
 }
 
 BENCH_QUERIES = list(BENCH_FNS)
