@@ -2051,6 +2051,11 @@ def fingerprint_assets(
     media_type, fp, fp_error).  Unknown types and decode failures
     quarantine as fp NULL + the error string.  Pair within type via
     phash_pairs(..., hash_col='fp', type_col='media_type')."""
+    _fingerprint_for("image")  # ensure defaults are registered
+    # snapshot the registry into the closure: executors run separate
+    # Python workers that re-import this module, so driver-side
+    # set_fingerprinter() mutations only reach them via pickling
+    table = dict(_FINGERPRINTERS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2059,7 +2064,10 @@ def fingerprint_assets(
             for mt, payload in zip(pdf[type_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    fps.append(_fingerprint_for(mt)(raw))
+                    fn = table.get(mt)
+                    if fn is None:
+                        raise ValueError(f"no fingerprinter for media_type {mt!r}")
+                    fps.append(fn(raw))
                     errs.append(None)
                 except ValueError as exc:
                     fps.append(None)
@@ -2157,3 +2165,139 @@ def admit_assets(
         good["asset_id"] == F.col("_rj"), "left_anti",
     ).select("asset_id", "media_type", "fp")
     return {"admitted": admitted, "rejected": rejected, "fps_delta": fps_delta}
+
+
+def set_fingerprinter(media_type: str, fn: Callable[[bytes], int]) -> None:
+    """Override/extend the fingerprint registry (the set_decoder twin):
+    e.g. a native pHash for compressed video once a codec tier exists.
+    Must return a signed 64-bit int."""
+    _fingerprint_for("image")  # force default registration first
+    _FINGERPRINTERS[media_type] = fn
+
+
+FRAME_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fphash", T.LongType()),
+    ]
+)
+
+
+def frame_phash_assets(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_frames: int = 64,
+) -> DataFrame:
+    """Per-FRAME perceptual hashes of video assets: one mapInPandas
+    pass decodes each Y4M payload once and emits ≤max_frames
+    evenly-sampled (asset_id, frame_idx, fphash) rows — frames become
+    rows AFTER the single decode (the payload is never duplicated per
+    frame, unlike an explode-before-decode shape would force for
+    container formats whose frames aren't independently addressable).
+    Undecodable assets emit no rows (pair-stage absence ≡ quarantine;
+    use vhash_assets for explicit error rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        M = _dct_matrix_n(32)
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            fps: list[int] = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, _fps, planes = _y4m_luma_planes(raw)
+                except ValueError:
+                    continue
+                n = len(planes)
+                if n == 0:
+                    continue
+                k = min(max_frames, n)
+                sel = sorted({int(((i + 0.5) * n) // k) for i in range(k)})
+                for fi in sel:
+                    luma = (
+                        np.frombuffer(planes[fi], dtype=np.uint8)
+                        .astype(np.float64)
+                        .reshape(h, w)
+                        / 255.0
+                    )
+                    g = _resize_gray(luma, 32, 32)
+                    d = (M @ g) @ M.T
+                    low = d[:8, :8].ravel()
+                    med = float(np.median(low[1:]))
+                    v = 0
+                    for i, b in enumerate(low > med):
+                        if b:
+                            v |= 1 << i
+                    if v >= 1 << 63:
+                        v -= 1 << 64
+                    ids.append(int(aid))
+                    idxs.append(int(fi))
+                    fps.append(v)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "fphash": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FRAME_PHASH_SCHEMA)
+
+
+def video_overlap_pairs(
+    assets: DataFrame,
+    min_shared_frames: int = 2,
+    max_hamming: int = 4,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_frames: int = 64,
+) -> DataFrame:
+    """Partial-overlap detection between video clips: clips sharing a
+    SUBSEQUENCE of near-identical frames (re-cut, trimmed, embedded
+    footage) that whole-clip vhash64 misses because the majority vote
+    dilutes a partial match.
+
+    frame_phash_assets → pigeonhole frame-hash pairs (cross-asset
+    only) → count distinct matching frame pairs per (video_a, video_b)
+    → keep pairs with ≥ min_shared_frames.  Output: (id_a, id_b,
+    shared_frames, min_hamming).
+
+    Scale shape: frame hashes are rows (≤max_frames per clip, 12
+    bytes each), pair generation is the same linear bucket machinery
+    as every other fingerprint tier, and the rollup is one groupBy on
+    the (tiny) frame-pair set."""
+    fhashes = frame_phash_assets(
+        assets, id_col=id_col, payload_col=payload_col, max_frames=max_frames
+    )
+    # frame rows need a unique pair id: (asset_id, frame_idx) packed —
+    # frame_idx < 2^20 frames, asset ids shifted above
+    packed = fhashes.select(
+        (F.col("asset_id") * F.lit(1 << 20) + F.col("frame_idx")).alias("fid"),
+        F.col("fphash"),
+    )
+    fpairs = phash_pairs(
+        packed, max_hamming=max_hamming, id_col="fid", hash_col="fphash"
+    )
+    cross = fpairs.select(
+        F.shiftright("id_a", 20).alias("va"),
+        F.shiftright("id_b", 20).alias("vb"),
+        "hamming",
+    ).filter(F.col("va") != F.col("vb"))
+    return (
+        cross.select(
+            F.least("va", "vb").alias("id_a"),
+            F.greatest("va", "vb").alias("id_b"),
+            "hamming",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )

@@ -109,3 +109,58 @@ def test_vhash_pairs_find_twins(spark):
     }
     for i in range(6):
         assert pairs.get((2 * i, 2 * i + 1)) == 0
+
+
+def test_frame_phash_assets_shapes_and_sampling(spark):
+    clip = _y4m(_noise_frames("frames", n=12))
+    df = spark.createDataFrame(
+        [(1, clip), (2, b"not video")], "asset_id long, payload binary"
+    )
+    rows = mm.frame_phash_assets(df, max_frames=5).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == {1}  # undecodable emits no rows
+    assert len(by_asset[1]) == 5
+    assert [r.frame_idx for r in sorted(by_asset[1], key=lambda r: r.frame_idx)] == [
+        1, 3, 6, 8, 10
+    ]
+
+
+def test_video_overlap_pairs_detects_shared_footage(spark):
+    """Clip B embeds 4 of clip A's 12 frames (a re-cut) — whole-clip
+    vhash64 majority vote dilutes this, but frame-grain matching finds
+    it; clip C is unrelated."""
+    a_frames = _noise_frames("shared", n=12)
+    b_frames = _noise_frames("bnoise", n=8) + a_frames[4:8]
+    c_frames = _noise_frames("unrelated", n=10)
+    df = spark.createDataFrame(
+        [(1, _y4m(a_frames)), (2, _y4m(b_frames)), (3, _y4m(c_frames))],
+        "asset_id long, payload binary",
+    )
+    # whole-clip hashes: A vs B is NOT a near-dup pair (vote diluted)
+    va = mm.vhash64(_y4m(a_frames))
+    vb = mm.vhash64(_y4m(b_frames))
+    assert _ham(va, vb) > 6
+    out = {
+        (r.id_a, r.id_b): (r.shared_frames, r.min_hamming)
+        for r in mm.video_overlap_pairs(
+            df, min_shared_frames=2, max_frames=64
+        ).collect()
+    }
+    assert (1, 2) in out
+    shared, min_h = out[(1, 2)]
+    assert shared >= 2 and min_h == 0
+    assert all(3 not in pair for pair in out)
+
+
+def test_set_fingerprinter_seam(spark):
+    mm.set_fingerprinter("hologram", lambda raw: len(raw))
+    try:
+        df = spark.createDataFrame(
+            [(1, "hologram", b"abcd")], "asset_id long, media_type string, payload binary"
+        )
+        out = mm.fingerprint_assets(df).collect()
+        assert out[0].fp == 4 and out[0].fp_error is None
+    finally:
+        mm._FINGERPRINTERS.pop("hologram", None)
