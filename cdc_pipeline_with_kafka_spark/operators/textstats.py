@@ -494,3 +494,59 @@ def c4_clean(
         F.size(kept).cast("long").alias("n_kept_lines"),
         doc_ok.alias("keep"),
     )
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for crawl-grain dedup (the tier BEFORE
+    content dedup: C4/RefinedWeb drop exact-URL revisits first):
+
+      · scheme and host lowercased; userinfo kept verbatim
+      · default port stripped (:80 for http, :443 for https)
+      · fragment dropped
+      · tracking params removed (utm_*, gclid, fbclid, ref), the rest
+        SORTED for order-insensitivity; empty query drops its '?'
+      · trailing slash stripped from non-root paths; empty path → '/'
+
+    Inputs without a '://' scheme pass through trimmed but otherwise
+    unchanged (relative links are resolvable only with a base URL);
+    NULL stays NULL.  Pure codegen — patterns avoid lookarounds and
+    backrefs so the DuckDB RE2 replay is expression-for-expression
+    identical."""
+    raw = F.trim(col)
+    has_scheme = raw.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    scheme = F.lower(F.regexp_extract(raw, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(raw, r"#.*$", ""), r"^[A-Za-z][A-Za-z0-9+.-]*://", ""
+    )
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.regexp_replace(authority, r"^.*@", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port_sfx = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1")
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)"),
+        )
+    )
+    q_sfx = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    canon = F.concat(
+        scheme, F.lit("://"), userinfo, host, port_sfx, path, q_sfx
+    )
+    return F.when(has_scheme, canon).otherwise(raw)

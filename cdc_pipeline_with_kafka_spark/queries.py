@@ -1998,10 +1998,29 @@ def text_profile(spark, sf_dir):
         "doc_id", "replacement_ppm", "control_ppm", "mojibake_ppm",
         F.col("keep").alias("enc_keep"),
     )
+    # r6: canonical_url over a synthesized crawl URL per doc (case/
+    # default-port/trailing-slash/tracking-param/fragment variants by
+    # doc_id residue); the oracle derives the EXPECTED canonical form
+    # independently from the variant logic — no regex replay
+    d = F.col("doc_id")
+    raw_url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("WWW."), F.col("source"), F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/docs/"), d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?z=1&ref=x"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        "doc_id", textstats.canonical_url(raw_url).alias("canon_url")
+    )
     return out.select(
         "doc_id", "n_tokens", "stopword_ratio", "mean_word_len", "quality",
         "fingerprint", "lang_detected",
-    ).join(enc, "doc_id")
+    ).join(enc, "doc_id").join(urls, "doc_id")
 
 
 TEXT_PROFILE_SQL = """
@@ -2035,7 +2054,16 @@ SELECT m.doc_id, n_tokens,
            + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        lang.lang_detected AS lang_detected,
-       enc.replacement_ppm, enc.control_ppm, enc.mojibake_ppm, enc.enc_keep
+       enc.replacement_ppm, enc.control_ppm, enc.mojibake_ppm, enc.enc_keep,
+       -- canonical_url expected output, derived INDEPENDENTLY from the
+       -- synthesis variants (no regex replay): lowercased scheme+host,
+       -- default port stripped, fragment dropped, tracking params
+       -- removed + rest sorted, trailing slash stripped
+       (CASE WHEN m.doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+         || '://www.' || d.source || '.example.com/docs/' || CAST(m.doc_id AS VARCHAR)
+         || (CASE WHEN m.doc_id % 4 = 0 THEN '?a=1&b=2'
+                  WHEN m.doc_id % 4 = 1 THEN '?z=1'
+                  ELSE '' END) AS canon_url
 FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN (__LANGID__) lang ON m.doc_id = lang.doc_id
 JOIN (__ENC__) enc ON m.doc_id = enc.doc_id

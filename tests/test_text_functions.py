@@ -186,3 +186,55 @@ def test_encoding_stats_flags_mojibake_and_junk(spark):
     assert got[3]["replacement_ppm"] > 0 and not got[3]["keep"]
     assert got[4]["control_ppm"] > 0 and not got[4]["keep"]
     assert got[5]["keep"] is True  # empty doc: nothing bad in it
+
+
+def test_canonical_url_edge_cases(spark):
+    from cdc_pipeline_with_kafka_spark.operators import textstats
+
+    cases = {
+        "HTTP://WWW.Example.COM:80/Path/Sub/?utm_source=x&b=2&a=1#frag":
+            "http://www.example.com/Path/Sub?a=1&b=2",
+        "https://example.com:443/": "https://example.com/",
+        "https://example.com:8443/a/": "https://example.com:8443/a",  # non-default port kept
+        "http://user:pw@Site.org/page?ref=abc&z=9&utm_campaign=c":
+            "http://user:pw@site.org/page?z=9",
+        "ftp://Files.example.com:21/dir/": "ftp://files.example.com:21/dir",
+        "example.com/no-scheme": "example.com/no-scheme",  # pass-through
+        "  http://a.b/  ": "http://a.b/",                  # trimmed, root slash kept
+        "http://a.b/x?&&": "http://a.b/x",                 # empty params drop the '?'
+        "http://A.b": "http://a.b/",                       # empty path → '/'
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "i int, u string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", textstats.canonical_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(cases.items()):
+        assert got[i] == want, raw
+    # NULL stays NULL
+    ndf = spark.createDataFrame([(1, None)], "i int, u string")
+    assert ndf.select(textstats.canonical_url(F.col("u")).alias("c")).collect()[0].c is None
+
+
+def test_url_dedup_composition(spark):
+    """canonical_url + dedup_by_key = the crawl-revisit dedup tier:
+    tracking-param and case variants of one page collapse to a single
+    survivor."""
+    from cdc_pipeline_with_kafka_spark.operators import relational, textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://Example.com/a?utm_source=x"),
+            (2, "HTTP://example.COM:80/a"),
+            (3, "http://example.com/a?b=1"),
+        ],
+        "doc_id long, url string",
+    )
+    canon = df.withColumn("canon", textstats.canonical_url(F.col("url")))
+    out = relational.dedup_by_key(canon, ["canon"])
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 3]  # 2 collapses into 1; 3 differs by real param
