@@ -2301,3 +2301,149 @@ def video_overlap_pairs(
         )
         .filter(F.col("shared_frames") >= min_shared_frames)
     )
+
+
+# ---------------------------------------------------------------- content-defined chunking
+
+# Sub-file binary dedup: gear-hash content-defined chunking (the
+# FastCDC/LBFS family — Muthitacharoen et al. 2001; Xia et al. 2016).
+# Chunk boundaries follow CONTENT, not offsets, so inserting bytes
+# near the head of a payload re-chunks only the neighborhood of the
+# edit — the property that lets a lake dedup shared segments across
+# containers (same audio embedded behind different headers, re-muxed
+# media, appended metadata) where whole-file hashing sees two distinct
+# blobs.  Deterministic: the gear table is seeded Python-random.
+
+_GEAR_SEED = 0x9E3779B9
+
+
+def _gear_table() -> list[int]:
+    import random
+
+    rng = random.Random(_GEAR_SEED)
+    return [rng.getrandbits(64) for _ in range(256)]
+
+
+_GEAR: list[int] | None = None
+
+
+def cdc_chunks(
+    payload: bytes,
+    min_size: int = 128,
+    avg_size: int = 512,
+    max_size: int = 2048,
+) -> list[tuple[int, int, str]]:
+    """Content-defined chunk spans of a byte payload: list of
+    (offset, length, md5hex).  A boundary is declared at byte i when
+    the 64-bit gear rolling hash has its top log2(avg_size) bits zero
+    — expected chunk length ≈ avg_size, clamped to [min_size,
+    max_size].  Pure Python/hashlib core (rerun verbatim by the gate's
+    pinned oracle); the Spark path batches it through mapInPandas."""
+    import hashlib
+
+    global _GEAR
+    if _GEAR is None:
+        _GEAR = _gear_table()
+    if min_size < 1 or not min_size <= avg_size <= max_size:
+        raise ValueError(
+            f"need 1 <= min {min_size} <= avg {avg_size} <= max {max_size}"
+        )
+    mask = ((1 << 64) - 1) ^ ((1 << (64 - (avg_size.bit_length() - 1))) - 1)
+    out: list[tuple[int, int, str]] = []
+    n = len(payload)
+    start = 0
+    h = 0
+    i = 0
+    while i < n:
+        h = ((h << 1) + _GEAR[payload[i]]) & ((1 << 64) - 1)
+        i += 1
+        length = i - start
+        if (length >= min_size and (h & mask) == 0) or length >= max_size:
+            out.append(
+                (start, length, hashlib.md5(payload[start:i]).hexdigest())
+            )
+            start = i
+            h = 0
+    if start < n:
+        out.append((start, n - start, hashlib.md5(payload[start:]).hexdigest()))
+    return out
+
+
+CDC_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk_off", T.LongType()),
+        T.StructField("chunk_len", T.LongType()),
+        T.StructField("chunk_hash", T.StringType()),
+    ]
+)
+
+
+def cdc_chunk_assets(
+    assets: DataFrame,
+    min_size: int = 128,
+    avg_size: int = 512,
+    max_size: int = 2048,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Chunk every payload via mapInPandas → (asset_id, chunk_idx,
+    chunk_off, chunk_len, chunk_hash).  Map-only; the chunk-hash table
+    is the dedup index (≈ 48 B/chunk ⇒ ~1 GB per 10 TB of payload at
+    the 512 B default — tune avg_size up for media lakes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, hashes = [], [], [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                for ci, (off, ln, hx) in enumerate(
+                    cdc_chunks(raw, min_size, avg_size, max_size)
+                ):
+                    ids.append(int(aid))
+                    idxs.append(ci)
+                    offs.append(off)
+                    lens.append(ln)
+                    hashes.append(hx)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "chunk_idx": pd.array(idxs, dtype="Int32"),
+                    "chunk_off": pd.array(offs, dtype="Int64"),
+                    "chunk_len": pd.array(lens, dtype="Int64"),
+                    "chunk_hash": hashes,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=CDC_CHUNK_SCHEMA)
+
+
+def shared_chunk_pairs(
+    chunks: DataFrame, min_shared_bytes: int = 256
+) -> DataFrame:
+    """Asset pairs sharing content-defined chunks: groupBy(chunk_hash)
+    → upper-triangle in-bucket expansion (the fingerprint-tier bucket
+    shape — never a self-join) → per-pair rollup (shared_chunks,
+    shared_bytes).  Detects sub-file duplication whole-file hashing
+    and perceptual hashing both miss (byte-identical SEGMENTS inside
+    otherwise different payloads)."""
+    buckets = (
+        chunks.groupBy("chunk_hash", "chunk_len")
+        .agg(F.collect_set("asset_id").alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = (
+        buckets.select("chunk_len", F.sort_array("ms").alias("ms"))
+        .select("chunk_len", "ms", F.posexplode("ms").alias("p", "a"))
+        .select("chunk_len", "a",
+                F.explode(F.slice("ms", F.col("p") + 2, F.size("ms"))).alias("b"))
+    )
+    return (
+        pairs.groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_chunks"),
+            F.sum("chunk_len").alias("shared_bytes"),
+        )
+        .filter(F.col("shared_bytes") >= min_shared_bytes)
+    )

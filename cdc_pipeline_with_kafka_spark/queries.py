@@ -3162,11 +3162,9 @@ def _vhash_gate_hashes(spark, sf_dir):
     return multimodal.vhash_assets(assets)
 
 
-def _phash_gate_hashes(spark, sf_dir):
+def _phash_gate_assets(spark, sf_dir):
     """Image-typed docs (doc_id % 3 == 0) → two synthetic PPM variants
-    each (asset_id = doc_id·2 + variant) → phash_assets."""
-    from .operators import multimodal
-
+    each (asset_id = doc_id·2 + variant)."""
     import pandas as pd
 
     variants = (
@@ -3190,8 +3188,13 @@ def _phash_gate_hashes(spark, sf_dir):
                 }
             )
 
-    assets = variants.mapInPandas(synth, "asset_id long, payload binary")
-    return multimodal.phash_assets(assets)
+    return variants.mapInPandas(synth, "asset_id long, payload binary")
+
+
+def _phash_gate_hashes(spark, sf_dir):
+    from .operators import multimodal
+
+    return multimodal.phash_assets(_phash_gate_assets(spark, sf_dir))
 
 
 def multimodal_pipeline(spark, sf_dir):
@@ -3286,6 +3289,32 @@ def multimodal_pipeline(spark, sf_dir):
         F.col("hamming").cast("double").alias("v_num1"),
         F.lit(-1.0).alias("v_num2"),
     )
+    # 'cdcb'/'cdcp': content-defined chunking over the image payloads
+    # (gear-hash boundaries; pinned-Python chunk replay) + the
+    # shared-chunk pair rollup replayed as a SQL bucket self-join —
+    # duplicate doc TEXTS yield byte-identical payloads, so real
+    # cross-asset shared chunks exist in the fixture
+    chunks = multimodal.cdc_chunk_assets(
+        _phash_gate_assets(spark, sf_dir)
+    ).localCheckpoint()
+    cdcb = chunks.select(
+        F.lit("cdcb").alias("suite_case"),
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.concat_ws(
+            "|", F.col("chunk_idx").cast("string"), F.col("chunk_hash")
+        ).alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("chunk_off").cast("double").alias("v_num1"),
+        F.col("chunk_len").cast("double").alias("v_num2"),
+    )
+    cdcp = multimodal.shared_chunk_pairs(chunks, min_shared_bytes=256).select(
+        F.lit("cdcp").alias("suite_case"),
+        F.col("id_a").cast("long").alias("asset_id"),
+        F.col("id_b").cast("string").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("shared_chunks").cast("double").alias("v_num1"),
+        F.col("shared_bytes").cast("double").alias("v_num2"),
+    )
     feats = multimodal_features(spark, sf_dir).select(
         F.lit("features").alias("suite_case"),
         F.col("asset_id").cast("long").alias("asset_id"),
@@ -3307,6 +3336,7 @@ def multimodal_pipeline(spark, sf_dir):
         .unionByName(php).unionByName(phinc)
         .unionByName(ah).unionByName(ahp)
         .unionByName(vh).unionByName(vhp)
+        .unionByName(cdcb).unionByName(cdcp)
     )
 
 
@@ -3357,12 +3387,23 @@ def _multimodal_pipeline_sql() -> str:
         for doc_id, text in vrows
         for variant in (0, 1)
     )
+    from .operators.multimodal import cdc_chunks
+
+    cvals = ", ".join(
+        f"({doc_id * 2 + variant}, {ci}, {off}, {ln}, '{hx}')"
+        for doc_id, text in rows
+        for variant in (0, 1)
+        for ci, (off, ln, hx) in enumerate(
+            cdc_chunks(_phash_gate_ppm(text, variant))
+        )
+    )
     ashare = share.replace("a.fp", "aa.fp").replace("b.fp", "ab.fp")
     vshare = share.replace("a.fp", "va.fp").replace("b.fp", "vb.fp")
     return f"""
 WITH ph(asset_id, fp) AS (VALUES {vals}),
      ah(asset_id, fp) AS (VALUES {avals}),
-     vh(asset_id, fp) AS (VALUES {vvals})
+     vh(asset_id, fp) AS (VALUES {vvals}),
+     cdcb(asset_id, chunk_idx, chunk_off, chunk_len, chunk_hash) AS (VALUES {cvals})
 SELECT 'features' AS suite_case, asset_id, media_type || '|' || CAST(payload_bytes AS VARCHAR) AS k,
        content_hash AS v_str, CAST(f0 AS DOUBLE) AS v_num1, CAST(feature_sum AS DOUBLE) AS v_num2
 FROM ({MULTIMODAL_FEATURES_SQL}) s1
@@ -3407,6 +3448,24 @@ SELECT 'vhp', va.asset_id, CAST(vb.asset_id AS VARCHAR), '',
        CAST(bit_count(xor(va.fp, vb.fp)) AS DOUBLE), -1.0
 FROM vh va JOIN vh vb ON va.asset_id < vb.asset_id
 WHERE ({vshare}) AND bit_count(xor(va.fp, vb.fp)) <= 6
+UNION ALL
+SELECT 'cdcb', asset_id,
+       CAST(chunk_idx AS VARCHAR) || '|' || chunk_hash, '',
+       CAST(chunk_off AS DOUBLE), CAST(chunk_len AS DOUBLE)
+FROM cdcb
+UNION ALL
+SELECT 'cdcp', id_a, CAST(id_b AS VARCHAR), '',
+       CAST(shared_chunks AS DOUBLE), CAST(shared_bytes AS DOUBLE)
+FROM (
+  SELECT ca.asset_id AS id_a, cb.asset_id AS id_b,
+         count(*) AS shared_chunks, sum(ca.chunk_len) AS shared_bytes
+  FROM (SELECT DISTINCT asset_id, chunk_hash, chunk_len FROM cdcb) ca
+  JOIN (SELECT DISTINCT asset_id, chunk_hash, chunk_len FROM cdcb) cb
+    ON ca.chunk_hash = cb.chunk_hash AND ca.chunk_len = cb.chunk_len
+   AND ca.asset_id < cb.asset_id
+  GROUP BY 1, 2
+  HAVING sum(ca.chunk_len) >= 256
+) sp
 """
 
 

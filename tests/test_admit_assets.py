@@ -9,6 +9,7 @@ import hashlib
 import struct
 
 import numpy as np
+import pytest
 
 from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
 from cdc_pipeline_with_kafka_spark.streaming import pipeline
@@ -191,3 +192,67 @@ def test_asset_sink_replay_is_idempotent(spark, tmp_path):
     fp_rows = spark.read.parquet(fps).collect()
     assert len(fp_rows) == 1
     assert spark.read.parquet(rejected).count() == 0
+
+
+def test_cdc_chunks_shift_robust_and_exact_cover():
+    """Content-defined boundaries: a 7-byte insert near the head
+    re-chunks only its neighborhood (fixed-size blocking would lose
+    every block after the edit); spans tile the payload exactly."""
+    import hashlib as _h
+
+    def blob(seed, n=8192):
+        body = b""
+        i = 0
+        while len(body) < n:
+            body += _h.sha256(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return body[:n]
+
+    a = blob("cdc-base")
+    ca = mm.cdc_chunks(a)
+    off = 0
+    for o, ln, _hx in ca:
+        assert o == off
+        off += ln
+    assert off == len(a)
+    b = a[:100] + b"INSERT7" + a[100:]
+    ha = {h for *_s, h in ca}
+    hb = {h for *_s, h in mm.cdc_chunks(b)}
+    assert len(ha & hb) >= len(ha) - 3
+    assert mm.cdc_chunks(a) == ca  # deterministic
+    with pytest.raises(ValueError, match="min"):
+        mm.cdc_chunks(a, min_size=0)
+    with pytest.raises(ValueError, match="min"):
+        mm.cdc_chunks(a, min_size=1024, avg_size=512)
+
+
+def test_shared_chunk_pairs_finds_embedded_segment(spark):
+    """Payload B embeds a 4 KB segment of payload A behind a different
+    header: whole-file hashes differ, perceptual hashing is the wrong
+    tool (opaque binary), but shared CDC chunks expose the overlap."""
+    import hashlib as _h
+
+    def blob(seed, n):
+        body = b""
+        i = 0
+        while len(body) < n:
+            body += _h.sha256(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return body[:n]
+
+    seg = blob("shared-seg", 4096)
+    a = blob("head-a", 512) + seg
+    b = blob("head-b", 2048) + seg
+    c = blob("unrelated", 6000)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "asset_id long, payload binary"
+    )
+    chunks = mm.cdc_chunk_assets(df)
+    out = {
+        (r.id_a, r.id_b): (r.shared_chunks, r.shared_bytes)
+        for r in mm.shared_chunk_pairs(chunks, min_shared_bytes=1024).collect()
+    }
+    assert (1, 2) in out
+    shared, nbytes = out[(1, 2)]
+    assert nbytes >= 2048  # most of the embedded segment recovered
+    assert all(3 not in p for p in out)
