@@ -550,3 +550,52 @@ def canonical_url(col: Column) -> Column:
         scheme, F.lit("://"), userinfo, host, port_sfx, path, q_sfx
     )
     return F.when(has_scheme, canon).otherwise(raw)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ratio_ppm: int = 200_000,
+    level: int = 6,
+) -> DataFrame:
+    """DEFLATE compression ratio as a repetitiveness signal (the
+    Gopher/RedPajama-family filter the n-gram repetition stats
+    approximate): ratio_ppm = floor(len(zlib(text)) · 10⁶ /
+    len(utf8(text))).  Boilerplate, keyword-stuffed, and
+    template-looped pages compress far below natural prose
+    (~350-600k ppm for English); keep = ratio_ppm ≥ min_ratio_ppm.
+
+    Integer ppm keeps the gate comparison exact; zlib with a pinned
+    level is deterministic for a given zlib build, and the oracle
+    replays THE SAME interpreter's zlib (pinned-Python VALUES), so no
+    cross-build hazard reaches the driver gate.  Arrow-batched
+    pandas_udf — one Python pass per batch, no shuffle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                out.append(
+                    len(zlib.compress(raw, level)) * 1_000_000 // len(raw)
+                    if raw else 0
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "compress_ratio_ppm": out}
+            )
+
+    schema = StructType(
+        [StructField(id_col, df.schema[id_col].dataType),
+         StructField("compress_ratio_ppm", LongType())]
+    )
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(run, schema=schema)
+        .withColumn("keep", F.col("compress_ratio_ppm") >= F.lit(min_ratio_ppm))
+    )

@@ -2017,10 +2017,18 @@ def text_profile(spark, sf_dir):
     urls = docs.select(
         "doc_id", textstats.canonical_url(raw_url).alias("canon_url")
     )
-    return out.select(
-        "doc_id", "n_tokens", "stopword_ratio", "mean_word_len", "quality",
-        "fingerprint", "lang_detected",
-    ).join(enc, "doc_id").join(urls, "doc_id")
+    # r6: DEFLATE compression-ratio repetitiveness signal (pinned-zlib
+    # oracle VALUES — same interpreter's zlib both sides, exact ppm)
+    comp = textstats.compression_ratio(docs).select(
+        "doc_id", "compress_ratio_ppm", F.col("keep").alias("comp_keep")
+    )
+    return (
+        out.select(
+            "doc_id", "n_tokens", "stopword_ratio", "mean_word_len", "quality",
+            "fingerprint", "lang_detected",
+        )
+        .join(enc, "doc_id").join(urls, "doc_id").join(comp, "doc_id")
+    )
 
 
 TEXT_PROFILE_SQL = """
@@ -2064,9 +2072,11 @@ SELECT m.doc_id, n_tokens,
          || (CASE WHEN m.doc_id % 4 = 0 THEN '?a=1&b=2'
                   WHEN m.doc_id % 4 = 1 THEN '?z=1'
                   ELSE '' END) AS canon_url
+       , comp.compress_ratio_ppm, comp.compress_ratio_ppm >= 200000 AS comp_keep
 FROM m JOIN documents d ON m.doc_id = d.doc_id
 JOIN (__LANGID__) lang ON m.doc_id = lang.doc_id
 JOIN (__ENC__) enc ON m.doc_id = enc.doc_id
+JOIN (SELECT * FROM (VALUES __COMP__) v(doc_id, compress_ratio_ppm)) comp ON m.doc_id = comp.doc_id
 """
 
 TEXT_ENC_SQL = """
@@ -2127,6 +2137,29 @@ FROM s
 # splice the langid subquery into the merged profile oracle (plain
 # string assembly — TEXT_LANGID_SQL is defined after TEXT_PROFILE_SQL)
 TEXT_PROFILE_SQL = TEXT_PROFILE_SQL.replace("__LANGID__", TEXT_LANGID_SQL).replace("__ENC__", TEXT_ENC_SQL)
+
+
+def _text_profile_sql() -> str:
+    """Lazy builder: embeds the pinned-zlib compression-ratio VALUES
+    (operators/textstats.compression_ratio's exact integer ppm,
+    recomputed off-Spark with the same interpreter's zlib)."""
+    import zlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"'{_ORACLE_SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+    def ppm(t):
+        raw = (t or "").encode("utf-8")
+        if not raw:
+            return 0
+        return len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+
+    vals = ", ".join(f"({d}, {ppm(t)})" for d, t in rows)
+    return TEXT_PROFILE_SQL.replace("__COMP__", vals)
 
 # ---------------------------------------------------------------- dedup extensions
 
@@ -5640,7 +5673,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f_value_suite": (f_value_suite, F_VALUE_SUITE_SQL),
     # r4: F6 + F14 merged (frees one budget slot)
     "f_parse_suite": (f_parse_suite, F_PARSE_SUITE_SQL),
-    "text_profile": (text_profile, TEXT_PROFILE_SQL),
+    "text_profile": (text_profile, _text_profile_sql),
     "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard3": (dedup_ngram_jaccard3, DEDUP_JACCARD3_SQL),
     # r3: supersedes dedup_clusters — same clustering machinery, now the

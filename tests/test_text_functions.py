@@ -238,3 +238,31 @@ def test_url_dedup_composition(spark):
     out = relational.dedup_by_key(canon, ["canon"])
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [1, 3]  # 2 collapses into 1; 3 differs by real param
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    from cdc_pipeline_with_kafka_spark.operators import textstats
+
+    natural = (
+        "The committee reviewed seventeen proposals during the autumn "
+        "session and, after considerable debate about funding priorities, "
+        "selected three pilot programs for the coming fiscal year."
+    )
+    df = spark.createDataFrame(
+        [
+            (1, natural),
+            (2, "spam " * 200),   # template loop → compresses to almost nothing
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.compression_ratio(df).collect()}
+    assert out[1].compress_ratio_ppm > 500_000 and out[1].keep
+    assert out[2].compress_ratio_ppm < 50_000 and not out[2].keep
+    assert out[3].compress_ratio_ppm == 0 and out[4].compress_ratio_ppm == 0
+    # exact integer contract vs the same zlib
+    import zlib
+
+    raw = natural.encode()
+    assert out[1].compress_ratio_ppm == len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
