@@ -1525,3 +1525,46 @@ def corpus_manifest(
             d["total_tokens"] = int(r["total_tokens"])
         out.append(d)
     return out
+
+
+def pack_blocks(
+    packed: DataFrame,
+    token_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Block-side view of pack_sequential's output: one row per
+    (group, block, doc) SEGMENT — what a training loader actually
+    consumes to build block-diagonal attention masks (each block is a
+    training sequence; segments mark where cross-document attention
+    must be cut).
+
+    Input must carry pack_sequential's start_block/end_block/
+    block_offset plus `token_col`.  Reconstructs the global token span
+    (pre = start_block·budget + block_offset) and explodes each doc
+    into the blocks it overlaps:
+
+      seg_offset = max(pre, block·budget) − block·budget
+      seg_len    = min(pre + tokens, (block+1)·budget) − that start
+
+    Pure codegen (sequence + explode + arithmetic): the explode factor
+    is tokens/budget per doc — the output is exactly one row per
+    (block, doc) incidence, the same cardinality the loader reads.
+    Group by (group_cols, block) downstream for per-block fill stats;
+    Σ seg_len per block = budget for every interior block by
+    construction."""
+    gcols = list(group_cols) if group_cols else []
+    pre = F.col("start_block") * budget + F.col("block_offset")
+    cum = pre + F.col(token_col)
+    out = packed.withColumn(
+        "block", F.explode(F.sequence(F.col("start_block"), F.col("end_block")))
+    )
+    seg_start = F.greatest(pre, F.col("block") * budget)
+    seg_end = F.least(cum, (F.col("block") + 1) * budget)
+    return out.select(
+        *gcols,
+        "block",
+        *[c for c in packed.columns if c not in gcols],
+        (seg_start - F.col("block") * budget).cast("long").alias("seg_offset"),
+        (seg_end - seg_start).cast("long").alias("seg_len"),
+    ).filter(F.col("seg_len") > 0)

@@ -2449,6 +2449,20 @@ def curation_suite(spark, sf_dir):
                     F.col("block_offset").cast("string")).alias("v_str"),
         F.col("end_block").cast("double").alias("v_num"),
     )
+    packed_df = curation.pack_sequential(
+        docs, token_col="n_chars", budget=4096, order_col="doc_id", stratum_col="lang"
+    )
+    packb = curation.pack_blocks(
+        packed_df, token_col="n_chars", budget=4096, group_cols=["lang"]
+    ).select(
+        F.lit("packb").alias("suite_case"),
+        F.concat_ws(
+            "|", "lang", F.col("block").cast("string"),
+            F.col("doc_id").cast("string"),
+        ).alias("k"),
+        F.col("seg_offset").cast("string").alias("v_str"),
+        F.col("seg_len").cast("double").alias("v_num"),
+    )
     tfidf = curation.tfidf_top_terms(docs, k=3).select(
         F.lit("tfidf").alias("suite_case"),
         F.concat_ws("|", F.col("doc_id").cast("string"), F.col("rnk").cast("string")).alias("k"),
@@ -2553,7 +2567,7 @@ def curation_suite(spark, sf_dir):
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
         .unionByName(report).unionByName(src).unionByName(bloom)
-        .unionByName(schunk)
+        .unionByName(schunk).unionByName(packb)
     )
 
 
@@ -2593,6 +2607,18 @@ SELECT 'pack', CAST(doc_id AS VARCHAR),
             || '|' || CAST(pre % 4096 AS VARCHAR),
        CAST(floor((cum - 1) / 4096) AS DOUBLE)
 FROM packed
+UNION ALL
+SELECT 'packb',
+       lang || '|' || CAST(b AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
+       CAST(greatest(pre, b * 4096) - b * 4096 AS VARCHAR),
+       CAST(least(cum, (b + 1) * 4096) - greatest(pre, b * 4096) AS DOUBLE)
+FROM (
+  SELECT doc_id, lang, pre, cum,
+         unnest(generate_series(CAST(floor(pre / 4096) AS BIGINT),
+                                CAST(floor((cum - 1) / 4096) AS BIGINT))) AS b
+  FROM packed WHERE cum > pre
+) pb
+WHERE least(cum, (b + 1) * 4096) > greatest(pre, b * 4096)
 UNION ALL
 SELECT 'tfidf', CAST(doc_id AS VARCHAR) || '|' || CAST(rnk AS VARCHAR), term, tfidf
 FROM topk WHERE rnk <= 3

@@ -1053,3 +1053,41 @@ def test_temperature_weights_compose_epoch_planner(spark):
         assert abs(
             got[s].alloc_tokens - rem_alloc * wppm[s] / rem_ppm
         ) < rem_alloc * 0.001
+
+
+def test_pack_blocks_segments_tile_blocks_exactly(spark):
+    """Block manifest invariants: per-doc segments partition the doc's
+    tokens in order; every interior block is filled to exactly the
+    budget; segment offsets/lengths tile each block with no overlap."""
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, 700 + (i * 97) % 900) for i in range(20)],
+        "doc_id long, n_tokens long",
+    )
+    packed = curation.pack_sequential(
+        docs, token_col="n_tokens", budget=1024, order_col="doc_id", shards=1
+    )
+    blocks = curation.pack_blocks(packed, token_col="n_tokens", budget=1024)
+    rows = blocks.collect()
+    # per-doc: segment lengths sum to the doc's tokens
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    tok = {r.doc_id: r.n_tokens for r in docs.collect()}
+    for d, segs in per_doc.items():
+        assert sum(s.seg_len for s in segs) == tok[d]
+    # per-block: segments tile [0, budget) contiguously; interior
+    # blocks are exactly full
+    per_block = {}
+    for r in rows:
+        per_block.setdefault(r.block, []).append(r)
+    last_block = max(per_block)
+    for b, segs in per_block.items():
+        segs = sorted(segs, key=lambda s: s.seg_offset)
+        pos = 0
+        for s in segs:
+            assert s.seg_offset == pos
+            pos += s.seg_len
+        if b < last_block:
+            assert pos == 1024
