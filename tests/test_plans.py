@@ -217,3 +217,21 @@ def test_kmeans_iteration_is_one_partial_agg(spark):
     assert plans.has_partial_aggregation(stats)
     assert "Window" not in p and "Join" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_pack_blocks_is_pure_codegen(spark):
+    """The block manifest adds NO shuffle and no Python to
+    pack_sequential's plan: sequence+explode+arithmetic only."""
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    packed = curation.pack_sequential(
+        docs, token_col="n_chars", budget=4096, order_col="doc_id", stratum_col="lang"
+    )
+    before = packed._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    blocks = curation.pack_blocks(packed, token_col="n_chars", budget=4096,
+                                  group_cols=["lang"])
+    p = blocks._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == before  # no new shuffle
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Generate" in p  # the sequence explode
