@@ -1091,3 +1091,50 @@ def test_pack_blocks_segments_tile_blocks_exactly(spark):
             pos += s.seg_len
         if b < last_block:
             assert pos == 1024
+
+
+def test_training_batches_end_to_end_chain(spark):
+    """The full training-schedule chain composes: epoch plan →
+    materialized rows (integer epochs + fractional carve) → packed
+    blocks → loader-side block manifest.  Every materialized token
+    lands in exactly one block segment."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    web = spark.createDataFrame(
+        [(i, "web", 400 + (i * 37) % 300) for i in range(30)],
+        "doc_id long, source string, n_tokens long",
+    )
+    code = spark.createDataFrame(
+        [(100 + i, "code", 500 + (i * 53) % 200) for i in range(10)],
+        "doc_id long, source string, n_tokens long",
+    )
+    sources = web.unionByName(code).groupBy("source").agg(
+        F.sum("n_tokens").alias("n_tokens")
+    )
+    plan = curation.plan_epoch_mixture(sources, budget_tokens=30_000)
+    rows = curation.materialize_epoch_plan(
+        {"web": web, "code": code}, plan, token_col="n_tokens"
+    )
+    total_tokens = rows.agg(F.sum("n_tokens")).collect()[0][0]
+    # pack the materialized rows (epoch_idx disambiguates repeats)
+    packed = curation.pack_sequential(
+        rows.withColumn(
+            "pack_key",
+            F.concat_ws(":", "source", F.col("epoch_idx").cast("string"),
+                        F.col("doc_id").cast("string")),
+        ),
+        token_col="n_tokens", budget=2048, order_col="pack_key", shards=1,
+    )
+    blocks = curation.pack_blocks(packed, token_col="n_tokens", budget=2048)
+    seg_total = blocks.agg(F.sum("seg_len")).collect()[0][0]
+    assert seg_total == total_tokens
+    # interior blocks full
+    fills = {
+        r.block: r.fill
+        for r in blocks.groupBy("block").agg(F.sum("seg_len").alias("fill")).collect()
+    }
+    for b, fill in fills.items():
+        if b < max(fills):
+            assert fill == 2048
