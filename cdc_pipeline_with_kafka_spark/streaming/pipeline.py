@@ -463,3 +463,78 @@ def make_admit_assets_sink(
             _write(pinned["rejected"], rejected_path)
 
     return sink
+
+
+def make_kmeans_state_sink(
+    state_path: str,
+    assignments_path: str | None = None,
+    k: int | None = None,
+    init_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch sink for ONLINE k-means over an embedding stream
+    (operators/similarity.kmeans_update_distributed): each micro-batch
+    is absorbed into a persisted integer cluster state; batch N's
+    state is written as a full snapshot under ``batch_id=N``, computed
+    from the latest snapshot with batch_id < N.
+
+    Crash safety differs from the append-delta sinks: the state is a
+    running AGGREGATE, so replaying a batch against its own partial
+    write would double-count it.  Versioned full snapshots make replay
+    idempotent by construction — the replay recomputes batch N's
+    snapshot from batch N−1's and overwrites.  Snapshots are k rows
+    each; compact old batch_id dirs whenever convenient.
+
+    Cold start: with no snapshot on disk, the first batch trains the
+    initial centroids (`k` required, kmeans_train_distributed with
+    `init_iters`) and seeds the state from its own stats.  Assignment
+    rows (id, cid, against the PRE-update centroids) append under
+    ``assignments_path/batch_id=N`` when given."""
+    from ..operators import similarity as sim
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        state = None
+        try:
+            df = spark.read.option("basePath", state_path).parquet(state_path)
+            prior = df.filter(F.col("batch_id") < batch_id)
+            prev = prior.agg(F.max("batch_id")).collect()[0][0]
+            if prev is not None:
+                state = sim.kmeans_state_from_df(
+                    prior.filter(F.col("batch_id") == prev).drop("batch_id")
+                )
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise  # storage blip ≠ cold start: fail the batch
+        if state is None:
+            if k is None:
+                raise ValueError(
+                    "no persisted state and no k for cold-start training"
+                )
+            state = sim.kmeans_state_from_training(
+                batch_df, k, iters=init_iters, id_col=id_col, vec_col=vec_col
+            )
+            assigned = batch_df.select(
+                F.col(id_col),
+                sim._kmeans_assign_col(
+                    F.col(vec_col).cast("array<double>"), state[0]
+                ).alias("cid"),
+            )
+        else:
+            assigned, state = sim.kmeans_update_distributed(
+                batch_df, state, id_col=id_col, vec_col=vec_col
+            )
+        pinned = assigned.localCheckpoint(eager=True)
+        sim.kmeans_state_df(spark, state).write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+        if assignments_path is not None:
+            pinned.write.mode("overwrite").parquet(
+                f"{assignments_path}/batch_id={batch_id}"
+            )
+
+    return sink

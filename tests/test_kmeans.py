@@ -144,3 +144,55 @@ def test_update_empty_cluster_keeps_centroid(spark):
     assert len(changed) == 1
     untouched = 1 - changed[0]
     assert st[0][untouched] == state[0][untouched]
+
+
+def _shard_df(spark, mat, off):
+    rows = [(off + i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_state_sink_stream_and_replay(spark, tmp_path):
+    """Two micro-batches through make_kmeans_state_sink: batch 1
+    absorbs into batch 0's snapshot; a replay of batch 1 (same
+    batch_id) recomputes from snapshot 0 — NO double-count; the final
+    state equals the pure-Python replay of the same shard sequence."""
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    rng = np.random.default_rng(31)
+    b0 = rng.normal(size=(24, 5)).astype(np.float32)
+    b1 = rng.normal(size=(9, 5)).astype(np.float32)
+    state_path = str(tmp_path / "state")
+    assigns = str(tmp_path / "assigns")
+    sink = pipeline.make_kmeans_state_sink(state_path, assigns, k=3)
+
+    sink(_shard_df(spark, b0, 0), 0)
+    sink(_shard_df(spark, b1, 100), 1)
+    sink(_shard_df(spark, b1, 100), 1)  # crash-replay: same batch_id
+
+    latest = (
+        spark.read.option("basePath", state_path).parquet(state_path)
+        .filter("batch_id = 1").drop("batch_id")
+    )
+    got = sim.kmeans_state_from_df(latest)
+
+    # replay in pure python: train state on b0, then absorb b1 once
+    df0 = _shard_df(spark, b0, 0)
+    st0 = sim.kmeans_state_from_training(df0, k=3, iters=2)
+    vecs1 = [(100 + i, [float(x) for x in b1[i]]) for i in range(len(b1))]
+    _a, want = sim.kmeans_update_replay(vecs1, st0)
+    assert got == want  # exact — replay did not double-count
+
+    # assignments for batch 1 exist and reference pre-update centroids
+    a1 = spark.read.parquet(f"{assigns}/batch_id=1").collect()
+    assert {r.vec_id for r in a1} == set(range(100, 109))
+    # total points tracked = 24 + 9, not 24 + 18
+    assert sum(got[1]) == 33
+
+
+def test_kmeans_state_sink_cold_start_requires_k(spark, tmp_path):
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    sink = pipeline.make_kmeans_state_sink(str(tmp_path / "state"))
+    df = _shard_df(spark, np.zeros((4, 3), dtype=np.float32), 0)
+    with pytest.raises(ValueError, match="cold-start"):
+        sink(df, 0)
