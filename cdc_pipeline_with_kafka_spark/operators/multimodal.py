@@ -2447,3 +2447,84 @@ def shared_chunk_pairs(
         )
         .filter(F.col("shared_bytes") >= min_shared_bytes)
     )
+
+
+def release_assets(
+    assets: DataFrame,
+    out_path: str,
+    *,
+    max_hamming: int = 6,
+    id_col: str = "asset_id",
+    type_col: str = "media_type",
+    payload_col: str = "payload",
+    max_records_per_file: int | None = None,
+    manifest: bool = True,
+) -> DataFrame:
+    """One-call multimodal lake release — the asset twin of
+    curation.release_corpus:
+
+      1. type-dispatched perceptual dedup (fingerprint_assets →
+         phash_pairs(type_col) → dedup.dedup_survivors), keep
+         canonical survivors; undecodable assets pass through
+         (quarantining is admission policy, not release policy);
+      2. partitioned write by media_type (readers prune to their
+         modality);
+      3. `_ASSETS_MANIFEST.json` data card: per-type asset counts,
+         payload bytes, duplicate-cluster count, and an
+         ORDER-INDEPENDENT content checksum (sum of each payload's
+         md5 prefix mod 2⁶⁴ — replayable by any engine without a
+         global sort, the corpus_manifest convention).
+
+    Returns the released DataFrame (read back from the lake)."""
+    from ..sources.bucketing import write_partitioned
+    from .dedup import dedup_survivors
+
+    fps = fingerprint_assets(
+        assets, id_col=id_col, type_col=type_col, payload_col=payload_col
+    )
+    pairs = phash_pairs(
+        fps, max_hamming=max_hamming, id_col="asset_id",
+        hash_col="fp", type_col="media_type",
+    )
+    surv = dedup_survivors(assets, pairs, id_col=id_col)
+    kept = surv.filter(F.col("is_canonical")).drop("cluster_id", "is_canonical")
+    write_partitioned(
+        kept, out_path, [type_col], max_records_per_file=max_records_per_file
+    )
+    released = assets.sparkSession.read.parquet(out_path)
+    if manifest:
+        import json as _json
+        import os as _os
+
+        stats = (
+            released.groupBy(type_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_assets"),
+                F.sum(F.length(payload_col)).alias("payload_bytes"),
+                F.sum(
+                    F.conv(F.substring(F.md5(F.coalesce(
+                        F.col(payload_col), F.lit(b""))), 1, 15), 16, 10)
+                    .cast("decimal(20,0)")
+                ).alias("_csum"),
+            )
+            .collect()
+        )
+        n_clusters = (
+            surv.filter(~F.col("is_canonical"))
+            .select("cluster_id").distinct().count()
+        )
+        card = {
+            "types": {
+                r[type_col]: {
+                    "n_assets": r["n_assets"],
+                    "payload_bytes": int(r["payload_bytes"] or 0),
+                    "content_checksum": str(int(r["_csum"] or 0) % (1 << 64)),
+                }
+                for r in stats
+            },
+            "duplicate_clusters_removed": n_clusters,
+            "params": {"max_hamming": max_hamming},
+        }
+        with open(_os.path.join(out_path, "_ASSETS_MANIFEST.json"), "w") as fh:
+            _json.dump(card, fh, indent=2, default=str)
+    return released

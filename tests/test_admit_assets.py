@@ -10,6 +10,7 @@ import struct
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
 from cdc_pipeline_with_kafka_spark.streaming import pipeline
@@ -256,3 +257,43 @@ def test_shared_chunk_pairs_finds_embedded_segment(spark):
     shared, nbytes = out[(1, 2)]
     assert nbytes >= 2048  # most of the embedded segment recovered
     assert all(3 not in p for p in out)
+
+
+def test_release_assets_one_call(spark, tmp_path):
+    """One-call multimodal release: perceptual twins collapse to one
+    survivor per cluster, the lake is partitioned by media_type, and
+    the data card carries exact per-type counts/bytes + an
+    order-independent checksum."""
+    import json
+    import os
+
+    out = str(tmp_path / "asset_lake")
+    df = spark.createDataFrame(
+        [
+            (1, "image", _ppm("r1")),
+            (2, "image", _ppm("r1", shift=3)),  # twin of 1 → dropped
+            (3, "image", _ppm("r2")),
+            (4, "audio", _wav("r3")),
+            (5, "audio", _wav("r3", halve=True)),  # twin of 4 → dropped
+            (6, "video", _y4m("r4")),
+            (7, "image", b"undecodable"),          # passes through
+        ],
+        ASSET_SCHEMA,
+    )
+    released = mm.release_assets(df, out)
+    kept = {r.asset_id for r in released.collect()}
+    assert kept == {1, 3, 4, 6, 7}
+    # partitioned layout by media_type
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("media_type=")
+    ) == ["media_type=audio", "media_type=image", "media_type=video"]
+    card = json.load(open(os.path.join(out, "_ASSETS_MANIFEST.json")))
+    assert card["types"]["image"]["n_assets"] == 3
+    assert card["types"]["audio"]["n_assets"] == 1
+    assert card["duplicate_clusters_removed"] == 2
+    # checksum is order-independent and content-tied: re-release a
+    # row-reordered input → identical card entry
+    out2 = str(tmp_path / "asset_lake2")
+    mm.release_assets(df.orderBy(F.col("asset_id").desc()), out2)
+    card2 = json.load(open(os.path.join(out2, "_ASSETS_MANIFEST.json")))
+    assert card2["types"]["image"]["content_checksum"] == card["types"]["image"]["content_checksum"]
