@@ -196,3 +196,24 @@ def test_kmeans_state_sink_cold_start_requires_k(spark, tmp_path):
     df = _shard_df(spark, np.zeros((4, 3), dtype=np.float32), 0)
     with pytest.raises(ValueError, match="cold-start"):
         sink(df, 0)
+
+
+def test_trained_centroids_plug_into_semantic_dedup(spark):
+    """The distributed trainer's (cids, matrix) tuple is drop-in
+    compatible with the SemDeDup pipeline (same contract as
+    train_ivf_codebook), including the quality survivor policy."""
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=(20, 6)).astype(np.float32)
+    base[10:] = base[:10] + rng.normal(scale=1e-3, size=(10, 6)).astype(np.float32)
+    rows = [
+        (i, [float(x) for x in base[i]], int(i >= 10)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, newer int")
+    cents = sim.kmeans_train_distributed(df, k=2, iters=3)
+    out = sim.semantic_dedup(df, cents, threshold=0.999, score_col="newer")
+    res = {r.vec_id: r for r in out.collect()}
+    canon = {v for v, r in res.items() if r.is_canonical}
+    # each twin pair keeps exactly one survivor, and the quality
+    # policy prefers the 'newer' (higher score) copy
+    assert len(canon) == 10
+    assert all(v >= 10 for v in canon)
