@@ -531,9 +531,11 @@ def canonical_url(col: Column) -> Column:
     ).otherwise(F.concat(F.lit(":"), port))
     pathq = F.regexp_replace(rest, r"^[^/?]*", "")
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(
-        F.regexp_replace(path, r"(.)/$", "$1")
-    )
+    # strip ALL trailing slashes (one pass must reach the fixed point —
+    # '///' taught us single-slash stripping isn't idempotent), then
+    # restore the root slash
+    stripped = F.regexp_replace(path, r"/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
     params = F.array_sort(
         F.filter(

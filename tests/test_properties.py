@@ -654,3 +654,46 @@ def test_temperature_weights_core_invariants(tokens, alpha):
         for s, t, ppm, _ in out:
             exact = t / total * 1_000_000
             assert abs(ppm - exact) < 1.0 + 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+    host=st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,12}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}/?", fullmatch=True),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "z=9", "utm_source=x", "utm_campaign=c",
+             "gclid=g", "fbclid=f", "ref=r", "q=term"]
+        ),
+        max_size=5,
+    ),
+    frag=st.sampled_from(["", "#top", "#a/b?c=d"]),
+)
+def test_canonical_url_idempotent_and_param_order_free(
+    spark, scheme, host, port, path, params, frag
+):
+    """canonical_url is IDEMPOTENT (canon(canon(u)) == canon(u)) and
+    insensitive to query-parameter order — the two properties a dedup
+    key must have."""
+    import random
+
+    from cdc_pipeline_with_kafka_spark.operators import textstats
+
+    q1 = "&".join(params)
+    shuffled = params[:]
+    random.Random(7).shuffle(shuffled)
+    q2 = "&".join(shuffled)
+    u1 = f"{scheme}://{host}{port}{path}" + (f"?{q1}" if q1 else "") + frag
+    u2 = f"{scheme}://{host}{port}{path}" + (f"?{q2}" if q2 else "") + frag
+    df = spark.createDataFrame([(u1, u2)], "u1 string, u2 string")
+    row = df.select(
+        textstats.canonical_url(F.col("u1")).alias("c1"),
+        textstats.canonical_url(F.col("u2")).alias("c2"),
+        textstats.canonical_url(
+            textstats.canonical_url(F.col("u1"))
+        ).alias("cc1"),
+    ).collect()[0]
+    assert row.c1 == row.c2  # param order free
+    assert row.cc1 == row.c1  # idempotent
