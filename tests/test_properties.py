@@ -697,3 +697,47 @@ def test_canonical_url_idempotent_and_param_order_free(
     ).collect()[0]
     assert row.c1 == row.c2  # param order free
     assert row.cc1 == row.c1  # idempotent
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    nbytes=st.integers(1_000, 12_000),
+    pos=st.floats(0.0, 1.0),
+    ins_len=st.integers(1, 32),
+)
+def test_cdc_chunks_invariants(seed, nbytes, pos, ins_len):
+    """Gear-CDC invariants on arbitrary (entropy-rich) payloads:
+    chunk lengths in [min, max] except the final tail; spans tile the
+    payload exactly; an insert preserves all chunk hashes outside the
+    edit's resync neighborhood.  (Degenerate constant payloads never
+    trigger a content boundary by design — every chunk is max_size and
+    an insert shifts everything; sha-expanded payloads model real
+    data, where resync is the property that makes CDC useful.)"""
+    import hashlib
+
+    from cdc_pipeline_with_kafka_spark.operators.multimodal import cdc_chunks
+
+    body = b""
+    i = 0
+    while len(body) < nbytes:
+        body += hashlib.sha256(f"cdcprop:{seed}:{i}".encode()).digest()
+        i += 1
+    payload = body[:nbytes]
+    chunks = cdc_chunks(payload)
+    off = 0
+    for ci, (o, ln, _h) in enumerate(chunks):
+        assert o == off
+        off += ln
+        if ci < len(chunks) - 1:
+            assert 128 <= ln <= 2048
+        else:
+            assert 1 <= ln <= 2048
+    assert off == nbytes
+    p = int(pos * nbytes)
+    edited = payload[:p] + bytes(range(ins_len % 256))[:ins_len] + payload[p:]
+    ha = [h for *_s, h in chunks]
+    hb = {h for *_s, h in cdc_chunks(edited)}
+    # chunks strictly before the edited one are untouched; chunks
+    # after resync are shared — allow a 4-chunk resync neighborhood
+    assert len([h for h in ha if h in hb]) >= len(ha) - 4
