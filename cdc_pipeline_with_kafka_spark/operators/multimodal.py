@@ -1684,6 +1684,7 @@ def phash_pairs(
     hash_col: str = "phash",
     blocks: int = 4,
     type_col: str | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Image near-dup pairs: Hamming distance ≤ max_hamming over 64-bit
     perceptual hashes, pigeonhole-blocked exactly like the text tier
@@ -1696,7 +1697,14 @@ def phash_pairs(
 
     `type_col` (e.g. media_type for mixed phash/ahash/vhash corpora)
     joins the bucket key so hashes only pair within their own type —
-    cross-type Hamming proximity is meaningless."""
+    cross-type Hamming proximity is meaningless.
+
+    `max_bucket` drops pathological buckets (a visually-degenerate
+    corpus hashing millions of assets to one 16-bit block value) from
+    pairing — the recall/cost escape hatch every blocked pair operator
+    here carries (ngram max_gram_df, semdedup max_cluster_size); the
+    in-bucket expansion is quadratic, so one degenerate bucket would
+    otherwise dominate the stage.  None disables the cap."""
     block_bits = 64 // blocks
     mask_i = (1 << block_bits) - 1
     tcols = [type_col] if type_col else []
@@ -1715,6 +1723,8 @@ def phash_pairs(
         .agg(F.collect_list(F.struct("id", "fp")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
     pairs = (
         buckets.select("blk", "ms", F.posexplode("ms").alias("p", "m1"))
         .select("blk", "m1",
@@ -1751,6 +1761,7 @@ def phash_pairs_incremental(
     hash_col: str = "phash",
     blocks: int = 4,
     type_col: str | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Incremental image near-dup: a NEW shard of perceptual hashes
     against a persisted (asset_id, phash) index — the image counterpart
@@ -1786,6 +1797,8 @@ def phash_pairs_incremental(
         .agg(F.collect_list(F.struct("id", "fp", "is_new")).alias("ms"))
         .filter((F.size("ms") > 1) & F.expr("exists(ms, m -> m.is_new)"))
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
     pairs = (
         buckets.select("blk", "ms", F.posexplode("ms").alias("p", "m1"))
         .select("blk", "m1",

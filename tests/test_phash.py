@@ -193,3 +193,16 @@ def test_dedup_assets_perceptual_survivors(spark):
     assert not out[11].is_canonical and out[11].cluster_id == 10
     assert out[12].is_canonical
     assert out[13].is_canonical and out[13].phash is None
+
+
+def test_phash_pairs_max_bucket_cap(spark):
+    """A degenerate bucket (here: identical hashes) above the cap is
+    dropped from pairing — the quadratic-bucket escape hatch; the cap
+    disabled recovers the pairs."""
+    rows = [(i, 42) for i in range(6)] + [(100, 7), (101, 7)]
+    df = spark.createDataFrame(rows, "asset_id long, phash long")
+    capped = mm.phash_pairs(df, max_hamming=0, max_bucket=4)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}  # the 6-strong bucket was dropped
+    full = mm.phash_pairs(df, max_hamming=0, max_bucket=None)
+    assert len(full.collect()) == 15 + 1
