@@ -1875,7 +1875,15 @@ def ahash64(payload: bytes) -> int:
             f"clip too short for fingerprint: {norm.size} samples"
         )
     frames = norm[: (norm.size // n_ch) * n_ch].reshape(-1, n_ch)
-    mono = frames.mean(axis=1)
+    return _ahash_from_mono(frames.mean(axis=1), rate)
+
+
+def _ahash_from_mono(mono, rate: int) -> int:
+    """The envelope+ZCR hash core over a mono float64 sample array —
+    shared by the whole-clip ahash64 and the segment-grain
+    segment_ahash_assets."""
+    import numpy as np
+
     n = mono.size
     bounds = [(w * n) // AHASH_WINDOWS for w in range(AHASH_WINDOWS + 1)]
     energies = []
@@ -2541,3 +2549,122 @@ def release_assets(
         with open(_os.path.join(out_path, "_ASSETS_MANIFEST.json"), "w") as fh:
             _json.dump(card, fh, indent=2, default=str)
     return released
+
+
+SEGMENT_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("sahash", T.LongType()),
+    ]
+)
+
+
+def segment_ahash_assets(
+    assets: DataFrame,
+    seg_ms: int = 1000,
+    hop_ms: int | None = 500,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_segments: int = 128,
+) -> DataFrame:
+    """Segment-grain audio fingerprints — the audio counterpart of
+    frame_phash_assets: decode each WAV once, slide a seg_ms window at
+    hop_ms (default 50% overlap, so an embedded segment is covered by
+    some window regardless of its alignment in the container) and hash
+    each window with the envelope+ZCR core → (asset_id, seg_idx,
+    sahash).  Undecodable / too-short clips emit no rows.  Feed
+    audio_overlap_pairs for partial-overlap detection."""
+    hop = seg_ms if hop_ms is None else hop_ms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    n_ch, rate, _bits, norm = _wav_pcm(raw)
+                except ValueError:
+                    continue
+                frames = norm[: (norm.size // n_ch) * n_ch].reshape(-1, n_ch)
+                mono = frames.mean(axis=1)
+                win = rate * seg_ms // 1000
+                step = max(rate * hop // 1000, 1)
+                if win < AHASH_WINDOWS or mono.size < win:
+                    continue
+                si = 0
+                for start in range(0, mono.size - win + 1, step):
+                    if si >= max_segments:
+                        break
+                    ids.append(int(aid))
+                    idxs.append(si)
+                    fps.append(_ahash_from_mono(mono[start : start + win], rate))
+                    si += 1
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "seg_idx": pd.array(idxs, dtype="Int32"),
+                    "sahash": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=SEGMENT_AHASH_SCHEMA)
+
+
+def audio_overlap_pairs(
+    assets: DataFrame,
+    min_shared_segments: int = 1,
+    max_hamming: int = 4,
+    seg_ms: int = 1000,
+    hop_ms: int | None = 500,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Partial-overlap detection between audio clips (embedded
+    jingles, re-edited speech) the whole-clip ahash64 dilutes away:
+    segment hashes → pigeonhole pairs (cross-asset) → per-pair rollup
+    (shared_segments, min_hamming) — the audio twin of
+    video_overlap_pairs, same linear pair machinery.
+
+    ALIGNMENT CONTRACT: the envelope hash is positional, so an
+    embedded segment matches when its start is aligned to the hop
+    grid within ~seg/64 (one half sub-window) — the common case for
+    streams cut/concatenated at frame or second boundaries, which is
+    how ingestion pipelines actually splice.  Coverage of the other
+    two overlap classes: byte-identical but UNALIGNED embeds are
+    found by cdc_chunks/shared_chunk_pairs on the PCM bytes
+    (content-defined boundaries resync at any offset); perceptually
+    equal AND unaligned overlap needs sub-fingerprint sequence
+    matching (Haitsma-Kalker 2002 §3: 11.6 ms overlapped frames +
+    alignment search) — a documented seam, not built here."""
+    segs = segment_ahash_assets(
+        assets, seg_ms=seg_ms, hop_ms=hop_ms,
+        id_col=id_col, payload_col=payload_col,
+    )
+    packed = segs.select(
+        (F.col("asset_id") * F.lit(1 << 20) + F.col("seg_idx")).alias("sid"),
+        F.col("sahash"),
+    )
+    spairs = phash_pairs(
+        packed, max_hamming=max_hamming, id_col="sid", hash_col="sahash"
+    )
+    cross = spairs.select(
+        F.shiftright("id_a", 20).alias("va"),
+        F.shiftright("id_b", 20).alias("vb"),
+        "hamming",
+    ).filter(F.col("va") != F.col("vb"))
+    return (
+        cross.select(
+            F.least("va", "vb").alias("id_a"),
+            F.greatest("va", "vb").alias("id_b"),
+            "hamming",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_segments"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("shared_segments") >= min_shared_segments)
+    )

@@ -110,3 +110,63 @@ def test_ahash_assets_pairs_via_phash_pairs(spark):
 def test_ahash_too_short_clip_raises():
     with pytest.raises(ValueError, match="too short"):
         mm.ahash64(_wav(np.zeros(8, dtype=np.int64)))
+
+
+def test_audio_overlap_pairs_detects_embedded_jingle(spark):
+    """Clip B embeds clip A's 1-second jingle at an arbitrary sample
+    offset: whole-clip hashes differ (content mostly disjoint) but a
+    window at 50% hop re-covers the jingle; clip C is unrelated."""
+    jingle = _tone_mix("jingle", n=8000)       # 1s @ 8k
+    # embeds are HOP-ALIGNED (4000-sample grid at hop=500ms) — the
+    # operator's documented contract; unaligned byte-identical embeds
+    # are cdc_chunks territory (see docstring)
+    a = np.concatenate([_tone_mix("a-head", n=4000), jingle])
+    b = np.concatenate(
+        [_tone_mix("b-head", n=8000), jingle, _tone_mix("b-tail", n=4000)]
+    )
+    c = _tone_mix("unrelated", n=16000)
+    df = spark.createDataFrame(
+        [(1, _wav(a)), (2, _wav(b)), (3, _wav(c)), (4, b"not audio")],
+        "asset_id long, payload binary",
+    )
+    base_a, base_b = mm.ahash64(_wav(a)), mm.ahash64(_wav(b))
+    assert _ham(base_a, base_b) > 6  # whole-clip vote dilutes the overlap
+    out = {
+        (r.id_a, r.id_b): (r.shared_segments, r.min_hamming)
+        for r in mm.audio_overlap_pairs(df, max_hamming=4).collect()
+    }
+    assert (1, 2) in out
+    assert all(3 not in p and 4 not in p for p in out)
+
+
+def test_segment_ahash_windows_and_quarantine(spark):
+    s = _tone_mix("segs", n=16000)  # 2s @ 8k
+    df = spark.createDataFrame(
+        [(1, _wav(s)), (2, b"junk")], "asset_id long, payload binary"
+    )
+    rows = mm.segment_ahash_assets(df, seg_ms=1000, hop_ms=500).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.asset_id, []).append(r.seg_idx)
+    # 2s clip, 1s window, 0.5s hop → starts at 0/0.5/1.0 s = 3 windows
+    assert sorted(by[1]) == [0, 1, 2]
+    assert 2 not in by
+
+
+def test_unaligned_byte_identical_embed_caught_by_cdc_chunks(spark):
+    """The coverage hand-off the audio_overlap_pairs docstring
+    promises: a byte-identical jingle at an UNALIGNED offset defeats
+    the positional segment hash but is found by content-defined
+    chunking over the PCM bytes (boundaries resync at any offset)."""
+    jingle = _tone_mix("jingle2", n=8000)
+    a = np.concatenate([_tone_mix("ha", n=4000), jingle])
+    b = np.concatenate([_tone_mix("hb", n=9123), jingle, _tone_mix("tb", n=3001)])
+    df = spark.createDataFrame(
+        [(1, _wav(a)), (2, _wav(b))], "asset_id long, payload binary"
+    )
+    chunks = mm.cdc_chunk_assets(df)
+    out = {
+        (r.id_a, r.id_b): r.shared_bytes
+        for r in mm.shared_chunk_pairs(chunks, min_shared_bytes=1024).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] >= 8000  # ≥half the 16 KB jingle
