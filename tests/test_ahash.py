@@ -170,3 +170,47 @@ def test_unaligned_byte_identical_embed_caught_by_cdc_chunks(spark):
         for r in mm.shared_chunk_pairs(chunks, min_shared_bytes=1024).collect()
     }
     assert (1, 2) in out and out[(1, 2)] >= 8000  # ≥half the 16 KB jingle
+
+
+def test_audio_align_pairs_unaligned_perceptual_overlap(spark):
+    """The Haitsma-Kalker tier closes the third overlap class: a
+    2-second jingle embedded at an UNALIGNED 1234-sample offset is
+    recovered with the correct frame alignment; the unrelated clip
+    stays below the vote floor."""
+    jingle = _tone_mix("hk-jingle", n=16000)  # 2 s @ 8 kHz
+    a = np.concatenate([_tone_mix("hk-ha", n=8000), jingle])
+    b = np.concatenate(
+        [_tone_mix("hk-hb", n=8000 + 1234), jingle, _tone_mix("hk-tb", n=4000)]
+    )
+    c = _tone_mix("hk-unrelated", n=28000)
+    df = spark.createDataFrame(
+        [(1, _wav(a)), (2, _wav(b)), (3, _wav(c)), (4, b"junk")],
+        "asset_id long, payload binary",
+    )
+    sub = mm.audio_subfp_assets(df).localCheckpoint()
+    out = {
+        (r.id_a, r.id_b): r
+        for r in mm.audio_align_pairs(sub, min_votes=8).collect()
+    }
+    assert (1, 2) in out
+    # true offset: jingle starts at frame ~8000/200=40 in A and
+    # ~9234/200≈46 in B → offset ≈ +6 frames (±1 for grid blur);
+    # this content peaks at 10 coherent votes vs a 2-3 vote noise
+    # floor — the separation the Hough vote relies on
+    assert abs(out[(1, 2)].offset_frames - 6) <= 1
+    assert out[(1, 2)].votes >= 8
+    assert all(3 not in p and 4 not in p for p in out)
+
+
+def test_audio_subfp_common_value_cap(spark):
+    """Near-silence collapses frames to one sub-fingerprint; the
+    max_fp_df cap drops those values before the join (stopword
+    removal), so a silence-heavy pair produces no spurious alignment."""
+    silence = np.zeros(24000, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(1, _wav(silence)), (2, _wav(silence.copy()))],
+        "asset_id long, payload binary",
+    )
+    sub = mm.audio_subfp_assets(df)
+    out = mm.audio_align_pairs(sub, min_votes=2, max_fp_df=10).collect()
+    assert out == []
