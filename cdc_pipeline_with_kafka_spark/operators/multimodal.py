@@ -2304,23 +2304,47 @@ def video_overlap_pairs(
     fpairs = phash_pairs(
         packed, max_hamming=max_hamming, id_col="fid", hash_col="fphash"
     )
+    mask = (1 << 20) - 1
     cross = fpairs.select(
         F.shiftright("id_a", 20).alias("va"),
         F.shiftright("id_b", 20).alias("vb"),
+        (F.col("id_a").bitwiseAND(F.lit(mask))).alias("fa"),
+        (F.col("id_b").bitwiseAND(F.lit(mask))).alias("fb"),
         "hamming",
     ).filter(F.col("va") != F.col("vb"))
-    return (
-        cross.select(
-            F.least("va", "vb").alias("id_a"),
-            F.greatest("va", "vb").alias("id_b"),
-            "hamming",
-        )
-        .groupBy("id_a", "id_b")
+    # normalize pair order, keeping the offset signed consistently
+    # (offset = frame index in id_b's clip − frame index in id_a's)
+    norm = cross.select(
+        F.least("va", "vb").alias("id_a"),
+        F.greatest("va", "vb").alias("id_b"),
+        F.when(F.col("va") < F.col("vb"), F.col("fb") - F.col("fa"))
+        .otherwise(F.col("fa") - F.col("fb")).alias("off"),
+        "hamming",
+    )
+    per_off = norm.groupBy("id_a", "id_b", "off").agg(
+        F.count(F.lit(1)).alias("off_votes")
+    )
+    best_off = per_off.groupBy("id_a", "id_b").agg(
+        F.max_by(
+            F.struct("off", "off_votes"),
+            F.struct(F.col("off_votes"), -F.col("off")),
+        ).alias("_bo")
+    )
+    rollup = (
+        norm.groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("shared_frames"),
             F.min("hamming").alias("min_hamming"),
         )
         .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+    # coherent_frames = votes at the best single offset: a true re-cut
+    # concentrates matches on one temporal shift (the Hough vote the
+    # audio tier uses); bag-of-frames similarity spreads them thin
+    return rollup.join(best_off, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "shared_frames", "min_hamming",
+        F.col("_bo.off").alias("best_offset"),
+        F.col("_bo.off_votes").alias("coherent_frames"),
     )
 
 

@@ -152,6 +152,14 @@ def test_video_overlap_pairs_detects_shared_footage(spark):
     shared, min_h = out[(1, 2)]
     assert shared >= 2 and min_h == 0
     assert all(3 not in pair for pair in out)
+    # temporal coherence: B embeds A's frames 4..7 starting at its
+    # frame 8 → matches concentrate at offset +4 (Hough vote)
+    full = {
+        (r.id_a, r.id_b): r
+        for r in mm.video_overlap_pairs(df, min_shared_frames=2, max_frames=64).collect()
+    }
+    r = full[(1, 2)]
+    assert r.best_offset == 4 and r.coherent_frames >= 2
 
 
 def test_set_fingerprinter_seam(spark):
