@@ -3128,11 +3128,9 @@ def _ahash_gate_wav(text: str, variant: int, n: int = 2048, rate: int = 8000) ->
     )
 
 
-def _ahash_gate_hashes(spark, sf_dir):
+def _ahash_gate_assets(spark, sf_dir):
     """Audio-typed docs (doc_id % 3 == 1) → two synthetic WAV variants
-    each (asset_id = doc_id·2 + variant) → ahash_assets."""
-    from .operators import multimodal
-
+    each (asset_id = doc_id·2 + variant)."""
     import pandas as pd
 
     variants = (
@@ -3156,8 +3154,13 @@ def _ahash_gate_hashes(spark, sf_dir):
                 }
             )
 
-    assets = variants.mapInPandas(synth, "asset_id long, payload binary")
-    return multimodal.ahash_assets(assets)
+    return variants.mapInPandas(synth, "asset_id long, payload binary")
+
+
+def _ahash_gate_hashes(spark, sf_dir):
+    from .operators import multimodal
+
+    return multimodal.ahash_assets(_ahash_gate_assets(spark, sf_dir))
 
 
 def _vhash_gate_y4m(
@@ -3326,6 +3329,31 @@ def multimodal_pipeline(spark, sf_dir):
         F.col("hamming").cast("double").alias("v_num1"),
         F.lit(-1.0).alias("v_num2"),
     )
+    # 'hk'/'hkp': the Haitsma-Kalker sub-fingerprint tier over the
+    # same audio assets — 'hk' = per-asset (n_frames, Σ subfp) exact
+    # integer checksum of the full sub-fingerprint computation, 'hkp' =
+    # alignment pairs (the volume-halved twin aligns at offset 0 —
+    # HK bits are scale-invariant: signs of energy differences)
+    aassets = _ahash_gate_assets(spark, sf_dir)
+    subfps = multimodal.audio_subfp_assets(aassets).localCheckpoint()
+    hk = subfps.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("subfp").alias("_s")
+    ).select(
+        F.lit("hk").alias("suite_case"),
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.lit("").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("_n").cast("double").alias("v_num1"),
+        F.col("_s").cast("double").alias("v_num2"),
+    )
+    hkp = multimodal.audio_align_pairs(subfps, min_votes=4).select(
+        F.lit("hkp").alias("suite_case"),
+        F.col("id_a").cast("long").alias("asset_id"),
+        F.col("id_b").cast("string").alias("k"),
+        F.col("offset_frames").cast("string").alias("v_str"),
+        F.col("votes").cast("double").alias("v_num1"),
+        F.lit(-1.0).alias("v_num2"),
+    )
     # 'vh'/'vhp': the video-fingerprint twin (vhash64 — per-frame luma
     # pHash, tie-free majority vote across sampled frames)
     vhashes = _vhash_gate_hashes(spark, sf_dir).localCheckpoint()
@@ -3396,6 +3424,7 @@ def multimodal_pipeline(spark, sf_dir):
         .unionByName(ah).unionByName(ahp)
         .unionByName(vh).unionByName(vhp)
         .unionByName(cdcb).unionByName(cdcp)
+        .unionByName(hk).unionByName(hkp)
     )
 
 
@@ -3456,6 +3485,55 @@ def _multimodal_pipeline_sql() -> str:
             cdc_chunks(_phash_gate_ppm(text, variant))
         )
     )
+    from .operators.multimodal import _hk_subfps, _wav_pcm
+
+    def _subfps_for(payload):
+        n_ch, rate, _bits, norm = _wav_pcm(payload)
+        mono = norm[: (norm.size // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+        return _hk_subfps(mono, rate, rate * 100 // 1000, rate * 25 // 1000,
+                          17, 300.0, 2000.0)
+
+    hk_sub = {}
+    for doc_id, text in arows:
+        for variant in (0, 1):
+            aid = doc_id * 2 + variant
+            hk_sub[aid] = [int(v) for v in _subfps_for(_ahash_gate_wav(text, variant))]
+    hk_vals = ", ".join(
+        f"({aid}, {len(fps)}, {sum(fps)})" for aid, fps in sorted(hk_sub.items())
+    )
+    # alignment replay: equi-join + offset vote + best-per-pair, pure
+    # Python over the same sub-fp rows (mirrors audio_align_pairs incl.
+    # the max_fp_df cap and the (votes, -offset) tie-break)
+    fp_df = {}
+    for fps in hk_sub.values():
+        for v in fps:
+            fp_df[v] = fp_df.get(v, 0) + 1
+    votes = {}
+    aids = sorted(hk_sub)
+    pos = {}
+    for aid in aids:
+        for i, v in enumerate(hk_sub[aid]):
+            if fp_df[v] <= 10_000:
+                pos.setdefault(v, []).append((aid, i))
+    for v, entries in pos.items():
+        for x in range(len(entries)):
+            for y in range(x + 1, len(entries)):
+                (a1, f1), (a2, f2) = entries[x], entries[y]
+                if a1 == a2:
+                    continue
+                if a1 > a2:
+                    a1, f1, a2, f2 = a2, f2, a1, f1
+                votes.setdefault((a1, a2), {})
+                votes[(a1, a2)][f2 - f1] = votes[(a1, a2)].get(f2 - f1, 0) + 1
+    hkp_rows = []
+    for (a1, a2), offmap in sorted(votes.items()):
+        off, n = max(offmap.items(), key=lambda kv: (kv[1], -kv[0]))
+        if n >= 4:
+            hkp_rows.append((a1, a2, off, n))
+    hkp_vals = ", ".join(
+        f"({a1}, {a2}, {off}, {n})" for a1, a2, off, n in hkp_rows
+    ) or "(NULL, NULL, NULL, NULL)"
+    hkp_where = "" if hkp_rows else " WHERE id_a IS NOT NULL"
     ashare = share.replace("a.fp", "aa.fp").replace("b.fp", "ab.fp")
     vshare = share.replace("a.fp", "va.fp").replace("b.fp", "vb.fp")
     return f"""
@@ -3512,6 +3590,13 @@ SELECT 'cdcb', asset_id,
        CAST(chunk_idx AS VARCHAR) || '|' || chunk_hash, '',
        CAST(chunk_off AS DOUBLE), CAST(chunk_len AS DOUBLE)
 FROM cdcb
+UNION ALL
+SELECT 'hk', asset_id, '', '', CAST(n AS DOUBLE), CAST(s AS DOUBLE)
+FROM (VALUES {hk_vals}) hk(asset_id, n, s)
+UNION ALL
+SELECT 'hkp', id_a, CAST(id_b AS VARCHAR), CAST(off AS VARCHAR),
+       CAST(votes AS DOUBLE), -1.0
+FROM (VALUES {hkp_vals}) hkp(id_a, id_b, off, votes){hkp_where}
 UNION ALL
 SELECT 'cdcp', id_a, CAST(id_b AS VARCHAR), '',
        CAST(shared_chunks AS DOUBLE), CAST(shared_bytes AS DOUBLE)
