@@ -2845,3 +2845,164 @@ def audio_align_pairs(
         F.col("_best.offset_frames").alias("offset_frames"),
         F.col("_best.votes").alias("votes"),
     )
+
+
+# ------------------------------------------------- image crop/overlap detection
+
+# The image member of the unaligned-overlap family: crops, pads and
+# canvas shifts are byte-identical CONTENT at an unknown 2-D offset —
+# whole-image pHash misses them badly (the DCT sees a different
+# composition).  Content-defined ANCHORS fix alignment the way gear
+# boundaries do for bytes: local luma maxima survive cropping, so
+# matching anchor-patch hashes between two images and voting on their
+# (dy, dx) displacement recovers the crop offset — a 2-D Hough vote,
+# the keypoint-matching idea (SIFT-family) reduced to its
+# deterministic core.
+
+IMAGE_KEYPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("ky", T.IntegerType()),
+        T.StructField("kx", T.IntegerType()),
+        T.StructField("kphash", T.IntegerType()),
+    ]
+)
+
+
+def _image_keypoints(luma, nms: int = 4, smooth_k: int = 2, patch_r: int = 8):
+    """Deterministic keypoints of a float64 luma raster: strict local
+    maxima of the box-smoothed image in a (2·nms+1)² window, at least
+    patch_r from every border (the descriptor patch must fit).
+    Returns a list of (y, x, 16-bit patch hash) — the descriptor is
+    the sign pattern of the patch's 4×4 low-frequency DCT block
+    against its AC median (the pHash bit rule at patch scale)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    h, w = luma.shape
+    if h < 2 * patch_r + 1 or w < 2 * patch_r + 1:
+        return []
+    pad = np.pad(luma, smooth_k, mode="edge")
+    s = sliding_window_view(
+        pad, (2 * smooth_k + 1, 2 * smooth_k + 1)
+    ).mean(axis=(2, 3))
+    spad = np.pad(s, nms, mode="constant", constant_values=np.inf)
+    win = sliding_window_view(spad, (2 * nms + 1, 2 * nms + 1))
+    mx = win.max(axis=(2, 3))
+    cnt = (win == s[:, :, None, None]).sum(axis=(2, 3))
+    mask = (s >= mx) & (cnt == 1)
+    mask[: patch_r, :] = False
+    mask[h - patch_r :, :] = False
+    mask[:, : patch_r] = False
+    mask[:, w - patch_r :] = False
+    ys, xs = np.nonzero(mask)
+    n = 2 * patch_r
+    M = np.cos(
+        (2 * np.arange(n)[None, :] + 1) * np.arange(n)[:, None] * np.pi / (2 * n)
+    )
+    out = []
+    for y, x in zip(ys, xs):
+        p = luma[y - patch_r : y + patch_r, x - patch_r : x + patch_r]
+        d = (M @ p) @ M.T
+        low = d[:4, :4].ravel()
+        med = float(np.median(low[1:]))
+        v = 0
+        for i, b in enumerate(low > med):
+            if b:
+                v |= 1 << i
+        out.append((int(y), int(x), v))
+    return out
+
+
+def image_keypoint_hashes(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_keypoints: int = 512,
+) -> DataFrame:
+    """Keypoint rows for every image asset: (asset_id, ky, kx,
+    16-bit kphash) — decode once per payload (PPM/PNG/JPEG via
+    _rgb_raster), anchor + describe in numpy.  Undecodable assets
+    emit no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kys, kxs, fps = [], [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    _w, _h, rgb = _rgb_raster(raw)
+                except ValueError:
+                    continue
+                luma = (
+                    0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                    + 0.114 * rgb[:, :, 2]
+                )
+                for y, x, v in _image_keypoints(luma)[:max_keypoints]:
+                    ids.append(int(aid))
+                    kys.append(y)
+                    kxs.append(x)
+                    fps.append(v)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "ky": pd.array(kys, dtype="Int32"),
+                    "kx": pd.array(kxs, dtype="Int32"),
+                    "kphash": pd.array(fps, dtype="Int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=IMAGE_KEYPOINT_SCHEMA)
+
+
+def image_overlap_pairs(
+    keypoints: DataFrame,
+    min_votes: int = 4,
+    max_fp_df: int | None = 10_000,
+) -> DataFrame:
+    """Crop/shift detection between images: equi-join keypoints on the
+    16-bit patch hash (cross-asset), 2-D Hough vote on the (dy, dx)
+    displacement, best displacement per pair with votes ≥ min_votes —
+    the image twin of audio_align_pairs, same join+groupBy shape.
+    Output: (id_a, id_b, dy, dx, votes); (dy, dx) maps a point in
+    id_b's frame to id_a's (positive ⇔ b is a crop further from a's
+    origin)."""
+    e = keypoints.select("asset_id", "ky", "kx", "kphash")
+    if max_fp_df is not None:
+        freq = e.groupBy("kphash").agg(F.count(F.lit(1)).alias("_df"))
+        e = e.join(
+            F.broadcast(freq.filter(F.col("_df") <= max_fp_df)), "kphash"
+        ).drop("_df")
+    a = e.select(
+        F.col("kphash"),
+        F.col("asset_id").alias("id_a"),
+        F.col("ky").alias("ya"), F.col("kx").alias("xa"),
+    )
+    b = e.select(
+        F.col("kphash"),
+        F.col("asset_id").alias("id_b"),
+        F.col("ky").alias("yb"), F.col("kx").alias("xb"),
+    )
+    votes = (
+        a.join(b, "kphash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b",
+            (F.col("ya") - F.col("yb")).alias("dy"),
+            (F.col("xa") - F.col("xb")).alias("dx"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )
+    best = votes.groupBy("id_a", "id_b").agg(
+        F.max_by(
+            F.struct("dy", "dx", "votes"),
+            F.struct(F.col("votes"), -F.col("dy"), -F.col("dx")),
+        ).alias("_best")
+    )
+    return best.select(
+        "id_a", "id_b",
+        F.col("_best.dy").alias("dy"),
+        F.col("_best.dx").alias("dx"),
+        F.col("_best.votes").alias("votes"),
+    )

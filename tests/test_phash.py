@@ -206,3 +206,57 @@ def test_phash_pairs_max_bucket_cap(spark):
     assert got == {(100, 101)}  # the 6-strong bucket was dropped
     full = mm.phash_pairs(df, max_hamming=0, max_bucket=None)
     assert len(full.collect()) == 15 + 1
+
+
+def _noise_gray_ppm(seed: str, w=96, h=96):
+    """Grayscale noise as RGB PPM (r=g=b) so luma == the noise plane."""
+    need = w * h
+    body = b""
+    i = 0
+    while len(body) < need:
+        body += hashlib.sha256(f"kp:{seed}:{i}".encode()).digest()
+        i += 1
+    g = np.frombuffer(body[:need], dtype=np.uint8).reshape(h, w)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    return rgb, b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def test_image_overlap_pairs_recovers_crop_offset(spark):
+    """A 64×64 crop at an arbitrary (13, 7) offset: whole-image pHash
+    misses it (different composition), the keypoint Hough vote
+    recovers the exact 2-D offset; unrelated images share nothing."""
+    rgb, full_ppm = _noise_gray_ppm("base")
+    crop = rgb[13 : 13 + 64, 7 : 7 + 64]
+    crop_ppm = b"P6\n64 64\n255\n" + crop.tobytes()
+    _o, other_ppm = _noise_gray_ppm("other", 64, 64)
+    assert _ham(mm.phash64(full_ppm), mm.phash64(crop_ppm)) > 6
+    df = spark.createDataFrame(
+        [(1, full_ppm), (2, crop_ppm), (3, other_ppm), (4, b"junk")],
+        "asset_id long, payload binary",
+    )
+    kps = mm.image_keypoint_hashes(df).localCheckpoint()
+    out = {
+        (r.id_a, r.id_b): r
+        for r in mm.image_overlap_pairs(kps, min_votes=4).collect()
+    }
+    assert (1, 2) in out
+    assert (out[(1, 2)].dy, out[(1, 2)].dx) == (13, 7)
+    assert out[(1, 2)].votes >= 4
+    assert all(3 not in p and 4 not in p for p in out)
+
+
+def test_image_keypoints_crop_invariant_core():
+    """Anchors away from the crop border survive with shifted
+    coordinates and identical descriptors (content-defined, like gear
+    boundaries)."""
+    rgb, _ = _noise_gray_ppm("inv")
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    full = {(y, x): v for y, x, v in mm._image_keypoints(luma)}
+    crop = luma[20:84, 10:74]
+    shifted = {(y + 20, x + 10): v for y, x, v in mm._image_keypoints(crop)}
+    interior = {
+        k: v for k, v in shifted.items()
+        if 28 <= k[0] < 76 and 18 <= k[1] < 66  # ≥ patch_r inside both
+    }
+    assert interior
+    assert all(full.get(k) == v for k, v in interior.items())
