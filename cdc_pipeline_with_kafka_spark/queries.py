@@ -3224,6 +3224,63 @@ def _vhash_gate_hashes(spark, sf_dir):
     return multimodal.vhash_assets(assets)
 
 
+def _kp_gate_rgb(text: str, variant: int, w: int = 64, h: int = 64):
+    """Pure core for the crop-detection gate: variant 0 = w×h gray
+    noise (sha-expanded from the doc text, r=g=b), variant 1 = its
+    40×40 crop at (dy, dx) = (11, 5).  Returns the uint8 gray plane."""
+    import hashlib
+
+    import numpy as np
+
+    need = w * h
+    body = b""
+    i = 0
+    while len(body) < need:
+        body += hashlib.sha256(f"kp:{text}:{i}".encode("utf-8")).digest()
+        i += 1
+    g = np.frombuffer(body[:need], dtype=np.uint8).reshape(h, w)
+    if variant:
+        g = g[11 : 11 + 40, 5 : 5 + 40]
+    return g
+
+
+def _kp_gate_ppm(text: str, variant: int) -> bytes:
+    import numpy as np
+
+    g = _kp_gate_rgb(text, variant)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    return b"P6\n%d %d\n255\n" % (g.shape[1], g.shape[0]) + rgb.tobytes()
+
+
+def _kp_gate_assets(spark, sf_dir):
+    """Every 9th doc (doc_id % 9 == 0) → base image + crop twin
+    (asset_id = doc_id·2 + variant)."""
+    import pandas as pd
+
+    variants = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select(
+            "doc_id", "text",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("variant"),
+        )
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"] * 2 + pdf["variant"],
+                    "payload": [
+                        _kp_gate_ppm(t, v)
+                        for t, v in zip(pdf["text"], pdf["variant"])
+                    ],
+                }
+            )
+
+    return variants.mapInPandas(synth, "asset_id long, payload binary")
+
+
 def _phash_gate_assets(spark, sf_dir):
     """Image-typed docs (doc_id % 3 == 0) → two synthetic PPM variants
     each (asset_id = doc_id·2 + variant)."""
@@ -3354,6 +3411,31 @@ def multimodal_pipeline(spark, sf_dir):
         F.col("votes").cast("double").alias("v_num1"),
         F.lit(-1.0).alias("v_num2"),
     )
+    # 'kp'/'kpp': image crop detection over a doc subset — base 64×64
+    # noise image + its 40×40 crop at (11, 5); 'kp' = per-asset
+    # (n_keypoints, Σ kphash) exact checksums, 'kpp' = recovered crop
+    # offsets, both vs the pinned-Python keypoint+vote replay
+    kassets = _kp_gate_assets(spark, sf_dir)
+    kps = multimodal.image_keypoint_hashes(kassets).localCheckpoint()
+    kp = kps.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("kphash").alias("_s")
+    ).select(
+        F.lit("kp").alias("suite_case"),
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.lit("").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("_n").cast("double").alias("v_num1"),
+        F.col("_s").cast("double").alias("v_num2"),
+    )
+    kpp = multimodal.image_overlap_pairs(kps, min_votes=4).select(
+        F.lit("kpp").alias("suite_case"),
+        F.col("id_a").cast("long").alias("asset_id"),
+        F.col("id_b").cast("string").alias("k"),
+        F.concat_ws("|", F.col("dy").cast("string"), F.col("dx").cast("string"))
+        .alias("v_str"),
+        F.col("votes").cast("double").alias("v_num1"),
+        F.lit(-1.0).alias("v_num2"),
+    )
     # 'vh'/'vhp': the video-fingerprint twin (vhash64 — per-frame luma
     # pHash, tie-free majority vote across sampled frames)
     vhashes = _vhash_gate_hashes(spark, sf_dir).localCheckpoint()
@@ -3425,6 +3507,7 @@ def multimodal_pipeline(spark, sf_dir):
         .unionByName(vh).unionByName(vhp)
         .unionByName(cdcb).unionByName(cdcp)
         .unionByName(hk).unionByName(hkp)
+        .unionByName(kp).unionByName(kpp)
     )
 
 
@@ -3534,6 +3617,64 @@ def _multimodal_pipeline_sql() -> str:
         f"({a1}, {a2}, {off}, {n})" for a1, a2, off, n in hkp_rows
     ) or "(NULL, NULL, NULL, NULL)"
     hkp_where = "" if hkp_rows else " WHERE id_a IS NOT NULL"
+    from .operators.multimodal import _image_keypoints
+
+    krows = con2 = None  # noqa: F841 — scoped below
+    import duckdb as _dd
+
+    _c = _dd.connect()
+    krows = _c.execute(
+        "SELECT doc_id, text FROM "
+        f"'{_ORACLE_SF_DIR}/documents.parquet' WHERE doc_id % 9 = 0 "
+        "ORDER BY doc_id"
+    ).fetchall()
+    _c.close()
+    kp_pts = {}
+    for doc_id, text in krows:
+        for variant in (0, 1):
+            g = _kp_gate_rgb(text, variant).astype("float64") / 255.0
+            # replicate the Spark path's luma EXPRESSION exactly:
+            # 0.299x+0.587x+0.114x per pixel is NOT bit-identical to x
+            # in float64, and the strict-maximum anchor test is
+            # equality-sensitive
+            luma = 0.299 * g + 0.587 * g + 0.114 * g
+            kp_pts[doc_id * 2 + variant] = _image_keypoints(luma)
+    kp_vals = ", ".join(
+        f"({aid}, {len(pts)}, {sum(v for _y, _x, v in pts)})"
+        for aid, pts in sorted(kp_pts.items())
+    )
+    kvotes = {}
+    kpos = {}
+    kdf = {}
+    for pts in kp_pts.values():
+        for _y, _x, v in pts:
+            kdf[v] = kdf.get(v, 0) + 1
+    for aid in sorted(kp_pts):
+        for y, x, v in kp_pts[aid]:
+            if kdf[v] <= 10_000:
+                kpos.setdefault(v, []).append((aid, y, x))
+    for v, entries in kpos.items():
+        for i in range(len(entries)):
+            for j in range(i + 1, len(entries)):
+                (a1, y1, x1), (a2, y2, x2) = entries[i], entries[j]
+                if a1 == a2:
+                    continue
+                if a1 > a2:
+                    a1, y1, x1, a2, y2, x2 = a2, y2, x2, a1, y1, x1
+                kvotes.setdefault((a1, a2), {})
+                key = (y1 - y2, x1 - x2)
+                kvotes[(a1, a2)][key] = kvotes[(a1, a2)].get(key, 0) + 1
+    kpp_rows = []
+    for (a1, a2), offmap in sorted(kvotes.items()):
+        (dy, dx), n = max(
+            offmap.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1])
+        )
+        if n >= 4:
+            kpp_rows.append((a1, a2, dy, dx, n))
+    kpp_vals = ", ".join(
+        f"({a1}, {a2}, '{dy}|{dx}', {n})" for a1, a2, dy, dx, n in kpp_rows
+    ) or "(NULL, NULL, NULL, NULL)"
+    kpp_where = "" if kpp_rows else " WHERE id_a IS NOT NULL"
     ashare = share.replace("a.fp", "aa.fp").replace("b.fp", "ab.fp")
     vshare = share.replace("a.fp", "va.fp").replace("b.fp", "vb.fp")
     return f"""
@@ -3597,6 +3738,13 @@ UNION ALL
 SELECT 'hkp', id_a, CAST(id_b AS VARCHAR), CAST(off AS VARCHAR),
        CAST(votes AS DOUBLE), -1.0
 FROM (VALUES {hkp_vals}) hkp(id_a, id_b, off, votes){hkp_where}
+UNION ALL
+SELECT 'kp', asset_id, '', '', CAST(n AS DOUBLE), CAST(s AS DOUBLE)
+FROM (VALUES {kp_vals}) kp(asset_id, n, s)
+UNION ALL
+SELECT 'kpp', id_a, CAST(id_b AS VARCHAR), CAST(off AS VARCHAR),
+       CAST(votes AS DOUBLE), -1.0
+FROM (VALUES {kpp_vals}) kpp(id_a, id_b, off, votes){kpp_where}
 UNION ALL
 SELECT 'cdcp', id_a, CAST(id_b AS VARCHAR), '',
        CAST(shared_chunks AS DOUBLE), CAST(shared_bytes AS DOUBLE)
