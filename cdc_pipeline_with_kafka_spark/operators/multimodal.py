@@ -3006,3 +3006,78 @@ def image_overlap_pairs(
         F.col("_best.dx").alias("dx"),
         F.col("_best.votes").alias("votes"),
     )
+
+
+def overlap_report(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    type_col: str = "media_type",
+    payload_col: str = "payload",
+    min_votes: int = 4,
+    min_shared_bytes: int = 1024,
+) -> DataFrame:
+    """One-call duplication/overlap report across every detector tier
+    — the union a curation reviewer reads before deciding drop lists:
+
+      whole    : cross-type perceptual near-dups (fingerprint_assets +
+                 pigeonhole pairs; evidence = 64 − hamming)
+      bytes    : shared content-defined chunks at ANY offset
+                 (evidence = shared_bytes)
+      time     : unaligned audio alignment (HK sub-fps; evidence =
+                 coherent votes)
+      space    : image crop/shift offsets (keypoint vote; evidence =
+                 votes)
+
+    Output: (overlap_class, id_a, id_b, evidence double, detail
+    string).  Each tier only sees its own media types; all four share
+    the linear candidate machinery, so the report is safe to run on a
+    full corpus."""
+    fps = fingerprint_assets(
+        assets, id_col=id_col, type_col=type_col, payload_col=payload_col
+    )
+    whole = phash_pairs(
+        fps, max_hamming=6, id_col="asset_id", hash_col="fp",
+        type_col="media_type",
+    ).select(
+        F.lit("whole").alias("overlap_class"),
+        "id_a", "id_b",
+        (F.lit(64) - F.col("hamming")).cast("double").alias("evidence"),
+        F.concat(F.lit("hamming="), F.col("hamming").cast("string")).alias("detail"),
+    )
+    chunks = cdc_chunk_assets(assets, id_col=id_col, payload_col=payload_col)
+    by_bytes = shared_chunk_pairs(
+        chunks, min_shared_bytes=min_shared_bytes
+    ).select(
+        F.lit("bytes").alias("overlap_class"),
+        "id_a", "id_b",
+        F.col("shared_bytes").cast("double").alias("evidence"),
+        F.concat(
+            F.lit("chunks="), F.col("shared_chunks").cast("string")
+        ).alias("detail"),
+    )
+    audio = assets.filter(F.col(type_col) == "audio")
+    by_time = audio_align_pairs(
+        audio_subfp_assets(audio, id_col=id_col, payload_col=payload_col),
+        min_votes=min_votes,
+    ).select(
+        F.lit("time").alias("overlap_class"),
+        "id_a", "id_b",
+        F.col("votes").cast("double").alias("evidence"),
+        F.concat(
+            F.lit("offset_frames="), F.col("offset_frames").cast("string")
+        ).alias("detail"),
+    )
+    images = assets.filter(F.col(type_col) == "image")
+    by_space = image_overlap_pairs(
+        image_keypoint_hashes(images, id_col=id_col, payload_col=payload_col),
+        min_votes=min_votes,
+    ).select(
+        F.lit("space").alias("overlap_class"),
+        "id_a", "id_b",
+        F.col("votes").cast("double").alias("evidence"),
+        F.concat(
+            F.lit("dy="), F.col("dy").cast("string"),
+            F.lit(",dx="), F.col("dx").cast("string"),
+        ).alias("detail"),
+    )
+    return whole.unionByName(by_bytes).unionByName(by_time).unionByName(by_space)

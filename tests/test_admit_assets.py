@@ -297,3 +297,40 @@ def test_release_assets_one_call(spark, tmp_path):
     mm.release_assets(df.orderBy(F.col("asset_id").desc()), out2)
     card2 = json.load(open(os.path.join(out2, "_ASSETS_MANIFEST.json")))
     assert card2["types"]["image"]["content_checksum"] == card["types"]["image"]["content_checksum"]
+
+
+def test_overlap_report_all_classes(spark):
+    """The one-call report surfaces every overlap class at once:
+    a perceptual image twin ('whole'), a byte-identical embedded
+    audio segment ('bytes'), and an image crop ('space')."""
+    import hashlib as _h
+
+    rgb_body = b""
+    i = 0
+    while len(rgb_body) < 96 * 96:
+        rgb_body += _h.sha256(f"rep:{i}".encode()).digest()
+        i += 1
+    g = np.frombuffer(rgb_body[: 96 * 96], dtype=np.uint8).reshape(96, 96)
+    base_ppm = b"P6\n96 96\n255\n" + np.repeat(g[:, :, None], 3, axis=2).tobytes()
+    crop = g[13 : 13 + 64, 7 : 7 + 64]
+    crop_ppm = b"P6\n64 64\n255\n" + np.repeat(crop[:, :, None], 3, axis=2).tobytes()
+    wav_a = _wav("rep-audio")
+    wav_twin = _wav("rep-audio", halve=True)
+    rows = [
+        (1, "image", base_ppm),
+        (2, "image", crop_ppm),
+        (3, "image", _ppm("rep-img")),
+        (4, "image", _ppm("rep-img", shift=3)),  # perceptual twin of 3
+        (5, "audio", wav_a),
+        (6, "audio", wav_twin),                  # level twin of 5
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    rep = mm.overlap_report(df, min_votes=4, min_shared_bytes=512)
+    by_class = {}
+    for r in rep.collect():
+        by_class.setdefault(r.overlap_class, set()).add((r.id_a, r.id_b))
+    assert (3, 4) in by_class.get("whole", set())
+    assert (5, 6) in by_class.get("whole", set())
+    assert (1, 2) in by_class.get("space", set())
+    # (no 'bytes' expectation for the crop: raster rows of a crop are
+    # not byte-contiguous, so CDC chunks legitimately differ)
