@@ -1355,3 +1355,61 @@ def kmeans_state_from_training(
         for c in range(k)
     ]
     return kmeans_state(cm_seed, cnts, qsums)
+
+
+def semantic_neardup_incremental(
+    shard: DataFrame,
+    index_assigned: DataFrame,
+    centroids: tuple,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """Incremental SemDeDup: a NEW shard of embeddings against a
+    PERSISTED cluster-assigned index (id, vec, centroid_id — the
+    ivf_assign output a deployment keeps partitioned by centroid) —
+    the semantic member of the incremental family
+    (minhash/simhash/phash `_incremental`).  Shard embeddings assign
+    once, then pair ONLY against index rows + shard rows in the same
+    cluster.  Returns pairs (cos ≥ threshold) touching ≥1 shard
+    vector, identical to full-corpus semantic_dedup_pairs restricted
+    to the shard (held at driver level by the semdedup gate's 'sinc'
+    rows).  Per-shard cost: one assignment pass + equi-join on
+    centroid_id against the index's matching partitions — the corpus
+    is never re-embedded or re-assigned."""
+    shard_assigned = ivf_assign(shard, centroids, id_col=id_col, vec_col=vec_col)
+    both = (
+        index_assigned.select(
+            "centroid_id", F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            F.lit(False).alias("is_new"),
+        )
+        .unionByName(
+            shard_assigned.select(
+                "centroid_id", F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"), F.lit(True).alias("is_new"),
+            )
+        )
+    )
+    if max_cluster_size is not None:
+        sizes = both.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_csz"))
+        both = both.join(
+            F.broadcast(sizes.filter(F.col("_csz") <= max_cluster_size)),
+            "centroid_id",
+        ).drop("_csz")
+    a = both.select(
+        "centroid_id", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("is_new").alias("a_new"),
+    )
+    b = both.select(
+        "centroid_id", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("is_new").alias("b_new"),
+    )
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("a_new") | F.col("b_new"))
+        .select("id_a", "id_b", sim.alias("cos_sim"), "centroid_id")
+        .filter(F.col("cos_sim") >= threshold)
+    )

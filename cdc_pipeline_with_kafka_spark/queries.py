@@ -4558,6 +4558,21 @@ def semdedup(spark, sf_dir):
         v_str=F.col("is_canonical").cast("string"),
         v_num=F.col("cluster_id"),
     )
+    # r6 'sinc': the INCREMENTAL semantic path — twins as the new
+    # shard against the originals' persisted cluster-assigned index;
+    # must equal the full pair set restricted to pairs touching the
+    # shard (the minhash/simhash/phash 'inc' contract, semantic tier)
+    sinc_pairs = similarity.semantic_neardup_incremental(
+        corpus.filter(F.col("vec_id") >= _SEMDEDUP_TWIN),
+        assigned.filter(F.col("vec_id") < _SEMDEDUP_TWIN),
+        cents, threshold=_SEMDEDUP_T,
+    )
+    sinc_rows = _suite_rows(
+        sinc_pairs, "sinc",
+        F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
+        v_str=F.col("centroid_id").cast("string"),
+        v_num=F.col("cos_sim"),
+    )
     # r6: 'km'/'kmc' — the DISTRIBUTED Lloyd trainer (full-corpus, no
     # driver cap) value-checked end-to-end: final per-vector
     # assignments and every centroid cell must match the pinned
@@ -4604,7 +4619,8 @@ def semdedup(spark, sf_dir):
         v_num=F.col("v"),
     )
     return _union_all(
-        [assign_rows, pair_rows, surv_rows, km_rows, kmc_rows, kmu_rows, kmuc_rows]
+        [assign_rows, pair_rows, surv_rows, km_rows, kmc_rows,
+         kmu_rows, kmuc_rows, sinc_rows]
     )
 
 
@@ -4702,6 +4718,12 @@ UNION ALL
 SELECT 'pair', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
        CAST(centroid_id AS VARCHAR), CAST(cos_sim AS DOUBLE)
 FROM dup_pairs
+UNION ALL
+-- incremental ≡ full restricted to pairs touching the twin shard:
+-- twin ids all exceed every original id, so id_b ≥ offset ⇔ ≥1 twin
+SELECT 'sinc', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
+       CAST(centroid_id AS VARCHAR), CAST(cos_sim AS DOUBLE)
+FROM dup_pairs WHERE id_b >= {_SEMDEDUP_TWIN}
 UNION ALL
 SELECT 'surv', CAST(vec_id AS VARCHAR),
        CAST(cluster_id = vec_id AS VARCHAR), CAST(cluster_id AS DOUBLE)

@@ -514,3 +514,34 @@ def test_dedup_survivors_quality_singleton_and_star(spark):
         ).collect()
     }
     assert out[7].is_canonical and out[8].is_canonical  # all singletons
+
+
+def test_semantic_neardup_incremental_equals_full_restriction(spark):
+    """Incremental shard-vs-index ≡ full intra-cluster pairs touching
+    the shard, including empty-shard / empty-index boundaries."""
+    import numpy as np
+
+    from cdc_pipeline_with_kafka_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(53)
+    base = rng.normal(size=(24, 8)).astype(np.float32)
+    base[12:] = base[:12] + rng.normal(scale=1e-3, size=(12, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = sim.train_ivf_codebook(df, nlist=3)
+    full = {
+        (r.id_a, r.id_b)
+        for r in sim.semantic_dedup_pairs(df, cents, threshold=0.999).collect()
+    }
+    assigned = sim.ivf_assign(df, cents)
+    for cutoff in (0, 12, 24):
+        inc = {
+            (r.id_a, r.id_b)
+            for r in sim.semantic_neardup_incremental(
+                df.filter(F.col("vec_id") >= cutoff),
+                assigned.filter(F.col("vec_id") < cutoff),
+                cents, threshold=0.999,
+            ).collect()
+        }
+        want = {(a, b) for (a, b) in full if b >= cutoff}
+        assert inc == want, cutoff
