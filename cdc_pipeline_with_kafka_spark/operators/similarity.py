@@ -1365,6 +1365,7 @@ def semantic_neardup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = 100_000,
+    shard_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: a NEW shard of embeddings against a
     PERSISTED cluster-assigned index (id, vec, centroid_id — the
@@ -1377,8 +1378,16 @@ def semantic_neardup_incremental(
     to the shard (held at driver level by the semdedup gate's 'sinc'
     rows).  Per-shard cost: one assignment pass + equi-join on
     centroid_id against the index's matching partitions — the corpus
-    is never re-embedded or re-assigned."""
-    shard_assigned = ivf_assign(shard, centroids, id_col=id_col, vec_col=vec_col)
+    is never re-embedded or re-assigned.
+
+    Pass `shard_assigned` (id, vec, centroid_id) to skip the internal
+    assignment — e.g. when the caller already pinned one assignment
+    pass for several consumers (the semdedup gate does; Spark
+    re-evaluates an Arrow-UDF subtree per union-branch reference)."""
+    if shard_assigned is None:
+        shard_assigned = ivf_assign(
+            shard, centroids, id_col=id_col, vec_col=vec_col
+        )
     both = (
         index_assigned.select(
             "centroid_id", F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),

@@ -4539,7 +4539,11 @@ def semdedup(spark, sf_dir):
     cosine, 'surv' = every doc's (cluster_id, is_canonical)."""
     corpus = _semdedup_corpus(spark, sf_dir)
     cents = similarity.train_ivf_codebook(corpus, nlist=_SEMDEDUP_NLIST)
-    assigned = similarity.ivf_assign(corpus, cents)
+    # pinned: the assignment matmul runs ONCE even though three
+    # branches (assign rows, sinc's index side, and the survivor
+    # baseline) reference it — union branches otherwise re-evaluate
+    # the Arrow UDF subtree per reference
+    assigned = similarity.ivf_assign(corpus, cents).localCheckpoint()
     assign_rows = _suite_rows(
         assigned, "assign", F.col("vec_id"), v_num=F.col("centroid_id")
     )
@@ -4566,6 +4570,7 @@ def semdedup(spark, sf_dir):
         corpus.filter(F.col("vec_id") >= _SEMDEDUP_TWIN),
         assigned.filter(F.col("vec_id") < _SEMDEDUP_TWIN),
         cents, threshold=_SEMDEDUP_T,
+        shard_assigned=assigned.filter(F.col("vec_id") >= _SEMDEDUP_TWIN),
     )
     sinc_rows = _suite_rows(
         sinc_pairs, "sinc",
