@@ -260,3 +260,24 @@ def test_image_keypoints_crop_invariant_core():
     }
     assert interior
     assert all(full.get(k) == v for k, v in interior.items())
+
+
+def test_image_keypoints_degenerate_inputs():
+    """Flat images have no strict maxima (every window ties) → no
+    anchors, no crash; too-small rasters return empty."""
+    flat = np.full((64, 64), 0.5)
+    assert mm._image_keypoints(flat) == []
+    tiny = np.random.default_rng(1).random((10, 10))
+    assert mm._image_keypoints(tiny) == []
+
+
+def test_image_keypoints_through_jpeg_decode():
+    """Keypoint extraction runs on JPEG payloads through the sniffing
+    decoder path (crop twins of re-encoded images still match is NOT
+    claimed — JPEG loss moves patch bits; this pins the plumbing)."""
+    rgb = _noise_rgb("kp-jpeg", 64, 64)
+    jpg = mm.encode_jpeg_baseline(rgb, qtable_value=1)
+    _w, _h, dec = mm._rgb_raster(jpg)
+    luma = 0.299 * dec[:, :, 0] + 0.587 * dec[:, :, 1] + 0.114 * dec[:, :, 2]
+    pts = mm._image_keypoints(luma)
+    assert len(pts) > 0
