@@ -3081,3 +3081,21 @@ def overlap_report(
         ).alias("detail"),
     )
     return whole.unionByName(by_bytes).unionByName(by_time).unionByName(by_space)
+
+
+def overlap_drop_list(
+    assets: DataFrame,
+    report: DataFrame,
+    id_col: str = "asset_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Actionable form of overlap_report: connected components over
+    the UNION of all overlap classes (an asset tied to another by ANY
+    evidence tier joins its duplication group) → one survivor per
+    group (lowest id, or highest `score_col`).  Output: assets +
+    (cluster_id, is_canonical); filter is_canonical for the corpus
+    that keeps exactly one copy of every duplicated artifact."""
+    from .dedup import dedup_survivors
+
+    pairs = report.select("id_a", "id_b").distinct()
+    return dedup_survivors(assets, pairs, id_col=id_col, score_col=score_col)

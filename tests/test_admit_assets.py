@@ -334,3 +334,34 @@ def test_overlap_report_all_classes(spark):
     assert (1, 2) in by_class.get("space", set())
     # (no 'bytes' expectation for the crop: raster rows of a crop are
     # not byte-contiguous, so CDC chunks legitimately differ)
+
+
+def test_overlap_drop_list_merges_classes(spark):
+    """An asset chained through DIFFERENT evidence classes (perceptual
+    twin + crop) collapses into one duplication group with a single
+    survivor."""
+    import hashlib as _h
+
+    body = b""
+    i = 0
+    while len(body) < 96 * 96:
+        body += _h.sha256(f"dl:{i}".encode()).digest()
+        i += 1
+    g = np.frombuffer(body[: 96 * 96], dtype=np.uint8).reshape(96, 96)
+    base = b"P6\n96 96\n255\n" + np.repeat(g[:, :, None], 3, axis=2).tobytes()
+    bright = np.minimum(g.astype(np.int64) + 3, 255).astype(np.uint8)
+    twin = b"P6\n96 96\n255\n" + np.repeat(bright[:, :, None], 3, axis=2).tobytes()
+    crop = g[13 : 13 + 64, 7 : 7 + 64]
+    crop_ppm = b"P6\n64 64\n255\n" + np.repeat(crop[:, :, None], 3, axis=2).tobytes()
+    df = spark.createDataFrame(
+        [(1, "image", base), (2, "image", twin), (3, "image", crop_ppm),
+         (4, "image", _ppm("solo-dl"))],
+        ASSET_SCHEMA,
+    )
+    rep = mm.overlap_report(df, min_votes=4, min_shared_bytes=512)
+    out = {r.asset_id: r for r in mm.overlap_drop_list(df, rep).collect()}
+    # 1-2 via 'whole', 1-3 via 'space' → one group {1,2,3}; 4 solo
+    assert out[1].is_canonical
+    assert not out[2].is_canonical and not out[3].is_canonical
+    assert out[2].cluster_id == out[3].cluster_id == out[1].cluster_id
+    assert out[4].is_canonical
