@@ -1388,37 +1388,49 @@ def semantic_neardup_incremental(
         shard_assigned = ivf_assign(
             shard, centroids, id_col=id_col, vec_col=vec_col
         )
-    both = (
-        index_assigned.select(
-            "centroid_id", F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-            F.lit(False).alias("is_new"),
-        )
-        .unionByName(
-            shard_assigned.select(
-                "centroid_id", F.col(id_col).alias("id"),
-                F.col(vec_col).alias("vec"), F.lit(True).alias("is_new"),
-            )
-        )
+    sh = shard_assigned.select(
+        "centroid_id", F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
+    ix = index_assigned.select(
+        "centroid_id", F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    # join SHARD against cluster-mates — never index×index: the join
+    # cost is |shard| × mates, which is what 'incremental' must mean
+    # (the original union-self-join formulation generated the full
+    # quadratic candidate set and filtered afterwards — caught by the
+    # sf1 bench, 33 s/steady at 50k vectors)
     if max_cluster_size is not None:
-        sizes = both.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_csz"))
-        both = both.join(
-            F.broadcast(sizes.filter(F.col("_csz") <= max_cluster_size)),
-            "centroid_id",
-        ).drop("_csz")
-    a = both.select(
-        "centroid_id", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
-        F.col("is_new").alias("a_new"),
+        sizes = (
+            ix.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_ic"))
+            .join(
+                sh.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_sc")),
+                "centroid_id", "outer",
+            )
+            .fillna(0, ["_ic", "_sc"])
+            .filter(F.col("_ic") + F.col("_sc") <= max_cluster_size)
+            .select("centroid_id")
+        )
+        sh = sh.join(F.broadcast(sizes), "centroid_id")
+        ix = ix.join(F.broadcast(sizes), "centroid_id")
+    s_a = sh.select(
+        "centroid_id", F.col("id").alias("sid"), F.col("vec").alias("svec")
     )
-    b = both.select(
-        "centroid_id", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
-        F.col("is_new").alias("b_new"),
+    cand_si = s_a.join(
+        ix.select("centroid_id", F.col("id").alias("oid"), F.col("vec").alias("ovec")),
+        "centroid_id",
     )
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    cand_ss = s_a.join(
+        sh.select("centroid_id", F.col("id").alias("oid"), F.col("vec").alias("ovec")),
+        "centroid_id",
+    ).filter(F.col("sid") < F.col("oid"))
+    cand = cand_si.unionByName(cand_ss)
+    sim = F.round(cosine(F.col("svec"), F.col("ovec")), 6)
     return (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("a_new") | F.col("b_new"))
-        .select("id_a", "id_b", sim.alias("cos_sim"), "centroid_id")
+        cand.select(
+            F.least("sid", "oid").alias("id_a"),
+            F.greatest("sid", "oid").alias("id_b"),
+            sim.alias("cos_sim"),
+            "centroid_id",
+        )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -4571,7 +4571,7 @@ def semdedup(spark, sf_dir):
         assigned.filter(F.col("vec_id") < _SEMDEDUP_TWIN),
         cents, threshold=_SEMDEDUP_T,
         shard_assigned=assigned.filter(F.col("vec_id") >= _SEMDEDUP_TWIN),
-    )
+    ).localCheckpoint()
     sinc_rows = _suite_rows(
         sinc_pairs, "sinc",
         F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
