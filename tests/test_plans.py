@@ -235,3 +235,32 @@ def test_pack_blocks_is_pure_codegen(spark):
     assert p.count("Exchange") == before  # no new shuffle
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "Generate" in p  # the sequence explode
+
+
+def test_alignment_search_plans_no_cartesian(spark):
+    """Both Hough-vote alignment searches are equi-join + groupBy —
+    never a cartesian/BNLJ, always map-side partial aggregation; the
+    stopword-cap join broadcasts the (≤2¹⁶-row) frequency side."""
+    from cdc_pipeline_with_kafka_spark.operators import multimodal as mmod
+
+    sub = spark.createDataFrame(
+        [(1, 0, 7), (1, 1, 9), (2, 0, 7), (2, 1, 9)],
+        "asset_id long, frame_idx int, subfp int",
+    )
+    p1 = (
+        mmod.audio_align_pairs(sub, min_votes=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    kps = spark.createDataFrame(
+        [(1, 10, 10, 5), (2, 20, 20, 5)],
+        "asset_id long, ky int, kx int, kphash int",
+    )
+    p2 = (
+        mmod.image_overlap_pairs(kps, min_votes=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for p in (p1, p2):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "partial" in p.lower()
+        assert "BroadcastHashJoin" in p  # the stopword-cap frequency join
