@@ -3619,7 +3619,6 @@ def _multimodal_pipeline_sql() -> str:
     hkp_where = "" if hkp_rows else " WHERE id_a IS NOT NULL"
     from .operators.multimodal import _image_keypoints
 
-    krows = con2 = None  # noqa: F841 — scoped below
     import duckdb as _dd
 
     _c = _dd.connect()
