@@ -365,3 +365,45 @@ def test_overlap_drop_list_merges_classes(spark):
     assert not out[2].is_canonical and not out[3].is_canonical
     assert out[2].cluster_id == out[3].cluster_id == out[1].cluster_id
     assert out[4].is_canonical
+
+
+def test_cdc_fast_path_equals_sequential_reference():
+    """The vectorized log-doubling boundary scan is bit-identical to
+    the per-byte rolling-hash reference for min_size ≥ 64 (the
+    64-byte-window closed form's validity condition), including
+    constant payloads and several size configs."""
+    import hashlib as _h
+
+    def blob(seed, nb):
+        parts, total, i = [], 0, 0
+        while total < nb:
+            parts.append(_h.sha256(f"{seed}:{i}".encode()).digest())
+            total += 32
+            i += 1
+        return b"".join(parts)[:nb]
+
+    def seq(payload, min_size, avg_size, max_size):
+        gear = mm._GEAR or mm._gear_table()
+        mask = ((1 << 64) - 1) ^ ((1 << (64 - (avg_size.bit_length() - 1))) - 1)
+        out, start, h, i, n = [], 0, 0, 0, len(payload)
+        while i < n:
+            h = ((h << 1) + gear[payload[i]]) & ((1 << 64) - 1)
+            i += 1
+            length = i - start
+            if (length >= min_size and (h & mask) == 0) or length >= max_size:
+                out.append(
+                    (start, length, _h.md5(payload[start:i]).hexdigest())
+                )
+                start = i
+                h = 0
+        if start < n:
+            out.append(
+                (start, n - start, _h.md5(payload[start:]).hexdigest())
+            )
+        return out
+
+    cases = [blob(f"fp{i}", 1 + (i * 7919) % 20000) for i in range(6)]
+    cases.append(bytes(5000))
+    for p in cases:
+        for sizes in ((128, 512, 2048), (64, 256, 1024), (1024, 4096, 16384)):
+            assert mm.cdc_chunks(p, *sizes) == seq(p, *sizes), (len(p), sizes)
