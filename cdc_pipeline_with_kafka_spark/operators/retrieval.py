@@ -1,0 +1,294 @@
+"""Lexical retrieval and hybrid rank fusion.
+
+BM25 (Okapi, Robertson/Sparck Jones; the `+1` idf variant of
+Lucene/BM25+ so weights stay positive) over an inverted postings
+index built with one corpus scan, plus reciprocal-rank fusion
+(Cormack, Clarke & Buettcher, SIGIR 2009) to combine lexical and
+dense (ANN) rankings into one hybrid search.
+
+The reference has no search tier; this belongs to the training-data
+toolkit this engine adds on top of SURVEY.md §2 — retrieval-based
+data selection, eval-set contamination triage ("which training docs
+does this eval question retrieve?"), and hybrid near-dup review.
+
+Determinism contract (what makes the driver gate value-exact):
+
+- idf is computed ONCE on the driver from collected `(term, df)`
+  rows — bounded by the QUERY vocabulary, not the corpus — and
+  shipped as integer micro-nat literals (``round(1e6·ln)`` HALF_UP).
+  The distributed side never calls ``ln``, so JVM-vs-libm ulp drift
+  cannot leak into scores.
+- each (query, doc, term) contribution is rounded to an integer
+  micro-score BEFORE summation; summing longs is associative, so
+  partition order cannot change a score by a bit.
+- ranking ties break on ascending doc id.
+
+Scale notes (100 TB): the postings build is one scan + one
+aggregation (the unavoidable index cost — persist it; appending a
+shard is appending its postings). Scoring is postings ⋈
+broadcast(query weights) + a partial-aggregated sum + a per-query
+window top-k (WindowGroupLimit) — the corpus is touched once and
+never re-shuffled per query. The two driver collects are bounded by
+construction: one 1-row corpus stat, one row per DISTINCT QUERY
+TERM.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_IDF_SCALE = 1_000_000
+_RRF_SCALE = 2_000_000_000  # 2 × 1e9: floor((2S + d) / 2d) = round(S/d)
+
+
+def _terms(col):
+    """Whitespace tokenization, lowercased — the corpus-wide term
+    convention shared with curation.tfidf_top_terms."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def terms_py(text: str) -> list[str]:
+    """Pure-Python twin of _terms (oracle/replay side)."""
+    import re
+
+    return [t for t in re.split(r"\s+", (text or "").lower().strip()) if t]
+
+
+def build_bm25_index(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted postings index: one row per (doc, term) with the
+    in-doc term frequency and the doc length in tokens.
+
+    One scan → explode → groupBy(doc, term); the doc length rides on
+    every posting row via a window over the doc id (no join back
+    through a second scan — same rationale as tfidf_top_terms' df
+    window). Persist the result as the index; admitting a shard means
+    appending its postings (term stats are recomputed per query from
+    the union, so the index needs no rebuild)."""
+    tokens = docs.select(
+        F.col(id_col), F.explode(_terms(F.col(text_col))).alias("term")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    w_doc = Window.partitionBy(id_col)
+    return tf.withColumn("dl", F.sum("tf").over(w_doc))
+
+
+def _idf_micro(n_docs: int, df: int) -> int:
+    """round(1e6 · ln(1 + (N − df + 0.5)/(df + 0.5))) HALF_UP — the
+    Lucene BM25 idf (always > 0). Driver-only; shipped as a literal."""
+    x = _IDF_SCALE * math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def bm25_topk(
+    docs: DataFrame | None,
+    queries: DataFrame,
+    *,
+    index: DataFrame | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query by BM25.
+
+    Returns (query_id, doc_id, score_micro, rnk) — score_micro is the
+    sum of per-term integer micro-scores (exact long arithmetic after
+    the one per-contribution rounding; see module docstring).
+
+    Pass a persisted ``index`` (from build_bm25_index) to skip the
+    corpus scan; otherwise it is built from ``docs``. The query set
+    must be small (it is collected to compute pinned idf literals) —
+    that is the nature of a query workload, not a corpus operator."""
+    if index is None:
+        if docs is None:
+            raise ValueError("need docs or a prebuilt index")
+        index = build_bm25_index(docs, text_col=text_col, id_col=id_col)
+
+    stats = index.agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.sum("tf").alias("dl_total"),
+    ).first()
+    n_docs, dl_total = int(stats["n_docs"]), int(stats["dl_total"])
+    avgdl = dl_total / n_docs if n_docs else 1.0
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_terms(F.col(query_text_col))).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+        .collect()
+    )
+    vocab = sorted({r["term"] for r in qterms})
+    spark = queries.sparkSession
+    if not vocab:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score_micro long, rnk int"
+        )
+    vocab_df = spark.createDataFrame([(t,) for t in vocab], "term string")
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in index.join(F.broadcast(vocab_df), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    weights = [
+        (r["query_id"], r["term"], int(r["qtf"]), _idf_micro(n_docs, dfs[r["term"]]))
+        for r in qterms
+        if r["term"] in dfs  # terms absent from the corpus score nothing
+    ]
+    if not weights:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score_micro long, rnk int"
+        )
+    w_df = spark.createDataFrame(
+        weights, "query_id long, term string, qtf long, idf_micro long"
+    )
+
+    # contribution — the exact double expression the Python twin
+    # replays: ((qtf·idf_micro) · (tf·(k1+1))) / (tf + k1·((1−b) + b·(dl/avgdl)))
+    tf_d = F.col("tf").cast("double")
+    num = (F.col("qtf") * F.col("idf_micro")).cast("double") * (
+        tf_d * F.lit(k1 + 1.0)
+    )
+    den = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
+    )
+    contrib = F.round(num / den, 0).cast("long")
+
+    scores = (
+        index.join(F.broadcast(w_df), "term")
+        .select("query_id", F.col(id_col).alias("doc_id"), contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score_micro", "rnk")
+    )
+
+
+def bm25_scores_py(
+    docs: list[tuple[int, str]],
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[int, int, int, int]]:
+    """Pure-Python twin of bm25_topk (oracle/replay side): identical
+    tokenization, identical IEEE double op order per contribution,
+    identical HALF_UP micro rounding, identical tiebreaks. Returns
+    sorted (query_id, doc_id, score_micro, rnk)."""
+    toks = {d: terms_py(t) for d, t in docs}
+    by_term: dict[str, list[tuple[int, int]]] = {}
+    dl: dict[int, int] = {}
+    dfc: dict[str, int] = {}
+    for d, ts in toks.items():
+        dl[d] = len(ts)
+        seen: dict[str, int] = {}
+        for t in ts:
+            seen[t] = seen.get(t, 0) + 1
+        for t, c in seen.items():
+            by_term.setdefault(t, []).append((d, c))
+            dfc[t] = dfc.get(t, 0) + 1
+    n_docs = sum(1 for d in dl.values() if d > 0)
+    dl_total = sum(dl.values())
+    avgdl = dl_total / n_docs if n_docs else 1.0
+    k1p1, omb = k1 + 1.0, 1.0 - b
+
+    out: list[tuple[int, int, int, int]] = []
+    for qid, qtext in queries:
+        qtf: dict[str, int] = {}
+        for t in terms_py(qtext):
+            qtf[t] = qtf.get(t, 0) + 1
+        scores: dict[int, int] = {}
+        for t, qc in qtf.items():
+            if t not in dfc:
+                continue
+            idf_m = _idf_micro(n_docs, dfc[t])
+            for d, c in by_term[t]:
+                num = float(qc * idf_m) * (float(c) * k1p1)
+                den = float(c) + k1 * (omb + b * (float(dl[d]) / avgdl))
+                cm = int(
+                    Decimal(repr(num / den)).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+                scores[d] = scores.get(d, 0) + cm
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend((qid, d, s, i + 1) for i, (d, s) in enumerate(ranked))
+    return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 10,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings into one hybrid top-k.
+
+    rrf(d) = Σ_lists round(1e9 / (k_rrf + rank_list(d))), the sum over
+    the lists that ranked d. Contributions are EXACT integer
+    arithmetic — ``(2·1e9 + r) div (2·r)`` is round-half-up of 1e9/r
+    without any floating point — so fusion is engine-portable and
+    partition-order-free. Ties break on ascending doc id; n_lists
+    rides along so consumers can require corroboration.
+
+    Inputs need (query_col, id_col, rank_col); a doc missing from a
+    list simply contributes nothing (the standard RRF convention)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = []
+    for r in rankings:
+        parts.append(
+            r.select(
+                F.col(query_col).alias("query_id"),
+                F.col(id_col).alias("doc_id"),
+                F.expr(
+                    f"CAST(({_RRF_SCALE} + ({rank_col} + {int(k_rrf)})) div "
+                    f"(2 * ({rank_col} + {int(k_rrf)})) AS BIGINT)"
+                ).alias("c"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    fused = out.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_lists")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "rrf_micro", "n_lists", "rnk")
+    )
+
+
+def rrf_contrib_py(rank: int, k_rrf: int = 60) -> int:
+    """Pure-Python twin of one RRF contribution (exact integer)."""
+    r = rank + k_rrf
+    return (_RRF_SCALE + r) // (2 * r)

@@ -4393,10 +4393,46 @@ def _bpe_oracle_sql() -> str:
     )
 
 
+_BM25_QUERY_IDS = 5  # query q = first _BM25_HEAD tokens of doc q
+_BM25_HEAD = 8
+_BM25_K = 10
+
+
+def _bm25_gate_parts(spark, sf_dir):
+    """Shared by the 'bm25' and 'rrf' branches: the lexical top-10 for
+    the 5 head-of-document queries (checkpointed — rrf reuses it), and
+    the dense cosine top-10 for the SAME query ids over the aligned
+    embeddings table (vec_id ≡ doc_id per TESTDATA.md)."""
+    from .operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < _BM25_QUERY_IDS).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, _BM25_HEAD)
+        ).alias("text"),
+    )
+    lex = retrieval.bm25_topk(docs, queries, k=_BM25_K).localCheckpoint()
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = similarity.cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _BM25_QUERY_IDS).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=_BM25_K,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
+    fused = retrieval.rrf_fuse([lex, dense], k=_BM25_K)
+    return lex, fused
+
+
 def sim_ann_suite(spark, sf_dir):
     """sim_lsh_ann_topk + sim_ivf_ann_topk in one tagged gate (r5
     merge — frees a budget slot; both ANN paths keep every
-    (query, hit, score, rank) row)."""
+    (query, hit, score, rank) row), plus the retrieval tier (r6):
+    'bm25' — lexical top-10 per head-of-document query, every
+    (query, doc, integer micro-score, rank) row vs the pinned-Python
+    twin; 'rrf' — the hybrid lexical+dense fusion, every
+    (query, doc, exact-integer rrf score, n_lists, rank) row."""
     lsh = _suite_rows(
         sim_lsh_ann_topk(spark, sf_dir), "lsh",
         F.concat_ws("|", F.col("query_id").cast("string"), F.col("vec_id").cast("string")),
@@ -4409,10 +4445,79 @@ def sim_ann_suite(spark, sf_dir):
         v_str=F.col("rnk").cast("string"),
         v_num=F.col("cos_sim"),
     )
-    return lsh.unionByName(ivf)
+    lex, fused = _bm25_gate_parts(spark, sf_dir)
+    bm25 = _suite_rows(
+        lex, "bm25",
+        F.concat_ws("|", F.col("query_id").cast("string"), F.col("doc_id").cast("string")),
+        v_str=F.col("rnk").cast("string"),
+        v_num=F.col("score_micro").cast("double"),
+    )
+    rrf = _suite_rows(
+        fused, "rrf",
+        F.concat_ws("|", F.col("query_id").cast("string"), F.col("doc_id").cast("string")),
+        v_str=F.concat_ws("|", F.col("rnk").cast("string"), F.col("n_lists").cast("string")),
+        v_num=F.col("rrf_micro").cast("double"),
+    )
+    return _union_all([lsh, ivf, bm25, rrf])
+
+
+def _bm25_oracle_values() -> str:
+    """Pinned-Python BM25 oracle: the pure twin (retrieval.
+    bm25_scores_py — identical tokenization, per-contribution IEEE op
+    order, HALF_UP micro rounding, tiebreaks) re-run off-Spark over
+    the driver's parquet. Emits VALUES(query_id, doc_id, score_micro,
+    rnk)."""
+    from .operators import retrieval
+
+    rows = _oracle_docs()
+    queries = [
+        (d, " ".join(retrieval.terms_py(t)[:_BM25_HEAD]))
+        for d, t in rows
+        if d < _BM25_QUERY_IDS
+    ]
+    scored = retrieval.bm25_scores_py(rows, queries, k=_BM25_K)
+    vals = ", ".join(f"({q}, {d}, {s}, {r})" for q, d, s, r in scored)
+    return (
+        "SELECT q::BIGINT AS query_id, d::BIGINT AS doc_id, "
+        "s::BIGINT AS score_micro, r::INT AS rnk "
+        f"FROM (VALUES {vals}) AS t(q, d, s, r)"
+    )
+
+
+def _rrf_oracle_sql(bm25_values: str) -> str:
+    """Hybrid-fusion replay: lexical ranks from the pinned BM25 VALUES,
+    dense ranks from the proven cosine oracle (SIM_TOPK_SQL extended to
+    the 5 gate queries), contributions as the same exact integer
+    round-half-up (2S + r) // (2r) — no floating point anywhere."""
+    dense = SIM_TOPK_SQL.replace("vec_id < 5", f"vec_id < {_BM25_QUERY_IDS}")
+    return f"""
+WITH lex AS ({bm25_values}),
+dense AS ({dense}),
+contrib AS (
+  SELECT query_id, doc_id,
+         (2000000000 + (rnk + 60)) // (2 * (rnk + 60)) AS c
+  FROM lex
+  UNION ALL
+  SELECT query_id, vec_id,
+         (2000000000 + (rnk + 60)) // (2 * (rnk + 60))
+  FROM dense
+),
+fused AS (
+  SELECT query_id, doc_id, SUM(c) AS rrf_micro, COUNT(*) AS n_lists
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_micro, n_lists, rnk
+FROM ranked WHERE rnk <= {_BM25_K}
+"""
 
 
 def _sim_ann_suite_sql() -> str:
+    bm25_vals = _bm25_oracle_values()
     return f"""
 SELECT 'lsh' AS suite_case,
        CAST(query_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR) AS k,
@@ -4422,6 +4527,15 @@ UNION ALL
 SELECT 'ivf', CAST(query_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR),
        CAST(rnk AS VARCHAR), CAST(cos_sim AS DOUBLE)
 FROM ({SIM_IVF_SQL}) s2
+UNION ALL
+SELECT 'bm25', CAST(query_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
+       CAST(rnk AS VARCHAR), CAST(score_micro AS DOUBLE)
+FROM ({bm25_vals}) s3
+UNION ALL
+SELECT 'rrf', CAST(query_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
+       CAST(rnk AS VARCHAR) || '|' || CAST(n_lists AS VARCHAR),
+       CAST(rrf_micro AS DOUBLE)
+FROM ({_rrf_oracle_sql(bm25_vals)}) s4
 """
 
 

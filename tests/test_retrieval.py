@@ -1,0 +1,133 @@
+"""BM25 lexical retrieval + reciprocal-rank fusion."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark import plans
+from cdc_pipeline_with_kafka_spark.operators import retrieval as R
+
+from .conftest import SF_SMOKE
+
+
+def _queries_df(spark):
+    # query text = first 8 tokens of docs 0/1/2 — self-retrieval shape
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    return docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 8)
+        ).alias("text"),
+    )
+
+
+def _docs_py():
+    return duckdb.sql(
+        f"SELECT doc_id, coalesce(text,'') FROM "
+        f"'{SF_SMOKE}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_bm25_matches_pure_python_twin(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rnk"])
+        for r in R.bm25_topk(docs, _queries_df(spark), k=10).collect()
+    )
+    rows = _docs_py()
+    queries = [(d, " ".join(R.terms_py(t)[:8])) for d, t in rows if d < 3]
+    want = sorted(R.bm25_scores_py(rows, queries, k=10))
+    assert got == want
+
+
+def test_bm25_prebuilt_index_equals_direct(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    idx = R.build_bm25_index(docs).localCheckpoint()
+    qs = _queries_df(spark)
+    direct = sorted(map(tuple, R.bm25_topk(docs, qs, k=5).collect()))
+    via_idx = sorted(map(tuple, R.bm25_topk(None, qs, index=idx, k=5).collect()))
+    assert direct == via_idx and len(direct) == 15
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra apple apple"),
+            (1, "apple apple apple"),
+            (2, "apple pear plum"),
+            (3, "apple kiwi fig"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(0, "zebra apple")], "query_id long, text string")
+    top = R.bm25_topk(docs, qs, k=4).orderBy("rnk").collect()
+    # doc 0 holds the corpus's only 'zebra' — idf dominates
+    assert top[0]["doc_id"] == 0
+    # every hit contains at least one query term
+    assert {r["doc_id"] for r in top} <= {0, 1, 2, 3}
+
+
+def test_bm25_query_terms_absent_from_corpus(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(0, "nosuchterm"), (1, "")], "query_id long, text string"
+    )
+    assert R.bm25_topk(docs, qs, k=3).count() == 0
+
+
+def test_bm25_scoring_path_broadcasts_weights(spark):
+    """Scoring = postings ⋈ broadcast(query weights): the corpus side
+    must never SMJ-shuffle for the join (the groupBy shuffles are the
+    designed aggregations)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = R.bm25_topk(docs, _queries_df(spark), k=5)
+    assert plans.has_broadcast_join(df)
+
+
+def test_rrf_exact_contributions(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rnk int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rnk int"
+    )
+    got = {
+        (r["doc_id"]): (r["rrf_micro"], r["n_lists"], r["rnk"])
+        for r in R.rrf_fuse([a, b], k=3).collect()
+    }
+    c1, c2 = R.rrf_contrib_py(1), R.rrf_contrib_py(2)
+    # doc 11 is in both lists (rank 2 + rank 1) and must fuse on top
+    assert got[11] == (c1 + c2, 2, 1)
+    assert got[10] == (c1, 1, 2)  # tie c1 vs c1 → lower doc_id first
+    assert got[12] == (c2, 1, 3)
+    assert c1 == round(1e9 / 61) and c2 == round(1e9 / 62)
+
+
+def test_rrf_hybrid_over_real_tables(spark):
+    """Hybrid search: BM25 over documents fused with dense cosine
+    over the aligned embeddings — every fused row keeps provenance
+    (n_lists) and ranks are deterministic."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    lex = R.bm25_topk(docs, _queries_df(spark), k=10)
+    dense = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ), k=10,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rnk")
+    fused = R.rrf_fuse([lex, dense], k=10).collect()
+    assert len(fused) == 30  # 3 queries × top-10
+    by_q: dict = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r["rnk"])
+        # rank order must follow (rrf_micro desc, doc_id asc)
+        keys = [(-r["rrf_micro"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+        assert all(1 <= r["n_lists"] <= 2 for r in rows)
