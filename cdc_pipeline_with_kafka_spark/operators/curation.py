@@ -166,6 +166,79 @@ def tfidf_top_terms(
     )
 
 
+def cluster_topics(
+    assigned: DataFrame,
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    assign_id_col: str = "vec_id",
+    cluster_col: str = "centroid_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Label k-means clusters with their top-k DISTINCTIVE terms —
+    the corpus-exploration step after SemDeDup/k-means assignment
+    ("what is cluster 7 about?").
+
+    Distinctiveness = integer-exact lift of the term's in-cluster
+    relative frequency over its corpus relative frequency:
+
+        in_ppb    = cnt·1e9        div cluster_tokens
+        corp_ppb  = term_total·1e9 div corpus_tokens
+        lift_milli = in_ppb·1000   div max(corp_ppb, 1)
+
+    (lift ≈ 1000 ⇒ the term is no more common in the cluster than in
+    the corpus — stopwords self-suppress without a stopword list.)
+    Every step is long arithmetic, so the score is engine-portable
+    and partition-order-free — no floats anywhere.
+
+    Shape at scale: one corpus scan → (cluster, term) counts; the
+    enrichment windows and the rank run over the STATS table
+    (≤ vocab × clusters rows), never the corpus. The corpus total
+    rides along as a broadcast 1-row aggregate."""
+    base = (
+        assigned.select(F.col(assign_id_col).alias(id_col), cluster_col)
+        .join(docs.select(id_col, text_col), id_col)
+        .select(
+            cluster_col,
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("term"),
+        )
+        .groupBy(cluster_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = base.agg(F.sum("cnt").alias("corpus_tokens"))
+    enr = (
+        base.withColumn(
+            "cl_tok", F.sum("cnt").over(Window.partitionBy(cluster_col))
+        )
+        .withColumn("term_total", F.sum("cnt").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(tot))
+    )
+    scored = enr.select(
+        cluster_col,
+        "term",
+        "cnt",
+        F.expr(
+            "((cnt * 1000000000 div cl_tok) * 1000) div "
+            "greatest(term_total * 1000000000 div corpus_tokens, 1)"
+        ).alias("lift_milli"),
+    ).filter(F.col("cnt") >= min_count)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("lift_milli").desc(), F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(cluster_col, "term", "cnt", "lift_milli", "rnk")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     *,

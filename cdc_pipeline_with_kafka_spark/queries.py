@@ -4736,9 +4736,25 @@ def semdedup(spark, sf_dir):
         F.concat_ws("|", F.col("c").cast("string"), F.col("j").cast("string")),
         v_num=F.col("v"),
     )
+    # r6 'topic': cluster labeling over the SAME pinned assignment —
+    # top-5 distinctive terms per centroid by integer-exact lift
+    # (curation.cluster_topics; twins carry no text so the doc join
+    # restricts to originals, mirrored in the oracle)
+    from .operators import curation as _cur
+
+    topics = _cur.cluster_topics(
+        assigned, _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        k=5, min_count=2,
+    )
+    topic_rows = _suite_rows(
+        topics, "topic",
+        F.concat_ws("|", F.col("centroid_id").cast("string"), F.col("term")),
+        v_str=F.concat_ws("|", F.col("rnk").cast("string"), F.col("cnt").cast("string")),
+        v_num=F.col("lift_milli").cast("double"),
+    )
     return _union_all(
         [assign_rows, pair_rows, surv_rows, km_rows, kmc_rows,
-         kmu_rows, kmuc_rows, sinc_rows]
+         kmu_rows, kmuc_rows, sinc_rows, topic_rows]
     )
 
 
@@ -4858,6 +4874,39 @@ FROM (VALUES {kmu_vals}) kmu(vid, cid)
 UNION ALL
 SELECT 'kmuc', CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR), '', CAST(v AS DOUBLE)
 FROM (VALUES {kmuc_vals}) kmuc(c, j, v)
+UNION ALL
+SELECT 'topic', CAST(centroid_id AS VARCHAR) || '|' || term,
+       CAST(rnk AS VARCHAR) || '|' || CAST(cnt AS VARCHAR),
+       CAST(lift_milli AS DOUBLE)
+FROM (
+  WITH tok AS (
+    SELECT a.centroid_id,
+           unnest(list_filter(string_split_regex(lower(trim(coalesce(d.text, ''))), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
+  ),
+  tbase AS (SELECT centroid_id, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+  tenr AS (
+    SELECT centroid_id, term, cnt,
+           SUM(cnt) OVER (PARTITION BY centroid_id) AS cl_tok,
+           SUM(cnt) OVER (PARTITION BY term) AS term_total,
+           SUM(cnt) OVER () AS corpus_tokens
+    FROM tbase
+  ),
+  tscored AS (
+    SELECT centroid_id, term, cnt,
+           ((cnt * 1000000000 // cl_tok) * 1000)
+             // greatest(term_total * 1000000000 // corpus_tokens, 1) AS lift_milli
+    FROM tenr WHERE cnt >= 2
+  ),
+  tranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY centroid_id
+      ORDER BY lift_milli DESC, cnt DESC, term ASC) AS rnk
+    FROM tscored
+  )
+  SELECT centroid_id, term, cnt, lift_milli, rnk FROM tranked WHERE rnk <= 5
+) topics
 """
 
 

@@ -1138,3 +1138,48 @@ def test_training_batches_end_to_end_chain(spark):
     for b, fill in fills.items():
         if b < max(fills):
             assert fill == 2048
+
+
+def test_cluster_topics_surfaces_distinctive_terms(spark):
+    """Two clusters with distinct vocabularies share a stopword: each
+    cluster's top term must be its own distinctive word (lift ≫ 1000)
+    while the everywhere-word's lift stays ≈ 1000 and never tops."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the spark spark shuffle"),
+            (1, "the spark shuffle shuffle"),
+            (2, "the zebra zebra savanna"),
+            (3, "the savanna zebra savanna"),
+        ],
+        "doc_id long, text string",
+    )
+    assigned = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "vec_id long, centroid_id int"
+    )
+    rows = curation.cluster_topics(assigned, docs, k=2, min_count=2).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["centroid_id"], []).append(r)
+    top0 = sorted(by_cluster[0], key=lambda r: r["rnk"])
+    top1 = sorted(by_cluster[1], key=lambda r: r["rnk"])
+    assert {top0[0]["term"], top0[1]["term"]} == {"spark", "shuffle"}
+    assert {top1[0]["term"], top1[1]["term"]} == {"zebra", "savanna"}
+    # distinctive terms: in-cluster freq 3/8 vs corpus 3/16 → lift 2000
+    assert all(r["lift_milli"] == 2000 for r in top0 + top1)
+    # the stopword never makes top-2, and its lift is exactly 1000
+    full = curation.cluster_topics(assigned, docs, k=10, min_count=2).collect()
+    the_rows = [r for r in full if r["term"] == "the"]
+    assert the_rows and all(r["lift_milli"] == 1000 for r in the_rows)
+    assert all(r["rnk"] > 2 for r in the_rows)
+
+
+def test_cluster_topics_min_count_prunes_singletons(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, "aa aa cc")], "doc_id long, text string"
+    )
+    assigned = spark.createDataFrame([(0, 0), (1, 0)], "vec_id long, centroid_id int")
+    terms = {
+        r["term"]
+        for r in curation.cluster_topics(assigned, docs, k=10, min_count=2).collect()
+    }
+    assert terms == {"aa"}  # bb/cc appear once → pruned
