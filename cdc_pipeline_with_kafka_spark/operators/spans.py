@@ -388,6 +388,144 @@ def dedup_lines_across_docs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm) at word grain: hash every
+    k-token gram, slide a window of w consecutive hashes, keep each
+    window's minimum (ties → rightmost).  GUARANTEE: two documents
+    sharing any passage of ≥ w + k − 1 tokens share at least one
+    fingerprint; expected density is 2/(w+1) — the tunable sweet spot
+    between every-window indexing (`build_window_index`, 1 row per
+    window) and MinHash (constant rows per doc, but no substring
+    guarantee).
+
+    Returns (id, pos, fp): the selected 0-based gram position and its
+    60-bit hash (first 15 md5 hex digits — orderable, engine-portable).
+
+    Spark shape: the hash array, the sliding argmin, and the distinct
+    all run IN-ROW over the document's own token array (JVM
+    higher-order expressions — O(n·w) comparisons per doc, no Python,
+    no token-grain shuffle anywhere); only the selected ~2n/(w+1)
+    fingerprints explode into rows.  Documents with fewer than w
+    grams winnow as a single window (their global min) so short docs
+    still fingerprint."""
+    if k < 2:
+        raise ValueError("gram size k must be ≥ 2 tokens")
+    if w < 2:
+        raise ValueError("window size w must be ≥ 2 hashes")
+    toks = _tokens(F.col(text_col))
+    hs_expr = F.transform(
+        _word_ngrams(toks, k),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    # the explode(array(...)) barrier pins ONE evaluation of the hash
+    # array: the sliding argmin below references it O(n·w) times, and
+    # higher-order lambdas defeat Catalyst's subexpression elimination
+    # — inlined, every reference would re-tokenize and re-hash the
+    # document (same trick/rationale as ngram_jaccard_pairs)
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(F.array(hs_expr)).alias("hs")
+    )
+    hs = F.col("hs")
+    n = F.size(hs)
+    m = F.greatest(n - F.lit(w - 1), F.lit(1))  # number of windows
+    jend = lambda j: F.least(j + F.lit(w - 1), n - F.lit(1))  # noqa: E731
+    pick = lambda j: F.aggregate(  # rightmost min of hs[j..jend]  # noqa: E731
+        F.when(jend(j) >= j + 1, F.sequence(j + F.lit(1), jend(j))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        F.struct(
+            F.element_at(hs, j + F.lit(1)).alias("fp"), j.cast("int").alias("pos")
+        ),
+        lambda acc, i: F.when(
+            F.element_at(hs, i + F.lit(1)) <= acc["fp"],
+            F.struct(
+                F.element_at(hs, i + F.lit(1)).alias("fp"), i.cast("int").alias("pos")
+            ),
+        ).otherwise(acc),
+    )
+    sel = F.when(
+        n > 0,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), m - 1), pick)),
+    ).otherwise(F.array().cast("array<struct<fp:bigint,pos:int>>"))
+    return base.select("id", F.explode(sel).alias("s")).select(
+        "id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = None,
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ min_shared winnowing fingerprints —
+    MOSS-style overlap candidates with the substring guarantee
+    (any shared ≥ w+k−1-token passage produces a pair).
+
+    Inverted-index shape (the ngram_jaccard_pairs plan): posting list
+    per fingerprint, upper-triangle expansion inside the list, one
+    count per pair — shuffles scale with postings (~2n/(w+1) per doc),
+    never n².  `max_fp_df` caps hot posting lists (corpus-wide
+    boilerplate) exactly like max_gram_df.  Pass `fps` to reuse a
+    winnow_fingerprints output.  Returns (id_a, id_b, shared_fps)."""
+    if fps is None:
+        fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    postings = (
+        fps.select("id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_fp_df is not None:
+        postings = postings.filter(F.size("ids") <= max_fp_df)
+    pairs = postings.selectExpr("ids", "posexplode(ids) AS (p, a)").selectExpr(
+        "a", "explode(slice(ids, p + 2, size(ids))) AS b"
+    )
+    return (
+        pairs.selectExpr("least(a, b) AS id_a", "greatest(a, b) AS id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnow_fps_py(text: str, k: int = 4, w: int = 4) -> list[tuple[int, int]]:
+    """Pure-Python twin of winnow_fingerprints for one document
+    (oracle/property side): identical tokenization, hashing, rightmost
+    tiebreak, and short-doc single-window behavior.  Returns sorted
+    (pos, fp)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", (text or "").lower().strip()) if t]
+    if len(toks) < k:
+        return []
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    n = len(hs)
+    out: set[tuple[int, int]] = set()
+    for j in range(max(n - w + 1, 1)):
+        je = min(j + w - 1, n - 1)
+        best_h, best_i = hs[j], j
+        for i in range(j + 1, je + 1):
+            if hs[i] <= best_h:
+                best_h, best_i = hs[i], i
+        out.add((best_i, best_h))
+    return sorted(out)
+
+
 def build_window_index(
     corpus: DataFrame,
     k: int = 10,

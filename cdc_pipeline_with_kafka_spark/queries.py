@@ -5690,7 +5690,88 @@ def span_dedup(spark, sf_dir):
         v_str=F.col("span_end").cast("string"),
         v_num=F.col("n_windows"),
     )
-    return _union_all([span_rows, doc_rows, line_rows, rep_rows])
+    # r6 'winn'/'winp': winnowing fingerprints (Schleimer et al. 2003)
+    # — per-doc fingerprint xor+count over the real corpus, and the
+    # MOSS pair candidates over planted-overlap twins (each doc d and
+    # d+offset share their first-100-char passage behind different
+    # tails; raw testdata has no organic ≥ w+k−1-token overlaps)
+    fps = spans_ops.winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+    winn_rows = _suite_rows(
+        fps.groupBy("id").agg(
+            F.expr("bit_xor(fp)").alias("fp_xor"),
+            F.count(F.lit(1)).alias("n_fps"),
+        ),
+        "winn", F.col("id"),
+        v_str=F.col("fp_xor").cast("string"),
+        v_num=F.col("n_fps"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 100), F.lit(" tail alpha variant")).alias("text"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + _WINNOW_TWIN).alias("doc_id"),
+            F.concat(F.substring("text", 1, 100), F.lit(" tail beta variant")).alias("text"),
+        )
+    )
+    winp_rows = _suite_rows(
+        spans_ops.winnow_pairs(planted, k=_WINNOW_K, w=_WINNOW_W),
+        "winp",
+        F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
+        v_num=F.col("shared_fps"),
+    )
+    return _union_all(
+        [span_rows, doc_rows, line_rows, rep_rows, winn_rows, winp_rows]
+    )
+
+
+_WINNOW_K, _WINNOW_W = 4, 4
+_WINNOW_TWIN = 100_000
+
+
+def _span_dedup_sql() -> str:
+    """SPAN_DEDUP_SQL + the winnowing branches from the pinned
+    pure-Python twin (spans.winnow_fps_py — identical tokenization,
+    hashing, rightmost-min tiebreak), re-run off-Spark over the
+    driver's parquet."""
+    from functools import reduce
+
+    from .operators import spans as spans_ops
+
+    rows = _oracle_docs()
+    winn_vals = []
+    for doc_id, text in rows:
+        fps = spans_ops.winnow_fps_py(text, k=_WINNOW_K, w=_WINNOW_W)
+        if not fps:
+            continue
+        xor = reduce(lambda a, b: a ^ b, (fp for _, fp in fps))
+        winn_vals.append(f"({doc_id}, {xor}, {len(fps)})")
+    # planted-overlap twins: replay the same construction
+    fp_ids: dict[int, set[int]] = {}
+    for doc_id, text in rows:
+        for vid, tail in ((doc_id, " tail alpha variant"),
+                          (doc_id + _WINNOW_TWIN, " tail beta variant")):
+            for _, fp in spans_ops.winnow_fps_py(
+                text[:100] + tail, k=_WINNOW_K, w=_WINNOW_W
+            ):
+                fp_ids.setdefault(fp, set()).add(vid)
+    shared: dict[tuple[int, int], int] = {}
+    for ids in fp_ids.values():
+        sids = sorted(ids)
+        for i, a in enumerate(sids):
+            for b in sids[i + 1:]:
+                shared[(a, b)] = shared.get((a, b), 0) + 1
+    winp_vals = [f"({a}, {b}, {n})" for (a, b), n in sorted(shared.items())]
+    return f"""{SPAN_DEDUP_SQL}
+UNION ALL
+SELECT 'winn', CAST(doc_id AS VARCHAR), CAST(fp_xor AS VARCHAR),
+       CAST(n_fps AS DOUBLE)
+FROM (VALUES {', '.join(winn_vals)}) winn(doc_id, fp_xor, n_fps)
+UNION ALL
+SELECT 'winp', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR), '',
+       CAST(shared_fps AS DOUBLE)
+FROM (VALUES {', '.join(winp_vals)}) winp(id_a, id_b, shared_fps)
+"""
 
 
 SPAN_DEDUP_SQL = """
@@ -6149,7 +6230,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pq_recall": (pq_recall, _pq_oracle_sql),
     # r4 tier (slots freed by the w1/w8 merges): substring-level dedup
     # and the NB/DSIR model-in-the-loop curation classifiers
-    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
+    "span_dedup": (span_dedup, _span_dedup_sql),
     "classify_suite": (classify_suite, _classify_suite_sql),
     # r5 tier (slots freed by the minhash / ANN merges): SemDeDup with
     # a pinned-centroid oracle, and the corpus-release builder tier

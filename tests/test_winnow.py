@@ -1,0 +1,130 @@
+"""Winnowing fingerprints (Schleimer et al. 2003) — twin parity,
+the substring-match guarantee, density, and pair candidates."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark.operators import spans
+
+from .conftest import SF_SMOKE
+
+K, W = 4, 4
+
+
+def test_winnow_matches_pure_python_twin_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = sorted(
+        (r["id"], r["pos"], r["fp"])
+        for r in spans.winnow_fingerprints(docs, k=K, w=W).collect()
+    )
+    rows = duckdb.sql(
+        f"SELECT doc_id, coalesce(text,'') FROM "
+        f"'{SF_SMOKE}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    want = sorted(
+        (d, pos, fp)
+        for d, t in rows
+        for pos, fp in spans.winnow_fps_py(t, k=K, w=W)
+    )
+    assert got == want and len(got) > 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    shared=st.lists(st.sampled_from("abcdefg"), min_size=W + K - 1, max_size=12),
+    pre=st.lists(st.sampled_from("xyzuvw"), max_size=6),
+    post=st.lists(st.sampled_from("mnopqr"), max_size=6),
+)
+def test_guarantee_shared_passage_shares_a_fingerprint(shared, pre, post):
+    """Any shared passage of ≥ w+k−1 tokens must yield ≥1 common
+    fingerprint (the winnowing guarantee) — pure-twin property."""
+    a = " ".join(pre + shared)
+    b = " ".join(shared + post)
+    fa = {fp for _, fp in spans.winnow_fps_py(a, k=K, w=W)}
+    fb = {fp for _, fp in spans.winnow_fps_py(b, k=K, w=W)}
+    assert fa & fb
+
+
+def test_density_is_bounded(spark):
+    """Fingerprints per doc ≈ 2/(w+1) of grams — never more than the
+    gram count, never fewer than 1/w of windows (selection emits at
+    least one fp per disjoint window block)."""
+    rows = duckdb.sql(
+        f"SELECT coalesce(text,'') FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    for (t,) in rows[:50]:
+        toks = spans.winnow_fps_py(t, k=K, w=W)
+        n_grams = max(len(t.split()) - K + 1, 0)
+        if n_grams == 0:
+            assert toks == []
+            continue
+        assert 1 <= len(toks) <= n_grams
+        assert len(toks) >= (max(n_grams - W + 1, 1)) // W
+
+
+def test_short_doc_single_window_fp(spark):
+    # 4 tokens = exactly one gram (< w windows) → exactly one fp
+    assert len(spans.winnow_fps_py("a b c d", k=K, w=W)) == 1
+    assert spans.winnow_fps_py("a b c", k=K, w=W) == []
+
+
+def test_winnow_pairs_finds_planted_overlap(spark):
+    """Two docs share a 7-token passage (= w+k−1); a third is
+    disjoint — the sharing pair MUST appear, the disjoint doc must
+    pair with nobody."""
+    passage = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"one two {passage} three"),
+            (1, f"{passage} four five six"),
+            (2, "totally different words everywhere all the time"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spans.winnow_pairs(docs, k=K, w=W).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    assert pairs[0]["shared_fps"] >= 1
+
+
+def test_winnow_pairs_max_fp_df_caps_hot_lists(spark):
+    """A fingerprint shared by every doc is a hot posting list —
+    max_fp_df must drop it (no pairs survive)."""
+    passage = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [(i, passage) for i in range(6)], "doc_id long, text string"
+    )
+    assert spans.winnow_pairs(docs, k=K, w=W).count() == 15  # 6C2
+    assert spans.winnow_pairs(docs, k=K, w=W, max_fp_df=3).count() == 0
+
+
+def test_winnow_plan_is_shuffle_free_until_pairing(spark):
+    """The fingerprint stage is in-row JVM work: its plan must contain
+    no Exchange (spread() may add one only for tiny single-file local
+    inputs — use a multi-partition literal frame)."""
+    docs = spark.range(0, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit("t"), (F.col("id") * 7 + i) % 13).cast("string")
+                   for i in range(12)]
+        ).alias("text"),
+    )
+    plan = (
+        spans.winnow_fingerprints(docs, k=K, w=W)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only allowed Exchange is spread()'s REPARTITION_BY_NUM over
+    # the tiny no-file local input (a no-op at scale); the winnow
+    # computation itself must add no shuffle and no window
+    import re
+
+    exchanges = re.findall(r"Exchange \w+\([^)]*\), (\w+)", plan)
+    assert exchanges and all(k == "REPARTITION_BY_NUM" for k in exchanges), plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    # the hash array must be pinned by the explode barrier: md5/conv
+    # hashing is evaluated ONCE per document, not re-inlined into every
+    # sliding-argmin lambda reference (which would be O(n²·w) work)
+    assert plan.count("md5(") <= 2, f"hash pipeline re-inlined {plan.count('md5(')}x"
