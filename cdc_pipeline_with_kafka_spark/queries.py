@@ -5077,9 +5077,29 @@ def corpus_release_suite(spark, sf_dir):
           float(d["n_docs"])) for d in mani],
         "suite_case string, k string, v_str string, v_num double",
     )
+    # 'zord' (r6): the z-order (Morton) layout key per doc over
+    # (doc_id, n_chars) at 8 bits/dim — scale_for_zorder + zorder_value
+    # are pure long arithmetic (clamp, affine div, bit interleave), so
+    # the oracle replays them exactly; the write path (range-partition
+    # by z) stays pytest (filesystem semantics)
+    from .sources import bucketing
+
+    zd = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    zs = zd.agg(
+        F.min("doc_id").alias("mn1"), F.max("doc_id").alias("mx1"),
+        F.min("n_chars").alias("mn2"), F.max("n_chars").alias("mx2"),
+    ).first()
+    zscaled = [
+        bucketing.scale_for_zorder(F.col("doc_id"), int(zs["mn1"]), int(zs["mx1"]), bits=8),
+        bucketing.scale_for_zorder(F.col("n_chars"), int(zs["mn2"]), int(zs["mx2"]), bits=8),
+    ]
+    zord_rows = _suite_rows(
+        zd.select("doc_id", bucketing.zorder_value(zscaled, bits=8).alias("zval")),
+        "zord", F.col("doc_id"), v_num=F.col("zval"),
+    )
     return _union_all(
         [mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows, tokb_rows,
-         curr_rows, ep_rows, mat_rows, temp_rows, mani_rows]
+         curr_rows, ep_rows, mat_rows, temp_rows, mani_rows, zord_rows]
     )
 
 
@@ -5322,10 +5342,30 @@ def _corpus_release_suite_sql() -> str:
     values = ",\n".join(
         f"('{s}', '{ew}', {ppm})" for s, _t, ppm, ew in out
     )
+    # 'zord': the same clamp → affine-div → bit-interleave chain as
+    # scale_for_zorder/zorder_value, replayed as exact integer SQL
+    zterms = " + ".join(
+        f"((({c} >> {i}) & 1) << {i * 2 + c_idx})"
+        for c_idx, c in enumerate(("sx", "sy"))
+        for i in range(8)
+    )
     return CORPUS_RELEASE_SUITE_SQL + f"""
 UNION ALL
 SELECT 'temp', source, ew, CAST(ppm AS DOUBLE)
 FROM (VALUES {values}) AS tw(source, ew, ppm)
+UNION ALL
+SELECT 'zord', CAST(doc_id AS VARCHAR), '', CAST({zterms} AS DOUBLE)
+FROM (
+  SELECT doc_id,
+         ((least(greatest(doc_id, mn1), mx1) - mn1) * 255)
+           // greatest(mx1 - mn1, 1) AS sx,
+         ((least(greatest(n_chars, mn2), mx2) - mn2) * 255)
+           // greatest(mx2 - mn2, 1) AS sy
+  FROM documents CROSS JOIN (
+    SELECT min(doc_id) AS mn1, max(doc_id) AS mx1,
+           min(n_chars) AS mn2, max(n_chars) AS mx2
+    FROM documents) zstats
+) z
 """
 
 

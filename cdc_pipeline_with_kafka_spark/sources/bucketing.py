@@ -10,7 +10,8 @@ catalog + parquet; on a cluster this is the managed-table layout).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -78,6 +79,83 @@ def read_pruned(
     anything else so they lower to PartitionFilters (directory pruning,
     visible in the formatted plan)."""
     return spark.read.parquet(path)
+
+
+def scale_for_zorder(col: Column, lo: int, hi: int, bits: int = 16) -> Column:
+    """Affine-map an integer column from [lo, hi] onto [0, 2^bits):
+    ((clamped − lo) · (2^bits − 1)) div max(hi − lo, 1) — pure long
+    arithmetic, so the mapping is exact and engine-portable."""
+    c = F.greatest(F.least(col.cast("bigint"), F.lit(hi)), F.lit(lo))
+    return F.call_function(
+        "div",
+        (c - F.lit(lo)) * F.lit((1 << bits) - 1),
+        F.lit(max(hi - lo, 1)).cast("bigint"),
+    )
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Z-order (Morton) curve value: interleave the low `bits` bits of
+    each already-scaled non-negative integer column (bit i of column c
+    lands at position i·n_cols + c).  Nearby points in EVERY dimension
+    get nearby z-values, so range-partitioning by z clusters
+    multi-dimensional locality into few files — the layout behind
+    Delta/Iceberg OPTIMIZE ZORDER, as a plain codegen expression.
+    n_cols·bits must stay ≤ 62 (bigint)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-ordering needs ≥ 2 columns (use a plain sort for 1)")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a bigint")
+    terms = []
+    for c_idx, col in enumerate(cols):
+        v = col.cast("bigint")
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(v, i).bitwiseAND(F.lit(1)), i * n + c_idx
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional data-skipping layout: scale each z column to
+    `bits` bits from its corpus min/max (ONE 1-row aggregate — the only
+    driver traffic), range-partition by the interleaved z-value, and
+    sort within files.
+
+    Every z column's values then cluster within few files, so a range
+    predicate on ANY of them maps to a narrow z-range whose parquet
+    footer min/max stats skip the rest — the read-side win directory
+    partitioning gives one column, extended to several.  The z-value
+    itself is dropped before writing (derivable, not schema)."""
+    aggs = []
+    for c in zorder_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    stats = df.agg(*aggs).first()
+    scaled = [
+        scale_for_zorder(
+            F.col(c), int(stats[f"_min_{c}"]), int(stats[f"_max_{c}"]), bits
+        )
+        for c in zorder_cols
+    ]
+    out = (
+        df.withColumn("_z", zorder_value(scaled, bits))
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode(mode).parquet(path)
 
 
 def compact_partition(

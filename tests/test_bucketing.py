@@ -4,6 +4,7 @@ a shuffle (the 100 TB repeated-join strategy)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from cdc_pipeline_with_kafka_spark import plans
 from cdc_pipeline_with_kafka_spark.sources import bucketing
@@ -98,3 +99,75 @@ def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
     assert after == 1 and n == day_rows
     # table still reads whole and partition-pruned
     assert spark.read.parquet(path).filter(F.col("day") == F.lit(day)).count() == day_rows
+
+
+def _morton_py(vals: list[int], bits: int) -> int:
+    z = 0
+    for c_idx, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * len(vals) + c_idx)
+    return z
+
+
+def test_zorder_value_matches_python_morton(spark):
+    from cdc_pipeline_with_kafka_spark.sources import bucketing
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("bigint").alias("y")
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y",
+            bucketing.zorder_value([F.col("x"), F.col("y")], bits=4).alias("z"),
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _morton_py([x, y], 4)
+    # the curve is a bijection on the grid
+    assert len(set(got.values())) == 256
+
+
+def test_scale_for_zorder_clamps_and_is_exact(spark):
+    from cdc_pipeline_with_kafka_spark.sources import bucketing
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5, 0, 50, 100, 999]], "v long"
+    )
+    got = [
+        r["s"]
+        for r in df.select(
+            bucketing.scale_for_zorder(F.col("v"), 0, 100, bits=8).alias("s")
+        ).orderBy("s").collect()
+    ]
+    # -5 and 999 clamp to the ends; 50 maps to (50*255)//100 = 127
+    assert got == [0, 0, 127, 255, 255]
+
+
+def test_write_zordered_clusters_2d_box_into_few_files(spark, tmp_path):
+    """The data-skipping claim, measured: a 2-D box predicate's rows
+    must concentrate in a small fraction of z-ordered files while a
+    hash-scattered layout spreads them across ~all files (parquet
+    min/max footer stats then skip what the rows avoid)."""
+    from cdc_pipeline_with_kafka_spark.sources import bucketing
+
+    n, files = 20_000, 32
+    df = spark.range(0, n).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 2654435761) % 141).alias("y"),
+    )
+    z_path, lin_path = str(tmp_path / "zord"), str(tmp_path / "linear")
+    bucketing.write_zordered(df, z_path, ["x", "y"], bits=8, num_files=files)
+    df.repartition(files).write.parquet(lin_path)
+
+    def files_hit(path):
+        d = spark.read.parquet(path).filter(
+            (F.col("x").between(10, 27)) & (F.col("y").between(10, 27))
+        )
+        return d.select(F.input_file_name()).distinct().count()
+
+    z_hit, lin_hit = files_hit(z_path), files_hit(lin_path)
+    assert lin_hit >= files * 3 // 4  # scattered layout touches ~all
+    assert z_hit * 4 <= lin_hit  # z-order concentrates the box
+    # layout must not lose or duplicate rows
+    assert spark.read.parquet(z_path).count() == n
