@@ -4425,6 +4425,16 @@ def _bm25_gate_parts(spark, sf_dir):
     return lex, fused
 
 
+def retrieval_hybrid(spark, sf_dir):
+    """Bench entry for the retrieval tier: BM25 postings build +
+    scoring for the 5 head-of-document queries, dense cosine top-10,
+    and the RRF fusion — returns the fused ranking (forcing the whole
+    hybrid path).  The lexical index build lands in build_s (the
+    localCheckpoint pin); the steady number is the prepared fusion."""
+    _lex, fused = _bm25_gate_parts(spark, sf_dir)
+    return fused
+
+
 def sim_ann_suite(spark, sf_dir):
     """sim_lsh_ann_topk + sim_ivf_ann_topk in one tagged gate (r5
     merge — frees a budget slot; both ANN paths keep every
@@ -6330,6 +6340,10 @@ BENCH_FNS: dict[str, QueryFn] = {
     # the whole 9-branch gate, so the bench tracks the real decode+
     # hash+pair cost, not just the metadata plumbing
     "multimodal_pipeline": multimodal_pipeline,
+    # round 6 fourth wave: hybrid retrieval (BM25 postings + scoring,
+    # dense cosine, RRF fusion) — the lexical index build rides in
+    # build_s, the steady number is the prepared fusion plan
+    "retrieval_hybrid": retrieval_hybrid,
 }
 
 BENCH_QUERIES = list(BENCH_FNS)

@@ -131,3 +131,22 @@ def test_rrf_hybrid_over_real_tables(spark):
         keys = [(-r["rrf_micro"], r["doc_id"]) for r in rows]
         assert keys == sorted(keys)
         assert all(1 <= r["n_lists"] <= 2 for r in rows)
+
+
+def test_bm25_incremental_postings_append_equals_full(spark):
+    """The retrieval tier's incremental-admission contract: appending a
+    new shard's postings (built from the shard alone) to a persisted
+    index must score IDENTICALLY to rebuilding from the union — df,
+    n_docs, and avgdl are recomputed per query from the index, and
+    postings rows are per-doc independent, so the equivalence is exact.
+    Boundary shards (empty index / empty shard) included."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    qs = _queries_df(spark)
+    n = docs.count()
+    for cutoff in (0, n // 2, n):
+        old = R.build_bm25_index(docs.filter(F.col("doc_id") < cutoff))
+        shard = R.build_bm25_index(docs.filter(F.col("doc_id") >= cutoff))
+        merged = old.unionByName(shard)
+        via_inc = sorted(map(tuple, R.bm25_topk(None, qs, index=merged, k=8).collect()))
+        direct = sorted(map(tuple, R.bm25_topk(docs, qs, k=8).collect()))
+        assert via_inc == direct, f"cutoff={cutoff}"
