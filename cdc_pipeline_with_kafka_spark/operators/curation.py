@@ -220,13 +220,17 @@ def cluster_topics(
         .withColumn("term_total", F.sum("cnt").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(tot))
     )
+    # decimal(38,0) widening: at 100 TB a common term's count reaches
+    # ~1e12, so cnt·1e9 overflows a bigint — the products run in
+    # 128-bit decimals and `div` (exact integral divide) lands back in
+    # bigint range (≤ 1e9).  The oracle mirrors with HUGEINT.
     scored = enr.select(
         cluster_col,
         "term",
         "cnt",
         F.expr(
-            "((cnt * 1000000000 div cl_tok) * 1000) div "
-            "greatest(term_total * 1000000000 div corpus_tokens, 1)"
+            "((CAST(cnt AS DECIMAL(20,0)) * 1000000000 div cl_tok) * 1000) div "
+            "greatest(CAST(term_total AS DECIMAL(20,0)) * 1000000000 div corpus_tokens, 1)"
         ).alias("lift_milli"),
     ).filter(F.col("cnt") >= min_count)
     w = Window.partitionBy(cluster_col).orderBy(

@@ -119,6 +119,11 @@ def bm25_topk(
         F.count_distinct(F.col(id_col)).alias("n_docs"),
         F.sum("tf").alias("dl_total"),
     ).first()
+    spark = queries.sparkSession
+    if not stats["n_docs"]:  # empty corpus/index: nothing can match
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score_micro long, rnk int"
+        )
     n_docs, dl_total = int(stats["n_docs"]), int(stats["dl_total"])
     avgdl = dl_total / n_docs if n_docs else 1.0
 
@@ -132,7 +137,6 @@ def bm25_topk(
         .collect()
     )
     vocab = sorted({r["term"] for r in qterms})
-    spark = queries.sparkSession
     if not vocab:
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score_micro long, rnk int"

@@ -4904,9 +4904,12 @@ FROM (
     FROM tbase
   ),
   tscored AS (
+    -- HUGEINT widening mirrors the Spark side's decimal(38,0): the
+    -- cnt·1e9 product overflows a bigint at real-corpus term counts
     SELECT centroid_id, term, cnt,
-           ((cnt * 1000000000 // cl_tok) * 1000)
-             // greatest(term_total * 1000000000 // corpus_tokens, 1) AS lift_milli
+           CAST(((cnt::HUGEINT * 1000000000 // cl_tok) * 1000)
+             // greatest(term_total::HUGEINT * 1000000000 // corpus_tokens, 1)
+             AS BIGINT) AS lift_milli
     FROM tenr WHERE cnt >= 2
   ),
   tranked AS (

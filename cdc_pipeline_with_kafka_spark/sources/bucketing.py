@@ -86,10 +86,12 @@ def scale_for_zorder(col: Column, lo: int, hi: int, bits: int = 16) -> Column:
     ((clamped − lo) · (2^bits − 1)) div max(hi − lo, 1) — pure long
     arithmetic, so the mapping is exact and engine-portable."""
     c = F.greatest(F.least(col.cast("bigint"), F.lit(hi)), F.lit(lo))
+    # the (range · 2^bits) product runs in decimal(38,0): full-width
+    # id ranges (snowflake-style 1e18 ids) would overflow a bigint
     return F.call_function(
         "div",
-        (c - F.lit(lo)) * F.lit((1 << bits) - 1),
-        F.lit(max(hi - lo, 1)).cast("bigint"),
+        (c - F.lit(lo)).cast("decimal(20,0)") * F.lit((1 << bits) - 1),
+        F.lit(max(hi - lo, 1)).cast("decimal(20,0)"),
     )
 
 

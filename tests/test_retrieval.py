@@ -150,3 +150,9 @@ def test_bm25_incremental_postings_append_equals_full(spark):
         via_inc = sorted(map(tuple, R.bm25_topk(None, qs, index=merged, k=8).collect()))
         direct = sorted(map(tuple, R.bm25_topk(docs, qs, k=8).collect()))
         assert via_inc == direct, f"cutoff={cutoff}"
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "anything")], "query_id long, text string")
+    assert R.bm25_topk(docs, qs, k=3).count() == 0
