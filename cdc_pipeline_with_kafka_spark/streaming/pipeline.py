@@ -465,6 +465,35 @@ def make_admit_assets_sink(
     return sink
 
 
+def make_bm25_index_sink(
+    postings_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch sink maintaining a rolling BM25 postings index
+    (operators/retrieval.build_bm25_index): each micro-batch's
+    documents are tokenized into (id, term, tf, dl) postings written
+    under ``batch_id=N`` — postings rows are PER-DOC independent and
+    the corpus statistics (df, n_docs, avgdl) are recomputed per query
+    from the index, so appending a batch IS the whole index merge (the
+    incremental ≡ full equivalence is held in pytest at boundary
+    cutoffs).  batch_id-scoped overwrite ⇒ idempotent crash replay,
+    the same contract as every other admission sink here.
+
+    This maintains the SEARCH index; content admission (dedup,
+    quality) stays make_admit_shard_sink's job — chain them by
+    streaming the admitted lake into this sink."""
+    from ..operators.retrieval import build_bm25_index
+
+    def sink(batch_df, batch_id: int) -> None:
+        postings = build_bm25_index(batch_df, text_col=text_col, id_col=id_col)
+        postings.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{postings_path}/batch_id={batch_id}"
+        )
+
+    return sink
+
+
 def make_kmeans_state_sink(
     state_path: str,
     assignments_path: str | None = None,

@@ -156,3 +156,29 @@ def test_bm25_empty_corpus_returns_empty(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     qs = spark.createDataFrame([(0, "anything")], "query_id long, text string")
     assert R.bm25_topk(docs, qs, k=3).count() == 0
+
+
+def test_bm25_index_sink_batches_and_replay(spark, tmp_path):
+    """Rolling search-index maintenance: two micro-batches of postings
+    must score identically to one batch index over all docs, and
+    replaying a batch (same batch_id) must leave the index — and every
+    score — unchanged."""
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    path = str(tmp_path / "postings")
+    sink = pipeline.make_bm25_index_sink(path)
+    b0 = docs.filter(F.col("doc_id") < n // 2)
+    b1 = docs.filter(F.col("doc_id") >= n // 2)
+    sink(b0, 0)
+    sink(b1, 1)
+    qs = _queries_df(spark)
+    idx = spark.read.option("basePath", path).parquet(path).drop("batch_id")
+    got = sorted(map(tuple, R.bm25_topk(None, qs, index=idx, k=8).collect()))
+    want = sorted(map(tuple, R.bm25_topk(docs, qs, k=8).collect()))
+    assert got == want
+    sink(b1, 1)  # crash replay: overwrite, not append
+    idx2 = spark.read.option("basePath", path).parquet(path).drop("batch_id")
+    again = sorted(map(tuple, R.bm25_topk(None, qs, index=idx2, k=8).collect()))
+    assert again == want
