@@ -443,6 +443,101 @@ def gopher_rules(
     )
 
 
+CODE_KEYWORDS = [
+    "def", "class", "import", "return", "function", "const", "var",
+    "let", "void", "public", "static", "struct", "#include", "fn",
+    "lambda", "elif", "endif", "null", "true;", "false;",
+]
+
+
+def code_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    min_signals: int = 2,
+    punct_line_ppm: int = 300_000,
+    indent_line_ppm: int = 200_000,
+    symbol_char_ppm: int = 40_000,
+    min_kw_hits: int = 2,
+    ident_token_ppm: int = 150_000,
+) -> DataFrame:
+    """Source-code detection heuristics — the router a mixed crawl
+    needs before prose-only filters (Gopher/C4 reject most code, and a
+    training mixture wants code COUNTED, not silently filtered).
+
+    Five signals, every one an EXACT integer ppm / count (an integral
+    `div`, no floats anywhere, so the DuckDB oracle replays them
+    bit-for-bit):
+
+    - punct_lines_ppm:  lines ending in ``;`` ``{`` ``}`` ``(`` ``)``;
+    - indent_lines_ppm: lines starting with ≥2 spaces or a tab;
+    - symbol_chars_ppm: chars from ``()[]{};=<>|&`` over all chars;
+    - kw_hits:          distinct CODE_KEYWORDS present as whole tokens;
+    - ident_tokens_ppm: identifier-shaped tokens (snake_case,
+      camelCase, or call-like ``name(``).
+
+    ``is_code`` fires when ≥ min_signals of the five cross their
+    thresholds.  One codegen map stage per document: no explode, no
+    shuffle, no Python.  Patterns avoid lookarounds/backrefs so Java
+    regex and RE2 agree."""
+    text = F.col(text_col)
+    total_chars = F.length(text)
+
+    def ppm(cnt: Column, total: Column) -> Column:
+        return F.when(
+            total > 0,
+            F.call_function("div", cnt.cast("bigint") * F.lit(1_000_000), total.cast("bigint")),
+        ).otherwise(F.lit(0)).cast("long")
+
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.rtrim(l)),
+        lambda l: F.trim(l) != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    punct_lines = F.size(F.filter(lines, lambda l: l.rlike(r"[;{}()]$")))
+    indent_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^(  |\t)"))
+    )
+    symbol_chars = total_chars - F.length(
+        F.regexp_replace(text, r"[()\[\]{};=<>|&]", "")
+    )
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    lower_words = F.transform(words, lambda w: F.lower(w))
+    kw_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in CODE_KEYWORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    ident_tokens = F.size(
+        F.filter(
+            words,
+            lambda w: w.rlike(r"(_[a-z0-9])|([a-z][A-Z])|(^[A-Za-z_][A-Za-z0-9_]*\()"),
+        )
+    )
+    p_punct = ppm(punct_lines, n_lines)
+    p_indent = ppm(indent_lines, n_lines)
+    p_symbol = ppm(symbol_chars, total_chars)
+    p_ident = ppm(ident_tokens, n_words)
+    signals = (
+        (p_punct >= punct_line_ppm).cast("int")
+        + (p_indent >= indent_line_ppm).cast("int")
+        + (p_symbol >= symbol_char_ppm).cast("int")
+        + (kw_hits >= min_kw_hits).cast("int")
+        + (p_ident >= ident_token_ppm).cast("int")
+    )
+    return df.select(
+        *df.columns,
+        p_punct.alias("punct_lines_ppm"),
+        p_indent.alias("indent_lines_ppm"),
+        p_symbol.alias("symbol_chars_ppm"),
+        kw_hits.cast("long").alias("kw_hits"),
+        p_ident.alias("ident_tokens_ppm"),
+        signals.cast("long").alias("n_signals"),
+        (signals >= min_signals).alias("is_code"),
+    )
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",

@@ -1633,6 +1633,21 @@ def f_scalar_suite(spark, sf_dir):
         _suite_rows(_gopher_rows(spark, sf_dir), "gopherv",
                     F.col("doc_id"), v_str=F.col("required_hits").cast("string"),
                     v_num=F.col("mean_word_len")),
+        # r6: code-detection heuristics — docs %3==0 wrapped in a
+        # 3-line code shell; all five exact-integer signals + the
+        # verdict value-checked per doc
+        _suite_rows(_code_rows(spark, sf_dir), "code",
+                    F.col("doc_id"),
+                    v_str=F.concat_ws(
+                        "|",
+                        F.col("punct_lines_ppm").cast("string"),
+                        F.col("indent_lines_ppm").cast("string"),
+                        F.col("symbol_chars_ppm").cast("string"),
+                        F.col("kw_hits").cast("string"),
+                        F.col("ident_tokens_ppm").cast("string"),
+                        F.col("n_signals").cast("string"),
+                    ),
+                    v_num=F.col("is_code").cast("int")),
     ])
 
 
@@ -1641,6 +1656,27 @@ def _gopher_rows(spark, sf_dir):
     from .operators.textstats import gopher_rules
 
     return gopher_rules(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _code_rows(spark, sf_dir):
+    """code_stats gate branch: docs with doc_id %% 3 == 0 are wrapped
+    in a deterministic 3-line code shell (def/assignment/return with
+    indent + trailing ';'), the rest stay prose — both the firing and
+    the non-firing path value-checked."""
+    from .operators.textstats import code_stats
+
+    did = F.col("doc_id").cast("string")
+    shell = F.concat(
+        F.lit("def fn_"), did, F.lit("(x):\n"),
+        F.lit("    total_sum = x + "), did, F.lit(";\n"),
+        F.lit("    return total_sum;\n"),
+        F.col("text"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, shell).otherwise(F.col("text")).alias("text"),
+    )
+    return code_stats(docs)
 
 
 _HTML_SHELL_PRE = (
@@ -1876,6 +1912,71 @@ SELECT g_case, g_k, g_vs, g_vn FROM (
          round(mean_wl, 6)
   FROM gk
 ) gopherrows
+"""
+
+# 'code' branch appended as a RAW string (regex classes with braces and
+# backslash escapes — \s, \[, \t — must reach RE2 verbatim)
+F_SCALAR_SUITE_SQL = F_SCALAR_SUITE_SQL + r"""
+UNION ALL
+SELECT 'code', cd_k, cd_vs, cd_vn FROM (
+  WITH cdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'def fn_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10)
+                     || '    total_sum = x + ' || CAST(doc_id AS VARCHAR) || ';' || chr(10)
+                     || '    return total_sum;' || chr(10) || text
+                ELSE text END AS t
+    FROM documents
+  ),
+  cparts AS (
+    SELECT doc_id, t,
+           list_filter(list_transform(string_split(t, chr(10)), l -> rtrim(l)),
+                       l -> trim(l) <> '') AS lines,
+           list_filter(string_split_regex(trim(t), '\s+'), w -> w <> '') AS words
+    FROM cdocs
+  ),
+  csig AS (
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           len(list_filter(lines, l -> regexp_matches(l, '[;{}()]$'))) AS punct,
+           len(list_filter(lines, l -> regexp_matches(l, '^(  |\t)'))) AS ind,
+           length(t) AS n_chars,
+           length(t) - length(regexp_replace(t, '[()\[\]{};=<>|&]', '', 'g')) AS sym,
+           len(words) AS n_words,
+           len(list_filter(['def','class','import','return','function','const',
+                            'var','let','void','public','static','struct',
+                            '#include','fn','lambda','elif','endif','null',
+                            'true;','false;'],
+                           s -> list_contains(list_transform(words, w -> lower(w)), s))) AS kw,
+           len(list_filter(words,
+               w -> regexp_matches(w, '(_[a-z0-9])|([a-z][A-Z])|(^[A-Za-z_][A-Za-z0-9_]*\()'))) AS ident
+    FROM cparts
+  ),
+  cppm AS (
+    SELECT doc_id,
+           CASE WHEN n_lines > 0 THEN punct * 1000000 // n_lines ELSE 0 END AS p_punct,
+           CASE WHEN n_lines > 0 THEN ind * 1000000 // n_lines ELSE 0 END AS p_ind,
+           CASE WHEN n_chars > 0 THEN sym * 1000000 // n_chars ELSE 0 END AS p_sym,
+           kw,
+           CASE WHEN n_words > 0 THEN ident * 1000000 // n_words ELSE 0 END AS p_ident
+    FROM csig
+  ),
+  cver AS (
+    SELECT doc_id, p_punct, p_ind, p_sym, kw, p_ident,
+           (CASE WHEN p_punct >= 300000 THEN 1 ELSE 0 END
+            + CASE WHEN p_ind >= 200000 THEN 1 ELSE 0 END
+            + CASE WHEN p_sym >= 40000 THEN 1 ELSE 0 END
+            + CASE WHEN kw >= 2 THEN 1 ELSE 0 END
+            + CASE WHEN p_ident >= 150000 THEN 1 ELSE 0 END) AS n_signals
+    FROM cppm
+  )
+  SELECT CAST(doc_id AS VARCHAR) AS cd_k,
+         CAST(p_punct AS VARCHAR) || '|' || CAST(p_ind AS VARCHAR) || '|'
+         || CAST(p_sym AS VARCHAR) || '|' || CAST(kw AS VARCHAR) || '|'
+         || CAST(p_ident AS VARCHAR) || '|' || CAST(n_signals AS VARCHAR) AS cd_vs,
+         CASE WHEN n_signals >= 2 THEN 1.0 ELSE 0.0 END AS cd_vn
+  FROM cver
+) coderows
 """
 
 

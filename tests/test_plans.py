@@ -86,7 +86,12 @@ def test_span_dedup_no_token_grain_shuffle(spark):
     posexplode feeding the reconstruction."""
     df = q.span_dedup(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Generate") <= 4
+    # 4 window-hash Generates (span/doc/line/rep occurrence streams) +
+    # 6 winnowing Generates (r6: hash-pin + fp explode for 'winn' and
+    # for 'winp', plus the pair posexplode+slice expansion) — all at
+    # fingerprint/window grain, never a token posexplode feeding the
+    # rewrite reconstruction
+    assert plan.count("Generate") <= 10
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 4
 
 

@@ -526,3 +526,60 @@ def test_incremental_equivalence_boundary_shards(spark, cut_frac):
     assert got_s == want_s
     if cut_frac in ("zero", "one", "half"):
         assert len(got_s) > 0
+
+
+_PY_SNIPPET = """import os
+
+def load_config(path):
+    with open(path) as fh:
+        return fh.read()
+
+class ConfigLoader:
+    def __init__(self, base_dir):
+        self.base_dir = base_dir
+        self.cache_map = {}
+"""
+
+_C_SNIPPET = """#include <stdio.h>
+int main(void) {
+    int total_count = 0;
+    for (int i = 0; i < 10; i++) {
+        total_count += i;
+    }
+    printf("%d", total_count);
+    return 0;
+}
+"""
+
+_PROSE = (
+    "The committee met on Tuesday to discuss the annual budget. "
+    "Several members raised concerns about infrastructure spending, "
+    "and the chair proposed a follow-up session for early next month. "
+    "Minutes will be circulated to all departments."
+)
+
+
+def test_code_stats_detects_code_and_passes_prose(spark):
+    df = spark.createDataFrame(
+        [(0, _PY_SNIPPET), (1, _C_SNIPPET), (2, _PROSE)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.code_stats(df).collect()}
+    assert rows[0]["is_code"] and rows[1]["is_code"]
+    assert not rows[2]["is_code"]
+    # the python snippet: keywords def/class/import/return all present
+    assert rows[0]["kw_hits"] >= 3
+    # prose has zero code keywords and no indent lines
+    assert rows[2]["kw_hits"] == 0 and rows[2]["indent_lines_ppm"] == 0
+    # signals are exact integers: the C snippet has 9 non-blank lines,
+    # 8 of which end in ; { } ( or ) — everything but the #include
+    assert rows[1]["punct_lines_ppm"] == 8_000_000 // 9
+
+
+def test_code_stats_empty_and_symbol_only(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "{};=<>|&()[]")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in textstats.code_stats(df).collect()}
+    assert rows[0]["n_signals"] == 0 and not rows[0]["is_code"]
+    assert rows[1]["symbol_chars_ppm"] == 1_000_000

@@ -20,8 +20,6 @@ from .oracle import compare, duckdb_con
 SIM_GATES = [
     "sim_cosine_topk",
     "sim_embedding_neardup_lsh",
-    # r5: LSH + IVF ANN merged into one tagged suite ('lsh'/'ivf' rows)
-    "sim_ann_suite",
 ]
 
 
@@ -41,14 +39,19 @@ def test_sim_gate_exact(spark, sf_and_con, name):
     assert ok, f"{name} @ {sf_dir}: {msg}"
 
 
-def test_semdedup_gate_exact_at_oracle_scale(spark):
-    """semdedup at 9-decimal parity — only at the driver's oracle
-    scale: its pinned centroids are trained on _ORACLE_SF_DIR, so the
-    cross-sf parametrization above doesn't apply."""
+@pytest.mark.parametrize("name", ["semdedup", "sim_ann_suite"])
+def test_sim_gate_exact_at_oracle_scale(spark, name):
+    """9-decimal parity — only at the driver's oracle scale: these
+    gates carry pinned-model VALUES built from _ORACLE_SF_DIR
+    (semdedup's trained centroids; sim_ann_suite's r6 'bm25'/'rrf'
+    pinned-Python scores), so the cross-sf parametrization above
+    doesn't apply.  The SF-agnostic 'lsh'/'ivf' branches still get
+    cross-sf coverage through their shared oracle SQL in the driver
+    gate and the recall pytest."""
     con = duckdb_con(SF_CORRECT)
     try:
-        fn, sql = q.REGISTRY["semdedup"]
-        ok, msg = compare(fn(spark, SF_CORRECT), con, q.resolve_sql("semdedup", sql), ndigits=9)
-        assert ok, f"semdedup @ {SF_CORRECT}: {msg}"
+        fn, sql = q.REGISTRY[name]
+        ok, msg = compare(fn(spark, SF_CORRECT), con, q.resolve_sql(name, sql), ndigits=9)
+        assert ok, f"{name} @ {SF_CORRECT}: {msg}"
     finally:
         con.close()
