@@ -45,23 +45,40 @@ _IDF_SCALE = 1_000_000
 _RRF_SCALE = 2_000_000_000  # 2 × 1e9: floor((2S + d) / 2d) = round(S/d)
 
 
-def _terms(col):
+def _terms(col, ngram: int = 1):
     """Whitespace tokenization, lowercased — the corpus-wide term
-    convention shared with curation.tfidf_top_terms."""
-    return F.filter(
+    convention shared with curation.tfidf_top_terms.  ngram > 1 emits
+    space-joined word n-grams instead (sequence-aware terms: far more
+    discriminative for quote/contamination matching on corpora whose
+    unigram vocabulary is flat)."""
+    toks = F.filter(
         F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
     )
+    if ngram == 1:
+        return toks
+    from .textstats import _word_ngrams
+
+    return _word_ngrams(toks, ngram)
 
 
-def terms_py(text: str) -> list[str]:
+def terms_py(text: str, ngram: int = 1) -> list[str]:
     """Pure-Python twin of _terms (oracle/replay side)."""
     import re
 
-    return [t for t in re.split(r"\s+", (text or "").lower().strip()) if t]
+    toks = [t for t in re.split(r"\s+", (text or "").lower().strip()) if t]
+    if ngram == 1:
+        return toks
+    if len(toks) < ngram:
+        return []
+    return [" ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)]
 
 
 def build_bm25_index(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """Inverted postings index: one row per (doc, term) with the
     in-doc term frequency and the doc length in tokens.
@@ -73,7 +90,7 @@ def build_bm25_index(
     appending its postings (term stats are recomputed per query from
     the union, so the index needs no rebuild)."""
     tokens = docs.select(
-        F.col(id_col), F.explode(_terms(F.col(text_col))).alias("term")
+        F.col(id_col), F.explode(_terms(F.col(text_col), ngram)).alias("term")
     )
     tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     w_doc = Window.partitionBy(id_col)
@@ -99,8 +116,10 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    ngram: int = 1,
 ) -> DataFrame:
-    """Top-k documents per query by BM25.
+    """Top-k documents per query by BM25.  `ngram` must match the
+    index's term grain when a prebuilt index is passed.
 
     Returns (query_id, doc_id, score_micro, rnk) — score_micro is the
     sum of per-term integer micro-scores (exact long arithmetic after
@@ -113,7 +132,9 @@ def bm25_topk(
     if index is None:
         if docs is None:
             raise ValueError("need docs or a prebuilt index")
-        index = build_bm25_index(docs, text_col=text_col, id_col=id_col)
+        index = build_bm25_index(
+            docs, text_col=text_col, id_col=id_col, ngram=ngram
+        )
 
     stats = index.agg(
         F.count_distinct(F.col(id_col)).alias("n_docs"),
@@ -130,7 +151,7 @@ def bm25_topk(
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.explode(_terms(F.col(query_text_col))).alias("term"),
+            F.explode(_terms(F.col(query_text_col), ngram)).alias("term"),
         )
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("qtf"))
@@ -196,12 +217,13 @@ def bm25_scores_py(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    ngram: int = 1,
 ) -> list[tuple[int, int, int, int]]:
     """Pure-Python twin of bm25_topk (oracle/replay side): identical
     tokenization, identical IEEE double op order per contribution,
     identical HALF_UP micro rounding, identical tiebreaks. Returns
     sorted (query_id, doc_id, score_micro, rnk)."""
-    toks = {d: terms_py(t) for d, t in docs}
+    toks = {d: terms_py(t, ngram) for d, t in docs}
     by_term: dict[str, list[tuple[int, int]]] = {}
     dl: dict[int, int] = {}
     dfc: dict[str, int] = {}
@@ -221,7 +243,7 @@ def bm25_scores_py(
     out: list[tuple[int, int, int, int]] = []
     for qid, qtext in queries:
         qtf: dict[str, int] = {}
-        for t in terms_py(qtext):
+        for t in terms_py(qtext, ngram):
             qtf[t] = qtf.get(t, 0) + 1
         scores: dict[int, int] = {}
         for t, qc in qtf.items():
@@ -289,6 +311,66 @@ def rrf_fuse(
         fused.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", "rrf_micro", "n_lists", "rnk")
+    )
+
+
+def decontaminate_by_retrieval(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    *,
+    k: int = 10,
+    min_score_micro: int = 0,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "query_id",
+    eval_text_col: str = "text",
+    mode: str = "flag",
+    ngram: int = 2,
+) -> DataFrame:
+    """Retrieval-based eval-set decontamination: every eval example is
+    a BM25 query; training documents it retrieves (top-k, score ≥
+    min_score_micro) are contamination suspects — the fuzzy companion
+    to curation.decontaminate's exact n-gram tier (paraphrased or
+    partially-quoted leakage that no exact n-gram catches still ranks
+    high lexically).
+
+    Terms default to BIGRAMS (ngram=2): contamination is sequential
+    quote overlap, and word-pair terms stay discriminative even when
+    the unigram vocabulary is flat — bag-of-unigram BM25 can miss a
+    verbatim quote entirely on such corpora.
+
+    mode='flag' returns docs + (is_contaminated, n_eval_hits);
+    mode='drop' returns the surviving docs.  Scale shape: one
+    bm25_topk call (postings ⋈ broadcast(eval-query weights)) and one
+    broadcast anti/left join of the ≤ |eval|·k hit ids back onto the
+    corpus — the corpus is scanned, never reshuffled."""
+    if mode not in ("flag", "drop"):
+        raise ValueError("mode must be 'flag' or 'drop'")
+    hits = (
+        bm25_topk(
+            docs if index is None else None,
+            eval_df,
+            index=index,
+            k=k,
+            text_col=text_col,
+            id_col=id_col,
+            query_id_col=eval_id_col,
+            query_text_col=eval_text_col,
+            ngram=ngram,
+        )
+        .filter(F.col("score_micro") >= min_score_micro)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+        .withColumnRenamed("doc_id", id_col)
+    )
+    if mode == "drop":
+        return docs.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
+    out = docs.join(F.broadcast(hits), id_col, "left")
+    return out.select(
+        *docs.columns,
+        F.coalesce(F.col("n_eval_hits"), F.lit(0)).cast("long").alias("n_eval_hits"),
+        (F.coalesce(F.col("n_eval_hits"), F.lit(0)) > 0).alias("is_contaminated"),
     )
 
 

@@ -501,6 +501,63 @@ def winnow_pairs(
     )
 
 
+def winnow_pairs_incremental(
+    shard: DataFrame,
+    index_fps: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Incremental winnowing overlap for shard admission: pair a NEW
+    shard's fingerprints against a persisted (id, pos, fp) index —
+    shard×index plus shard×shard, never index×index (the
+    minhash/simhash/phash 'inc' contract, substring-guarantee tier).
+
+    Cost is O(|shard| fps + matched postings): the index side is
+    pre-restricted by a semi-join on the shard's fingerprint values
+    BEFORE pairing, so an ever-growing index contributes only rows
+    that can actually pair (the lesson from
+    semantic_neardup_incremental's sf1 fix).  Appending the shard's
+    fps (same expression) keeps the index current.  Returns
+    (id_a, id_b, shared_fps) for pairs touching the shard."""
+    shard_fps = winnow_fingerprints(
+        shard, k=k, w=w, text_col=text_col, id_col=id_col
+    ).select("id", "fp").distinct()
+    idx = index_fps.select("id", "fp").distinct()
+    # only index postings whose fp occurs in the shard can pair
+    idx_hits = idx.join(shard_fps.select("fp").distinct(), "fp", "left_semi")
+    # re-admitted docs may sit in BOTH frames: collapse to one row per
+    # (id, fp), keeping shard membership — otherwise a doc self-pairs
+    both = (
+        shard_fps.withColumn("_new", F.lit(1))
+        .unionByName(idx_hits.withColumn("_new", F.lit(0)))
+        .groupBy("id", "fp")
+        .agg(F.max("_new").alias("_new"))
+    )
+    postings = (
+        both.groupBy("fp")
+        .agg(
+            F.collect_list(F.struct("id", "_new")).alias("ids"),
+            F.max("_new").alias("_any_new"),
+        )
+        .filter((F.size("ids") > 1) & (F.col("_any_new") == 1))
+    )
+    if max_fp_df is not None:
+        postings = postings.filter(F.size("ids") <= max_fp_df)
+    pairs = postings.selectExpr("ids", "posexplode(ids) AS (p, a)").selectExpr(
+        "a", "explode(slice(ids, p + 2, size(ids))) AS b"
+    ).filter("a._new = 1 OR b._new = 1")  # at least one shard member
+    return (
+        pairs.selectExpr("least(a.id, b.id) AS id_a", "greatest(a.id, b.id) AS id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def winnow_fps_py(text: str, k: int = 4, w: int = 4) -> list[tuple[int, int]]:
     """Pure-Python twin of winnow_fingerprints for one document
     (oracle/property side): identical tokenization, hashing, rightmost

@@ -31,14 +31,17 @@ def _docs_py():
 
 def test_bm25_matches_pure_python_twin(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    got = sorted(
-        (r["query_id"], r["doc_id"], r["score_micro"], r["rnk"])
-        for r in R.bm25_topk(docs, _queries_df(spark), k=10).collect()
-    )
     rows = _docs_py()
     queries = [(d, " ".join(R.terms_py(t)[:8])) for d, t in rows if d < 3]
-    want = sorted(R.bm25_scores_py(rows, queries, k=10))
-    assert got == want
+    for ngram in (1, 2):  # unigram terms and the bigram (quote) grain
+        got = sorted(
+            (r["query_id"], r["doc_id"], r["score_micro"], r["rnk"])
+            for r in R.bm25_topk(
+                docs, _queries_df(spark), k=10, ngram=ngram
+            ).collect()
+        )
+        want = sorted(R.bm25_scores_py(rows, queries, k=10, ngram=ngram))
+        assert got == want, f"ngram={ngram}"
 
 
 def test_bm25_prebuilt_index_equals_direct(spark):
@@ -182,3 +185,29 @@ def test_bm25_index_sink_batches_and_replay(spark, tmp_path):
     idx2 = spark.read.option("basePath", path).parquet(path).drop("batch_id")
     again = sorted(map(tuple, R.bm25_topk(None, qs, index=idx2, k=8).collect()))
     assert again == want
+
+
+def test_decontaminate_by_retrieval_flags_leaked_docs(spark):
+    """An eval question quoting a training doc's head must flag that
+    doc (top-k retrieval hit) even though paraphrase-level edits break
+    exact n-gram matching; unrelated docs stay clean, and mode='drop'
+    removes exactly the flagged set."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # eval set: the first 6 tokens of docs 5 and 9, one token swapped
+    # (paraphrase-ish) — lexical retrieval still ranks the source first
+    ev = docs.filter(F.col("doc_id").isin(5, 9)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 6),
+            F.lit("reworded"),
+        ).alias("text"),
+    )
+    flagged = R.decontaminate_by_retrieval(docs, ev, k=3)
+    rows = {r["doc_id"]: r for r in flagged.collect()}
+    assert rows[5]["is_contaminated"] and rows[9]["is_contaminated"]
+    n_flagged = sum(1 for r in rows.values() if r["is_contaminated"])
+    assert n_flagged <= 6  # at most |eval|*k
+    kept = R.decontaminate_by_retrieval(docs, ev, k=3, mode="drop")
+    assert kept.count() == docs.count() - n_flagged
+    assert kept.filter(F.col("doc_id").isin(5, 9)).count() == 0

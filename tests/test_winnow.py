@@ -128,3 +128,47 @@ def test_winnow_plan_is_shuffle_free_until_pairing(spark):
     # hashing is evaluated ONCE per document, not re-inlined into every
     # sliding-argmin lambda reference (which would be O(n²·w) work)
     assert plan.count("md5(") <= 2, f"hash pipeline re-inlined {plan.count('md5(')}x"
+
+
+def test_winnow_pairs_incremental_equals_full_restriction(spark):
+    """The incremental-family contract for the winnowing tier: a shard
+    paired against the persisted fingerprint index must equal the full
+    pair set restricted to shard-touching pairs — boundary cutoffs
+    included — and never pay index×index cost."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, f"{passage} filler{i} more{i}") for i in range(8)]
+        + [(8, "entirely different content with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in spans.winnow_pairs(docs, k=K, w=W).collect()
+    }
+    n = 9
+    for cutoff in (0, 4, n):
+        index = spans.winnow_fingerprints(
+            docs.filter(F.col("doc_id") < cutoff), k=K, w=W
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["shared_fps"]
+            for r in spans.winnow_pairs_incremental(
+                docs.filter(F.col("doc_id") >= cutoff), index, k=K, w=W
+            ).collect()
+        }
+        want = {
+            p: s for p, s in full.items() if p[0] >= cutoff or p[1] >= cutoff
+        }
+        assert got == want, f"cutoff={cutoff}"
+
+
+def test_winnow_pairs_incremental_readmitted_doc_no_self_pair(spark):
+    """A doc present in BOTH the shard and the index must not pair
+    with itself or double-count shared fingerprints."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    index = spans.winnow_fingerprints(docs, k=K, w=W)
+    pairs = spans.winnow_pairs_incremental(docs, index, k=K, w=W).collect()
+    assert pairs == []
