@@ -268,9 +268,14 @@ def curate_corpus(
     span_dedup_k: int | None = None,
     c4_rules: bool = False,
     gopher_filter: bool = False,
+    code_policy: str | None = None,
 ) -> DataFrame:
     """The end-to-end corpus curation flow, composed from the pieces:
 
+      code routing (if code_policy: 'drop' removes code-shaped docs,
+        'only' keeps nothing else — FIRST, because the prose-only
+        C4/Gopher rules reject most source code, and a mixture wants
+        code routed to its own pipeline, not silently filtered) →
       C4 line/page heuristics (if c4_rules) →
       Gopher page-quality rules (if gopher_filter) →
       domain filter (if source_* given) → quality filter →
@@ -297,6 +302,16 @@ def curate_corpus(
     from . import textstats
 
     out = docs
+    if code_policy is not None:
+        if code_policy not in ("drop", "only"):
+            raise ValueError("code_policy must be 'drop', 'only', or None")
+        from .textstats import code_stats
+
+        cond = F.col("is_code") if code_policy == "only" else ~F.col("is_code")
+        out = code_stats(out, text_col=text_col).filter(cond).drop(
+            "punct_lines_ppm", "indent_lines_ppm", "symbol_chars_ppm",
+            "kw_hits", "ident_tokens_ppm", "n_signals", "is_code",
+        )
     if c4_rules:
         from .textstats import c4_clean
 

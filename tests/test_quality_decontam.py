@@ -583,3 +583,38 @@ def test_code_stats_empty_and_symbol_only(spark):
     rows = {r["doc_id"]: r for r in textstats.code_stats(df).collect()}
     assert rows[0]["n_signals"] == 0 and not rows[0]["is_code"]
     assert rows[1]["symbol_chars_ppm"] == 1_000_000
+
+
+def test_curate_corpus_code_routing(spark):
+    """code_policy routes code docs out (or in) BEFORE prose-only
+    filters: 'drop'+'only' partition the corpus, and a code doc that
+    Gopher would reject survives intact under 'only'."""
+    code_doc = (
+        "def process_batch(rows):\n"
+        "    total_count = 0\n"
+        "    for row in rows:\n"
+        "        total_count += row.size;\n"
+        "    return total_count;\n"
+    )
+    prose = (
+        "The committee reviewed the annual report and agreed to have "
+        "the budget circulated with all of the departments that were "
+        "present for this meeting. " * 4
+    )
+    docs = spark.createDataFrame(
+        [(0, code_doc), (1, prose), (2, prose + " Extra sentence here.")],
+        "doc_id long, text string",
+    )
+    dropped = curation.curate_corpus(docs, min_quality=None, code_policy="drop")
+    only = curation.curate_corpus(docs, min_quality=None, code_policy="only")
+    assert {r["doc_id"] for r in dropped.collect()} == {1, 2}
+    assert {r["doc_id"] for r in only.collect()} == {0}
+    # the partition is exact: drop ∪ only = corpus
+    assert dropped.count() + only.count() == docs.count()
+    # under gopher_filter alone the code doc would die; routed 'only'
+    # it survives with its text untouched
+    gopher_kept = curation.curate_corpus(
+        docs, min_quality=None, gopher_filter=True
+    )
+    assert gopher_kept.filter(F.col("doc_id") == 0).count() == 0
+    assert only.first()["text"] == code_doc
