@@ -1027,6 +1027,46 @@ def semantic_dedup_pairs(
     )
 
 
+def cluster_exemplars(
+    assigned: DataFrame,
+    centroids: tuple,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k exemplar vectors per k-means cluster: the members with
+    the highest cosine to their OWN centroid — the vector-side
+    companion to curation.cluster_topics' term view ("show me this
+    cluster's most central documents").
+
+    Takes a persisted/pinned `ivf_assign` output, so the corpus is
+    never re-assigned.  The trainers emit L2-normalized centroids, so
+    cosine = dot(vec, centroid)/|vec| — the same round-6 expression
+    the SemDeDup oracle replays.  Ranking runs per cluster
+    (WindowGroupLimit; partition size = cluster size) with an id
+    tiebreak.  Returns (centroid_id, id, centroid_sim, rnk)."""
+    cids, cm = centroids
+    spark = assigned.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in vec]) for c, vec in zip(cids, cm)],
+        "centroid_id int, _cvec array<double>",
+    )
+    sim = F.round(
+        dot(F.col(vec_col), F.col("_cvec")) / l2_norm(F.col(vec_col)), 6
+    )
+    scored = assigned.join(F.broadcast(cent_df), "centroid_id").select(
+        "centroid_id", F.col(id_col).alias("id"), sim.alias("centroid_sim")
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("centroid_id", "id", "centroid_sim", "rnk")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: tuple,

@@ -4863,9 +4863,19 @@ def semdedup(spark, sf_dir):
         v_str=F.concat_ws("|", F.col("rnk").cast("string"), F.col("cnt").cast("string")),
         v_num=F.col("lift_milli").cast("double"),
     )
+    # r6 'exem': top-3 exemplars per cluster (highest round-6 cosine
+    # to the own centroid, id tiebreak) — the vector-side companion to
+    # 'topic', over the same pinned assignment
+    exem = similarity.cluster_exemplars(assigned, cents, k=3)
+    exem_rows = _suite_rows(
+        exem, "exem",
+        F.concat_ws("|", F.col("centroid_id").cast("string"), F.col("id").cast("string")),
+        v_str=F.col("rnk").cast("string"),
+        v_num=F.col("centroid_sim"),
+    )
     return _union_all(
         [assign_rows, pair_rows, surv_rows, km_rows, kmc_rows,
-         kmu_rows, kmuc_rows, sinc_rows, topic_rows]
+         kmu_rows, kmuc_rows, sinc_rows, topic_rows, exem_rows]
     )
 
 
@@ -4985,6 +4995,21 @@ FROM (VALUES {kmu_vals}) kmu(vid, cid)
 UNION ALL
 SELECT 'kmuc', CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR), '', CAST(v AS DOUBLE)
 FROM (VALUES {kmuc_vals}) kmuc(c, j, v)
+UNION ALL
+SELECT 'exem', CAST(centroid_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR),
+       CAST(rnk AS VARCHAR), CAST(csim AS DOUBLE)
+FROM (
+  SELECT a.centroid_id, a.vec_id,
+         round(list_dot_product(a.embedding::DOUBLE[], c.cvec)
+               / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 6) AS csim,
+         row_number() OVER (
+           PARTITION BY a.centroid_id
+           ORDER BY round(list_dot_product(a.embedding::DOUBLE[], c.cvec)
+               / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 6) DESC,
+               a.vec_id ASC) AS rnk
+  FROM assigned a JOIN cent c ON a.centroid_id = c.cid
+) exemrows
+WHERE rnk <= 3
 UNION ALL
 SELECT 'topic', CAST(centroid_id AS VARCHAR) || '|' || term,
        CAST(rnk AS VARCHAR) || '|' || CAST(cnt AS VARCHAR),

@@ -217,3 +217,27 @@ def test_trained_centroids_plug_into_semantic_dedup(spark):
     # policy prefers the 'newer' (higher score) copy
     assert len(canon) == 10
     assert all(v >= 10 for v in canon)
+
+
+def test_cluster_exemplars_rank_by_centroid_cosine(spark):
+    """The member most aligned with its centroid ranks 1; ranks follow
+    round-6 cosine with id tiebreak; k caps per-cluster output."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity
+
+    assigned = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),     # exactly on centroid 0
+            (1, [1.0, 0.2], 0),     # slightly off
+            (2, [1.0, 0.5], 0),     # further off
+            (3, [0.0, 2.0], 1),     # on centroid 1 (scale-invariant)
+            (4, [0.1, 1.0], 1),
+        ],
+        "vec_id long, embedding array<double>, centroid_id int",
+    )
+    cents = ([0, 1], [[1.0, 0.0], [0.0, 1.0]])
+    rows = similarity.cluster_exemplars(assigned, cents, k=2).collect()
+    got = {(r["centroid_id"], r["rnk"]): r["id"] for r in rows}
+    assert got == {(0, 1): 0, (0, 2): 1, (1, 1): 3, (1, 2): 4}
+    sims = {r["id"]: r["centroid_sim"] for r in rows}
+    assert sims[0] == 1.0 and sims[3] == 1.0  # on-centroid, any norm
+    assert 2 not in sims  # k=2 cap dropped the furthest member
