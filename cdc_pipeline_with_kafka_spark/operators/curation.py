@@ -166,6 +166,56 @@ def tfidf_top_terms(
     )
 
 
+def vocab_report(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k_coverage: int = 100,
+) -> DataFrame:
+    """One-row corpus vocabulary report — the statistics tokenizer
+    design starts from:
+
+    - n_tokens / n_terms: total and distinct whitespace terms;
+    - hapax_terms: terms occurring exactly once (the OOV tail a BPE
+      vocab must cover with merges);
+    - top_coverage_ppm: fraction of all tokens covered by the
+      `top_k_coverage` most frequent terms (count desc, term asc —
+      deterministic), as exact integer ppm.
+
+    Shape: one scan → one groupBy(term) (partial-agg; term-grain
+    stats table) → a TakeOrderedAndProject for the top-k slice → two
+    1-row aggregates.  All integers; the division is an integral
+    `div` in 128-bit decimals, so the report is engine-exact."""
+    terms = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("hapax_terms"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(top_k_coverage)
+        .agg(F.sum("cnt").alias("top_cnt"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_tokens",
+        "n_terms",
+        "hapax_terms",
+        F.expr(
+            "CAST(CAST(coalesce(top_cnt, 0) AS DECIMAL(20,0)) * 1000000 div "
+            "greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("top_coverage_ppm"),
+    )
+
+
 def cluster_topics(
     assigned: DataFrame,
     docs: DataFrame,

@@ -2664,11 +2664,24 @@ def curation_suite(spark, sf_dir):
         F.md5(F.col("chunk_text")).alias("v_str"),
         F.col("n_tokens").cast("double").alias("v_num"),
     )
+    # 'vocab' (r6): the corpus vocabulary report — token/term/hapax
+    # totals + exact top-100 coverage ppm, the tokenizer-design stats
+    vocab = curation.vocab_report(docs).selectExpr(
+        "stack(4, 'n_tokens', CAST(n_tokens AS DOUBLE),"
+        " 'n_terms', CAST(n_terms AS DOUBLE),"
+        " 'hapax_terms', CAST(hapax_terms AS DOUBLE),"
+        " 'top_coverage_ppm', CAST(top_coverage_ppm AS DOUBLE)) AS (stat, v)"
+    ).select(
+        F.lit("vocab").alias("suite_case"),
+        F.col("stat").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("v").alias("v_num"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
         .unionByName(report).unionByName(src).unionByName(bloom)
-        .unionByName(schunk).unionByName(packb)
+        .unionByName(schunk).unionByName(packb).unionByName(vocab)
     )
 
 
@@ -2895,6 +2908,32 @@ SELECT 'schunk', CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR),
   FROM walk w JOIN ssents s ON s.doc_id = w.doc_id AND s.idx = w.idx
   GROUP BY 1, 2
 ) scrows
+UNION ALL
+SELECT 'vocab', vstat, '', vval FROM (
+  WITH vterms AS (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ),
+  vcnt AS (SELECT term, count(*) AS cnt FROM vterms GROUP BY term),
+  vtot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           count(*) AS n_terms,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+    FROM vcnt
+  ),
+  vtop AS (
+    SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS top_cnt
+    FROM (SELECT cnt, term FROM vcnt ORDER BY cnt DESC, term ASC LIMIT 100)
+  )
+  SELECT 'n_tokens' AS vstat, CAST(n_tokens AS DOUBLE) AS vval FROM vtot
+  UNION ALL SELECT 'n_terms', CAST(n_terms AS DOUBLE) FROM vtot
+  UNION ALL SELECT 'hapax_terms', CAST(hapax AS DOUBLE) FROM vtot
+  UNION ALL
+  SELECT 'top_coverage_ppm',
+         CAST((top_cnt::HUGEINT * 1000000 // greatest(n_tokens, 1)) AS DOUBLE)
+  FROM vtot, vtop
+) vrows
 """
 
 

@@ -1183,3 +1183,15 @@ def test_cluster_topics_min_count_prunes_singletons(spark):
         for r in curation.cluster_topics(assigned, docs, k=10, min_count=2).collect()
     }
     assert terms == {"aa"}  # bb/cc appear once → pruned
+
+
+def test_vocab_report_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a b d"), (2, "")], "doc_id long, text string"
+    )
+    row = curation.vocab_report(docs, top_k_coverage=2).first()
+    # tokens: a×3 b×2 c×1 d×1 → 7 total, 4 distinct, 2 hapax
+    assert row["n_tokens"] == 7 and row["n_terms"] == 4
+    assert row["hapax_terms"] == 2
+    # top-2 = a(3)+b(2) = 5/7 → 714285 ppm (exact integral div)
+    assert row["top_coverage_ppm"] == 5_000_000 // 7
