@@ -239,3 +239,47 @@ def asof_join(
         *[c for c in lcols if c not in key_cols and c != left_ts],
         *value_cols,
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join without the cartesian plan: Catalyst
+    plans a bare ``p.v >= i.s AND p.v < i.e`` condition as a
+    BroadcastNestedLoop/cartesian product — |points|·|intervals|
+    comparisons, the join that dies first at 100 TB.  Here both sides
+    map to integer buckets of `bucket_width` (each interval explodes
+    into every bucket it overlaps), the join becomes a plain
+    hash-partitioned EQUI-join on the bucket, and the exact range
+    predicate re-checks the candidates (the Databricks range-join-hint
+    strategy as plain DataFrame ops).
+
+    Candidate volume is Σ⌈len/width⌉ per interval instead of the
+    cross product — pick `bucket_width` near the typical interval
+    length so most intervals explode into 1-2 buckets.  Inner-join
+    semantics; both range columns must be numeric (cast timestamps to
+    epoch first).  Half-open containment: start ≤ v < end.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    p = points.withColumn(
+        "_bkt",
+        F.floor(F.col(point_col).cast("double") / F.lit(float(bucket_width))).cast("long"),
+    )
+    s_bkt = F.floor(F.col(start_col).cast("double") / F.lit(float(bucket_width))).cast("long")
+    # an interval whose exclusive end sits exactly on a bucket boundary
+    # explodes into one extra (empty) bucket — harmless: candidates are
+    # re-checked by the exact predicate, and correctness never depends
+    # on the bucket arithmetic being tight
+    e_bkt = F.floor(F.col(end_col).cast("double") / F.lit(float(bucket_width))).cast("long")
+    i = intervals.withColumn(
+        "_bkt",
+        F.explode(F.sequence(s_bkt, F.greatest(e_bkt, s_bkt))),
+    )
+    cond = (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    return p.join(i, "_bkt").filter(cond).drop("_bkt")

@@ -1999,7 +1999,38 @@ def f_value_suite(spark, sf_dir):
         # window; oracle = DuckDB native ASOF LEFT JOIN)
         _suite_rows(_asof_enriched(spark, sf_dir), "asof",
                     F.col("event_id"), v_num=F.coalesce(F.col("cnt"), F.lit(-1))),
+        # r6 'ivj': bucketized interval join — sampled lineitems whose
+        # ship day falls in [o_orderdate, +7d) of sampled orders; the
+        # operator plans an equi-join on day buckets (plan-pinned in
+        # pytest: no BroadcastNestedLoop), the oracle is DuckDB's
+        # native range join
+        _suite_rows(
+            _interval_join_rows(spark, sf_dir), "ivj",
+            F.concat_ws("|", F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                        F.col("o_orderkey").cast("string")),
+            v_num=F.col("v"),
+        ),
     ])
+
+
+def _interval_join_rows(spark, sf_dir):
+    from .operators import relational as rel
+
+    points = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    ).select(
+        "l_orderkey", "l_linenumber",
+        F.unix_date(F.col("l_shipdate").cast("date")).alias("v"),
+    )
+    intervals = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 40 == 0
+    ).select(
+        "o_orderkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("s"),
+        (F.unix_date(F.col("o_orderdate").cast("date")) + 7).alias("e"),
+    )
+    return rel.interval_join(points, intervals, "v", "s", "e", bucket_width=7)
 
 
 def _asof_enriched(spark, sf_dir):
@@ -2022,6 +2053,21 @@ UNION ALL
 SELECT 'asof', CAST(e.event_id AS VARCHAR), '', CAST(coalesce(h.cnt, -1) AS DOUBLE)
 FROM events e ASOF LEFT JOIN ({_HOURLY_SQL}) h
   ON e.event_type = h.event_type AND e.ts >= h.bucket
+UNION ALL
+SELECT 'ivj',
+       CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+         || '|' || CAST(o_orderkey AS VARCHAR),
+       '', CAST(v AS DOUBLE)
+FROM (
+  SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey,
+         datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) AS v
+  FROM lineitem l JOIN orders o
+    ON datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+         >= datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+   AND datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+         < datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) + 7
+  WHERE l.l_orderkey % 50 = 0 AND o.o_orderkey % 40 = 0
+) ivjrows
 """
 
 

@@ -103,3 +103,47 @@ def test_fixture_count_cache_isolated_per_sf_dir(spark):
     n_big = q._table_count(spark, "/root/testdata/sf0.01", "lineitem")
     assert n_small != n_big
     assert q._COUNT_CACHE[("/root/testdata/sf0.001", "lineitem")] == n_small
+
+
+def test_interval_join_matches_naive_and_avoids_cartesian(spark):
+    """interval_join must return exactly the naive range join's rows
+    while planning an EQUI-join on buckets — the naive condition plans
+    BroadcastNestedLoop, the operator must not."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    points = spark.range(0, 500).select(
+        F.col("id").alias("pid"), ((F.col("id") * 37) % 1000).alias("v")
+    )
+    intervals = spark.range(0, 60).select(
+        F.col("id").alias("iid"),
+        ((F.col("id") * 53) % 900).alias("s"),
+        (((F.col("id") * 53) % 900) + 5 + (F.col("id") % 40)).alias("e"),
+    )
+    got = relational.interval_join(points, intervals, "v", "s", "e", bucket_width=32)
+    naive = points.join(
+        intervals, (F.col("v") >= F.col("s")) & (F.col("v") < F.col("e"))
+    )
+    assert sorted(map(tuple, got.select("pid", "iid").collect())) == sorted(
+        map(tuple, naive.select("pid", "iid").collect())
+    )
+    assert got.count() > 0  # non-vacuous
+    gplan = got._jdf.queryExecution().executedPlan().toString()
+    nplan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in gplan and "Cartesian" not in gplan
+    assert "BroadcastNestedLoop" in nplan or "Cartesian" in nplan
+
+
+def test_interval_join_boundaries_half_open(spark):
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    points = spark.createDataFrame(
+        [(0, 10), (1, 19), (2, 20), (3, 9)], "pid long, v long"
+    )
+    intervals = spark.createDataFrame([(0, 10, 20)], "iid long, s long, e long")
+    got = {
+        r["pid"]
+        for r in relational.interval_join(
+            points, intervals, "v", "s", "e", bucket_width=7
+        ).collect()
+    }
+    assert got == {0, 1}  # start inclusive, end exclusive
