@@ -248,6 +248,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket_width: int,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point-in-interval join without the cartesian plan: Catalyst
     plans a bare ``p.v >= i.s AND p.v < i.e`` condition as a
@@ -264,6 +265,11 @@ def interval_join(
     length so most intervals explode into 1-2 buckets.  Inner-join
     semantics; both range columns must be numeric (cast timestamps to
     epoch first).  Half-open containment: start ≤ v < end.
+
+    `key_cols` (present on BOTH sides) joins on (keys, bucket) —
+    the common "sessions of THIS user containing this event" shape;
+    the keys ride in the shuffle partitioning, so per-key skew
+    follows the same salting escape hatches as any equi-join.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
@@ -282,4 +288,5 @@ def interval_join(
         F.explode(F.sequence(s_bkt, F.greatest(e_bkt, s_bkt))),
     )
     cond = (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
-    return p.join(i, "_bkt").filter(cond).drop("_bkt")
+    join_cols = ["_bkt"] + list(key_cols or [])
+    return p.join(i, join_cols).filter(cond).drop("_bkt")

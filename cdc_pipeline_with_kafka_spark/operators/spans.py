@@ -558,6 +558,54 @@ def winnow_pairs_incremental(
     )
 
 
+def winnow_novelty(
+    shard: DataFrame,
+    index_fps: DataFrame | None,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty against a winnowing fingerprint index: the
+    ppm of a doc's DISTINCT fingerprints not already in the corpus —
+    a graded admission signal where pair operators give a binary
+    verdict (sample MORE from novel docs, less from near-boilerplate;
+    the dedup-aware-sampling knob).
+
+    One fingerprint pass over the shard + one left-semi-shaped join
+    against the index (broadcast when the index's distinct-fp side is
+    small, hash-join otherwise) + a per-doc count — corpus text is
+    never read.  index_fps=None means a cold start: everything is
+    novel.  Returns (id, n_fps, known_fps, novelty_ppm) with the ppm
+    an exact integral div."""
+    fps = winnow_fingerprints(
+        shard, k=k, w=w, text_col=text_col, id_col=id_col
+    ).select("id", "fp").distinct()
+    if index_fps is None:
+        hits = fps.limit(0).select("id", "fp")
+    else:
+        hits = fps.join(
+            index_fps.select("fp").distinct(), "fp", "left_semi"
+        )
+    known = hits.groupBy("id").agg(F.count(F.lit(1)).alias("known_fps"))
+    per_doc = (
+        fps.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .join(known, "id", "left")
+        .select(
+            "id",
+            "n_fps",
+            F.coalesce(F.col("known_fps"), F.lit(0)).cast("long").alias("known_fps"),
+        )
+    )
+    return per_doc.select(
+        "id", "n_fps", "known_fps",
+        F.expr(
+            "CAST((n_fps - known_fps) * 1000000 div greatest(n_fps, 1) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
+
+
 def winnow_fps_py(text: str, k: int = 4, w: int = 4) -> list[tuple[int, int]]:
     """Pure-Python twin of winnow_fingerprints for one document
     (oracle/property side): identical tokenization, hashing, rightmost

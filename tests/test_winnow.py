@@ -172,3 +172,49 @@ def test_winnow_pairs_incremental_readmitted_doc_no_self_pair(spark):
     index = spans.winnow_fingerprints(docs, k=K, w=W)
     pairs = spans.winnow_pairs_incremental(docs, index, k=K, w=W).collect()
     assert pairs == []
+
+
+def test_winnow_novelty_grades_overlap(spark):
+    """A verbatim re-submission scores 0 novelty, a fresh doc 1e6, a
+    half-overlapping doc in between; cold start = all novel."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    index = spans.winnow_fingerprints(docs, k=K, w=W)
+    shard = spark.createDataFrame(
+        [
+            (10, base),                                   # exact resubmit
+            (11, f"{base} mu nu xi omicron pi rho sigma"),  # extended
+            (12, "completely different words all over the place now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in spans.winnow_novelty(shard, index, k=K, w=W).collect()
+    }
+    assert rows[10]["novelty_ppm"] == 0
+    assert rows[12]["novelty_ppm"] == 1_000_000 and rows[12]["known_fps"] == 0
+    assert 0 < rows[11]["novelty_ppm"] < 1_000_000
+    # exactness: ppm is the integral div of the counts it reports
+    r11 = rows[11]
+    assert r11["novelty_ppm"] == (r11["n_fps"] - r11["known_fps"]) * 1_000_000 // r11["n_fps"]
+    # cold start: everything novel
+    cold = spans.winnow_novelty(shard, None, k=K, w=W).collect()
+    assert all(r["novelty_ppm"] == 1_000_000 for r in cold)
+
+
+def test_interval_join_with_key_cols(spark):
+    """Keyed interval join: points only match intervals of the SAME
+    key (sessions-of-this-user shape)."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    points = spark.createDataFrame(
+        [(0, "u1", 15), (1, "u2", 15)], "pid long, user string, v long"
+    )
+    intervals = spark.createDataFrame(
+        [(100, "u1", 10, 20)], "iid long, user string, s long, e long"
+    )
+    got = relational.interval_join(
+        points, intervals, "v", "s", "e", bucket_width=8, key_cols=["user"]
+    ).collect()
+    assert [(r["pid"], r["iid"]) for r in got] == [(0, 100)]
