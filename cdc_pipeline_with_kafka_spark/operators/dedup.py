@@ -924,3 +924,71 @@ def dedup_survivors(
             (F.coalesce("_winner", F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
         )
     )
+
+
+def overlap_census(
+    docs: DataFrame,
+    *,
+    minhash_threshold: float = 0.7,
+    shingle_n: int = 3,
+    winnow_min_shared: int = 2,
+    winnow_k: int = 4,
+    winnow_w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    algorithm: str = "auto",
+) -> dict:
+    """One-call duplication census across the three TEXT pair tiers —
+    the text analog of multimodal's overlap_report:
+
+    - 'exact'  : normalized-content hash groups, emitted as STAR edges
+      (member ↔ lowest id) — linear in group size, never the
+      quadratic within-group pair expansion, and component-equivalent;
+    - 'near'   : MinHash+LSH candidates at ≥ minhash_threshold
+      (strength = estimated Jaccard);
+    - 'substr' : winnowing fingerprint pairs (strength = shared fps) —
+      the guaranteed shared-passage tier exact/near both miss when
+      only a passage is copied.
+
+    Returns {'pairs': (id_a, id_b, tier, strength),
+             'docs': docs + (cluster_id, is_canonical)} — clusters run
+    over the UNION graph, so a doc exact-dup'd to one doc and
+    passage-linked to another lands in ONE cluster.  Each tier is the
+    already-gated operator; this function only pins the composition."""
+    from . import spans as spans_ops
+
+    hashed = docs.select(
+        F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
+        F.col(id_col),
+    )
+    groups = exact_duplicates(docs, text_col=text_col, id_col=id_col)
+    exact_pairs = (
+        hashed.join(groups, "content_hash")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(
+            F.col("keep_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit("exact").alias("tier"),
+            F.lit(1.0).alias("strength"),
+        )
+    )
+    near = minhash_lsh_pairs(
+        docs, threshold=minhash_threshold, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        "id_a", "id_b", F.lit("near").alias("tier"),
+        F.col("est_jaccard").alias("strength"),
+    )
+    substr = spans_ops.winnow_pairs(
+        docs, k=winnow_k, w=winnow_w, min_shared=winnow_min_shared,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        "id_a", "id_b", F.lit("substr").alias("tier"),
+        F.col("shared_fps").cast("double").alias("strength"),
+    )
+    pairs = exact_pairs.unionByName(near).unionByName(substr)
+    clustered = dedup_survivors(
+        docs, pairs.select("id_a", "id_b").distinct(),
+        id_col=id_col, algorithm=algorithm,
+    )
+    return {"pairs": pairs, "docs": clustered}

@@ -270,6 +270,13 @@ def interval_join(
     the common "sessions of THIS user containing this event" shape;
     the keys ride in the shuffle partitioning, so per-key skew
     follows the same salting escape hatches as any equi-join.
+
+    HAZARD: a single interval explodes into ⌈len/width⌉ candidate
+    rows — an unbounded/sentinel end (year 9999) with a small width
+    generates a giant per-row array.  Clamp open-ended intervals to
+    the data's horizon before joining, and size `bucket_width` from
+    the interval-length distribution (`sketch.quantile_summary`), not
+    the point density.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")

@@ -545,3 +545,41 @@ def test_semantic_neardup_incremental_equals_full_restriction(spark):
         }
         want = {(a, b) for (a, b) in full if b >= cutoff}
         assert inc == want, cutoff
+
+
+def test_overlap_census_three_tiers_one_cluster_graph(spark):
+    """Planted corpus: an exact-dup pair, a near-dup pair, a
+    shared-passage pair, one disjoint doc — each tier reports its own
+    pair, and the union graph clusters transitively linked docs
+    together while the disjoint doc stays a singleton."""
+    from cdc_pipeline_with_kafka_spark.operators import dedup as dd
+
+    # 12 shared tokens: the census default needs ≥2 shared fps, and the
+    # w+k−1 guarantee only promises ONE per minimal shared passage
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                              # exact dup of 0
+            (2, base + " extra"),                   # near dup of 0/1
+            (3, f"start {passage} middle words"),   # passage pair with 4
+            (4, f"{passage} other tail entirely"),
+            (5, "completely unrelated content with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dd.overlap_census(docs, minhash_threshold=0.5)
+    tiers = {}
+    for r in out["pairs"].collect():
+        tiers.setdefault(r["tier"], set()).add((r["id_a"], r["id_b"]))
+    assert (0, 1) in tiers["exact"]
+    assert any(p in tiers.get("near", set()) for p in [(0, 2), (1, 2)])
+    assert (3, 4) in tiers["substr"]
+    clusters = {r["doc_id"]: r["cluster_id"] for r in out["docs"].collect()}
+    assert clusters[0] == clusters[1] == clusters[2]  # union graph
+    assert clusters[3] == clusters[4] != clusters[0]
+    assert clusters[5] == 5  # singleton
+    canon = {r["doc_id"]: r["is_canonical"] for r in out["docs"].collect()}
+    assert canon[0] and not canon[1] and not canon[2]
+    assert canon[3] and not canon[4] and canon[5]
