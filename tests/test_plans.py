@@ -269,3 +269,14 @@ def test_alignment_search_plans_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in p
         assert "partial" in p.lower()
         assert "BroadcastHashJoin" in p  # the stopword-cap frequency join
+
+
+def test_interval_join_gate_no_nested_loop(spark):
+    """The 'ivj' gate branch must keep the bucketized equi-join shape
+    at gate scale — a BroadcastNestedLoop here means the bucket
+    explosion was optimized away or the condition leaked into the
+    join."""
+    df = q._interval_join_rows(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # it IS a join, just an equi one
