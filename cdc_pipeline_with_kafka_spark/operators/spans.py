@@ -606,6 +606,55 @@ def winnow_novelty(
     )
 
 
+def novelty_weighted_sample(
+    shard: DataFrame,
+    index_fps: DataFrame | None,
+    *,
+    floor_ppm: int = 100_000,
+    k: int = 4,
+    w: int = 4,
+    salt: str = "",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft dedup: keep each shard doc with probability proportional
+    to its winnowing novelty (fully novel → always kept; a verbatim
+    resubmission → kept at floor_ppm).  The graded alternative to
+    hard near-dup removal — boilerplate-heavy docs are down-SAMPLED
+    instead of binarily dropped, which is what mixture builders
+    actually want for high-duplication web strata.
+
+    Deterministic: the keep decision hashes (salt ‖ id) exactly like
+    curation.hash_sample, so the same inputs and salt reproduce the
+    same subset.  Returns the surviving docs + (novelty_ppm,
+    keep_ppm)."""
+    nov = winnow_novelty(
+        shard, index_fps, k=k, w=w, text_col=text_col, id_col=id_col
+    ).select("id", "novelty_ppm")
+    joined = shard.join(
+        nov, shard[id_col] == nov["id"], "left"
+    ).drop(nov["id"])
+    # docs too short to fingerprint have no novelty row: treat as novel
+    keep_ppm = F.greatest(
+        F.coalesce(F.col("novelty_ppm"), F.lit(1_000_000)),
+        F.lit(int(floor_ppm)),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 1_000_000
+    )
+    return (
+        joined.withColumn("keep_ppm", keep_ppm.cast("long"))
+        .withColumn(
+            "novelty_ppm",
+            F.coalesce(F.col("novelty_ppm"), F.lit(1_000_000)).cast("long"),
+        )
+        .filter(bucket < F.col("keep_ppm"))
+    )
+
+
 def winnow_fps_py(text: str, k: int = 4, w: int = 4) -> list[tuple[int, int]]:
     """Pure-Python twin of winnow_fingerprints for one document
     (oracle/property side): identical tokenization, hashing, rightmost

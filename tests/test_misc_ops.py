@@ -147,3 +147,32 @@ def test_interval_join_boundaries_half_open(spark):
         ).collect()
     }
     assert got == {0, 1}  # start inclusive, end exclusive
+
+
+def test_interval_join_width_sweep_always_matches_naive(spark):
+    """Bucket width is a pure cost knob — results must be identical to
+    the naive range join at degenerate (1), boundary-straddling, and
+    everything-in-one-bucket (1000) widths."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    points = spark.range(0, 200).select(
+        F.col("id").alias("pid"), ((F.col("id") * 13) % 97).alias("v")
+    )
+    intervals = spark.range(0, 25).select(
+        F.col("id").alias("iid"),
+        ((F.col("id") * 11) % 80).alias("s"),
+        (((F.col("id") * 11) % 80) + 1 + (F.col("id") % 13)).alias("e"),
+    )
+    naive = sorted(
+        map(tuple, points.join(
+            intervals, (F.col("v") >= F.col("s")) & (F.col("v") < F.col("e"))
+        ).select("pid", "iid").collect())
+    )
+    assert naive  # non-vacuous
+    for width in (1, 3, 7, 64, 1000):
+        got = sorted(
+            map(tuple, relational.interval_join(
+                points, intervals, "v", "s", "e", bucket_width=width
+            ).select("pid", "iid").collect())
+        )
+        assert got == naive, f"width={width}"

@@ -218,3 +218,41 @@ def test_interval_join_with_key_cols(spark):
         points, intervals, "v", "s", "e", bucket_width=8, key_cols=["user"]
     ).collect()
     assert [(r["pid"], r["iid"]) for r in got] == [(0, 100)]
+
+
+def test_novelty_weighted_sample_soft_dedup(spark):
+    """Fully novel docs always survive; verbatim resubmissions survive
+    at ~floor_ppm; the decision is deterministic under a fixed salt."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    index = spans.winnow_fingerprints(corpus, k=K, w=W)
+    shard = spark.createDataFrame(
+        [(i, base) for i in range(100, 160)]          # 60 resubmissions
+        + [(i, f"fresh text number {i} with unique tokens {i*3} {i*7} {i*11}")
+           for i in range(200, 220)],                  # 20 novel docs
+        "doc_id long, text string",
+    )
+    kept = spans.novelty_weighted_sample(
+        shard, index, floor_ppm=100_000, k=K, w=W, salt="nv:"
+    )
+    rows = kept.collect()
+    kept_ids = {r["doc_id"] for r in rows}
+    # every novel doc survives (keep_ppm = 1e6 > any bucket)
+    assert set(range(200, 220)) <= kept_ids
+    # resubmissions are heavily down-sampled (expected ~6 of 60)
+    n_resub = sum(1 for i in kept_ids if i < 200)
+    assert n_resub < 20
+    ppms = {r["doc_id"]: (r["novelty_ppm"], r["keep_ppm"]) for r in rows}
+    for i in kept_ids:
+        if i < 200:
+            assert ppms[i] == (0, 100_000)
+        else:
+            assert ppms[i][1] == 1_000_000
+    # determinism: same salt → same subset
+    again = {
+        r["doc_id"]
+        for r in spans.novelty_weighted_sample(
+            shard, index, floor_ppm=100_000, k=K, w=W, salt="nv:"
+        ).collect()
+    }
+    assert again == kept_ids
