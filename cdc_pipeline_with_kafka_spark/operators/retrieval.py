@@ -97,6 +97,47 @@ def build_bm25_index(
     return tf.withColumn("dl", F.sum("tf").over(w_doc))
 
 
+def build_bm25f_index(
+    docs: DataFrame,
+    fields: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """Field-weighted postings (BM25F with INTEGER field boosts — the
+    reference's title-weighting idea, keyword-extraction parity F3,
+    applied to retrieval): a term in a field with weight w counts as w
+    occurrences, for tf AND doc length.
+
+    Integer boosts keep every statistic integral, so the exactness
+    contract survives — and make the semantics PROVABLE: boosting a
+    field by w is identical to repeating its text w times, which the
+    equivalence test pins against plain bm25_topk on the repeated
+    concatenation (bag-of-terms statistics don't see token order).
+    The output schema matches build_bm25_index, so bm25_topk consumes
+    it unchanged (weigh QUERY text normally — boosts are a
+    document-side notion)."""
+    if not fields:
+        raise ValueError("need at least one (field, weight)")
+    if any(int(w) < 1 for w in fields.values()):
+        raise ValueError("field weights must be positive integers")
+    parts = []
+    for field, weight in fields.items():
+        tf = (
+            docs.select(
+                F.col(id_col), F.explode(_terms(F.col(field), ngram)).alias("term")
+            )
+            .groupBy(id_col, "term")
+            .agg((F.count(F.lit(1)) * F.lit(int(weight))).alias("tf"))
+        )
+        parts.append(tf)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    merged = out.groupBy(id_col, "term").agg(F.sum("tf").alias("tf"))
+    return merged.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+
+
 def _idf_micro(n_docs: int, df: int) -> int:
     """round(1e6 · ln(1 + (N − df + 0.5)/(df + 0.5))) HALF_UP — the
     Lucene BM25 idf (always > 0). Driver-only; shipped as a literal."""

@@ -211,3 +211,47 @@ def test_decontaminate_by_retrieval_flags_leaked_docs(spark):
     kept = R.decontaminate_by_retrieval(docs, ev, k=3, mode="drop")
     assert kept.count() == docs.count() - n_flagged
     assert kept.filter(F.col("doc_id").isin(5, 9)).count() == 0
+
+
+def test_bm25f_integer_boost_equals_repeated_text(spark):
+    """The provable semantics: an integer field boost w is IDENTICAL
+    to repeating the field's text w times — bag-of-terms statistics
+    (tf, dl, df) cannot see order, so the scores match exactly."""
+    docs = spark.createDataFrame(
+        [
+            (0, "spark engine", "rows and columns and tables"),
+            (1, "column store", "the spark shuffle moves rows"),
+            (2, "row cache", "spark spark spark everywhere"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "spark rows"), (1, "column")], "query_id long, text string"
+    )
+    idx = R.build_bm25f_index(docs, {"title": 3, "body": 1})
+    via_f = sorted(map(tuple, R.bm25_topk(None, qs, index=idx, k=5).collect()))
+    repeated = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "title", "title", "title", "body"
+        ).alias("text"),
+    )
+    via_repeat = sorted(map(tuple, R.bm25_topk(repeated, qs, k=5).collect()))
+    assert via_f == via_repeat and via_f
+
+
+def test_bm25f_title_match_outranks_body_match(spark):
+    """Equal raw term counts: the title holder must outrank the body
+    holder under a title boost."""
+    docs = spark.createDataFrame(
+        [
+            (0, "quantum widgets", "assorted filler text here today"),
+            (1, "assorted filler", "quantum widgets text here today"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    qs = spark.createDataFrame([(0, "quantum widgets")], "query_id long, text string")
+    idx = R.build_bm25f_index(docs, {"title": 4, "body": 1})
+    top = R.bm25_topk(None, qs, index=idx, k=2).orderBy("rnk").collect()
+    assert top[0]["doc_id"] == 0 and top[1]["doc_id"] == 1
+    assert top[0]["score_micro"] > top[1]["score_micro"]
