@@ -1027,6 +1027,85 @@ def semantic_dedup_pairs(
     )
 
 
+def embed_hashed_ngrams(
+    docs: DataFrame,
+    *,
+    dim: int = 64,
+    ngram: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Deterministic text embeddings by the hashing trick (Weinberger
+    et al. 2009): each word n-gram hashes to a bucket with a ±1 sign,
+    the doc vector is the signed bucket-count histogram, optionally
+    L2-normalized.  No model, no training, no external weights — the
+    self-contained way to CREATE the `embedding` column the dense tier
+    (cosine_topk / semantic_dedup / IVF / PQ / RRF hybrid) consumes,
+    so raw text flows end-to-end through hybrid search with zero
+    dependencies.
+
+    Spark shape: everything runs IN-ROW (md5-bucket transform over the
+    n-gram array, then a signed-count fold per bucket — O(dim·grams)
+    JVM lambda steps per doc; at dim ≳ 512 switch the fold to an Arrow
+    batch, the hashing stays).  Counts are exact integers before the
+    one normalize division.  No explode, no shuffle, no Python.  Same
+    ids in, one (id, embedding array<float>) row out —
+    schema-compatible with embeddings.parquet."""
+    if dim < 2:
+        raise ValueError("dim must be ≥ 2")
+    from .textstats import _tokens, _word_ngrams
+
+    grams = _word_ngrams(_tokens(F.col(text_col)), ngram)
+    # bucket in [0, dim), sign from the next md5 nibble — one hash per gram
+    h = F.transform(
+        grams,
+        lambda g: F.struct(
+            (F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint") % dim)
+            .cast("int").alias("b"),
+            F.when(
+                F.conv(F.substring(F.md5(g), 9, 1), 16, 10).cast("int") % 2 == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)).alias("s"),
+        ),
+    )
+    # pin ONE evaluation of the hashed array (winnow's barrier rationale)
+    base = spread(docs, id_col).select(
+        F.col(id_col), F.explode(F.array(h)).alias("_h")
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            F.col("_h"),
+            F.lit(0),
+            lambda acc, x: acc + F.when(x["b"] == j, x["s"]).otherwise(F.lit(0)),
+        ),
+    )
+    if not normalize:
+        return base.select(
+            id_col,
+            F.transform(counts, lambda v: v.cast("float")).alias("embedding"),
+        )
+    cnt_col = F.col("_cnt")
+    norm = F.sqrt(
+        F.aggregate(
+            cnt_col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
+        )
+    )
+    return (
+        base.select(id_col, F.explode(F.array(counts)).alias("_cnt"))
+        .select(
+            id_col,
+            F.when(
+                norm > 0,
+                F.transform(cnt_col, lambda v: (v.cast("double") / norm).cast("float")),
+            )
+            .otherwise(F.transform(cnt_col, lambda v: v.cast("float")))
+            .alias("embedding"),
+        )
+    )
+
+
 def cluster_exemplars(
     assigned: DataFrame,
     centroids: tuple,

@@ -583,3 +583,59 @@ def test_overlap_census_three_tiers_one_cluster_graph(spark):
     canon = {r["doc_id"]: r["is_canonical"] for r in out["docs"].collect()}
     assert canon[0] and not canon[1] and not canon[2]
     assert canon[3] and not canon[4] and canon[5]
+
+
+def test_embed_hashed_ngrams_end_to_end_dense_tier(spark):
+    """Raw text → hashing-trick embeddings → the existing dense tier:
+    near-dup texts land closer than unrelated ones, vectors are
+    unit-norm, and cosine_topk consumes the output unchanged."""
+    import math
+
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " with one extra clause"),
+            (2, "completely different subject matter entirely unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = S.embed_hashed_ngrams(docs, dim=64)
+    rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert all(len(v) == 64 for v in rows.values())
+    for v in rows.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(rows[0], rows[1]) > 0.8 > cos(rows[0], rows[2])
+    # deterministic across runs
+    again = {r["doc_id"]: r["embedding"] for r in S.embed_hashed_ngrams(docs, dim=64).collect()}
+    assert again == rows
+    # plugs into the dense tier unchanged
+    q = emb.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    top = S.cosine_topk(
+        emb.withColumnRenamed("doc_id", "vec_id"), q, k=2
+    ).orderBy("rnk").collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+
+
+def test_embed_hashed_ngrams_unnormalized_counts_are_integers(spark):
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["embedding"]
+        for r in S.embed_hashed_ngrams(docs, dim=8, normalize=False).collect()
+    }
+    # "a b"×3 and "b a"×2 hash somewhere: total |counts| = 5 with signs
+    assert sum(abs(int(v)) for v in rows[0]) >= 1
+    assert all(float(v).is_integer() for v in rows[0])
+    assert all(v == 0.0 for v in rows[1])  # empty doc → zero vector
