@@ -255,3 +255,15 @@ def test_bm25f_title_match_outranks_body_match(spark):
     top = R.bm25_topk(None, qs, index=idx, k=2).orderBy("rnk").collect()
     assert top[0]["doc_id"] == 0 and top[1]["doc_id"] == 1
     assert top[0]["score_micro"] > top[1]["score_micro"]
+
+
+def test_bm25_topk_window_group_limit_is_partial(spark):
+    """The per-query top-k must push a PARTIAL WindowGroupLimit below
+    the shuffle — each map task keeps only k rows per query before
+    exchanging, so a query matching half the corpus never funnels its
+    full match set into one window task (the single-task-window defect
+    class, pre-empted)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = R.bm25_topk(docs, _queries_df(spark), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
