@@ -639,3 +639,36 @@ def test_embed_hashed_ngrams_unnormalized_counts_are_integers(spark):
     assert sum(abs(int(v)) for v in rows[0]) >= 1
     assert all(float(v).is_integer() for v in rows[0])
     assert all(v == 0.0 for v in rows[1])  # empty doc → zero vector
+
+
+def test_text_to_semantic_dedup_closed_loop(spark):
+    """The zero-dependency end-to-end: raw text → hashed-n-gram
+    embeddings → trained centroids → SemDeDup. Near-identical texts
+    must land in one cluster with a single canonical survivor;
+    unrelated texts survive."""
+    base_a = "the quick brown fox jumps over the lazy dog every single day"
+    base_b = "spark executes declarative plans with whole stage code generation"
+    docs = spark.createDataFrame(
+        [
+            (0, base_a),
+            (1, base_a + " indeed"),
+            (2, base_b),
+            (3, base_b + " quickly"),
+            (4, "entirely unrelated third topic with its own words here"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = similarity.embed_hashed_ngrams(docs, dim=64).localCheckpoint()
+    cents = similarity.train_ivf_codebook(
+        emb, nlist=2, id_col="doc_id", vec_col="embedding"
+    )
+    out = similarity.semantic_dedup(
+        emb, cents, threshold=0.8, id_col="doc_id"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["cluster_id"] == rows[1]["cluster_id"]
+    assert rows[2]["cluster_id"] == rows[3]["cluster_id"]
+    assert rows[0]["cluster_id"] != rows[2]["cluster_id"]
+    assert rows[4]["cluster_id"] == 4  # singleton
+    canon = [d for d, r in rows.items() if r["is_canonical"]]
+    assert sorted(canon) == [0, 2, 4]
