@@ -911,8 +911,17 @@ def dedup_survivors(
         "id",
     )
     winners = members.groupBy("cluster_id").agg(
-        F.max_by("id", F.struct(F.col("_score"), (-F.col("id")).alias("_nid")))
-        .alias("_winner")
+        # NULL scores sort below every real score (max_by skips rows
+        # whose ordering struct contains a NULL — a cluster of
+        # all-NULL scores would elect NO winner and coalesce would
+        # mark every member canonical)
+        F.max_by(
+            "id",
+            F.struct(
+                F.coalesce(F.col("_score"), F.lit(float("-inf"))).alias("_s"),
+                (-F.col("id")).alias("_nid"),
+            ),
+        ).alias("_winner")
     )
     return (
         docs.join(comp.withColumnRenamed("id", id_col), id_col, "left")

@@ -2090,7 +2090,12 @@ def fingerprint_assets(
                         raise ValueError(f"no fingerprinter for media_type {mt!r}")
                     fps.append(fn(raw))
                     errs.append(None)
-                except ValueError as exc:
+                except Exception as exc:  # noqa: BLE001 — quarantine,
+                    # don't fail the job: decoders wrap malformed input
+                    # in ValueError by convention, but a truncated or
+                    # garbage payload can surface struct.error /
+                    # IndexError / zlib.error from an unwrapped depth;
+                    # one bad asset must never kill the whole pass
                     fps.append(None)
                     errs.append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(
@@ -2421,6 +2426,12 @@ def cdc_chunks(
         # per-pass temporaries would dominate the whole computation
         for j in range(6):
             step = 1 << j
+            if step >= n:
+                # no position i < n has a contribution from i - step:
+                # the pass is a mathematical no-op — and the negative
+                # slice H[: n - step] would otherwise wrap around and
+                # broadcast-fail on payloads with step/2 < n <= step
+                break
             np.left_shift(H[: n - step], np.uint64(step), out=tmp[: n - step])
             H[step:] += tmp[: n - step]
         cand = np.nonzero((H & np.uint64(mask)) == 0)[0] + 1

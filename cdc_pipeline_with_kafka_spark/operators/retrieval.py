@@ -79,22 +79,48 @@ def build_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    hashed: bool = True,
+    keep_term: bool = False,
 ) -> DataFrame:
     """Inverted postings index: one row per (doc, term) with the
     in-doc term frequency and the doc length in tokens.
 
-    One scan → explode → groupBy(doc, term); the doc length rides on
-    every posting row via a window over the doc id (no join back
-    through a second scan — same rationale as tfidf_top_terms' df
-    window). Persist the result as the index; admitting a shard means
-    appending its postings (term stats are recomputed per query from
-    the union, so the index needs no rebuild)."""
+    DEFAULT LAYOUT IS HASHED (``hashed=True``): the join/shuffle key
+    is ``term_hash`` = xxhash64(term) computed BEFORE the tf groupBy,
+    so the aggregation shuffle and the persisted index carry an 8-byte
+    long instead of the term string (strings roughly double index
+    bytes and shuffle width at corpus vocab scale — SCALING.md §14).
+    ``keep_term=True`` keeps the string column alongside for
+    debugging/inspection.  ``hashed=False`` is the legacy string-keyed
+    layout; bm25_topk consumes either (it detects ``term_hash``).
+    Collision math: xxhash64 is a 2⁶⁴ space, so expected colliding
+    term pairs ≈ V²/2⁶⁵ — at V = 10⁹ distinct terms (large web corpus
+    incl. bigrams) that is ~0.03 expected collisions corpus-wide, and
+    a collision only merges two terms' postings (bounded local score
+    perturbation), it cannot corrupt other terms.
+
+    One scan → explode → hash → groupBy(doc, term_hash); the doc
+    length rides on every posting row via a window over the doc id
+    (no join back through a second scan — same rationale as
+    tfidf_top_terms' df window). Persist the result as the index;
+    admitting a shard means appending its postings (term stats are
+    recomputed per query from the union, so the index needs no
+    rebuild)."""
     tokens = docs.select(
         F.col(id_col), F.explode(_terms(F.col(text_col), ngram)).alias("term")
     )
-    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    keys = _posting_keys(id_col, hashed, keep_term)
+    if hashed:
+        tokens = tokens.withColumn("term_hash", F.xxhash64("term"))
+    tf = tokens.groupBy(*keys).agg(F.count(F.lit(1)).alias("tf"))
     w_doc = Window.partitionBy(id_col)
     return tf.withColumn("dl", F.sum("tf").over(w_doc))
+
+
+def _posting_keys(id_col: str, hashed: bool, keep_term: bool) -> list[str]:
+    if not hashed:
+        return [id_col, "term"]
+    return [id_col, "term_hash"] + (["term"] if keep_term else [])
 
 
 def build_bm25f_index(
@@ -103,6 +129,8 @@ def build_bm25f_index(
     *,
     id_col: str = "doc_id",
     ngram: int = 1,
+    hashed: bool = True,
+    keep_term: bool = False,
 ) -> DataFrame:
     """Field-weighted postings (BM25F with INTEGER field boosts — the
     reference's title-weighting idea, keyword-extraction parity F3,
@@ -114,27 +142,41 @@ def build_bm25f_index(
     field by w is identical to repeating its text w times, which the
     equivalence test pins against plain bm25_topk on the repeated
     concatenation (bag-of-terms statistics don't see token order).
-    The output schema matches build_bm25_index, so bm25_topk consumes
+    The output schema matches build_bm25_index (same
+    ``hashed``/``keep_term`` layout options), so bm25_topk consumes
     it unchanged (weigh QUERY text normally — boosts are a
-    document-side notion)."""
+    document-side notion).
+
+    ONE corpus scan: the fields stack as an array of (weight, tokens)
+    structs exploded in place — not one scan per field (fields are
+    few, but N scans of a 100 TB corpus is N× the dominant cost;
+    plan-asserted single scan in tests)."""
     if not fields:
         raise ValueError("need at least one (field, weight)")
     if any(int(w) < 1 for w in fields.values()):
         raise ValueError("field weights must be positive integers")
-    parts = []
-    for field, weight in fields.items():
-        tf = (
-            docs.select(
-                F.col(id_col), F.explode(_terms(F.col(field), ngram)).alias("term")
+    stacked = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(w)).alias("w"),
+                        _terms(F.col(f), ngram).alias("toks"),
+                    )
+                    for f, w in fields.items()
+                ]
             )
-            .groupBy(id_col, "term")
-            .agg((F.count(F.lit(1)) * F.lit(int(weight))).alias("tf"))
-        )
-        parts.append(tf)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    merged = out.groupBy(id_col, "term").agg(F.sum("tf").alias("tf"))
+        ).alias("fw"),
+    ).select(
+        F.col(id_col),
+        F.col("fw.w").alias("w"),
+        F.explode("fw.toks").alias("term"),
+    )
+    keys = _posting_keys(id_col, hashed, keep_term)
+    if hashed:
+        stacked = stacked.withColumn("term_hash", F.xxhash64("term"))
+    merged = stacked.groupBy(*keys).agg(F.sum("w").alias("tf"))
     return merged.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
 
 
@@ -204,24 +246,50 @@ def bm25_topk(
             [], "query_id long, doc_id long, score_micro long, rnk int"
         )
     vocab_df = spark.createDataFrame([(t,) for t in vocab], "term string")
+    # layout detection: hashed postings join on term_hash (8-byte
+    # long), legacy string postings on term; query terms hash through
+    # the SAME JVM xxhash64 the index build used, so the two sides
+    # cannot disagree (one bounded collect — query vocab only)
+    hashed = "term_hash" in index.columns
+    key = "term_hash" if hashed else "term"
+    if hashed:
+        qhash = {
+            r["term"]: int(r["term_hash"])
+            for r in vocab_df.withColumn(
+                "term_hash", F.xxhash64("term")
+            ).collect()
+        }
+        probe = spark.createDataFrame(
+            [(h,) for h in sorted(set(qhash.values()))], "term_hash long"
+        )
+    else:
+        qhash = {t: t for t in vocab}
+        probe = vocab_df
     dfs = {
-        r["term"]: int(r["df"])
-        for r in index.join(F.broadcast(vocab_df), "term")
-        .groupBy("term")
+        r[key]: int(r["df"])
+        for r in index.join(F.broadcast(probe), key)
+        .groupBy(key)
         .agg(F.count(F.lit(1)).alias("df"))
         .collect()
     }
     weights = [
-        (r["query_id"], r["term"], int(r["qtf"]), _idf_micro(n_docs, dfs[r["term"]]))
+        (
+            r["query_id"],
+            qhash[r["term"]],
+            int(r["qtf"]),
+            _idf_micro(n_docs, dfs[qhash[r["term"]]]),
+        )
         for r in qterms
-        if r["term"] in dfs  # terms absent from the corpus score nothing
+        if qhash[r["term"]] in dfs  # terms absent from the corpus score nothing
     ]
     if not weights:
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score_micro long, rnk int"
         )
     w_df = spark.createDataFrame(
-        weights, "query_id long, term string, qtf long, idf_micro long"
+        weights,
+        f"query_id long, {key} {'long' if hashed else 'string'}, "
+        "qtf long, idf_micro long",
     )
 
     # contribution — the exact double expression the Python twin
@@ -236,7 +304,7 @@ def bm25_topk(
     contrib = F.round(num / den, 0).cast("long")
 
     scores = (
-        index.join(F.broadcast(w_df), "term")
+        index.join(F.broadcast(w_df), key)
         .select("query_id", F.col(id_col).alias("doc_id"), contrib.alias("c"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score_micro"))

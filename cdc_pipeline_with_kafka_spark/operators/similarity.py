@@ -1537,7 +1537,10 @@ def semantic_neardup_incremental(
     cand_si = s_a.join(
         ix.select("centroid_id", F.col("id").alias("oid"), F.col("vec").alias("ovec")),
         "centroid_id",
-    )
+    ).filter(F.col("sid") != F.col("oid"))
+    # sid != oid: an id present in BOTH shard and index (re-admission
+    # / crash replay) must not emit a self-pair (cos 1.0) that the
+    # survivor election would treat as a duplicate edge
     cand_ss = s_a.join(
         sh.select("centroid_id", F.col("id").alias("oid"), F.col("vec").alias("ovec")),
         "centroid_id",

@@ -81,6 +81,41 @@ def test_fingerprint_assets_dispatches_by_type(spark):
     assert out[4].fp is None and "hologram" in out[4].fp_error
 
 
+def test_fingerprint_assets_quarantines_garbage_not_crashes(spark):
+    """Truncated / garbage payloads through EVERY registered
+    fingerprinter quarantine (fp NULL + error string) instead of
+    failing the job: decoders wrap malformed input in ValueError by
+    convention, but struct.error / IndexError / zlib.error from an
+    unwrapped depth must be caught too — one bad asset must never
+    kill the whole pass."""
+    import hashlib
+
+    good = {"image": _ppm("g"), "audio": _wav("g"), "video": _y4m("g")}
+    rows, rid = [], 0
+    for mt, payload in good.items():
+        variants = [
+            b"",                                  # empty
+            payload[:3],                          # truncated header
+            payload[: len(payload) // 2],         # truncated body
+            payload[:8] + b"\xff" * 64,           # corrupt after magic
+            hashlib.sha256(mt.encode()).digest() * 40,  # pure garbage
+        ]
+        for v in variants:
+            rows.append((rid, mt, v))
+            rid += 1
+        rows.append((rid, mt, payload))           # one good control
+        rid += 1
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r.asset_id: r for r in mm.fingerprint_assets(df).collect()}
+    assert len(out) == len(rows)  # nothing dropped, job survived
+    goods = {i for i, (_, mt, p) in enumerate(rows) if p == good[mt]}
+    for i, r in out.items():
+        if i in goods:
+            assert r.fp is not None and r.fp_error is None
+        elif r.fp is None:
+            assert r.fp_error  # quarantined with the error type
+
+
 def test_admit_assets_within_shard_and_against_index(spark):
     shard = spark.createDataFrame(
         [
@@ -404,6 +439,10 @@ def test_cdc_fast_path_equals_sequential_reference():
 
     cases = [blob(f"fp{i}", 1 + (i * 7919) % 20000) for i in range(6)]
     cases.append(bytes(5000))
+    # tiny payloads: the log-doubling pass with step >= n used to
+    # negative-slice and broadcast-fail (3, 5-7, 9-15, 17-31, 33-63
+    # bytes); every size 0..70 must match the sequential reference
+    cases.extend(blob("tiny", k) for k in range(0, 71))
     for p in cases:
         for sizes in ((128, 512, 2048), (64, 256, 1024), (1024, 4096, 16384)):
             assert mm.cdc_chunks(p, *sizes) == seq(p, *sizes), (len(p), sizes)

@@ -500,6 +500,28 @@ def test_dedup_survivors_quality_policy(spark):
     assert base == {1: True, 2: False, 3: False, 4: True, 9: False}
 
 
+def test_dedup_survivors_all_null_scores_elect_one_winner(spark):
+    """A cluster whose members ALL have NULL scores must still elect
+    exactly one canonical (lowest id) — max_by skips rows whose
+    ordering struct contains a NULL, so an uncoalesced score used to
+    leave _winner NULL and mark EVERY member canonical."""
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, 5.0), (5, None)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r.is_canonical
+        for r in dedup.dedup_survivors(docs, pairs, score_col="quality").collect()
+    }
+    # all-NULL cluster {1,2,3}: exactly one survivor, lowest id
+    assert out == {1: True, 2: False, 3: False, 4: True, 5: False}
+
+
 def test_dedup_survivors_quality_singleton_and_star(spark):
     from cdc_pipeline_with_kafka_spark.operators import dedup
 
@@ -545,6 +567,14 @@ def test_semantic_neardup_incremental_equals_full_restriction(spark):
         }
         want = {(a, b) for (a, b) in full if b >= cutoff}
         assert inc == want, cutoff
+    # re-admission/replay: ids present in BOTH shard and index must
+    # not emit self-pairs (id_a == id_b, cos 1.0) — those would count
+    # as duplicate edges in survivor election
+    replay = sim.semantic_neardup_incremental(
+        df, assigned, cents, threshold=0.999
+    ).collect()
+    assert all(r.id_a != r.id_b for r in replay)
+    assert {(r.id_a, r.id_b) for r in replay} == full
 
 
 def test_overlap_census_three_tiers_one_cluster_graph(spark):

@@ -257,6 +257,48 @@ def test_bm25f_title_match_outranks_body_match(spark):
     assert top[0]["score_micro"] > top[1]["score_micro"]
 
 
+def test_bm25_hashed_index_equals_string_index(spark):
+    """The hashed-term postings layout (term_hash int64, the DEFAULT —
+    8-byte shuffle/index key) must produce IDENTICAL rankings to the
+    legacy string layout at gate scale: scores key on df/tf, never on
+    the term representation, and query terms hash through the same
+    JVM xxhash64 as the index build."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    qs = _queries_df(spark)
+    for ngram in (1, 2):
+        hashed = R.build_bm25_index(docs, ngram=ngram)
+        legacy = R.build_bm25_index(docs, ngram=ngram, hashed=False)
+        assert "term_hash" in hashed.columns and "term" not in hashed.columns
+        assert "term" in legacy.columns and "term_hash" not in legacy.columns
+        a = sorted(
+            map(tuple, R.bm25_topk(None, qs, index=hashed, k=8, ngram=ngram).collect())
+        )
+        b = sorted(
+            map(tuple, R.bm25_topk(None, qs, index=legacy, k=8, ngram=ngram).collect())
+        )
+        assert a == b and a, f"ngram={ngram}"
+    # keep_term: the debug string column rides along, rankings unchanged
+    kept = R.build_bm25_index(docs, keep_term=True)
+    assert {"term", "term_hash"} <= set(kept.columns)
+    c = sorted(map(tuple, R.bm25_topk(None, qs, index=kept, k=8).collect()))
+    base = sorted(map(tuple, R.bm25_topk(docs, qs, k=8).collect()))
+    assert c == base
+
+
+def test_bm25f_builds_index_in_one_corpus_scan(spark):
+    """The stacked-field BM25F build scans the corpus ONCE — fields
+    explode as (weight, tokens) structs from a single pass; one scan
+    per field would be N× the dominant cost at 100 TB."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    idx = R.build_bm25f_index(docs, {"text": 1, "source": 3})
+    import re
+
+    plan = plans.formatted_plan(idx)
+    # formatted mode prints each node in the tree AND a detail section
+    # — count the numbered detail entries, one per physical node
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
 def test_bm25_topk_window_group_limit_is_partial(spark):
     """The per-query top-k must push a PARTIAL WindowGroupLimit below
     the shuffle — each map task keeps only k rows per query before
