@@ -1198,12 +1198,25 @@ def semantic_dedup(
 #     oracle.  Empty clusters keep their previous centroid.
 
 
+# above this many plan literals (k × d), the trainer auto-switches
+# from the codegen assignment to the Arrow path — the two paths are
+# BIT-IDENTICAL (test_arrow_stats_bit_parity_with_codegen).  Measured
+# (PLANS.md, sf0.1 local[32], warm JVM, iters=2): arrow wins from
+# k·d ≈ 256 up (k=4·d=64: 1.2 s vs 2.2 s; k=16: 1.7 s vs 6.2 s;
+# k=256: 1.5 s vs 39.7 s — the codegen path recompiles O(k·d)
+# literals per iteration and past the Janino method limit falls back
+# to interpreted eval).  Below the threshold codegen stays: compile
+# is negligible there and the plan keeps zero Python workers.
+KMEANS_ARROW_LITERALS = 192
+
+
 def kmeans_train_distributed(
     corpus: DataFrame,
     k: int,
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_path: str = "auto",
 ):
     """Distributed Lloyd k-means over the FULL corpus (squared-L2).
 
@@ -1214,6 +1227,15 @@ def kmeans_train_distributed(
     tuple shape train_ivf_codebook returns, pluggable into ivf_assign
     / semantic_dedup (note: those assign by cosine; Lloyd's euclidean
     assignment coincides on L2-normalized inputs).
+
+    ``assign_path``: 'codegen' embeds k×d centroid literals in a
+    whole-stage-codegen fold — unbeatable at small k·d, but the plan
+    recompiles per iteration and explodes at SemDeDup-scale k;
+    'arrow' streams Arrow batches through a numpy pass whose
+    per-element float64 op order REPLAYS the codegen fold exactly
+    (see _kmeans_iter_stats_arrow — assignments and integer update
+    cells are bit-identical, parity-tested); 'auto' (default) picks
+    arrow when k·d > KMEANS_ARROW_LITERALS.
 
     Driver traffic per iteration is k×(d+1) longs — independent of
     corpus size, so the loop holds at 100 TB where the capped trainer
@@ -1226,7 +1248,9 @@ def kmeans_train_distributed(
     cm = [[float(v) for v in r[vec_col]] for r in init_rows]
     d = len(cm[0])
     for _ in range(iters):
-        stats = _kmeans_iter_stats(corpus, cm, vec_col).collect()
+        stats = _kmeans_iter_stats(
+            corpus, cm, vec_col, assign_path=assign_path
+        ).collect()
         by_cid = {r["cid"]: r for r in stats}
         cm = [
             _kmeans_centroid_update(by_cid.get(c), cm[c], d) for c in range(k)
@@ -1235,13 +1259,24 @@ def kmeans_train_distributed(
 
 
 def _kmeans_iter_stats(
-    corpus: DataFrame, cm: list[list[float]], vec_col: str
+    corpus: DataFrame,
+    cm: list[list[float]],
+    vec_col: str,
+    assign_path: str = "codegen",
 ) -> DataFrame:
     """One Lloyd iteration's update aggregate as a DataFrame (the
     trainer collects its ≤k rows): assignment map → groupBy(cid) with
     integer partial-agg cells.  Factored out so test_plans can pin the
     shape — partial aggregation (map-side combine), no Window, no
     join."""
+    if assign_path not in ("codegen", "arrow", "auto"):
+        raise ValueError("assign_path must be codegen|arrow|auto")
+    if assign_path == "auto":
+        assign_path = (
+            "arrow" if len(cm) * len(cm[0]) > KMEANS_ARROW_LITERALS else "codegen"
+        )
+    if assign_path == "arrow":
+        return _kmeans_iter_stats_arrow(corpus, cm, vec_col)
     d = len(cm[0])
     vec = F.col(vec_col).cast("array<double>")
     cid = _kmeans_assign_col(vec, cm)
@@ -1253,6 +1288,85 @@ def _kmeans_iter_stats(
         corpus.select(cid.alias("cid"), vec.alias("_v"))
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("cnt"), *qsums)
+    )
+
+
+def _kmeans_assign_np(X: "np.ndarray", C: "np.ndarray", block: int = 1024):
+    """Nearest-centroid ids for a float64 batch, BIT-IDENTICAL to
+    _kmeans_assign_col's codegen fold: per element the distance is the
+    same IEEE sequence 0.0 + (x₀−c₀)² + (x₁−c₁)² + … (a d-pass
+    vectorized accumulation in dimension order — NOT a GEMM expansion
+    ‖x‖²−2x·C+‖c‖², whose different rounding could flip a near-tie
+    assignment), and ties break to the FIRST minimum exactly like
+    array_position(array_min).  Centroids process in blocks so scratch
+    stays n×block floats regardless of k; cross-block ties keep the
+    earlier block via the strict < update."""
+    n = X.shape[0]
+    best = np.full(n, np.inf)
+    bestc = np.zeros(n, dtype=np.int64)
+    for c0 in range(0, C.shape[0], block):
+        Cb = C[c0 : c0 + block]
+        acc = np.zeros((n, Cb.shape[0]))
+        for j in range(C.shape[1]):
+            diff = X[:, j : j + 1] - Cb[None, :, j]
+            acc += diff * diff
+        barg = acc.argmin(axis=1)  # first minimum within the block
+        bmin = acc[np.arange(n), barg]
+        upd = bmin < best  # strict: earlier block wins exact ties
+        best[upd] = bmin[upd]
+        bestc[upd] = barg[upd] + c0
+    return bestc
+
+
+def _kmeans_iter_stats_arrow(
+    corpus: DataFrame, cm: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Arrow-path twin of the codegen _kmeans_iter_stats: one
+    mapInPandas pass emits per-batch partial (cid, cnt, q0..q{d-1})
+    cells (≤ batch-distinct cids per batch, never k×batches), then one
+    groupBy(cid) long-sum — order-free integer merge, so the result is
+    bit-identical to the codegen path (parity-tested).  No centroid
+    literals ever enter a Spark plan: k×d ships once as a pickled
+    numpy array, and per-iteration cost has no codegen recompile."""
+    from pyspark.sql import types as T
+
+    C = np.array(cm, dtype=np.float64)
+    k, d = C.shape
+    qcols = [f"q{j}" for j in range(d)]
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            *[T.StructField(q, T.LongType()) for q in qcols],
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cids = _kmeans_assign_np(X, C)
+            # floor(x·1e6) in float64 — the exact codegen expression
+            Q = np.floor(X * 1e6).astype(np.int64)
+            uniq, inv = np.unique(cids, return_inverse=True)
+            qs = np.zeros((uniq.size, d), dtype=np.int64)
+            np.add.at(qs, inv, Q)
+            out = pd.DataFrame(
+                {
+                    "cid": uniq.astype(np.int32),
+                    "cnt": np.bincount(inv).astype(np.int64),
+                }
+            )
+            for j in range(d):
+                out[qcols[j]] = qs[:, j]
+            yield out
+
+    partials = corpus.select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(run, schema)
+    return partials.groupBy("cid").agg(
+        F.sum("cnt").alias("cnt"), *[F.sum(q).alias(q) for q in qcols]
     )
 
 
@@ -1275,6 +1389,51 @@ def _kmeans_assign_col(vec: Column, cm: list[list[float]]) -> Column:
         ]
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_assign_df(
+    df: DataFrame,
+    cm: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_path: str = "auto",
+) -> DataFrame:
+    """(id, cid) assignment of a corpus against fixed centroids, with
+    the same codegen/arrow dispatch as the trainer — both paths
+    bit-identical (see _kmeans_assign_np)."""
+    if assign_path not in ("codegen", "arrow", "auto"):
+        raise ValueError("assign_path must be codegen|arrow|auto")
+    if assign_path == "auto":
+        assign_path = (
+            "arrow" if len(cm) * len(cm[0]) > KMEANS_ARROW_LITERALS else "codegen"
+        )
+    vec = F.col(vec_col).cast("array<double>")
+    if assign_path == "codegen":
+        return df.select(F.col(id_col), _kmeans_assign_col(vec, cm).alias("cid"))
+    from pyspark.sql import types as T
+
+    C = np.array(cm, dtype=np.float64)
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cid", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cid": _kmeans_assign_np(X, C).astype(np.int32),
+                }
+            )
+
+    return df.select(F.col(id_col), vec.alias(vec_col)).mapInPandas(run, schema)
 
 
 def _kmeans_centroid_update(row, prev: list[float], d: int) -> list[float]:
@@ -1373,6 +1532,7 @@ def kmeans_update_distributed(
     state,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_path: str = "auto",
 ):
     """Online k-means for rolling admission: assign a NEW shard to the
     CURRENT centroids (one codegen map + one k×(d+1)-integer-cell
@@ -1391,11 +1551,12 @@ def kmeans_update_distributed(
     centroids."""
     cm, cnts, qsums = state
     d = len(cm[0])
-    vec = F.col(vec_col).cast("array<double>")
-    assigned = shard.select(
-        F.col(id_col), _kmeans_assign_col(vec, cm).alias("cid")
+    assigned = kmeans_assign_df(
+        shard, cm, id_col=id_col, vec_col=vec_col, assign_path=assign_path
     )
-    stats = _kmeans_iter_stats(shard, cm, vec_col).collect()
+    stats = _kmeans_iter_stats(
+        shard, cm, vec_col, assign_path=assign_path
+    ).collect()
     new_cnts = list(cnts)
     new_qsums = [list(q) for q in qsums]
     for r in stats:
@@ -1507,12 +1668,26 @@ def semantic_neardup_incremental(
         shard_assigned = ivf_assign(
             shard, centroids, id_col=id_col, vec_col=vec_col
         )
+    # cast to double ONCE at the scan — the per-element implicit
+    # float→double inside the cosine HOF costs ~50% extra per
+    # candidate (measured), and widening is exact so values can't move
     sh = shard_assigned.select(
-        "centroid_id", F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        "centroid_id",
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    ix = index_assigned.select(
-        "centroid_id", F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ix = spread(
+        index_assigned.select(
+            "centroid_id",
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        "id",
     )
+    # spread: the index is the STREAMED side of the broadcast join
+    # below — a single-file local index would otherwise evaluate every
+    # candidate cosine in one task (no-op at scale, where the index
+    # has ≥ parallelism files)
     # join SHARD against cluster-mates — never index×index: the join
     # cost is |shard| × mates, which is what 'incremental' must mean
     # (the original union-self-join formulation generated the full
@@ -1534,17 +1709,25 @@ def semantic_neardup_incremental(
     s_a = sh.select(
         "centroid_id", F.col("id").alias("sid"), F.col("vec").alias("svec")
     )
-    cand_si = s_a.join(
-        ix.select("centroid_id", F.col("id").alias("oid"), F.col("vec").alias("ovec")),
-        "centroid_id",
-    ).filter(F.col("sid") != F.col("oid"))
+    # BROADCAST THE SHARD, STREAM THE INDEX: the shard is small by
+    # definition (one admission batch) while centroid_id has only
+    # nlist distinct values — an equi-join shuffled on it collapses to
+    # ≤ nlist tasks (Catalyst also pulls the cosine filter into the
+    # SMJ condition, so millions of interpreted-HOF cosines evaluate
+    # inside those few tasks: measured 92 s for a 1.2k-shard ×
+    # 20k-index pairing at sf1 that runs in ~4 s broadcast).  With
+    # broadcast(shard), the index is never shuffled and parallelism
+    # follows its partitioning — the correct 100 TB shape for
+    # shard-vs-persisted-index admission.
+    cand_si = ix.select(
+        "centroid_id", F.col("id").alias("oid"), F.col("vec").alias("ovec")
+    ).join(F.broadcast(s_a), "centroid_id").filter(F.col("sid") != F.col("oid"))
     # sid != oid: an id present in BOTH shard and index (re-admission
     # / crash replay) must not emit a self-pair (cos 1.0) that the
     # survivor election would treat as a duplicate edge
-    cand_ss = s_a.join(
-        sh.select("centroid_id", F.col("id").alias("oid"), F.col("vec").alias("ovec")),
-        "centroid_id",
-    ).filter(F.col("sid") < F.col("oid"))
+    cand_ss = sh.select(
+        "centroid_id", F.col("id").alias("oid"), F.col("vec").alias("ovec")
+    ).join(F.broadcast(s_a), "centroid_id").filter(F.col("sid") < F.col("oid"))
     cand = cand_si.unionByName(cand_ss)
     sim = F.round(cosine(F.col("svec"), F.col("ovec")), 6)
     return (

@@ -241,3 +241,90 @@ def test_cluster_exemplars_rank_by_centroid_cosine(spark):
     sims = {r["id"]: r["centroid_sim"] for r in rows}
     assert sims[0] == 1.0 and sims[3] == 1.0  # on-centroid, any norm
     assert 2 not in sims  # k=2 cap dropped the furthest member
+
+
+def test_arrow_stats_bit_parity_with_codegen(spark):
+    """The Arrow assignment path replays the codegen fold's exact IEEE
+    sequence — identical (cid, cnt, q*) cells, including exact-tie
+    vectors that must first-min to the lower cid on BOTH paths."""
+    rng = np.random.default_rng(19)
+    mat = rng.normal(size=(80, 8)).astype(np.float32)
+    mat[1] = mat[0]    # duplicate init vectors → exact distance ties
+    mat[33] = mat[0]   # a non-init duplicate, ties mid-corpus
+    df = _df(spark, mat)
+    cm = [[float(x) for x in mat[i]] for i in range(5)]
+    a = sorted(
+        map(tuple, sim._kmeans_iter_stats(df, cm, "embedding",
+                                          assign_path="codegen").collect())
+    )
+    b = sorted(
+        map(tuple, sim._kmeans_iter_stats(df, cm, "embedding",
+                                          assign_path="arrow").collect())
+    )
+    assert a == b and len(a) >= 3
+
+
+def test_arrow_trainer_equals_codegen_trainer_and_replay(spark):
+    """Full training runs bit-identically on either assignment path,
+    and the pure-Python oracle replay still matches — the 'km' gate
+    rows hold regardless of dispatch."""
+    rng = np.random.default_rng(23)
+    mat = rng.normal(size=(60, 8)).astype(np.float32)
+    df = _df(spark, mat)
+    _c1, cm1 = sim.kmeans_train_distributed(df, k=5, iters=3,
+                                            assign_path="codegen")
+    _c2, cm2 = sim.kmeans_train_distributed(df, k=5, iters=3,
+                                            assign_path="arrow")
+    assert np.array_equal(cm1, cm2)
+    vecs = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    cm3, _ = sim.kmeans_lloyd_replay(vecs, k=5, iters=3)
+    assert np.array_equal(cm2, np.array(cm3))
+
+
+def test_arrow_assign_blocking_first_min_across_blocks():
+    """Centroid blocking must keep the EARLIEST global minimum: a
+    centroid duplicated in a later block may not steal the tie."""
+    X = np.array([[1.0, 2.0], [3.0, -1.0], [0.0, 0.0]])
+    C = np.array([[1.0, 2.0], [9.0, 9.0], [5.0, 5.0], [1.0, 2.0],
+                  [0.0, 0.0]])
+    got = sim._kmeans_assign_np(X, C, block=2)
+    # row 0 ties centroids 0 and 3 (different blocks) → 0 wins;
+    # row 1's true minimum (centroid 4) sits in the last block;
+    # row 2 is exactly centroid 4 in the last block
+    assert got.tolist() == [0, 4, 4]
+
+
+def test_kmeans_assign_df_paths_agree(spark):
+    rng = np.random.default_rng(29)
+    mat = rng.normal(size=(40, 6)).astype(np.float32)
+    df = _df(spark, mat)
+    cm = [[float(x) for x in mat[i]] for i in range(4)]
+    a = sorted(
+        (r.vec_id, r.cid)
+        for r in sim.kmeans_assign_df(df, cm, assign_path="codegen").collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cid)
+        for r in sim.kmeans_assign_df(df, cm, assign_path="arrow").collect()
+    )
+    assert a == b
+
+
+def test_kmeans_auto_dispatch_threshold(spark):
+    """auto = codegen at small k·d (the oracle-replayable plan the
+    gate pins: no Python eval) and arrow above KMEANS_ARROW_LITERALS
+    (no centroid literals in the plan)."""
+    emb_small = _df(spark, np.random.default_rng(5).normal(size=(8, 4)))
+    cm_small = [[float(v) for v in r.embedding]
+                for r in emb_small.orderBy("vec_id").limit(2).collect()]
+    small = sim._kmeans_iter_stats(emb_small, cm_small, "embedding",
+                                   assign_path="auto")
+    p = small._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p and "MapInPandas" not in p
+    # force the arrow side: k·d > threshold via a wide synthetic dim
+    big_k = sim.KMEANS_ARROW_LITERALS // 4 + 1
+    cm_big = [[float(i), 0.0, 0.0, 0.0] for i in range(big_k)]
+    big = sim._kmeans_iter_stats(emb_small, cm_big, "embedding",
+                                 assign_path="auto")
+    pb = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in pb

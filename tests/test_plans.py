@@ -280,3 +280,36 @@ def test_interval_join_gate_no_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan  # it IS a join, just an equi one
+
+
+def test_semantic_incremental_pairing_broadcasts_shard(spark):
+    """semantic_neardup_incremental must BROADCAST the shard and
+    stream the index: an equi-join shuffled on centroid_id collapses
+    to <= nlist tasks, and Catalyst pulls the cosine filter into the
+    SortMergeJoin condition — millions of interpreted-HOF cosines then
+    evaluate inside those few tasks (measured 92 s -> ~15 s at sf1
+    when broadcast).  Pin: no SMJ node may carry the cosine (zip_with)
+    in its condition, and both pairing joins are broadcast."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = sim.train_ivf_codebook(emb, nlist=4)
+    assigned = sim.ivf_assign(emb, cents).localCheckpoint()
+    out = sim.semantic_neardup_incremental(
+        None,
+        assigned.filter(F.col("vec_id") < 250),
+        cents,
+        threshold=0.9,
+        shard_assigned=assigned.filter(F.col("vec_id") >= 250),
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    for line in p.splitlines():
+        if "SortMergeJoin" in line:
+            assert "zip_with" not in line, line  # cosine inside an SMJ
+    assert p.count("BroadcastHashJoin") >= 2
