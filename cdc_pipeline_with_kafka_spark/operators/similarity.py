@@ -1027,6 +1027,16 @@ def semantic_dedup_pairs(
     )
 
 
+# embed_hashed_ngrams' Arrow path wins at EVERY dim (PLANS.md table:
+# 3-6× at dim 32-64, 96× at dim 1024 — the JVM fold is O(dim·grams)
+# interpreted lambda steps per doc and evaluates md5 twice per gram,
+# the Arrow pass is O(grams) hashing + an O(dim) bincount), so 'auto'
+# always picks arrow; 'jvm' stays available for Python-worker-free
+# deployments and as the pure-plan form.  The two paths produce
+# IDENTICAL float32 vectors (test_embed_hashed_paths_identical).
+EMBED_ARROW_DIM = 0
+
+
 def embed_hashed_ngrams(
     docs: DataFrame,
     *,
@@ -1035,6 +1045,7 @@ def embed_hashed_ngrams(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    path: str = "auto",
 ) -> DataFrame:
     """Deterministic text embeddings by the hashing trick (Weinberger
     et al. 2009): each word n-gram hashes to a bucket with a ±1 sign,
@@ -1045,15 +1056,34 @@ def embed_hashed_ngrams(
     so raw text flows end-to-end through hybrid search with zero
     dependencies.
 
-    Spark shape: everything runs IN-ROW (md5-bucket transform over the
-    n-gram array, then a signed-count fold per bucket — O(dim·grams)
-    JVM lambda steps per doc; at dim ≳ 512 switch the fold to an Arrow
-    batch, the hashing stays).  Counts are exact integers before the
-    one normalize division.  No explode, no shuffle, no Python.  Same
-    ids in, one (id, embedding array<float>) row out —
+    Spark shape, ``path='jvm'``: everything runs IN-ROW (md5-bucket
+    transform over the n-gram array, then a signed-count fold per
+    bucket — O(dim·grams) JVM lambda steps per doc).  ``path='arrow'``:
+    one mapInPandas pass — O(grams) md5 calls + an O(dim) bincount per
+    doc, so per-doc cost is independent of dim.  ``'auto'`` (default)
+    picks arrow at every dim (measured faster throughout — PLANS.md);
+    pass 'jvm' explicitly for Python-worker-free deployments.  The
+    paths emit IDENTICAL
+    vectors: bucket counts are exact integers, the squared-norm sum
+    of exact integers is exact in float64 in ANY order, and the one
+    divide-then-cast-to-float32 is the same IEEE op both sides
+    (parity-tested; tokenization twins assume the corpus convention —
+    whitespace tokens, ASCII-ish text — exotic Unicode case-folding
+    could diverge between JVM and Python lower()).  Counts are exact
+    integers before the one normalize division.  No explode, no
+    shuffle.  Same ids in, one (id, embedding array<float>) row out —
     schema-compatible with embeddings.parquet."""
     if dim < 2:
         raise ValueError("dim must be ≥ 2")
+    if path not in ("jvm", "arrow", "auto"):
+        raise ValueError("path must be jvm|arrow|auto")
+    if path == "auto":
+        path = "arrow" if dim > EMBED_ARROW_DIM else "jvm"
+    if path == "arrow":
+        return _embed_hashed_arrow(
+            docs, dim=dim, ngram=ngram, text_col=text_col,
+            id_col=id_col, normalize=normalize,
+        )
     from .textstats import _tokens, _word_ngrams
 
     grams = _word_ngrams(_tokens(F.col(text_col)), ngram)
@@ -1103,6 +1133,63 @@ def embed_hashed_ngrams(
             .otherwise(F.transform(cnt_col, lambda v: v.cast("float")))
             .alias("embedding"),
         )
+    )
+
+
+def _embed_hashed_arrow(
+    docs: DataFrame,
+    *,
+    dim: int,
+    ngram: int,
+    text_col: str,
+    id_col: str,
+    normalize: bool,
+) -> DataFrame:
+    """Arrow batch path of embed_hashed_ngrams — one md5 per gram
+    (the JVM transform evaluates F.md5 twice per gram: higher-order
+    lambdas defeat CSE) + one signed bincount per doc; per-doc cost is
+    independent of dim.  Emits vectors identical to the JVM fold."""
+    import hashlib
+    import math
+
+    from pyspark.sql import types as T
+
+    from .retrieval import terms_py
+
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            embs = []
+            for text in pdf[text_col]:
+                v = np.zeros(dim, dtype=np.int64)
+                for g in terms_py(text, ngram):
+                    hx = hashlib.md5(g.encode("utf-8")).hexdigest()
+                    b = int(hx[:8], 16) % dim
+                    v[b] += 1 if int(hx[8], 16) % 2 == 0 else -1
+                if normalize:
+                    # Σv² over exact int64 is exact in float64 in any
+                    # order (every partial sum is an integer < 2⁵³),
+                    # so numpy's pairwise sum == the JVM's left fold
+                    norm = math.sqrt(float(np.sum(v.astype(np.float64) ** 2)))
+                    out = (
+                        (v / norm).astype(np.float32)
+                        if norm > 0
+                        else v.astype(np.float32)
+                    )
+                else:
+                    out = v.astype(np.float32)
+                embs.append([float(x) for x in out])
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
+
+    return spread(docs, id_col).select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema
     )
 
 

@@ -702,3 +702,48 @@ def test_text_to_semantic_dedup_closed_loop(spark):
     assert rows[4]["cluster_id"] == 4  # singleton
     canon = [d for d, r in rows.items() if r["is_canonical"]]
     assert sorted(canon) == [0, 2, 4]
+
+
+def test_embed_hashed_paths_identical(spark):
+    """The Arrow batch path emits float32 vectors IDENTICAL to the
+    in-row JVM fold — same md5 buckets/signs, exact integer counts,
+    exact-in-any-order squared-norm sum, same divide-then-cast — for
+    normalized and raw forms, several dims, and edge docs (empty,
+    single-token-below-ngram)."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "sole"), (100003, None), (100004, "a b a b a")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(edge)
+    for dim in (8, 64, 300):
+        for normalize in (True, False):
+            jvm = {
+                r["doc_id"]: r["embedding"]
+                for r in S.embed_hashed_ngrams(
+                    docs, dim=dim, normalize=normalize, path="jvm"
+                ).collect()
+            }
+            arrow = {
+                r["doc_id"]: r["embedding"]
+                for r in S.embed_hashed_ngrams(
+                    docs, dim=dim, normalize=normalize, path="arrow"
+                ).collect()
+            }
+            assert jvm.keys() == arrow.keys()
+            for k in jvm:
+                assert jvm[k] == arrow[k], (dim, normalize, k)
+
+
+def test_embed_hashed_auto_dispatch(spark):
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    docs = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    # auto = arrow at every dim (measured faster throughout)
+    auto = S.embed_hashed_ngrams(docs, dim=8)
+    assert "MapInPandas" in auto._jdf.queryExecution().executedPlan().toString()
+    # jvm stays available as the Python-worker-free pure-plan form
+    jvm = S.embed_hashed_ngrams(docs, dim=8, path="jvm")
+    assert "MapInPandas" not in jvm._jdf.queryExecution().executedPlan().toString()
