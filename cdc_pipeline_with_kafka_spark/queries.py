@@ -5984,8 +5984,70 @@ def span_dedup(spark, sf_dir):
         F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
         v_num=F.col("shared_fps"),
     )
+    # r7 'cens'/'censc': the one-call text duplication census
+    # (dedup.overlap_census) — exact + minhash-near + winnow-substring
+    # pair tiers over ONE planted corpus (an exact twin, a near twin
+    # with a short suffix, a shared-passage twin with a fresh tail),
+    # plus the union-graph cluster membership.  Each tier is already
+    # gated on its own; these rows pin the COMPOSITION (tier labels,
+    # strengths, one cluster per transitively linked group).
+    census = dedup.overlap_census(
+        _census_corpus(docs),
+        minhash_threshold=0.7,
+        shingle_n=3,
+        winnow_min_shared=2,
+        winnow_k=_WINNOW_K,
+        winnow_w=_WINNOW_W,
+    )
+    cens_rows = _suite_rows(
+        census["pairs"], "cens",
+        F.concat_ws(
+            "|",
+            F.col("id_a").cast("string"),
+            F.col("id_b").cast("string"),
+            F.col("tier"),
+        ),
+        v_num=F.round(F.col("strength"), 6),
+    )
+    censc_rows = _suite_rows(
+        census["docs"], "censc",
+        F.col("doc_id"),
+        v_str=F.col("is_canonical").cast("string"),
+        v_num=F.col("cluster_id"),
+    )
     return _union_all(
-        [span_rows, doc_rows, line_rows, rep_rows, winn_rows, winp_rows]
+        [span_rows, doc_rows, line_rows, rep_rows, winn_rows, winp_rows,
+         cens_rows, censc_rows]
+    )
+
+
+_CENSUS_EXACT, _CENSUS_NEAR, _CENSUS_SUB = 200_000, 250_000, 300_000
+
+
+def _census_corpus(docs):
+    """Planted census corpus: base docs + an exact twin (%13), a
+    near twin with a 3-word suffix (%19), and a shared-passage twin
+    (first 100 chars + fresh tail, %11) — so every census tier has
+    non-vacuous rows (raw testdata has no organic cross-doc overlap).
+    Mirrored verbatim by the oracle's cens_docs CTE."""
+    base = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    return _union_all(
+        [
+            base,
+            base.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + _CENSUS_EXACT).alias("doc_id"), "text"
+            ),
+            base.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + _CENSUS_NEAR).alias("doc_id"),
+                F.concat("text", F.lit(" near census suffix")).alias("text"),
+            ),
+            base.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + _CENSUS_SUB).alias("doc_id"),
+                F.concat(
+                    F.substring("text", 1, 100), F.lit(" census tail variant")
+                ).alias("text"),
+            ),
+        ]
     )
 
 
@@ -6026,6 +6088,92 @@ def _span_dedup_sql() -> str:
             for b in sids[i + 1:]:
                 shared[(a, b)] = shared.get((a, b), 0) + 1
     winp_vals = [f"({a}, {b}, {n})" for (a, b), n in sorted(shared.items())]
+    # r7 census: replay the winnow tier over the SAME planted census
+    # corpus the gate builds (exact/near/substr twins), pinned as
+    # VALUES; exact + minhash tiers and the union-graph closure replay
+    # in pure SQL
+    cens_rows_py = [(d, t) for d, t in rows]
+    cens_rows_py += [(d + _CENSUS_EXACT, t) for d, t in rows if d % 13 == 0]
+    cens_rows_py += [
+        (d + _CENSUS_NEAR, t + " near census suffix")
+        for d, t in rows if d % 19 == 0
+    ]
+    cens_rows_py += [
+        (d + _CENSUS_SUB, t[:100] + " census tail variant")
+        for d, t in rows if d % 11 == 0
+    ]
+    cens_fp_ids: dict[int, set[int]] = {}
+    for vid, text in cens_rows_py:
+        for _, fp in spans_ops.winnow_fps_py(text, k=_WINNOW_K, w=_WINNOW_W):
+            cens_fp_ids.setdefault(fp, set()).add(vid)
+    cshared: dict[tuple[int, int], int] = {}
+    for ids in cens_fp_ids.values():
+        sids = sorted(ids)
+        for i, a in enumerate(sids):
+            for b in sids[i + 1:]:
+                cshared[(a, b)] = cshared.get((a, b), 0) + 1
+    sub_vals = [
+        f"({a}, {b}, {n})" for (a, b), n in sorted(cshared.items()) if n >= 2
+    ] or ["(-1, -1, 0)"]
+    mh_cens = _minhash_oracle_sql(shingle_n=3, threshold=0.7).replace(
+        "FROM documents", "FROM cens_docs"
+    )
+    cens_docs_cte = f"""cens_docs AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CENSUS_EXACT}, coalesce(text, '')
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + {_CENSUS_NEAR}, coalesce(text, '') || ' near census suffix'
+  FROM documents WHERE doc_id % 19 = 0
+  UNION ALL
+  SELECT doc_id + {_CENSUS_SUB},
+         substr(coalesce(text, ''), 1, 100) || ' census tail variant'
+  FROM documents WHERE doc_id % 11 = 0
+)"""
+    cens_pair_ctes = f"""{cens_docs_cte},
+exact_grp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h, doc_id
+  FROM cens_docs
+),
+exact_keep AS (
+  SELECT h, min(doc_id) AS keep_id FROM exact_grp GROUP BY h HAVING count(*) > 1
+),
+cens_pairs AS (
+  SELECT k.keep_id AS id_a, g.doc_id AS id_b, 'exact' AS tier, 1.0 AS strength
+  FROM exact_grp g JOIN exact_keep k USING (h) WHERE g.doc_id <> k.keep_id
+  UNION ALL
+  SELECT id_a, id_b, 'near' AS tier, est_jaccard AS strength FROM ({mh_cens}) mh
+  UNION ALL
+  SELECT id_a, id_b, 'substr' AS tier, CAST(shared_fps AS DOUBLE) AS strength
+  FROM (VALUES {', '.join(sub_vals)}) w(id_a, id_b, shared_fps)
+  WHERE id_a >= 0
+)"""
+    cens_sql = f"""
+UNION ALL
+SELECT 'cens',
+       CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) || '|' || tier,
+       '', CAST(round(strength, 6) AS DOUBLE)
+FROM (WITH {cens_pair_ctes} SELECT * FROM cens_pairs) cp
+UNION ALL
+SELECT 'censc', CAST(doc_id AS VARCHAR), CAST(is_canonical AS VARCHAR),
+       CAST(cluster_id AS DOUBLE)
+FROM (
+  WITH RECURSIVE {cens_pair_ctes},
+  pr AS (SELECT DISTINCT id_a, id_b FROM cens_pairs),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr
+  ),
+  reach(id, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.id
+  ),
+  comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+  FROM cens_docs d LEFT JOIN comp c ON d.doc_id = c.id
+) cc"""
     return f"""{SPAN_DEDUP_SQL}
 UNION ALL
 SELECT 'winn', CAST(doc_id AS VARCHAR), CAST(fp_xor AS VARCHAR),
@@ -6035,6 +6183,7 @@ UNION ALL
 SELECT 'winp', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR), '',
        CAST(shared_fps AS DOUBLE)
 FROM (VALUES {', '.join(winp_vals)}) winp(id_a, id_b, shared_fps)
+{cens_sql}
 """
 
 

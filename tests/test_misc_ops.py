@@ -176,3 +176,58 @@ def test_interval_join_width_sweep_always_matches_naive(spark):
             ).select("pid", "iid").collect())
         )
         assert got == naive, f"width={width}"
+
+
+def test_interval_join_auto_skewed_widths_and_sentinel_clamp(spark):
+    """interval_join_auto sizes bucket_width from the interval-length
+    distribution (GK quantile) and CLAMPS sentinel/open-ended
+    intervals to the point domain before bucketing — a year-9999 end
+    must neither distort the width estimate nor explode into an
+    astronomical bucket sequence, and results must equal the naive
+    range join exactly."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    points = spark.range(0, 400).select(
+        F.col("id").alias("pid"), ((F.col("id") * 37) % 1000).alias("v")
+    )
+    # skewed lengths: most intervals ~10 long, a few ~300, one
+    # open-ended sentinel (end = 10^15) and one starting below the
+    # domain (start = -10^15)
+    rows = [(i, (i * 53) % 900, (i * 53) % 900 + 10 + (i % 5)) for i in range(50)]
+    rows += [(100 + i, (i * 131) % 600, (i * 131) % 600 + 300) for i in range(4)]
+    rows.append((200, 500, 10**15))          # sentinel end
+    rows.append((201, -(10**15), 50))        # sentinel start
+    intervals = spark.createDataFrame(rows, "iid long, s long, e long")
+
+    width, lo, hi = relational._auto_interval_params(
+        points, intervals, "v", "s", "e"
+    )
+    # the median CLAMPED length is ~10-15: sentinel rows (clamped to
+    # the ~1000-wide domain) cannot drag the median to domain scale
+    assert 1 <= width <= 40, width
+    assert lo == 0.0 and hi == 999.0
+
+    got = relational.interval_join_auto(points, intervals, "v", "s", "e")
+    naive = points.join(
+        intervals, (F.col("v") >= F.col("s")) & (F.col("v") < F.col("e"))
+    )
+    assert sorted(map(tuple, got.select("pid", "iid").collect())) == sorted(
+        map(tuple, naive.select("pid", "iid").collect())
+    )
+    # sentinel rows DO match points (clamp must not lose them)
+    iids = {r["iid"] for r in got.select("iid").distinct().collect()}
+    assert 200 in iids and 201 in iids
+
+
+def test_interval_join_auto_empty_points_never_explodes(spark):
+    """Empty points: the result is empty WITHOUT evaluating the
+    interval explode (a sentinel interval would otherwise generate a
+    10^15-element sequence even though the join output is empty)."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    points = spark.createDataFrame([], "pid long, v long")
+    intervals = spark.createDataFrame(
+        [(0, 0, 10**15)], "iid long, s long, e long"
+    )
+    out = relational.interval_join_auto(points, intervals, "v", "s", "e")
+    assert out.count() == 0
