@@ -39,10 +39,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     build_s: dict[str, float] = {}
     exec_s: dict[str, float] = {}
+    dfs: dict[str, object] = {}
     for name, fn in q.BENCH_FNS.items():
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         build_s[name] = round(time.perf_counter() - start, 3)
+        dfs[name] = df
         start = time.perf_counter()
         df.count()
         exec_s[name] = round(time.perf_counter() - start, 3)
@@ -54,6 +56,16 @@ def main() -> None:
             df.count()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+
+    # Per-BRANCH steady attribution for the tagged suite gates: gates
+    # grow new branches every round, so the suite total alone cannot
+    # separate bought coverage from regression.  Filtering on the
+    # suite_case literal constant-folds per union child and
+    # PropagateEmptyRelation drops the other branches (verified: the
+    # pruned plan contains only that branch's subtree), so each number
+    # is that branch's own steady cost.  Checkpointed shared seams
+    # appear as ExistingRDD scans — their build cost is in build_s.
+    branch_s = _branch_timings(dfs)
 
     # CDC end-to-end throughput: synthesize Debezium envelopes from the
     # events table, parse → filter → after-image → keyword-window count.
@@ -71,12 +83,40 @@ def main() -> None:
                 "queries": timings,
                 "build_s": build_s,
                 "exec_s": exec_s,
+                "branch_s": branch_s,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": cdc_rate,
             }
         )
     )
     spark.stop()
+
+
+_SUITE_COLS = ["suite_case", "k", "v_str", "v_num"]
+
+
+def _branch_timings(dfs: dict) -> dict[str, float]:
+    """{gate.branch: steady_sec} for every tagged-suite gate — one
+    warm pass + best-of-2 per branch on the union-pruned plan."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    for name, df in dfs.items():
+        if df.columns != _SUITE_COLS:
+            continue
+        cases = sorted(
+            r["suite_case"] for r in df.select("suite_case").distinct().collect()
+        )
+        for case in cases:
+            sub = df.filter(F.col("suite_case") == case)
+            sub.count()  # warm the pruned plan (analysis + codegen)
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                sub.count()
+                best = min(best, time.perf_counter() - start)
+            out[f"{name}.{case}"] = round(best, 3)
+    return out
 
 
 def _warm_python_workers(spark) -> None:
