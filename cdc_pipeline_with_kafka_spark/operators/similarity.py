@@ -127,9 +127,29 @@ def cosine_topk(
         # empty query set: the outer explode would otherwise emit one
         # (null, null) row per corpus row (and _qidx % 0 is null)
         return _empty_topk_frame(corpus, queries, id_col, query_id_col)
+    scored = _cosine_scored(corpus, qids, qm, id_col, vec_col, query_id_col)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rnk")
+    )
+
+
+def _cosine_scored(
+    corpus: DataFrame,
+    qids: list,
+    qm: "np.ndarray",
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """All (query, corpus, cos_sim) scores — the shared seam under
+    cosine_topk and hard_negatives: one corpus scan, one Arrow matmul
+    per batch, scores rounded to 6 decimals in the UDF."""
     scorer = _cosine_scores_udf(qm)
     qid_lookup = F.array(*[F.lit(q) for q in qids])
-    scored = (
+    return (
         spread(corpus, id_col)
         .select(F.col(id_col), scorer(F.col(vec_col)).alias("_scores"))
         .select(F.col(id_col), F.posexplode_outer("_scores").alias("_qidx", "cos_sim"))
@@ -137,11 +157,118 @@ def cosine_topk(
             qid_lookup[F.col("_qidx")].alias(query_id_col), F.col(id_col), F.col("cos_sim")
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    k_neg: int = 5,
+    dup_ceiling: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    k_neg corpus vectors with the HIGHEST cosine that are (a) not the
+    anchor itself (query_id != id — self-retrieval anchors) and (b)
+    not near-duplicates (cos_sim < dup_ceiling: a 'negative' that is
+    actually a positive poisons the contrastive loss — the standard
+    false-negative filter).  Output (query_id, vec_id, cos_sim, rnk),
+    rnk over the SURVIVING candidates.
+
+    Exact ranking over all candidates via the same one-scan Arrow
+    matmul as cosine_topk (the _cosine_scored seam) — no pool-size
+    approximation where excluded dups silently eat the budget.  At
+    corpus scale, generate candidates with the ANN tier (lsh/ivf) and
+    re-rank the pool instead; this operator is the exact form and the
+    oracle baseline."""
+    qids, qm = _collect_query_matrix(anchors, query_id_col, vec_col)
+    if not qids:
+        return _empty_topk_frame(corpus, anchors, id_col, query_id_col)
+    scored = _cosine_scored(corpus, qids, qm, id_col, vec_col, query_id_col)
+    cand = scored.filter(
+        (F.col(query_id_col) != F.col(id_col))
+        & (F.col("cos_sim") < F.lit(float(dup_ceiling)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_neg)
         .select(query_id_col, id_col, "cos_sim", "rnk")
+    )
+
+
+def maxsim_topk(
+    doc_chunks: DataFrame,
+    query_chunks: DataFrame,
+    *,
+    k: int = 10,
+    doc_id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim, Khattab &
+    Zaharia 2020) over CHUNK embeddings: score(q, d) = Σ_i max_j
+    cos(q_i, d_j) — each query chunk finds its best-matching document
+    chunk, so long documents are scored by their most relevant
+    passages instead of one pooled vector.
+
+    Exactness: per (query chunk, doc chunk) the 6-decimal cosine maps
+    to an integer micro-sim; max over doc chunks is exact, the sum
+    over query chunks is exact long arithmetic — partition order
+    cannot move a score (the BM25 integer-micro contract, dense tier).
+    Output (query_id, doc_id, maxsim_micro, rnk).
+
+    Scale shape: ONE scan of doc chunks (the query-chunk matrix ships
+    in the scorer closure), partial-aggregated max on (query, qchunk,
+    doc), partial-aggregated sum on (query, doc), WindowGroupLimit
+    top-k.  Missing-chunk semantics: a query chunk with NO doc chunk
+    simply contributes nothing (inner grain), matching the oracle.  At
+    100 TB, prefilter candidate docs with the pooled-vector ANN tier
+    and MaxSim-re-rank the pool."""
+    qrows = query_chunks.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return _empty_topk_frame(
+            doc_chunks.select(F.col(doc_id_col).alias("vec_id"), F.col(vec_col)),
+            query_chunks,
+            "vec_id",
+            query_id_col,
+        ).select(
+            F.col(query_id_col),
+            F.col("vec_id").alias(doc_id_col),
+            F.lit(None).cast("long").alias("maxsim_micro"),
+            F.col("rnk"),
+        )
+    qids = [r[query_id_col] for r in qrows]
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    scored = _cosine_scored(
+        doc_chunks, list(range(len(qids))), qm, doc_id_col, vec_col, "_qpos"
+    )
+    qid_lookup = F.array(*[F.lit(q) for q in qids])
+    micro = F.round(F.col("cos_sim") * 1e6, 0).cast("long")
+    per_qchunk = (
+        scored.select(
+            qid_lookup[F.col("_qpos")].alias(query_id_col),
+            F.col("_qpos"),
+            F.col(doc_id_col),
+            micro.alias("_micro"),
+        )
+        .groupBy(query_id_col, "_qpos", doc_id_col)
+        .agg(F.max("_micro").alias("_best"))
+    )
+    fused = per_qchunk.groupBy(query_id_col, doc_id_col).agg(
+        F.sum("_best").alias("maxsim_micro")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("maxsim_micro").desc(), F.col(doc_id_col).asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, doc_id_col, "maxsim_micro", "rnk")
     )
 
 

@@ -4628,7 +4628,11 @@ def sim_ann_suite(spark, sf_dir):
     'bm25' — lexical top-10 per head-of-document query, every
     (query, doc, integer micro-score, rank) row vs the pinned-Python
     twin; 'rrf' — the hybrid lexical+dense fusion, every
-    (query, doc, exact-integer rrf score, n_lists, rank) row."""
+    (query, doc, exact-integer rrf score, n_lists, rank) row;
+    'hneg' (r7) — hard-negative mining with self + near-dup (≥0.95)
+    exclusion over the twin-planted corpus; 'msim' (r7) — ColBERT-
+    style MaxSim late interaction over 4-chunks-per-doc groupings,
+    integer micro Σmax."""
     lsh = _suite_rows(
         sim_lsh_ann_topk(spark, sf_dir), "lsh",
         F.concat_ws("|", F.col("query_id").cast("string"), F.col("vec_id").cast("string")),
@@ -4654,7 +4658,43 @@ def sim_ann_suite(spark, sf_dir):
         v_str=F.concat_ws("|", F.col("rnk").cast("string"), F.col("n_lists").cast("string")),
         v_num=F.col("rrf_micro").cast("double"),
     )
-    return _union_all([lsh, ivf, bm25, rrf])
+    # r7 'hneg': hard-negative mining — per anchor the top-5 most
+    # similar NON-duplicates (self excluded by id, near-dups by the
+    # cos < 0.95 ceiling; the twin corpus plants real dups so the
+    # ceiling provably bites — anchor 0's twin at +100000 has cos 1.0
+    # and must be absent)
+    hneg_corpus = _semdedup_corpus(spark, sf_dir)
+    anchors = hneg_corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hneg = _suite_rows(
+        similarity.hard_negatives(
+            hneg_corpus, anchors, k_neg=5, dup_ceiling=0.95
+        ),
+        "hneg",
+        F.concat_ws("|", F.col("query_id").cast("string"), F.col("vec_id").cast("string")),
+        v_str=F.col("rnk").cast("string"),
+        v_num=F.col("cos_sim"),
+    )
+    # r7 'msim': ColBERT-style MaxSim late interaction — embeddings
+    # grouped 4-chunks-per-doc, the first two docs' chunk sets as
+    # queries; integer micro-sims make the Σmax exact long arithmetic
+    chunks = _t(spark, sf_dir, "embeddings").select(
+        F.expr("CAST(vec_id div 4 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        "embedding",
+    )
+    qchunks = chunks.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    msim = _suite_rows(
+        similarity.maxsim_topk(chunks, qchunks, k=10),
+        "msim",
+        F.concat_ws("|", F.col("query_id").cast("string"), F.col("doc_id").cast("string")),
+        v_str=F.col("rnk").cast("string"),
+        v_num=F.col("maxsim_micro").cast("double"),
+    )
+    return _union_all([lsh, ivf, bm25, rrf, hneg, msim])
 
 
 def _bm25_oracle_values() -> str:
@@ -4732,6 +4772,77 @@ SELECT 'rrf', CAST(query_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
        CAST(rnk AS VARCHAR) || '|' || CAST(n_lists AS VARCHAR),
        CAST(rrf_micro AS DOUBLE)
 FROM ({_rrf_oracle_sql(bm25_vals)}) s4
+UNION ALL
+SELECT 'hneg', CAST(query_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR),
+       CAST(rnk AS VARCHAR), CAST(cos_sim AS DOUBLE)
+FROM ({_hneg_sql()}) s5
+UNION ALL
+SELECT 'msim', CAST(query_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
+       CAST(rnk AS VARCHAR), CAST(maxsim_micro AS DOUBLE)
+FROM ({_MSIM_SQL}) s6
+"""
+
+
+def _hneg_sql() -> str:
+    return _HNEG_SQL_TEMPLATE.replace("__TWIN__", str(_SEMDEDUP_TWIN))
+
+
+_HNEG_SQL_TEMPLATE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + __TWIN__, embedding FROM embeddings WHERE vec_id % 17 = 0
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM corpus WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(c.embedding::DOUBLE[], q.qvec::DOUBLE[])
+               / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) AS cos_sim
+  FROM corpus c CROSS JOIN q
+),
+cand AS (
+  SELECT * FROM scored WHERE query_id <> vec_id AND cos_sim < 0.95
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM cand
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+_MSIM_SQL = """
+WITH chunks AS (
+  SELECT vec_id // 4 AS doc_id, vec_id, embedding FROM embeddings
+),
+q AS (
+  SELECT doc_id AS query_id, vec_id AS qpos, embedding AS qvec
+  FROM chunks WHERE doc_id < 2
+),
+scored AS (
+  SELECT q.query_id, q.qpos, c.doc_id,
+         CAST(round(round(list_dot_product(c.embedding::DOUBLE[], q.qvec::DOUBLE[])
+               / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) * 1e6)
+              AS BIGINT) AS micro
+  FROM chunks c CROSS JOIN q
+),
+best AS (
+  SELECT query_id, qpos, doc_id, max(micro) AS m
+  FROM scored GROUP BY query_id, qpos, doc_id
+),
+fused AS (
+  SELECT query_id, doc_id, sum(m) AS maxsim_micro
+  FROM best GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY maxsim_micro DESC, doc_id ASC) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, maxsim_micro, rnk FROM ranked WHERE rnk <= 10
 """
 
 

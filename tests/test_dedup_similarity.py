@@ -747,3 +747,59 @@ def test_embed_hashed_auto_dispatch(spark):
     # jvm stays available as the Python-worker-free pure-plan form
     jvm = S.embed_hashed_ngrams(docs, dim=8, path="jvm")
     assert "MapInPandas" not in jvm._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hard_negatives_excludes_self_and_near_dups(spark):
+    """The contrastive-mining contract: the anchor itself and any
+    near-duplicate (cos >= ceiling) never appear; ranks are contiguous
+    over the SURVIVORS (the dup doesn't silently eat a budget slot)."""
+    import numpy as np
+
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=(20, 8))
+    base[7] = base[0] * 2.0          # scaled twin of 0: cos exactly 1
+    base[9] = base[0] + rng.normal(scale=1e-3, size=8)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    anchors = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.hard_negatives(df, anchors, k_neg=5, dup_ceiling=0.95).collect()
+    ids = [r["vec_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert 0 not in ids and 7 not in ids and 9 not in ids
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+    assert all(r["cos_sim"] < 0.95 for r in out)
+    # survivors are the best remaining by cosine: rank-1 beats rank-5
+    assert out[0]["cos_sim"] >= out[-1]["cos_sim"] or len({r["cos_sim"] for r in out}) == 1
+
+
+def test_maxsim_beats_pooled_on_passage_match(spark):
+    """Late interaction's reason to exist: a long doc with ONE chunk
+    matching each query chunk must outrank a doc whose pooled average
+    is similar but no chunk matches well."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    # doc 0: two chunks exactly matching the two query chunks
+    # doc 1: four chunks all mediocre (0.5-ish cos to everything)
+    chunks = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0, 0.0, 0.0]),
+            (0, 1, [0.0, 1.0, 0.0, 0.0]),
+            (1, 2, [0.5, 0.5, 0.5, 0.5]),
+            (1, 3, [0.5, 0.5, -0.5, 0.5]),
+        ],
+        "doc_id long, vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (100, [0.0, 1.0, 0.0, 0.0])],
+        "query_id long, embedding array<float>",
+    )
+    out = {r["doc_id"]: r for r in S.maxsim_topk(chunks, q, k=10).collect()}
+    assert out[0]["rnk"] == 1 and out[1]["rnk"] == 2
+    assert out[0]["maxsim_micro"] == 2_000_000  # two exact matches
+    # empty query set -> empty result, stable schema
+    empty = S.maxsim_topk(chunks, q.limit(0), k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "doc_id", "maxsim_micro", "rnk"]
