@@ -1,0 +1,150 @@
+"""Graph centrality for source-authority weighting.
+
+PageRank (Page et al. 1999) over an edge list — the standard way a
+training-data pipeline turns a citation/hyperlink graph into a source
+quality prior (authority-weighted sampling, crawl prioritization,
+domain trust tiers).  The reference has no graph tier; this joins the
+training-data toolkit beside connected components (dedup.py), which
+covers reachability but not centrality.
+
+Exactness contract (the engine's integer pattern, applied to an
+ITERATIVE algorithm): scores are integer micros (1_000_000 = mass
+1.0 per node).  Per iteration every node sends
+``score_micro div out_degree`` along each out-edge (integer division;
+the ≤ out_degree−1 micro remainder is DROPPED — documented mass
+leak, identical on every engine) and
+``new = base + (damping_ppm · Σ contribs) div 1_000_000`` with
+``base = 1_000_000 − damping_ppm``.  Every operation is exact long
+arithmetic, so partition order cannot move a score by a bit and the
+pure-Python replay (`pagerank_replay`) is bit-identical — the
+pinned-oracle property the driver gate needs.
+
+Dangling nodes (no out-edges) send nothing; their mass leaks like
+the division remainders.  This is the "drop dangling mass" PageRank
+variant — rank ORDER matches the standard formulation on connected
+graphs while keeping the arithmetic exact.
+
+Scale shape (100 TB): scores is a nodes-sized table; each iteration
+is one equi-join edges ⋈ scores on src (shuffle partitioned by src —
+pre-partition/bucket the edge list by src so the join reuses the
+layout) + one partial-aggregated groupBy(dst) sum + one outer join
+back to the node set.  `localCheckpoint` truncates lineage each
+iteration so iteration N's plan never replays 1..N−1 (the
+connected-components lesson).  Driver traffic is zero until the
+caller collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping_ppm: int = 850_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, score_micro) after `iters` exact-integer PageRank
+    iterations over the DISTINCT edge list.  Nodes = src ∪ dst;
+    initial score = 1_000_000 each.  damping_ppm is the damping
+    factor in parts-per-million (850_000 = the classic 0.85)."""
+    if not 0 <= damping_ppm <= MICRO:
+        raise ValueError("damping_ppm must be in [0, 1e6]")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out-degree rides on every edge once; re-used every iteration
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    base = MICRO - damping_ppm
+    scores = nodes.withColumn("score_micro", F.lit(MICRO).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e_deg.join(
+                scores.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                "dst",
+                F.expr("CAST(score_micro div out_deg AS BIGINT)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_micro"))
+        )
+        scores = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST(({damping_ppm} * coalesce(in_micro, 0)) "
+                        f"div {MICRO} AS BIGINT)"
+                    )
+                ).cast("long").alias("score_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return scores
+
+
+def pagerank_replay(
+    edge_list: list[tuple],
+    iters: int = 10,
+    damping_ppm: int = 850_000,
+) -> dict:
+    """Pure-Python twin of `pagerank` (pinned-oracle / equivalence
+    side): identical integer divisions, identical base, identical
+    dangling handling.  Returns {node: score_micro}."""
+    e = sorted(set(edge_list))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    out: dict = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    base = MICRO - damping_ppm
+    score = {n: MICRO for n in nodes}
+    for _ in range(iters):
+        incoming = {n: 0 for n in nodes}
+        for s, d in e:
+            incoming[d] += score[s] // out[s]
+        score = {
+            n: base + (damping_ppm * incoming[n]) // MICRO for n in nodes
+        }
+    return score
+
+
+def authority_weights(
+    docs: DataFrame,
+    ranks: DataFrame,
+    key_col: str,
+    *,
+    node_col: str = "node",
+    score_col: str = "score_micro",
+    default_micro: int = MICRO - 850_000,
+) -> DataFrame:
+    """Attach a source-authority prior to every document: broadcast
+    the (small, nodes-sized) rank table onto the corpus by `key_col`
+    (host/domain/source id).  Missing sources get `default_micro`
+    (the dangling-node floor) so downstream weighted sampling never
+    sees NULLs.  One broadcast join — the corpus never shuffles."""
+    r = ranks.select(
+        F.col(node_col).alias(key_col),
+        F.col(score_col).alias("authority_micro"),
+    )
+    return docs.join(F.broadcast(r), key_col, "left").withColumn(
+        "authority_micro",
+        F.coalesce(F.col("authority_micro"), F.lit(int(default_micro))).cast(
+            "long"
+        ),
+    )

@@ -2573,7 +2573,9 @@ def curation_suite(spark, sf_dir):
       heavy-hitter sketch (operators/sketch.py — no full-vocabulary
       shuffle),
     - 'quant' : per-lang n_chars quantiles (exact percentile; the
-      approx GK path is pytest-bounded in test_sketch.py).
+      approx GK path is pytest-bounded in test_sketch.py),
+    - 'rank'  : integer-exact PageRank source authority over the
+      nation trade graph (r7 — operators/graph.py, pinned replay).
     All pure column plans (operators/curation.py, operators/sketch.py)."""
     from .operators import curation, sketch
 
@@ -2723,11 +2725,68 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("v").alias("v_num"),
     )
+    # 'rank' (r7): source-authority PageRank — exact-integer iterations
+    # over the nation trade graph (customer → supplier via orders ×
+    # lineitem), every score_micro vs the pinned pure-Python replay
+    from .operators import graph as graph_ops
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ordr = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(ordr, li.l_orderkey == ordr.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    rank = graph_ops.pagerank(edges, iters=_PAGERANK_ITERS).select(
+        F.lit("rank").alias("suite_case"),
+        F.col("node").cast("string").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("score_micro").cast("double").alias("v_num"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
         .unionByName(report).unionByName(src).unionByName(bloom)
         .unionByName(schunk).unionByName(packb).unionByName(vocab)
+        .unionByName(rank)
+    )
+
+
+_PAGERANK_ITERS = 6
+
+
+def _curation_suite_sql() -> str:
+    """CURATION_SUITE_SQL + the 'rank' branch from the pinned
+    pure-Python PageRank replay (graph.pagerank_replay — identical
+    integer divisions, base, dangling handling) over the same nation
+    trade graph read off-Spark from the driver's parquet."""
+    import duckdb
+
+    from .operators import graph as graph_ops
+
+    edges = duckdb.sql(
+        f"""SELECT DISTINCT c.c_nationkey, s.s_nationkey
+        FROM '{_ORACLE_SF_DIR}/lineitem.parquet' l
+        JOIN '{_ORACLE_SF_DIR}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{_ORACLE_SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{_ORACLE_SF_DIR}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey"""
+    ).fetchall()
+    score = graph_ops.pagerank_replay(
+        [(int(a), int(b)) for a, b in edges], iters=_PAGERANK_ITERS
+    )
+    vals = ", ".join(f"({n}, {s})" for n, s in sorted(score.items()))
+    return (
+        CURATION_SUITE_SQL
+        + f"""
+UNION ALL
+SELECT 'rank', CAST(node AS VARCHAR), '', CAST(score_micro AS DOUBLE)
+FROM (VALUES {vals}) pr(node, score_micro)
+"""
     )
 
 
@@ -6732,7 +6791,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # r3: supersedes dedup_clusters — same clustering machinery, now the
     # full docs → MinHash pairs → components → survivors+sizes pipeline
     "dedup_end_to_end": (dedup_end_to_end, DEDUP_E2E_SQL),
-    "curation_suite": (curation_suite, CURATION_SUITE_SQL),
+    "curation_suite": (curation_suite, _curation_suite_sql),
     # r5: unigram + trigram MinHash configs merged (frees one slot)
     "dedup_minhash_suite": (dedup_minhash_suite, _dedup_minhash_suite_sql),
     "dedup_simhash": (dedup_simhash, _simhash_suite_sql),

@@ -1,0 +1,82 @@
+"""Integer-exact PageRank (operators/graph.py): bit-identical
+distributed vs pure-Python replay, rank semantics, and the
+authority-prior join."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cdc_pipeline_with_kafka_spark.operators import graph as G
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_distributed_matches_replay_bit_exact(spark):
+    rng = np.random.default_rng(17)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 30, (120, 2))})
+    got = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(_edges_df(spark, edges), iters=8).collect()
+    }
+    want = G.pagerank_replay(edges, iters=8)
+    assert got == want  # exact long equality, every node
+
+
+def test_authority_node_ranks_highest(spark):
+    # star: everyone links to node 0; 0 links back to 1.  The 0↔1
+    # 2-cycle oscillates with iteration parity, so assert the TOP-TWO
+    # SET, not their order: {0, 1} hold all the circulating mass while
+    # the source-only nodes sit at the 150_000 base floor.
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    score = G.pagerank_replay(edges, iters=10)
+    top2 = sorted(score, key=score.get, reverse=True)[:2]
+    assert set(top2) == {0, 1}
+    assert all(score[n] == 150_000 for n in (2, 3, 4, 5))
+    assert min(score[0], score[1]) > 1_000_000
+
+
+def test_dangling_and_zero_iters(spark):
+    edges = [(1, 2)]  # node 2 dangles
+    zero = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(_edges_df(spark, edges), iters=0).collect()
+    }
+    assert zero == {1: 1_000_000, 2: 1_000_000}
+    one = G.pagerank_replay(edges, iters=1)
+    # node 1 has no in-edges: base only; node 2 receives 1's full mass
+    assert one[1] == 150_000
+    assert one[2] == 150_000 + (850_000 * 1_000_000) // 1_000_000
+
+
+def test_integer_division_remainder_dropped(spark):
+    # node 0 with out-degree 3 and score 1_000_000: each edge carries
+    # floor(1_000_000/3) = 333_333; the 1-micro remainder leaks
+    edges = [(0, 1), (0, 2), (0, 3)]
+    one = G.pagerank_replay(edges, iters=1)
+    expected = 150_000 + (850_000 * 333_333) // 1_000_000
+    assert one[1] == one[2] == one[3] == expected
+    got = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(_edges_df(spark, edges), iters=1).collect()
+    }
+    assert got == one
+
+
+def test_authority_weights_broadcast_prior(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "doc_id long, host long"
+    )
+    ranks = spark.createDataFrame(
+        [(10, 500_000), (20, 900_000)], "node long, score_micro long"
+    )
+    out = {
+        r["doc_id"]: r["authority_micro"]
+        for r in G.authority_weights(docs, ranks, "host").collect()
+    }
+    assert out == {1: 500_000, 2: 900_000, 3: 150_000}  # missing -> floor
+    from cdc_pipeline_with_kafka_spark import plans
+
+    assert plans.has_broadcast_join(G.authority_weights(docs, ranks, "host"))
