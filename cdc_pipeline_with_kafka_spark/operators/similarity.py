@@ -201,6 +201,45 @@ def hard_negatives(
     )
 
 
+def hard_negatives_ann(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    centroids: tuple,
+    *,
+    k_neg: int = 5,
+    dup_ceiling: float = 0.95,
+    pool: int = 50,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The corpus-scale path of hard_negatives: candidates come from
+    the IVF tier (top-`pool` per anchor over `nprobe` probed
+    clusters) instead of an exhaustive scan, then the same self +
+    near-dup exclusion and re-rank.  Approximate by construction —
+    a true hard negative outside the probed clusters is missed, and
+    excluded dups eat into the pool (size `pool` ≫ k_neg + expected
+    dups accordingly).  Recall vs the exact operator is pytest-bounded."""
+    cand = ivf_ann_topk(
+        corpus, anchors, nlist=len(centroids[0]), nprobe=nprobe, k=pool,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        centroids=centroids,
+    )
+    kept = cand.filter(
+        (F.col(query_id_col) != F.col(id_col))
+        & (F.col("cos_sim") < F.lit(float(dup_ceiling)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        kept.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_neg)
+        .select(query_id_col, id_col, "cos_sim", "rnk")
+    )
+
+
 def maxsim_topk(
     doc_chunks: DataFrame,
     query_chunks: DataFrame,
@@ -209,6 +248,7 @@ def maxsim_topk(
     doc_id_col: str = "doc_id",
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Late-interaction retrieval (ColBERT-style MaxSim, Khattab &
     Zaharia 2020) over CHUNK embeddings: score(q, d) = Σ_i max_j
@@ -228,7 +268,16 @@ def maxsim_topk(
     top-k.  Missing-chunk semantics: a query chunk with NO doc chunk
     simply contributes nothing (inner grain), matching the oracle.  At
     100 TB, prefilter candidate docs with the pooled-vector ANN tier
-    and MaxSim-re-rank the pool."""
+    and MaxSim-re-rank the pool: pass `candidates` (any DataFrame with
+    a doc_id_col column — e.g. cosine_topk over pooled doc vectors)
+    and only those docs' chunks are scored (broadcast semi-join; the
+    chunk table never shuffles)."""
+    if candidates is not None:
+        doc_chunks = doc_chunks.join(
+            F.broadcast(candidates.select(doc_id_col).distinct()),
+            doc_id_col,
+            "left_semi",
+        )
     qrows = query_chunks.select(query_id_col, vec_col).collect()
     if not qrows:
         return _empty_topk_frame(

@@ -803,3 +803,52 @@ def test_maxsim_beats_pooled_on_passage_match(spark):
     empty = S.maxsim_topk(chunks, q.limit(0), k=5)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "doc_id", "maxsim_micro", "rnk"]
+
+
+def test_hard_negatives_ann_recall_vs_exact(spark):
+    """The IVF-pooled path finds most of the exact hard negatives
+    (recall bounded) and never violates the exclusion contract."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = S.train_ivf_codebook(emb, nlist=8)
+    exact = S.hard_negatives(emb, anchors, k_neg=5)
+    approx = S.hard_negatives_ann(
+        emb, anchors, cents, k_neg=5, pool=40, nprobe=4
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r["query_id"], r["vec_id"]) for r in a_rows}
+    assert len(e & a) / len(e) >= 0.5
+    assert all(r["query_id"] != r["vec_id"] for r in a_rows)
+    assert all(r["cos_sim"] < 0.95 for r in a_rows)
+
+
+def test_maxsim_candidate_restriction(spark):
+    """`candidates` restricts scoring to the pooled-ANN pool: results
+    equal the full run filtered to the candidate set, and excluded
+    docs never appear."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    chunks = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        F.expr("CAST(vec_id div 4 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        "embedding",
+    )
+    q = chunks.filter(F.col("doc_id") < 1).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    cand = chunks.select("doc_id").distinct().filter(F.col("doc_id") % 2 == 0)
+    full = {
+        (r["query_id"], r["doc_id"]): r["maxsim_micro"]
+        for r in S.maxsim_topk(chunks, q, k=1000).collect()
+    }
+    pooled = S.maxsim_topk(chunks, q, k=1000, candidates=cand).collect()
+    assert pooled and all(r["doc_id"] % 2 == 0 for r in pooled)
+    for r in pooled:
+        assert full[(r["query_id"], r["doc_id"])] == r["maxsim_micro"]

@@ -88,10 +88,12 @@ def test_span_dedup_no_token_grain_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # 4 window-hash Generates (span/doc/line/rep occurrence streams) +
     # 6 winnowing Generates (r6: hash-pin + fp explode for 'winn' and
-    # for 'winp', plus the pair posexplode+slice expansion) — all at
-    # fingerprint/window grain, never a token posexplode feeding the
-    # rewrite reconstruction
-    assert plan.count("Generate") <= 10
+    # for 'winp', plus the pair posexplode+slice expansion) + 8 census
+    # Generates (r7 'cens': minhash shingle explode + winnow fp streams
+    # + pair expansions over the planted corpus) — all at
+    # fingerprint/window/shingle grain, never a token posexplode
+    # feeding the rewrite reconstruction
+    assert plan.count("Generate") <= 18
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 4
 
 
