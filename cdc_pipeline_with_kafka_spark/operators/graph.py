@@ -48,28 +48,68 @@ def pagerank(
     damping_ppm: int = 850_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, score_micro) after `iters` exact-integer PageRank
     iterations over the DISTINCT edge list.  Nodes = src ∪ dst;
     initial score = 1_000_000 each.  damping_ppm is the damping
-    factor in parts-per-million (850_000 = the classic 0.85)."""
+    factor in parts-per-million (850_000 = the classic 0.85).
+
+    `weight_col` (positive integer column): a node distributes its
+    mass proportionally — each edge carries
+    ``(score_micro · w) div Σw`` (exact; remainders leak like the
+    unweighted division).  Duplicate (src, dst) rows are SUMMED into
+    one weighted edge; without weight_col they collapse via distinct.
+
+    `seeds` (one column of node ids): PERSONALIZED PageRank — the
+    teleport mass (base) lands only on the seed set instead of every
+    node (Topic-Sensitive PageRank, Haveliwala 2002): authority
+    relative to a trusted set, e.g. rank crawl sources by proximity
+    to hand-curated domains.  Non-seed nodes get base 0."""
     if not 0 <= damping_ppm <= MICRO:
         raise ValueError("damping_ppm must be in [0, 1e6]")
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct().withColumn("w", F.lit(1).cast("long"))
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # out-degree rides on every edge once; re-used every iteration
+    deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # total out-weight rides on every edge once; re-used every iteration
     e_deg = e.join(deg, "src").localCheckpoint(eager=False)
     base = MICRO - damping_ppm
-    scores = nodes.withColumn("score_micro", F.lit(MICRO).cast("long"))
+    if seeds is None:
+        base_col = F.lit(base).cast("long")
+        nodes_based = nodes.withColumn("base_micro", base_col)
+    else:
+        seed_df = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        nodes_based = nodes.join(
+            F.broadcast(seed_df.withColumn("_s", F.lit(1))), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("_s").isNotNull(), F.lit(base))
+            .otherwise(F.lit(0)).cast("long").alias("base_micro"),
+        )
+    nodes_based = nodes_based.localCheckpoint(eager=False)
+    scores = nodes_based.select(
+        "node", F.lit(MICRO).cast("long").alias("score_micro")
+    )
     for _ in range(iters):
         contrib = (
             e_deg.join(
@@ -77,17 +117,19 @@ def pagerank(
             )
             .select(
                 "dst",
-                F.expr("CAST(score_micro div out_deg AS BIGINT)").alias("c"),
+                F.expr("CAST((score_micro * w) div out_w AS BIGINT)").alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("in_micro"))
         )
         scores = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            nodes_based.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.col("base_micro")
                     + F.expr(
                         f"CAST(({damping_ppm} * coalesce(in_micro, 0)) "
                         f"div {MICRO} AS BIGINT)"
@@ -103,23 +145,37 @@ def pagerank_replay(
     edge_list: list[tuple],
     iters: int = 10,
     damping_ppm: int = 850_000,
+    seeds: set | None = None,
 ) -> dict:
     """Pure-Python twin of `pagerank` (pinned-oracle / equivalence
     side): identical integer divisions, identical base, identical
-    dangling handling.  Returns {node: score_micro}."""
-    e = sorted(set(edge_list))
+    dangling handling; edge tuples may carry an optional third
+    element as the positive integer weight (duplicates summed).
+    Returns {node: score_micro}."""
+    w: dict = {}
+    if edge_list and len(edge_list[0]) == 3:
+        for s, d, wt in edge_list:
+            w[(s, d)] = w.get((s, d), 0) + int(wt)
+    else:
+        for s, d in set(edge_list):
+            w[(s, d)] = 1
+    e = sorted(w)
     nodes = sorted({s for s, _ in e} | {d for _, d in e})
     out: dict = {}
-    for s, _ in e:
-        out[s] = out.get(s, 0) + 1
+    for (s, _d), wt in w.items():
+        out[s] = out.get(s, 0) + wt
     base = MICRO - damping_ppm
+    base_of = {
+        n: (base if seeds is None or n in seeds else 0) for n in nodes
+    }
     score = {n: MICRO for n in nodes}
     for _ in range(iters):
         incoming = {n: 0 for n in nodes}
         for s, d in e:
-            incoming[d] += score[s] // out[s]
+            incoming[d] += (score[s] * w[(s, d)]) // out[s]
         score = {
-            n: base + (damping_ppm * incoming[n]) // MICRO for n in nodes
+            n: base_of[n] + (damping_ppm * incoming[n]) // MICRO
+            for n in nodes
         }
     return score
 

@@ -80,3 +80,45 @@ def test_authority_weights_broadcast_prior(spark):
     from cdc_pipeline_with_kafka_spark import plans
 
     assert plans.has_broadcast_join(G.authority_weights(docs, ranks, "host"))
+
+
+def test_weighted_pagerank_bit_exact_and_proportional(spark):
+    """Weighted edges: mass splits proportionally by integer weight;
+    distributed == replay bit-for-bit; duplicate (src,dst) rows sum."""
+    edges = [(0, 1, 3), (0, 2, 1), (0, 1, 1), (3, 0, 2)]  # (0,1) w=4 total
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(df, iters=3, weight_col="w").collect()
+    }
+    want = G.pagerank_replay(edges, iters=3)
+    assert got == want
+    # after one iter node 1 gets 4/5 of 0's mass, node 2 gets 1/5
+    one = G.pagerank_replay(edges, iters=1)
+    assert one[1] - 150_000 == (850_000 * ((1_000_000 * 4) // 5)) // 1_000_000
+    assert one[2] - 150_000 == (850_000 * ((1_000_000 * 1) // 5)) // 1_000_000
+
+
+def test_personalized_pagerank_teleports_to_seeds(spark):
+    """Personalized: only seed nodes receive the base (teleport) mass,
+    so authority concentrates near the seed set; distributed == replay."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 20, (60, 2))})
+    seeds = {0, 1}
+    df = _edges_df(spark, edges)
+    seed_df = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(df, iters=6, seeds=seed_df).collect()
+    }
+    want = G.pagerank_replay(edges, iters=6, seeds=seeds)
+    assert got == want
+    # a node with no path from the seeds decays geometrically (0.85^t)
+    # toward 0 — exactly 0 once the integer floor eats the residue
+    island = [(100, 101), (101, 100)] + edges
+    w2 = G.pagerank_replay(island, iters=100, seeds=seeds)
+    assert w2[100] == 0 and w2[101] == 0
+    mid = G.pagerank_replay(island, iters=40, seeds=seeds)
+    assert 0 < mid[100] < 2_000  # ~1e6·0.85⁴⁰, mid-decay
