@@ -855,6 +855,77 @@ def connected_components_star(
     return members.union(centers).distinct()
 
 
+def connected_components_incremental(
+    new_pairs: DataFrame,
+    labels: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "auto",
+) -> DataFrame:
+    """Admit a SHARD of new near-dup pairs against a PERSISTED
+    component assignment (id, cluster_id — a prior
+    connected_components output) without recomputing the full graph:
+    the incremental member the component tier was missing
+    (minhash/simhash/phash/semantic/winnow all have `_incremental`
+    twins; this closes the family).
+
+    Exactness: cluster_id is always the MINIMUM id reachable, so
+    contracting the old graph to its labels loses nothing — each
+    label IS the min of its old component, and the min over a merged
+    set of components equals the min over their labels.  Therefore
+    incremental ≡ full recompute over old ∪ new pairs, EXACTLY
+    (held in tests at boundary shard splits).
+
+    Per-shard cost: two broadcast-or-shuffle joins to map the shard's
+    endpoints through the label table, then components over the
+    CONTRACTED graph — whose size is bounded by the shard's edge
+    count, never the corpus graph.  The persisted table updates with
+    one join against the (tiny) label-remap."""
+    lbl_a = labels.select(
+        F.col("id").alias(id_a), F.col("cluster_id").alias("_la")
+    )
+    lbl_b = labels.select(
+        F.col("id").alias(id_b), F.col("cluster_id").alias("_lb")
+    )
+    contracted = (
+        new_pairs.select(id_a, id_b)
+        .join(lbl_a, id_a, "left")
+        .join(lbl_b, id_b, "left")
+        .select(
+            F.coalesce("_la", F.col(id_a)).alias("id_a"),
+            F.coalesce("_lb", F.col(id_b)).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    comp_fn = {
+        "label": connected_components,
+        "star": connected_components_star,
+        "auto": connected_components_auto,
+    }.get(algorithm)
+    if comp_fn is None:
+        raise ValueError(f"unknown algorithm {algorithm!r}; use label|star|auto")
+    remap = comp_fn(contracted, "id_a", "id_b").withColumnRenamed(
+        "id", "_old"
+    ).withColumnRenamed("cluster_id", "_new")
+    # old ids: relabel through the remap (labels untouched by the shard
+    # pass through); new ids: their contracted label, remapped
+    old_rows = labels.join(
+        F.broadcast(remap), labels["cluster_id"] == F.col("_old"), "left"
+    ).select(
+        "id", F.coalesce("_new", "cluster_id").alias("cluster_id")
+    )
+    new_nodes = (
+        new_pairs.select(F.col(id_a).alias("id"))
+        .unionByName(new_pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+    )
+    new_rows = new_nodes.join(
+        F.broadcast(remap), F.col("id") == F.col("_old"), "left"
+    ).select("id", F.coalesce("_new", F.col("id")).alias("cluster_id"))
+    return old_rows.unionByName(new_rows)
+
+
 def dedup_survivors(
     docs: DataFrame,
     pairs: DataFrame,

@@ -2520,19 +2520,34 @@ def dedup_end_to_end(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
         docs, threshold=0.5, num_hashes=16, bands=8, shingle_n=3
-    )
+    ).localCheckpoint()
     # score_col engages the quality survivor policy (keep the LONGEST
     # member, ties → lowest id); the id policy stays derivable as
     # cluster_id == doc_id, so one call value-checks both (r6)
     surv = dedup.dedup_survivors(
         docs.select("doc_id", "n_chars"), pairs, score_col="n_chars"
     )
-    return surv.select(
+    # r7 incremental-components pin: split the SAME pairs into an
+    # arbitrary deterministic old/shard halves, run the full
+    # components on the old half and ADMIT the shard incrementally —
+    # the oracle emits the FULL closure's cluster_id for this column,
+    # so the hash match proves incremental ≡ full at driver level
+    # (the component tier's member of the incremental family)
+    old_pairs = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    shard_pairs = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 != 0)
+    labels = dedup.connected_components_auto(old_pairs)
+    inc = dedup.connected_components_incremental(
+        shard_pairs, labels
+    ).withColumnRenamed("id", "doc_id").withColumnRenamed(
+        "cluster_id", "_inc"
+    )
+    return surv.join(inc, "doc_id", "left").select(
         "doc_id",
         "cluster_id",
         (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
         F.col("is_canonical").alias("q_canonical"),
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint").alias("cluster_size"),
+        F.coalesce("_inc", F.col("doc_id")).alias("inc_cluster_id"),
     )
 
 
@@ -2548,7 +2563,8 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
        row_number() OVER (
          PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
        ) = 1 AS q_canonical,
-       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       cluster_id AS inc_cluster_id
 FROM (
   SELECT d.doc_id, d.n_chars,
          coalesce(c.cluster_id, d.doc_id) AS cluster_id,

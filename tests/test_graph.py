@@ -122,3 +122,48 @@ def test_personalized_pagerank_teleports_to_seeds(spark):
     assert w2[100] == 0 and w2[101] == 0
     mid = G.pagerank_replay(island, iters=40, seeds=seeds)
     assert 0 < mid[100] < 2_000  # ~1e6·0.85⁴⁰, mid-decay
+
+
+def test_connected_components_incremental_equals_full(spark):
+    """The component tier's incremental member: admitting a shard of
+    pairs against persisted labels equals the full recompute over
+    old ∪ new pairs EXACTLY, at boundary shard splits {0, 1, n/2,
+    n-1, n} — including shard pairs that merge two old clusters,
+    bridge through brand-new nodes, or fall inside one old cluster."""
+    import numpy as np
+
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    rng = np.random.default_rng(13)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, (50, 2)) if a != b})
+    # force the interesting shard shapes: a bridge via a new node and
+    # an intra-cluster duplicate pair land in the tail (the shard side)
+    pairs = pairs + [(100, pairs[0][0]), (100, pairs[-1][1]), pairs[2]]
+    n = len(pairs)
+
+    def comp_of(pair_list):
+        if not pair_list:
+            return {}
+        df = spark.createDataFrame(pair_list, "id_a long, id_b long")
+        return {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components_auto(df).collect()
+        }
+
+    full = comp_of(pairs)
+    for cut in (0, 1, n // 2, n - 1, n):
+        old, shard = pairs[:cut], pairs[cut:]
+        labels = spark.createDataFrame(
+            list(comp_of(old).items()) or [(None, None)],
+            "id long, cluster_id long",
+        ).filter(F.col("id").isNotNull())
+        shard_df = spark.createDataFrame(
+            shard or [(None, None)], "id_a long, id_b long"
+        ).filter(F.col("id_a").isNotNull())
+        inc = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components_incremental(
+                shard_df, labels
+            ).collect()
+        }
+        assert inc == full, cut
