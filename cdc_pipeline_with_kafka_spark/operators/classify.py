@@ -334,3 +334,52 @@ def nb_filter(
     return df.join(
         margins.withColumnRenamed("id", id_col).select(id_col), id_col, "left_semi"
     )
+
+
+def pr_report(
+    df: DataFrame,
+    score_col: str,
+    truth_col: str,
+    thresholds: list[int],
+) -> DataFrame:
+    """Precision/recall/F1 threshold sweep for a quality classifier —
+    the calibration step between training a filter (NB/DSIR/perplexity
+    scores) and deploying it: pick the threshold whose precision/recall
+    trade-off matches the curation budget.
+
+    One corpus pass: each (score, truth) row fans out to the (small)
+    threshold list and one groupBy(threshold) accumulates the
+    confusion counts; ``flagged = score >= threshold``.  Every metric
+    is EXACT integer ppm (`tp·1e6 div (tp+fp)` etc.; F1 via the
+    single-division identity `2·tp·1e6 div (2·tp+fp+fn)`), so the
+    report is engine-portable and partition-order-free.  Empty
+    denominators report 0 ppm.
+
+    Output: one row per threshold — (threshold, tp, fp, fn, tn,
+    precision_ppm, recall_ppm, f1_ppm)."""
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    rows = df.select(
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(truth_col).cast("boolean").alias("_y"),
+        F.explode(
+            F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+        ).alias("threshold"),
+    )
+    flag = F.col("_s") >= F.col("threshold")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = rows.groupBy("threshold").agg(
+        cnt(flag & F.col("_y")).alias("tp"),
+        cnt(flag & ~F.col("_y")).alias("fp"),
+        cnt(~flag & F.col("_y")).alias("fn"),
+        cnt(~flag & ~F.col("_y")).alias("tn"),
+    )
+    div = lambda num, den: F.when(  # noqa: E731
+        F.expr(den) > 0, F.expr(f"CAST(({num}) div ({den}) AS BIGINT)")
+    ).otherwise(F.lit(0)).cast("long")
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        div("tp * 1000000", "tp + fp").alias("precision_ppm"),
+        div("tp * 1000000", "tp + fn").alias("recall_ppm"),
+        div("2 * tp * 1000000", "2 * tp + fp + fn").alias("f1_ppm"),
+    )

@@ -6582,11 +6582,35 @@ def classify_suite(spark, sf_dir):
         v_str=F.col("label"),
     )
     target = docs.filter(F.col("lang") == "zh")
-    weights = classify_ops.dsir_weights(docs, target, hash_buckets=1024)
+    weights = classify_ops.dsir_weights(
+        docs, target, hash_buckets=1024
+    ).localCheckpoint()
     dsir = _suite_rows(
         weights, "dsir", F.col("id"),
         v_str=F.col("n_feats").cast("string"),
         v_num=F.col("logw_micro"),
+    )
+    # r7 'pr': classifier calibration — precision/recall/F1 threshold
+    # sweep of the DSIR weights against the true zh labels, every
+    # confusion count and integer-ppm metric value-checked (the step
+    # between training a filter and picking its deployment threshold)
+    truthed = weights.join(
+        docs.select(F.col("doc_id").alias("id"), (F.col("lang") == "zh").alias("is_zh")),
+        "id",
+    )
+    pr = _suite_rows(
+        classify_ops.pr_report(
+            truthed, "logw_micro", "is_zh", list(_PR_THRESHOLDS)
+        ),
+        "pr",
+        F.col("threshold"),
+        v_str=F.concat_ws(
+            "|", F.col("tp").cast("string"), F.col("fp").cast("string"),
+            F.col("fn").cast("string"), F.col("tn").cast("string"),
+            F.col("precision_ppm").cast("string"),
+            F.col("recall_ppm").cast("string"),
+        ),
+        v_num=F.col("f1_ppm").cast("double"),
     )
     # r5: 'ppl' — CCNet bigram-LM perplexity per doc (lm.py); the
     # deterministic trainer (ordered-limit sample, lexicographic vocab
@@ -6612,7 +6636,10 @@ def classify_suite(spark, sf_dir):
         "pplb",
         F.col("doc_id"), v_str=F.col("bucket"), v_num=F.col("ppl"),
     )
-    return _union_all([nb, nbp, dsir, ppl, pplb])
+    return _union_all([nb, nbp, dsir, pr, ppl, pplb])
+
+
+_PR_THRESHOLDS = (-1_000_000, -250_000, 0, 250_000, 1_000_000)
 
 
 CLASSIFY_SUITE_SQL = """
@@ -6697,6 +6724,26 @@ SELECT 'nbp', CAST(id AS VARCHAR), label, -1.0 FROM pred WHERE rn = 1
 UNION ALL
 SELECT 'dsir', CAST(id AS VARCHAR), CAST(n_feats AS VARCHAR), CAST(logw AS DOUBLE)
 FROM dsir
+UNION ALL
+SELECT 'pr', CAST(threshold AS VARCHAR),
+       CAST(tp AS VARCHAR) || '|' || CAST(fp AS VARCHAR) || '|' ||
+       CAST(fn AS VARCHAR) || '|' || CAST(tn AS VARCHAR) || '|' ||
+       CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END AS VARCHAR) || '|' ||
+       CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END AS VARCHAR),
+       CAST(CASE WHEN 2 * tp + fp + fn > 0
+                 THEN (2 * tp * 1000000) // (2 * tp + fp + fn)
+                 ELSE 0 END AS DOUBLE)
+FROM (
+  SELECT t.threshold,
+         sum(CASE WHEN tr.s >= t.threshold AND tr.y THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN tr.s >= t.threshold AND NOT tr.y THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN tr.s < t.threshold AND tr.y THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN tr.s < t.threshold AND NOT tr.y THEN 1 ELSE 0 END) AS tn
+  FROM (SELECT d.logw AS s, (doc.lang = 'zh') AS y
+        FROM dsir d JOIN documents doc ON d.id = doc.doc_id) tr
+  CROSS JOIN (VALUES (-1000000), (-250000), (0), (250000), (1000000)) t(threshold)
+  GROUP BY t.threshold
+) prsweep
 """
 
 

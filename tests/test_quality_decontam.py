@@ -618,3 +618,29 @@ def test_curate_corpus_code_routing(spark):
     )
     assert gopher_kept.filter(F.col("doc_id") == 0).count() == 0
     assert only.first()["text"] == code_doc
+
+
+def test_pr_report_exact_counts_and_ppm(spark):
+    """Hand-computed confusion counts and integer-ppm metrics; empty
+    denominators report 0; one row per threshold."""
+    from cdc_pipeline_with_kafka_spark.operators import classify
+
+    df = spark.createDataFrame(
+        [(10, True), (5, True), (-5, False), (3, False), (-10, True)],
+        "score long, y boolean",
+    )
+    out = {
+        r["threshold"]: r
+        for r in classify.pr_report(df, "score", "y", [0, 4, 100]).collect()
+    }
+    r0 = out[0]  # flagged: 10,5,3 -> tp=2 fp=1; missed: -5(F), -10(T)
+    assert (r0["tp"], r0["fp"], r0["fn"], r0["tn"]) == (2, 1, 1, 1)
+    assert r0["precision_ppm"] == (2 * 1_000_000) // 3
+    assert r0["recall_ppm"] == (2 * 1_000_000) // 3
+    assert r0["f1_ppm"] == (4 * 1_000_000) // 6
+    r4 = out[4]  # flagged: 10,5 -> both true
+    assert (r4["tp"], r4["fp"], r4["fn"], r4["tn"]) == (2, 0, 1, 2)
+    assert r4["precision_ppm"] == 1_000_000
+    r100 = out[100]  # nothing flagged: precision denom 0 -> 0 ppm
+    assert (r100["tp"], r100["precision_ppm"], r100["recall_ppm"]) == (0, 0, 0)
+    assert len(out) == 3
