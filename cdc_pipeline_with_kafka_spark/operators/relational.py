@@ -379,3 +379,59 @@ def interval_join_auto(
     return interval_join(
         points, clamped, point_col, start_col, end_col, width, key_cols
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    bucket_width: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (half-open: overlap iff
+    l.s < r.e AND r.s < l.e) without the nested-loop plan — the
+    interval-interval sibling of interval_join's point-in-interval
+    (together they cover the Databricks range-join surface as plain
+    DataFrame ops).  Sessions × outages, spans × annotations,
+    validity-period reconciliation.
+
+    Both sides explode to the integer buckets they cover; candidates
+    come from the bucket EQUI-join; the exact predicate re-checks.
+    DUPLICATE SUPPRESSION WITHOUT A SHUFFLE: an overlapping pair
+    shares every bucket in [max(start buckets), min(end buckets)], so
+    keeping only ``bucket == max(start buckets)`` emits each pair
+    EXACTLY once — no dropDuplicates exchange (proof sketch: the max
+    start bucket is ≤ both end buckets whenever the intervals
+    overlap; asserted against the naive join in tests).
+
+    Zero-length intervals follow the strict formula (a point-interval
+    'overlaps' any interval strictly containing its point — degenerate
+    point events keep working).  Column names must be disjoint across
+    the two sides except `key_cols`; the same clamp/width guidance as
+    interval_join applies (size bucket_width from the length
+    distribution; clamp open-ended intervals first)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    l_s, l_e = left_range
+    r_s, r_e = right_range
+    keys = list(key_cols or [])
+    common = (set(left.columns) & set(right.columns)) - set(keys)
+    if common:
+        raise ValueError(
+            f"ambiguous columns on both sides: {sorted(common)}; rename one side"
+        )
+    w = float(bucket_width)
+
+    def bkt(col: str):
+        return F.floor(F.col(col).cast("double") / F.lit(w)).cast("long")
+
+    L = left.withColumn(
+        "_bkt", F.explode(F.sequence(bkt(l_s), F.greatest(bkt(l_e), bkt(l_s))))
+    )
+    R = right.withColumn(
+        "_bkt", F.explode(F.sequence(bkt(r_s), F.greatest(bkt(r_e), bkt(r_s))))
+    )
+    cond = (F.col(l_s) < F.col(r_e)) & (F.col(r_s) < F.col(l_e))
+    first = F.col("_bkt") == F.greatest(bkt(l_s), bkt(r_s))
+    return L.join(R, ["_bkt"] + keys).filter(cond & first).drop("_bkt")

@@ -2011,6 +2011,17 @@ def f_value_suite(spark, sf_dir):
                         F.col("o_orderkey").cast("string")),
             v_num=F.col("v"),
         ),
+        # r7 'ivo': interval × interval OVERLAP join — two sampled
+        # order-activity windows ([date, +7d) vs [date, +10d)); the
+        # operator's first-shared-bucket trick emits each overlapping
+        # pair exactly once with no distinct exchange; oracle = the
+        # naive strict-inequality range join
+        _suite_rows(
+            _interval_overlap_rows(spark, sf_dir), "ivo",
+            F.concat_ws("|", F.col("a_key").cast("string"),
+                        F.col("b_key").cast("string")),
+            v_num=F.col("b_s"),
+        ),
     ])
 
 
@@ -2031,6 +2042,24 @@ def _interval_join_rows(spark, sf_dir):
         (F.unix_date(F.col("o_orderdate").cast("date")) + 7).alias("e"),
     )
     return rel.interval_join(points, intervals, "v", "s", "e", bucket_width=7)
+
+
+def _interval_overlap_rows(spark, sf_dir):
+    from .operators import relational as rel
+
+    ordr = _t(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    a = ordr.filter(F.col("o_orderkey") % 40 == 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        day.alias("a_s"), (day + 7).alias("a_e"),
+    )
+    b = ordr.filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        day.alias("b_s"), (day + 10).alias("b_e"),
+    )
+    return rel.interval_overlap_join(
+        a, b, ("a_s", "a_e"), ("b_s", "b_e"), bucket_width=7
+    )
 
 
 def _asof_enriched(spark, sf_dir):
@@ -2068,6 +2097,19 @@ FROM (
          < datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) + 7
   WHERE l.l_orderkey % 50 = 0 AND o.o_orderkey % 40 = 0
 ) ivjrows
+UNION ALL
+SELECT 'ivo', CAST(a_key AS VARCHAR) || '|' || CAST(b_key AS VARCHAR),
+       '', CAST(b_s AS DOUBLE)
+FROM (
+  SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+         datediff('day', DATE '1970-01-01', CAST(b.o_orderdate AS DATE)) AS b_s
+  FROM orders a JOIN orders b
+    ON datediff('day', DATE '1970-01-01', CAST(a.o_orderdate AS DATE))
+         < datediff('day', DATE '1970-01-01', CAST(b.o_orderdate AS DATE)) + 10
+   AND datediff('day', DATE '1970-01-01', CAST(b.o_orderdate AS DATE))
+         < datediff('day', DATE '1970-01-01', CAST(a.o_orderdate AS DATE)) + 7
+  WHERE a.o_orderkey % 40 = 0 AND b.o_orderkey % 50 = 0
+) ivorows
 """
 
 

@@ -231,3 +231,54 @@ def test_interval_join_auto_empty_points_never_explodes(spark):
     )
     out = relational.interval_join_auto(points, intervals, "v", "s", "e")
     assert out.count() == 0
+
+
+def test_interval_overlap_join_matches_naive_exactly_once(spark):
+    """Overlap semantics match the naive strict-inequality range join,
+    each pair emitted EXACTLY once (the first-shared-bucket trick, no
+    distinct), across bucket widths; zero-length intervals follow the
+    strict formula; ambiguous columns rejected."""
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    a = spark.range(0, 60).select(
+        F.col("id").alias("a_key"),
+        ((F.col("id") * 53) % 500).alias("a_s"),
+        (((F.col("id") * 53) % 500) + 5 + (F.col("id") % 30)).alias("a_e"),
+    )
+    b = spark.range(0, 50).select(
+        F.col("id").alias("b_key"),
+        ((F.col("id") * 37) % 500).alias("b_s"),
+        (((F.col("id") * 37) % 500) + 1 + (F.col("id") % 15)).alias("b_e"),
+    )
+    naive = sorted(
+        map(
+            tuple,
+            a.join(
+                b, (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+            ).select("a_key", "b_key").collect(),
+        )
+    )
+    for width in (1, 7, 64, 1000):
+        got = relational.interval_overlap_join(
+            a, b, ("a_s", "a_e"), ("b_s", "b_e"), bucket_width=width
+        ).select("a_key", "b_key").collect()
+        got_list = sorted(map(tuple, got))
+        assert got_list == naive, width  # duplicates would break ==
+    # plan shape: equi-join on buckets, never a nested loop
+    shaped = relational.interval_overlap_join(
+        a, b, ("a_s", "a_e"), ("b_s", "b_e"), bucket_width=7
+    )
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    # zero-length interval at 10 'overlaps' [5, 20) strictly
+    pa = spark.createDataFrame([(1, 10, 10)], "a_key long, a_s long, a_e long")
+    pb = spark.createDataFrame([(2, 5, 20)], "b_key long, b_s long, b_e long")
+    assert relational.interval_overlap_join(
+        pa, pb, ("a_s", "a_e"), ("b_s", "b_e"), 4
+    ).count() == 1
+    with _pt.raises(ValueError, match="ambiguous"):
+        relational.interval_overlap_join(
+            a, a, ("a_s", "a_e"), ("a_s", "a_e"), 4
+        )
