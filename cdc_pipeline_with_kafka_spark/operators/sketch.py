@@ -398,3 +398,62 @@ def bloom_probe_bytes(
             yield out
 
     return with_pos.mapInPandas(run, schema=out_schema)
+
+
+def table_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """One-call data-quality profile, long form: one row per column —
+    (column, n_rows, n_nulls, n_distinct, min_str, max_str).  The
+    first thing a pipeline runs on a new table delivery: null bursts,
+    cardinality collapses, and domain drift all show up here before
+    any downstream job pays for them.
+
+    ONE scan, one aggregate row: every column's stats are parallel
+    aggregate expressions in a single agg (never a per-column scan),
+    unpivoted to long form with stack.  min/max stringify so one
+    schema profiles heterogeneous column types; complex types
+    (arrays/structs/maps) profile nulls + distinct only (their
+    ordering is not meaningful).  ``approx_distinct=True`` swaps
+    count_distinct for HLL approx_count_distinct — the 100 TB form
+    (mergeable partials, no exact-distinct shuffle); exact is the
+    oracle-checkable default."""
+    cols = list(cols or df.columns)
+    if not cols:
+        raise ValueError("need at least one column")
+    dtypes = dict(df.dtypes)
+    exprs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        col = F.col(c)
+        exprs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_n_{c}"))
+        exprs.append(
+            (
+                F.approx_count_distinct(col)
+                if approx_distinct
+                else F.count_distinct(col)
+            ).alias(f"_d_{c}")
+        )
+        simple = not dtypes[c].startswith(("array", "struct", "map", "binary"))
+        exprs.append(
+            (F.min(col).cast("string") if simple else F.lit(None).cast("string")).alias(f"_lo_{c}")
+        )
+        exprs.append(
+            (F.max(col).cast("string") if simple else F.lit(None).cast("string")).alias(f"_hi_{c}")
+        )
+    one = df.agg(*exprs)
+    stacked = ", ".join(
+        f"'{c}', _n_{c}, _d_{c}, _lo_{c}, _hi_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "_rows AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS (column, n_nulls, n_distinct, min_str, max_str)",
+    ).select(
+        "column",
+        F.col("n_rows").cast("long"),
+        F.col("n_nulls").cast("long"),
+        F.col("n_distinct").cast("long"),
+        "min_str",
+        "max_str",
+    )

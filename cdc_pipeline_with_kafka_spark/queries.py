@@ -2783,6 +2783,21 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("v").alias("v_num"),
     )
+    # 'prof' (r7): one-scan table profile of the corpus — per column
+    # nulls / exact distincts / min / max (the delivery-validation
+    # report); md5 the stringified extrema so long text stays bounded
+    prof = sketch.table_profile(docs).select(
+        F.lit("prof").alias("suite_case"),
+        F.col("column").alias("k"),
+        F.concat_ws(
+            "|",
+            F.col("n_rows").cast("string"),
+            F.col("n_nulls").cast("string"),
+            F.md5(F.coalesce(F.col("min_str"), F.lit(""))),
+            F.md5(F.coalesce(F.col("max_str"), F.lit(""))),
+        ).alias("v_str"),
+        F.col("n_distinct").cast("double").alias("v_num"),
+    )
     # 'rank' (r7): source-authority PageRank — exact-integer iterations
     # over the nation trade graph (customer → supplier via orders ×
     # lineitem), every score_micro vs the pinned pure-Python replay
@@ -2811,7 +2826,7 @@ def curation_suite(spark, sf_dir):
         .unionByName(chunk).unionByName(hh).unionByName(quant)
         .unionByName(report).unionByName(src).unionByName(bloom)
         .unionByName(schunk).unionByName(packb).unionByName(vocab)
-        .unionByName(rank)
+        .unionByName(prof).unionByName(rank)
     )
 
 
@@ -2844,6 +2859,30 @@ def _curation_suite_sql() -> str:
 UNION ALL
 SELECT 'rank', CAST(node AS VARCHAR), '', CAST(score_micro AS DOUBLE)
 FROM (VALUES {vals}) pr(node, score_micro)
+UNION ALL
+SELECT 'prof', col_name,
+       CAST(n_rows AS VARCHAR) || '|' || CAST(n_nulls AS VARCHAR) || '|' ||
+       md5(coalesce(min_str, '')) || '|' || md5(coalesce(max_str, '')),
+       CAST(n_distinct AS DOUBLE)
+FROM (
+  SELECT unnest(['doc_id', 'text', 'lang', 'source', 'n_chars']) AS col_name,
+         unnest([CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+                 CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+                 CAST(count(*) AS BIGINT)]) AS n_rows,
+         unnest([sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END),
+                 sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+                 sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+                 sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+                 sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)]) AS n_nulls,
+         unnest([count(DISTINCT doc_id), count(DISTINCT text),
+                 count(DISTINCT lang), count(DISTINCT source),
+                 count(DISTINCT n_chars)]) AS n_distinct,
+         unnest([CAST(min(doc_id) AS VARCHAR), min(text), min(lang),
+                 min(source), CAST(min(n_chars) AS VARCHAR)]) AS min_str,
+         unnest([CAST(max(doc_id) AS VARCHAR), max(text), max(lang),
+                 max(source), CAST(max(n_chars) AS VARCHAR)]) AS max_str
+  FROM documents
+) profrows
 """
     )
 

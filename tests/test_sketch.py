@@ -153,3 +153,33 @@ def test_hll_merge_equals_direct_sketch(spark):
     global_rolled = sketch.hll_merge(per_day).collect()[0]["n_distinct"]
     global_direct = sketch.hll_sketches(ev, "user_id").collect()[0]["n_distinct"]
     assert global_rolled == global_direct
+
+
+def test_table_profile_one_scan_and_values(spark):
+    """Per-column nulls/distincts/extrema in ONE scan + one aggregate
+    row; complex types profile nulls/distincts only; approx path runs."""
+    import re
+
+    from cdc_pipeline_with_kafka_spark import plans
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2]), (2, None, []), (3, "a", None), (None, "b", [3])],
+        "k long, s string, arr array<long>",
+    )
+    out = {r["column"]: r for r in sketch.table_profile(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 3
+    assert out["k"]["min_str"] == "1" and out["k"]["max_str"] == "3"
+    assert out["s"]["n_distinct"] == 2 and out["s"]["n_nulls"] == 1
+    assert out["arr"]["n_nulls"] == 1 and out["arr"]["min_str"] is None
+    # one parquet scan when reading from files
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plans.formatted_plan(sketch.table_profile(docs))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # approx path produces a sane estimate
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in sketch.table_profile(docs, approx_distinct=True).collect()
+    }
+    assert abs(approx["doc_id"] - 500) / 500 < 0.1
