@@ -383,3 +383,65 @@ def pr_report(
         div("tp * 1000000", "tp + fn").alias("recall_ppm"),
         div("2 * tp * 1000000", "2 * tp + fp + fn").alias("f1_ppm"),
     )
+
+
+def psi_core(
+    old_counts: dict, new_counts: dict, hash_buckets: int
+) -> tuple[int, int, int, int]:
+    """Pure PSI computation shared by the Spark path and the oracle
+    replay: add-1 smoothed bucket probabilities, HALF_UP micro
+    rounding of the final sum.  Returns (psi_micro, n_buckets_hit,
+    n_old_feats, n_new_feats)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    n_old = sum(old_counts.values())
+    n_new = sum(new_counts.values())
+    buckets = set(old_counts) | set(new_counts)
+    psi = 0.0
+    for b in sorted(buckets):
+        po = (old_counts.get(b, 0) + 1.0) / (n_old + hash_buckets)
+        pn = (new_counts.get(b, 0) + 1.0) / (n_new + hash_buckets)
+        psi += (pn - po) * math.log(pn / po)
+    micro = int(
+        Decimal(repr(psi * 1_000_000)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+    return micro, len(buckets), n_old, n_new
+
+
+def psi_report(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_buckets: int = 1024,
+) -> DataFrame:
+    """Population Stability Index between two corpus versions over the
+    hashed unigram+bigram feature space — the drift gate a training
+    pipeline runs between releases (the credit-scoring PSI applied to
+    text): PSI = Σ_buckets (p_new − p_old)·ln(p_new/p_old), add-1
+    smoothed over the `hash_buckets` feature space.  Rule of thumb:
+    < 0.1 stable, 0.1–0.25 moderate drift, > 0.25 investigate before
+    training.
+
+    One bucket-count aggregation per corpus (≤ hash_buckets rows each
+    — the dsir_weights bounded-collect contract), PSI computed on the
+    driver by `psi_core`, so the number replays exactly off-Spark.
+    Returns one row: (psi_micro, n_buckets, n_old_feats, n_new_feats)."""
+    old_counts = {
+        int(r["bucket"]): int(r["c"])
+        for r in _doc_features(old_df, text_col, id_col, hash_buckets)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    new_counts = {
+        int(r["bucket"]): int(r["c"])
+        for r in _doc_features(new_df, text_col, id_col, hash_buckets)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    micro, nb, no, nn = psi_core(old_counts, new_counts, hash_buckets)
+    return old_df.sparkSession.createDataFrame(
+        [(micro, nb, no, nn)],
+        "psi_micro long, n_buckets long, n_old_feats long, n_new_feats long",
+    )

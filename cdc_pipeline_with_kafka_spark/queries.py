@@ -6693,6 +6693,26 @@ def classify_suite(spark, sf_dir):
         ),
         v_num=F.col("f1_ppm").cast("double"),
     )
+    # r7 'psi': population-stability drift between the en and zh
+    # slices over the hashed feature space — the release-to-release
+    # drift gate; one bounded bucket-count collect per side, the PSI
+    # itself computed by the shared psi_core (replayed verbatim by the
+    # oracle from duckdb-side counts)
+    psi = _suite_rows(
+        classify_ops.psi_report(
+            docs.filter(F.col("lang") == "en"),
+            docs.filter(F.col("lang") == "zh"),
+            hash_buckets=1024,
+        ),
+        "psi",
+        F.lit("en_vs_zh"),
+        v_str=F.concat_ws(
+            "|", F.col("n_buckets").cast("string"),
+            F.col("n_old_feats").cast("string"),
+            F.col("n_new_feats").cast("string"),
+        ),
+        v_num=F.col("psi_micro").cast("double"),
+    )
     # r5: 'ppl' — CCNet bigram-LM perplexity per doc (lm.py); the
     # deterministic trainer (ordered-limit sample, lexicographic vocab
     # ties) makes the scores pinned-model-oracle-checkable.
@@ -6717,7 +6737,7 @@ def classify_suite(spark, sf_dir):
         "pplb",
         F.col("doc_id"), v_str=F.col("bucket"), v_num=F.col("ppl"),
     )
-    return _union_all([nb, nbp, dsir, pr, ppl, pplb])
+    return _union_all([nb, nbp, dsir, pr, psi, ppl, pplb])
 
 
 _PR_THRESHOLDS = (-1_000_000, -250_000, 0, 250_000, 1_000_000)
@@ -6867,8 +6887,43 @@ def _classify_suite_sql() -> str:
         + ") AS v(doc_id, p)),\n" + cuts + "base AS (",
         1,
     )
+    # r7 'psi': pure-Python replay — identical tokenization (terms_py
+    # == classify._tokens), identical bigram join, identical md5
+    # 15-hex-char bucket hash, the SAME psi_core the Spark path calls
+    import hashlib
+
+    import duckdb as _dd
+
+    from .operators import classify as _cls
+    from .operators.retrieval import terms_py as _tp
+
+    def _bucket_counts(lang: str) -> dict:
+        rows2 = _dd.sql(
+            f"SELECT coalesce(text, '') FROM "
+            f"'{_ORACLE_SF_DIR}/documents.parquet' WHERE lang = '{lang}'"
+        ).fetchall()
+        counts: dict = {}
+        for (text,) in rows2:
+            toks = _tp(text)
+            feats = toks + (
+                [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+                if len(toks) >= 2 else []
+            )
+            for f in feats:
+                b = int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % 1024
+                counts[b] = counts.get(b, 0) + 1
+        return counts
+
+    pm, pb, po, pn = _cls.psi_core(
+        _bucket_counts("en"), _bucket_counts("zh"), 1024
+    )
+    psi_sql = (
+        f"\nUNION ALL\nSELECT 'psi', 'en_vs_zh', "
+        f"'{pb}|{po}|{pn}', CAST({pm} AS DOUBLE)"
+    )
     return (
         sql
+        + psi_sql
         + "\nUNION ALL\nSELECT 'ppl', CAST(doc_id AS VARCHAR), '', "
         "CAST(p AS DOUBLE) FROM pplv"
         + "\nUNION ALL\nSELECT 'pplb', CAST(doc_id AS VARCHAR), "

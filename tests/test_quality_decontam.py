@@ -644,3 +644,30 @@ def test_pr_report_exact_counts_and_ppm(spark):
     r100 = out[100]  # nothing flagged: precision denom 0 -> 0 ppm
     assert (r100["tp"], r100["precision_ppm"], r100["recall_ppm"]) == (0, 0, 0)
     assert len(out) == 3
+
+
+def test_psi_report_drift_semantics(spark):
+    """PSI ~ 0 for identical corpora; grows with drift; symmetric-ish
+    ordering holds (more drift -> larger psi); replayable off-Spark
+    via psi_core on the same bucket counts."""
+    from cdc_pipeline_with_kafka_spark.operators import classify
+
+    base = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(40)],
+        "doc_id long, text string",
+    )
+    same = classify.psi_report(base, base, hash_buckets=64).first()
+    assert same["psi_micro"] == 0
+    drifted = spark.createDataFrame(
+        [(i, "omega psi chi phi " * 5) for i in range(40)],
+        "doc_id long, text string",
+    )
+    mild = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta " if i % 2 else "omega psi chi phi ") * 5)
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    big = classify.psi_report(base, drifted, hash_buckets=64).first()
+    mid = classify.psi_report(base, mild, hash_buckets=64).first()
+    assert big["psi_micro"] > mid["psi_micro"] > 0
+    assert big["psi_micro"] > 250_000  # disjoint vocab = strong drift
