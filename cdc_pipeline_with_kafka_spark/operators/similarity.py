@@ -201,6 +201,65 @@ def hard_negatives(
     )
 
 
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: tuple,
+    nprobes: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k of the IVF tier against the exact scan, per nprobe —
+    the tuning table consulted before fixing nprobe at scale
+    (SCALING §3's procedure, shipped as one call).  One exact top-k
+    pass over a (held-out, queries-bounded) sample + one ANN pass per
+    candidate nprobe; per-query recall is the exact integer
+    ``|approx ∩ exact|·1e6 div k``, and the report row aggregates
+    exact integer sums.
+
+    Output: one row per nprobe — (nprobe, n_queries,
+    mean_recall_ppm, min_recall_ppm)."""
+    if not nprobes:
+        raise ValueError("need at least one nprobe")
+    exact = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col).localCheckpoint()
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    parts = []
+    for np_ in sorted(set(int(n) for n in nprobes)):
+        approx = ivf_ann_topk_preassigned(
+            assigned, queries, centroids, nprobe=np_, k=k,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        ).select(query_id_col, id_col)
+        per_q = (
+            exact.join(approx.withColumn("_hit", F.lit(1)),
+                       [query_id_col, id_col], "left")
+            .groupBy(query_id_col)
+            .agg(
+                F.expr(f"CAST(sum(coalesce(_hit, 0)) * 1000000 div {int(k)} "
+                       "AS BIGINT)").alias("recall_ppm")
+            )
+        )
+        parts.append(
+            per_q.agg(
+                F.lit(np_).alias("nprobe"),
+                F.count(F.lit(1)).alias("n_queries"),
+                F.expr("CAST(sum(recall_ppm) div count(1) AS BIGINT)")
+                .alias("mean_recall_ppm"),
+                F.min("recall_ppm").alias("min_recall_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def hard_negatives_ann(
     corpus: DataFrame,
     anchors: DataFrame,

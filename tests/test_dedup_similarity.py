@@ -852,3 +852,25 @@ def test_maxsim_candidate_restriction(spark):
     assert pooled and all(r["doc_id"] % 2 == 0 for r in pooled)
     for r in pooled:
         assert full[(r["query_id"], r["doc_id"])] == r["maxsim_micro"]
+
+
+def test_ann_recall_report_monotone_and_exact_at_full_probe(spark):
+    """Recall must be exactly 1e6 ppm when every cluster is probed
+    (ANN == exact), non-decreasing in nprobe, and integer-exact."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = S.train_ivf_codebook(emb, nlist=8)
+    rep = {
+        r["nprobe"]: r
+        for r in S.ann_recall_report(
+            emb, queries, cents, nprobes=[1, 3, 8], k=5
+        ).collect()
+    }
+    assert rep[8]["mean_recall_ppm"] == 1_000_000
+    assert rep[8]["min_recall_ppm"] == 1_000_000
+    assert rep[1]["mean_recall_ppm"] <= rep[3]["mean_recall_ppm"] <= 1_000_000
+    assert all(r["n_queries"] == 8 for r in rep.values())
