@@ -567,3 +567,64 @@ def make_kmeans_state_sink(
             )
 
     return sink
+
+
+def make_components_sink(
+    labels_path: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "auto",
+):
+    """foreachBatch sink maintaining a rolling connected-components
+    LABEL TABLE over a near-dup pair stream
+    (operators/dedup.connected_components_incremental — the streaming
+    face of the component tier's incremental member): batch N's labels
+    are a FULL VERSIONED SNAPSHOT under ``batch_id=N`` computed from
+    the latest snapshot with batch_id < N — the kmeans-state-sink
+    crash contract (labels are a running aggregate, so a replayed
+    batch recomputes its snapshot from N−1's and overwrites; and
+    because min-label contraction makes re-admitting the same pairs a
+    no-op, even a double-application converges to the same table).
+
+    Per-batch cost: components over the CONTRACTED graph (bounded by
+    the batch's edge count) + one broadcast remap — the corpus pair
+    graph is never recomputed.  Cold start: batch 0 is a plain
+    connected-components run.  Snapshot size = nodes-seen-so-far rows
+    (id, cluster_id); compact old batch_id dirs whenever convenient."""
+    from ..operators import dedup as dedup_ops
+
+    comp_fn = {
+        "label": dedup_ops.connected_components,
+        "star": dedup_ops.connected_components_star,
+        "auto": dedup_ops.connected_components_auto,
+    }.get(algorithm)
+    if comp_fn is None:
+        raise ValueError(f"unknown algorithm {algorithm!r}; use label|star|auto")
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        labels = None
+        try:
+            df = spark.read.option("basePath", labels_path).parquet(labels_path)
+            prior = df.filter(F.col("batch_id") < batch_id)
+            prev = prior.agg(F.max("batch_id")).collect()[0][0]
+            if prev is not None:
+                labels = prior.filter(F.col("batch_id") == prev).drop("batch_id")
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise  # storage blip ≠ cold start: fail the batch
+        if labels is None:
+            out = comp_fn(batch_df.select(id_a, id_b), id_a, id_b)
+        else:
+            out = dedup_ops.connected_components_incremental(
+                batch_df.select(id_a, id_b), labels,
+                id_a=id_a, id_b=id_b, algorithm=algorithm,
+            )
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{labels_path}/batch_id={batch_id}"
+        )
+
+    return sink

@@ -167,3 +167,42 @@ def test_connected_components_incremental_equals_full(spark):
             ).collect()
         }
         assert inc == full, cut
+
+
+def test_components_sink_batches_and_replay(spark, tmp_path):
+    """Rolling label maintenance: three micro-batches of pairs must
+    yield the SAME label table as one full components run (incl.
+    batches that merge earlier clusters), and replaying a batch (same
+    batch_id) recomputes its snapshot from the prior one —
+    byte-identical labels."""
+    import numpy as np
+
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    rng = np.random.default_rng(31)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, (40, 2)) if a != b})
+    thirds = [pairs[0::3], pairs[1::3], pairs[2::3]]
+    path = str(tmp_path / "labels")
+    sink = pipeline.make_components_sink(path)
+    for i, chunk in enumerate(thirds):
+        sink(spark.createDataFrame(chunk, "id_a long, id_b long"), i)
+
+    def latest():
+        df = spark.read.option("basePath", path).parquet(path)
+        last = df.agg(F.max("batch_id")).first()[0]
+        return {
+            r["id"]: r["cluster_id"]
+            for r in df.filter(F.col("batch_id") == last).collect()
+        }
+
+    full = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components_auto(
+            spark.createDataFrame(pairs, "id_a long, id_b long")
+        ).collect()
+    }
+    assert latest() == full
+    # crash replay of the final batch: snapshot recomputed, unchanged
+    sink(spark.createDataFrame(thirds[2], "id_a long, id_b long"), 2)
+    assert latest() == full
