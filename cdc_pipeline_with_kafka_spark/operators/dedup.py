@@ -1017,6 +1017,7 @@ def overlap_census(
     text_col: str = "text",
     id_col: str = "doc_id",
     algorithm: str = "auto",
+    checkpoint_pairs: bool = False,
 ) -> dict:
     """One-call duplication census across the three TEXT pair tiers —
     the text analog of multimodal's overlap_report:
@@ -1067,6 +1068,13 @@ def overlap_census(
         F.col("shared_fps").cast("double").alias("strength"),
     )
     pairs = exact_pairs.unionByName(near).unionByName(substr)
+    if checkpoint_pairs:
+        # both outputs reference the pair union (the report AND the
+        # clustering) — Spark re-evaluates a union subtree once per
+        # reference, so consumers reading both should pin it (the
+        # semdedup gate's localCheckpoint seam, made optional here
+        # because eager materialization is a caller decision)
+        pairs = pairs.localCheckpoint(eager=True)
     clustered = dedup_survivors(
         docs, pairs.select("id_a", "id_b").distinct(),
         id_col=id_col, algorithm=algorithm,

@@ -6265,6 +6265,7 @@ def span_dedup(spark, sf_dir):
         winnow_min_shared=2,
         winnow_k=_WINNOW_K,
         winnow_w=_WINNOW_W,
+        checkpoint_pairs=True,
     )
     cens_rows = _suite_rows(
         census["pairs"], "cens",
