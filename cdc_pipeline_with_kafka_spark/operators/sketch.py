@@ -427,7 +427,13 @@ def table_profile(
     exprs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         col = F.col(c)
-        exprs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_n_{c}"))
+        # coalesce: sum over an EMPTY table is NULL, and an empty
+        # delivery must profile as zeros, not nulls
+        exprs.append(
+            F.coalesce(
+                F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"_n_{c}")
+        )
         exprs.append(
             (
                 F.approx_count_distinct(col)

@@ -183,3 +183,12 @@ def test_table_profile_one_scan_and_values(spark):
         for r in sketch.table_profile(docs, approx_distinct=True).collect()
     }
     assert abs(approx["doc_id"] - 500) / 500 < 0.1
+
+
+def test_table_profile_empty_table_zeros(spark):
+    empty = spark.createDataFrame([], "k long, s string")
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    rows = {r["column"]: r for r in sketch.table_profile(empty).collect()}
+    assert rows["k"]["n_rows"] == 0 and rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 0 and rows["k"]["min_str"] is None
