@@ -2821,12 +2821,33 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("score_micro").cast("double").alias("v_num"),
     )
+    # 'rankw' (r7): the WEIGHTED variant over the same graph — edge
+    # weight = lineitem count per (cust_nation, supp_nation), so mass
+    # flows proportionally to trade volume; replayed by the same
+    # pinned pagerank_replay on 3-tuples
+    wedges = (
+        li.join(ordr, li.l_orderkey == ordr.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rankw = graph_ops.pagerank(
+        wedges, iters=_PAGERANK_ITERS, weight_col="w"
+    ).select(
+        F.lit("rankw").alias("suite_case"),
+        F.col("node").cast("string").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("score_micro").cast("double").alias("v_num"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
         .unionByName(report).unionByName(src).unionByName(bloom)
         .unionByName(schunk).unionByName(packb).unionByName(vocab)
-        .unionByName(prof).unionByName(rank)
+        .unionByName(prof).unionByName(rank).unionByName(rankw)
     )
 
 
@@ -2853,12 +2874,27 @@ def _curation_suite_sql() -> str:
         [(int(a), int(b)) for a, b in edges], iters=_PAGERANK_ITERS
     )
     vals = ", ".join(f"({n}, {s})" for n, s in sorted(score.items()))
+    wedges = duckdb.sql(
+        f"""SELECT c.c_nationkey, s.s_nationkey, count(*)
+        FROM '{_ORACLE_SF_DIR}/lineitem.parquet' l
+        JOIN '{_ORACLE_SF_DIR}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{_ORACLE_SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{_ORACLE_SF_DIR}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    wscore = graph_ops.pagerank_replay(
+        [(int(a), int(b), int(w)) for a, b, w in wedges], iters=_PAGERANK_ITERS
+    )
+    wvals = ", ".join(f"({n}, {s})" for n, s in sorted(wscore.items()))
     return (
         CURATION_SUITE_SQL
         + f"""
 UNION ALL
 SELECT 'rank', CAST(node AS VARCHAR), '', CAST(score_micro AS DOUBLE)
 FROM (VALUES {vals}) pr(node, score_micro)
+UNION ALL
+SELECT 'rankw', CAST(node AS VARCHAR), '', CAST(score_micro AS DOUBLE)
+FROM (VALUES {wvals}) prw(node, score_micro)
 UNION ALL
 SELECT 'prof', col_name,
        CAST(n_rows AS VARCHAR) || '|' || CAST(n_nulls AS VARCHAR) || '|' ||
