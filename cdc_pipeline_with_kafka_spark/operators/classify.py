@@ -359,11 +359,14 @@ def pr_report(
     precision_ppm, recall_ppm, f1_ppm)."""
     if not thresholds:
         raise ValueError("need at least one threshold")
+    # dedupe: a repeated threshold would fan each row out twice and
+    # double every confusion count for that threshold
+    uniq = sorted({int(t) for t in thresholds})
     rows = df.select(
         F.col(score_col).cast("long").alias("_s"),
         F.col(truth_col).cast("boolean").alias("_y"),
         F.explode(
-            F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+            F.array(*[F.lit(t).cast("long") for t in uniq])
         ).alias("threshold"),
     )
     flag = F.col("_s") >= F.col("threshold")
