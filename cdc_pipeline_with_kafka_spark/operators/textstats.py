@@ -696,3 +696,52 @@ def compression_ratio(
         .mapInPandas(run, schema=schema)
         .withColumn("keep", F.col("compress_ratio_ppm") >= F.lit(min_ratio_ppm))
     )
+
+
+def pii_column_report(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-level PII exposure report — the data-governance sweep a
+    pipeline runs over a NEW table before anything downstream touches
+    it: for every (string column × PII category), how many rows match
+    and what fraction (exact integer ppm).  scrub_pii cleans a known
+    text column; this finds WHICH columns need it.
+
+    One scan, one aggregate row (the table_profile shape): every
+    (column, category) count is a parallel aggregate expression over
+    regexp_count of the shared PII_PATTERNS, stack-unpivoted to long
+    form.  Output: (column, category, n_rows, n_matching_rows,
+    match_ppm), string columns only."""
+    dtypes = dict(df.dtypes)
+    cols = [c for c in (cols or df.columns) if dtypes.get(c) == "string"]
+    if not cols:
+        raise ValueError("no string columns to scan")
+    exprs = [F.count(F.lit(1)).alias("_rows")]
+    pairs = []
+    for c in cols:
+        for name, pat in PII_PATTERNS.items():
+            alias = f"_m_{c}__{name}"
+            exprs.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.regexp_count(F.col(c), F.lit(pat)) > 0, 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias(alias)
+            )
+            pairs.append((c, name, alias))
+    one = df.agg(*exprs)
+    stacked = ", ".join(f"'{c}', '{n}', {a}" for c, n, a in pairs)
+    return one.selectExpr(
+        "_rows AS n_rows",
+        f"stack({len(pairs)}, {stacked}) AS (column, category, n_matching_rows)",
+    ).select(
+        "column",
+        "category",
+        F.col("n_rows").cast("long"),
+        F.col("n_matching_rows").cast("long"),
+        F.when(
+            F.col("n_rows") > 0,
+            F.expr("CAST(n_matching_rows * 1000000 div n_rows AS BIGINT)"),
+        ).otherwise(F.lit(0)).cast("long").alias("match_ppm"),
+    )

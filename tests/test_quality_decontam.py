@@ -671,3 +671,36 @@ def test_psi_report_drift_semantics(spark):
     mid = classify.psi_report(base, mild, hash_buckets=64).first()
     assert big["psi_micro"] > mid["psi_micro"] > 0
     assert big["psi_micro"] > 250_000  # disjoint vocab = strong drift
+
+
+def test_pii_column_report_finds_exposed_columns(spark):
+    """Per (string column x category) row-match counts + exact ppm;
+    non-string columns skipped; one-scan plan."""
+    import re
+
+    from cdc_pipeline_with_kafka_spark import plans
+    from cdc_pipeline_with_kafka_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a@b.com", "clean"),
+            (2, "call 010-1234-5678-9999 x", "also x@y.co"),
+            (3, "ip is 10.0.0.1", None),
+            (4, "nothing here", "nor here"),
+        ],
+        "id long, text string, note string",
+    )
+    out = {
+        (r["column"], r["category"]): r
+        for r in textstats.pii_column_report(df).collect()
+    }
+    assert set(c for c, _ in out) == {"text", "note"}  # id skipped
+    assert out[("text", "email")]["n_matching_rows"] == 1
+    assert out[("text", "email")]["match_ppm"] == 250_000
+    assert out[("text", "ipv4")]["n_matching_rows"] == 1
+    assert out[("note", "email")]["n_matching_rows"] == 1
+    assert out[("note", "phone")]["n_matching_rows"] == 0
+    # one scan over parquet input
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plans.formatted_plan(textstats.pii_column_report(docs))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
