@@ -192,3 +192,61 @@ def compact_partition(
     os.rename(tmp_dir, part_dir)
     shutil.rmtree(old_dir)
     return n
+
+
+def lake_report(
+    spark: SparkSession,
+    path: str,
+    small_file_mb: int = 16,
+    max_files: int = 64,
+) -> DataFrame:
+    """Small-file / skew report over a lake table directory — the
+    trigger signal `compact_partition` acts on: one row per top-level
+    partition directory with (partition, n_files, total_bytes,
+    median_file_bytes, max_file_bytes, needs_compaction).
+
+    needs_compaction flags a partition whose file count exceeds
+    `max_files` OR whose median data file is under `small_file_mb` —
+    the two shapes streaming ingestion leaves behind (per-micro-batch
+    files; maxRecordsPerFile splits).  Uses the Hadoop FileSystem API
+    (works on any scheme Spark can read); the listing is driver-side
+    and proportional to FILE COUNT, not data size — at extreme file
+    counts (the problem being diagnosed!) run it per partition or use
+    the store's inventory listing.  Loose files at the table root
+    report under partition '.'."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    groups: dict[str, list[int]] = {}
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile():
+            if not name.startswith(("_", ".")):
+                groups.setdefault(".", []).append(st.getLen())
+            continue
+        sizes: list[int] = []
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            f = it.next()
+            base = f.getPath().getName()
+            if not base.startswith(("_", ".")):
+                sizes.append(f.getLen())
+        groups[name] = sizes
+    rows = []
+    for part in sorted(groups):
+        sizes = sorted(groups[part])
+        n = len(sizes)
+        total = sum(sizes)
+        med = sizes[n // 2] if n else 0
+        mx = sizes[-1] if n else 0
+        rows.append(
+            (
+                part, n, total, med, mx,
+                bool(n and (n > max_files or med < small_file_mb * 1024 * 1024)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "partition string, n_files long, total_bytes long, "
+        "median_file_bytes long, max_file_bytes long, needs_compaction boolean",
+    )

@@ -171,3 +171,37 @@ def test_write_zordered_clusters_2d_box_into_few_files(spark, tmp_path):
     assert z_hit * 4 <= lin_hit  # z-order concentrates the box
     # layout must not lose or duplicate rows
     assert spark.read.parquet(z_path).count() == n
+
+
+def test_lake_report_flags_small_file_partitions(spark, tmp_path):
+    """A partition fragmented into many tiny files flags for
+    compaction; a single-file partition does not; compact_partition
+    clears the flag."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.sources import bucketing
+
+    path = str(tmp_path / "lake")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 2).alias("p")
+    )
+    df.filter("p = 0").repartition(20).write.parquet(f"{path}/p=0")
+    df.filter("p = 1").coalesce(1).write.parquet(f"{path}/p=1")
+    rep = {
+        r["partition"]: r
+        for r in bucketing.lake_report(
+            spark, path, small_file_mb=16, max_files=10
+        ).collect()
+    }
+    assert rep["p=0"]["n_files"] == 20 and rep["p=0"]["needs_compaction"]
+    assert rep["p=1"]["n_files"] == 1
+    assert rep["p=0"]["total_bytes"] > 0
+    n = bucketing.compact_partition(spark, path, "p", 0, target_files=1)
+    assert n == 1000
+    rep2 = {
+        r["partition"]: r
+        for r in bucketing.lake_report(
+            spark, path, small_file_mb=0, max_files=10
+        ).collect()
+    }
+    assert rep2["p=0"]["n_files"] == 1 and not rep2["p=0"]["needs_compaction"]
