@@ -201,6 +201,41 @@ def hard_negatives(
     )
 
 
+def embedding_drift(
+    old_assigned: DataFrame,
+    new_assigned: DataFrame,
+    n_clusters: int,
+    cluster_col: str = "centroid_id",
+) -> DataFrame:
+    """Embedding-space drift between two corpus versions: PSI over the
+    k-means/IVF CLUSTER-ASSIGNMENT histograms (classify.psi_core over
+    centroid ids instead of token buckets) — catches semantic shift
+    that token-level PSI misses (same vocabulary, different topics)
+    and vice versa; run both between releases.  Inputs are ivf_assign
+    / kmeans_assign_df outputs AGAINST THE SAME centroids (comparing
+    histograms from different codebooks is meaningless — caller's
+    contract).  Two ≤n_clusters-row collects, driver math shared with
+    the oracle-replayable psi_core.  Returns one row:
+    (psi_micro, n_buckets, n_old, n_new)."""
+    from .classify import psi_core
+
+    def counts(df: DataFrame) -> dict:
+        return {
+            int(r[cluster_col]): int(r["c"])
+            for r in df.groupBy(cluster_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    micro, nb, no, nn = psi_core(
+        counts(old_assigned), counts(new_assigned), int(n_clusters)
+    )
+    return old_assigned.sparkSession.createDataFrame(
+        [(micro, nb, no, nn)],
+        "psi_micro long, n_buckets long, n_old long, n_new long",
+    )
+
+
 def ann_recall_report(
     corpus: DataFrame,
     queries: DataFrame,

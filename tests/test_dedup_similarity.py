@@ -874,3 +874,21 @@ def test_ann_recall_report_monotone_and_exact_at_full_probe(spark):
     assert rep[8]["min_recall_ppm"] == 1_000_000
     assert rep[1]["mean_recall_ppm"] <= rep[3]["mean_recall_ppm"] <= 1_000_000
     assert all(r["n_queries"] == 8 for r in rep.values())
+
+
+def test_embedding_drift_zero_on_same_corpus_grows_with_shift(spark):
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.train_ivf_codebook(emb, nlist=8)
+    assigned = S.ivf_assign(emb, cents).localCheckpoint()
+    same = S.embedding_drift(assigned, assigned, 8).first()
+    assert same["psi_micro"] == 0
+    # shift: drop two clusters from the 'new' corpus -> drift
+    shifted = assigned.filter(F.col("centroid_id") >= 2)
+    moved = S.embedding_drift(assigned, shifted, 8).first()
+    assert moved["psi_micro"] > 0
+    # a milder shift drifts less
+    mild = assigned.filter(F.col("centroid_id") >= 1)
+    m2 = S.embedding_drift(assigned, mild, 8).first()
+    assert moved["psi_micro"] > m2["psi_micro"] > 0
