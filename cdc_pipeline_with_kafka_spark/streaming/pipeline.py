@@ -628,3 +628,29 @@ def make_components_sink(
         )
 
     return sink
+
+
+def make_profile_sink(
+    profile_path: str,
+    cols: list[str] | None = None,
+    approx_distinct: bool = False,
+):
+    """foreachBatch data-quality monitor: every micro-batch's
+    table_profile (per-column nulls/distincts/extrema, operators/
+    sketch.table_profile) appends under ``batch_id=N`` — the streaming
+    face of the delivery-validation report, so null bursts and
+    cardinality collapses surface per batch instead of at the next
+    full-table audit.  Profile rows are per-batch independent ⇒
+    batch_id-scoped overwrite is idempotent crash replay (the
+    admission-sink contract).  Chain AFTER parse/quarantine and BEFORE
+    heavier admission sinks; reading the profile table back gives a
+    time series per column."""
+    from ..operators.sketch import table_profile
+
+    def sink(batch_df, batch_id: int) -> None:
+        prof = table_profile(batch_df, cols=cols, approx_distinct=approx_distinct)
+        prof.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{profile_path}/batch_id={batch_id}"
+        )
+
+    return sink

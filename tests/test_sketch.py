@@ -192,3 +192,24 @@ def test_table_profile_empty_table_zeros(spark):
     rows = {r["column"]: r for r in sketch.table_profile(empty).collect()}
     assert rows["k"]["n_rows"] == 0 and rows["k"]["n_nulls"] == 0
     assert rows["k"]["n_distinct"] == 0 and rows["k"]["min_str"] is None
+
+
+def test_profile_sink_batches_and_replay(spark, tmp_path):
+    """Per-batch profiles append under batch_id; a replayed batch
+    overwrites byte-identically; the time series reads back whole."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    path = str(tmp_path / "profiles")
+    sink = pipeline.make_profile_sink(path)
+    b0 = spark.createDataFrame([(1, "a"), (2, None)], "k long, s string")
+    b1 = spark.createDataFrame([(3, "c"), (None, "d")], "k long, s string")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # crash replay: overwrite, not append
+    df = spark.read.option("basePath", path).parquet(path)
+    rows = {(r["batch_id"], r["column"]): r for r in df.collect()}
+    assert rows[(0, "s")]["n_nulls"] == 1 and rows[(0, "k")]["n_nulls"] == 0
+    assert rows[(1, "k")]["n_nulls"] == 1
+    assert len(rows) == 4  # 2 batches x 2 columns, replay didn't double
