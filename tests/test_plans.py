@@ -315,3 +315,58 @@ def test_semantic_incremental_pairing_broadcasts_shard(spark):
         if "SortMergeJoin" in line:
             assert "zip_with" not in line, line  # cosine inside an SMJ
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_pagerank_iteration_plan_no_window_no_cartesian(spark):
+    """One PageRank iteration = edges⋈scores + partial-agg sum + outer
+    join to nodes: no Window, no nested loop, map-side combine on the
+    contribution sum."""
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+
+    from pyspark.sql import functions as F
+
+    edges = spark.range(0, 200).selectExpr(
+        "id % 40 AS src", "(id * 7) % 40 AS dst"
+    ).filter("src != dst")
+    out = G.pagerank(edges, iters=1)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p and "Cartesian" not in p
+    assert "BroadcastNestedLoop" not in p
+    # the per-iteration checkpoint truncates lineage in the returned
+    # plan, so inspect one iteration's contribution aggregate directly
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().withColumn("score_micro", F.lit(1_000_000).cast("long"))
+    contrib = (
+        e.join(deg, "src")
+        .join(nodes.withColumnRenamed("node", "src"), "src")
+        .select("dst", F.expr("CAST(score_micro div out_deg AS BIGINT)").alias("c"))
+        .groupBy("dst").agg(F.sum("c").alias("in_micro"))
+    )
+    assert plans.has_partial_aggregation(contrib)
+    pc = contrib._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in pc and "Cartesian" not in pc
+
+
+def test_maxsim_topk_window_group_limit(spark):
+    """MaxSim's per-query top-k compiles to WindowGroupLimit (partial
+    below the exchange) — a query matching half the corpus never
+    funnels its full match set into one window task."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    chunks = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").select(
+        F.expr("CAST(vec_id div 4 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        "embedding",
+    )
+    q = chunks.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    df = S.maxsim_topk(chunks, q, k=10)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    assert plans.has_partial_aggregation(df)
