@@ -469,6 +469,7 @@ def make_bm25_index_sink(
     postings_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = True,
 ):
     """foreachBatch sink maintaining a rolling BM25 postings index
     (operators/retrieval.build_bm25_index): each micro-batch's
@@ -482,11 +483,21 @@ def make_bm25_index_sink(
 
     This maintains the SEARCH index; content admission (dedup,
     quality) stays make_admit_shard_sink's job — chain them by
-    streaming the admitted lake into this sink."""
+    streaming the admitted lake into this sink.
+
+    LAYOUT MIGRATION HAZARD: `hashed` (default True since r7) fixes
+    the postings layout for the WHOLE index path — never mix hashed
+    and legacy string batches under one path: the merged read schema
+    would carry NULLs in whichever key column the old batches lack,
+    and bm25_topk's layout detection would silently drop their
+    postings.  To migrate an existing string-layout index, rebuild it
+    (or keep `hashed=False` on that path)."""
     from ..operators.retrieval import build_bm25_index
 
     def sink(batch_df, batch_id: int) -> None:
-        postings = build_bm25_index(batch_df, text_col=text_col, id_col=id_col)
+        postings = build_bm25_index(
+            batch_df, text_col=text_col, id_col=id_col, hashed=hashed
+        )
         postings.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             f"{postings_path}/batch_id={batch_id}"
         )

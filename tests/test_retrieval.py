@@ -309,3 +309,23 @@ def test_bm25_topk_window_group_limit_is_partial(spark):
     df = R.bm25_topk(docs, _queries_df(spark), k=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_bm25_sink_layout_is_explicit_per_path(spark, tmp_path):
+    """The sink fixes one layout per index path: hashed (default) and
+    legacy string layouts both round-trip through bm25_topk's
+    detection — but each on its own path (mixing is the documented
+    migration hazard)."""
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    qs = _queries_df(spark)
+    want = sorted(map(tuple, R.bm25_topk(docs, qs, k=6).collect()))
+    for hashed in (True, False):
+        path = str(tmp_path / f"postings_{hashed}")
+        sink = pipeline.make_bm25_index_sink(path, hashed=hashed)
+        sink(docs, 0)
+        idx = spark.read.option("basePath", path).parquet(path).drop("batch_id")
+        assert ("term_hash" in idx.columns) == hashed
+        got = sorted(map(tuple, R.bm25_topk(None, qs, index=idx, k=6).collect()))
+        assert got == want, hashed
