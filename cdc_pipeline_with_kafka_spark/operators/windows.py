@@ -279,3 +279,48 @@ def breaking_word_stats_factored(
             "category", "max_word_cnt", "distinct_sources", "article_cnt",
         )
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition table over per-key event
+    sequences — the user-journey / state-machine analytics primitive
+    (what follows a 'view'? where do sessions go after 'checkout'?):
+    (from_state, to_state, cnt, p_ppm) where p_ppm is the exact
+    integer row-conditional probability ``cnt·1e6 div Σcnt(from)``.
+
+    One window lag per key (ordered by `order_cols` — include a
+    unique tiebreaker like the event id, or ties make the sequence
+    nondeterministic), one groupBy(from, to) with map-side combine,
+    and one per-from window sum (states are few — this window is over
+    the TRANSITION TABLE, never the events).  Keys partition the lag,
+    so no cross-key transitions are fabricated."""
+    if not key_cols or not order_cols:
+        raise ValueError("need key_cols and order_cols")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    pairs = (
+        df.select(
+            F.lag(state_col).over(w).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = Window.partitionBy("from_state")
+    return (
+        counts.withColumn("_tot", F.sum("cnt").over(tot))
+        .filter(F.col("cnt") >= min_count)
+        .select(
+            "from_state", "to_state", "cnt",
+            F.expr("CAST(cnt * 1000000 div _tot AS BIGINT)").alias("p_ppm"),
+        )
+    )

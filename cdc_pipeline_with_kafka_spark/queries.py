@@ -466,6 +466,18 @@ def a_stats_suite(spark, sf_dir):
         _suite_rows(per_type, "hll", F.col("event_type"),
                     v_num=F.col("n_distinct")),
         _suite_rows(merged, "hllm", F.lit("all"), v_num=F.col("n_distinct")),
+        # r7 'trans': first-order Markov transitions over per-user
+        # event sequences (ts + event_id tiebreak), exact integer
+        # conditional probabilities — the user-journey primitive
+        _suite_rows(
+            windows.transition_counts(
+                ev, ["user_id"], ["ts", "event_id"], "event_type"
+            ),
+            "trans",
+            F.concat_ws("|", F.col("from_state"), F.col("to_state")),
+            v_str=F.col("cnt").cast("string"),
+            v_num=F.col("p_ppm").cast("double"),
+        ),
     ])
 
 
@@ -483,6 +495,22 @@ FROM events GROUP BY event_type
 UNION ALL
 SELECT 'hllm', 'all', '', CAST(count(DISTINCT user_id) AS DOUBLE)
 FROM events
+UNION ALL
+SELECT 'trans', from_state || '|' || to_state, CAST(cnt AS VARCHAR),
+       CAST((cnt * 1000000) // tot AS DOUBLE)
+FROM (
+  SELECT from_state, to_state, count(*) AS cnt,
+         sum(count(*)) OVER (PARTITION BY from_state) AS tot
+  FROM (
+    SELECT lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS from_state,
+           event_type AS to_state
+    FROM events
+  ) seq
+  WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+) trows
 """
 
 

@@ -114,3 +114,33 @@ def test_session_window_counts(spark):
         ("u1", "2024-03-01T00:50:00"): 1,
         ("u2", "2024-03-01T00:00:00"): 1,
     }
+
+
+def test_transition_counts_semantics(spark):
+    """Per-key sequences only (no cross-key transitions), exact
+    integer conditional ppm, deterministic under the tiebreak."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "c"),
+            (3, 1, "z"),  # single-event key: no transitions
+        ],
+        "user long, seq long, state string",
+    )
+    out = {
+        (r["from_state"], r["to_state"]): r
+        for r in windows.transition_counts(
+            df, ["user"], ["seq"], "state"
+        ).collect()
+    }
+    # from 'a': b,b,c -> a->b p=2/3, a->c p=1/3; never a->z (cross-key)
+    assert out[("a", "b")]["cnt"] == 2
+    assert out[("a", "b")]["p_ppm"] == (2 * 1_000_000) // 3
+    assert out[("a", "c")]["p_ppm"] == (1 * 1_000_000) // 3
+    assert out[("b", "a")]["cnt"] == 1 and out[("b", "a")]["p_ppm"] == 1_000_000
+    assert ("a", "z") not in out and ("z", "a") not in out
+    assert len(out) == 3
