@@ -375,6 +375,61 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape — the classic 6-table star join: revenue by
+    customer nation where the SUPPLIER IS LOCAL (same nation),
+    restricted to one region and a one-year order window.  The
+    multi-join muscle of the analytics surface: lineitem⋈orders⋈
+    customer⋈supplier are the fact-grain equi-joins, nation/region
+    broadcast (plan-asserted), predicates push to the scans.  Revenue
+    rounds to 2 decimals AFTER the sum — at corpus scale the sums are
+    partial-aggregated doubles, identical shape to Q1."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    ordr = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        li.join(ordr, li.l_orderkey == ordr.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 def a7_group_count(spark, sf_dir):
     """A7: group-by count (ArticleRepository.java:32-33 shape)."""
     return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
@@ -7094,6 +7149,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # measured plan as rounds 1's entry of that name.
 BENCH_FNS: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
+    # round 7: the 6-table star join (TPC-H Q5 shape) — fact-grain
+    # equi-joins + broadcast dims, the multi-join analytics muscle
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "s4_cdc_parse_envelope": s4_cdc_parse_envelope,
     "j1_one_to_many_nested": j1_one_to_many_nested,
     "j2_dim_joins": j2_dim_joins,

@@ -370,3 +370,21 @@ def test_maxsim_topk_window_group_limit(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p
     assert plans.has_partial_aggregation(df)
+
+
+def test_q5_star_join_dims_broadcast_and_oracle(spark):
+    """The 6-table star join: nation/region broadcast, predicates
+    pushed to the scans, and values match DuckDB exactly (rounded
+    revenue after partial-aggregated double sums)."""
+    from tests.oracle import compare, duckdb_con
+
+    df = q.q5_local_supplier_volume(spark, SF_CORRECT)
+    rows = df.collect()
+    assert rows and all(r["revenue"] > 0 for r in rows)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 2  # nation + region at least
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert plans.has_pushed_filters(df)
+    con = duckdb_con(SF_CORRECT)
+    ok, msg = compare(df, con, q.Q5_SQL)
+    assert ok, msg
