@@ -324,3 +324,59 @@ def transition_counts(
             F.expr("CAST(cnt * 1000000 div _tot AS BIGINT)").alias("p_ppm"),
         )
     )
+
+
+def funnel_report(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    state_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """k-step funnel conversion — the product-analytics staple (view →
+    click → signup → purchase): a key reaches step i at its EARLIEST
+    `steps[i]` event STRICTLY AFTER its step i−1 time (ordered
+    progression, not mere presence).  Output: one row per step —
+    (step_idx, step, n_reached, conv_from_first_ppm,
+    conv_from_prev_ppm), all conversions exact integer ppm.
+
+    Plan shape: k passes, each one filtered aggregation over the
+    events (min ts per key) + one equi-join on the key against the
+    previous step's (keys-sized, not events-sized) table — no window
+    over raw events, no per-key collect.  k is small and fixed; at
+    100 TB the events scan dominates and is paid once per step (fuse
+    by pre-filtering `state_col ∈ steps` before calling if the event
+    universe is much wider than the funnel)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    keys = list(key_cols)
+    prev = (
+        df.filter(F.col(state_col) == steps[0])
+        .groupBy(*keys)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    counts = [prev.count()]
+    for step in steps[1:]:
+        ev = df.filter(F.col(state_col) == step).select(
+            *keys, F.col(ts_col).alias("_ts")
+        )
+        prev = (
+            ev.join(prev, keys)
+            .filter(F.col("_ts") > F.col("_t"))
+            .groupBy(*keys)
+            .agg(F.min("_ts").alias("_t"))
+        )
+        counts.append(prev.count())
+    spark = df.sparkSession
+    first = counts[0]
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        conv_first = (n * 1_000_000) // first if first else 0
+        prev_n = counts[i - 1] if i else n
+        conv_prev = (n * 1_000_000) // prev_n if prev_n else 0
+        rows.append((i, step, n, conv_first, conv_prev))
+    return spark.createDataFrame(
+        rows,
+        "step_idx int, step string, n_reached long, "
+        "conv_from_first_ppm long, conv_from_prev_ppm long",
+    )

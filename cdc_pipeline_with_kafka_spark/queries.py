@@ -533,6 +533,22 @@ def a_stats_suite(spark, sf_dir):
             v_str=F.col("cnt").cast("string"),
             v_num=F.col("p_ppm").cast("double"),
         ),
+        # r7 'funl': ordered k-step funnel (view → click → purchase):
+        # per-step reach counts + exact-ppm conversions, the ordered-
+        # progression semantics (step i strictly after step i−1)
+        _suite_rows(
+            windows.funnel_report(
+                ev, ["user_id"], "ts", "event_type",
+                ["view", "click", "purchase"],
+            ),
+            "funl",
+            F.concat_ws("|", F.col("step_idx").cast("string"), F.col("step")),
+            v_str=F.concat_ws(
+                "|", F.col("n_reached").cast("string"),
+                F.col("conv_from_first_ppm").cast("string"),
+            ),
+            v_num=F.col("conv_from_prev_ppm").cast("double"),
+        ),
     ])
 
 
@@ -566,6 +582,37 @@ FROM (
   WHERE from_state IS NOT NULL
   GROUP BY from_state, to_state
 ) trows
+UNION ALL
+SELECT 'funl', CAST(step_idx AS VARCHAR) || '|' || step,
+       CAST(n AS VARCHAR) || '|' ||
+       CAST(CASE WHEN first_n > 0 THEN (n * 1000000) // first_n ELSE 0 END AS VARCHAR),
+       CAST(CASE WHEN prev_n > 0 THEN (n * 1000000) // prev_n ELSE 0 END AS DOUBLE)
+FROM (
+  WITH fs0 AS (
+    SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+  ),
+  fs1 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN fs0 ON e.user_id = fs0.user_id
+    WHERE e.event_type = 'click' AND e.ts > fs0.t GROUP BY 1
+  ),
+  fs2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN fs1 ON e.user_id = fs1.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > fs1.t GROUP BY 1
+  ),
+  fcounts AS (
+    SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM fs0) AS n
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM fs1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM fs2)
+  )
+  SELECT step_idx, step, n,
+         first_value(n) OVER (ORDER BY step_idx) AS first_n,
+         coalesce(lag(n) OVER (ORDER BY step_idx), n) AS prev_n
+  FROM fcounts
+) frows
 """
 
 

@@ -144,3 +144,36 @@ def test_transition_counts_semantics(spark):
     assert out[("b", "a")]["cnt"] == 1 and out[("b", "a")]["p_ppm"] == 1_000_000
     assert ("a", "z") not in out and ("z", "a") not in out
     assert len(out) == 3
+
+
+def test_funnel_report_ordered_progression(spark):
+    """Reaching a later step requires an event STRICTLY AFTER the
+    previous step's time — presence alone doesn't convert; conversions
+    are exact ppm; a fully-converting key counts in every step."""
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [
+            # u1 converts fully: a@1, b@2, c@3
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+            # u2 has b BEFORE a: b@1, a@2 -> reaches a, never b
+            (2, 1, "b"), (2, 2, "a"),
+            # u3 only a
+            (3, 5, "a"),
+            # u4 a@1, c@2 (skips b): reaches a only in an a->b->c funnel
+            (4, 1, "a"), (4, 2, "c"),
+        ],
+        "user long, ts long, state string",
+    )
+    out = {
+        r["step"]: r
+        for r in windows.funnel_report(
+            df, ["user"], "ts", "state", ["a", "b", "c"]
+        ).collect()
+    }
+    assert out["a"]["n_reached"] == 4
+    assert out["b"]["n_reached"] == 1  # only u1 (u2's b precedes a)
+    assert out["c"]["n_reached"] == 1
+    assert out["b"]["conv_from_first_ppm"] == 250_000
+    assert out["c"]["conv_from_prev_ppm"] == 1_000_000
+    assert out["a"]["conv_from_first_ppm"] == 1_000_000
