@@ -7,6 +7,7 @@ is a single map stage with no Python in the loop.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -745,3 +746,44 @@ def pii_column_report(df: DataFrame, cols: list[str] | None = None) -> DataFrame
             F.expr("CAST(n_matching_rows * 1000000 div n_rows AS BIGINT)"),
         ).otherwise(F.lit(0)).cast("long").alias("match_ppm"),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_invisible: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization for dedup keys and tokenizer input: NFC
+    (default) folds composed/decomposed encodings of the SAME text to
+    one byte sequence — 'café' typed as e+acute vs é defeats every
+    hash-based dedup tier upstream of this call.  `strip_invisible`
+    additionally removes zero-width characters (ZWSP/ZWNJ/ZWJ/BOM,
+    U+200B-200D/U+FEFF) and soft hyphens (U+00AD) — the classic
+    watermark/paste artifacts that make visually identical documents
+    hash apart.
+
+    Spark has no built-in Unicode normalizer, so this is an Arrow
+    batch pass (mapInPandas-free: one pandas_udf column op — stays a
+    projection, composes with any plan).  Idempotent: applying it
+    twice is a no-op (hypothesis-tested), which is THE property a
+    dedup-key transform must have."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError("form must be NFC|NFD|NFKC|NFKD")
+    drop = dict.fromkeys((0x200B, 0x200C, 0x200D, 0xFEFF, 0x00AD))
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, t)
+            return t.translate(drop) if strip_invisible else t
+
+        return s.map(one)
+
+    target = out_col or text_col
+    return df.withColumn(target, _norm(F.col(text_col)))

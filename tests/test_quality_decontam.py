@@ -704,3 +704,34 @@ def test_pii_column_report_finds_exposed_columns(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = plans.formatted_plan(textstats.pii_column_report(docs))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_normalize_unicode_folds_confusables_for_dedup(spark):
+    """NFC folds composed/decomposed encodings to one byte sequence;
+    zero-width chars and soft hyphens strip; None passes through;
+    the transform is idempotent (THE dedup-key property)."""
+    from cdc_pipeline_with_kafka_spark.operators import dedup, textstats
+
+    composed = "caf\u00e9 latte"          # \u00e9 as one composed codepoint
+    decomposed = "cafe\u0301 latte"        # e + combining acute
+    assert composed != decomposed          # non-vacuous NFC check
+    zw = "caf\u00e9\u200b latte"           # zero-width space inside
+    soft = "caf\u00e9 lat\u00adte"         # soft hyphen
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, zw), (4, soft), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in textstats.normalize_unicode(df).collect()}
+    assert out[1] == out[2] == out[3] == out[4] == composed
+    assert out[5] is None
+    # idempotent
+    twice = {
+        r["doc_id"]: r["text"]
+        for r in textstats.normalize_unicode(
+            textstats.normalize_unicode(df)
+        ).collect()
+    }
+    assert twice == out
+    # and exact dedup now sees them as one group
+    survivors = dedup.dedup_exact(textstats.normalize_unicode(df).filter("text IS NOT NULL"))
+    assert survivors.count() == 1
