@@ -380,3 +380,22 @@ def funnel_report(
         "step_idx int, step string, n_reached long, "
         "conv_from_first_ppm long, conv_from_prev_ppm long",
     )
+
+
+def rollup_counts(df: DataFrame, dims: list[str]) -> DataFrame:
+    """OLAP ROLLUP in one pass: counts at every prefix granularity of
+    `dims` (d1×d2, d1, grand total for dims=[d1, d2]) — the
+    drill-down surface every BI layer asks of an analytics engine,
+    expressed as Spark's native GROUPING SETS so the whole hierarchy
+    is ONE partial-aggregated job, never one groupBy per level.
+
+    Output: dims (NULL at aggregated levels) + one ``g_<dim>`` 0/1
+    flag per dim (F.grouping — disambiguates a real NULL value from
+    the rollup placeholder) + cnt.  Engine-portable: GROUPING(col) is
+    standard SQL, unlike the engine-specific grouping_id bit order."""
+    if not dims:
+        raise ValueError("need at least one dim")
+    return df.rollup(*dims).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims],
+    )

@@ -2254,6 +2254,24 @@ def a_basic_aggs(spark, sf_dir):
         _suite_rows(a8df, "a8", F.lit("n_priorities"), v_num=F.col("n_priorities")),
         _suite_rows(a10_global_max(spark, sf_dir), "a10", F.lit("max_orderdate"),
                     v_str=F.date_format("max_orderdate", "yyyy-MM-dd HH:mm:ss")),
+        # r7 'roll': OLAP ROLLUP over (status, priority) — the whole
+        # drill-down hierarchy in ONE grouping-sets job; g_* flags
+        # disambiguate rollup placeholders from real NULLs
+        _suite_rows(
+            windows.rollup_counts(
+                _t(spark, sf_dir, "orders"),
+                ["o_orderstatus", "o_orderpriority"],
+            ),
+            "roll",
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("o_orderstatus"), F.lit("(all)")),
+                F.coalesce(F.col("o_orderpriority"), F.lit("(all)")),
+                F.col("g_o_orderstatus").cast("string"),
+                F.col("g_o_orderpriority").cast("string"),
+            ),
+            v_num=F.col("cnt"),
+        ),
     ])
 
 
@@ -2265,6 +2283,15 @@ UNION ALL
 SELECT 'a8', 'n_priorities', '', CAST(n_priorities AS DOUBLE) FROM ({A8_SQL}) s3
 UNION ALL
 SELECT 'a10', 'max_orderdate', strftime(max_orderdate, '%Y-%m-%d %H:%M:%S'), -1.0 FROM ({A10_SQL}) s4
+UNION ALL
+SELECT 'roll',
+       coalesce(o_orderstatus, '(all)') || '|' ||
+       coalesce(o_orderpriority, '(all)') || '|' ||
+       CAST(GROUPING(o_orderstatus) AS VARCHAR) || '|' ||
+       CAST(GROUPING(o_orderpriority) AS VARCHAR),
+       '', CAST(count(*) AS DOUBLE)
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 

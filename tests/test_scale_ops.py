@@ -177,3 +177,26 @@ def test_funnel_report_ordered_progression(spark):
     assert out["b"]["conv_from_first_ppm"] == 250_000
     assert out["c"]["conv_from_prev_ppm"] == 1_000_000
     assert out["a"]["conv_from_first_ppm"] == 1_000_000
+
+
+def test_rollup_counts_hierarchy_and_null_disambiguation(spark):
+    """Every prefix level present with correct totals; a REAL NULL in a
+    dim is distinguishable from the rollup placeholder by the g_ flag;
+    one partial-aggregated job (Expand, not N groupBys)."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), (None, "x")],
+        "d1 string, d2 string",
+    )
+    rows = windows.rollup_counts(df, ["d1", "d2"]).collect()
+    by = {(r["d1"], r["d2"], r["g_d1"], r["g_d2"]): r["cnt"] for r in rows}
+    assert by[(None, None, 1, 1)] == 4          # grand total
+    assert by[("a", None, 0, 1)] == 2           # level-1 subtotal
+    assert by[(None, None, 0, 1)] == 1          # REAL-NULL d1 subtotal
+    assert by[("a", "x", 0, 0)] == 1            # leaf
+    assert by[(None, "x", 0, 0)] == 1           # leaf with real NULL d1
+    plan = windows.rollup_counts(df, ["d1", "d2"])._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # one grouping-sets job, not per-level aggs
