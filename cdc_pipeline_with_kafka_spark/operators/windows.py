@@ -382,7 +382,9 @@ def funnel_report(
     )
 
 
-def rollup_counts(df: DataFrame, dims: list[str]) -> DataFrame:
+def rollup_counts(
+    df: DataFrame, dims: list[str], mode: str = "rollup"
+) -> DataFrame:
     """OLAP ROLLUP in one pass: counts at every prefix granularity of
     `dims` (d1×d2, d1, grand total for dims=[d1, d2]) — the
     drill-down surface every BI layer asks of an analytics engine,
@@ -395,7 +397,10 @@ def rollup_counts(df: DataFrame, dims: list[str]) -> DataFrame:
     standard SQL, unlike the engine-specific grouping_id bit order."""
     if not dims:
         raise ValueError("need at least one dim")
-    return df.rollup(*dims).agg(
+    if mode not in ("rollup", "cube"):
+        raise ValueError("mode must be rollup|cube")
+    grouped = df.cube(*dims) if mode == "cube" else df.rollup(*dims)
+    return grouped.agg(
         F.count(F.lit(1)).alias("cnt"),
         *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims],
     )

@@ -2272,6 +2272,24 @@ def a_basic_aggs(spark, sf_dir):
             ),
             v_num=F.col("cnt"),
         ),
+        # r7 'cube': the full-lattice variant (adds the priority-only
+        # slice the rollup prefix order omits)
+        _suite_rows(
+            windows.rollup_counts(
+                _t(spark, sf_dir, "orders"),
+                ["o_orderstatus", "o_orderpriority"],
+                mode="cube",
+            ),
+            "cube",
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("o_orderstatus"), F.lit("(all)")),
+                F.coalesce(F.col("o_orderpriority"), F.lit("(all)")),
+                F.col("g_o_orderstatus").cast("string"),
+                F.col("g_o_orderpriority").cast("string"),
+            ),
+            v_num=F.col("cnt"),
+        ),
     ])
 
 
@@ -2292,6 +2310,15 @@ SELECT 'roll',
        '', CAST(count(*) AS DOUBLE)
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'cube',
+       coalesce(o_orderstatus, '(all)') || '|' ||
+       coalesce(o_orderpriority, '(all)') || '|' ||
+       CAST(GROUPING(o_orderstatus) AS VARCHAR) || '|' ||
+       CAST(GROUPING(o_orderpriority) AS VARCHAR),
+       '', CAST(count(*) AS DOUBLE)
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
