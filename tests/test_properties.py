@@ -741,3 +741,43 @@ def test_cdc_chunks_invariants(seed, nbytes, pos, ins_len):
     # chunks strictly before the edited one are untouched; chunks
     # after resync are shared — allow a 4-chunk resync neighborhood
     assert len([h for h in ha if h in hb]) >= len(ha) - 4
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_nodes=st.integers(2, 25),
+    n_edges=st.integers(1, 80),
+    iters=st.integers(0, 12),
+)
+def test_pagerank_replay_mass_and_floor_invariants(seed, n_nodes, n_edges, iters):
+    """Pure-engine invariants of the integer PageRank core: mass is
+    never created (Σ scores ≤ n·1e6 after any iterations — division
+    remainders and dangling nodes only LEAK), every node holds at
+    least the teleport base after ≥1 iteration, and the replay is
+    deterministic."""
+    import random
+
+    from cdc_pipeline_with_kafka_spark.operators.graph import (
+        MICRO,
+        pagerank_replay,
+    )
+
+    rng = random.Random(seed)
+    edges = list(
+        {
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    score = pagerank_replay(edges, iters=iters)
+    n = len(score)
+    assert sum(score.values()) <= n * MICRO
+    if iters >= 1:
+        base = MICRO - 850_000
+        assert all(v >= base for v in score.values())
+        assert all(v <= n * MICRO for v in score.values())
+    assert score == pagerank_replay(edges, iters=iters)  # deterministic
