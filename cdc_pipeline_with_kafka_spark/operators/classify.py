@@ -355,8 +355,15 @@ def pr_report(
     report is engine-portable and partition-order-free.  Empty
     denominators report 0 ppm.
 
+    Rows with a NULL score or NULL truth can land in NO confusion
+    cell (both `flag` and `~flag` evaluate NULL) — they are counted
+    EXPLICITLY in `n_excluded`, so the confusion matrix is total:
+    tp+fp+fn+tn+n_excluded == row count at every threshold, and a
+    quietly-NULL scoring bug shows up in the report instead of
+    silently shrinking the denominator.
+
     Output: one row per threshold — (threshold, tp, fp, fn, tn,
-    precision_ppm, recall_ppm, f1_ppm)."""
+    n_excluded, precision_ppm, recall_ppm, f1_ppm)."""
     if not thresholds:
         raise ValueError("need at least one threshold")
     # dedupe: a repeated threshold would fan each row out twice and
@@ -369,19 +376,21 @@ def pr_report(
             F.array(*[F.lit(t).cast("long") for t in uniq])
         ).alias("threshold"),
     )
+    valid = F.col("_s").isNotNull() & F.col("_y").isNotNull()
     flag = F.col("_s") >= F.col("threshold")
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     agg = rows.groupBy("threshold").agg(
-        cnt(flag & F.col("_y")).alias("tp"),
-        cnt(flag & ~F.col("_y")).alias("fp"),
-        cnt(~flag & F.col("_y")).alias("fn"),
-        cnt(~flag & ~F.col("_y")).alias("tn"),
+        cnt(valid & flag & F.col("_y")).alias("tp"),
+        cnt(valid & flag & ~F.col("_y")).alias("fp"),
+        cnt(valid & ~flag & F.col("_y")).alias("fn"),
+        cnt(valid & ~flag & ~F.col("_y")).alias("tn"),
+        cnt(~valid).alias("n_excluded"),
     )
     div = lambda num, den: F.when(  # noqa: E731
         F.expr(den) > 0, F.expr(f"CAST(({num}) div ({den}) AS BIGINT)")
     ).otherwise(F.lit(0)).cast("long")
     return agg.select(
-        "threshold", "tp", "fp", "fn", "tn",
+        "threshold", "tp", "fp", "fn", "tn", "n_excluded",
         div("tp * 1000000", "tp + fp").alias("precision_ppm"),
         div("tp * 1000000", "tp + fn").alias("recall_ppm"),
         div("2 * tp * 1000000", "2 * tp + fp + fn").alias("f1_ppm"),

@@ -50,6 +50,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     seeds: DataFrame | None = None,
+    tol_micro: int | None = None,
 ) -> DataFrame:
     """(node, score_micro) after `iters` exact-integer PageRank
     iterations over the DISTINCT edge list.  Nodes = src ∪ dst;
@@ -61,26 +62,58 @@ def pagerank(
     ``(score_micro · w) div Σw`` (exact; remainders leak like the
     unweighted division).  Duplicate (src, dst) rows are SUMMED into
     one weighted edge; without weight_col they collapse via distinct.
+    The positive contract is ENFORCED: any w ≤ 0 (or NULL) raises at
+    execution on both the Spark path and the replay, instead of the
+    Spark side silently dropping NULL-div rows while the replay
+    raises ZeroDivisionError (engine/oracle divergence).  Bound:
+    scores stay < n·MICRO, so score_micro·w needs
+    n · 1e6 · max_w < 2^63 — with summed per-(src,dst) weights keep
+    Σw per source below ~9e12/n.
 
     `seeds` (one column of node ids): PERSONALIZED PageRank — the
     teleport mass (base) lands only on the seed set instead of every
     node (Topic-Sensitive PageRank, Haveliwala 2002): authority
     relative to a trusted set, e.g. rank crawl sources by proximity
-    to hand-curated domains.  Non-seed nodes get base 0."""
+    to hand-curated domains.  Non-seed nodes get base 0.
+
+    `tol_micro`: early termination — after each iteration ONE 1-row
+    aggregate computes max|score − prev| and the loop stops when it
+    is ≤ tol_micro.  At 100 TB every iteration is a full edge
+    shuffle and web graphs converge unevenly, so a converged graph
+    shouldn't pay the remaining fixed iterations.  With
+    ``tol_micro=0`` the stop fires exactly at the integer fixed
+    point, so the result is bit-identical to any larger `iters`
+    (further iterations replay the fixed point); the default None
+    keeps the fixed-`iters` form the driver gate replays."""
     if not 0 <= damping_ppm <= MICRO:
         raise ValueError("damping_ppm must be in [0, 1e6]")
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    if tol_micro is not None and tol_micro < 0:
+        raise ValueError("tol_micro must be >= 0")
     if weight_col is None:
         e = edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         ).distinct().withColumn("w", F.lit(1).cast("long"))
     else:
+        wcol = F.col(weight_col).cast("long")
+        # the raise lives INSIDE the w expression so Catalyst cannot
+        # prune it: a w <= 0 or NULL edge fails the job loudly on the
+        # first scan rather than vanishing into a NULL-div sum
+        guarded = F.when(wcol > 0, wcol).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pagerank: weight_col must be a positive "
+                          "integer, got "),
+                    F.coalesce(wcol.cast("string"), F.lit("NULL")),
+                )
+            )
+        )
         e = (
             edges.select(
                 F.col(src_col).alias("src"),
                 F.col(dst_col).alias("dst"),
-                F.col(weight_col).cast("long").alias("w"),
+                guarded.alias("w"),
             )
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
@@ -122,7 +155,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_micro"))
         )
-        scores = (
+        new = (
             nodes_based.join(
                 contrib.withColumnRenamed("dst", "node"), "node", "left"
             )
@@ -138,6 +171,21 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+        if tol_micro is not None:
+            delta = (
+                new.join(
+                    scores.withColumnRenamed("score_micro", "_prev"), "node"
+                )
+                .agg(
+                    F.max(F.abs(F.col("score_micro") - F.col("_prev"))).alias("d")
+                )
+                .first()["d"]
+            )
+            scores = new
+            if delta is None or delta <= tol_micro:
+                break
+        else:
+            scores = new
     return scores
 
 
@@ -155,6 +203,13 @@ def pagerank_replay(
     w: dict = {}
     if edge_list and len(edge_list[0]) == 3:
         for s, d, wt in edge_list:
+            if wt is None or int(wt) <= 0:
+                # same contract, same loudness as the Spark path's
+                # raise_error — never a silent NULL-div divergence
+                raise ValueError(
+                    f"pagerank_replay: weight must be a positive "
+                    f"integer, got {wt!r} on edge ({s!r}, {d!r})"
+                )
             w[(s, d)] = w.get((s, d), 0) + int(wt)
     else:
         for s, d in set(edge_list):

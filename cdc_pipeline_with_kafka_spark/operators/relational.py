@@ -359,6 +359,11 @@ def interval_join_auto(
        v < end, so clamping changes no result row — but it caps the
        explode at ⌈(hi−lo)/width⌉ buckets where a year-9999 end would
        otherwise generate an astronomically long per-row sequence.
+       The clamp lives in INTERNAL columns used only for bucketing
+       and the candidate re-check; output rows carry the caller's
+       original `start_col`/`end_col` values and types untouched
+       (a year-9999 sentinel reads back as year 9999, ints stay
+       ints), so the result schema is identical to interval_join's.
 
     Driver traffic: two 1-row aggregates.  Empty points → empty
     result without ever exploding the intervals."""
@@ -370,15 +375,14 @@ def interval_join_auto(
             points.limit(0), intervals.limit(0),
             point_col, start_col, end_col, 1, key_cols,
         )
-    others = [c for c in intervals.columns if c not in (start_col, end_col)]
-    clamped = intervals.select(
-        *others,
-        F.greatest(F.col(start_col).cast("double"), F.lit(lo)).alias(start_col),
-        F.least(F.col(end_col).cast("double"), F.lit(hi + 1.0)).alias(end_col),
+    clamped = intervals.withColumn(
+        "_cl_s", F.greatest(F.col(start_col).cast("double"), F.lit(lo))
+    ).withColumn(
+        "_cl_e", F.least(F.col(end_col).cast("double"), F.lit(hi + 1.0))
     )
     return interval_join(
-        points, clamped, point_col, start_col, end_col, width, key_cols
-    )
+        points, clamped, point_col, "_cl_s", "_cl_e", width, key_cols
+    ).drop("_cl_s", "_cl_e")
 
 
 def interval_overlap_join(

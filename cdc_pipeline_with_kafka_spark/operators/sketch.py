@@ -414,12 +414,16 @@ def table_profile(
     ONE scan, one aggregate row: every column's stats are parallel
     aggregate expressions in a single agg (never a per-column scan),
     unpivoted to long form with stack.  min/max stringify so one
-    schema profiles heterogeneous column types; complex types
-    (arrays/structs/maps) profile nulls + distinct only (their
-    ordering is not meaningful).  ``approx_distinct=True`` swaps
-    count_distinct for HLL approx_count_distinct — the 100 TB form
-    (mergeable partials, no exact-distinct shuffle); exact is the
-    oracle-checkable default."""
+    schema profiles heterogeneous column types; arrays/structs
+    profile nulls + distinct only (their ordering is not
+    meaningful); map columns profile nulls only (Spark rejects
+    DISTINCT aggregates — exact or HLL — on map types, so n_distinct
+    is NULL for them rather than an AnalysisException every batch).
+    ``approx_distinct=True`` swaps count_distinct for HLL
+    approx_count_distinct — the 100 TB form (mergeable partials, no
+    exact-distinct Expand: N exact count_distincts in one agg make
+    Catalyst multiply scan output ×(N+1) before the shuffle, see
+    PLANS.md); exact is the oracle-checkable default."""
     cols = list(cols or df.columns)
     if not cols:
         raise ValueError("need at least one column")
@@ -434,13 +438,19 @@ def table_profile(
                 F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0)
             ).alias(f"_n_{c}")
         )
-        exprs.append(
-            (
-                F.approx_count_distinct(col)
-                if approx_distinct
-                else F.count_distinct(col)
-            ).alias(f"_d_{c}")
-        )
+        # maps are non-orderable AND non-hashable to Spark's distinct
+        # machinery (exact and xxhash-based HLL both raise) — profile
+        # nulls only, NULL n_distinct, mirroring min/max's complex rule
+        if dtypes[c].startswith("map"):
+            exprs.append(F.lit(None).cast("long").alias(f"_d_{c}"))
+        else:
+            exprs.append(
+                (
+                    F.approx_count_distinct(col)
+                    if approx_distinct
+                    else F.count_distinct(col)
+                ).alias(f"_d_{c}")
+            )
         simple = not dtypes[c].startswith(("array", "struct", "map", "binary"))
         exprs.append(
             (F.min(col).cast("string") if simple else F.lit(None).cast("string")).alias(f"_lo_{c}")

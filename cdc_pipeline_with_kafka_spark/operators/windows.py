@@ -343,10 +343,14 @@ def funnel_report(
     Plan shape: k passes, each one filtered aggregation over the
     events (min ts per key) + one equi-join on the key against the
     previous step's (keys-sized, not events-sized) table — no window
-    over raw events, no per-key collect.  k is small and fixed; at
-    100 TB the events scan dominates and is paid once per step (fuse
-    by pre-filtering `state_col ∈ steps` before calling if the event
-    universe is much wider than the funnel)."""
+    over raw events, no per-key collect.  Each step's keys-sized
+    frame is pinned with ``localCheckpoint(eager=True)`` before it is
+    counted AND reused by the next step, so step i's count never
+    re-evaluates steps 1..i−1's joins: a k-step funnel scans the
+    events table exactly k times (once per step), not k²/2.  k is
+    small and fixed; at 100 TB the events scan dominates and is paid
+    once per step (fuse by pre-filtering `state_col ∈ steps` before
+    calling if the event universe is much wider than the funnel)."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
     keys = list(key_cols)
@@ -354,6 +358,7 @@ def funnel_report(
         df.filter(F.col(state_col) == steps[0])
         .groupBy(*keys)
         .agg(F.min(ts_col).alias("_t"))
+        .localCheckpoint(eager=True)
     )
     counts = [prev.count()]
     for step in steps[1:]:
@@ -365,6 +370,7 @@ def funnel_report(
             .filter(F.col("_ts") > F.col("_t"))
             .groupBy(*keys)
             .agg(F.min("_ts").alias("_t"))
+            .localCheckpoint(eager=True)
         )
         counts.append(prev.count())
     spark = df.sparkSession

@@ -6909,6 +6909,7 @@ def classify_suite(spark, sf_dir):
         v_str=F.concat_ws(
             "|", F.col("tp").cast("string"), F.col("fp").cast("string"),
             F.col("fn").cast("string"), F.col("tn").cast("string"),
+            F.col("n_excluded").cast("string"),
             F.col("precision_ppm").cast("string"),
             F.col("recall_ppm").cast("string"),
         ),
@@ -7050,6 +7051,7 @@ UNION ALL
 SELECT 'pr', CAST(threshold AS VARCHAR),
        CAST(tp AS VARCHAR) || '|' || CAST(fp AS VARCHAR) || '|' ||
        CAST(fn AS VARCHAR) || '|' || CAST(tn AS VARCHAR) || '|' ||
+       CAST(nex AS VARCHAR) || '|' ||
        CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END AS VARCHAR) || '|' ||
        CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END AS VARCHAR),
        CAST(CASE WHEN 2 * tp + fp + fn > 0
@@ -7060,7 +7062,8 @@ FROM (
          sum(CASE WHEN tr.s >= t.threshold AND tr.y THEN 1 ELSE 0 END) AS tp,
          sum(CASE WHEN tr.s >= t.threshold AND NOT tr.y THEN 1 ELSE 0 END) AS fp,
          sum(CASE WHEN tr.s < t.threshold AND tr.y THEN 1 ELSE 0 END) AS fn,
-         sum(CASE WHEN tr.s < t.threshold AND NOT tr.y THEN 1 ELSE 0 END) AS tn
+         sum(CASE WHEN tr.s < t.threshold AND NOT tr.y THEN 1 ELSE 0 END) AS tn,
+         sum(CASE WHEN tr.s IS NULL OR tr.y IS NULL THEN 1 ELSE 0 END) AS nex
   FROM (SELECT d.logw AS s, (doc.lang = 'zh') AS y
         FROM dsir d JOIN documents doc ON d.id = doc.doc_id) tr
   CROSS JOIN (VALUES (-1000000), (-250000), (0), (250000), (1000000)) t(threshold)

@@ -99,6 +99,58 @@ def test_weighted_pagerank_bit_exact_and_proportional(spark):
     assert one[2] - 150_000 == (850_000 * ((1_000_000 * 1) // 5)) // 1_000_000
 
 
+def test_pagerank_rejects_nonpositive_weights_both_paths(spark):
+    """The positive-weight contract is enforced LOUDLY on both the
+    Spark path and the replay — never the silent NULL-div drop that
+    made engine and pinned oracle diverge on the same input."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    bad = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 0)], "src long, dst long, w long"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException, Exception),
+                       match="positive"):
+        G.pagerank(bad, iters=1, weight_col="w").collect()
+    with pytest.raises(ValueError, match="positive"):
+        G.pagerank_replay([(0, 1, 3), (1, 2, 0)], iters=1)
+    with pytest.raises(ValueError, match="positive"):
+        G.pagerank_replay([(0, 1, 3), (1, 2, None)], iters=1)
+    # NULL weight on the Spark side raises too (not dropped)
+    nullw = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, None)], "src long, dst long, w long"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException, Exception),
+                       match="positive"):
+        G.pagerank(nullw, iters=1, weight_col="w").collect()
+
+
+def test_pagerank_tol_early_stop_equals_fixed_iters(spark):
+    """tol_micro=0 stops at the integer fixed point; the result is
+    bit-identical to ANY larger fixed iteration count (further
+    iterations replay the fixed point), and the stop actually fires
+    well before the fixed budget on a fast-converging graph."""
+    # a DAG funnel converges in a few iterations: once the leading
+    # mass has flowed through the longest path, scores freeze exactly
+    edges = [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (0, 6)]
+    df = _edges_df(spark, edges)
+    fixed = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(df, iters=50).collect()
+    }
+    stopped = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(df, iters=50, tol_micro=0).collect()
+    }
+    assert stopped == fixed
+    # replay confirms convergence by iteration 5 (the DAG depth) —
+    # so the early stop saved ≥40 full edge shuffles
+    assert G.pagerank_replay(edges, iters=5) == G.pagerank_replay(
+        edges, iters=50
+    )
+
+
 def test_personalized_pagerank_teleports_to_seeds(spark):
     """Personalized: only seed nodes receive the base (teleport) mass,
     so authority concentrates near the seed set; distributed == replay."""

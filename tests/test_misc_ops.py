@@ -217,6 +217,14 @@ def test_interval_join_auto_skewed_widths_and_sentinel_clamp(spark):
     # sentinel rows DO match points (clamp must not lose them)
     iids = {r["iid"] for r in got.select("iid").distinct().collect()}
     assert 200 in iids and 201 in iids
+    # output rows carry the CALLER'S original bounds and types: the
+    # clamp is internal-only — a sentinel end reads back verbatim,
+    # ints stay ints, and the schema equals interval_join's
+    assert dict(got.dtypes)["s"] == "bigint" and dict(got.dtypes)["e"] == "bigint"
+    sent = got.filter(F.col("iid") == 200).select("s", "e").first()
+    raw = intervals.filter(F.col("iid") == 200).select("s", "e").first()
+    assert (sent["s"], sent["e"]) == (raw["s"], raw["e"])
+    assert set(got.columns) == set(points.columns) | set(intervals.columns)
 
 
 def test_interval_join_auto_empty_points_never_explodes(spark):

@@ -644,6 +644,32 @@ def test_pr_report_exact_counts_and_ppm(spark):
     r100 = out[100]  # nothing flagged: precision denom 0 -> 0 ppm
     assert (r100["tp"], r100["precision_ppm"], r100["recall_ppm"]) == (0, 0, 0)
     assert len(out) == 3
+    assert all(r["n_excluded"] == 0 for r in out.values())
+
+
+def test_pr_report_null_rows_counted_not_dropped(spark):
+    """A NULL score or NULL truth lands in NO confusion cell — it must
+    surface in n_excluded so the matrix stays TOTAL
+    (tp+fp+fn+tn+n_excluded == row count at every threshold), never
+    silently shrink the ppm denominators."""
+    from cdc_pipeline_with_kafka_spark.operators import classify
+
+    df = spark.createDataFrame(
+        [(10, True), (None, True), (5, None), (-5, False), (None, None)],
+        "score long, y boolean",
+    )
+    out = {
+        r["threshold"]: r
+        for r in classify.pr_report(df, "score", "y", [0, 6, 11]).collect()
+    }
+    for t, r in out.items():
+        cells = (r["tp"], r["fp"], r["fn"], r["tn"])
+        assert r["n_excluded"] == 3, t
+        assert sum(cells) + r["n_excluded"] == 5, t
+    # valid rows classify as usual: at t=0 flagged {10} tp, missed {-5} tn
+    assert (out[0]["tp"], out[0]["tn"]) == (1, 1)
+    assert (out[6]["tp"], out[6]["fn"], out[6]["tn"]) == (1, 0, 1)
+    assert (out[11]["tp"], out[11]["fn"], out[11]["tn"]) == (0, 1, 1)
 
 
 def test_psi_report_drift_semantics(spark):

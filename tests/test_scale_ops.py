@@ -179,6 +179,46 @@ def test_funnel_report_ordered_progression(spark):
     assert out["a"]["conv_from_first_ppm"] == 1_000_000
 
 
+def test_funnel_report_scans_events_once_per_step(spark):
+    """A k-step funnel must scan the events input exactly k times —
+    not k(k+1)/2 as the unpinned chained plan would (step i's count
+    re-executing steps 1..i−1).  Pinned by an accumulator tap under
+    the operator: every evaluation of the events subtree pushes all
+    n rows through the tap, so tap total == k·n iff each step's
+    lineage was truncated before counting."""
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        (2, 1, "b"), (2, 2, "a"),
+        (3, 5, "a"),
+        (4, 1, "a"), (4, 2, "c"),
+    ]
+    base = spark.createDataFrame(
+        rows, "user long, ts long, state string"
+    ).repartition(2)
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    df = base.mapInPandas(tap, base.schema)
+    out = {
+        r["step"]: r["n_reached"]
+        for r in windows.funnel_report(
+            df, ["user"], "ts", "state", ["a", "b", "c"]
+        ).collect()
+    }
+    assert out == {"a": 4, "b": 1, "c": 1}  # semantics unchanged
+    k, n = 3, len(rows)
+    assert acc.value == k * n, (
+        f"events scanned {acc.value / n:.1f}x for a {k}-step funnel "
+        "(expected exactly k scans — per-step lineage not truncated?)"
+    )
+
+
 def test_rollup_counts_hierarchy_and_null_disambiguation(spark):
     """Every prefix level present with correct totals; a REAL NULL in a
     dim is distinguishable from the rollup placeholder by the g_ flag;

@@ -164,8 +164,13 @@ def test_table_profile_one_scan_and_values(spark):
     from cdc_pipeline_with_kafka_spark.operators import sketch
 
     df = spark.createDataFrame(
-        [(1, "a", [1, 2]), (2, None, []), (3, "a", None), (None, "b", [3])],
-        "k long, s string, arr array<long>",
+        [
+            (1, "a", [1, 2], {"x": 1}),
+            (2, None, [], {}),
+            (3, "a", None, None),
+            (None, "b", [3], {"y": 2}),
+        ],
+        "k long, s string, arr array<long>, m map<string,long>",
     )
     out = {r["column"]: r for r in sketch.table_profile(df).collect()}
     assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
@@ -173,6 +178,15 @@ def test_table_profile_one_scan_and_values(spark):
     assert out["k"]["min_str"] == "1" and out["k"]["max_str"] == "3"
     assert out["s"]["n_distinct"] == 2 and out["s"]["n_nulls"] == 1
     assert out["arr"]["n_nulls"] == 1 and out["arr"]["min_str"] is None
+    # map columns: nulls only — distinct on maps raises in Spark, so
+    # n_distinct must come back NULL, not AnalysisException
+    assert out["m"]["n_nulls"] == 1 and out["m"]["n_distinct"] is None
+    assert out["m"]["min_str"] is None and out["m"]["max_str"] is None
+    approx_m = {
+        r["column"]: r
+        for r in sketch.table_profile(df, approx_distinct=True).collect()
+    }
+    assert approx_m["m"]["n_distinct"] is None  # HLL on maps also rejected
     # one parquet scan when reading from files
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = plans.formatted_plan(sketch.table_profile(docs))
