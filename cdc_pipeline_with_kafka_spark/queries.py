@@ -4659,35 +4659,69 @@ SELECT 'pool', doc, dim, round(val, 6) + 0.0, n FROM (
 
 
 def pii_scrub(spark, sf_dir):
-    """PII redaction over a contact blob derived deterministically from
-    the customer table (the driver's schema carries no phone column, so
-    phone/IP strings are formatted from the keys — same printf
-    specifiers in both engines): emails, phones and IPv4s are redacted;
-    per-category counts reported."""
+    """PII governance suite: 'scrub' — redaction over a contact blob
+    derived deterministically from the customer table (the driver's
+    schema carries no phone column, so phone/IP strings are formatted
+    from the keys — same printf specifiers in both engines), every
+    scrubbed string value-checked; 'scrubc' — the per-category match
+    counts + has_pii flag; 'piic' (r8) — pii_column_report's
+    column-exposure sweep over a 3-string-column table planted so
+    each column carries a different category mix (name: none,
+    contact: email-or-NULL, meta: phone+ipv4), every (column,
+    category) count and exact integer match_ppm value-checked."""
     cust = _t(spark, sf_dir, "customer")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        F.col("c_nationkey"),
+        F.col("c_custkey") % 1000,
+        F.expr("(c_custkey DIV 7) % 1000"),
+        F.col("c_custkey") % 10000,
+    )
+    email = F.concat(
+        F.regexp_replace(F.col("c_name"), "[# ]", "."), F.lit("@example.com")
+    )
+    ip = F.format_string(
+        "%d.%d.%d.%d",
+        F.col("c_custkey") % 224,
+        F.col("c_nationkey") % 256,
+        (F.col("c_custkey") * 7) % 256,
+        F.col("c_custkey") % 250,
+    )
     blob = F.concat_ws(
-        " ",
-        F.col("c_name"),
-        F.format_string(
-            "%02d-%03d-%03d-%04d",
-            F.col("c_nationkey"),
-            F.col("c_custkey") % 1000,
-            F.expr("(c_custkey DIV 7) % 1000"),
-            F.col("c_custkey") % 10000,
-        ),
-        F.concat(F.regexp_replace(F.col("c_name"), "[# ]", "."), F.lit("@example.com")),
-        F.lit("from"),
-        F.format_string(
-            "%d.%d.%d.%d",
-            F.col("c_custkey") % 224,
-            F.col("c_nationkey") % 256,
-            (F.col("c_custkey") * 7) % 256,
-            F.col("c_custkey") % 250,
-        ),
+        " ", F.col("c_name"), phone, email, F.lit("from"), ip,
         F.col("c_mktsegment"),
     )
     df = cust.select(F.col("c_custkey"), blob.alias("text"))
-    return textstats.scrub_pii(df, text_col="text", id_col="c_custkey")
+    scrub = textstats.scrub_pii(df, text_col="text", id_col="c_custkey")
+    wide = cust.select(
+        F.col("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(email).alias("contact"),
+        F.concat_ws(" ", phone, F.lit("from"), ip).alias("meta"),
+    )
+    piic = textstats.pii_column_report(wide, cols=["name", "contact", "meta"])
+    return _union_all([
+        _suite_rows(scrub, "scrub", F.col("c_custkey"),
+                    v_str=F.col("scrubbed")),
+        _suite_rows(
+            scrub, "scrubc", F.col("c_custkey"),
+            v_str=F.concat_ws(
+                "|", F.col("n_email").cast("string"),
+                F.col("n_phone").cast("string"),
+                F.col("n_ipv4").cast("string"),
+                F.col("has_pii").cast("int").cast("string"),
+            ),
+        ),
+        _suite_rows(
+            piic, "piic",
+            F.concat_ws("|", F.col("column"), F.col("category")),
+            v_str=F.concat_ws(
+                "|", F.col("n_rows").cast("string"),
+                F.col("n_matching_rows").cast("string"),
+            ),
+            v_num=F.col("match_ppm").cast("double"),
+        ),
+    ])
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -4706,8 +4740,9 @@ WITH blob AS (
                           (c_custkey * 7) % 256, c_custkey % 250),
                    c_mktsegment) AS text
   FROM customer
-)
-SELECT c_custkey,
+),
+scrub AS (
+  SELECT c_custkey,
        regexp_replace(regexp_replace(regexp_replace(text,
          '{_PII_EMAIL}', '[REDACTED]', 'g'),
          '{_PII_PHONE}', '[REDACTED]', 'g'),
@@ -4718,7 +4753,49 @@ SELECT c_custkey,
        (len(regexp_extract_all(text, '{_PII_EMAIL}'))
         + len(regexp_extract_all(text, '{_PII_PHONE}'))
         + len(regexp_extract_all(text, '{_PII_IPV4}'))) > 0 AS has_pii
-FROM blob
+  FROM blob
+),
+wide AS (
+  SELECT c_name AS name,
+         CASE WHEN c_custkey % 97 = 0 THEN NULL
+              ELSE regexp_replace(c_name, '[# ]', '.', 'g') || '@example.com'
+         END AS contact,
+         printf('%02d-%03d-%03d-%04d', c_nationkey, c_custkey % 1000,
+                (c_custkey // 7) % 1000, c_custkey % 10000)
+           || ' from ' ||
+         printf('%d.%d.%d.%d', c_custkey % 224, c_nationkey % 256,
+                (c_custkey * 7) % 256, c_custkey % 250) AS meta
+  FROM customer
+),
+piic_src AS (
+  SELECT 'name' AS col_name, name AS v FROM wide
+  UNION ALL SELECT 'contact', contact FROM wide
+  UNION ALL SELECT 'meta', meta FROM wide
+),
+piic AS (
+  SELECT col_name, cat, count(*) AS n_rows,
+         sum(CASE WHEN v IS NOT NULL AND regexp_matches(v, pat)
+                  THEN 1 ELSE 0 END) AS n_match
+  FROM piic_src
+  CROSS JOIN (VALUES ('email', '{_PII_EMAIL}'), ('phone', '{_PII_PHONE}'),
+                     ('ipv4', '{_PII_IPV4}')) c(cat, pat)
+  GROUP BY col_name, cat
+)
+SELECT 'scrub' AS suite_case, CAST(c_custkey AS VARCHAR) AS k,
+       scrubbed AS v_str, -1.0 AS v_num
+FROM scrub
+UNION ALL
+SELECT 'scrubc', CAST(c_custkey AS VARCHAR),
+       CAST(n_email AS VARCHAR) || '|' || CAST(n_phone AS VARCHAR) || '|' ||
+       CAST(n_ipv4 AS VARCHAR) || '|' || CAST(CAST(has_pii AS INT) AS VARCHAR),
+       -1.0
+FROM scrub
+UNION ALL
+SELECT 'piic', col_name || '|' || cat,
+       CAST(n_rows AS VARCHAR) || '|' || CAST(n_match AS VARCHAR),
+       CAST(CASE WHEN n_rows > 0 THEN (n_match * 1000000) // n_rows
+                 ELSE 0 END AS DOUBLE)
+FROM piic
 """
 
 # The 4-gram canary the stream-parity gate plants and then detects —
@@ -5008,7 +5085,13 @@ def sim_ann_suite(spark, sf_dir):
     'hneg' (r7) — hard-negative mining with self + near-dup (≥0.95)
     exclusion over the twin-planted corpus; 'msim' (r7) — ColBERT-
     style MaxSim late interaction over 4-chunks-per-doc groupings,
-    integer micro Σmax."""
+    integer micro Σmax; 'recall' (r8) — ann_recall_report's
+    IVF-vs-exact recall@10 tuning table at nprobe ∈ {1,2,4}, every
+    exact-integer ppm aggregate value-checked against a pure-SQL
+    replay; 'edrift' (r8) — embedding_drift's cluster-histogram PSI
+    between the even- and odd-id corpus halves assigned against the
+    SAME first-16 quantizer, replayed by psi_core over DuckDB-side
+    assignment counts."""
     lsh = _suite_rows(
         sim_lsh_ann_topk(spark, sf_dir), "lsh",
         F.concat_ws("|", F.col("query_id").cast("string"), F.col("vec_id").cast("string")),
@@ -5070,7 +5153,44 @@ def sim_ann_suite(spark, sf_dir):
         v_str=F.col("rnk").cast("string"),
         v_num=F.col("maxsim_micro").cast("double"),
     )
-    return _union_all([lsh, ivf, bm25, rrf, hneg, msim])
+    # r8 'recall': the nprobe tuning table — exact top-10 vs the IVF
+    # tier at nprobe 1/2/4 over the same deterministic first-16
+    # quantizer the 'ivf' branch pins; mean/min recall in exact ppm
+    emb = _t(spark, sf_dir, "embeddings")
+    equeries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.ivf_centroids(emb, 16)
+    recall = _suite_rows(
+        similarity.ann_recall_report(
+            emb, equeries, cents, nprobes=[1, 2, 4], k=10
+        ),
+        "recall",
+        F.col("nprobe"),
+        v_str=F.concat_ws(
+            "|", F.col("n_queries").cast("string"),
+            F.col("min_recall_ppm").cast("string"),
+        ),
+        v_num=F.col("mean_recall_ppm").cast("double"),
+    )
+    # r8 'edrift': embedding-space PSI between the even/odd corpus
+    # halves, both assigned against the SAME centroids (the operator's
+    # contract); psi_core is shared with the oracle replay
+    edrift = _suite_rows(
+        similarity.embedding_drift(
+            similarity.ivf_assign(emb.filter(F.col("vec_id") % 2 == 0), cents),
+            similarity.ivf_assign(emb.filter(F.col("vec_id") % 2 == 1), cents),
+            n_clusters=16,
+        ),
+        "edrift",
+        F.lit("even_vs_odd"),
+        v_str=F.concat_ws(
+            "|", F.col("n_buckets").cast("string"),
+            F.col("n_old").cast("string"), F.col("n_new").cast("string"),
+        ),
+        v_num=F.col("psi_micro").cast("double"),
+    )
+    return _union_all([lsh, ivf, bm25, rrf, hneg, msim, recall, edrift])
 
 
 def _bm25_oracle_values() -> str:
@@ -5128,6 +5248,76 @@ FROM ranked WHERE rnk <= {_BM25_K}
 """
 
 
+def _ivf_sql_at_nprobe(nprobe: int) -> str:
+    """SIM_IVF_SQL with the probe fan-out widened to `nprobe` (the
+    template's qprobe CTE carries the literal once)."""
+    return SIM_IVF_SQL.replace("crnk <= 2", f"crnk <= {int(nprobe)}")
+
+
+def _recall_oracle_sql() -> str:
+    """Pure-SQL replay of ann_recall_report at nprobe 1/2/4: exact
+    top-10 (SIM_TOPK_SQL) left-joined against each IVF pass; per-query
+    recall and the report aggregates as the same exact integer
+    divisions the Spark path emits."""
+    per_nprobe = []
+    for np_ in (1, 2, 4):
+        per_nprobe.append(f"""
+  SELECT {np_} AS nprobe, e.query_id,
+         (sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+           // 10 AS recall_ppm
+  FROM ({SIM_TOPK_SQL}) e
+  LEFT JOIN (SELECT query_id, vec_id FROM ({_ivf_sql_at_nprobe(np_)}) x{np_}) i
+    ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+  GROUP BY e.query_id""")
+    perq = "\n  UNION ALL\n".join(per_nprobe)
+    return f"""
+WITH perq AS (
+{perq}
+)
+SELECT nprobe, count(*) AS n_queries,
+       sum(recall_ppm) // count(*) AS mean_recall_ppm,
+       min(recall_ppm) AS min_recall_ppm
+FROM perq GROUP BY nprobe
+"""
+
+
+def _edrift_oracle_row() -> str:
+    """'edrift' replay: DuckDB reproduces the first-16 quantizer
+    assignment (the exact expression the green 'ivf' branch pins),
+    the even/odd histogram split happens in SQL, and the SAME
+    psi_core the Spark path calls turns the two count dicts into the
+    one-row report — pinned as a literal SELECT."""
+    import duckdb as _dd
+
+    from .operators.classify import psi_core
+
+    rows = _dd.sql(f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM '{_ORACLE_SF_DIR}/embeddings.parquet' ORDER BY vec_id LIMIT 16
+),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))), 6) DESC,
+                 c.cid ASC) AS crnk
+  FROM '{_ORACLE_SF_DIR}/embeddings.parquet' e CROSS JOIN cent c
+)
+SELECT vec_id % 2 AS parity, cid, count(*) AS n
+FROM sims WHERE crnk = 1 GROUP BY 1, 2
+""").fetchall()
+    old = {int(c): int(n) for p, c, n in rows if p == 0}
+    new = {int(c): int(n) for p, c, n in rows if p == 1}
+    pm, nb, no, nn = psi_core(old, new, 16)
+    return (
+        f"SELECT 'edrift', 'even_vs_odd', "
+        f"'{nb}|{no}|{nn}', CAST({pm} AS DOUBLE)"
+    )
+
+
 def _sim_ann_suite_sql() -> str:
     bm25_vals = _bm25_oracle_values()
     return f"""
@@ -5156,6 +5346,13 @@ UNION ALL
 SELECT 'msim', CAST(query_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
        CAST(rnk AS VARCHAR), CAST(maxsim_micro AS DOUBLE)
 FROM ({_MSIM_SQL}) s6
+UNION ALL
+SELECT 'recall', CAST(nprobe AS VARCHAR),
+       CAST(n_queries AS VARCHAR) || '|' || CAST(min_recall_ppm AS VARCHAR),
+       CAST(mean_recall_ppm AS DOUBLE)
+FROM ({_recall_oracle_sql()}) s7
+UNION ALL
+{_edrift_oracle_row()}
 """
 
 
