@@ -881,6 +881,58 @@ def connected_components_incremental(
     CONTRACTED graph — whose size is bounded by the shard's edge
     count, never the corpus graph.  The persisted table updates with
     one join against the (tiny) label-remap."""
+    remap = _contracted_remap(new_pairs, labels, id_a, id_b, algorithm)
+    # old ids: relabel through the remap (labels untouched by the shard
+    # pass through); new ids: their contracted label, remapped
+    old_rows = labels.join(
+        F.broadcast(remap), labels["cluster_id"] == F.col("_old"), "left"
+    ).select(
+        "id", F.coalesce("_new", "cluster_id").alias("cluster_id")
+    )
+    new_rows = _new_node_rows(new_pairs, labels, remap, id_a, id_b)
+    return old_rows.unionByName(new_rows)
+
+
+def connected_components_delta(
+    new_pairs: DataFrame,
+    labels: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "auto",
+) -> DataFrame:
+    """The DELTA of `connected_components_incremental`: only the label
+    rows the shard CHANGES — new nodes plus old nodes whose component
+    relabels (merged by a bridging pair).  Applying the delta over the
+    prior table with last-writer-wins reproduces the incremental
+    (hence the full-recompute) table exactly — held in tests.
+
+    This is the O(batch) WRITE path for a long-running component
+    stream: the full snapshot form rewrites nodes-seen-so-far rows per
+    batch (O(corpus) write amplification); the delta is bounded by the
+    batch's touched components.  Compute cost is the same contraction
+    as the incremental form (the labels scan happens either way); only
+    the output shrinks: relabeled rows come from a broadcast inner
+    join against the CHANGED remap entries (_old != _new), never the
+    identity remaps."""
+    remap = _contracted_remap(new_pairs, labels, id_a, id_b, algorithm)
+    changed = remap.filter(F.col("_old") != F.col("_new"))
+    relabeled = labels.join(
+        F.broadcast(changed), labels["cluster_id"] == F.col("_old")
+    ).select("id", F.col("_new").alias("cluster_id"))
+    new_rows = _new_node_rows(new_pairs, labels, remap, id_a, id_b)
+    return relabeled.unionByName(new_rows)
+
+
+def _contracted_remap(
+    new_pairs: DataFrame,
+    labels: DataFrame,
+    id_a: str,
+    id_b: str,
+    algorithm: str,
+) -> DataFrame:
+    """(_old, _new) label remap shared by the incremental and delta
+    forms: map the shard's endpoints through the label table, run
+    components over the contracted (shard-edge-bounded) graph."""
     lbl_a = labels.select(
         F.col("id").alias(id_a), F.col("cluster_id").alias("_la")
     )
@@ -904,26 +956,29 @@ def connected_components_incremental(
     }.get(algorithm)
     if comp_fn is None:
         raise ValueError(f"unknown algorithm {algorithm!r}; use label|star|auto")
-    remap = comp_fn(contracted, "id_a", "id_b").withColumnRenamed(
+    return comp_fn(contracted, "id_a", "id_b").withColumnRenamed(
         "id", "_old"
     ).withColumnRenamed("cluster_id", "_new")
-    # old ids: relabel through the remap (labels untouched by the shard
-    # pass through); new ids: their contracted label, remapped
-    old_rows = labels.join(
-        F.broadcast(remap), labels["cluster_id"] == F.col("_old"), "left"
-    ).select(
-        "id", F.coalesce("_new", "cluster_id").alias("cluster_id")
-    )
+
+
+def _new_node_rows(
+    new_pairs: DataFrame,
+    labels: DataFrame,
+    remap: DataFrame,
+    id_a: str,
+    id_b: str,
+) -> DataFrame:
+    """Label rows for shard nodes absent from the prior table: their
+    contracted label remapped, or themselves when isolated."""
     new_nodes = (
         new_pairs.select(F.col(id_a).alias("id"))
         .unionByName(new_pairs.select(F.col(id_b).alias("id")))
         .distinct()
         .join(labels.select("id"), "id", "left_anti")
     )
-    new_rows = new_nodes.join(
+    return new_nodes.join(
         F.broadcast(remap), F.col("id") == F.col("_old"), "left"
     ).select("id", F.coalesce("_new", F.col("id")).alias("cluster_id"))
-    return old_rows.unionByName(new_rows)
 
 
 def dedup_survivors(

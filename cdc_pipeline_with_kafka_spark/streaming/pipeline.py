@@ -585,23 +585,37 @@ def make_components_sink(
     id_a: str = "id_a",
     id_b: str = "id_b",
     algorithm: str = "auto",
+    mode: str = "full",
 ):
     """foreachBatch sink maintaining a rolling connected-components
     LABEL TABLE over a near-dup pair stream
     (operators/dedup.connected_components_incremental — the streaming
-    face of the component tier's incremental member): batch N's labels
-    are a FULL VERSIONED SNAPSHOT under ``batch_id=N`` computed from
-    the latest snapshot with batch_id < N — the kmeans-state-sink
-    crash contract (labels are a running aggregate, so a replayed
-    batch recomputes its snapshot from N−1's and overwrites; and
-    because min-label contraction makes re-admitting the same pairs a
-    no-op, even a double-application converges to the same table).
+    face of the component tier's incremental member).
 
-    Per-batch cost: components over the CONTRACTED graph (bounded by
-    the batch's edge count) + one broadcast remap — the corpus pair
-    graph is never recomputed.  Cold start: batch 0 is a plain
-    connected-components run.  Snapshot size = nodes-seen-so-far rows
-    (id, cluster_id); compact old batch_id dirs whenever convenient."""
+    ``mode='full'``: batch N's labels are a FULL VERSIONED SNAPSHOT
+    under ``batch_id=N`` computed from the latest snapshot with
+    batch_id < N — the kmeans-state-sink crash contract (labels are a
+    running aggregate, so a replayed batch recomputes its snapshot
+    from N−1's and overwrites; and because min-label contraction makes
+    re-admitting the same pairs a no-op, even a double-application
+    converges to the same table).  Snapshot size = nodes-seen-so-far
+    rows: O(corpus) WRITE amplification on a long-running stream.
+
+    ``mode='delta'``: batch N writes ONLY the labels it changes (new
+    nodes + relabeled components — connected_components_delta), so the
+    write is O(batch-touched), not O(nodes-seen).  The current table
+    is the last-writer-wins merge of all batch dirs
+    (`read_component_labels`); the same batch_id-scoped overwrite
+    keeps crash replay idempotent (a replayed batch reconstructs the
+    prior view from dirs < N and overwrites its own dir).  Run
+    `compact_component_labels` periodically so the reconstruction read
+    stays bounded — see SCALING.md for the cadence; only compact
+    batches the stream has fully committed past.
+
+    Per-batch compute in BOTH modes: components over the CONTRACTED
+    graph (bounded by the batch's edge count) + one broadcast remap —
+    the corpus pair graph is never recomputed.  Cold start: batch 0 is
+    a plain connected-components run."""
     from ..operators import dedup as dedup_ops
 
     comp_fn = {
@@ -611,26 +625,24 @@ def make_components_sink(
     }.get(algorithm)
     if comp_fn is None:
         raise ValueError(f"unknown algorithm {algorithm!r}; use label|star|auto")
+    if mode not in ("full", "delta"):
+        raise ValueError(f"unknown mode {mode!r}; use full|delta")
 
     def sink(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from pyspark.errors.exceptions.captured import AnalysisException
-
-        labels = None
-        try:
-            df = spark.read.option("basePath", labels_path).parquet(labels_path)
-            prior = df.filter(F.col("batch_id") < batch_id)
-            prev = prior.agg(F.max("batch_id")).collect()[0][0]
-            if prev is not None:
-                labels = prior.filter(F.col("batch_id") == prev).drop("batch_id")
-        except AnalysisException as exc:
-            msg = str(exc)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-                raise  # storage blip ≠ cold start: fail the batch
+        if mode == "full":
+            labels = _latest_full_snapshot(spark, labels_path, batch_id)
+        else:
+            labels = read_component_labels(spark, labels_path, before=batch_id)
         if labels is None:
             out = comp_fn(batch_df.select(id_a, id_b), id_a, id_b)
-        else:
+        elif mode == "full":
             out = dedup_ops.connected_components_incremental(
+                batch_df.select(id_a, id_b), labels,
+                id_a=id_a, id_b=id_b, algorithm=algorithm,
+            )
+        else:
+            out = dedup_ops.connected_components_delta(
                 batch_df.select(id_a, id_b), labels,
                 id_a=id_a, id_b=id_b, algorithm=algorithm,
             )
@@ -639,6 +651,83 @@ def make_components_sink(
         )
 
     return sink
+
+
+def _latest_full_snapshot(spark, labels_path: str, batch_id: int):
+    """Latest full snapshot with batch_id < N, or None on cold start."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = spark.read.option("basePath", labels_path).parquet(labels_path)
+        prior = df.filter(F.col("batch_id") < batch_id)
+        prev = prior.agg(F.max("batch_id")).collect()[0][0]
+        if prev is None:
+            return None
+        return prior.filter(F.col("batch_id") == prev).drop("batch_id")
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise  # storage blip ≠ cold start: fail the batch
+        return None
+
+
+def read_component_labels(spark, labels_path: str, before: int | None = None):
+    """Current (id, cluster_id) view of a delta-mode component table:
+    last-writer-wins per node over the batch_id dirs (optionally only
+    dirs < `before` — the replay-reconstruction read).  Works on
+    full-mode tables too (the latest snapshot rows win per node).
+    Returns None when no dirs qualify (cold start)."""
+    from pyspark.sql import Window
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = spark.read.option("basePath", labels_path).parquet(labels_path)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        return None
+    if before is not None:
+        df = df.filter(F.col("batch_id") < before)
+    if df.limit(1).count() == 0:
+        return None
+    w = Window.partitionBy("id").orderBy(F.col("batch_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "cluster_id")
+    )
+
+
+def compact_component_labels(
+    spark, labels_path: str, upto_batch: int
+) -> int:
+    """Collapse all component-label dirs with batch_id ≤ `upto_batch`
+    into one last-writer-wins dir at ``batch_id=<upto_batch>`` and
+    delete the older dirs — bounds the delta-mode reconstruction read
+    (and trims full-mode history).  ONLY compact batches the stream
+    has committed past (foreachBatch replays at most the newest
+    uncommitted batch, so upto_batch ≤ last-committed − 1 is always
+    safe).  Returns the compacted row count."""
+    import os
+    import re
+    import shutil
+
+    dirs = [
+        d for d in os.listdir(labels_path)
+        if re.fullmatch(r"batch_id=\d+", d)
+        and int(d.split("=")[1]) <= upto_batch
+    ]
+    if not dirs:
+        return 0
+    merged = read_component_labels(spark, labels_path, before=upto_batch + 1)
+    tmp = os.path.join(labels_path, "._compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    for d in dirs:
+        shutil.rmtree(os.path.join(labels_path, d))
+    os.rename(tmp, os.path.join(labels_path, f"batch_id={upto_batch}"))
+    return n
 
 
 def make_profile_sink(

@@ -258,3 +258,114 @@ def test_components_sink_batches_and_replay(spark, tmp_path):
     # crash replay of the final batch: snapshot recomputed, unchanged
     sink(spark.createDataFrame(thirds[2], "id_a long, id_b long"), 2)
     assert latest() == full
+
+
+def test_components_sink_delta_mode_bounded_writes(spark, tmp_path):
+    """Delta mode: the LWW merge of the batch dirs equals the full
+    recompute (incl. cluster merges and crash replay), and batch N's
+    dir holds only the labels the batch TOUCHED — O(batch), not
+    O(nodes-seen): a batch adding one isolated pair to a 60-node table
+    writes exactly its two rows."""
+    import numpy as np
+
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    rng = np.random.default_rng(47)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2)) if a != b})
+    thirds = [pairs[0::3], pairs[1::3], pairs[2::3]]
+    path = str(tmp_path / "labels")
+    sink = pipeline.make_components_sink(path, mode="delta")
+    for i, chunk in enumerate(thirds):
+        sink(spark.createDataFrame(chunk, "id_a long, id_b long"), i)
+
+    def merged():
+        df = pipeline.read_component_labels(spark, path)
+        return {r["id"]: r["cluster_id"] for r in df.collect()}
+
+    full = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components_auto(
+            spark.createDataFrame(pairs, "id_a long, id_b long")
+        ).collect()
+    }
+    assert merged() == full
+    # crash replay of the final batch: reconstructed from dirs < 2,
+    # overwritten in place, merge unchanged
+    sink(spark.createDataFrame(thirds[2], "id_a long, id_b long"), 2)
+    assert merged() == full
+    # size assertion: a batch touching ONE fresh pair writes exactly 2
+    # rows, however many nodes the table already holds
+    sink(spark.createDataFrame([(1000, 1001)], "id_a long, id_b long"), 3)
+    b3 = spark.read.parquet(f"{path}/batch_id=3")
+    assert b3.count() == 2
+    assert merged() == {**full, 1000: 1000, 1001: 1000}
+    # and a batch that BRIDGES two existing clusters writes only the
+    # relabeled cluster's rows + nothing else
+    before = merged()
+    a_lbl, b_lbl = before[1000], before[pairs[0][0]]
+    sink(spark.createDataFrame([(1000, pairs[0][0])], "id_a long, id_b long"), 4)
+    b4 = {r["id"]: r["cluster_id"] for r in spark.read.parquet(f"{path}/batch_id=4").collect()}
+    loser = max(a_lbl, b_lbl)
+    relabeled = {n for n, l in before.items() if l == loser}
+    assert set(b4) == relabeled
+    assert merged() == {
+        n: (min(a_lbl, b_lbl) if l == loser else l) for n, l in before.items()
+    }
+
+
+def test_components_delta_equals_incremental_under_lww(spark):
+    """connected_components_delta applied over the prior table with
+    last-writer-wins reproduces connected_components_incremental
+    exactly — the operator-level equivalence the sink relies on."""
+    import numpy as np
+
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    rng = np.random.default_rng(53)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, (60, 2)) if a != b})
+    old, shard = pairs[: len(pairs) // 2], pairs[len(pairs) // 2:]
+    labels = dedup.connected_components_auto(
+        spark.createDataFrame(old, "id_a long, id_b long")
+    ).localCheckpoint()
+    shard_df = spark.createDataFrame(shard, "id_a long, id_b long")
+    inc = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components_incremental(shard_df, labels).collect()
+    }
+    base = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    delta = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components_delta(shard_df, labels).collect()
+    }
+    assert {**base, **delta} == inc
+    # delta rows are only changes: nothing in the delta repeats an
+    # unchanged prior label
+    assert all(base.get(n) != l for n, l in delta.items())
+
+
+def test_compact_component_labels_bounds_history(spark, tmp_path):
+    """Compaction collapses dirs ≤ upto into one LWW dir, deletes the
+    older ones, and the merged view is unchanged."""
+    import os
+
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+    path = str(tmp_path / "labels")
+    sink = pipeline.make_components_sink(path, mode="delta")
+    sink(spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long"), 0)
+    sink(spark.createDataFrame([(2, 3)], "id_a long, id_b long"), 1)
+    sink(spark.createDataFrame([(10, 11)], "id_a long, id_b long"), 2)
+    before = {
+        r["id"]: r["cluster_id"]
+        for r in pipeline.read_component_labels(spark, path).collect()
+    }
+    n = pipeline.compact_component_labels(spark, path, upto_batch=1)
+    assert n == 4  # nodes 1-4 in one merged dir
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=1", "batch_id=2"]
+    after = {
+        r["id"]: r["cluster_id"]
+        for r in pipeline.read_component_labels(spark, path).collect()
+    }
+    assert after == before == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
