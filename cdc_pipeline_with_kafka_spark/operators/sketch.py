@@ -421,12 +421,25 @@ def table_profile(
     is NULL for them rather than an AnalysisException every batch).
     ``approx_distinct=True`` swaps count_distinct for HLL
     approx_count_distinct — the 100 TB form (mergeable partials, no
-    exact-distinct Expand: N exact count_distincts in one agg make
-    Catalyst multiply scan output ×(N+1) before the shuffle, see
-    PLANS.md); exact is the oracle-checkable default."""
+    exact-distinct Expand: N exact count_distincts in ONE agg make
+    Catalyst plan an Expand that multiplies scan output ×(N+1) before
+    the shuffle — measured 10× slower at 6M rows × 11 columns, see
+    PLANS.md 'table_profile Expand cost'); exact stays the
+    oracle-checkable default, with a warning past 8 columns so a
+    100-column delivery doesn't silently profile on the Expand path."""
     cols = list(cols or df.columns)
     if not cols:
         raise ValueError("need at least one column")
+    if not approx_distinct and len(cols) > 8:
+        import warnings
+
+        warnings.warn(
+            f"table_profile: exact distincts over {len(cols)} columns "
+            "plan an Expand that multiplies scan output x(cols+1) "
+            "before the shuffle (measured 10x at 11 cols x 6M rows); "
+            "pass approx_distinct=True for wide tables",
+            stacklevel=2,
+        )
     dtypes = dict(df.dtypes)
     exprs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
