@@ -3,6 +3,14 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+``--diff PRIOR.json`` (e.g. a prior round's BENCH_r*.json) adds a
+"diff" object to the line: per-branch steady times compared against
+the prior run, any branch slower than DIFF_FACTOR (2x) flagged in
+"regressed", plus "new"/"removed" branch lists — so a round's verdict
+can separate bought coverage from regression mechanically.  Host noise
+is real (PLANS.md documents ±60% swings on sub-100ms branches), so the
+2x flag on a >=0.05s branch is a TRIAGE signal, not a verdict.
 """
 
 from __future__ import annotations
@@ -74,22 +82,95 @@ def main() -> None:
     cdc_rate = _cdc_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "build_s": build_s,
-                "exec_s": exec_s,
-                "branch_s": branch_s,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc_events_per_sec": cdc_rate,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "build_s": build_s,
+        "exec_s": exec_s,
+        "branch_s": branch_s,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc_events_per_sec": cdc_rate,
+    }
+    prior_path = _diff_arg()
+    if prior_path:
+        out["diff"] = _diff_branches(prior_path, branch_s, timings)
+    print(json.dumps(out))
     spark.stop()
+
+
+DIFF_FACTOR = 2.0
+DIFF_FLOOR_S = 0.05  # below this, host noise swamps any ratio
+
+
+def _diff_arg() -> str | None:
+    if "--diff" in sys.argv:
+        i = sys.argv.index("--diff")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--diff needs a prior BENCH json path")
+        return sys.argv[i + 1]
+    return None
+
+
+def _load_prior(prior_path: str) -> dict | None:
+    """Accept any of: a raw one-JSON-line bench output, the driver's
+    BENCH_r*.json wrapper ({'parsed': {...}} or a parseable 'tail'
+    string), or a bare result object.  Returns the result dict with
+    queries/branch_s, or None if nothing parseable survives (the
+    driver truncates 'tail' at 2000 chars)."""
+    with open(prior_path) as f:
+        try:
+            obj = json.loads(f.read().strip().splitlines()[-1])
+        except json.JSONDecodeError:
+            f.seek(0)
+            try:
+                obj = json.load(f)
+            except json.JSONDecodeError:
+                return None
+    if isinstance(obj, dict) and ("queries" in obj or "branch_s" in obj):
+        return obj
+    if isinstance(obj, dict):
+        if isinstance(obj.get("parsed"), dict):
+            return obj["parsed"]
+        tail = obj.get("tail")
+        if isinstance(tail, str):
+            try:
+                return json.loads(tail)
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
+def _diff_branches(
+    prior_path: str, branch_s: dict, timings: dict
+) -> dict:
+    """Mechanical branch-level regression table vs a prior bench JSON:
+    regressed = now > DIFF_FACTOR x prior AND now >= DIFF_FLOOR_S."""
+    prior = _load_prior(prior_path)
+    if prior is None:
+        return {
+            "vs": os.path.basename(prior_path),
+            "error": "prior file holds no parseable bench line "
+                     "(driver 'tail' truncation?) — save bench.py's own "
+                     "output line for diffable baselines",
+        }
+    diff: dict = {"vs": os.path.basename(prior_path)}
+    for tier, now in (("branch_s", branch_s), ("queries", timings)):
+        old = prior.get(tier, {})
+        regressed = {
+            k: {"prior": old[k], "now": v,
+                "ratio": round(v / old[k], 2) if old[k] else None}
+            for k, v in now.items()
+            if k in old and old[k] > 0 and v >= DIFF_FLOOR_S
+            and v > DIFF_FACTOR * old[k]
+        }
+        diff[tier] = {
+            "regressed": regressed,
+            "new": sorted(set(now) - set(old)),
+            "removed": sorted(set(old) - set(now)),
+        }
+    return diff
 
 
 _SUITE_COLS = ["suite_case", "k", "v_str", "v_num"]
