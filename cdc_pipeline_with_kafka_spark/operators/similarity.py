@@ -343,6 +343,7 @@ def maxsim_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    block_chunks: int | None = None,
 ) -> DataFrame:
     """Late-interaction retrieval (ColBERT-style MaxSim, Khattab &
     Zaharia 2020) over CHUNK embeddings: score(q, d) = Σ_i max_j
@@ -365,15 +366,51 @@ def maxsim_topk(
     and MaxSim-re-rank the pool: pass `candidates` (any DataFrame with
     a doc_id_col column — e.g. cosine_topk over pooled doc vectors)
     and only those docs' chunks are scored (broadcast semi-join; the
-    chunk table never shuffles)."""
+    chunk table never shuffles).
+
+    Query-set size: the chunk matrix collects to the driver, which is
+    the right trade for a query WORKLOAD but fatal when the query set
+    is itself a corpus (all-pairs doc linking).  Above
+    `block_chunks` query-chunk rows (default MAXSIM_COLLECT_CHUNKS =
+    65_536 ≈ 32 MB of float64 closure at dim 64) the plan switches to
+    BLOCKED execution: query ids hash-partition into ⌈n/limit⌉
+    blocks, each block collects bounded rows and scores with the same
+    fused plan, and the per-block results union (a query's chunks all
+    share its hash, so per-block sums are final — no re-aggregation).
+    Cost: one doc-chunk scan PER BLOCK; for corpus×corpus linking
+    prefer `candidates=` pools per block or the LSH/IVF pair tiers."""
     if candidates is not None:
         doc_chunks = doc_chunks.join(
             F.broadcast(candidates.select(doc_id_col).distinct()),
             doc_id_col,
             "left_semi",
         )
-    qrows = query_chunks.select(query_id_col, vec_col).collect()
-    if not qrows:
+    limit = int(block_chunks or MAXSIM_COLLECT_CHUNKS)
+    n_chunks = query_chunks.count()
+    if n_chunks <= limit:
+        qrows = query_chunks.select(query_id_col, vec_col).collect()
+        fused = _maxsim_fused(
+            doc_chunks, qrows, doc_id_col, vec_col, query_id_col
+        )
+    else:
+        n_blocks = -(-n_chunks // limit)
+        parts = []
+        for b in range(int(n_blocks)):
+            blk = query_chunks.filter(
+                F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(int(n_blocks)))
+                == b
+            )
+            qrows = blk.select(query_id_col, vec_col).collect()
+            if qrows:
+                parts.append(
+                    _maxsim_fused(
+                        doc_chunks, qrows, doc_id_col, vec_col, query_id_col
+                    )
+                )
+        fused = parts[0] if parts else None
+        for p in (parts[1:] if parts else []):
+            fused = fused.unionByName(p)
+    if fused is None:
         return _empty_topk_frame(
             doc_chunks.select(F.col(doc_id_col).alias("vec_id"), F.col(vec_col)),
             query_chunks,
@@ -385,6 +422,34 @@ def maxsim_topk(
             F.lit(None).cast("long").alias("maxsim_micro"),
             F.col("rnk"),
         )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("maxsim_micro").desc(), F.col(doc_id_col).asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, doc_id_col, "maxsim_micro", "rnk")
+    )
+
+
+# collect threshold for maxsim's query-chunk matrix: ~65k chunks × 64
+# float64 dims ≈ 32 MB shipped in the scorer closure — past this the
+# blocked path bounds driver/executor memory at one block apiece
+MAXSIM_COLLECT_CHUNKS = 65_536
+
+
+def _maxsim_fused(
+    doc_chunks: DataFrame,
+    qrows: list,
+    doc_id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame | None:
+    """(query_id, doc_id, maxsim_micro) for one collected block of
+    query-chunk rows — max over doc chunks per query chunk, exact long
+    sum over the block's query chunks.  None for an empty block."""
+    if not qrows:
+        return None
     qids = [r[query_id_col] for r in qrows]
     qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     scored = _cosine_scored(
@@ -402,16 +467,8 @@ def maxsim_topk(
         .groupBy(query_id_col, "_qpos", doc_id_col)
         .agg(F.max("_micro").alias("_best"))
     )
-    fused = per_qchunk.groupBy(query_id_col, doc_id_col).agg(
+    return per_qchunk.groupBy(query_id_col, doc_id_col).agg(
         F.sum("_best").alias("maxsim_micro")
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("maxsim_micro").desc(), F.col(doc_id_col).asc()
-    )
-    return (
-        fused.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id_col, doc_id_col, "maxsim_micro", "rnk")
     )
 
 

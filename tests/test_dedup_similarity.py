@@ -854,6 +854,38 @@ def test_maxsim_candidate_restriction(spark):
         assert full[(r["query_id"], r["doc_id"])] == r["maxsim_micro"]
 
 
+def test_maxsim_blocked_equals_collected(spark):
+    """The blocked query path (query ids hash-partitioned into bounded
+    collect blocks) must reproduce the single-collect form EXACTLY —
+    scores, ranks, and tiebreaks — at any block size, including blocks
+    smaller than one query's chunk count divides around (a query's
+    chunks always share its hash, so per-block sums stay whole)."""
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    chunks = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        F.expr("CAST(vec_id div 4 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        "embedding",
+    )
+    q = chunks.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )  # 6 queries x 4 chunks = 24 query-chunk rows
+    collected = sorted(
+        map(tuple, S.maxsim_topk(chunks, q, k=10).collect())
+    )
+    for block in (4, 7, 23):  # forces 6, 4, 2 blocks
+        blocked = sorted(
+            map(tuple, S.maxsim_topk(chunks, q, k=10, block_chunks=block).collect())
+        )
+        assert blocked == collected, f"block_chunks={block}"
+    # above-threshold block size: single collect, same result
+    assert sorted(
+        map(tuple, S.maxsim_topk(chunks, q, k=10, block_chunks=1000).collect())
+    ) == collected
+
+
 def test_ann_recall_report_monotone_and_exact_at_full_probe(spark):
     """Recall must be exactly 1e6 ppm when every cluster is probed
     (ANN == exact), non-decreasing in nprobe, and integer-exact."""
