@@ -1195,3 +1195,74 @@ def test_vocab_report_hand_computed(spark):
     assert row["hapax_terms"] == 2
     # top-2 = a(3)+b(2) = 5/7 → 714285 ppm (exact integral div)
     assert row["top_coverage_ppm"] == 5_000_000 // 7
+
+
+def test_authority_weighted_release_end_to_end(spark, tmp_path):
+    """The reason PageRank joined the toolkit: a source-authority
+    prior steering curation, end-to-end.  A planted citation graph
+    ranks three sources (6/2/1 in-links), authority_weights attaches
+    the prior to every doc, per-source token budgets split
+    PROPORTIONALLY to authority, sample_token_budget carves each
+    stratum token-exactly, and release_corpus ships exactly the
+    carved docs — low-authority sources are down-sampled in exact
+    proportion to their rank."""
+    import os
+
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+
+    edges = (
+        [(f, 1) for f in range(10, 16)]   # host 1: 6 citing sources
+        + [(20, 2), (21, 2)]              # host 2: 2
+        + [(30, 3)]                       # host 3: 1
+    )
+    ranks = G.pagerank(
+        spark.createDataFrame(edges, "src long, dst long"), iters=6
+    )
+    def text(d):  # exactly 100 tokens, unique per doc (exact-dedup-safe)
+        return " ".join(f"t{d}x{j}" for j in range(100))
+
+    docs = spark.createDataFrame(
+        [(h * 1000 + i, h, text(h * 1000 + i), 100)
+         for h in (1, 2, 3) for i in range(40)],
+        "doc_id long, host long, text string, n_tokens long",
+    )
+    authed = G.authority_weights(docs, ranks, "host").localCheckpoint()
+    auth = {
+        r["host"]: r["authority_micro"]
+        for r in authed.select("host", "authority_micro").distinct().collect()
+    }
+    assert auth[1] > auth[2] > auth[3] > 0  # prior follows the graph
+    # proportional token budgets from the (tiny) rank table
+    total_budget = 6_000
+    tot = sum(auth.values())
+    budgets = {h: (total_budget * a) // tot for h, a in auth.items()}
+    parts = [
+        curation.sample_token_budget(
+            authed.filter(F.col("host") == h), budgets[h], "n_tokens", "doc_id"
+        )
+        for h in sorted(budgets)
+    ]
+    kept = parts[0]
+    for p in parts[1:]:
+        kept = kept.unionByName(p)
+    kept = kept.localCheckpoint()
+    per = {
+        r["host"]: r["t"]
+        for r in kept.groupBy("host").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # token-EXACT: uniform 100-token docs with spare supply mean each
+    # source keeps exactly floor(budget/100) docs' worth of tokens
+    for h in (1, 2, 3):
+        assert per[h] == (budgets[h] // 100) * 100, (h, budgets[h], per[h])
+    assert per[1] > per[2] > per[3] > 0  # down-sampling follows authority
+    # release: exactly the carved docs land, split-partitioned
+    out = str(tmp_path / "rel")
+    released = curation.release_corpus(
+        kept.select("doc_id", "text"), out,
+        split_weights={"train": 90, "test": 10}, min_quality=None,
+    )
+    got = {r["doc_id"] for r in released.collect()}
+    assert got == {r["doc_id"] for r in kept.collect()}
+    assert any(d.startswith("split=") for d in os.listdir(out))
+    back = spark.read.option("basePath", out).parquet(out)
+    assert back.count() == len(got)
