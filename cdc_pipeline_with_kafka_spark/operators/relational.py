@@ -439,3 +439,116 @@ def interval_overlap_join(
     cond = (F.col(l_s) < F.col(r_e)) & (F.col(r_s) < F.col(l_e))
     first = F.col("_bkt") == F.greatest(bkt(l_s), bkt(r_s))
     return L.join(R, ["_bkt"] + keys).filter(cond & first).drop("_bkt")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style table diff between two snapshot versions: which keys
+    were inserted, deleted, or updated — the reconciliation primitive
+    a CDC pipeline runs to audit its own sink (does the replicated
+    table equal the source snapshot?) or to SYNTHESIZE a change feed
+    when the upstream has no binlog (reference's target-DB sync is
+    row-by-row upsert, targetDB1/SyncService.py; this is the
+    set-oriented batch face of the same contract).
+
+    One full-outer equi-join on the keys; per-column drift is counted
+    with NULL-safe equality (<=>), so NULL→value and value→NULL both
+    count as changes.  Unchanged rows are DROPPED — output is the
+    change feed only: key cols + change ('insert'|'update'|'delete') +
+    n_changed_cols (0 for insert/delete; ≥1 for update).
+
+    100 TB shape: the one shuffle is the key-partitioned outer join —
+    bucket both snapshot tables by the key (bucketing.write_bucketed)
+    and the diff runs join-side-local; column compares are codegen
+    row-local.  `compare_cols` defaults to every shared non-key
+    column (pass a subset to ignore audit/timestamp churn)."""
+    if not key_cols:
+        raise ValueError("need key_cols")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns
+            if c not in key_cols and c in set(old.columns)
+        ]
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_o"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_n"),
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    changed_terms = [
+        F.when(
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), 1
+        ).otherwise(0)
+        for c in compare_cols
+    ]
+    n_changed = changed_terms[0] if changed_terms else F.lit(0)
+    for t in changed_terms[1:]:
+        n_changed = n_changed + t
+    out = j.select(
+        *key_cols,
+        F.when(F.col("_in_o").isNull(), F.lit("insert"))
+        .when(F.col("_in_n").isNull(), F.lit("delete"))
+        .when(n_changed > 0, F.lit("update"))
+        .alias("change"),
+        F.when(
+            F.col("_in_o").isNull() | F.col("_in_n").isNull(), F.lit(0)
+        ).otherwise(n_changed).cast("int").alias("n_changed_cols"),
+    )
+    return out.filter(F.col("change").isNotNull())
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    attr_cols: list[str],
+    op_col: str | None = None,
+    delete_ops: tuple = ("d",),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a CDC change
+    stream: one validity interval per (key, version) —
+    (key cols, attr cols, effective_from, effective_to, is_current) —
+    the warehouse-side shape every "state as of time T" query wants,
+    built from the same Debezium-style ops the streaming tier parses
+    (sources/cdc.py).
+
+    `order_cols` orders a key's changes (include a unique tiebreaker —
+    the CDC offset/event id — or same-timestamp changes make the
+    version sequence nondeterministic).  effective_from = the change's
+    first order col; effective_to = the NEXT change's (half-open,
+    NULL = still current).  A delete op CLOSES the prior version's
+    interval and emits no row of its own, so a deleted key simply has
+    no current version.
+
+    One keyed window (lead over key partitions — never a global sort)
+    + one filter: at 100 TB this is a single shuffle on the key,
+    partition-prunable when the change log is date-partitioned."""
+    if not key_cols or not order_cols or not attr_cols:
+        raise ValueError("need key_cols, order_cols and attr_cols")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    from_col = F.col(order_cols[0])
+    to_col = F.lead(order_cols[0]).over(w)
+    hist = changes.select(
+        *key_cols,
+        *attr_cols,
+        *( [F.col(op_col)] if op_col else [] ),
+        from_col.alias("effective_from"),
+        to_col.alias("effective_to"),
+        *[F.col(c).alias(f"_ord_{i}") for i, c in enumerate(order_cols[1:], 1)],
+    ).drop(*[f"_ord_{i}" for i in range(1, len(order_cols))])
+    if op_col:
+        hist = hist.filter(~F.col(op_col).isin(list(delete_ops))).drop(op_col)
+    return hist.withColumn(
+        "is_current", F.col("effective_to").isNull()
+    )

@@ -486,3 +486,73 @@ def table_profile(
         "min_str",
         "max_str",
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 8,
+    approx: bool = False,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of a numeric column —
+    the distribution view `table_profile`'s min/max can't give:
+    skew, heavy hitters, and percentile mass all show up as uneven
+    bucket WIDTHS when the bucket DEPTHS are pinned equal.  One row
+    per non-empty bucket: (bucket 1..n, lo, hi, n_rows).
+
+    Exact form (default): boundary k is the max of the lowest
+    ⌈k·n/m⌉ values — the engine's exact rank-quantile pattern (no
+    interpolation; boundaries are actual data values, reproducible on
+    any engine), m−1 bounded TakeOrdered jobs + one count.  Rows
+    bucket to the FIRST boundary ≥ value, so ties never straddle a
+    boundary (heavily tied data gives uneven depths — the honest
+    answer; an interpolating histogram would hide the tie mass).
+    NULLs are excluded (profile them with table_profile).
+
+    ``approx=True``: boundaries from one GK approx_percentile
+    aggregate — the 100 TB form (one pass, mergeable sketch) with
+    rank error ≤ the GK accuracy instead of exact."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    c = F.col(col)
+    vals = df.filter(c.isNotNull()).select(c.alias("_v"))
+    n = vals.count()
+    if n == 0:
+        return vals.sparkSession.createDataFrame(
+            [], "bucket int, lo double, hi double, n_rows long"
+        )
+    if approx:
+        qs = [k / n_buckets for k in range(1, n_buckets)]
+        row = vals.agg(
+            F.approx_percentile(
+                F.col("_v").cast("double"),
+                F.array(*[F.lit(q) for q in qs]) if qs else F.array(F.lit(0.5)),
+                F.lit(10_000),
+            ).alias("c")
+        ).first()
+        cuts = [float(x) for x in (row["c"] if qs else [])]
+    else:
+        cuts = []
+        for k in range(1, n_buckets):
+            rank = -(-k * n // n_buckets)  # ceil(k*n/m)
+            cut = (
+                vals.orderBy(F.col("_v").asc())
+                .limit(rank)
+                .agg(F.max("_v").alias("c"))
+                .first()["c"]
+            )
+            cuts.append(float(cut))
+    bucket = F.lit(n_buckets)
+    for k in range(len(cuts), 0, -1):
+        bucket = F.when(
+            F.col("_v").cast("double") <= F.lit(cuts[k - 1]), F.lit(k)
+        ).otherwise(bucket)
+    return (
+        vals.select(bucket.cast("int").alias("bucket"), "_v")
+        .groupBy("bucket")
+        .agg(
+            F.min(F.col("_v").cast("double")).alias("lo"),
+            F.max(F.col("_v").cast("double")).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -549,7 +549,65 @@ def a_stats_suite(spark, sf_dir):
             ),
             v_num=F.col("conv_from_prev_ppm").cast("double"),
         ),
+        # r8 'tdiff': snapshot reconciliation between two planted
+        # versions of the orders table (deletes %5, inserts %7
+        # restored, price bump %3 / status flip %11) — every change
+        # row and its NULL-safe per-column drift count value-checked
+        _a_tdiff_rows(spark, sf_dir),
+        # r8 'scd2': SCD type-2 history from the event change stream —
+        # per-user validity intervals with (ts, event_id) ordering,
+        # 'purchase' treated as the closing (delete) op
+        _a_scd2_rows(spark, sf_dir),
     ])
+
+
+def _a_tdiff_rows(spark, sf_dir):
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    snap_old = ords.filter(k % 7 != 0)
+    snap_new = ords.filter(k % 5 != 0).select(
+        "o_orderkey",
+        F.when(k % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(k % 3 == 0, F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return _suite_rows(
+        relational.snapshot_diff(snap_old, snap_new, ["o_orderkey"]),
+        "tdiff",
+        F.col("o_orderkey"),
+        v_str=F.col("change"),
+        v_num=F.col("n_changed_cols").cast("double"),
+    )
+
+
+def _a_scd2_rows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "event_type", "value",
+    )
+    scd = relational.scd2_history(
+        changes, ["user_id"], ["ts_us", "event_id"], ["value"],
+        op_col="event_type", delete_ops=("purchase",),
+    )
+    return _suite_rows(
+        scd,
+        "scd2",
+        F.concat_ws(
+            "|", F.col("user_id").cast("string"),
+            F.col("effective_from").cast("string"),
+        ),
+        v_str=F.concat_ws(
+            "|",
+            F.coalesce(F.col("effective_to").cast("string"), F.lit("cur")),
+            F.col("is_current").cast("int").cast("string"),
+        ),
+        v_num=F.col("value"),
+    )
 
 
 A_STATS_SUITE_SQL = f"""
@@ -613,6 +671,44 @@ FROM (
          coalesce(lag(n) OVER (ORDER BY step_idx), n) AS prev_n
   FROM fcounts
 ) frows
+UNION ALL
+SELECT 'tdiff', CAST(k AS VARCHAR),
+       CASE WHEN NOT in_o THEN 'insert'
+            WHEN NOT in_n THEN 'delete' ELSE 'update' END,
+       CAST(CASE WHEN in_o AND in_n THEN nch ELSE 0 END AS DOUBLE)
+FROM (
+  WITH told AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0
+  ),
+  tnew AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 0
+  )
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+         o.o_orderkey IS NOT NULL AS in_o,
+         n.o_orderkey IS NOT NULL AS in_n,
+         (CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 1 ELSE 0 END
+          + CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 1 ELSE 0 END) AS nch
+  FROM told o FULL OUTER JOIN tnew n ON o.o_orderkey = n.o_orderkey
+) drows
+WHERE (NOT in_o) OR (NOT in_n) OR nch > 0
+UNION ALL
+SELECT 'scd2',
+       CAST(user_id AS VARCHAR) || '|' || CAST(ts_us AS VARCHAR),
+       coalesce(CAST(eto AS VARCHAR), 'cur') || '|' ||
+       CAST(CASE WHEN eto IS NULL THEN 1 ELSE 0 END AS VARCHAR),
+       CAST(value AS DOUBLE)
+FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+         ) AS eto
+  FROM events
+) srows
+WHERE event_type <> 'purchase'
 """
 
 
@@ -3026,12 +3122,26 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("score_micro").cast("double").alias("v_num"),
     )
+    # 'hist' (r8): exact equi-depth histogram of the length column —
+    # boundaries at exact rank quantiles (actual data values, the
+    # engine's TakeOrdered cut pattern), ties never straddling a
+    # boundary; the distribution view 'prof''s extrema can't give
+    hist = _suite_rows(
+        sketch.equi_depth_histogram(docs, "n_chars", 8),
+        "hist",
+        F.col("bucket"),
+        v_str=F.concat_ws(
+            "|", F.col("lo").cast("string"), F.col("hi").cast("string")
+        ),
+        v_num=F.col("n_rows").cast("double"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
         .unionByName(report).unionByName(src).unionByName(bloom)
         .unionByName(schunk).unionByName(packb).unionByName(vocab)
         .unionByName(prof).unionByName(rank).unionByName(rankw)
+        .unionByName(hist)
     )
 
 
@@ -3103,6 +3213,34 @@ FROM (
                  max(source), CAST(max(n_chars) AS VARCHAR)]) AS max_str
   FROM documents
 ) profrows
+UNION ALL
+SELECT 'hist', CAST(bucket AS VARCHAR),
+       CAST(lo AS VARCHAR) || '|' || CAST(hi AS VARCHAR),
+       CAST(n_rows AS DOUBLE)
+FROM (
+  WITH hvals AS (
+    SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL
+  ),
+  hrnk AS (
+    SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+    FROM hvals
+  ),
+  -- exact rank cuts: cut_k = max of the lowest ceil(k*n/8) values —
+  -- the same TakeOrdered formula the Spark operator uses
+  hcuts AS (
+    SELECT t.k, max(r.v) AS cut
+    FROM hrnk r JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) t(k)
+      ON r.rn <= (t.k * r.n + 7) // 8
+    GROUP BY t.k
+  ),
+  hbucketed AS (
+    SELECT v,
+           coalesce((SELECT min(k) FROM hcuts WHERE hvals.v <= cut), 8) AS bucket
+    FROM hvals
+  )
+  SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n_rows
+  FROM hbucketed GROUP BY bucket
+) histrows
 """
     )
 

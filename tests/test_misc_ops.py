@@ -290,3 +290,63 @@ def test_interval_overlap_join_matches_naive_exactly_once(spark):
         relational.interval_overlap_join(
             a, a, ("a_s", "a_e"), ("a_s", "a_e"), 4
         )
+
+
+def test_snapshot_diff_insert_update_delete(spark):
+    """Set-oriented CDC reconciliation: inserts/deletes by key
+    presence, updates by NULL-safe column drift (NULL->value and
+    value->NULL both count), unchanged rows dropped."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (3, "c", 30), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    out = {
+        r["k"]: r
+        for r in relational.snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert out[2]["change"] == "update" and out[2]["n_changed_cols"] == 2
+    assert out[3]["change"] == "update" and out[3]["n_changed_cols"] == 1  # NULL->30
+    assert out[4]["change"] == "delete" and out[4]["n_changed_cols"] == 0
+    assert out[5]["change"] == "insert" and out[5]["n_changed_cols"] == 0
+    assert 1 not in out  # unchanged row dropped
+    # compare_cols subset: ignoring v, key 3 is unchanged
+    sub = {
+        r["k"]: r["change"]
+        for r in relational.snapshot_diff(old, new, ["k"], ["s"]).collect()
+    }
+    assert 3 not in sub and sub[2] == "update"
+
+
+def test_scd2_history_intervals_and_deletes(spark):
+    """Type-2 history: half-open validity intervals per key version,
+    NULL effective_to marks current, a delete closes the prior version
+    without emitting a row, tiebreak column orders same-ts changes."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    changes = spark.createDataFrame(
+        [
+            (1, 10, 0, "c", "v1"), (1, 20, 1, "u", "v2"), (1, 30, 2, "u", "v3"),
+            (2, 10, 3, "c", "x1"), (2, 25, 4, "d", None),
+            (3, 10, 5, "c", "y1"), (3, 10, 6, "u", "y2"),  # same ts, offset tiebreak
+        ],
+        "k long, ts long, off long, op string, val string",
+    )
+    rows = relational.scd2_history(
+        changes, ["k"], ["ts", "off"], ["val"], op_col="op"
+    ).collect()
+    by = {(r["k"], r["val"]): r for r in rows}
+    assert by[(1, "v1")]["effective_from"] == 10
+    assert by[(1, "v1")]["effective_to"] == 20
+    assert by[(1, "v3")]["effective_to"] is None and by[(1, "v3")]["is_current"]
+    # deleted key: the delete row closed x1 and emitted nothing
+    assert by[(2, "x1")]["effective_to"] == 25
+    assert not any(r["k"] == 2 and r["is_current"] for r in rows)
+    # same-ts versions ordered by the offset tiebreak
+    assert by[(3, "y1")]["effective_to"] == 10 and by[(3, "y2")]["is_current"]
+    assert len(rows) == 6  # the delete itself emitted no interval

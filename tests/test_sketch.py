@@ -227,3 +227,34 @@ def test_profile_sink_batches_and_replay(spark, tmp_path):
     assert rows[(0, "s")]["n_nulls"] == 1 and rows[(0, "k")]["n_nulls"] == 0
     assert rows[(1, "k")]["n_nulls"] == 1
     assert len(rows) == 4  # 2 batches x 2 columns, replay didn't double
+
+
+def test_equi_depth_histogram_exact_and_approx(spark):
+    """Exact form: boundaries at exact rank quantiles (actual data
+    values), depths equal on tie-free data, ties never straddle a
+    boundary; approx form runs the GK path with sane buckets."""
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    df = spark.createDataFrame([(i,) for i in range(1, 17)], "v long")
+    out = {r["bucket"]: r for r in sketch.equi_depth_histogram(df, "v", 4).collect()}
+    assert [out[b]["n_rows"] for b in (1, 2, 3, 4)] == [4, 4, 4, 4]
+    assert (out[1]["lo"], out[1]["hi"]) == (1.0, 4.0)
+    assert (out[4]["lo"], out[4]["hi"]) == (13.0, 16.0)
+    # heavy ties: all copies of a value land in ONE bucket
+    tied = spark.createDataFrame([(5,)] * 10 + [(1,), (9,)], "v long")
+    t = {r["bucket"]: r for r in sketch.equi_depth_histogram(tied, "v", 3).collect()}
+    tie_buckets = [b for b, r in t.items() if r["lo"] <= 5.0 <= r["hi"]]
+    assert len(tie_buckets) == 1 and t[tie_buckets[0]]["n_rows"] >= 10
+    assert sum(r["n_rows"] for r in t.values()) == 12
+    # NULLs excluded; empty input -> empty frame with the schema
+    withnull = spark.createDataFrame([(1,), (None,)], "v long")
+    assert sum(
+        r["n_rows"] for r in sketch.equi_depth_histogram(withnull, "v", 2).collect()
+    ) == 1
+    empty = sketch.equi_depth_histogram(withnull.filter("v IS NULL AND v IS NOT NULL"), "v", 2)
+    assert empty.count() == 0 and empty.columns == ["bucket", "lo", "hi", "n_rows"]
+    # approx path: buckets cover the domain, counts total n
+    big = spark.range(1, 1001).select(F.col("id").alias("v"))
+    a = sketch.equi_depth_histogram(big, "v", 8, approx=True).collect()
+    assert sum(r["n_rows"] for r in a) == 1000
+    assert abs(max(r["n_rows"] for r in a) - 125) <= 30
