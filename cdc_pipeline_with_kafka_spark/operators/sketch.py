@@ -556,3 +556,44 @@ def equi_depth_histogram(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def bloom_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    how: str = "inner",
+    num_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Selective equi-join with a bloom pre-filter: when most big-side
+    rows have NO match (retrieval decontamination, link resolution,
+    dimension membership at low hit rate), the dominant cost of
+    ``big ⋈ small`` is shuffling the misses.  Build a bloom filter of
+    the small side's keys (`bloom_build` — the shuffle is bounded by
+    the FILTER size), densify it once on the driver (num_bits/8
+    bytes), and probe the big side in a PURE MAP STAGE
+    (`bloom_probe_bytes`) so only possible-match rows (+ the ≈1% FP
+    tail) reach the join's exchange.
+
+    RESULT-IDENTICAL to the plain join (asserted in tests): blooms
+    have no false negatives, and false positives are re-checked by
+    the exact join.  `how` ∈ {inner, left_semi, semi} only — outer
+    flavors need the pruned rows back.  NULL big-side keys prune
+    (NULL never equi-joins anyway).
+
+    This is the explicit form of what AQE's runtime-bloom rewrite
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does for some
+    shapes — explicit so it applies across stages AQE can't see
+    (e.g. a filter persisted once and reused by many later jobs via
+    bloom_to_bytes/bloom_merge)."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(f"how must be inner|left_semi|semi, got {how!r}")
+    bloom = bloom_build(small.select(key_col), key_col, num_bits, k)
+    blob = bloom_to_bytes(bloom, num_bits)
+    pruned = (
+        bloom_probe_bytes(big, key_col, blob, num_bits, k)
+        .filter(F.col("might_contain"))
+        .drop("might_contain")
+    )
+    return pruned.join(small, key_col, how)

@@ -388,3 +388,71 @@ def test_q5_star_join_dims_broadcast_and_oracle(spark):
     con = duckdb_con(SF_CORRECT)
     ok, msg = compare(df, con, q.Q5_SQL)
     assert ok, msg
+
+
+def test_snapshot_diff_plans_equi_outer_join(spark):
+    """The diff is one key-partitioned FULL OUTER equi-join — never a
+    nested loop — and the column compares stay row-local (no extra
+    exchange beyond the join's two sides)."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    ords = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = relational.snapshot_diff(
+        ords.filter(F.col("o_orderkey") % 7 != 0),
+        ords.filter(F.col("o_orderkey") % 5 != 0),
+        ["o_orderkey"],
+    )
+    plan = plans.formatted_plan(d)
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    # one exchange per join side (formatted plans print each node
+    # twice: tree + detail section)
+    assert plans.exchange_count(d) <= 4
+
+
+def test_scd2_history_single_keyed_shuffle(spark):
+    """The lead window partitions by the key — exactly one exchange,
+    never a single-partition global window."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    h = relational.scd2_history(
+        ev.selectExpr("user_id", "event_id", "CAST(event_id AS LONG) AS ts_us",
+                      "event_type", "value"),
+        ["user_id"], ["ts_us", "event_id"], ["value"],
+        op_col="event_type", delete_ops=("purchase",),
+    )
+    plan = plans.formatted_plan(h)
+    # one exchange, printed twice (tree + detail section)
+    assert plans.exchange_count(h) == 2
+    assert "SinglePartition" not in plan
+
+
+def test_bloom_pruned_join_prunes_before_exchange(spark):
+    """The bloom probe (a pure map stage) sits BELOW the join's
+    exchange, so only possible-match rows are shuffled; the join
+    itself is an equi-join, never a nested loop."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    big = spark.read.parquet(f"{SF_CORRECT}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    small = spark.range(5).select((F.col("id") * 997).alias("event_id"))
+    j = sketch.bloom_pruned_join(big, small, "event_id")
+    plan = plans.formatted_plan(j)
+    assert "MapInPandas" in plan        # the probe is a pure map stage
+    assert "might_contain" in plan      # ...and its filter survives
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan               # exact equi-join re-checks FPs
+    # the probe subtree feeds the join's streamed side: in the
+    # root-first tree the MapInPandas line sits under the join node
+    tree = plan.split("\n\n")[0].splitlines()
+    join_line = next(i for i, l in enumerate(tree) if "Join" in l)
+    probe_line = next(i for i, l in enumerate(tree) if "MapInPandas" in l)
+    assert probe_line > join_line

@@ -258,3 +258,29 @@ def test_equi_depth_histogram_exact_and_approx(spark):
     a = sketch.equi_depth_histogram(big, "v", 8, approx=True).collect()
     assert sum(r["n_rows"] for r in a) == 1000
     assert abs(max(r["n_rows"] for r in a) - 125) <= 30
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    """Result-identical to the plain join at low hit rates (no false
+    negatives; FPs re-checked by the exact join); NULL keys prune;
+    semi flavor works; outer flavors rejected."""
+    import pytest
+
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    big = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(2000)] + [(None, "nullkey")],
+        "key long, payload string",
+    )
+    small = spark.createDataFrame(
+        [(i * 97, f"d{i}") for i in range(10)], "key long, dim string"
+    )
+    got = sorted(
+        map(tuple, sketch.bloom_pruned_join(big, small, "key").collect())
+    )
+    want = sorted(map(tuple, big.join(small, "key").collect()))
+    assert got == want and len(want) > 0
+    semi = sketch.bloom_pruned_join(big, small, "key", how="left_semi")
+    assert semi.count() == big.join(small, "key", "left_semi").count()
+    with pytest.raises(ValueError, match="inner|left_semi"):
+        sketch.bloom_pruned_join(big, small, "key", how="left")
