@@ -446,6 +446,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    include_values: bool = False,
 ) -> DataFrame:
     """CDC-style table diff between two snapshot versions: which keys
     were inserted, deleted, or updated — the reconciliation primitive
@@ -465,7 +466,14 @@ def snapshot_diff(
     bucket both snapshot tables by the key (bucketing.write_bucketed)
     and the diff runs join-side-local; column compares are codegen
     row-local.  `compare_cols` defaults to every shared non-key
-    column (pass a subset to ignore audit/timestamp churn)."""
+    column (pass a subset to ignore audit/timestamp churn).
+
+    ``include_values=True`` additionally carries the NEW-side value of
+    every compare column (NULL on deletes), making the diff an
+    APPLICABLE PATCH: delete the 'delete' keys from old, upsert the
+    'insert'/'update' rows, and you reconstruct new exactly — the
+    round-trip property held in tests.  That is the change feed a
+    downstream merge_upsert sink replays."""
     if not key_cols:
         raise ValueError("need key_cols")
     if compare_cols is None:
@@ -502,6 +510,10 @@ def snapshot_diff(
         F.when(
             F.col("_in_o").isNull() | F.col("_in_n").isNull(), F.lit(0)
         ).otherwise(n_changed).cast("int").alias("n_changed_cols"),
+        *(
+            [F.col(f"_n_{c}").alias(c) for c in compare_cols]
+            if include_values else []
+        ),
     )
     return out.filter(F.col("change").isNotNull())
 

@@ -350,3 +350,29 @@ def test_scd2_history_intervals_and_deletes(spark):
     # same-ts versions ordered by the offset tiebreak
     assert by[(3, "y1")]["effective_to"] == 10 and by[(3, "y2")]["is_current"]
     assert len(rows) == 6  # the delete itself emitted no interval
+
+
+def test_snapshot_diff_patch_round_trip(spark):
+    """include_values=True makes the diff an applicable patch: delete
+    the 'delete' keys, upsert the insert/update rows, reconstruct the
+    new snapshot EXACTLY — on a randomized version pair."""
+    import numpy as np
+
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    rng = np.random.default_rng(61)
+    old_rows = [(int(k), f"s{rng.integers(0, 5)}", float(rng.integers(0, 50)))
+                for k in range(200) if k % 9 != 0]
+    new_rows = [(int(k), f"s{rng.integers(0, 5)}", float(rng.integers(0, 50)))
+                for k in range(210) if k % 6 != 0]
+    old = spark.createDataFrame(old_rows, "k long, s string, v double")
+    new = spark.createDataFrame(new_rows, "k long, s string, v double")
+    patch = relational.snapshot_diff(old, new, ["k"], include_values=True)
+    rows = patch.collect()
+    deletes = {r["k"] for r in rows if r["change"] == "delete"}
+    upserts = {r["k"]: (r["s"], r["v"]) for r in rows if r["change"] != "delete"}
+    state = {k: (s, v) for k, s, v in old_rows if k not in deletes}
+    state.update(upserts)
+    assert state == {k: (s, v) for k, s, v in new_rows}
+    # diff(x, x) is empty — the fixed-point property
+    assert relational.snapshot_diff(new, new, ["k"]).count() == 0
