@@ -564,3 +564,47 @@ def scd2_history(
     return hist.withColumn(
         "is_current", F.col("effective_to").isNull()
     )
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Pre-flight skew diagnosis for an equi-join — the report you run
+    BEFORE a 100 TB join melts one reducer: per join key the left/right
+    multiplicities and the output-row product, top-k by product.  A key
+    whose product dominates the total is the one to salt
+    (`util.salted_join`) or to route through the skew-join AQE path.
+
+    Output: (key_col, l_cnt, r_cnt, out_rows, share_ppm) — share_ppm
+    is the key's exact integer share of the TOTAL join output, so
+    "one key is 40% of the join" reads directly off the report.
+
+    Shape: one partial-aggregated groupBy per side (key-cardinality
+    shuffles), an inner join of the two (small) count tables, and a
+    TakeOrdered top-k.  For open-vocabulary keys where even the count
+    tables are huge, feed each side through `sketch.heavy_hitters`
+    first and diff the candidate sets instead."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lc = left.groupBy(key_col).agg(F.count(F.lit(1)).alias("l_cnt"))
+    rc = right.groupBy(key_col).agg(F.count(F.lit(1)).alias("r_cnt"))
+    prod = lc.join(rc, key_col).select(
+        key_col, "l_cnt", "r_cnt",
+        (F.col("l_cnt") * F.col("r_cnt")).cast("long").alias("out_rows"),
+    )
+    total = prod.agg(F.coalesce(F.sum("out_rows"), F.lit(0)).alias("_tot"))
+    return (
+        prod.crossJoin(F.broadcast(total))
+        .select(
+            key_col, "l_cnt", "r_cnt", "out_rows",
+            F.when(
+                F.col("_tot") > 0,
+                F.expr("CAST(out_rows * 1000000 div _tot AS BIGINT)"),
+            ).otherwise(F.lit(0)).cast("long").alias("share_ppm"),
+        )
+        .orderBy(F.col("out_rows").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

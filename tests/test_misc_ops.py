@@ -376,3 +376,24 @@ def test_snapshot_diff_patch_round_trip(spark):
     assert state == {k: (s, v) for k, s, v in new_rows}
     # diff(x, x) is empty — the fixed-point property
     assert relational.snapshot_diff(new, new, ["k"]).count() == 0
+
+
+def test_join_skew_report_products_and_share(spark):
+    """Per-key multiplicity products, exact integer output share, and
+    the TakeOrdered top-k plan (never a global sort)."""
+    from cdc_pipeline_with_kafka_spark import plans
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    left = spark.createDataFrame(
+        [(1,)] * 6 + [(2,)] * 2 + [(3,)] * 1, "k long"
+    )
+    right = spark.createDataFrame([(1,)] * 5 + [(2,)] * 3, "k long")
+    out = {r["k"]: r for r in relational.join_skew_report(left, right, "k").collect()}
+    assert 3 not in out  # inner: no right rows -> no output rows
+    assert (out[1]["l_cnt"], out[1]["r_cnt"], out[1]["out_rows"]) == (6, 5, 30)
+    assert out[2]["out_rows"] == 6
+    assert out[1]["share_ppm"] == (30 * 1_000_000) // 36
+    assert out[2]["share_ppm"] == (6 * 1_000_000) // 36
+    # the real join's output rows equal the report's products
+    assert left.join(right, "k").count() == 36
+    assert plans.has_take_ordered(relational.join_skew_report(left, right, "k"))
