@@ -558,6 +558,11 @@ def a_stats_suite(spark, sf_dir):
         # per-user validity intervals with (ts, event_id) ordering,
         # 'purchase' treated as the closing (delete) op
         _a_scd2_rows(spark, sf_dir),
+        # r8 'skew': join-skew pre-flight report — per-key
+        # multiplicity products for a view×click self-join of the
+        # event stream, exact integer output-share ppm (the report
+        # you run BEFORE a 100 TB join melts one reducer)
+        _a_skew_rows(spark, sf_dir),
     ])
 
 
@@ -607,6 +612,24 @@ def _a_scd2_rows(spark, sf_dir):
             F.col("is_current").cast("int").cast("string"),
         ),
         v_num=F.col("value"),
+    )
+
+
+def _a_skew_rows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    rep = relational.join_skew_report(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        "user_id", k=20,
+    )
+    return _suite_rows(
+        rep, "skew", F.col("user_id").cast("string"),
+        v_str=F.concat_ws(
+            "|", F.col("l_cnt").cast("string"),
+            F.col("r_cnt").cast("string"),
+            F.col("out_rows").cast("string"),
+        ),
+        v_num=F.col("share_ppm").cast("double"),
     )
 
 
@@ -709,6 +732,26 @@ FROM (
   FROM events
 ) srows
 WHERE event_type <> 'purchase'
+UNION ALL
+SELECT 'skew', CAST(user_id AS VARCHAR),
+       CAST(l_cnt AS VARCHAR) || '|' || CAST(r_cnt AS VARCHAR) ||
+       '|' || CAST(out_rows AS VARCHAR),
+       CAST((out_rows * 1000000) // tot AS DOUBLE)
+FROM (
+  SELECT user_id, l_cnt, r_cnt, out_rows, tot
+  FROM (
+    SELECT l.user_id AS user_id, l.l_cnt, r.r_cnt,
+           l.l_cnt * r.r_cnt AS out_rows,
+           sum(l.l_cnt * r.r_cnt) OVER () AS tot
+    FROM (SELECT user_id, count(*) AS l_cnt FROM events
+          WHERE event_type = 'view' GROUP BY 1) l
+    JOIN (SELECT user_id, count(*) AS r_cnt FROM events
+          WHERE event_type = 'click' GROUP BY 1) r
+    ON l.user_id = r.user_id
+  ) p
+  ORDER BY out_rows DESC, user_id ASC
+  LIMIT 20
+) skrows
 """
 
 
