@@ -259,3 +259,103 @@ def authority_weights(
             "long"
         ),
     )
+
+
+def triangle_census(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the undirected simple graph induced by `edges` — the standard
+    graph-quality signal beside centrality (pagerank) and
+    reachability (connected components): a crawl source whose link
+    neighborhood never closes triangles is a link farm; one whose
+    neighborhood is a clique is a community.
+
+    Output: (node, deg, n_tri, lcc_ppm) — `deg` is the node's degree
+    in the simple graph (self-loops dropped, duplicates and reversed
+    duplicates collapsed), `n_tri` the number of distinct triangles
+    through the node, and `lcc_ppm` the Watts–Strogatz local
+    clustering coefficient as exact integer ppm:
+    ``2·n_tri·1e6 div (deg·(deg−1))`` (0 when deg < 2).  The global
+    triangle count is ``sum(n_tri) / 3``; isolated nodes (no edges)
+    do not appear.  Every value is exact long arithmetic — the gate
+    replays it as plain SQL self-joins.
+
+    Shape (Suri & Vassilvitskii 2011, "the curse of the last
+    reducer"): each edge is ORIENTED from its (degree, id)-smaller
+    endpoint to the larger, so every apex's out-degree is O(√m) even
+    on power-law graphs — the wedge self-join's per-key fan-out is
+    bounded and no single reducer inherits the star of a celebrity
+    node.  Cost: two node-keyed shuffles (degrees, per-node counts),
+    one apex-keyed wedge self-join, and one pair-keyed LEFT SEMI
+    closure join against the canonical edge set.  No driver traffic,
+    nothing quadratic in the neighborhood of a high-degree node."""
+    a = F.least(F.col(src_col), F.col(dst_col))
+    b = F.greatest(F.col(src_col), F.col(dst_col))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lo_first, F.col("deg_b"))
+            .otherwise(F.col("deg_a"))
+            .alias("deg_v"),
+        )
+    )
+    # wedges at apex u: each unordered {v1, v2} exactly once via the
+    # same (deg, id) total order that oriented the edges
+    o1 = oriented.select(
+        "u", F.col("v").alias("v1"), F.col("deg_v").alias("d1")
+    )
+    o2 = oriented.select(
+        "u", F.col("v").alias("v2"), F.col("deg_v").alias("d2")
+    )
+    wedges = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tri = wedges.select(
+        "u", "v1", "v2",
+        F.least("v1", "v2").alias("a"),
+        F.greatest("v1", "v2").alias("b"),
+    ).join(e, ["a", "b"], "left_semi")
+    tc = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return deg.join(tc, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        F.when(
+            F.col("deg") >= 2,
+            F.expr(
+                "2 * coalesce(n_tri, 0) * 1000000"
+                " div (deg * (deg - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lcc_ppm"),
+    )

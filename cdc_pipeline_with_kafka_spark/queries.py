@@ -3165,6 +3165,18 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("score_micro").cast("double").alias("v_num"),
     )
+    # 'tri' (r8): triangle census over the same trade graph —
+    # degree-ordered wedge enumeration (Suri & Vassilvitskii 2011),
+    # per-node triangle counts + exact-ppm local clustering
+    # coefficient, replayed by plain SQL self-joins
+    tri = graph_ops.triangle_census(edges).select(
+        F.lit("tri").alias("suite_case"),
+        F.col("node").cast("string").alias("k"),
+        F.concat_ws(
+            "|", F.col("deg").cast("string"), F.col("n_tri").cast("string")
+        ).alias("v_str"),
+        F.col("lcc_ppm").cast("double").alias("v_num"),
+    )
     # 'hist' (r8): exact equi-depth histogram of the length column —
     # boundaries at exact rank quantiles (actual data values, the
     # engine's TakeOrdered cut pattern), ties never straddling a
@@ -3184,7 +3196,7 @@ def curation_suite(spark, sf_dir):
         .unionByName(report).unionByName(src).unionByName(bloom)
         .unionByName(schunk).unionByName(packb).unionByName(vocab)
         .unionByName(prof).unionByName(rank).unionByName(rankw)
-        .unionByName(hist)
+        .unionByName(tri).unionByName(hist)
     )
 
 
@@ -3256,6 +3268,47 @@ FROM (
                  max(source), CAST(max(n_chars) AS VARCHAR)]) AS max_str
   FROM documents
 ) profrows
+UNION ALL
+SELECT 'tri', CAST(node AS VARCHAR),
+       CAST(deg AS VARCHAR) || '|' || CAST(n_tri AS VARCHAR),
+       CAST(lcc_ppm AS DOUBLE)
+FROM (
+  WITH traw AS (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  ),
+  te AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM traw WHERE src <> dst
+  ),
+  tdeg AS (
+    SELECT node, count(*) AS deg FROM (
+      SELECT a AS node FROM te UNION ALL SELECT b FROM te
+    ) nrows GROUP BY node
+  ),
+  ttri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM te e1
+    JOIN te e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN te e3 ON e3.a = e1.b AND e3.b = e2.b
+  ),
+  tcnt AS (
+    SELECT node, count(*) AS n_tri FROM (
+      SELECT x AS node FROM ttri
+      UNION ALL SELECT y FROM ttri
+      UNION ALL SELECT z FROM ttri
+    ) trows GROUP BY node
+  )
+  SELECT d.node, d.deg, coalesce(t.n_tri, 0) AS n_tri,
+         CASE WHEN d.deg >= 2
+              THEN (2 * coalesce(t.n_tri, 0) * 1000000)
+                   // (d.deg * (d.deg - 1))
+              ELSE 0 END AS lcc_ppm
+  FROM tdeg d LEFT JOIN tcnt t USING (node)
+) trirows
 UNION ALL
 SELECT 'hist', CAST(bucket AS VARCHAR),
        CAST(lo AS VARCHAR) || '|' || CAST(hi AS VARCHAR),

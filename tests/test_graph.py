@@ -369,3 +369,39 @@ def test_compact_component_labels_bounds_history(spark, tmp_path):
         for r in pipeline.read_component_labels(spark, path).collect()
     }
     assert after == before == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_triangle_census_k4_pendant_and_messy_input(spark):
+    """K4 + pendant: every K4 node sits on 3 of the 4 triangles with
+    lcc exactly 1.0 (ppm 1e6); the bridge node's lcc accounts for the
+    open wedges to the pendant; duplicate, reversed, and self-loop
+    edges collapse into the simple graph first."""
+    from cdc_pipeline_with_kafka_spark.operators import graph
+
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    messy = k4 + [(2, 1), (3, 1), (1, 1)] + [(4, 5)] + [(5, 4)]
+    edges = spark.createDataFrame(messy, "src long, dst long")
+    out = {r["node"]: r for r in graph.triangle_census(edges).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5}
+    for n in (1, 2, 3):
+        assert (out[n]["deg"], out[n]["n_tri"], out[n]["lcc_ppm"]) == (3, 3, 1_000_000)
+    # node 4 also touches the pendant: deg 4, still 3 triangles,
+    # lcc = 2*3/(4*3) = 0.5
+    assert (out[4]["deg"], out[4]["n_tri"], out[4]["lcc_ppm"]) == (4, 3, 500_000)
+    assert (out[5]["deg"], out[5]["n_tri"], out[5]["lcc_ppm"]) == (1, 0, 0)
+    # global count: sum(n_tri) = 3 * number of triangles
+    assert sum(r["n_tri"] for r in out.values()) == 3 * 4
+
+
+def test_triangle_census_triangle_free_and_empty(spark):
+    from cdc_pipeline_with_kafka_spark.operators import graph
+
+    # bipartite (star) graph: plenty of wedges, zero triangles
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    rows = graph.triangle_census(star).collect()
+    assert all(r["n_tri"] == 0 and r["lcc_ppm"] == 0 for r in rows)
+    assert {r["node"]: r["deg"] for r in rows}[0] == 5
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.triangle_census(empty).count() == 0
