@@ -142,6 +142,122 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """AllPairs prefix-filtered EXACT Jaccard join (Bayardo, Ma &
+    Srikant, WWW 2007; prefix filter per Chaudhuri, Ganti & Kaushik
+    2006) — the SAME result rows as `ngram_jaccard_pairs` (word-n-gram
+    Jaccard ≥ threshold, identical (id_a, id_b, jaccard) schema and
+    values; the driver gate replays both against one brute-force
+    oracle), via a candidate set that shrinks with the threshold
+    instead of paying every shared-gram posting:
+
+    1. order every doc's gram set by GLOBAL rarity — document
+       frequency asc, gram asc: one total order shared by all docs;
+    2. index only each doc's PREFIX, its |x| − ⌈t·|x|⌉ + 1 rarest
+       grams.  Lossless by the prefix lemma: J(x,y) ≥ t forces
+       |x∩y| ≥ t·|x∪y| ≥ max(⌈t|x|⌉, ⌈t|y|⌉), and two sets sharing
+       that many elements share their FIRST common gram (in the
+       global order) at position ≤ |x|−⌈t|x|⌉+1 in x and
+       ≤ |y|−⌈t|y|⌉+1 in y — inside both prefixes;
+    3. pair docs inside each prefix-gram posting list (upper-triangle
+       posexplode), size-filtered (min·1e6 ≥ t·max, since
+       J ≤ min/max) and deduped on the pair key;
+    4. verify each candidate EXACTLY — array_intersect over the full
+       gram sets, round(|∩| / (|a|+|b|−|∩|), 6) ≥ t.
+
+    vs `ngram_jaccard_pairs`: the sibling aggregates EVERY shared-gram
+    occurrence (cost Σ|posting|² over ALL grams — right at low
+    thresholds or dense pair sets); this one touches only prefix
+    postings.  At t = 0.8 a 100-gram doc indexes 21 grams, and stop
+    phrases almost never land in a prefix (most frequent ⇒ LAST in
+    the rarity order), so the hot-posting skew class the sibling caps
+    with `max_gram_df` is pruned here by construction — with no
+    recall loss.  Cost: one gram-keyed shuffle (document
+    frequencies), one id-keyed sort-collect, one prefix-posting
+    expansion, and a candidates-sized verify join against the
+    (id → gram set) table; the ordered gram sets are pinned once
+    (lazy localCheckpoint) so the posting and verify branches don't
+    re-run the collect."""
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    tp = int(round(threshold * 1_000_000))
+    doc_sets = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(token_ngrams(F.col(text_col), n))).alias("gs"),
+        )
+        .select("id", F.size("gs").alias("sz"), F.explode("gs").alias("gram"))
+    )
+    gdf = doc_sets.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    ranked = (
+        doc_sets.join(gdf, "gram")
+        .groupBy("id", "sz")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("gdf", "gram"))).alias(
+                "ordered"
+            )
+        )
+    )
+    # ceil(t·sz) in exact ppm integers; prefix = sz − ceil(t·sz) + 1
+    # (≥ 1 whenever sz ≥ 1 since t ≤ 1)
+    with_prefix = ranked.select(
+        "id",
+        "sz",
+        F.expr("transform(ordered, x -> x.gram)").alias("toks"),
+        F.expr(
+            "transform(slice(ordered, 1, greatest(CAST(sz - "
+            f"((CAST({tp} AS BIGINT) * sz + 999999) div 1000000)"
+            " + 1 AS INT), 0)), x -> x.gram)"
+        ).alias("pref"),
+    ).localCheckpoint(eager=False)
+    plist = (
+        with_prefix.select("id", "sz", F.explode("pref").alias("gram"))
+        .groupBy("gram")
+        .agg(F.collect_list(F.struct("id", "sz")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = plist.selectExpr("ms", "posexplode(ms) AS (p, m1)").selectExpr(
+        "m1", "explode(slice(ms, p + 2, size(ms))) AS m2"
+    )
+    cand = (
+        pairs.filter(
+            F.expr(
+                "CAST(least(m1.sz, m2.sz) AS BIGINT) * 1000000 >= "
+                f"CAST({tp} AS BIGINT) * greatest(m1.sz, m2.sz)"
+            )
+        )
+        .selectExpr(
+            "least(m1.id, m2.id) AS id_a", "greatest(m1.id, m2.id) AS id_b"
+        )
+        .distinct()
+    )
+    a = with_prefix.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a")
+    )
+    b = with_prefix.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "round(inter / (size(toks_a) + size(toks_b) - inter), 6)"
+            " AS jaccard",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # Mersenne prime 2^31-1: affine rehash domain.  a*h+b stays < 2^62, no
 # 64-bit overflow.
 _MINHASH_P = (1 << 31) - 1

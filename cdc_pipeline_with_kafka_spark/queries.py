@@ -5697,7 +5697,17 @@ def dedup_minhash_suite(spark, sf_dir):
         F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
         v_num=F.col("est_jaccard"),
     )
-    return _union_all([uni, tri, ed, inc])
+    # 'apj' (r8): AllPairs prefix-filtered EXACT Jaccard join — must
+    # equal the brute-force trigram-Jaccard oracle row for row, so a
+    # green gate IS the prefix-pruning-is-lossless theorem at driver
+    # level (same oracle as the dedup_ngram_jaccard3 gate)
+    apj = _suite_rows(
+        dedup.prefix_jaccard_pairs(docs, threshold=0.8, n=3),
+        "apj",
+        F.concat_ws("|", F.col("id_a").cast("string"), F.col("id_b").cast("string")),
+        v_num=F.col("jaccard"),
+    )
+    return _union_all([uni, tri, ed, inc, apj])
 
 
 def _dedup_minhash_suite_sql() -> str:
@@ -5733,6 +5743,11 @@ SELECT 'inc', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
        '', CAST(est_jaccard AS DOUBLE)
 FROM ({_minhash_oracle_sql(shingle_n=3)}) s4
 WHERE id_b >= (SELECT count(*) // 2 FROM documents)
+UNION ALL
+-- prefix-filtered AllPairs join ≡ brute-force exact trigram Jaccard
+SELECT 'apj', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
+       '', CAST(jaccard AS DOUBLE)
+FROM ({DEDUP_JACCARD3_SQL}) s5
 """
 
 

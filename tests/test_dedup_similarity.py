@@ -924,3 +924,46 @@ def test_embedding_drift_zero_on_same_corpus_grows_with_shift(spark):
     mild = assigned.filter(F.col("centroid_id") >= 1)
     m2 = S.embedding_drift(assigned, mild, 8).first()
     assert moved["psi_micro"] > m2["psi_micro"] > 0
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_prefix_jaccard_equals_full_inverted_index(spark):
+    """The AllPairs prefix filter is LOSSLESS: identical result rows
+    (ids and exact jaccard values) as ngram_jaccard_pairs on a corpus
+    with a hot stop phrase, near-dups straddling the threshold, exact
+    dups, and sub-n-token docs."""
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    stop = "breaking news update tonight from the capital desk"
+    rows = [
+        (1, f"{stop} parliament passed the annual budget with narrow margin votes"),
+        (2, f"{stop} parliament passed the annual budget with narrow margin tally"),
+        (3, f"{stop} storms flooded the coastal towns overnight cutting power lines"),
+        (4, f"{stop} storms flooded the coastal towns overnight cutting power lines"),
+        (5, f"{stop} completely unrelated cooking segment about sourdough starters"),
+        (6, "tiny doc"),
+        (7, ""),
+        (8, f"{stop} parliament passed the annual budget with narrow margin votes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8, 1.0):
+        full = dedup.ngram_jaccard_pairs(docs, threshold=t, n=3)
+        pref = dedup.prefix_jaccard_pairs(docs, threshold=t, n=3)
+        assert _pair_set(pref) == _pair_set(full), f"threshold={t}"
+    # sanity: the exact-dup pairs are present at t=1.0
+    exact = _pair_set(dedup.prefix_jaccard_pairs(docs, threshold=1.0, n=3))
+    assert {(1, 8), (3, 4)} == {(a, b) for a, b, _ in exact}
+
+
+def test_prefix_jaccard_threshold_validation(spark):
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        dedup.prefix_jaccard_pairs(docs, threshold=0.0)
+    with _pytest.raises(ValueError):
+        dedup.prefix_jaccard_pairs(docs, threshold=1.5)
