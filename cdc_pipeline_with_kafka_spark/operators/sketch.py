@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 
 def _local_topm(key_col: str, m: int):
@@ -597,3 +598,72 @@ def bloom_pruned_join(
         .drop("might_contain")
     )
     return pruned.join(small, key_col, how)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k_milli: int = 3500,
+) -> DataFrame:
+    """Robust per-group outlier detection by median absolute
+    deviation — the heavy-tail-safe sibling of the z-score rule
+    (operators/trends.anomaly_zscore): mean/stddev move with the
+    outliers they are supposed to catch, the median and MAD do not
+    (50% breakdown point; Hampel's rule).
+
+    Exactness contract: `med` is the LOWER MEDIAN — the
+    ⌈n/2⌉-th smallest value, an ACTUAL data value via the engine's
+    exact rank-quantile pattern, never an interpolation (engines
+    disagree on interpolated medians; they cannot disagree on the
+    value at a rank).  `mad` is the lower median of |x − med|.  A row
+    is an outlier iff ``|x − med| · 1000 > k_milli · mad`` — exact
+    arithmetic on both engines (k_milli = 3500 ≈ the classic 3.5·MAD
+    fence; the 1.4826 normal-consistency constant is deliberately NOT
+    baked in — fold it into k_milli if you want σ units).  Groups
+    where > half the values are identical have mad = 0 and flag EVERY
+    deviating row — the standard MAD caveat, wanted for
+    constant-valued sensors, surprising otherwise (documented).
+
+    Output: group_cols + (value, med, mad) for flagged rows only.
+
+    Shape: two group-partitioned window sorts (rank the values, rank
+    the deviations) + two group-keyed joins of groups-sized median
+    tables back to the rows.  All shuffles are on the group key; the
+    median tables are one row per group — broadcast-sized whenever
+    the group count is.  No driver traffic, no interpolation, no
+    approx_percentile engine-specific seams."""
+    if k_milli < 0:
+        raise ValueError("k_milli must be >= 0")
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    w = Window.partitionBy(*g).orderBy(v.asc())
+    ranked = (
+        df.select(*group_cols, value_col)
+        .filter(v.isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(*g))
+        )
+    )
+    med = ranked.filter(
+        F.col("_rn") == F.expr("(_n + 1) div 2")
+    ).select(*group_cols, v.alias("med"))
+    adev = (
+        df.select(*group_cols, value_col)
+        .filter(v.isNotNull())
+        .join(med, group_cols)
+        .withColumn("_d", F.abs(v - F.col("med")))
+    )
+    wd = Window.partitionBy(*g).orderBy(F.col("_d").asc())
+    dranked = adev.withColumn("_rn", F.row_number().over(wd)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*g))
+    )
+    mad = dranked.filter(
+        F.col("_rn") == F.expr("(_n + 1) div 2")
+    ).select(*group_cols, F.col("_d").alias("mad"))
+    return (
+        adev.join(mad, group_cols)
+        .filter(F.col("_d") * F.lit(1000) > F.lit(int(k_milli)) * F.col("mad"))
+        .select(*group_cols, value_col, "med", "mad")
+    )

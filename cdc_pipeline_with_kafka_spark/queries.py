@@ -563,6 +563,11 @@ def a_stats_suite(spark, sf_dir):
         # event stream, exact integer output-share ppm (the report
         # you run BEFORE a 100 TB join melts one reducer)
         _a_skew_rows(spark, sf_dir),
+        # r8 'mad': robust per-group outliers by median absolute
+        # deviation — lower medians are actual data values (exact
+        # rank, no interpolation), fence = 3.5·MAD; med/mad encoded
+        # as exact cents so no double→string formatting seam
+        _a_mad_rows(spark, sf_dir),
     ])
 
 
@@ -613,6 +618,30 @@ def _a_scd2_rows(spark, sf_dir):
         ),
         v_num=F.col("value"),
     )
+
+
+def _a_mad_rows(spark, sf_dir):
+    from .operators import sketch as sketch_ops
+
+    out = sketch_ops.mad_outliers(
+        _t(spark, sf_dir, "events"), "value", ["event_type"],
+        k_milli=3500,
+    ).localCheckpoint(eager=False)
+    flagged = _suite_rows(
+        out, "mad", F.col("event_type"), v_num=F.col("value")
+    )
+    stats = out.select("event_type", "med", "mad").distinct()
+    meds = _suite_rows(
+        stats, "mads",
+        F.concat_ws("|", F.col("event_type"), F.lit("med")),
+        v_num=F.col("med"),
+    )
+    mads = _suite_rows(
+        stats, "mads",
+        F.concat_ws("|", F.col("event_type"), F.lit("mad")),
+        v_num=F.col("mad"),
+    )
+    return _union_all([flagged, meds, mads])
 
 
 def _a_skew_rows(spark, sf_dir):
@@ -752,6 +781,40 @@ FROM (
   ORDER BY out_rows DESC, user_id ASC
   LIMIT 20
 ) skrows
+UNION ALL
+SELECT suite_case, k, '' AS v_str, v_num
+FROM (
+  WITH mrows AS (
+    SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+  ),
+  mrk AS (
+    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM mrows
+  ),
+  mmed AS (SELECT g, v AS med FROM mrk WHERE rn = (n + 1) // 2),
+  mdev AS (
+    SELECT mrows.g, mrows.v, mmed.med, abs(mrows.v - mmed.med) AS d
+    FROM mrows JOIN mmed ON mrows.g = mmed.g
+  ),
+  mdrk AS (
+    SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM mdev
+  ),
+  mmad AS (SELECT g, d AS mad FROM mdrk WHERE rn = (n + 1) // 2),
+  mout AS (
+    SELECT mdev.g, mdev.v, mdev.med, mmad.mad
+    FROM mdev JOIN mmad ON mdev.g = mmad.g
+    WHERE mdev.d * 1000 > 3500 * mmad.mad
+  )
+  SELECT 'mad' AS suite_case, g AS k, v AS v_num FROM mout
+  UNION ALL
+  SELECT DISTINCT 'mads', g || '|med', med FROM mout
+  UNION ALL
+  SELECT DISTINCT 'mads', g || '|mad', mad FROM mout
+) madrows
 """
 
 

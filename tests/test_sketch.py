@@ -284,3 +284,27 @@ def test_bloom_pruned_join_equals_plain_join(spark):
     assert semi.count() == big.join(small, "key", "left_semi").count()
     with pytest.raises(ValueError, match="inner|left_semi"):
         sketch.bloom_pruned_join(big, small, "key", how="left")
+
+
+def test_mad_outliers_lower_median_and_zero_mad_caveat(spark):
+    """Known lower medians/MADs on planted groups: the 3.5-MAD fence
+    catches the planted spike, a >half-constant group has mad=0 and
+    flags every deviating row, singletons never flag, NULLs drop."""
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    rows = (
+        [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]]
+        + [("b", v) for v in [5.0, 5.0, 5.0, 6.0]]
+        + [("c", 10.0)]
+        + [("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = sketch.mad_outliers(df, "v", ["g"], k_milli=3500).collect()
+    got = {(r["g"], r["v"], r["med"], r["mad"]) for r in out}
+    # group a: med = 3 (3rd smallest of 5), mad = 1 → only 100 flagged
+    # group b: med = 5, mad = 0 → the deviating 6 flagged (caveat)
+    assert got == {("a", 100.0, 3.0, 1.0), ("b", 6.0, 5.0, 0.0)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketch.mad_outliers(df, "v", ["g"], k_milli=-1)
