@@ -456,3 +456,55 @@ def test_bloom_pruned_join_prunes_before_exchange(spark):
     join_line = next(i for i, l in enumerate(tree) if "Join" in l)
     probe_line = next(i for i, l in enumerate(tree) if "MapInPandas" in l)
     assert probe_line > join_line
+
+
+def test_triangle_census_all_equi_joins(spark):
+    """Degree-ordered wedge counting never degrades to a nested loop:
+    the wedge self-join keys on the apex, the closure is a LEFT SEMI
+    equi-join on the canonical pair."""
+    from cdc_pipeline_with_kafka_spark.operators import graph
+
+    edges = spark.range(100).selectExpr("id AS src", "(id * 7) % 40 AS dst")
+    t = graph.triangle_census(edges)
+    plan = plans.formatted_plan(t)
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_prefix_jaccard_no_nested_loop_and_partial_aggs(spark):
+    """The AllPairs path stays equi-keyed end to end: prefix postings
+    pair in-bucket, candidates verify through equi joins; document
+    frequencies partial-aggregate before their shuffle."""
+    from cdc_pipeline_with_kafka_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    p = dedup.prefix_jaccard_pairs(docs, threshold=0.8, n=3)
+    plan = plans.formatted_plan(p)
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert plans.has_partial_aggregation(p)
+
+
+def test_mad_outliers_group_partitioned_windows(spark):
+    """Both rank windows partition by the group key — never a
+    single-partition global sort."""
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    m = sketch.mad_outliers(ev, "value", ["event_type"])
+    plan = plans.formatted_plan(m)
+    assert "SinglePartition" not in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_join_skew_report_partial_agg_counts(spark):
+    """Both per-side multiplicity counts partial-aggregate before the
+    key shuffle (map-side combine), and the top-k is a TakeOrdered."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    r = relational.join_skew_report(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'click'"), "user_id",
+    )
+    assert plans.has_partial_aggregation(r)
+    assert plans.has_take_ordered(r)
