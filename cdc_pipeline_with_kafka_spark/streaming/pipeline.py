@@ -224,6 +224,66 @@ def start_memory_query(df: DataFrame, name: str, trigger_seconds: int = 5, outpu
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "30 minutes",
+    watermark: str = "10 minutes",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream–stream INNER join: right-side events within
+    ``[left_ts, left_ts + max_lag]`` of a left event with the same
+    key — attribution joins (click within 30 min of the view),
+    request/response pairing, CDC event correlation.
+
+    State boundedness (the property that makes this survive an
+    unbounded stream): both sides carry an event-time watermark, and
+    the join condition bounds right_ts relative to left_ts in BOTH
+    directions, so Spark's symmetric hash join can purge buffered
+    rows once the other side's watermark passes their joinable range
+    — per-side state is O(events inside watermark + max_lag), never
+    O(stream).  Inner-join matches emit as they arrive (the
+    watermark gates state cleanup, not emission), so append mode
+    needs no window finalization wait.
+
+    Works identically on BATCH frames (watermarks are skipped; the
+    condition is the same), so the batch run on the same files is
+    the oracle for the streaming run — that equivalence is pinned in
+    tests/test_streaming.py.
+
+    Output: every left column under its own name + the right side's
+    non-key columns, suffixed with `right_suffix` on name collisions.
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
+    l, r = l.alias("ssl"), r.alias("ssr")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"ssl.{k}") == F.col(f"ssr.{k}"))
+    cond = (
+        cond
+        & (F.col(f"ssr.{right_ts}") >= F.col(f"ssl.{left_ts}"))
+        & (
+            F.col(f"ssr.{right_ts}")
+            <= F.col(f"ssl.{left_ts}") + F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    taken = set(left.columns)
+    out = [F.col(f"ssl.{c}").alias(c) for c in left.columns] + [
+        F.col(f"ssr.{c}").alias(c if c not in taken else c + right_suffix)
+        for c in right.columns
+        if c not in key_cols
+    ]
+    return l.join(r, cond, "inner").select(*out)
+
+
 def neardup_filtered_stream(
     articles: DataFrame,
     text_col: str = "content",
