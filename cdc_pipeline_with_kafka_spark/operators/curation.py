@@ -917,6 +917,80 @@ def hash_sample_k(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Exact-k WEIGHTED sample without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): keep the k rows with the largest
+    ``u^(1/w)`` where u is a deterministic hash-uniform — inclusion
+    odds scale with the weight, no row appears twice, and the same
+    (inputs, salt) reproduce the same subset on any engine.  The
+    quality-weighted carve: `hash_sample_k` treats every doc equally;
+    this is the "sample 10k docs ∝ quality score / token count /
+    authority prior" primitive mixture builders actually need.
+
+    Exactness contract (ONE rounding seam, integers after):
+    u = (h+1)/2^52 with h = the first 13 md5 hex chars of
+    (salt ‖ key) — 52 bits, EXACT in a double, and the division by a
+    power of two is exact too; ``m_nano = round(−ln(u)·1e9)`` is the
+    single float→int seam (round-half-away, identical on JVM and
+    DuckDB; ln is the only libm call and its ≤1-ulp wobble moves
+    m_nano only when −ln(u)·1e9 sits within ~1e-7 of a .5 boundary);
+    priority = ``(m_nano · 1e6) div w`` — POSITIVE integer division,
+    where truncation and floor coincide so Spark `div` ≡ DuckDB `//`.
+    Ranking by u^(1/w) desc ⟺ by −ln(u)/w asc (monotone), so top-k =
+    the k smallest priorities, ties broken by key.  Bound:
+    m_nano ≤ 3.7e10, ·1e6 < 2^63 — no overflow.
+
+    Weights must be positive integers — enforced inside the
+    expression (raise_error, the pagerank contract) so a w ≤ 0 or
+    NULL row fails the job loudly instead of silently winning every
+    sample (u^(1/0⁺) → 1).
+
+    Shape: one stratum-partitioned window sort over rows carrying an
+    8-byte priority; at 100 TB pre-filter with rate-based
+    `hash_sample` first exactly as `hash_sample_k` documents."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    wcol = F.col(weight_col).cast("long")
+    guarded = F.when(wcol > 0, wcol).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample_k: weight_col must be a positive "
+                      "integer, got "),
+                F.coalesce(wcol.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    m_nano = F.round(-F.log(u) * F.lit(1e9)).cast("long")
+    pri = F.expr("(CAST(_mn AS BIGINT) * 1000000) div _wg")
+    parts = [F.col(stratum_col)] if stratum_col else [F.lit(1)]
+    win = Window.partitionBy(*parts).orderBy(
+        F.col("_pri").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_mn", m_nano)
+        .withColumn("_wg", guarded)
+        .withColumn("_pri", pri)
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k)
+        .drop("_mn", "_wg", "_pri", "_rk")
+    )
+
+
 def sample_token_budget(
     df: DataFrame,
     budget_tokens: int,

@@ -6201,6 +6201,18 @@ def corpus_release_suite(spark, sf_dir):
         tokb, "tokb", F.col("doc_id"),
         v_str=F.col("lang"), v_num=F.col("_cum_tokens"),
     )
+    # 'wsk' (r8): exact-k WEIGHTED sample without replacement
+    # (Efraimidis–Spirakis, hash-deterministic) — 25 docs per lang
+    # with inclusion odds ∝ n_chars; membership value-checked against
+    # the same integer-priority formula in SQL
+    wsk = curation.weighted_sample_k(
+        full.filter(F.col("n_chars") > 0), k=25, weight_col="n_chars",
+        key_col="doc_id", salt="wsk:", stratum_col="lang",
+    )
+    wsk_rows = _suite_rows(
+        wsk, "wsk", F.col("doc_id"),
+        v_str=F.col("lang"), v_num=F.col("n_chars").cast("double"),
+    )
     # 'curr': curriculum ordering (r6) — 3 phases cut at the EXACT
     # rank-ceil(k·n/3) n_chars terciles (TakeOrdered cuts, the pplb
     # machinery), deterministic within-phase order key; every doc's
@@ -6319,7 +6331,8 @@ def corpus_release_suite(spark, sf_dir):
     )
     return _union_all(
         [mix_rows, diff_rows, split_rows, shuf_rows, mixk_rows, tokb_rows,
-         curr_rows, ep_rows, mat_rows, temp_rows, mani_rows, zord_rows]
+         wsk_rows, curr_rows, ep_rows, mat_rows, temp_rows, mani_rows,
+         zord_rows]
     )
 
 
@@ -6396,6 +6409,19 @@ SELECT 'tokb', CAST(doc_id AS VARCHAR), lang, CAST(cum AS DOUBLE) FROM (
          ) AS cum
   FROM documents
 ) WHERE cum <= 5000
+UNION ALL
+SELECT 'wsk', CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS DOUBLE) FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY
+             (CAST(round(-ln(
+                (('0x' || substr(md5('wsk:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                / 4503599627370496.0) * 1e9) AS BIGINT) * 1000000)
+             // CAST(n_chars AS BIGINT) ASC,
+             doc_id ASC
+         ) AS rk
+  FROM documents WHERE n_chars > 0
+) WHERE rk <= 25
 UNION ALL
 SELECT 'curr', CAST(doc_id AS VARCHAR),
        md5('cur:' || CAST(phase AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)),

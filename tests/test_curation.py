@@ -1266,3 +1266,54 @@ def test_authority_weighted_release_end_to_end(spark, tmp_path):
     assert any(d.startswith("split=") for d in os.listdir(out))
     back = spark.read.option("basePath", out).parquet(out)
     assert back.count() == len(got)
+
+
+def test_weighted_sample_k_contract_and_python_replay(spark):
+    """The A-ES sample is deterministic, exact-k per stratum, weight-
+    sensitive (a 1e6-weight row beats 1-weight rows), w<=0 raises, and
+    the selected ids replay bit-identically in pure Python (md5 hex →
+    u → round(-ln(u)*1e9) → integer priority)."""
+    import hashlib
+    import math
+
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    rows = [(i, "s" if i % 2 == 0 else "t", 1) for i in range(200)]
+    rows.append((999, "s", 1_000_000))
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, w long")
+
+    out = curation.weighted_sample_k(df, 5, "w", "doc_id", salt="x:",
+                                     stratum_col="stratum")
+    got = {(r["stratum"], r["doc_id"]) for r in out.collect()}
+    # exact-k per stratum, deterministic across runs
+    assert sum(1 for s, _ in got if s == "s") == 5
+    assert sum(1 for s, _ in got if s == "t") == 5
+    again = {(r["stratum"], r["doc_id"]) for r in
+             curation.weighted_sample_k(df, 5, "w", "doc_id", salt="x:",
+                                        stratum_col="stratum").collect()}
+    assert got == again
+    # the heavy row wins its stratum's sample
+    assert ("s", 999) in got
+
+    # pure-Python replay of the exact integer contract
+    def pri(doc_id, w, salt="x:"):
+        h = int(hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:13], 16)
+        u = (h + 1) / float(1 << 52)
+        m_nano = int(round(-math.log(u) * 1e9))
+        return (m_nano * 1_000_000) // w, doc_id
+
+    for stratum in ("s", "t"):
+        members = [(d, w) for d, s, w in rows if s == stratum]
+        expect = {d for _, d in sorted(pri(d, w) for d, w in members)[:5]}
+        assert {d for s, d in got if s == stratum} == expect
+
+    # k > stratum size keeps everything
+    allrows = curation.weighted_sample_k(df, 10_000, "w", "doc_id")
+    assert allrows.count() == 201
+
+    import pytest as _pytest
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    with _pytest.raises(Exception):
+        curation.weighted_sample_k(bad, 1, "w", "doc_id").collect()
+    with _pytest.raises(ValueError):
+        curation.weighted_sample_k(df, 0, "w", "doc_id")
