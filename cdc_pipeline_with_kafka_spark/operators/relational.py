@@ -576,7 +576,8 @@ def join_skew_report(
     BEFORE a 100 TB join melts one reducer: per join key the left/right
     multiplicities and the output-row product, top-k by product.  A key
     whose product dominates the total is the one to salt
-    (`util.salted_join`) or to route through the skew-join AQE path.
+    (`operators.skew.salted_join`) or to route through the skew-join
+    AQE path.
 
     Output: (key_col, l_cnt, r_cnt, out_rows, share_ppm) — share_ppm
     is the key's exact integer share of the TOTAL join output, so

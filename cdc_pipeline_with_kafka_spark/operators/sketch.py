@@ -489,6 +489,108 @@ def table_profile(
     )
 
 
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    null_shift_ppm: int = 10_000,
+    distinct_ratio_milli: int = 500,
+) -> DataFrame:
+    """Drift report between two `table_profile` outputs — the consumer
+    of the streaming profile sink: a new delivery's profile against
+    yesterday's answers "did anything drift?" per column before any
+    downstream job pays for it.
+
+    Per column (FULL OUTER on the column name):
+    - status 'added' / 'removed' / 'kept' (schema drift);
+    - exact null-rate ppm both sides (``n_nulls·1e6 div n_rows``, 0
+      on an empty side);
+    - `flags`: 'null_shift' when |ppm_new − ppm_old| >
+      `null_shift_ppm` (default 1 percentage point), and
+      'distinct_collapse' / 'distinct_surge' when the cardinality
+      ratio crosses `distinct_ratio_milli` (default 500 = 2× either
+      way) — the enum-suddenly-constant and id-suddenly-exploding
+      failure classes.  Map-typed columns (NULL n_distinct by
+      table_profile's contract) skip the distinct flags instead of
+      raising;
+    - `flagged`: any flag or any status change.
+
+    All arithmetic is exact integers on a columns-sized frame — the
+    inputs are one row per column, so this costs one tiny join no
+    matter how big the profiled tables were."""
+    o = old.select(
+        "column",
+        F.col("n_rows").alias("rows_old"),
+        F.col("n_nulls").alias("nulls_old"),
+        F.col("n_distinct").alias("distinct_old"),
+    )
+    n = new.select(
+        "column",
+        F.col("n_rows").alias("rows_new"),
+        F.col("n_nulls").alias("nulls_new"),
+        F.col("n_distinct").alias("distinct_new"),
+    )
+    j = o.join(n, "column", "full_outer")
+    ppm_old = F.when(
+        F.col("rows_old") > 0,
+        F.expr("(nulls_old * 1000000) div rows_old"),
+    ).when(F.col("rows_old").isNotNull(), F.lit(0))
+    ppm_new = F.when(
+        F.col("rows_new") > 0,
+        F.expr("(nulls_new * 1000000) div rows_new"),
+    ).when(F.col("rows_new").isNotNull(), F.lit(0))
+    status = (
+        F.when(F.col("rows_old").isNull(), F.lit("added"))
+        .when(F.col("rows_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    d = (
+        j.withColumn("null_ppm_old", ppm_old.cast("long"))
+        .withColumn("null_ppm_new", ppm_new.cast("long"))
+        .withColumn("status", status)
+    )
+    kept = F.col("status") == "kept"
+    have_d = F.col("distinct_old").isNotNull() & F.col(
+        "distinct_new"
+    ).isNotNull()
+    flags = F.concat_ws(
+        ",",
+        F.when(
+            kept
+            & (
+                F.abs(F.col("null_ppm_new") - F.col("null_ppm_old"))
+                > F.lit(int(null_shift_ppm))
+            ),
+            F.lit("null_shift"),
+        ),
+        F.when(
+            kept & have_d & (F.col("distinct_old") > 0)
+            & (
+                F.col("distinct_new") * 1000
+                < F.lit(int(distinct_ratio_milli)) * F.col("distinct_old")
+            ),
+            F.lit("distinct_collapse"),
+        ),
+        F.when(
+            kept & have_d & (F.col("distinct_new") > 0)
+            & (
+                F.col("distinct_old") * 1000
+                < F.lit(int(distinct_ratio_milli)) * F.col("distinct_new")
+            ),
+            F.lit("distinct_surge"),
+        ),
+    )
+    return d.withColumn("flags", flags).select(
+        "column",
+        "status",
+        "null_ppm_old",
+        "null_ppm_new",
+        "distinct_old",
+        "distinct_new",
+        "flags",
+        (~kept | (F.col("flags") != "")).alias("flagged"),
+    )
+
+
 def equi_depth_histogram(
     df: DataFrame,
     col: str,
@@ -598,6 +700,52 @@ def bloom_pruned_join(
         .drop("might_contain")
     )
     return pruned.join(small, key_col, how)
+
+
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "pct_ppm",
+) -> DataFrame:
+    """Exact percentile rank of every row within its group, as integer
+    ppm: ``(rank(v) − 1) · 1e6 div (n − 1)`` (0 for the minimum, 1e6
+    for the maximum, n = 1 groups get 0).  RANK, not row_number —
+    ties share a percentile, so the output is a pure function of the
+    VALUE, never of partition order.
+
+    The cross-source score calibration primitive: quality scores from
+    different classifiers/sources live on incomparable scales; their
+    within-source percentile ranks are directly mixable (rank
+    normalization — the nonparametric transform quantile-matching
+    reduces to when the reference is uniform).  NULL values pass
+    through with NULL rank.
+
+    Shape: one group-partitioned window (rank + count) — a single
+    shuffle on the group key; with group_cols=None the window is
+    global and the sort is the price (use groups at 100 TB)."""
+    parts = (
+        [F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
+    )
+    v = F.col(value_col)
+    # nulls LAST so null rows never shift the non-null ranks (asc
+    # default is nulls-first, which would off-by-#nulls every rank)
+    w = Window.partitionBy(*parts).orderBy(v.asc_nulls_last())
+    wc = Window.partitionBy(*parts)
+    return (
+        df.withColumn("_rk", F.when(v.isNotNull(), F.rank().over(w)))
+        .withColumn("_n", F.count(v).over(wc))
+        .withColumn(
+            out_col,
+            F.when(
+                v.isNotNull() & (F.col("_n") > 1),
+                F.expr("(CAST(_rk - 1 AS BIGINT) * 1000000) div (_n - 1)"),
+            ).otherwise(
+                F.when(v.isNotNull(), F.lit(0)).cast("long")
+            ),
+        )
+        .drop("_rk", "_n")
+    )
 
 
 def mad_outliers(

@@ -81,6 +81,54 @@ def session_window_counts(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_minutes: int = 30,
+    order_cols: list[str] | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Row-level sessionization: assign every event its key-scoped
+    session ordinal (1-based) — a new session starts when the gap
+    from the key's previous event exceeds `gap_minutes`.  The
+    row-grain complement of `session_window_counts` (which only
+    aggregates): sequence models, per-session funnels and Markov
+    chains all consume events WITH a session id, not session counts.
+
+    Exactness: the gap test is integer microseconds
+    (``unix_micros(ts) − unix_micros(prev) > gap·60e6``), the ordinal
+    a running sum of new-session flags — no timestamp arithmetic
+    seams.  `order_cols` breaks timestamp ties deterministically
+    (same-ts events otherwise make lag() partition-order-dependent);
+    pass the event id.
+
+    Shape: ONE key-partitioned window (lag + running count reuse the
+    same sort) — a single shuffle on the session key, no join, no
+    self-comparison.  100 TB: exactly the shuffle a later
+    groupBy(key, session_id) needs, so downstream session aggregates
+    are co-partitioned for free."""
+    if gap_minutes <= 0:
+        raise ValueError("gap_minutes must be > 0")
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    new_flag = F.when(
+        prev_us.isNull()
+        | ((ts_us - prev_us) > F.lit(int(gap_minutes) * 60_000_000)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        out_col,
+        F.sum(new_flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+
+
 def base_minute_aggregate(df: DataFrame, ts_col: str, key_cols: list[str]) -> DataFrame:
     """A3/A4 foundation: minute-grain counts per key — the single base
     aggregate all coarser windows roll up from.  At scale, write this

@@ -568,6 +568,25 @@ def a_stats_suite(spark, sf_dir):
         # rank, no interpolation), fence = 3.5·MAD; med/mad encoded
         # as exact cents so no double→string formatting seam
         _a_mad_rows(spark, sf_dir),
+        # r8 'prk': exact percentile rank (RANK-based, tie-stable)
+        # per event_type — the cross-source score calibration
+        # transform, every row's ppm value-checked
+        _suite_rows(
+            sketch_ops.percentile_rank(ev, "value", ["event_type"]),
+            "prk",
+            F.col("event_id").cast("string"),
+            v_num=F.col("pct_ppm").cast("double"),
+        ),
+        # r8 'sess': row-level sessionization — every event's
+        # (user, 30-min-gap) session ordinal, ts ties broken by
+        # event_id; the gap test is integer microseconds
+        _suite_rows(
+            windows.sessionize(ev, ["user_id"], "ts", 30, ["event_id"]),
+            "sess",
+            F.col("event_id").cast("string"),
+            v_str=F.col("user_id").cast("string"),
+            v_num=F.col("session_id").cast("double"),
+        ),
     ])
 
 
@@ -815,6 +834,37 @@ FROM (
   UNION ALL
   SELECT DISTINCT 'mads', g || '|mad', mad FROM mout
 ) madrows
+UNION ALL
+SELECT 'prk', CAST(event_id AS VARCHAR), '',
+       CAST(CASE
+         WHEN value IS NULL THEN NULL
+         WHEN nn > 1 THEN (CAST(rk - 1 AS BIGINT) * 1000000) // (nn - 1)
+         ELSE 0 END AS DOUBLE)
+FROM (
+  SELECT event_id, value,
+         CASE WHEN value IS NOT NULL THEN
+           rank() OVER (PARTITION BY event_type
+                        ORDER BY value ASC NULLS LAST) END AS rk,
+         count(value) OVER (PARTITION BY event_type) AS nn
+  FROM events
+) prkrows
+UNION ALL
+SELECT 'sess', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+       CAST(sid AS DOUBLE)
+FROM (
+  SELECT event_id, user_id,
+         sum(CASE WHEN prev_us IS NULL
+                  OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+           ) AS prev_us
+    FROM events
+  ) s
+) sessrows
 """
 
 
@@ -3228,6 +3278,29 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("score_micro").cast("double").alias("v_num"),
     )
+    # 'pdif' (r8): profile drift between two deliveries — the same
+    # documents columns with a planted lang null-burst (%3 → NULL);
+    # per column status/flags/null-ppms/distincts value-checked
+    prof_cols = ["doc_id", "lang", "source", "n_chars"]
+    docs_sel = _t(spark, sf_dir, "documents").select(*prof_cols)
+    docs_mut = docs_sel.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang")),
+    )
+    pdif = sketch.profile_diff(
+        sketch.table_profile(docs_sel), sketch.table_profile(docs_mut)
+    )
+    pdif_rows = _suite_rows(
+        pdif, "pdif", F.col("column"),
+        v_str=F.concat_ws(
+            "|", F.col("status"), F.col("flags"),
+            F.col("null_ppm_old").cast("string"),
+            F.col("null_ppm_new").cast("string"),
+            F.col("distinct_old").cast("string"),
+            F.col("distinct_new").cast("string"),
+        ),
+        v_num=F.col("flagged").cast("int").cast("double"),
+    )
     # 'tri' (r8): triangle census over the same trade graph —
     # degree-ordered wedge enumeration (Suri & Vassilvitskii 2011),
     # per-node triangle counts + exact-ppm local clustering
@@ -3259,7 +3332,7 @@ def curation_suite(spark, sf_dir):
         .unionByName(report).unionByName(src).unionByName(bloom)
         .unionByName(schunk).unionByName(packb).unionByName(vocab)
         .unionByName(prof).unionByName(rank).unionByName(rankw)
-        .unionByName(tri).unionByName(hist)
+        .unionByName(tri).unionByName(hist).unionByName(pdif_rows)
     )
 
 
@@ -3331,6 +3404,62 @@ FROM (
                  max(source), CAST(max(n_chars) AS VARCHAR)]) AS max_str
   FROM documents
 ) profrows
+UNION ALL
+SELECT 'pdif', col_name,
+       'kept' || '|' || flags || '|' || CAST(ppm_old AS VARCHAR) || '|' ||
+       CAST(ppm_new AS VARCHAR) || '|' || CAST(d_old AS VARCHAR) || '|' ||
+       CAST(d_new AS VARCHAR),
+       CAST(CASE WHEN flags <> '' THEN 1 ELSE 0 END AS DOUBLE)
+FROM (
+  WITH pdold AS (
+    SELECT unnest(['doc_id','lang','source','n_chars']) AS col_name,
+           unnest([count(*), count(*), count(*), count(*)]) AS rows_o,
+           unnest([sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)]) AS nulls_o,
+           unnest([count(DISTINCT doc_id), count(DISTINCT lang),
+                   count(DISTINCT source), count(DISTINCT n_chars)]) AS d_old
+    FROM documents
+  ),
+  pdmut AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang,
+           source, n_chars
+    FROM documents
+  ),
+  pdnew AS (
+    SELECT unnest(['doc_id','lang','source','n_chars']) AS col_name,
+           unnest([count(*), count(*), count(*), count(*)]) AS rows_n,
+           unnest([sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)]) AS nulls_n,
+           unnest([count(DISTINCT doc_id), count(DISTINCT lang),
+                   count(DISTINCT source), count(DISTINCT n_chars)]) AS d_new
+    FROM pdmut
+  ),
+  pdj AS (
+    SELECT o.col_name,
+           CASE WHEN o.rows_o > 0
+                THEN CAST((o.nulls_o * 1000000) // o.rows_o AS BIGINT)
+                ELSE 0 END AS ppm_old,
+           CASE WHEN n.rows_n > 0
+                THEN CAST((n.nulls_n * 1000000) // n.rows_n AS BIGINT)
+                ELSE 0 END AS ppm_new,
+           o.d_old, n.d_new
+    FROM pdold o JOIN pdnew n USING (col_name)
+  )
+  SELECT col_name, ppm_old, ppm_new, d_old, d_new,
+         concat_ws(',',
+           CASE WHEN abs(ppm_new - ppm_old) > 10000
+                THEN 'null_shift' END,
+           CASE WHEN d_old > 0 AND d_new * 1000 < 500 * d_old
+                THEN 'distinct_collapse' END,
+           CASE WHEN d_new > 0 AND d_old * 1000 < 500 * d_new
+                THEN 'distinct_surge' END) AS flags
+  FROM pdj
+) pdifrows
 UNION ALL
 SELECT 'tri', CAST(node AS VARCHAR),
        CAST(deg AS VARCHAR) || '|' || CAST(n_tri AS VARCHAR),

@@ -397,3 +397,33 @@ def test_join_skew_report_products_and_share(spark):
     # the real join's output rows equal the report's products
     assert left.join(right, "k").count() == 36
     assert plans.has_take_ordered(relational.join_skew_report(left, right, "k"))
+
+
+def test_sessionize_gap_semantics_and_ties(spark):
+    """New session exactly when the gap EXCEEDS the threshold (a gap
+    of exactly 30 min stays in-session), per-key ordinals restart at
+    1, ts ties break deterministically by the order column."""
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        # user 1: 0m, +10m (same), +40m -> gap 30m exactly = same,
+        # +71m -> gap 31m = NEW, tie at +71m (event 5 after 4)
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:10:00"),
+        (3, 1, "2024-01-01 00:40:00"),
+        (4, 1, "2024-01-01 01:11:00"),
+        (5, 1, "2024-01-01 01:11:00"),
+        # user 2: single event
+        (6, 2, "2024-01-01 05:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["event_id"]: r["session_id"] for r in windows.sessionize(
+        df, ["user_id"], "ts", 30, ["event_id"]).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        windows.sessionize(df, ["user_id"], "ts", 0)

@@ -308,3 +308,74 @@ def test_mad_outliers_lower_median_and_zero_mad_caveat(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sketch.mad_outliers(df, "v", ["g"], k_milli=-1)
+
+
+def test_percentile_rank_ties_nulls_singletons(spark):
+    """Ties share a percentile (pure function of the value), NULLs
+    pass through with NULL rank and never shift others, singleton
+    groups get 0, extremes pin to 0 and 1e6."""
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0),
+            ("a", None), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = sketch.percentile_rank(df, "v", ["g"])
+    got = {(r["g"], r["v"], r["pct_ppm"]) for r in out.collect()}
+    assert got == {
+        ("a", 10.0, 0),
+        ("a", 20.0, 333333),
+        ("a", 30.0, 1_000_000),
+        ("a", None, None),
+        ("b", 7.0, 0),
+    }
+    # global (ungrouped) form
+    g = sketch.percentile_rank(df.filter("v IS NOT NULL"), "v")
+    assert {r["pct_ppm"] for r in g.collect()} == {0, 250000, 1_000_000, 500000}
+
+
+def test_profile_diff_flags_drift_classes(spark):
+    """Null burst, cardinality collapse/surge, added/removed columns,
+    map columns skip distinct flags, unchanged columns stay clean."""
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    old = spark.createDataFrame(
+        [("a", 100, 0, 50), ("b", 100, 1, 100), ("c", 100, 0, 10),
+         ("gone", 100, 0, 3), ("m", 100, 2, None)],
+        "column string, n_rows long, n_nulls long, n_distinct long",
+    )
+    new = spark.createDataFrame(
+        [("a", 200, 30, 99),      # null 0 -> 150000 ppm: null_shift
+         ("b", 200, 2, 2),        # 100 -> 2 distinct: collapse
+         ("c", 200, 0, 41),       # 10 -> 41 (>2x): surge
+         ("fresh", 200, 0, 7),    # added
+         ("m", 200, 4, None)],    # map: no distinct flags
+        "column string, n_rows long, n_nulls long, n_distinct long",
+    )
+    out = {r["column"]: r for r in sketch.profile_diff(old, new).collect()}
+    assert out["a"]["flags"] == "null_shift" and out["a"]["flagged"]
+    assert out["a"]["null_ppm_old"] == 0 and out["a"]["null_ppm_new"] == 150000
+    assert out["b"]["flags"] == "distinct_collapse"
+    assert out["c"]["flags"] == "distinct_surge"
+    assert out["fresh"]["status"] == "added" and out["fresh"]["flagged"]
+    assert out["gone"]["status"] == "removed" and out["gone"]["flagged"]
+    assert out["m"]["flags"] == "" and not out["m"]["flagged"]
+
+
+def test_profile_diff_composes_with_table_profile(spark):
+    """End-to-end: a planted lang null-burst between two deliveries of
+    the same table surfaces as exactly that column's flag."""
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    mutated = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang"))
+    )
+    diff = sketch.profile_diff(
+        sketch.table_profile(docs), sketch.table_profile(mutated)
+    )
+    out = {r["column"]: r for r in diff.collect()}
+    assert out["lang"]["flags"] == "null_shift" and out["lang"]["flagged"]
+    assert not out["doc_id"]["flagged"] and not out["source"]["flagged"]
