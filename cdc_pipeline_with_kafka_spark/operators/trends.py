@@ -232,3 +232,74 @@ def window_velocity(current: F.Column, previous: F.Column, hours: int) -> F.Colu
     return F.when(previous == 0, current * 2.0).otherwise(
         (current - previous) / F.lit(float(hours))
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    h_micro: int,
+    k_micro: int = 0,
+    mu_micro: int | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection per key (Page 1954) —
+    the sequential changepoint test zscore_anomaly can't give: a
+    z-score flags single spikes against a rolling window, CUSUM
+    accumulates SMALL persistent shifts until they cross `h` (the
+    classic "metric quietly degraded 10%" detector for daily counts,
+    error rates, CDC lag series).
+
+    Exactness contract: values work in integer micros
+    (``x_micro = value·1e6``).  The recursion
+    ``s⁺_t = max(0, s⁺_{t−1} + x_t − μ − k)`` is NOT a window sum,
+    but its closed form is: with prefix ``P_t = Σ_{j≤t}(x_j − μ − k)``
+    and ``P_0 = 0``, ``s⁺_t = P_t − min(0, min_{j≤t} P_j)`` — one
+    running sum + one running min, both plain window functions on
+    every engine, all long arithmetic.  The downward side runs the
+    same identity on ``μ − k − x``.  μ defaults to the per-key series
+    mean as ``sum(x_micro) div n`` (exact integral division; pass
+    `mu_micro` to pin a reference level instead — the in-control mean
+    from a calibration window, the usual SPC practice).
+
+    Output: input rows + (mu_micro, s_plus_micro, s_minus_micro,
+    flag_up, flag_down); flags fire where the statistic EXCEEDS
+    h_micro.  Bound: |x|·1e6 must stay < 2^63/n per key.
+
+    Shape: one keys-sized mean table (broadcast back), one
+    key-partitioned window sort shared by both running aggregates —
+    a single shuffle on the key, same layout a downstream per-key
+    consumer needs."""
+    if h_micro <= 0:
+        raise ValueError("h_micro must be > 0")
+    if k_micro < 0:
+        raise ValueError("k_micro must be >= 0")
+    keys = [F.col(c) for c in key_cols]
+    x = (F.col(value_col).cast("long") * F.lit(1_000_000)).alias("_x")
+    base = df.withColumn("_x", x)
+    if mu_micro is None:
+        mu = base.groupBy(*key_cols).agg(
+            F.expr("sum(_x) div count(_x)").cast("long").alias("mu_micro")
+        )
+        base = base.join(F.broadcast(mu), key_cols)
+    else:
+        base = base.withColumn("mu_micro", F.lit(int(mu_micro)))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    up = (F.col("_x") - F.col("mu_micro") - F.lit(int(k_micro)))
+    dn = (F.col("mu_micro") - F.lit(int(k_micro)) - F.col("_x"))
+    stepped = base.withColumn("_pu", F.sum(up).over(w)).withColumn(
+        "_pd", F.sum(dn).over(w)
+    )
+    s_plus = F.col("_pu") - F.least(F.lit(0), F.min("_pu").over(w))
+    s_minus = F.col("_pd") - F.least(F.lit(0), F.min("_pd").over(w))
+    return (
+        stepped.withColumn("s_plus_micro", s_plus.cast("long"))
+        .withColumn("s_minus_micro", s_minus.cast("long"))
+        .withColumn("flag_up", F.col("s_plus_micro") > F.lit(int(h_micro)))
+        .withColumn("flag_down", F.col("s_minus_micro") > F.lit(int(h_micro)))
+        .drop("_x", "_pu", "_pd")
+    )

@@ -1352,7 +1352,33 @@ def w_trend_suite(spark, sf_dir):
     w3 = w3_trend_direction(spark, sf_dir)
     w6 = w6_rank_change(spark, sf_dir)
     w8 = w8_timeline(spark, sf_dir)
+    # r8 'cusum': two-sided CUSUM level-shift statistics over daily
+    # counts per event_type — the window closed form of the
+    # max(0, s+d) recursion, all integer micros; s⁺/s⁻ and both
+    # flags value-checked per (type, day)
+    from .operators import trends as trends_ops
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cus = trends_ops.cusum_changepoints(
+        daily, ["event_type"], "day", "cnt", h_micro=20_000_000
+    )
+    cus_rows = _suite_rows(
+        cus, "cusum",
+        F.concat_ws("|", F.col("event_type"),
+                    F.date_format("day", "yyyy-MM-dd HH:mm:ss")),
+        v_str=F.concat_ws(
+            "|", F.col("flag_up").cast("string"),
+            F.col("flag_down").cast("string"),
+            F.col("s_minus_micro").cast("string"),
+        ),
+        v_num=F.col("s_plus_micro").cast("double"),
+    )
     return _union_all([
+        cus_rows,
         _suite_rows(w1, "w1_v", k2, v_num=F.col("velocity")),
         _suite_rows(w1, "w1_cnt", k2, v_num=F.col("cnt")),
         _suite_rows(w2, "w2_z", k2, v_num=F.col("zscore")),
@@ -1427,6 +1453,41 @@ FROM cal LEFT JOIN minute USING (bucket)
 W_TREND_SUITE_SQL += f"""
 UNION ALL
 SELECT 'w8', strftime(bucket, '%Y-%m-%d %H:%M:%S'), '', CAST(cnt AS DOUBLE) FROM ({W8_SQL}) s9
+UNION ALL
+SELECT 'cusum', event_type || '|' || strftime(day, '%Y-%m-%d %H:%M:%S'),
+       CAST(s_plus > 20000000 AS VARCHAR) || '|' ||
+       CAST(s_minus > 20000000 AS VARCHAR) || '|' ||
+       CAST(s_minus AS VARCHAR),
+       CAST(s_plus AS DOUBLE)
+FROM (
+  WITH cdaily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) * 1000000 AS x
+    FROM events GROUP BY 1, 2
+  ),
+  cmu AS (
+    SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS mu
+    FROM cdaily GROUP BY 1
+  ),
+  cpre AS (
+    SELECT d.event_type, d.day,
+           sum(d.x - m.mu) OVER (
+             PARTITION BY d.event_type ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+           sum(m.mu - d.x) OVER (
+             PARTITION BY d.event_type ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
+    FROM cdaily d JOIN cmu m USING (event_type)
+  )
+  SELECT event_type, day,
+         pu - least(0, min(pu) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_plus,
+         pd - least(0, min(pd) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_minus
+  FROM cpre
+) cusumrows
 """
 
 def t4_session_window(spark, sf_dir):

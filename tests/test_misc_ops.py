@@ -427,3 +427,47 @@ def test_sessionize_gap_semantics_and_ties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         windows.sessionize(df, ["user_id"], "ts", 0)
+
+
+def test_cusum_changepoints_matches_recursion(spark):
+    """The window closed form equals the textbook max(0, s+d)
+    recursion replayed in pure Python, and a planted persistent level
+    shift fires flag_up while the stable prefix stays silent."""
+    from cdc_pipeline_with_kafka_spark.operators import trends
+
+    series = [10, 10, 11, 9, 10, 10, 20, 21, 20, 22, 20, 21]
+    rows = [("m", i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "key string, t long, v double")
+    out = trends.cusum_changepoints(
+        df, ["key"], "t", "v", h_micro=20_000_000
+    ).orderBy("t").collect()
+
+    # pure-Python replay of the exact integer contract
+    xs = [int(v) * 1_000_000 for v in series]
+    mu = sum(xs) // len(xs)
+    sp = sm = 0
+    expect = []
+    for x in xs:
+        sp = max(0, sp + x - mu)
+        sm = max(0, sm + mu - x)
+        expect.append((sp, sm))
+    got = [(r["s_plus_micro"], r["s_minus_micro"]) for r in out]
+    assert got == expect
+    assert all(r["mu_micro"] == mu for r in out)
+    # upward CUSUM: silent through the low prefix (x < mu keeps
+    # s_plus clamped at 0), fires inside the shifted segment
+    assert not any(r["flag_up"] for r in out[:6])
+    assert any(r["flag_up"] for r in out[6:])
+    # downward CUSUM accumulated over the low prefix (textbook: with a
+    # mid-way mean both sides see a shift) but DECAYS to exactly 0 in
+    # the high segment — the max(0, ...) clamp at work
+    assert out[-1]["s_minus_micro"] == 0 and not out[-1]["flag_down"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        trends.cusum_changepoints(df, ["key"], "t", "v", h_micro=0)
+    # pinned reference level: mu_micro respected
+    pinned = trends.cusum_changepoints(
+        df, ["key"], "t", "v", h_micro=1, mu_micro=10_000_000
+    ).orderBy("t").collect()
+    assert all(r["mu_micro"] == 10_000_000 for r in pinned)
