@@ -471,3 +471,38 @@ def test_cusum_changepoints_matches_recursion(spark):
         df, ["key"], "t", "v", h_micro=1, mu_micro=10_000_000
     ).orderBy("t").collect()
     assert all(r["mu_micro"] == 10_000_000 for r in pinned)
+
+
+def test_sessionize_consistent_with_session_window_counts(spark):
+    """Cross-operator invariant: the number of distinct session ids
+    sessionize assigns per user equals the number of session windows
+    Spark's native session_window aggregation produces at the same
+    gap, and each session's row count matches."""
+    from cdc_pipeline_with_kafka_spark.operators import windows
+    from cdc_pipeline_with_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "user_id", "event_id", "ts"
+    )
+    gap_min = 30
+    sess = windows.sessionize(ev, ["user_id"], "ts", gap_min, ["event_id"])
+    mine = {
+        (r["user_id"], r["n"]): r["cnt"]
+        for r in sess.groupBy("user_id", F.col("session_id").alias("n"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    native = windows.session_window_counts(
+        ev, "ts", "user_id", gap=f"{gap_min} minutes"
+    ).collect()
+    per_user_native = {}
+    for r in native:
+        per_user_native.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["cnt"])
+        )
+    for uid, wins in per_user_native.items():
+        wins.sort()
+        for i, (_, cnt) in enumerate(wins, start=1):
+            assert mine[(uid, i)] == cnt, (uid, i)
+    assert sum(cnt for _, cnt in
+               ((w, c) for ws in per_user_native.values() for w, c in ws)
+               ) == ev.count()

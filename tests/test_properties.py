@@ -781,3 +781,23 @@ def test_pagerank_replay_mass_and_floor_invariants(seed, n_nodes, n_edges, iters
         assert all(v >= base for v in score.values())
         assert all(v <= n * MICRO for v in score.values())
     assert score == pagerank_replay(edges, iters=iters)  # deterministic
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000),
+             min_size=1, max_size=60),
+    st.integers(min_value=0, max_value=500),
+)
+def test_cusum_closed_form_equals_recursion(xs, k):
+    """Pure-math property behind trends.cusum_changepoints: with
+    prefix sums P_t of d_t and P_0 = 0, the textbook recursion
+    s_t = max(0, s_{t-1} + d_t) equals P_t - min(0, min_{j<=t} P_j)
+    for ANY integer series and slack."""
+    mu = sum(xs) // len(xs)
+    ds = [x - mu - k for x in xs]
+    s, prefix, runmin = 0, 0, 0
+    for d in ds:
+        s = max(0, s + d)
+        prefix += d
+        runmin = min(runmin, prefix)
+        assert s == prefix - min(0, runmin)
