@@ -457,3 +457,60 @@ def psi_report(
         [(micro, nb, no, nn)],
         "psi_micro long, n_buckets long, n_old_feats long, n_new_feats long",
     )
+
+
+def reliability_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Calibration (reliability-diagram) table: rows bucketed into
+    `n_buckets` equal-population score bands by exact percentile rank,
+    each band reporting its observed positive rate — the companion to
+    `pr_report`: PR picks a threshold, this shows whether the score is
+    MONOTONE in the truth (a well-calibrated quality classifier's
+    pos_ppm rises with the bucket; a flat or U-shaped diagram means
+    the score is noise even if some threshold looks good).
+
+    Exactness: buckets come from the RANK-based integer percentile
+    (`sketch.percentile_rank` — ties share a band, engine-portable);
+    per band: n, lo/hi score, Σscore (emitted as the SUM, not a mean
+    — integral division of possibly-negative sums truncates toward
+    zero on Spark and floors on DuckDB, so the report never divides
+    scores), and ``pos_ppm = positives·1e6 div n`` (non-negative, so
+    `div` ≡ `//`).  Score col is expected integer (micros); NULL
+    score or label rows are excluded (calibration is defined on
+    scored + labeled rows only).
+
+    Shape: one global rank window over scored rows (group it per
+    source at 100 TB by calling per slice), one n_buckets-row
+    aggregate."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from .sketch import percentile_rank
+
+    s, y = F.col(score_col), F.col(label_col)
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.cast("long").alias("_s"), y.cast("boolean").alias("_y")
+    )
+    ranked = percentile_rank(base, "_s", None, out_col="_pct")
+    bucket = F.least(
+        F.lit(int(n_buckets)),
+        F.expr(f"(_pct * {int(n_buckets)}) div 1000000 + 1"),
+    ).cast("int")
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("_s").alias("lo_micro"),
+            F.max("_s").alias("hi_micro"),
+            F.sum("_s").cast("long").alias("sum_score_micro"),
+            F.expr(
+                "(sum(CASE WHEN _y THEN 1 ELSE 0 END) * 1000000)"
+                " div count(1)"
+            ).cast("long").alias("pos_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -7640,6 +7640,22 @@ def classify_suite(spark, sf_dir):
         ),
         v_num=F.col("f1_ppm").cast("double"),
     )
+    # r8 'reli': reliability diagram — the DSIR scores bucketed into
+    # 10 equal-population percentile bands, observed zh rate per band
+    # (calibration: is the score MONOTONE in the truth, not merely
+    # threshold-able); sums not means, so no negative-div seam
+    reli = _suite_rows(
+        classify_ops.reliability_report(truthed, "logw_micro", "is_zh", 10),
+        "reli",
+        F.col("bucket").cast("string"),
+        v_str=F.concat_ws(
+            "|", F.col("n").cast("string"),
+            F.col("lo_micro").cast("string"),
+            F.col("hi_micro").cast("string"),
+            F.col("sum_score_micro").cast("string"),
+        ),
+        v_num=F.col("pos_ppm").cast("double"),
+    )
     # r7 'psi': population-stability drift between the en and zh
     # slices over the hashed feature space — the release-to-release
     # drift gate; one bounded bucket-count collect per side, the PSI
@@ -7684,7 +7700,7 @@ def classify_suite(spark, sf_dir):
         "pplb",
         F.col("doc_id"), v_str=F.col("bucket"), v_num=F.col("ppl"),
     )
-    return _union_all([nb, nbp, dsir, pr, psi, ppl, pplb])
+    return _union_all([nb, nbp, dsir, pr, reli, psi, ppl, pplb])
 
 
 _PR_THRESHOLDS = (-1_000_000, -250_000, 0, 250_000, 1_000_000)
@@ -7794,6 +7810,36 @@ FROM (
   CROSS JOIN (VALUES (-1000000), (-250000), (0), (250000), (1000000)) t(threshold)
   GROUP BY t.threshold
 ) prsweep
+UNION ALL
+SELECT 'reli', CAST(bucket AS VARCHAR),
+       CAST(n AS VARCHAR) || '|' || CAST(lo AS VARCHAR) || '|' ||
+       CAST(hi AS VARCHAR) || '|' || CAST(ssum AS VARCHAR),
+       CAST(pos_ppm AS DOUBLE)
+FROM (
+  WITH rbase AS (
+    SELECT d.logw AS s, (doc.lang = 'zh') AS y
+    FROM dsir d JOIN documents doc ON d.id = doc.doc_id
+    WHERE d.logw IS NOT NULL
+  ),
+  rrank AS (
+    SELECT s, y,
+           rank() OVER (ORDER BY s ASC) AS rk,
+           count(*) OVER () AS nn
+    FROM rbase
+  ),
+  rbuck AS (
+    SELECT s, y,
+           least(10, (CASE WHEN nn > 1
+                           THEN ((rk - 1) * 1000000) // (nn - 1)
+                           ELSE 0 END * 10) // 1000000 + 1) AS bucket
+    FROM rrank
+  )
+  SELECT bucket, count(*) AS n, min(s) AS lo, max(s) AS hi,
+         sum(s) AS ssum,
+         (sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000) // count(*)
+           AS pos_ppm
+  FROM rbuck GROUP BY bucket
+) relirows
 """
 
 

@@ -226,3 +226,31 @@ def test_nb_filter_composes_with_streaming(spark, tmp_path):
     q = stream.writeStream.foreachBatch(sink).start()
     q.processAllAvailable(); q.stop()
     assert set(got) == batch_kept == {11, 12}
+
+
+def test_reliability_report_buckets_and_monotone_signal(spark):
+    """Equal-population percentile bands, tie-stable; a score that IS
+    the label (perfect ranking) puts all positives in the top bands
+    with pos_ppm 1e6 and zeros elsewhere; sums are exact."""
+    from cdc_pipeline_with_kafka_spark.operators import classify
+
+    rows = [(i, i * 1000, i >= 80) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, score long, y boolean")
+    out = {r["bucket"]: r for r in classify.reliability_report(
+        df, "score", "y", 10).collect()}
+    assert sorted(out) == list(range(1, 11))
+    assert all(out[b]["n"] == 10 for b in out)
+    # perfectly ranked: exactly the top two bands carry positives
+    assert out[10]["pos_ppm"] == 1_000_000 and out[9]["pos_ppm"] == 1_000_000
+    assert all(out[b]["pos_ppm"] == 0 for b in range(1, 9))
+    assert out[1]["lo_micro"] == 0 and out[10]["hi_micro"] == 99_000
+    assert out[1]["sum_score_micro"] == sum(i * 1000 for i in range(10))
+    # NULL rows excluded
+    withnull = df.union(spark.createDataFrame([(999, None, True)],
+                                              "id long, score long, y boolean"))
+    assert sum(r["n"] for r in classify.reliability_report(
+        withnull, "score", "y", 10).collect()) == 100
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        classify.reliability_report(df, "score", "y", 1)
