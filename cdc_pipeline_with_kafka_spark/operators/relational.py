@@ -587,7 +587,12 @@ def join_skew_report(
     shuffles), an inner join of the two (small) count tables, and a
     TakeOrdered top-k.  For open-vocabulary keys where even the count
     tables are huge, feed each side through `sketch.heavy_hitters`
-    first and diff the candidate sets instead."""
+    first and diff the candidate sets instead.
+
+    Bound: share_ppm computes out_rows·1e6 in long arithmetic, so a
+    single key's product must stay < 9.2e12 output rows (~3M × 3M
+    multiplicities) — past that the report overflows, and the join it
+    is diagnosing was never going to run anyway."""
     if k < 1:
         raise ValueError("k must be >= 1")
     lc = left.groupBy(key_col).agg(F.count(F.lit(1)).alias("l_cnt"))
