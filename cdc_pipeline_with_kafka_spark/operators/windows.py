@@ -458,3 +458,53 @@ def rollup_counts(
         F.count(F.lit(1)).alias("cnt"),
         *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims],
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    day (the cohort), and for every later day the share of the cohort
+    still active — the standard growth-analytics view (day-0 row is
+    the cohort size itself, retention 1e6 ppm by construction).
+
+    Output: (cohort_day, offset_days, n_active, n_cohort,
+    retention_ppm) with ``retention_ppm = n_active·1e6 div
+    n_cohort`` — exact integer arithmetic throughout; only
+    (cohort, offset) pairs with at least one active user appear
+    (zero-fill is a presentation concern; F.sequence the offsets if a
+    dense matrix is needed).
+
+    Shape: one user-keyed aggregate (first day per user — map-side
+    combined), one distinct over (user, day) activity, a broadcast-
+    able cohort join (users-sized), and one (cohort, offset) count.
+    Every shuffle key is the user or the small matrix key; the events
+    table is scanned twice (cohorts + activity) — localCheckpoint the
+    projected (user, day) frame first if the scan is the cost."""
+    if not key_cols:
+        raise ValueError("need key_cols")
+    keys = [F.col(c) for c in key_cols]
+    day = F.date_trunc("day", F.col(ts_col)).alias("_day")
+    acts = df.select(*keys, day).distinct()
+    cohorts = acts.groupBy(*key_cols).agg(F.min("_day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    joined = acts.join(cohorts, key_cols).select(
+        "cohort_day",
+        F.datediff(F.col("_day"), F.col("cohort_day")).alias("offset_days"),
+    )
+    active = joined.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    return active.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "offset_days",
+        "n_active",
+        "n_cohort",
+        F.expr("(n_active * 1000000) div n_cohort").cast("long").alias(
+            "retention_ppm"
+        ),
+    )

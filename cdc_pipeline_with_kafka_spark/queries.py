@@ -587,6 +587,21 @@ def a_stats_suite(spark, sf_dir):
             v_str=F.col("user_id").cast("string"),
             v_num=F.col("session_id").cast("double"),
         ),
+        # r8 'coh': cohort retention matrix — users grouped by
+        # first-activity day, per-offset active share as exact ppm
+        _suite_rows(
+            windows.cohort_retention(ev, ["user_id"], "ts"),
+            "coh",
+            F.concat_ws(
+                "|", F.date_format("cohort_day", "yyyy-MM-dd"),
+                F.col("offset_days").cast("string"),
+            ),
+            v_str=F.concat_ws(
+                "|", F.col("n_active").cast("string"),
+                F.col("n_cohort").cast("string"),
+            ),
+            v_num=F.col("retention_ppm").cast("double"),
+        ),
     ])
 
 
@@ -865,6 +880,28 @@ FROM (
     FROM events
   ) s
 ) sessrows
+UNION ALL
+SELECT 'coh',
+       strftime(cohort_day, '%Y-%m-%d') || '|' ||
+       CAST(offset_days AS VARCHAR),
+       CAST(n_active AS VARCHAR) || '|' || CAST(n_cohort AS VARCHAR),
+       CAST((n_active * 1000000) // n_cohort AS DOUBLE)
+FROM (
+  WITH cacts AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+  ),
+  ccoh AS (SELECT user_id, min(d) AS cohort_day FROM cacts GROUP BY 1),
+  csz AS (SELECT cohort_day, count(*) AS n_cohort FROM ccoh GROUP BY 1),
+  cact AS (
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.d) AS offset_days,
+           count(*) AS n_active
+    FROM cacts a JOIN ccoh c USING (user_id)
+    GROUP BY 1, 2
+  )
+  SELECT cact.cohort_day, cact.offset_days, cact.n_active, csz.n_cohort
+  FROM cact JOIN csz USING (cohort_day)
+) cohrows
 """
 
 

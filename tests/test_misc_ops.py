@@ -506,3 +506,34 @@ def test_sessionize_consistent_with_session_window_counts(spark):
     assert sum(cnt for _, cnt in
                ((w, c) for ws in per_user_native.values() for w, c in ws)
                ) == ev.count()
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Planted cohorts: day-0 rows are the cohort sizes at exactly
+    1e6 ppm, later offsets count distinct returning users, multiple
+    same-day events collapse."""
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    rows = [
+        # cohort 2024-01-01: users 1,2,3; user1 returns d1+d2,
+        # user2 returns d2 (twice that day), user3 never returns
+        (1, "2024-01-01 09:00:00"), (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-03 08:00:00"),
+        (2, "2024-01-01 11:00:00"), (2, "2024-01-03 07:00:00"),
+        (2, "2024-01-03 23:00:00"),
+        (3, "2024-01-01 05:00:00"),
+        # cohort 2024-01-02: user 4
+        (4, "2024-01-02 12:00:00"), (4, "2024-01-03 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = {(str(r["cohort_day"])[:10], r["offset_days"]):
+           (r["n_active"], r["n_cohort"], r["retention_ppm"])
+           for r in windows.cohort_retention(df, ["user_id"], "ts").collect()}
+    assert out[("2024-01-01", 0)] == (3, 3, 1_000_000)
+    assert out[("2024-01-01", 1)] == (1, 3, 333_333)
+    assert out[("2024-01-01", 2)] == (2, 3, 666_666)
+    assert out[("2024-01-02", 0)] == (1, 1, 1_000_000)
+    assert out[("2024-01-02", 1)] == (1, 1, 1_000_000)
+    assert len(out) == 5
