@@ -59,3 +59,59 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return s.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
+def join_advice(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    broadcast_cap_bytes: int = 100 * 1024 * 1024,
+    hot_share_ppm: int = 200_000,
+    k: int = 5,
+) -> dict:
+    """Pre-flight join planning report — the decision the operator
+    tier otherwise leaves implicit, made inspectable BEFORE a 100 TB
+    join is submitted:
+
+    - Catalyst's optimized-plan size estimates for both sides (the
+      same statistics AQE plans from),
+    - the top-k skew keys with their exact output share
+      (`relational.join_skew_report` — two count shuffles over the
+      inputs, the only data this report scans),
+    - a strategy recommendation:
+      'broadcast_smaller'  — one side fits under broadcast_cap_bytes;
+      'salt_hot_keys'      — no broadcast fit and one key exceeds
+                             hot_share_ppm of the join output (route
+                             those keys through `salted_join`, or
+                             rely on AQE skew-join if the skew is in
+                             partition sizes rather than one key);
+      'shuffle_join'       — no broadcast fit, no dominating key.
+
+    Returns a plain dict (a driver-side report, not a dataset): sizes,
+    the recommendation, and the skew rows.  Cost: two metadata reads +
+    the skew report's bounded aggregation."""
+    from .relational import join_skew_report
+
+    def est_bytes(df: DataFrame) -> int:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+
+    lb, rb = est_bytes(left), est_bytes(right)
+    skew = [r.asDict() for r in join_skew_report(left, right, key_col, k).collect()]
+    hot = [r for r in skew if r["share_ppm"] >= hot_share_ppm]
+    if min(lb, rb) <= broadcast_cap_bytes:
+        rec = "broadcast_smaller"
+    elif hot:
+        rec = "salt_hot_keys"
+    else:
+        rec = "shuffle_join"
+    return {
+        "left_bytes_est": lb,
+        "right_bytes_est": rb,
+        "broadcast_side": ("right" if rb <= lb else "left")
+        if rec == "broadcast_smaller" else None,
+        "recommendation": rec,
+        "hot_keys": [r[key_col] for r in hot],
+        "skew_topk": skew,
+    }

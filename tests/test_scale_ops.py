@@ -240,3 +240,29 @@ def test_rollup_counts_hierarchy_and_null_disambiguation(spark):
     assert by[(None, "x", 0, 0)] == 1           # leaf with real NULL d1
     plan = windows.rollup_counts(df, ["d1", "d2"])._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # one grouping-sets job, not per-level aggs
+
+
+def test_join_advice_recommendations(spark):
+    """Small dim → broadcast; forced no-broadcast with a dominating
+    key → salt (the hot key named); balanced → shuffle."""
+    from cdc_pipeline_with_kafka_spark.operators import skew
+
+    big = spark.range(0, 20_000).selectExpr("id % 100 AS k", "id AS payload")
+    dim = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS attr")
+    adv = skew.join_advice(big, dim, "k")
+    assert adv["recommendation"] == "broadcast_smaller"
+    assert adv["broadcast_side"] in ("left", "right")
+
+    # one key carries ~half of each side -> product dominates
+    hotl = spark.range(0, 2_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k")
+    hotr = spark.range(0, 2_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k")
+    adv2 = skew.join_advice(hotl, hotr, "k", broadcast_cap_bytes=1)
+    assert adv2["recommendation"] == "salt_hot_keys"
+    assert 0 in adv2["hot_keys"]
+
+    flat = spark.range(0, 5_000).selectExpr("id AS k")
+    adv3 = skew.join_advice(flat, flat, "k", broadcast_cap_bytes=1)
+    assert adv3["recommendation"] == "shuffle_join"
+    assert adv3["hot_keys"] == []
