@@ -508,3 +508,32 @@ def cohort_retention(
             "retention_ppm"
         ),
     )
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_cols: list[str],
+    col_col: str,
+    col_values: list,
+    fill: int = 0,
+) -> DataFrame:
+    """Crosstab: one row per `row_cols`, one count column per value in
+    `col_values` — the wide OLAP view rollup_counts' long form feeds
+    (status × priority matrices, lang × source corpus balance
+    tables).
+
+    `col_values` is REQUIRED and explicit, for two reasons the 100 TB
+    path cares about: (1) Spark's value-less pivot runs an extra
+    distinct-discovery job and caps at
+    spark.sql.pivotMaxValues, and (2) the output SCHEMA becomes
+    data-dependent — a downstream writer's table would gain columns
+    whenever a new value appears.  With values pinned, the plan is
+    ONE partial-aggregated job (each pivot cell a conditional count)
+    and the schema is a contract.  Absent (row, value) cells fill
+    with `fill` (0 — a crosstab's empty cell is a zero count, not
+    unknown); rows whose col value is outside `col_values` count
+    toward no pivot column (add a sentinel value to catch strays)."""
+    if not col_values:
+        raise ValueError("need explicit col_values")
+    out = df.groupBy(*row_cols).pivot(col_col, list(col_values)).count()
+    return out.na.fill(int(fill), [str(v) for v in col_values])

@@ -2640,6 +2640,21 @@ def a_basic_aggs(spark, sf_dir):
             ),
             v_num=F.col("cnt"),
         ),
+        # r8 'pivt': explicit-values crosstab — priority × status
+        # count matrix, pinned schema, one partial-aggregated job;
+        # stacked back to long form for the compare
+        _suite_rows(
+            windows.pivot_counts(
+                _t(spark, sf_dir, "orders"), ["o_orderpriority"],
+                "o_orderstatus", ["F", "O", "P"],
+            ).selectExpr(
+                "o_orderpriority",
+                "stack(3, 'F', F, 'O', O, 'P', P) AS (st, cnt)",
+            ),
+            "pivt",
+            F.concat_ws("|", F.col("o_orderpriority"), F.col("st")),
+            v_num=F.col("cnt").cast("double"),
+        ),
     ])
 
 
@@ -2669,6 +2684,16 @@ SELECT 'cube',
        '', CAST(count(*) AS DOUBLE)
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'pivt', o_orderpriority || '|' || st, '', CAST(cnt AS DOUBLE)
+FROM (
+  SELECT o_orderpriority,
+         unnest(['F','O','P']) AS st,
+         unnest([sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END),
+                 sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END),
+                 sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)]) AS cnt
+  FROM orders GROUP BY o_orderpriority
+) pivtrows
 """
 
 

@@ -537,3 +537,25 @@ def test_cohort_retention_hand_computed(spark):
     assert out[("2024-01-02", 0)] == (1, 1, 1_000_000)
     assert out[("2024-01-02", 1)] == (1, 1, 1_000_000)
     assert len(out) == 5
+
+
+def test_pivot_counts_schema_contract_and_fill(spark):
+    """Pinned columns in the given order, zero-filled empty cells,
+    out-of-list values counted nowhere, single-aggregate plan."""
+    from cdc_pipeline_with_kafka_spark import plans
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"), ("b", "zzz")]
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = windows.pivot_counts(df, ["g"], "c", ["x", "y"])
+    assert out.columns == ["g", "x", "y"]
+    got = {r["g"]: (r["x"], r["y"]) for r in out.collect()}
+    assert got == {"a": (2, 1), "b": (0, 1)}  # 'zzz' counts nowhere
+    # one aggregate, no join, no second distinct-discovery job
+    plan = plans.formatted_plan(out)
+    assert "Join" not in plan
+    assert plans.has_partial_aggregation(out)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        windows.pivot_counts(df, ["g"], "c", [])
