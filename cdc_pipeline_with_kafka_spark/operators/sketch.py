@@ -815,3 +815,60 @@ def mad_outliers(
         .filter(F.col("_d") * F.lit(1000) > F.lit(int(k_milli)) * F.col("mad"))
         .select(*group_cols, value_col, "med", "mad")
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs_ppm: tuple[int, ...] = (500_000, 950_000),
+) -> DataFrame:
+    """Exact rank quantiles per group — the P50/P95/P99-per-key table
+    (latency per endpoint, doc length per source).  For each q the
+    reported value is the element at rank ⌈q·n⌉: an ACTUAL data value
+    by the engine's exact rank-quantile pattern, never an
+    interpolation (`quantile_summary` is the one-pass GK approximation
+    of the same table; this is its exact, oracle-checkable form).
+
+    Output: group_cols + (q_ppm, quantile_value), one row per
+    (group, q); NULL values are excluded from ranks.  qs must lie in
+    (0, 1e6].  Bound: q·n stays in long arithmetic up to n ~ 9e12
+    rows per group.
+
+    Shape: ONE group-partitioned rank window (all quantiles read the
+    same sort — adding a q costs nothing) + a literal-array explode
+    matched on the rank; a single shuffle on the group key."""
+    if not qs_ppm:
+        raise ValueError("need at least one quantile")
+    for q in qs_ppm:
+        if not 0 < q <= 1_000_000:
+            raise ValueError(f"q_ppm must be in (0, 1e6], got {q}")
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    ranked = (
+        df.select(*group_cols, value_col)
+        .filter(v.isNotNull())
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(*g).orderBy(v.asc())),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*g)))
+    )
+    cuts = F.array(
+        *[
+            F.struct(
+                F.lit(int(q)).cast("long").alias("q_ppm"),
+                F.expr(
+                    f"CAST((CAST({int(q)} AS BIGINT) * _n + 999999)"
+                    " div 1000000 AS BIGINT)"
+                ).alias("rk"),
+            )
+            for q in qs_ppm
+        ]
+    )
+    return (
+        ranked.withColumn("_c", F.explode(cuts))
+        .filter(F.col("_rn") == F.col("_c.rk"))
+        .select(*group_cols, F.col("_c.q_ppm").alias("q_ppm"),
+                v.alias("quantile_value"))
+    )

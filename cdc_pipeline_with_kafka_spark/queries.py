@@ -587,6 +587,18 @@ def a_stats_suite(spark, sf_dir):
             v_str=F.col("user_id").cast("string"),
             v_num=F.col("session_id").cast("double"),
         ),
+        # r8 'gq': exact rank quantiles per group — P25/P50/P95 of
+        # value per event_type, values at rank ⌈q·n⌉ (actual data
+        # values, the engine's exact quantile pattern)
+        _suite_rows(
+            sketch_ops.group_quantiles(
+                ev, "value", ["event_type"], (250_000, 500_000, 950_000)
+            ),
+            "gq",
+            F.concat_ws("|", F.col("event_type"),
+                        F.col("q_ppm").cast("string")),
+            v_num=F.col("quantile_value"),
+        ),
         # r8 'coh': cohort retention matrix — users grouped by
         # first-activity day, per-offset active share as exact ppm
         _suite_rows(
@@ -902,6 +914,20 @@ FROM (
   SELECT cact.cohort_day, cact.offset_days, cact.n_active, csz.n_cohort
   FROM cact JOIN csz USING (cohort_day)
 ) cohrows
+UNION ALL
+SELECT 'gq', event_type || '|' || CAST(q AS VARCHAR), '',
+       CAST(v AS DOUBLE)
+FROM (
+  SELECT r.event_type, q.q AS q, r.v
+  FROM (
+    SELECT event_type, value AS v,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events WHERE value IS NOT NULL
+  ) r
+  JOIN (VALUES (250000), (500000), (950000)) q(q)
+    ON r.rn = (q.q * r.n + 999999) // 1000000
+) gqrows
 """
 
 

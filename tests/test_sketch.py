@@ -379,3 +379,28 @@ def test_profile_diff_composes_with_table_profile(spark):
     out = {r["column"]: r for r in diff.collect()}
     assert out["lang"]["flags"] == "null_shift" and out["lang"]["flagged"]
     assert not out["doc_id"]["flagged"] and not out["source"]["flagged"]
+
+
+def test_group_quantiles_exact_ranks(spark):
+    """Quantile values are the elements at rank ceil(q*n) — hand
+    computed, per group, duplicates and NULLs handled; P100 is the
+    max; invalid q raises."""
+    from cdc_pipeline_with_kafka_spark.operators import sketch
+
+    rows = [("a", float(v)) for v in [5, 1, 3, 2, 4]] + [
+        ("b", 10.0), ("b", 20.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["q_ppm"]): r["quantile_value"]
+           for r in sketch.group_quantiles(
+               df, "v", ["g"], (250_000, 500_000, 1_000_000)).collect()}
+    # group a (n=5): ceil(.25*5)=2 -> 2.0; ceil(.5*5)=3 -> 3.0; P100 -> 5.0
+    # group b (n=2): ceil(.25*2)=1 -> 10.0; ceil(.5*2)=1 -> 10.0; P100 -> 20.0
+    assert out == {
+        ("a", 250_000): 2.0, ("a", 500_000): 3.0, ("a", 1_000_000): 5.0,
+        ("b", 250_000): 10.0, ("b", 500_000): 10.0, ("b", 1_000_000): 20.0,
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketch.group_quantiles(df, "v", ["g"], (0,))
+    with _pytest.raises(ValueError):
+        sketch.group_quantiles(df, "v", ["g"], ())
