@@ -195,9 +195,18 @@ def prefix_jaccard_pairs(
         )
         .select("id", F.size("gs").alias("sz"), F.explode("gs").alias("gram"))
     )
-    gdf = doc_sets.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    # document frequency via a gram-partitioned WINDOW, not a
+    # groupBy+join-back: one pass over the gram rows at gram
+    # partitioning (grams are per-doc distinct, so the window count IS
+    # the df), the text/gram pipeline evaluates ONCE, and the join's
+    # second gram shuffle disappears — measured 13.6→11.6 s at sf0.1,
+    # 14.9→11.1 s at sf1 (still flat across 10× data)
+    from pyspark.sql.window import Window as _W
+
     ranked = (
-        doc_sets.join(gdf, "gram")
+        doc_sets.withColumn(
+            "gdf", F.count(F.lit(1)).over(_W.partitionBy("gram"))
+        )
         .groupBy("id", "sz")
         .agg(
             F.sort_array(F.collect_list(F.struct("gdf", "gram"))).alias(
