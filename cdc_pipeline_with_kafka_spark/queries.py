@@ -587,6 +587,11 @@ def a_stats_suite(spark, sf_dir):
             v_str=F.col("user_id").cast("string"),
             v_num=F.col("session_id").cast("double"),
         ),
+        # r8 'sesa': per-session aggregates over the sessionized
+        # events — the downstream consumer the sessionize docstring
+        # promises co-partitioning for: n_events, distinct types, and
+        # exact integer-microsecond duration per (user, session)
+        _a_sesa_rows(spark, sf_dir),
         # r8 'gq': exact rank quantiles per group — P25/P50/P95 of
         # value per event_type, values at rank ⌈q·n⌉ (actual data
         # values, the engine's exact quantile pattern)
@@ -688,6 +693,29 @@ def _a_mad_rows(spark, sf_dir):
         v_num=F.col("mad"),
     )
     return _union_all([flagged, meds, mads])
+
+
+def _a_sesa_rows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sess = windows.sessionize(ev, ["user_id"], "ts", 30, ["event_id"])
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    agg = (
+        sess.withColumn("_us", ts_us)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            (F.max("_us") - F.min("_us")).alias("dur_us"),
+        )
+    )
+    return _suite_rows(
+        agg, "sesa",
+        F.concat_ws("|", F.col("user_id").cast("string"),
+                    F.col("session_id").cast("string")),
+        v_str=F.concat_ws("|", F.col("n_events").cast("string"),
+                          F.col("n_types").cast("string")),
+        v_num=F.col("dur_us").cast("double"),
+    )
 
 
 def _a_skew_rows(spark, sf_dir):
@@ -892,6 +920,30 @@ FROM (
     FROM events
   ) s
 ) sessrows
+UNION ALL
+SELECT 'sesa',
+       CAST(user_id AS VARCHAR) || '|' || CAST(sid AS VARCHAR),
+       CAST(n_events AS VARCHAR) || '|' || CAST(n_types AS VARCHAR),
+       CAST(dur_us AS DOUBLE)
+FROM (
+  SELECT user_id, sid, count(*) AS n_events,
+         count(DISTINCT event_type) AS n_types,
+         max(ts_us) - min(ts_us) AS dur_us
+  FROM (
+    SELECT user_id, event_type, ts_us,
+           sum(CASE WHEN prev_us IS NULL
+                    OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+             ) AS prev_us
+      FROM events
+    ) sb
+  ) ss GROUP BY user_id, sid
+) sesarows
 UNION ALL
 SELECT 'coh',
        strftime(cohort_day, '%Y-%m-%d') || '|' ||
