@@ -93,6 +93,14 @@ def ngram_jaccard_pairs(
     100 TB: `max_gram_df` drops posting lists longer than the cap
     (documents-with-stop-phrase pairs lose those grams' votes — a
     standard recall/cost trade; None keeps exact semantics).
+
+    Threshold contract: a pair is emitted iff its TRUE Jaccard ≥
+    threshold, decided by exact integer cross-multiplication
+    (``shared·1e6 ≥ tp·(|a|+|b|−shared)`` with tp = round(t·1e6)) —
+    never by comparing the rounded double, which would admit true J in
+    [t−5e-7, t) and break identity with the prefix-filtered sibling
+    (whose pruning assumes J ≥ t).  The `jaccard` output column is
+    round(J, 6) for display only.
     """
     # Linear single-scan plan.  A self-join formulation reads the text
     # and rebuilds the gram pipeline once PER BRANCH (4× here — Spark
@@ -136,10 +144,16 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return shared.selectExpr(
+    tp = int(round(threshold * 1_000_000))
+    return shared.filter(
+        F.expr(
+            "CAST(shared AS BIGINT) * 1000000 >= "
+            f"CAST({tp} AS BIGINT) * (size_a + size_b - shared)"
+        )
+    ).selectExpr(
         "id_a", "id_b",
         "round(shared / (size_a + size_b - shared), 6) AS jaccard",
-    ).filter(F.col("jaccard") >= threshold)
+    )
 
 
 def prefix_jaccard_pairs(
@@ -169,7 +183,12 @@ def prefix_jaccard_pairs(
        posexplode), size-filtered (min·1e6 ≥ t·max, since
        J ≤ min/max) and deduped on the pair key;
     4. verify each candidate EXACTLY — array_intersect over the full
-       gram sets, round(|∩| / (|a|+|b|−|∩|), 6) ≥ t.
+       gram sets, integer cross-multiplication
+       ``|∩|·1e6 ≥ tp·(|a|+|b|−|∩|)`` (the same exact predicate the
+       sibling uses; comparing the ROUNDED double would admit true J
+       in [t−5e-7, t), which the prefix/size pruning — correctly —
+       assumes away, silently breaking result identity on boundary
+       pairs).  The `jaccard` output column is round(J, 6) display.
 
     vs `ngram_jaccard_pairs`: the sibling aggregates EVERY shared-gram
     occurrence (cost Σ|posting|² over ALL grams — right at low
@@ -257,13 +276,19 @@ def prefix_jaccard_pairs(
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .filter(
+            F.expr(
+                "CAST(inter AS BIGINT) * 1000000 >= "
+                f"CAST({tp} AS BIGINT)"
+                " * (size(toks_a) + size(toks_b) - inter)"
+            )
+        )
         .selectExpr(
             "id_a",
             "id_b",
             "round(inter / (size(toks_a) + size(toks_b) - inter), 6)"
             " AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 

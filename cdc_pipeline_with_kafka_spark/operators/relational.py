@@ -560,7 +560,13 @@ def scd2_history(
         *[F.col(c).alias(f"_ord_{i}") for i, c in enumerate(order_cols[1:], 1)],
     ).drop(*[f"_ord_{i}" for i in range(1, len(order_cols))])
     if op_col:
-        hist = hist.filter(~F.col(op_col).isin(list(delete_ops))).drop(op_col)
+        # NULL-safe: `~op.isin(...)` is NULL for a NULL op, which a
+        # bare filter would silently DROP — a malformed change event
+        # vanishing from history.  A NULL op is an ordinary change
+        # (only an explicit delete op closes-without-emitting).
+        hist = hist.filter(
+            ~F.coalesce(F.col(op_col).isin(list(delete_ops)), F.lit(False))
+        ).drop(op_col)
     return hist.withColumn(
         "is_current", F.col("effective_to").isNull()
     )

@@ -379,14 +379,33 @@ def maxsim_topk(
     share its hash, so per-block sums are final — no re-aggregation).
     Cost: one doc-chunk scan PER BLOCK; for corpus×corpus linking
     prefer `candidates=` pools per block or the LSH/IVF pair tiers."""
+    if block_chunks is not None and block_chunks < 1:
+        raise ValueError(
+            f"block_chunks must be >= 1 (got {block_chunks}); "
+            "pass None for the default"
+        )
     if candidates is not None:
         doc_chunks = doc_chunks.join(
             F.broadcast(candidates.select(doc_id_col).distinct()),
             doc_id_col,
             "left_semi",
         )
-    limit = int(block_chunks or MAXSIM_COLLECT_CHUNKS)
+    limit = int(block_chunks if block_chunks is not None else MAXSIM_COLLECT_CHUNKS)
     n_chunks = query_chunks.count()
+    if n_chunks > limit and candidates is None:
+        import warnings
+
+        n_blocks = -(-n_chunks // limit)
+        warnings.warn(
+            f"maxsim_topk: {n_chunks} query-chunk rows exceed the "
+            f"collect limit ({limit}) with no `candidates` pool — the "
+            f"blocked path will scan the doc-chunk table once PER "
+            f"BLOCK ({int(n_blocks)} scans).  Fine for a large query "
+            "workload; for corpus×corpus linking pass `candidates=` "
+            "(pooled-vector ANN top-k per query) or use the LSH/IVF "
+            "pair tiers instead.",
+            stacklevel=2,
+        )
     if n_chunks <= limit:
         qrows = query_chunks.select(query_id_col, vec_col).collect()
         fused = _maxsim_fused(

@@ -591,6 +591,9 @@ def profile_diff(
     )
 
 
+EXACT_HIST_WARN_BUCKETS = 32
+
+
 def equi_depth_histogram(
     df: DataFrame,
     col: str,
@@ -606,17 +609,36 @@ def equi_depth_histogram(
     Exact form (default): boundary k is the max of the lowest
     ⌈k·n/m⌉ values — the engine's exact rank-quantile pattern (no
     interpolation; boundaries are actual data values, reproducible on
-    any engine), m−1 bounded TakeOrdered jobs + one count.  Rows
-    bucket to the FIRST boundary ≥ value, so ties never straddle a
-    boundary (heavily tied data gives uneven depths — the honest
-    answer; an interpolating histogram would hide the tie mass).
-    NULLs are excluded (profile them with table_profile).
+    any engine), m−1 bounded TakeOrdered jobs + one count.  Boundary
+    values and the bucket comparison stay in the column's NATIVE type
+    (a double round-trip would lose precision on longs above 2^53 and
+    let ties straddle a boundary); only the lo/hi OUTPUT columns cast
+    to double.  Rows bucket to the FIRST boundary ≥ value, so ties
+    never straddle a boundary (heavily tied data gives uneven depths
+    — the honest answer; an interpolating histogram would hide the
+    tie mass).  NULLs are excluded (profile them with table_profile).
+    The exact path costs m−1 extra column scans — past
+    EXACT_HIST_WARN_BUCKETS (32) it warns and points at approx=True
+    (the table_profile guardrail pattern).
 
     ``approx=True``: boundaries from one GK approx_percentile
     aggregate — the 100 TB form (one pass, mergeable sketch) with
-    rank error ≤ the GK accuracy instead of exact."""
+    rank error ≤ the GK accuracy instead of exact (GK works on
+    doubles, so this path keeps the historical double-typed
+    boundaries)."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    if not approx and n_buckets > EXACT_HIST_WARN_BUCKETS:
+        import warnings
+
+        warnings.warn(
+            f"equi_depth_histogram: exact boundaries for {n_buckets} "
+            f"buckets cost {n_buckets - 1} extra TakeOrdered column "
+            "scans plus a count; pass approx=True (one mergeable GK "
+            "aggregate, same output shape) for wide histograms at "
+            "scale",
+            stacklevel=2,
+        )
     c = F.col(col)
     vals = df.filter(c.isNotNull()).select(c.alias("_v"))
     n = vals.count()
@@ -635,6 +657,9 @@ def equi_depth_histogram(
         ).first()
         cuts = [float(x) for x in (row["c"] if qs else [])]
     else:
+        # boundaries stay in the column's native type — float(cut)
+        # would corrupt longs past 2^53 and break the no-straddle
+        # contract on tied values at a boundary
         cuts = []
         for k in range(1, n_buckets):
             rank = -(-k * n // n_buckets)  # ceil(k*n/m)
@@ -644,11 +669,12 @@ def equi_depth_histogram(
                 .agg(F.max("_v").alias("c"))
                 .first()["c"]
             )
-            cuts.append(float(cut))
+            cuts.append(cut)
     bucket = F.lit(n_buckets)
+    cmp_v = F.col("_v").cast("double") if approx else F.col("_v")
     for k in range(len(cuts), 0, -1):
         bucket = F.when(
-            F.col("_v").cast("double") <= F.lit(cuts[k - 1]), F.lit(k)
+            cmp_v <= F.lit(cuts[k - 1]), F.lit(k)
         ).otherwise(bucket)
     return (
         vals.select(bucket.cast("int").alias("bucket"), "_v")

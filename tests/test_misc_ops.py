@@ -559,3 +559,64 @@ def test_pivot_counts_schema_contract_and_fill(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         windows.pivot_counts(df, ["g"], "c", [])
+
+
+def test_scd2_history_null_op_is_ordinary_change(spark):
+    """A NULL op (malformed change event) must NOT vanish from the
+    history: `~op.isin(deletes)` is NULL for NULL ops and a bare
+    filter would drop the row silently.  NULL ops are kept as
+    ordinary changes (r9 ADVICE closure)."""
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "c", "v1"),
+            (1, 20, None, "v2"),   # malformed op: still a version
+            (1, 30, "u", "v3"),
+            (2, 10, None, "x1"),   # a key seen ONLY via a NULL op
+        ],
+        "k long, ts long, op string, val string",
+    )
+    rows = relational.scd2_history(
+        changes, ["k"], ["ts"], ["val"], op_col="op"
+    ).collect()
+    by = {(r["k"], r["val"]): r for r in rows}
+    assert len(rows) == 4
+    assert by[(1, "v2")]["effective_from"] == 20
+    assert by[(1, "v2")]["effective_to"] == 30
+    assert by[(2, "x1")]["is_current"]
+
+
+def test_cusum_negative_series_sign_safe_mu(spark):
+    """Default mu on a NEGATIVE-sum series: sign-safe exact division
+    (truncation toward zero on every engine) — Spark's `div`
+    truncates while DuckDB's `//` floors, so the naive sum div n
+    diverges cross-engine exactly when the sum is negative (r9
+    ADVICE closure).  The pure-Python trunc replay is the contract."""
+    import duckdb
+
+    from cdc_pipeline_with_kafka_spark.operators import trends
+
+    series = [-10, -11, -9, -10, -3, -2, -4, -3]
+    rows = [("m", i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "key string, t long, v double")
+    out = trends.cusum_changepoints(
+        df, ["key"], "t", "v", h_micro=1_000_000
+    ).orderBy("t").collect()
+
+    xs = [int(v) * 1_000_000 for v in series]
+    s = sum(xs)
+    mu = -((-s) // len(xs)) if s < 0 else s // len(xs)  # trunc to zero
+    assert all(r["mu_micro"] == mu for r in out)
+    # the documented replay SQL (floor-division engine) agrees
+    duck_mu = duckdb.sql(
+        f"SELECT CASE WHEN ({s}) >= 0 THEN ({s}) // {len(xs)} "
+        f"ELSE -(({abs(s)}) // {len(xs)}) END"
+    ).fetchone()[0]
+    assert int(duck_mu) == mu
+    # statistics still satisfy the recursion under the trunc mu
+    sp = sm = 0
+    expect = []
+    for x in xs:
+        sp = max(0, sp + x - mu)
+        sm = max(0, sm + mu - x)
+        expect.append((sp, sm))
+    assert [(r["s_plus_micro"], r["s_minus_micro"]) for r in out] == expect

@@ -404,3 +404,35 @@ def test_group_quantiles_exact_ranks(spark):
         sketch.group_quantiles(df, "v", ["g"], (0,))
     with _pytest.raises(ValueError):
         sketch.group_quantiles(df, "v", ["g"], ())
+
+
+def test_equi_depth_histogram_exact_guardrail_and_native_types(spark):
+    """r9: (1) the exact path WARNS past EXACT_HIST_WARN_BUCKETS
+    (m-1 TakeOrdered scans — approx=True is the scale form, and stays
+    silent); (2) exact boundaries stay in the column's NATIVE type:
+    longs above 2^53 collapse under a double round-trip, which would
+    let ties straddle boundaries and empty out buckets."""
+    import warnings as _w
+
+    import pytest as _pytest
+
+    base = 1 << 60  # adjacent values indistinguishable as doubles
+    df = spark.createDataFrame(
+        [(base + i,) for i in range(4)], "v long"
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # no warning at small bucket counts
+        out = {
+            r["bucket"]: r
+            for r in sketch.equi_depth_histogram(df, "v", 2).collect()
+        }
+    assert [out[b]["n_rows"] for b in sorted(out)] == [2, 2]
+
+    wide = spark.createDataFrame(
+        [(float(i),) for i in range(200)], "v double"
+    )
+    with _pytest.warns(UserWarning, match="TakeOrdered"):
+        sketch.equi_depth_histogram(wide, "v", 40)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # approx path never warns
+        sketch.equi_depth_histogram(wide, "v", 40, approx=True).collect()
