@@ -619,7 +619,40 @@ def a_stats_suite(spark, sf_dir):
             ),
             v_num=F.col("retention_ppm").cast("double"),
         ),
+        # r9 'ssj': the stream–stream attribution join's BATCH TWIN —
+        # clicks within 30 min after a same-user view, the exact
+        # key + two-sided-time-bound condition the watermarked
+        # streaming join runs (streaming ≡ batch pinned in
+        # tests/test_streaming.py; this row value-checks the
+        # condition itself against a DuckDB range join, closing the
+        # last oracle-expressible pytest-only operator)
+        _a_ssj_rows(spark, sf_dir),
     ])
+
+
+def _a_ssj_rows(spark, sf_dir):
+    from .streaming import pipeline as stream_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = stream_pipeline.stream_stream_join(
+        v, c, ["user_id"], max_lag="30 minutes"
+    )
+    lag_us = F.unix_micros(F.col("ts_r").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    return _suite_rows(
+        joined, "ssj",
+        F.concat_ws("|", F.col("event_id").cast("string"),
+                    F.col("event_id_r").cast("string")),
+        v_str=lag_us.cast("string"),
+        v_num=F.col("value"),
+    )
 
 
 def _a_tdiff_rows(spark, sf_dir):
@@ -980,6 +1013,17 @@ FROM (
   JOIN (VALUES (250000), (500000), (950000)) q(q)
     ON r.rn = (q.q * r.n + 999999) // 1000000
 ) gqrows
+UNION ALL
+SELECT 'ssj',
+       CAST(v.event_id AS VARCHAR) || '|' || CAST(c.event_id AS VARCHAR),
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS VARCHAR),
+       CAST(c.value AS DOUBLE)
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTE
 """
 
 
