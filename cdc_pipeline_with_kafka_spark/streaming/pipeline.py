@@ -646,6 +646,8 @@ def make_components_sink(
     id_b: str = "id_b",
     algorithm: str = "auto",
     mode: str = "full",
+    auto_compact: bool = False,
+    auto_compact_min_rows: int = 65_536,
 ):
     """foreachBatch sink maintaining a rolling connected-components
     LABEL TABLE over a near-dup pair stream
@@ -672,6 +674,16 @@ def make_components_sink(
     stays bounded — see SCALING.md for the cadence; only compact
     batches the stream has fully committed past.
 
+    ``auto_compact=True`` (delta mode only, r9): the sink enforces
+    the SCALING §16 cadence itself — it tracks cumulative delta rows
+    in a small marker file and, once they reach
+    ``max(auto_compact_min_rows, last-compacted label-table size)``
+    (i.e. Σ delta ≈ node count), compacts dirs ≤ batch−1 (always
+    committed past, so never racing a replay).  The marker update is
+    batch_id-guarded, so a crash-replayed batch doesn't double-count
+    its rows; losing the marker merely delays the next compaction
+    (cadence state, not correctness state).
+
     Per-batch compute in BOTH modes: components over the CONTRACTED
     graph (bounded by the batch's edge count) + one broadcast remap —
     the corpus pair graph is never recomputed.  Cold start: batch 0 is
@@ -687,6 +699,8 @@ def make_components_sink(
         raise ValueError(f"unknown algorithm {algorithm!r}; use label|star|auto")
     if mode not in ("full", "delta"):
         raise ValueError(f"unknown mode {mode!r}; use full|delta")
+    if auto_compact and mode != "delta":
+        raise ValueError("auto_compact requires mode='delta'")
 
     def sink(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -706,11 +720,52 @@ def make_components_sink(
                 batch_df.select(id_a, id_b), labels,
                 id_a=id_a, id_b=id_b, algorithm=algorithm,
             )
-        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        pinned = out.localCheckpoint(eager=True)
+        pinned.write.mode("overwrite").parquet(
             f"{labels_path}/batch_id={batch_id}"
         )
+        if auto_compact:
+            _auto_compact_components(
+                spark, labels_path, batch_id,
+                int(pinned.count()), auto_compact_min_rows,
+            )
 
     return sink
+
+
+def _auto_compact_components(
+    spark, labels_path: str, batch_id: int, batch_rows: int, min_rows: int
+) -> None:
+    """SCALING §16 cadence, enforced by the sink: compact when the
+    deltas accumulated since the last compaction reach the label-table
+    size (Σ delta ≈ node count), floored at `min_rows`.  State lives
+    in a marker file; the update is batch_id-guarded so crash replays
+    don't double-count, and a lost marker only DELAYS compaction."""
+    import json
+    import os
+
+    marker = os.path.join(labels_path, "_compact_state.json")
+    state = {"last_counted_batch": -1, "delta_since": 0, "base_rows": 0}
+    try:
+        with open(marker) as f:
+            state.update(json.load(f))
+    except (OSError, ValueError):
+        pass
+    if batch_id > state["last_counted_batch"]:
+        state["delta_since"] += batch_rows
+        state["last_counted_batch"] = batch_id
+    if batch_id >= 1 and state["delta_since"] >= max(
+        min_rows, state["base_rows"]
+    ):
+        state["base_rows"] = compact_component_labels(
+            spark, labels_path, batch_id - 1
+        )
+        # only the current batch's dir remains uncompacted
+        state["delta_since"] = batch_rows
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, marker)
 
 
 def _latest_full_snapshot(spark, labels_path: str, batch_id: int):
@@ -814,3 +869,153 @@ def make_profile_sink(
         )
 
     return sink
+
+
+def make_scd2_sink(
+    history_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    attr_cols: list[str],
+    op_col: str | None = None,
+    delete_ops: tuple = ("d",),
+):
+    """foreachBatch sink maintaining a slowly-changing-dimension
+    TYPE-2 HISTORY table incrementally from a CDC change stream — the
+    streaming completion of `operators.relational.scd2_history`
+    (which re-windows the WHOLE change log; at 100 TB you cannot do
+    that per micro-batch) and of the reference's continuous
+    replication loop (targetDB1/SyncService.py:87-140 maintains the
+    CURRENT state row-by-row; this maintains every version).
+
+    Per micro-batch, ONLY the keys the batch touches move:
+
+    1. the prior OPEN interval of each touched key is re-emitted
+       CLOSED at the key's first batch order value (min over ALL the
+       key's batch changes, deletes included — a leading delete
+       closes history exactly like a leading update);
+    2. the batch's own changes run through `scd2_history` (one keyed
+       window over BATCH rows only) — intra-batch versions close each
+       other, the last stays open unless a delete ends it.
+
+    Batch N writes those rows under ``batch_id=N``; the CURRENT
+    history is the last-writer-wins merge per (key, effective_from)
+    over the batch dirs (`read_scd2_history`) — a closed re-emission
+    supersedes its open original from an earlier batch.  Crash
+    replay is the components-delta contract: a replayed batch
+    reconstructs the prior view from dirs < N only and OVERWRITES
+    its own dir, so replay is byte-identical and double-application
+    impossible.
+
+    Correctness contract (pinned in tests): with `order_cols`
+    nondecreasing per key ACROSS batches (CDC offset monotonicity —
+    Debezium/binlog order; violations would need the batch form),
+    the N-batch incremental history ≡ one-shot `scd2_history` on the
+    concatenated change log.
+
+    100 TB shape: per batch — one LWW read of the history dirs
+    (bound it with `compact_scd2_history`, cadence as SCALING.md's
+    components rule), one key-partitioned semi-join of prior open
+    rows against the batch's (distinct, batch-sized) key set, one
+    keyed window over batch rows, write O(batch-touched).  The
+    change log is never re-windowed."""
+    from ..operators.relational import scd2_history
+
+    if not key_cols or not order_cols or not attr_cols:
+        raise ValueError("need key_cols, order_cols and attr_cols")
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = read_scd2_history(
+            spark, history_path, key_cols, before=batch_id
+        )
+        batch_hist = scd2_history(
+            batch_df, key_cols, order_cols, attr_cols,
+            op_col=op_col, delete_ops=delete_ops,
+        )
+        out = batch_hist
+        if prior is not None:
+            firsts = batch_df.groupBy(*key_cols).agg(
+                F.min(F.struct(*order_cols)).alias("_f")
+            )
+            close_at = firsts.select(
+                *key_cols, F.col(f"_f.{order_cols[0]}").alias("_close")
+            )
+            closed = (
+                prior.filter(F.col("effective_to").isNull())
+                .join(close_at, list(key_cols))
+                .withColumn("effective_to", F.col("_close"))
+                .withColumn("is_current", F.lit(False))
+                .drop("_close")
+            )
+            out = closed.unionByName(batch_hist)
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{history_path}/batch_id={batch_id}"
+        )
+
+    return sink
+
+
+def read_scd2_history(
+    spark,
+    history_path: str,
+    key_cols: list[str],
+    before: int | None = None,
+):
+    """Current SCD2 history view of a `make_scd2_sink` table:
+    last-writer-wins per (key, effective_from) over the batch_id dirs
+    (optionally only dirs < `before` — the sink's replay-
+    reconstruction read).  Returns None when no dirs qualify (cold
+    start)."""
+    from pyspark.sql import Window
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = spark.read.option("basePath", history_path).parquet(history_path)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise  # storage blip ≠ cold start: fail the batch
+        return None
+    if before is not None:
+        df = df.filter(F.col("batch_id") < before)
+    if df.limit(1).count() == 0:
+        return None
+    w = Window.partitionBy(*key_cols, "effective_from").orderBy(
+        F.col("batch_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
+
+
+def compact_scd2_history(
+    spark, history_path: str, key_cols: list[str], upto_batch: int
+) -> int:
+    """Collapse all SCD2 history dirs with batch_id ≤ `upto_batch`
+    into one last-writer-wins dir at ``batch_id=<upto_batch>`` and
+    delete the older dirs — bounds the sink's reconstruction read
+    (the components-compaction contract: only compact batches the
+    stream has committed past).  Returns the compacted row count."""
+    import os
+    import re
+    import shutil
+
+    dirs = [
+        d for d in os.listdir(history_path)
+        if re.fullmatch(r"batch_id=\d+", d)
+        and int(d.split("=")[1]) <= upto_batch
+    ]
+    if not dirs:
+        return 0
+    merged = read_scd2_history(
+        spark, history_path, key_cols, before=upto_batch + 1
+    )
+    tmp = os.path.join(history_path, "._compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    for d in dirs:
+        shutil.rmtree(os.path.join(history_path, d))
+    os.rename(tmp, os.path.join(history_path, f"batch_id={upto_batch}"))
+    return n

@@ -267,3 +267,59 @@ def kafka_sink_options(topic: str) -> dict[str, str]:
         "kafka.linger.ms": "10",
         "kafka.batch.size": "16384",
     }
+
+
+def reconcile_snapshot(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    key: str = "id",
+    compare_cols: list[str] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Audit-and-repair cycle: diff the replicated table against a
+    source snapshot and apply ONLY the drift — the set-oriented form
+    of the reference's SyncService full-resync (which re-upserts
+    every row, targetDB1/SyncService.py:87-140; at 100 TB you ship
+    the patch, not the table).
+
+    Composes the engine's own primitives end-to-end:
+    ``operators.relational.snapshot_diff(include_values=True)``
+    produces the applicable patch (insert/update rows with NEW-side
+    values, delete keys), which is re-expressed as minimal CDC
+    envelopes and replayed through the SAME `merge_upsert` path the
+    streaming sink uses (hard deletes — reconciliation means the
+    replica must EQUAL the source, so a soft-delete tombstone would
+    itself be drift on the next audit).
+
+    Returns ``(new_target_df, counts)`` with counts =
+    {'insert': n, 'update': n, 'delete': n}.  Fixed point: after one
+    application the diff is empty and a second pass applies nothing
+    (pinned in tests).  Scale: the diff is one key-partitioned outer
+    join; the apply rewrites the target via merge_upsert — partition
+    both by the key (or use merge_upsert_partitioned's touched-
+    partition rewrite) when the table outgrows a full rewrite."""
+    from ..operators.relational import snapshot_diff
+
+    replica = _read_target(spark, target_path, source)
+    patch = snapshot_diff(
+        replica, source, [key],
+        compare_cols=compare_cols, include_values=True,
+    ).localCheckpoint(eager=True)
+    counts = {r["change"]: r["n"] for r in patch.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    counts = {c: int(counts.get(c, 0)) for c in ("insert", "update", "delete")}
+    value_cols = [
+        c for c in patch.columns if c not in (key, "change", "n_changed_cols")
+    ]
+    env = patch.select(
+        F.when(F.col("change") == "delete", F.lit("d"))
+        .when(F.col("change") == "insert", F.lit("c"))
+        .otherwise(F.lit("u")).alias("op"),
+        F.struct(F.col(key), *[F.col(c) for c in value_cols]).alias("after"),
+        F.struct(F.col(key)).alias("before"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    out = merge_upsert(
+        spark, env, target_path, key=key, soft_delete=False, ts_col="ts"
+    )
+    return out, counts
