@@ -620,3 +620,106 @@ def join_skew_report(
         .orderBy(F.col("out_rows").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def merkle_summary(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Bucketed integrity summary for replica ANTI-ENTROPY — the step
+    BEFORE `snapshot_diff` at 100 TB: comparing two replicas row-by-
+    row means shipping both tables through a key-partitioned outer
+    join; comparing their merkle summaries ships `n_buckets` rows,
+    and only DIVERGENT buckets (usually a handful after a bounded
+    drift window) pay the row-level diff.  This is the Merkle-tree /
+    anti-entropy repair idea of Dynamo-style replication, flattened
+    to one level and expressed as a pure aggregate.
+
+    Per row: a 52-bit digest (md5 of the canonical field concat —
+    first 13 hex chars, the engine's exact-in-doubles hash recipe)
+    and a bucket = key-hash mod n_buckets (bucket derives from the
+    KEY only, so the same key lands in the same bucket on both
+    replicas regardless of value drift).  Per bucket: row count +
+    digest SUM as DECIMAL(38,0) (order-free, shard-mergeable,
+    overflow-safe to ~1e25 rows/bucket).  Two tables are equal iff
+    their summaries are equal (up to md5-sum collision, ≥2^52
+    per-bucket work to forge accidentally).
+
+    Canonicalization contract: fields are compared as
+    ``CAST(col AS STRING)`` with a NULL sentinel and unit separators
+    — engine-portable for ints/strings/dates; QUANTIZE doubles first
+    (e.g. cents as BIGINT) since float→string formatting is
+    engine-specific.
+
+    Shape: one scan, one partial-aggregated groupBy on the bucket id
+    — reducer input is buckets, not rows.  Output: (bucket, n_rows,
+    sum_digest)."""
+    if not key_cols:
+        raise ValueError("need key_cols")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c not in key_cols]
+    # \x1e sentinel, not NUL: the oracle engine (DuckDB) cannot hold
+    # NUL bytes in strings, and the digest must replay cross-engine
+    sep, nul = "\x1f", "\x1e"
+
+    def canon(cols: list[str]):
+        return F.concat_ws(
+            sep, *[
+                F.coalesce(F.col(c).cast("string"), F.lit(nul)) for c in cols
+            ]
+        )
+
+    h52 = F.conv(F.substring(F.md5(canon(key_cols + value_cols)), 1, 13), 16, 10).cast(
+        "long"
+    )
+    kh = F.conv(F.substring(F.md5(canon(key_cols)), 1, 13), 16, 10).cast("long")
+    return (
+        df.select(
+            F.pmod(kh, F.lit(int(n_buckets))).cast("int").alias("bucket"),
+            h52.cast("decimal(38,0)").alias("_d"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_d").alias("sum_digest"),
+        )
+    )
+
+
+def merkle_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Divergent buckets between two `merkle_summary` frames: one
+    FULL OUTER join on the bucket id (n_buckets rows per side — the
+    whole comparison ships KBs), emitting only buckets whose
+    (n_rows, sum_digest) disagree or that exist on one side only.
+    Output: (bucket, n_rows_a, n_rows_b, status) with status ∈
+    {'diff', 'missing_a', 'missing_b'} — feed the bucket list back
+    as a pre-filter (key-hash mod n_buckets IN (...)) and run
+    `snapshot_diff` on just those buckets' rows: the anti-entropy
+    repair loop at scale (composition pinned in tests)."""
+    sa = a.select(
+        "bucket", F.col("n_rows").alias("n_rows_a"),
+        F.col("sum_digest").alias("_da"), F.lit(1).alias("_ia"),
+    )
+    sb = b.select(
+        "bucket", F.col("n_rows").alias("n_rows_b"),
+        F.col("sum_digest").alias("_db"), F.lit(1).alias("_ib"),
+    )
+    j = sa.join(sb, "bucket", "full_outer")
+    status = (
+        F.when(F.col("_ia").isNull(), F.lit("missing_a"))
+        .when(F.col("_ib").isNull(), F.lit("missing_b"))
+        .when(
+            (F.col("n_rows_a") != F.col("n_rows_b"))
+            | (F.col("_da") != F.col("_db")),
+            F.lit("diff"),
+        )
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("bucket", "n_rows_a", "n_rows_b", "status")
+    )

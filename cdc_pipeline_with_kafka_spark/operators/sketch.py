@@ -898,3 +898,83 @@ def group_quantiles(
         .select(*group_cols, F.col("_c.q_ppm").alias("q_ppm"),
                 v.alias("quantile_value"))
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Pairwise Pearson correlation over m numeric columns in ONE
+    pass — the relationship view `table_profile`'s per-column stats
+    can't give (which delivery metrics move together, which features
+    are redundant before training).
+
+    Exactness contract: values quantize to integer micros
+    (``round(v·micro)`` — the ONE explicit seam), and every
+    co-moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact DECIMAL(38,0)
+    sum over those integers — order-free, shard-mergeable, identical
+    on any engine.  The correlation itself is one fixed IEEE-double
+    expression over the exact sums ((nΣxy−ΣxΣy) /
+    (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))), so even the float step is
+    reproducible bit-for-bit.  Pairwise-complete semantics: each
+    pair's sums count only rows where BOTH columns are non-NULL;
+    zero-variance pairs yield NULL (not ±inf/NaN).
+
+    Plan shape: ONE partial-aggregated job — all m(m−1)/2 pairs' six
+    conditional sums ride in a single agg (the stack-unpivot
+    single-aggregate-row pattern of table_profile), then unpivot to
+    one row per pair.  No shuffle keys at all: the aggregate is
+    global, combined map-side.  Overflow bound: nΣxy must stay
+    inside DECIMAL(38,0) — |v·micro| ≤ 1e12 holds to ~1e12 rows;
+    past that drop `micro` (raw integer units) or center first.
+
+    Output: (col_x, col_y, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+    corr) for the upper-triangle pairs."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    if micro < 1:
+        raise ValueError("micro must be >= 1")
+
+    def q(c: str):
+        return F.expr(f"CAST(round({c} * {micro}, 0) AS BIGINT)")
+
+    dec = "decimal(38,0)"
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1:]]
+    aggs = []
+    for i, (x, y) in enumerate(pairs):
+        qx, qy = q(x), q(y)
+        both = qx.isNotNull() & qy.isNotNull()
+        gx = F.when(both, qx.cast(dec))
+        gy = F.when(both, qy.cast(dec))
+        aggs += [
+            F.count(F.when(both, F.lit(1))).cast(dec).alias(f"_n_{i}"),
+            F.sum(gx).alias(f"_sx_{i}"),
+            F.sum(gy).alias(f"_sy_{i}"),
+            F.sum(gx * qy).alias(f"_sxy_{i}"),
+            F.sum(gx * qx).alias(f"_sxx_{i}"),
+            F.sum(gy * qy).alias(f"_syy_{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{x}', '{y}', _n_{i}, _sx_{i}, _sy_{i}, _sxy_{i}, _sxx_{i}, _syy_{i}"
+        for i, (x, y) in enumerate(pairs)
+    )
+    long_rows = one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS "
+        "(col_x, col_y, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy)"
+    )
+    num = F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    vx = F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    vy = F.col("n") * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        num.cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return long_rows.select(
+        "col_x", "col_y",
+        F.col("n").cast("long").alias("n"),
+        "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy",
+        corr.alias("corr"),
+    )

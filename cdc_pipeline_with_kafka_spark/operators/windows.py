@@ -541,3 +541,59 @@ def pivot_counts(
         raise ValueError("need explicit col_values")
     out = df.groupBy(*row_cols).pivot(col_col, list(col_values)).count()
     return out.na.fill(int(fill), [str(v) for v in col_values])
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-series downsampling to open/high/low/close bars per key
+    per time bucket — the query every metric/price/rate dashboard
+    runs over raw event streams, and the canonical "keep the shape,
+    drop the volume" reduction before long-horizon storage (1e12 raw
+    points → 1e7 hourly bars).
+
+    Output: key cols + (bucket_start, open, high, low, close, n_rows,
+    sum_value).  ``open``/``close`` are the values at the bucket's
+    MIN/MAX (ts, tiebreak) — the tiebreak column (an event id) makes
+    same-timestamp opens/closes deterministic, the engine's
+    sessionize/scd2 ordering contract.  NULL values are excluded.
+
+    Shape: ONE partial-aggregated groupBy on (key, bucket) — no
+    window function, no sort, and critically no SortAggregate:
+    open/close ride as ``min_by/max_by`` over a PRIMITIVE ordering
+    key (``ts_us·2⁶⁴ + tiebreak`` packed into DECIMAL(38,0) — a
+    struct ordering key would flip the whole aggregate to
+    SortAggregate, paying an in-partition sort of the raw stream;
+    the decimal keeps it HashAggregate, verified in the plan test).
+    Map-side combine does the heavy lifting: reducer input is bars,
+    not events.  `bucket` is a date_trunc unit
+    (minute/hour/day/week/...) so the bucketing is a pure column
+    expression, partition-prunable on date-partitioned layouts.
+    Contract: ts ≥ epoch and tiebreak values non-negative (the
+    packing is order-preserving only for non-negative components)."""
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull())
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pin = ts_us.cast("decimal(38,0)") * F.expr(
+        "CAST(18446744073709551616 AS DECIMAL(20,0))"
+    )
+    if tiebreak_col is not None:
+        pin = pin + F.col(tiebreak_col).cast("decimal(38,0)")
+    return (
+        rows.groupBy(
+            *key_cols, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+        )
+        .agg(
+            F.min_by(v, pin).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, pin).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(v).alias("sum_value"),
+        )
+    )

@@ -619,6 +619,17 @@ def a_stats_suite(spark, sf_dir):
             ),
             v_num=F.col("retention_ppm").cast("double"),
         ),
+        # r9 'ohlc': hourly OHLC bars of value per event_type —
+        # open/close pinned by the packed (ts_us, event_id)
+        # min_by/max_by key (HashAggregate, no sort); o/h/l/c are
+        # actual data values so parity is exact
+        _a_ohlc_rows(spark, sf_dir),
+        # r9 'mrks'/'mrkd': merkle anti-entropy summaries — 52-bit
+        # md5 digest sums per key-hash bucket over two planted
+        # snapshot versions, and the divergent-bucket diff (the step
+        # BEFORE snapshot_diff at 100 TB: ship n_buckets rows, then
+        # row-diff only divergent buckets)
+        _a_mrk_rows(spark, sf_dir),
         # r9 'ssj': the stream–stream attribution join's BATCH TWIN —
         # clicks within 30 min after a same-user view, the exact
         # key + two-sided-time-bound condition the watermarked
@@ -628,6 +639,67 @@ def a_stats_suite(spark, sf_dir):
         # last oracle-expressible pytest-only operator)
         _a_ssj_rows(spark, sf_dir),
     ])
+
+
+def _a_ohlc_rows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bars = windows.ohlc_bars(
+        ev, ["event_type"], "ts", "value", "hour", "event_id"
+    )
+    return bars.selectExpr(
+        "event_type", "bucket_start",
+        "stack(5, 'o', open, 'h', high, 'l', low, 'c', close,"
+        " 'n', CAST(n_rows AS DOUBLE)) AS (fld, v)",
+    ).select(
+        F.lit("ohlc").alias("suite_case"),
+        F.concat_ws(
+            "|", F.col("event_type"),
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss"),
+            F.col("fld"),
+        ).alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("v").alias("v_num"),
+    )
+
+
+def _a_mrk_rows(spark, sf_dir):
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    snap_old = ords.filter(k % 7 != 0)
+    snap_new = (
+        ords.filter(k % 5 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 11 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "cents",
+            F.when(k % 3 == 0, F.col("cents") + 100).otherwise(F.col("cents")),
+        )
+    )
+    vcols = ["o_orderstatus", "cents"]
+    sa = relational.merkle_summary(snap_old, ["o_orderkey"], vcols, n_buckets=64)
+    sb = relational.merkle_summary(snap_new, ["o_orderkey"], vcols, n_buckets=64)
+    mrks = _suite_rows(
+        sa, "mrks", F.col("bucket").cast("string"),
+        v_str=F.col("sum_digest").cast("string"),
+        v_num=F.col("n_rows").cast("double"),
+    )
+    mrkd = _suite_rows(
+        relational.merkle_diff(sa, sb), "mrkd",
+        F.col("bucket").cast("string"),
+        v_str=F.concat_ws(
+            "|", F.col("status"),
+            F.coalesce(F.col("n_rows_a").cast("string"), F.lit("-")),
+            F.coalesce(F.col("n_rows_b").cast("string"), F.lit("-")),
+        ),
+        v_num=F.lit(-1.0),
+    )
+    return _union_all([mrks, mrkd])
 
 
 def _a_ssj_rows(spark, sf_dir):
@@ -1024,6 +1096,80 @@ JOIN (SELECT user_id, event_id, ts, value FROM events
   ON v.user_id = c.user_id
  AND c.ts >= v.ts
  AND c.ts <= v.ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT 'ohlc', k, '', v
+FROM (
+  WITH osrc AS (
+    SELECT event_type, date_trunc('hour', ts) AS b, value,
+           epoch_us(ts)::HUGEINT * 18446744073709551616::HUGEINT
+             + event_id AS pk
+    FROM events WHERE value IS NOT NULL
+  ),
+  obars AS (
+    SELECT event_type || '|' || strftime(b, '%Y-%m-%d %H:%M:%S') AS bk,
+           arg_min(value, pk) AS o, max(value) AS h, min(value) AS l,
+           arg_max(value, pk) AS c, CAST(count(*) AS DOUBLE) AS n
+    FROM osrc GROUP BY event_type, b
+  )
+  SELECT bk || '|o' AS k, o AS v FROM obars
+  UNION ALL SELECT bk || '|h', h FROM obars
+  UNION ALL SELECT bk || '|l', l FROM obars
+  UNION ALL SELECT bk || '|c', c FROM obars
+  UNION ALL SELECT bk || '|n', n FROM obars
+) orows
+UNION ALL
+SELECT suite_case, k, v_str, v_num
+FROM (
+  WITH mbase AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+  ),
+  mold AS (SELECT * FROM mbase WHERE o_orderkey % 7 <> 0),
+  mnew AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN cents + 100
+                ELSE cents END AS cents
+    FROM mbase WHERE o_orderkey % 5 <> 0
+  ),
+  msuma AS (
+    SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                AS BIGINT) % 64 AS bucket,
+           count(*) AS n_rows,
+           sum(CAST(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || chr(31) || o_orderstatus
+                 || chr(31) || CAST(cents AS VARCHAR)), 1, 13))
+               AS BIGINT)::HUGEINT) AS sum_digest
+    FROM mold GROUP BY 1
+  ),
+  msumb AS (
+    SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                AS BIGINT) % 64 AS bucket,
+           count(*) AS n_rows,
+           sum(CAST(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || chr(31) || o_orderstatus
+                 || chr(31) || CAST(cents AS VARCHAR)), 1, 13))
+               AS BIGINT)::HUGEINT) AS sum_digest
+    FROM mnew GROUP BY 1
+  )
+  SELECT 'mrks' AS suite_case, CAST(bucket AS VARCHAR) AS k,
+         CAST(sum_digest AS VARCHAR) AS v_str,
+         CAST(n_rows AS DOUBLE) AS v_num
+  FROM msuma
+  UNION ALL
+  SELECT 'mrkd', CAST(coalesce(a.bucket, b.bucket) AS VARCHAR),
+         (CASE WHEN a.bucket IS NULL THEN 'missing_a'
+               WHEN b.bucket IS NULL THEN 'missing_b'
+               ELSE 'diff' END)
+         || '|' || coalesce(CAST(a.n_rows AS VARCHAR), '-')
+         || '|' || coalesce(CAST(b.n_rows AS VARCHAR), '-'),
+         -1.0
+  FROM msuma a FULL OUTER JOIN msumb b ON a.bucket = b.bucket
+  WHERE a.bucket IS NULL OR b.bucket IS NULL
+     OR a.n_rows <> b.n_rows OR a.sum_digest <> b.sum_digest
+) mrkrows
 """
 
 
@@ -3575,6 +3721,24 @@ def curation_suite(spark, sf_dir):
         ),
         v_num=F.col("n_rows").cast("double"),
     )
+    # 'corr' (r9): one-pass pairwise Pearson over the lineitem
+    # numeric columns — every co-moment an exact DECIMAL(38,0) sum
+    # (order-free, shard-mergeable), the corr one fixed IEEE-double
+    # expression over those exact integers (so even the float step
+    # replays bit-for-bit); n + Σx + Σxy value-checked as exact
+    # integer strings alongside
+    corr = sketch.corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).select(
+        F.lit("corr").alias("suite_case"),
+        F.concat_ws("|", "col_x", "col_y").alias("k"),
+        F.concat_ws(
+            "|", F.col("n").cast("string"), F.col("sum_x").cast("string"),
+            F.col("sum_xy").cast("string"),
+        ).alias("v_str"),
+        F.col("corr").alias("v_num"),
+    )
     return (
         sample.unionByName(pack).unionByName(tfidf).unionByName(lenstats)
         .unionByName(chunk).unionByName(hh).unionByName(quant)
@@ -3582,6 +3746,7 @@ def curation_suite(spark, sf_dir):
         .unionByName(schunk).unionByName(packb).unionByName(vocab)
         .unionByName(prof).unionByName(rank).unionByName(rankw)
         .unionByName(tri).unionByName(hist).unionByName(pdif_rows)
+        .unionByName(corr)
     )
 
 
@@ -4031,6 +4196,54 @@ SELECT 'vocab', vstat, '', vval FROM (
          CAST((top_cnt::HUGEINT * 1000000 // greatest(n_tokens, 1)) AS DOUBLE)
   FROM vtot, vtop
 ) vrows
+UNION ALL
+-- 'corr' (r9): pairwise Pearson from exact integer co-moments
+-- (HUGEINT ≡ Spark DECIMAL(38,0)); the corr double is the same fixed
+-- IEEE expression over the same exact integers on both engines
+SELECT 'corr', col_x || '|' || col_y,
+       CAST(n AS VARCHAR) || '|' || CAST(sum_x AS VARCHAR)
+         || '|' || CAST(sum_xy AS VARCHAR),
+       CASE WHEN vx > 0 AND vy > 0
+            THEN CAST(num AS DOUBLE)
+                 / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+       END
+FROM (
+  SELECT col_x, col_y, n, sum_x, sum_xy,
+         n * sum_xy - sum_x * sum_y AS num,
+         n * sum_xx - sum_x * sum_x AS vx,
+         n * sum_yy - sum_y * sum_y AS vy
+  FROM (
+    WITH cmq AS (
+      SELECT CAST(round(l_quantity * 1000000) AS BIGINT) AS cq,
+             CAST(round(l_extendedprice * 1000000) AS BIGINT) AS cp,
+             CAST(round(l_discount * 1000000) AS BIGINT) AS cd,
+             CAST(round(l_tax * 1000000) AS BIGINT) AS ct
+      FROM lineitem
+    ),
+    cpairs AS (
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, cq AS x, cp AS y FROM cmq
+      UNION ALL SELECT 'l_quantity', 'l_discount', cq, cd FROM cmq
+      UNION ALL SELECT 'l_quantity', 'l_tax', cq, ct FROM cmq
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', cp, cd FROM cmq
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', cp, ct FROM cmq
+      UNION ALL SELECT 'l_discount', 'l_tax', cd, ct FROM cmq
+    )
+    SELECT col_x, col_y,
+           CAST(count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                           THEN 1 END) AS HUGEINT) AS n,
+           coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                             THEN x::HUGEINT END), 0) AS sum_x,
+           coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                             THEN y::HUGEINT END), 0) AS sum_y,
+           coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                             THEN x::HUGEINT * y END), 0) AS sum_xy,
+           coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                             THEN x::HUGEINT * x END), 0) AS sum_xx,
+           coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                             THEN y::HUGEINT * y END), 0) AS sum_yy
+    FROM cpairs GROUP BY 1, 2
+  ) cmoments
+) corrrows
 """
 
 

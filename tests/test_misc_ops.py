@@ -620,3 +620,106 @@ def test_cusum_negative_series_sign_safe_mu(spark):
         sm = max(0, sm + mu - x)
         expect.append((sp, sm))
     assert [(r["s_plus_micro"], r["s_minus_micro"]) for r in out] == expect
+
+
+def test_ohlc_bars_semantics_and_plan(spark):
+    """OHLC downsampling: open/close pinned by (ts, tiebreak) struct
+    extrema (deterministic under ts ties), high/low/count/sum plain
+    aggregates, NULL values excluded — and the plan is ONE partial-
+    aggregated groupBy with no window/sort/join."""
+    from cdc_pipeline_with_kafka_spark import plans
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    rows = [
+        # key a, hour 10: open=5 (earliest), close=7 (tie at :50 ->
+        # higher event_id 6 wins), high=9, low=2
+        (1, "a", "2024-01-01 10:00:00", 5.0),
+        (2, "a", "2024-01-01 10:10:00", 9.0),
+        (3, "a", "2024-01-01 10:20:00", 2.0),
+        (5, "a", "2024-01-01 10:50:00", 4.0),
+        (6, "a", "2024-01-01 10:50:00", 7.0),   # ts tie: id 6 is close
+        (7, "a", "2024-01-01 11:05:00", 1.0),   # next bar
+        (8, "b", "2024-01-01 10:30:00", 3.0),
+        (9, "b", "2024-01-01 10:31:00", None),  # NULL excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    bars = windows.ohlc_bars(df, ["k"], "ts", "v", "hour", "event_id")
+    out = {
+        (r["k"], str(r["bucket_start"])[:13]): r for r in bars.collect()
+    }
+    a10 = out[("a", "2024-01-01 10")]
+    assert (a10["open"], a10["high"], a10["low"], a10["close"]) == (
+        5.0, 9.0, 2.0, 7.0
+    )
+    assert (a10["n_rows"], a10["sum_value"]) == (5, 27.0)
+    assert out[("a", "2024-01-01 11")]["open"] == 1.0
+    b10 = out[("b", "2024-01-01 10")]
+    assert (b10["open"], b10["close"], b10["n_rows"]) == (3.0, 3.0, 1)
+    plan = plans.formatted_plan(bars)
+    assert "Window" not in plan and "Join" not in plan
+    # the decimal-packed min_by/max_by key keeps the aggregate
+    # hash-based — a struct ordering key would plan SortAggregate
+    # (an in-partition sort of the raw stream)
+    assert "SortAggregate" not in plan and "HashAggregate" in plan
+    assert plans.has_partial_aggregation(bars)
+
+
+def test_merkle_summary_diff_and_scoped_repair(spark):
+    """Anti-entropy at scale: equal tables produce an EMPTY merkle
+    diff; planted drift (update / delete / insert) surfaces exactly
+    the drifted keys' buckets; and snapshot_diff restricted to the
+    divergent buckets equals the FULL snapshot_diff — the
+    bucket-scoped repair loop."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    rows = [(k, f"s{k % 4}", k * 100) for k in range(1, 201)]
+    a = spark.createDataFrame(rows, "id long, s string, cents long")
+    drift = (
+        [(k, ("DRIFT" if k == 17 else s), c) for k, s, c in rows if k != 50]
+        + [(999, "new", 0)]
+    )
+    b = spark.createDataFrame(drift, "id long, s string, cents long")
+
+    sa, sb = (
+        relational.merkle_summary(t, ["id"], ["s", "cents"], n_buckets=32)
+        for t in (a, b)
+    )
+    assert relational.merkle_diff(sa, sa).count() == 0  # a == a
+    div = relational.merkle_diff(sa, sb).collect()
+    got_buckets = {r["bucket"] for r in div}
+    # the drifted keys' buckets (id-hash mod 32) must all surface
+    hot = {
+        r["bucket"]
+        for r in relational.merkle_summary(
+            spark.createDataFrame(
+                [(17, "x", 0), (50, "x", 0), (999, "x", 0)],
+                "id long, s string, cents long",
+            ),
+            ["id"], ["s"], n_buckets=32,
+        ).collect()
+    }
+    assert hot <= got_buckets and len(got_buckets) <= len(hot)
+
+    # bucket-scoped snapshot_diff == full snapshot_diff: the repair
+    # loop reads only divergent buckets' rows
+    bucket_of = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.coalesce(F.col("id").cast("string"), F.lit("\x1e"))),
+                1, 13,
+            ), 16, 10,
+        ).cast("long"),
+        F.lit(32),
+    ).cast("int")
+    blist = sorted(got_buckets)
+    scoped = relational.snapshot_diff(
+        a.filter(bucket_of.isin(blist)), b.filter(bucket_of.isin(blist)),
+        ["id"],
+    )
+    full = relational.snapshot_diff(a, b, ["id"])
+    assert sorted(map(tuple, scoped.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert full.count() == 3

@@ -436,3 +436,52 @@ def test_equi_depth_histogram_exact_guardrail_and_native_types(spark):
     with _w.catch_warnings():
         _w.simplefilter("error")  # approx path never warns
         sketch.equi_depth_histogram(wide, "v", 40, approx=True).collect()
+
+
+def test_corr_matrix_exact_moments_and_edge_cases(spark):
+    """One-pass pairwise Pearson: exact decimal co-moments match a
+    pure-Python replay on the quantized integers, corr matches the
+    closed form (perfect +1/−1 planted), pairwise-complete NULL
+    semantics, zero-variance pairs yield NULL, and the plan is one
+    partial-aggregated job with no shuffle-heavy shape."""
+    from decimal import Decimal
+
+    from cdc_pipeline_with_kafka_spark import plans
+    from cdc_pipeline_with_kafka_spark.operators import sketch as S
+
+    rows = [
+        (1.0, 2.0, -1.0, 7.0),
+        (2.0, 4.0, -2.0, 7.0),
+        (3.0, 6.0, -3.0, 7.0),
+        (4.0, 8.0, -4.0, 7.0),
+        (None, 10.0, -5.0, 7.0),   # pairwise-complete: a-pairs skip
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double, k double")
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in S.corr_matrix(df, ["a", "b", "c", "k"]).collect()
+    }
+    assert len(out) == 6
+    assert abs(out[("a", "b")]["corr"] - 1.0) < 1e-12   # perfect +
+    assert abs(out[("a", "c")]["corr"] + 1.0) < 1e-12   # perfect −
+    assert out[("a", "k")]["corr"] is None              # zero variance
+    assert out[("a", "b")]["n"] == 4 and out[("b", "c")]["n"] == 5
+
+    # exact co-moment replay on the quantized integers
+    qa = [round(v * 1e6) for v in (1.0, 2.0, 3.0, 4.0)]
+    qb = [round(v * 1e6) for v in (2.0, 4.0, 6.0, 8.0)]
+    r = out[("a", "b")]
+    assert r["sum_x"] == Decimal(sum(qa))
+    assert r["sum_y"] == Decimal(sum(qb))
+    assert r["sum_xy"] == Decimal(sum(x * y for x, y in zip(qa, qb)))
+    assert r["sum_xx"] == Decimal(sum(x * x for x in qa))
+
+    plan = plans.formatted_plan(S.corr_matrix(df, ["a", "b"]))
+    assert "Join" not in plan and "Window" not in plan
+    assert plans.has_partial_aggregation(S.corr_matrix(df, ["a", "b"]))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        S.corr_matrix(df, ["a"])
+    with _pytest.raises(ValueError):
+        S.corr_matrix(df, ["a", "b"], micro=0)
