@@ -514,3 +514,106 @@ def reliability_report(
         )
         .orderBy("bucket")
     )
+
+
+def gains_table(
+    scored: DataFrame,
+    score_col: str,
+    truth_col: str,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Cumulative gains / decile-lift table — the THIRD leg of the
+    classifier-evaluation tier (pr_report picks a threshold,
+    reliability_report checks calibration; this answers the triage
+    question "if I only review the top 10%/20%/... by score, what
+    share of the positives do I catch?").
+
+    Banding is by SCORE-VALUE CUTS at exact ranks (cut k = the value
+    at rank ⌈k·n/B⌉ in descending order — n_bands−1 bounded
+    TakeOrdered jobs, the equi-depth-histogram pattern), NOT a global
+    row_number window: no SinglePartition pass over the data ever
+    runs.  Ties share a band (band sizes go uneven — the honest
+    answer, same contract as the histogram).  The only window is the
+    running cumulative over the ≤n_bands-row band AGGREGATE — bounded
+    by construction.
+
+    Total accounting (the pr_report contract): rows with NULL score
+    or NULL truth are excluded from banding but counted —
+    `n_excluded` rides every row, and Σn + n_excluded == input rows.
+
+    Output per non-empty band (1 = top scores):
+    (band, cut_score, n, n_pos, cum_n, cum_pos, gain_ppm, lift_ppm,
+    n_excluded) — gain = cum_pos·1e6 div total_pos; lift =
+    cum_pos·n_total·1e6 div (total_pos·cum_n), DECIMAL(38,0) inside
+    so 1e12-row sweeps can't overflow."""
+    if n_bands < 2:
+        raise ValueError("n_bands must be >= 2")
+    s, y = F.col(score_col), F.col(truth_col)
+    counts = scored.agg(
+        F.count(F.lit(1)).alias("_tot"),
+        F.count(F.when(s.isNotNull() & y.isNotNull(), F.lit(1))).alias("_n"),
+    ).first()
+    n, n_excluded = int(counts["_n"]), int(counts["_tot"]) - int(counts["_n"])
+    valid = scored.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("_s"), y.cast("boolean").alias("_y")
+    )
+    spark = scored.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "band int, cut_score double, n long, n_pos long, "
+                "cum_n long, cum_pos long, gain_ppm long, lift_ppm long, "
+                "n_excluded long",
+        )
+    cuts = []
+    for k in range(1, n_bands):
+        rank = -(-k * n // n_bands)  # ceil(k*n/B)
+        cuts.append(
+            valid.orderBy(F.col("_s").desc())
+            .limit(rank)
+            .agg(F.min("_s").alias("c"))
+            .first()["c"]
+        )
+    band = F.lit(n_bands)
+    for k in range(len(cuts), 0, -1):
+        band = F.when(F.col("_s") >= F.lit(cuts[k - 1]), F.lit(k)).otherwise(band)
+    per_band = (
+        valid.select(band.cast("int").alias("band"), "_y")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("_y"), F.lit(1))).cast("long").alias("n_pos"),
+        )
+    )
+    # the running window covers only the ≤n_bands-row aggregate —
+    # bounded by construction, never the raw data
+    w = Window.orderBy(F.col("band").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = "decimal(38,0)"
+    cum = (
+        per_band.withColumn("cum_n", F.sum("n").over(w).cast("long"))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+    )
+    total_pos = cum.agg(F.max("cum_pos").alias("tp"))
+    out = cum.crossJoin(F.broadcast(total_pos))
+    cut_map = F.create_map(
+        *[x for k, c in enumerate(cuts, 1) for x in (F.lit(k), F.lit(c))]
+    ) if cuts else None
+    return out.select(
+        "band",
+        (cut_map[F.col("band")] if cut_map is not None else F.lit(None))
+        .cast("double").alias("cut_score"),
+        "n", "n_pos", "cum_n", "cum_pos",
+        F.when(
+            F.col("tp") > 0,
+            F.expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div tp AS BIGINT)"),
+        ).otherwise(F.lit(0)).cast("long").alias("gain_ppm"),
+        F.when(
+            (F.col("tp") > 0) & (F.col("cum_n") > 0),
+            F.expr(
+                f"CAST(CAST(cum_pos AS {dec}) * CAST({n} AS {dec}) * 1000000 "
+                f"div (CAST(tp AS {dec}) * cum_n) AS BIGINT)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("lift_ppm"),
+        F.lit(int(n_excluded)).cast("long").alias("n_excluded"),
+    )

@@ -1784,3 +1784,69 @@ def pack_blocks(
         (seg_start - F.col("block") * budget).cast("long").alias("seg_offset"),
         (seg_end - seg_start).cast("long").alias("seg_len"),
     ).filter(F.col("seg_len") > 0)
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pairs: int = 1,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Market-basket co-occurrence with exact support and lift — the
+    association-mining primitive (items bought together, tags
+    co-assigned, errors co-firing in a window): for every unordered
+    item pair sharing a basket, ``n_ab`` (supporting baskets),
+    the marginals ``n_a``/``n_b``, and
+    ``lift_ppm = n_baskets·n_ab·1e6 div (n_a·n_b)`` — lift > 1e6
+    means the pair co-occurs MORE than independence predicts.  All
+    integer arithmetic (DECIMAL(38,0) for the lift product, so the
+    1e12-basket regime can't overflow).
+
+    Shape (the dedup posting-list pattern, basket-side): one
+    per-basket ``collect_set`` (basket-keyed shuffle), in-row sorted
+    upper-triangle pair expansion, one pair-keyed count — cost
+    Σ|basket|² over baskets, NEVER items × items.  Marginals are one
+    distinct (basket, item) count joined back on the pair's items
+    (item-cardinality tables).  The skew risk is the MEGA-BASKET
+    (one basket with 1e5 items = 1e10 pairs): `max_basket_items`
+    drops baskets above the cap — the max_gram_df recall/cost trade,
+    loud in the signature, None keeps exact semantics.
+    ``min_pairs`` prunes the long tail before the marginal join."""
+    if min_pairs < 1:
+        raise ValueError("min_pairs must be >= 1")
+    pairs_src = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .groupBy("_b")
+        .agg(F.sort_array(F.collect_set("_i")).alias("items"))
+    )
+    if max_basket_items is not None:
+        pairs_src = pairs_src.filter(F.size("items") <= max_basket_items)
+    pairs = pairs_src.selectExpr(
+        "items", "posexplode(items) AS (p, item_a)"
+    ).selectExpr("item_a", "explode(slice(items, p + 2, size(items))) AS item_b")
+    support = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    ).filter(F.col("n_ab") >= min_pairs)
+    item_counts = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+        .groupBy("_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    )
+    n_baskets = df.select(basket_col).distinct().count()
+    dec = "decimal(38,0)"
+    return (
+        support
+        .join(item_counts.select(F.col("_i").alias("item_a"),
+                                 F.col("n_i").alias("n_a")), "item_a")
+        .join(item_counts.select(F.col("_i").alias("item_b"),
+                                 F.col("n_i").alias("n_b")), "item_b")
+        .select(
+            "item_a", "item_b", "n_ab", "n_a", "n_b",
+            F.expr(
+                f"CAST(CAST({int(n_baskets)} AS {dec}) * n_ab * 1000000 "
+                f"div (CAST(n_a AS {dec}) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -723,3 +723,27 @@ def merkle_diff(a: DataFrame, b: DataFrame) -> DataFrame:
         .filter(F.col("status").isNotNull())
         .select("bucket", "n_rows_a", "n_rows_b", "status")
     )
+
+
+def scd2_as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time read over an SCD2 history (`scd2_history` or the
+    streaming sink's `read_scd2_history` view): the table state AS OF
+    `ts` — one row per key whose validity interval covers the instant
+    (``effective_from ≤ ts < effective_to``, half-open like the
+    history itself; open intervals cover everything ≥ their start).
+    `ts` compares in effective_from's own type (timestamp, epoch
+    micros, CDC offset — whatever ordered the history).
+
+    This is the query the whole SCD2 shape exists to serve ("what did
+    the dimension look like when the model trained?"), and it is a
+    pure FILTER: partition/zone pruning applies on both bounds, no
+    join, no window — at 100 TB, date-partition the history on
+    effective_from and the scan prunes to intervals opened before
+    `ts`.  `is_current` is dropped (it describes the latest state,
+    not the as-of instant)."""
+    t = F.lit(ts)
+    out = history.filter(
+        (F.col("effective_from") <= t)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > t))
+    )
+    return out.drop("is_current") if "is_current" in history.columns else out

@@ -630,6 +630,14 @@ def a_stats_suite(spark, sf_dir):
         # BEFORE snapshot_diff at 100 TB: ship n_buckets rows, then
         # row-diff only divergent buckets)
         _a_mrk_rows(spark, sf_dir),
+        # r9 'scda': point-in-time (as-of) read over the same SCD2
+        # history the 'scd2' branch builds — the query the history
+        # shape exists to serve, a pure double-bounded filter
+        _a_scda_rows(spark, sf_dir),
+        # r9 'coo': market-basket co-occurrence over lineitem orders
+        # (item = partkey mod 97) — exact support counts + integer-ppm
+        # lift vs independence, the association-mining primitive
+        _a_coo_rows(spark, sf_dir),
         # r9 'ssj': the stream–stream attribution join's BATCH TWIN —
         # clicks within 30 min after a same-user view, the exact
         # key + two-sided-time-bound condition the watermarked
@@ -639,6 +647,48 @@ def a_stats_suite(spark, sf_dir):
         # last oracle-expressible pytest-only operator)
         _a_ssj_rows(spark, sf_dir),
     ])
+
+
+def _a_scda_rows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    chg = ev.select(
+        "user_id", "event_type", "value", "event_id", ts_us.alias("ts_us")
+    )
+    hist = relational.scd2_history(
+        chg, ["user_id"], ["ts_us", "event_id"], ["value"],
+        op_col="event_type", delete_ops=("purchase",),
+    )
+    b = ev.agg(F.min(ts_us).alias("mn"), F.max(ts_us).alias("mx")).first()
+    t_mid = (int(b["mn"]) + int(b["mx"])) // 2
+    return _suite_rows(
+        relational.scd2_as_of(hist, t_mid), "scda",
+        F.col("user_id").cast("string"),
+        v_str=F.concat_ws(
+            "|", F.col("effective_from").cast("string"),
+            F.coalesce(F.col("effective_to").cast("string"), F.lit("cur")),
+        ),
+        v_num=F.col("value"),
+    )
+
+
+def _a_coo_rows(spark, sf_dir):
+    from .operators import curation
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("b"), (F.col("l_partkey") % 97).alias("it")
+    )
+    out = curation.cooccurrence_pairs(li, "b", "it", min_pairs=2)
+    return _suite_rows(
+        out, "coo",
+        F.concat_ws("|", F.col("item_a").cast("string"),
+                    F.col("item_b").cast("string")),
+        v_str=F.concat_ws(
+            "|", F.col("n_ab").cast("string"), F.col("n_a").cast("string"),
+            F.col("n_b").cast("string"),
+        ),
+        v_num=F.col("lift_ppm").cast("double"),
+    )
 
 
 def _a_ohlc_rows(spark, sf_dir):
@@ -1096,6 +1146,48 @@ JOIN (SELECT user_id, event_id, ts, value FROM events
   ON v.user_id = c.user_id
  AND c.ts >= v.ts
  AND c.ts <= v.ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT 'scda', CAST(user_id AS VARCHAR),
+       CAST(efrom AS VARCHAR) || '|' || coalesce(CAST(eto AS VARCHAR), 'cur'),
+       CAST(value AS DOUBLE)
+FROM (
+  WITH stmid AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t FROM events
+  ),
+  shist AS (
+    SELECT user_id, epoch_us(ts) AS efrom, event_type, value,
+           lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+           ) AS eto
+    FROM events
+  )
+  SELECT h.user_id, h.efrom, h.eto, h.value
+  FROM shist h, stmid
+  WHERE h.event_type <> 'purchase'
+    AND h.efrom <= stmid.t AND (h.eto IS NULL OR h.eto > stmid.t)
+) scdarows
+UNION ALL
+SELECT 'coo', CAST(ia AS VARCHAR) || '|' || CAST(ib AS VARCHAR),
+       CAST(n_ab AS VARCHAR) || '|' || CAST(na2 AS VARCHAR)
+         || '|' || CAST(nb3 AS VARCHAR),
+       CAST((cn::HUGEINT * n_ab * 1000000) // (na2::HUGEINT * nb3) AS DOUBLE)
+FROM (
+  WITH citems AS (
+    SELECT DISTINCT l_orderkey AS b, l_partkey % 97 AS it FROM lineitem
+  ),
+  ccnt AS (SELECT it, count(*) AS n_i FROM citems GROUP BY 1),
+  ctot AS (SELECT count(DISTINCT b) AS n FROM citems),
+  cp AS (
+    SELECT a.it AS ia, b.it AS ib, count(*) AS n_ab
+    FROM citems a JOIN citems b ON a.b = b.b AND a.it < b.it
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+  )
+  SELECT cp.ia, cp.ib, cp.n_ab, ca.n_i AS na2, cb.n_i AS nb3, ctot.n AS cn
+  FROM cp
+  JOIN ccnt ca ON ca.it = cp.ia
+  JOIN ccnt cb ON cb.it = cp.ib, ctot
+) coorows
 UNION ALL
 SELECT 'ohlc', k, '', v
 FROM (
@@ -8057,6 +8149,26 @@ def classify_suite(spark, sf_dir):
         ),
         v_num=F.col("pos_ppm").cast("double"),
     )
+    # r9 'gain': cumulative gains / decile lift of the DSIR scores —
+    # the triage view (review the top k% by score, catch what share
+    # of the positives); value-cut banding (TakeOrdered cuts, no
+    # global window), exact integer cum/gain/lift, total accounting
+    gain = _suite_rows(
+        classify_ops.gains_table(truthed, "logw_micro", "is_zh", 10),
+        "gain",
+        F.col("band").cast("string"),
+        v_str=F.concat_ws(
+            "|",
+            F.coalesce(
+                F.col("cut_score").cast("bigint").cast("string"), F.lit("-")
+            ),
+            F.col("n").cast("string"), F.col("n_pos").cast("string"),
+            F.col("cum_n").cast("string"), F.col("cum_pos").cast("string"),
+            F.col("n_excluded").cast("string"),
+            F.col("gain_ppm").cast("string"),
+        ),
+        v_num=F.col("lift_ppm").cast("double"),
+    )
     # r7 'psi': population-stability drift between the en and zh
     # slices over the hashed feature space — the release-to-release
     # drift gate; one bounded bucket-count collect per side, the PSI
@@ -8101,7 +8213,7 @@ def classify_suite(spark, sf_dir):
         "pplb",
         F.col("doc_id"), v_str=F.col("bucket"), v_num=F.col("ppl"),
     )
-    return _union_all([nb, nbp, dsir, pr, reli, psi, ppl, pplb])
+    return _union_all([nb, nbp, dsir, pr, reli, gain, psi, ppl, pplb])
 
 
 _PR_THRESHOLDS = (-1_000_000, -250_000, 0, 250_000, 1_000_000)
@@ -8241,6 +8353,62 @@ FROM (
            AS pos_ppm
   FROM rbuck GROUP BY bucket
 ) relirows
+UNION ALL
+SELECT 'gain', CAST(band AS VARCHAR),
+       coalesce(CAST(cut AS VARCHAR), '-') || '|' || CAST(n_b AS VARCHAR)
+         || '|' || CAST(pos_b AS VARCHAR) || '|' || CAST(cum_n AS VARCHAR)
+         || '|' || CAST(cum_pos AS VARCHAR) || '|' || CAST(nex AS VARCHAR)
+         || '|' || CAST(CASE WHEN tot_pos > 0
+                             THEN (cum_pos::HUGEINT * 1000000) // tot_pos
+                             ELSE 0 END AS VARCHAR),
+       CAST(CASE WHEN tot_pos > 0 AND cum_n > 0
+                 THEN (cum_pos::HUGEINT * n_tot * 1000000)
+                      // (tot_pos::HUGEINT * cum_n)
+                 ELSE 0 END AS DOUBLE)
+FROM (
+  WITH gsrc AS (
+    SELECT d.logw AS s, (doc.lang = 'zh') AS y
+    FROM dsir d JOIN documents doc ON d.id = doc.doc_id
+  ),
+  gex AS (
+    SELECT count(CASE WHEN s IS NULL OR y IS NULL THEN 1 END) AS nex
+    FROM gsrc
+  ),
+  grk AS (
+    SELECT s, y, row_number() OVER (ORDER BY s DESC) AS rn,
+           count(*) OVER () AS n
+    FROM gsrc WHERE s IS NOT NULL AND y IS NOT NULL
+  ),
+  gcuts AS (
+    SELECT ks.k, min(g.s) AS cut
+    FROM grk g
+    JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) ks(k)
+      ON g.rn <= (ks.k * g.n + 9) // 10
+    GROUP BY ks.k
+  ),
+  gband AS (
+    SELECT g.s, g.y,
+           coalesce((SELECT min(c.k) FROM gcuts c WHERE g.s >= c.cut),
+                    10) AS band
+    FROM grk g
+  ),
+  gagg AS (
+    SELECT band, count(*) AS n_b,
+           sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos_b
+    FROM gband GROUP BY band
+  ),
+  gcum AS (
+    SELECT band, n_b, pos_b,
+           sum(n_b) OVER (ORDER BY band) AS cum_n,
+           sum(pos_b) OVER (ORDER BY band) AS cum_pos,
+           sum(pos_b) OVER () AS tot_pos,
+           sum(n_b) OVER () AS n_tot
+    FROM gagg
+  )
+  SELECT gc.band, c.cut, gc.n_b, gc.pos_b, gc.cum_n, gc.cum_pos,
+         gc.tot_pos, gc.n_tot, gex.nex
+  FROM gcum gc LEFT JOIN gcuts c ON c.k = gc.band, gex
+) gainrows
 """
 
 

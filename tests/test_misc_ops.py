@@ -723,3 +723,92 @@ def test_merkle_summary_diff_and_scoped_repair(spark):
         map(tuple, full.collect())
     )
     assert full.count() == 3
+
+
+def test_scd2_as_of_point_in_time_read(spark):
+    """As-of read over an SCD2 history: half-open interval semantics
+    (a version closed AT t is not visible AT t), deleted keys absent,
+    pre-history instant empty, is_current dropped."""
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "c", "a1"), (1, 20, "u", "a2"), (1, 30, "u", "a3"),
+            (2, 10, "c", "x1"), (2, 25, "d", None),
+            (3, 15, "c", "y1"),
+        ],
+        "k long, ts long, op string, val string",
+    )
+    hist = relational.scd2_history(changes, ["k"], ["ts"], ["val"], op_col="op")
+    at25 = {r["k"]: r["val"] for r in relational.scd2_as_of(hist, 25).collect()}
+    assert at25 == {1: "a2", 3: "y1"}  # k2's interval closed AT 25
+    at24 = {r["k"]: r["val"] for r in relational.scd2_as_of(hist, 24).collect()}
+    assert at24 == {1: "a2", 2: "x1", 3: "y1"}
+    assert relational.scd2_as_of(hist, 5).count() == 0
+    at99 = {r["k"]: r["val"] for r in relational.scd2_as_of(hist, 99).collect()}
+    assert at99 == {1: "a3", 3: "y1"}
+    assert "is_current" not in relational.scd2_as_of(hist, 25).columns
+
+
+def test_cooccurrence_pairs_support_and_lift(spark):
+    """Exact basket-pair support + integer-ppm lift, per-basket
+    distinct semantics (duplicate item rows count once), min_pairs
+    pruning, and the mega-basket cap."""
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),   # dup y counts once
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, "b long, it string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in curation.cooccurrence_pairs(df, "b", "it").collect()
+    }
+    assert out[("x", "y")]["n_ab"] == 2
+    assert (out[("x", "y")]["n_a"], out[("x", "y")]["n_b"]) == (3, 3)
+    assert out[("x", "y")]["lift_ppm"] == (4 * 2 * 1_000_000) // 9
+    assert out[("x", "z")]["lift_ppm"] == (4 * 1 * 1_000_000) // 3
+    pruned = {
+        (r["item_a"], r["item_b"])
+        for r in curation.cooccurrence_pairs(df, "b", "it", min_pairs=2).collect()
+    }
+    assert pruned == {("x", "y")}
+    capped = curation.cooccurrence_pairs(
+        df, "b", "it", max_basket_items=1
+    )
+    assert capped.count() == 0  # every pair-bearing basket dropped
+
+
+def test_gains_table_exact_cumulative_and_totals(spark):
+    """Decile gains: value-cut banding (no global window), exact
+    integer cum/gain/lift, total accounting of NULL rows, tie mass
+    sharing one band."""
+    from cdc_pipeline_with_kafka_spark.operators import classify
+
+    # 20 valid rows, scores 20..1; positives at scores 20,19,18,3
+    rows = [(float(s), s >= 18 or s == 3) for s in range(20, 0, -1)]
+    rows += [(None, True), (5.0, None)]          # excluded, counted
+    df = spark.createDataFrame(rows, "sc double, y boolean")
+    out = {r["band"]: r for r in classify.gains_table(df, "sc", "y", 10).collect()}
+    assert all(r["n_excluded"] == 2 for r in out.values())
+    assert out[1]["n"] == 2 and out[1]["n_pos"] == 2       # scores 20,19
+    assert out[2]["n_pos"] == 1                            # score 18
+    assert out[2]["cum_pos"] == 3 and out[2]["cum_n"] == 4
+    assert out[2]["gain_ppm"] == (3 * 1_000_000) // 4      # 3 of 4 pos
+    # lift at band 2: (3/4) / (4/20) share
+    assert out[2]["lift_ppm"] == (3 * 20 * 1_000_000) // (4 * 4)
+    assert out[10]["cum_n"] == 20 and out[10]["cum_pos"] == 4
+    assert out[10]["gain_ppm"] == 1_000_000 and out[10]["lift_ppm"] == 1_000_000
+    assert sum(r["n"] for r in out.values()) == 20
+
+    # ties: every score identical -> ALL rows land in band 1
+    tied = spark.createDataFrame(
+        [(7.0, i % 3 == 0) for i in range(12)], "sc double, y boolean"
+    )
+    tout = {r["band"]: r for r in classify.gains_table(tied, "sc", "y", 4).collect()}
+    assert list(tout) == [1] and tout[1]["n"] == 12
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        classify.gains_table(df, "sc", "y", 1)
