@@ -380,6 +380,7 @@ def funnel_report(
     ts_col: str,
     state_col: str,
     steps: list[str],
+    max_span=None,
 ) -> DataFrame:
     """k-step funnel conversion — the product-analytics staple (view →
     click → signup → purchase): a key reaches step i at its EARLIEST
@@ -388,6 +389,17 @@ def funnel_report(
     (step_idx, step, n_reached, conv_from_first_ppm,
     conv_from_prev_ppm), all conversions exact integer ppm.
 
+    ``max_span`` adds the CONVERSION DEADLINE every real funnel has
+    (ClickHouse windowFunnel semantics): every step must land within
+    `max_span` of the key's STEP-0 time — a purchase three months
+    after the view is not that view converting.  Pass a SQL interval
+    string ("48 hours") for timestamp columns or a number for
+    numeric time columns.  Deadline semantics, not re-anchoring: the
+    window is pinned to the first step (the anchor never slides), and
+    a key's earliest step-0 event is the anchor even if a later
+    step-0 event would have converted — the standard fixed-anchor
+    reading, value-checked in the gate.
+
     Plan shape: k passes, each one filtered aggregation over the
     events (min ts per key) + one equi-join on the key against the
     previous step's (keys-sized, not events-sized) table — no window
@@ -395,10 +407,12 @@ def funnel_report(
     frame is pinned with ``localCheckpoint(eager=True)`` before it is
     counted AND reused by the next step, so step i's count never
     re-evaluates steps 1..i−1's joins: a k-step funnel scans the
-    events table exactly k times (once per step), not k²/2.  k is
-    small and fixed; at 100 TB the events scan dominates and is paid
-    once per step (fuse by pre-filtering `state_col ∈ steps` before
-    calling if the event universe is much wider than the funnel)."""
+    events table exactly k times (once per step), not k²/2.  The
+    deadline rides the SAME joins (the anchor column is carried in
+    the keys-sized frame) — zero extra passes.  k is small and
+    fixed; at 100 TB the events scan dominates and is paid once per
+    step (fuse by pre-filtering `state_col ∈ steps` before calling
+    if the event universe is much wider than the funnel)."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
     keys = list(key_cols)
@@ -406,17 +420,26 @@ def funnel_report(
         df.filter(F.col(state_col) == steps[0])
         .groupBy(*keys)
         .agg(F.min(ts_col).alias("_t"))
+        .withColumn("_t0", F.col("_t"))
         .localCheckpoint(eager=True)
     )
+    deadline = None
+    if max_span is not None:
+        delta = (
+            F.expr(f"INTERVAL {max_span}")
+            if isinstance(max_span, str) else F.lit(max_span)
+        )
+        deadline = lambda: F.col("_ts") <= F.col("_t0") + delta  # noqa: E731
     counts = [prev.count()]
     for step in steps[1:]:
         ev = df.filter(F.col(state_col) == step).select(
             *keys, F.col(ts_col).alias("_ts")
         )
+        stepped = ev.join(prev, keys).filter(F.col("_ts") > F.col("_t"))
+        if deadline is not None:
+            stepped = stepped.filter(deadline())
         prev = (
-            ev.join(prev, keys)
-            .filter(F.col("_ts") > F.col("_t"))
-            .groupBy(*keys)
+            stepped.groupBy(*keys, "_t0")
             .agg(F.min("_ts").alias("_t"))
             .localCheckpoint(eager=True)
         )
@@ -596,4 +619,81 @@ def ohlc_bars(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(v).alias("sum_value"),
         )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled STEP series
+    per key — the correct mean for state metrics (gauge values,
+    prices, queue depths) where a plain AVG over-weights bursty
+    sampling: each sample holds until the next one (zero-order hold),
+    so its weight is the time it was in force, not 1.
+
+    Exactness: values quantize to integer micros, segment durations
+    are exact integer microseconds, the weighted sum is a
+    DECIMAL(38,0) Σ v_micro·Δt_us (order-free), and
+    ``twa_micro = weighted_sum div span_us`` — exact integral
+    division, engine-portable.  The LAST sample of a key has no
+    successor and carries zero weight (the series is only observed
+    over [first, last]); a key with a single sample (span 0) reports
+    its own value.  NULL values are excluded before segmentation
+    (the preceding sample's hold simply extends — the standard
+    gap-skip reading).  `order_cols` breaks ts ties (sessionize
+    contract).
+
+    Shape: ONE key-partitioned window (lead over the same sort a
+    downstream per-key consumer wants) + one partial-aggregated
+    groupBy — a single shuffle on the key.  Output: key cols +
+    (n_samples, span_us, weighted_sum, twa_micro)."""
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull())
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v_micro = F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)")
+    seg = (
+        rows.withColumn("_us", ts_us)
+        .withColumn("_vm", v_micro)
+        .withColumn("_nxt", F.lead("_us").over(w))
+    )
+    dec = "decimal(38,0)"
+    agg = seg.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        (F.max("_us") - F.min("_us")).cast("long").alias("span_us"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_nxt").isNotNull(),
+                    F.col("_vm").cast(dec) * (F.col("_nxt") - F.col("_us")),
+                )
+            ),
+            F.lit(0).cast(dec),
+        ).alias("weighted_sum"),
+        # used only when span_us == 0, i.e. EVERY sample shares one
+        # instant — min value is then deterministic, and a plain min
+        # keeps the aggregate hash-based (a struct-min would flip the
+        # whole agg to SortAggregate, the ohlc_bars lesson)
+        F.min("_vm").alias("_v0"),
+    )
+    return agg.select(
+        *key_cols, "n_samples", "span_us", "weighted_sum",
+        F.when(
+            F.col("span_us") > 0,
+            # sign-safe exact division (negative values make the
+            # weighted sum negative; truncating div and flooring //
+            # agree only on non-negative operands — the cusum rule)
+            F.expr(
+                "CAST(CASE WHEN weighted_sum >= 0 "
+                "THEN weighted_sum div span_us "
+                "ELSE -((-weighted_sum) div span_us) END AS BIGINT)"
+            ),
+        ).otherwise(F.col("_v0")).cast("long").alias("twa_micro"),
     )

@@ -630,6 +630,27 @@ def a_stats_suite(spark, sf_dir):
         # BEFORE snapshot_diff at 100 TB: ship n_buckets rows, then
         # row-diff only divergent buckets)
         _a_mrk_rows(spark, sf_dir),
+        # r9 'funw': the same funnel under a 48-hour conversion
+        # DEADLINE pinned to each user's step-0 anchor (ClickHouse
+        # windowFunnel semantics, no re-anchoring) — value-checked
+        # against the chained-CTE replay with the deadline bound
+        _suite_rows(
+            windows.funnel_report(
+                ev, ["user_id"], "ts", "event_type",
+                ["view", "click", "purchase"], max_span="48 hours",
+            ),
+            "funw",
+            F.concat_ws("|", F.col("step_idx").cast("string"), F.col("step")),
+            v_str=F.concat_ws(
+                "|", F.col("n_reached").cast("string"),
+                F.col("conv_from_first_ppm").cast("string"),
+            ),
+            v_num=F.col("conv_from_prev_ppm").cast("double"),
+        ),
+        # r9 'twa': time-weighted average of value per event_type —
+        # zero-order-hold mean over the irregular series, exact
+        # Σ v_micro·Δt_us as DECIMAL(38,0) and sign-safe division
+        _a_twa_rows(spark, sf_dir),
         # r9 'scda': point-in-time (as-of) read over the same SCD2
         # history the 'scd2' branch builds — the query the history
         # shape exists to serve, a pure double-bounded filter
@@ -647,6 +668,23 @@ def a_stats_suite(spark, sf_dir):
         # last oracle-expressible pytest-only operator)
         _a_ssj_rows(spark, sf_dir),
     ])
+
+
+def _a_twa_rows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return _suite_rows(
+        windows.time_weighted_avg(
+            ev, ["event_type"], "ts", "value", order_cols=["event_id"]
+        ),
+        "twa",
+        F.col("event_type"),
+        v_str=F.concat_ws(
+            "|", F.col("n_samples").cast("string"),
+            F.col("span_us").cast("string"),
+            F.col("weighted_sum").cast("string"),
+        ),
+        v_num=F.col("twa_micro").cast("double"),
+    )
 
 
 def _a_scda_rows(spark, sf_dir):
@@ -1146,6 +1184,69 @@ JOIN (SELECT user_id, event_id, ts, value FROM events
   ON v.user_id = c.user_id
  AND c.ts >= v.ts
  AND c.ts <= v.ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT 'funw', CAST(step_idx AS VARCHAR) || '|' || step,
+       CAST(n AS VARCHAR) || '|' ||
+       CAST(CASE WHEN first_n > 0 THEN (n * 1000000) // first_n ELSE 0 END AS VARCHAR),
+       CAST(CASE WHEN prev_n > 0 THEN (n * 1000000) // prev_n ELSE 0 END AS DOUBLE)
+FROM (
+  WITH fw0 AS (
+    SELECT user_id, min(ts) AS t0 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+  ),
+  fw1 AS (
+    SELECT e.user_id, fw0.t0, min(e.ts) AS t
+    FROM events e JOIN fw0 ON e.user_id = fw0.user_id
+    WHERE e.event_type = 'click' AND e.ts > fw0.t0
+      AND e.ts <= fw0.t0 + INTERVAL 48 HOUR
+    GROUP BY 1, 2
+  ),
+  fw2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN fw1 ON e.user_id = fw1.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > fw1.t
+      AND e.ts <= fw1.t0 + INTERVAL 48 HOUR
+    GROUP BY 1
+  ),
+  fwcounts AS (
+    SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM fw0) AS n
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM fw1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM fw2)
+  )
+  SELECT step_idx, step, n,
+         first_value(n) OVER (ORDER BY step_idx) AS first_n,
+         coalesce(lag(n) OVER (ORDER BY step_idx), n) AS prev_n
+  FROM fwcounts
+) fwrows
+UNION ALL
+SELECT 'twa', event_type,
+       CAST(n AS VARCHAR) || '|' || CAST(span AS VARCHAR)
+         || '|' || CAST(wsum AS VARCHAR),
+       CAST(CASE WHEN span > 0 THEN
+              CASE WHEN wsum >= 0 THEN wsum // span
+                   ELSE -((-wsum) // span) END
+            ELSE v0 END AS DOUBLE)
+FROM (
+  WITH tsrc AS (
+    SELECT event_type, epoch_us(ts) AS us, event_id,
+           CAST(round(value * 1000000) AS BIGINT) AS vm
+    FROM events WHERE value IS NOT NULL
+  ),
+  tseg AS (
+    SELECT event_type, us, vm,
+           lead(us) OVER (
+             PARTITION BY event_type ORDER BY us ASC, event_id ASC
+           ) AS nxt
+    FROM tsrc
+  )
+  SELECT event_type, count(*) AS n, max(us) - min(us) AS span,
+         coalesce(sum(CASE WHEN nxt IS NOT NULL
+                           THEN vm::HUGEINT * (nxt - us) END), 0) AS wsum,
+         min(vm) AS v0
+  FROM tseg GROUP BY 1
+) twarows
 UNION ALL
 SELECT 'scda', CAST(user_id AS VARCHAR),
        CAST(efrom AS VARCHAR) || '|' || coalesce(CAST(eto AS VARCHAR), 'cur'),

@@ -305,3 +305,75 @@ def test_cohort_retention_scans_events_once(spark):
         f"events scanned {acc.value / len(rows):.1f}x "
         "(expected exactly once — (user, day) frame not pinned?)"
     )
+
+
+def test_funnel_report_with_conversion_deadline(spark):
+    """max_span pins a deadline to each key's STEP-0 anchor: steps
+    landing after anchor+span don't convert, the anchor never
+    re-slides to a later step-0 event, and the no-deadline behavior
+    is unchanged."""
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    rows = [
+        # u1 converts fully inside the window
+        (1, 0, "a"), (1, 5, "b"), (1, 9, "c"),
+        # u2: b inside, c outside the 10-tick window
+        (2, 0, "a"), (2, 8, "b"), (2, 30, "c"),
+        # u3: anchor at t=0; a second 'a' at t=50 would convert, but
+        # the anchor is the EARLIEST step-0 event — no re-anchoring
+        (3, 0, "a"), (3, 50, "a"), (3, 55, "b"), (3, 58, "c"),
+        # u4: b after deadline entirely
+        (4, 0, "a"), (4, 20, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts long, state string")
+    no_limit = {
+        r["step"]: r["n_reached"]
+        for r in windows.funnel_report(
+            df, ["user"], "ts", "state", ["a", "b", "c"]
+        ).collect()
+    }
+    assert no_limit == {"a": 4, "b": 4, "c": 3}
+    capped = {
+        r["step"]: r["n_reached"]
+        for r in windows.funnel_report(
+            df, ["user"], "ts", "state", ["a", "b", "c"], max_span=10
+        ).collect()
+    }
+    assert capped == {"a": 4, "b": 2, "c": 1}  # u3 pruned: no re-anchor
+    assert capped != no_limit  # deadline is non-vacuous
+
+
+def test_time_weighted_avg_step_hold_semantics(spark):
+    """TWA: exact Σ v_micro·Δt_us div span; last sample weightless;
+    NULL samples extend the predecessor's hold; single-sample keys
+    report their own value; plan stays one hash aggregate."""
+    from cdc_pipeline_with_kafka_spark import plans
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    rows = [
+        # key a: v=10 for 4 ticks, v=20 for 6 ticks, last sample at 10
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 00:00:04", 20.0),
+        ("a", "2024-01-01 00:00:10", 99.0),   # terminal, zero weight
+        # key b: NULL mid-sample skipped -> 5.0 holds the whole span
+        ("b", "2024-01-01 00:00:00", 5.0),
+        ("b", "2024-01-01 00:00:03", None),
+        ("b", "2024-01-01 00:00:08", 7.0),
+        # key c: single sample
+        ("c", "2024-01-01 00:00:00", 3.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = {r["k"]: r for r in windows.time_weighted_avg(
+        df, ["k"], "ts", "v").collect()}
+    a = out["a"]
+    want = (10_000_000 * 4_000_000 + 20_000_000 * 6_000_000) // 10_000_000
+    assert a["twa_micro"] == want and a["span_us"] == 10_000_000
+    assert a["n_samples"] == 3
+    b = out["b"]
+    assert b["twa_micro"] == (5_000_000 * 8_000_000) // 8_000_000  # 5.0
+    assert b["n_samples"] == 2  # the NULL sample never entered
+    assert out["c"]["twa_micro"] == 3_500_000 and out["c"]["span_us"] == 0
+    plan = plans.formatted_plan(windows.time_weighted_avg(df, ["k"], "ts", "v"))
+    assert "SortAggregate" not in plan and "HashAggregate" in plan
