@@ -978,3 +978,57 @@ def corr_matrix(
         "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy",
         corr.alias("corr"),
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: str = "hour",
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Time-bucketed HLL sketch table — the PRE-AGGREGATION layer for
+    "distinct users over ANY date range" queries: one scan of the
+    raw events yields one KB-sized mergeable sketch per
+    (group, bucket); every later range query merges a handful of
+    sketch rows (`hll_range_estimate`) and never touches the 100 TB
+    of raw events again.  The Redis counter tables the reference
+    keeps per hour (advanced_trend_analyzer.py) can only ADD counts
+    — they double-count a user active in two hours; HLL unions
+    dedupe across buckets by construction.
+
+    Output: group_cols + (bucket_start, hll binary, n_distinct) —
+    write it partitioned by date(bucket_start) and the range read
+    partition-prunes.  Estimates carry the standard HLL error
+    (≈1.6% at lg_k=12); below the sketch's sparse-mode threshold
+    they are EXACT (the gate regime)."""
+    groups = list(group_cols or [])
+    return hll_sketches(
+        df.withColumn(
+            "bucket_start", F.date_trunc(bucket, F.col(ts_col))
+        ),
+        key_col,
+        groups + ["bucket_start"],
+        lg_k=lg_k,
+    )
+
+
+def hll_range_estimate(
+    rollup: DataFrame,
+    start,
+    end,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate over a time range from an `hll_rollup`
+    table: filter buckets to ``[start, end)`` (half-open — bucket
+    START times, so pass bucket-aligned bounds) and union the
+    sketches per group.  Reads sketch rows (KBs), not events; the
+    filter partition-prunes a date-partitioned rollup.  This is the
+    query pattern that makes the sketch table worth storing: ANY
+    ad-hoc range costs |buckets-in-range| rows per group."""
+    ranged = rollup.filter(
+        (F.col("bucket_start") >= F.lit(start))
+        & (F.col("bucket_start") < F.lit(end))
+    )
+    return hll_merge(ranged, group_cols or [])

@@ -630,6 +630,13 @@ def a_stats_suite(spark, sf_dir):
         # BEFORE snapshot_diff at 100 TB: ship n_buckets rows, then
         # row-diff only divergent buckets)
         _a_mrk_rows(spark, sf_dir),
+        # r9 'hllr': arbitrary-range distinct-count over the HOURLY
+        # HLL sketch rollup — the pre-aggregation layer ('hll' proves
+        # the per-group sketch, this proves the TABLE: range queries
+        # merge KB sketch rows, never rescan events); at gate
+        # cardinality the union stays sparse-exact, so it
+        # value-checks against plain COUNT(DISTINCT) over the range
+        _a_hllr_rows(spark, sf_dir),
         # r9 'funw': the same funnel under a 48-hour conversion
         # DEADLINE pinned to each user's step-0 anchor (ClickHouse
         # windowFunnel semantics, no re-anchoring) — value-checked
@@ -668,6 +675,29 @@ def a_stats_suite(spark, sf_dir):
         # last oracle-expressible pytest-only operator)
         _a_ssj_rows(spark, sf_dir),
     ])
+
+
+def _a_hllr_rows(spark, sf_dir):
+    import datetime as _dt
+
+    from .operators import sketch as sketch_ops
+
+    ev = _t(spark, sf_dir, "events")
+    roll = sketch_ops.hll_rollup(ev, "user_id", "ts", "hour", ["event_type"])
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).first()
+    hour_us = 3_600_000_000
+    t0 = int(b["mn"]) - int(b["mn"]) % hour_us
+    mid = (t0 + int(b["mx"])) // 2
+    mid -= mid % hour_us
+    fmt = "%Y-%m-%d %H:%M:%S"
+    start_s = _dt.datetime.utcfromtimestamp(t0 // 1_000_000).strftime(fmt)
+    end_s = _dt.datetime.utcfromtimestamp(mid // 1_000_000).strftime(fmt)
+    est = sketch_ops.hll_range_estimate(roll, start_s, end_s, ["event_type"])
+    return _suite_rows(
+        est, "hllr", F.col("event_type"),
+        v_num=F.col("n_distinct").cast("double"),
+    )
 
 
 def _a_twa_rows(spark, sf_dir):
@@ -1184,6 +1214,25 @@ JOIN (SELECT user_id, event_id, ts, value FROM events
   ON v.user_id = c.user_id
  AND c.ts >= v.ts
  AND c.ts <= v.ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT 'hllr', event_type, '', CAST(nd AS DOUBLE)
+FROM (
+  WITH hbnd AS (
+    SELECT min(epoch_us(ts)) - min(epoch_us(ts)) % 3600000000 AS t0us,
+           max(epoch_us(ts)) AS mxus
+    FROM events
+  ),
+  hrng AS (
+    SELECT t0us,
+           ((t0us + mxus) // 2) - ((t0us + mxus) // 2) % 3600000000 AS midus
+    FROM hbnd
+  )
+  SELECT e.event_type, count(DISTINCT e.user_id) AS nd
+  FROM events e, hrng
+  WHERE epoch_us(e.ts) - epoch_us(e.ts) % 3600000000 >= hrng.t0us
+    AND epoch_us(e.ts) - epoch_us(e.ts) % 3600000000 < hrng.midus
+  GROUP BY 1
+) hllrrows
 UNION ALL
 SELECT 'funw', CAST(step_idx AS VARCHAR) || '|' || step,
        CAST(n AS VARCHAR) || '|' ||

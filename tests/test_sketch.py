@@ -485,3 +485,34 @@ def test_corr_matrix_exact_moments_and_edge_cases(spark):
         S.corr_matrix(df, ["a"])
     with _pytest.raises(ValueError):
         S.corr_matrix(df, ["a", "b"], micro=0)
+
+
+def test_hll_rollup_range_estimate_dedupes_across_buckets(spark):
+    """The sketch rollup's range query must DEDUPE a key active in
+    several buckets (the thing additive counter tables can't do) and
+    equal the exact distinct count at sparse-sketch cardinality;
+    half-open range semantics on bucket starts."""
+    rows = []
+    # user u appears in hours 0,1,2; users 100+h only in hour h
+    for h in range(4):
+        rows.append((1, f"2024-01-01 0{h}:15:00"))
+        rows.append((100 + h, f"2024-01-01 0{h}:45:00"))
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    roll = sketch.hll_rollup(df, "user_id", "ts", "hour")
+    assert roll.count() == 4  # one sketch row per hour
+    est = sketch.hll_range_estimate(
+        roll, "2024-01-01 00:00:00", "2024-01-01 03:00:00"
+    ).first()
+    # hours 0-2: user 1 (deduped across 3 buckets) + 100,101,102
+    assert est["n_distinct"] == 4
+    full = sketch.hll_range_estimate(
+        roll, "2024-01-01 00:00:00", "2024-01-01 04:00:00"
+    ).first()
+    assert full["n_distinct"] == 5
+    # half-open: end at 01:00 excludes hour-1's bucket
+    first_only = sketch.hll_range_estimate(
+        roll, "2024-01-01 00:00:00", "2024-01-01 01:00:00"
+    ).first()
+    assert first_only["n_distinct"] == 2
