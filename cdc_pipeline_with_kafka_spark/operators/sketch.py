@@ -935,30 +935,46 @@ def corr_matrix(
         raise ValueError("need at least two columns")
     if micro < 1:
         raise ValueError("micro must be >= 1")
-
-    def q(c: str):
-        return F.expr(f"CAST(round({c} * {micro}, 0) AS BIGINT)")
-
     dec = "decimal(38,0)"
-    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1:]]
+    from ..util import spread
+
+    # quantize ONCE in a projection (inlining round(col·micro) into
+    # every aggregate expression re-evaluates it O(pairs) times per
+    # row inside the agg loop), and SPREAD the narrow quantized rows:
+    # 36 decimal-sum updates per row are CPU-bound, and a single
+    # parquet file's 3 input splits would run them on 3 cores —
+    # spread is a no-op at 100 TB (thousands of input files) and a
+    # cheap 8-byte×m shuffle at bench scale.  Measured at sf0.1 / 4
+    # cols: 2.7 s inlined-3-way → 1.1 s hoisted+spread (the remaining
+    # floor is the single parquet file's 3-split scan, not the agg)
+    quant = spread(
+        df.select(
+            *[
+                F.expr(f"CAST(round({c} * {micro}, 0) AS BIGINT)").alias(f"_q{i}")
+                for i, c in enumerate(cols)
+            ]
+        )
+    )
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
     aggs = []
-    for i, (x, y) in enumerate(pairs):
-        qx, qy = q(x), q(y)
+    for p, (i, j) in enumerate(pairs):
+        qx, qy = F.col(f"_q{i}"), F.col(f"_q{j}")
         both = qx.isNotNull() & qy.isNotNull()
         gx = F.when(both, qx.cast(dec))
         gy = F.when(both, qy.cast(dec))
         aggs += [
-            F.count(F.when(both, F.lit(1))).cast(dec).alias(f"_n_{i}"),
-            F.sum(gx).alias(f"_sx_{i}"),
-            F.sum(gy).alias(f"_sy_{i}"),
-            F.sum(gx * qy).alias(f"_sxy_{i}"),
-            F.sum(gx * qx).alias(f"_sxx_{i}"),
-            F.sum(gy * qy).alias(f"_syy_{i}"),
+            F.count(F.when(both, F.lit(1))).cast(dec).alias(f"_n_{p}"),
+            F.sum(gx).alias(f"_sx_{p}"),
+            F.sum(gy).alias(f"_sy_{p}"),
+            F.sum(gx * qy).alias(f"_sxy_{p}"),
+            F.sum(gx * qx).alias(f"_sxx_{p}"),
+            F.sum(gy * qy).alias(f"_syy_{p}"),
         ]
-    one = df.agg(*aggs)
+    one = quant.agg(*aggs)
     stack_args = ", ".join(
-        f"'{x}', '{y}', _n_{i}, _sx_{i}, _sy_{i}, _sxy_{i}, _sxx_{i}, _syy_{i}"
-        for i, (x, y) in enumerate(pairs)
+        f"'{cols[i]}', '{cols[j]}', _n_{p}, _sx_{p}, _sy_{p}, "
+        f"_sxy_{p}, _sxx_{p}, _syy_{p}"
+        for p, (i, j) in enumerate(pairs)
     )
     long_rows = one.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS "

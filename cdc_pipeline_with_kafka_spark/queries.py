@@ -8793,6 +8793,12 @@ BENCH_FNS: dict[str, QueryFn] = {
     # dense cosine, RRF fusion) — the lexical index build rides in
     # build_s, the steady number is the prepared fusion plan
     "retrieval_hybrid": retrieval_hybrid,
+    # round 9: the CDC-analytics tier rode invisible to the bench —
+    # a_stats_suite carries 20+ branches (skew/mad/sessionize/cohort/
+    # snapshot-diff/scd2/funnels/ohlc/merkle/twa/hll-rollup/...);
+    # funnel counts + as-of/rollup bound collects pay in build_s, the
+    # per-branch steady costs land in branch_s like every other suite
+    "a_stats_suite": a_stats_suite,
 }
 
 BENCH_QUERIES = list(BENCH_FNS)
