@@ -359,3 +359,64 @@ def triangle_census(
         .cast("long")
         .alias("lcc_ppm"),
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum-hop distance from a SOURCE SET to every reachable node
+    (multi-source BFS) — the graph query behind "how far is every
+    account from a known-bad seed", influence radius, and link-depth
+    crawl policies.  Output: (node, level) with level 0 for sources;
+    unreachable nodes are absent.
+
+    Spark-shaped iteration, the connected-components discipline: the
+    frontier is a DataFrame, each hop is ONE equi-join of the frontier
+    against the (pinned) edge table + an anti-join against the
+    visited set, `localCheckpoint` truncates lineage per hop so plan
+    depth stays O(1).  Work per hop is frontier-sized, not
+    graph-sized; the loop EARLY-STOPS on an empty frontier (a bounded
+    1-row count per hop, the pagerank tol pattern).  `max_hops`
+    bounds the worst case (graph diameter); hitting it with a
+    non-empty frontier raises rather than silently returning a
+    truncated reachability set."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("level", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("_s")), "_s"
+            )
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return visited
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if frontier.limit(1).count() != 0:
+        raise ValueError(
+            f"bfs_levels: frontier still non-empty after max_hops="
+            f"{max_hops}; raise max_hops (graph diameter exceeds it)"
+        )
+    return visited

@@ -1048,3 +1048,54 @@ def hll_range_estimate(
         & (F.col("bucket_start") < F.lit(end))
     )
     return hll_merge(ranged, group_cols or [])
+
+
+def validate_rules(
+    df: DataFrame,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Data-quality CONTRACT check: evaluate named row-level rules
+    (SQL boolean expressions — 'o_totalprice > 0',
+    "o_orderstatus IN ('O','F','P')") in ONE scan and report, per
+    rule: rows checked, violations, violation ppm, and pass/fail.
+    The delivery gate a pipeline runs before promoting a drop —
+    table_profile tells you what the data looks like, this tells you
+    whether it honors the contract.
+
+    Semantics: a rule VIOLATES on rows where the expression is FALSE
+    or NULL (a NULL predicate means the contract couldn't be
+    affirmed — the scd2 NULL-op lesson: silent nulls must not pass).
+    `passed` is violations == 0.
+
+    Shape: every rule compiles to one conditional count inside a
+    SINGLE aggregate (the table_profile stack-unpivot pattern) — one
+    scan regardless of rule count, map-side combined, no shuffle key.
+    Row-level only by design: cross-row rules (uniqueness,
+    referential integrity) are their own operators with their own
+    shuffles (dedup_by_key / anti_join_new_keys); mixing them here
+    would hide a join inside a "one scan" contract."""
+    if not rules:
+        raise ValueError("need at least one rule")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, expr) in enumerate(rules.items()):
+        aggs.append(
+            F.count(
+                F.when(~F.coalesce(F.expr(expr), F.lit(False)), F.lit(1))
+            ).alias(f"_v_{i}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _v_{i}" for i, name in enumerate(rules)
+    )
+    return one.selectExpr(
+        "_n", f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+    ).select(
+        F.col("rule"),
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.when(
+            F.col("_n") > 0,
+            F.expr("CAST(n_violations * 1000000 div _n AS BIGINT)"),
+        ).otherwise(F.lit(0)).cast("long").alias("violation_ppm"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

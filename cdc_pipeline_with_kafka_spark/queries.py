@@ -3963,6 +3963,46 @@ def curation_suite(spark, sf_dir):
         ),
         v_num=F.col("n_rows").cast("double"),
     )
+    # 'bfs' (r9): multi-source minimum-hop BFS over the THRESHOLDED
+    # trade graph (edges with ≥150 lineitems — sparse enough for
+    # real levels), sources = region-0 nations, directed; frontier
+    # iteration with per-hop lineage truncation, early stop on empty
+    # frontier — replayed by a DuckDB recursive CTE (UNION dedup on
+    # (node, level) pairs keeps the path explosion bounded)
+    bfs = graph_ops.bfs_levels(
+        wedges.filter(F.col("w") >= 150).select("src", "dst"),
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("node")),
+        directed=True,
+    ).select(
+        F.lit("bfs").alias("suite_case"),
+        F.col("node").cast("string").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("level").cast("double").alias("v_num"),
+    )
+    # 'dq' (r9): the data-quality contract gate — five named
+    # row-level rules over orders in ONE single-aggregate scan;
+    # FALSE-or-NULL counts as a violation (a NULL predicate must not
+    # pass), exact integer ppm, pass flag as engine-portable
+    # boolean-string
+    dq = sketch.validate_rules(_t(spark, sf_dir, "orders"), {
+        "price_positive": "o_totalprice > 0",
+        "status_known": "o_orderstatus IN ('O', 'F', 'P')",
+        "date_present": "o_orderdate IS NOT NULL",
+        "price_cap": "o_totalprice < 400000",
+        "null_affirm": "CASE WHEN o_orderkey % 10 = 0 THEN NULL "
+                       "ELSE o_totalprice > 0 END",
+    }).select(
+        F.lit("dq").alias("suite_case"),
+        F.col("rule").alias("k"),
+        F.concat_ws(
+            "|", F.col("n_rows").cast("string"),
+            F.col("n_violations").cast("string"),
+            F.col("passed").cast("string"),
+        ).alias("v_str"),
+        F.col("violation_ppm").cast("double").alias("v_num"),
+    )
     # 'corr' (r9): one-pass pairwise Pearson over the lineitem
     # numeric columns — every co-moment an exact DECIMAL(38,0) sum
     # (order-free, shard-mergeable), the corr one fixed IEEE-double
@@ -3988,7 +4028,7 @@ def curation_suite(spark, sf_dir):
         .unionByName(schunk).unionByName(packb).unionByName(vocab)
         .unionByName(prof).unionByName(rank).unionByName(rankw)
         .unionByName(tri).unionByName(hist).unionByName(pdif_rows)
-        .unionByName(corr)
+        .unionByName(corr).unionByName(bfs).unionByName(dq)
     )
 
 
@@ -4486,6 +4526,58 @@ FROM (
     FROM cpairs GROUP BY 1, 2
   ) cmoments
 ) corrrows
+UNION ALL
+-- 'bfs' (r9): recursive-CTE min-hop replay; UNION (not UNION ALL)
+-- dedups (node, level) pairs so cyclic paths can't explode
+SELECT 'bfs', CAST(node AS VARCHAR), '', CAST(min(level) AS DOUBLE)
+FROM (
+  WITH RECURSIVE bedges AS (
+    SELECT c.c_nationkey AS s, sp.s_nationkey AS d
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 150
+  ),
+  bwalk(node, level) AS (
+    SELECT n_nationkey, 0 FROM nation WHERE n_regionkey = 0
+    UNION
+    SELECT e.d, w.level + 1
+    FROM bwalk w JOIN bedges e ON e.s = w.node
+    WHERE w.level < 20
+  )
+  SELECT node, level FROM bwalk
+) bfsrows
+GROUP BY node
+UNION ALL
+SELECT 'dq', rule,
+       CAST(n AS VARCHAR) || '|' || CAST(v AS VARCHAR) || '|'
+         || CAST(v = 0 AS VARCHAR),
+       CAST(CASE WHEN n > 0 THEN (v * 1000000) // n ELSE 0 END AS DOUBLE)
+FROM (
+  WITH dqa AS (
+    SELECT count(*) AS n,
+      count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                 THEN 1 END) AS v1,
+      count(CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)
+                 THEN 1 END) AS v2,
+      count(CASE WHEN NOT coalesce(o_orderdate IS NOT NULL, FALSE)
+                 THEN 1 END) AS v3,
+      count(CASE WHEN NOT coalesce(o_totalprice < 400000, FALSE)
+                 THEN 1 END) AS v4,
+      count(CASE WHEN NOT coalesce(
+                   CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                        ELSE o_totalprice > 0 END, FALSE)
+                 THEN 1 END) AS v5
+    FROM orders
+  )
+  SELECT 'price_positive' AS rule, n, v1 AS v FROM dqa
+  UNION ALL SELECT 'status_known', n, v2 FROM dqa
+  UNION ALL SELECT 'date_present', n, v3 FROM dqa
+  UNION ALL SELECT 'price_cap', n, v4 FROM dqa
+  UNION ALL SELECT 'null_affirm', n, v5 FROM dqa
+) dqrows
 """
 
 

@@ -458,3 +458,35 @@ def test_components_sink_auto_compact_bounds_history(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="delta"):
         P.make_components_sink(path, mode="full", auto_compact=True)
+
+
+def test_bfs_levels_min_hop_semantics(spark):
+    """Multi-source BFS: level = MINIMUM hop count (a node reachable
+    via 1 and 3 hops reports 1), sources at level 0, unreachable
+    nodes absent, directed vs undirected edge interpretation, and
+    the max_hops guard raises instead of silently truncating."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1), (1, 2), (2, 3),       # chain 0-1-2-3
+            (0, 4), (4, 3),               # shortcut: 3 is 2 hops via 4
+            (5, 6),                       # separate component
+            (7, 0),                       # only INTO 0 (directed case)
+        ],
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    und = {r["node"]: r["level"] for r in G.bfs_levels(edges, srcs).collect()}
+    assert und == {0: 0, 1: 1, 4: 1, 7: 1, 2: 2, 3: 2}  # 5,6 absent
+    d = {
+        r["node"]: r["level"]
+        for r in G.bfs_levels(edges, srcs, directed=True).collect()
+    }
+    assert d == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}  # 7 only points IN
+    # multi-source: min over seeds
+    two = spark.createDataFrame([(0,), (3,)], "node long")
+    m = {r["node"]: r["level"] for r in G.bfs_levels(edges, two).collect()}
+    assert m[2] == 1 and m[3] == 0
+    with _pytest.raises(ValueError, match="max_hops"):
+        G.bfs_levels(edges, srcs, max_hops=1)

@@ -516,3 +516,38 @@ def test_hll_rollup_range_estimate_dedupes_across_buckets(spark):
         roll, "2024-01-01 00:00:00", "2024-01-01 01:00:00"
     ).first()
     assert first_only["n_distinct"] == 2
+
+
+def test_validate_rules_one_scan_contract(spark):
+    """Rule violations = FALSE or NULL rows (a NULL predicate must
+    not pass), exact ppm, one single-aggregate scan (no join, no
+    shuffle key), empty-rules rejection."""
+    import pytest as _pytest
+
+    from cdc_pipeline_with_kafka_spark import plans
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (3, None, "A"), (4, 8.0, "Z")],
+        "id long, v double, s string",
+    )
+    out = {
+        r["rule"]: r
+        for r in sketch.validate_rules(df, {
+            "v_positive": "v > 0",
+            "s_known": "s IN ('A', 'B')",
+            "id_present": "id IS NOT NULL",
+        }).collect()
+    }
+    # v > 0: row2 FALSE, row3 NULL -> both violate
+    assert out["v_positive"]["n_violations"] == 2
+    assert out["v_positive"]["violation_ppm"] == 500_000
+    assert not out["v_positive"]["passed"]
+    assert out["s_known"]["n_violations"] == 1
+    assert out["id_present"]["passed"] and out["id_present"]["n_violations"] == 0
+    assert all(r["n_rows"] == 4 for r in out.values())
+    q = sketch.validate_rules(df, {"a": "v > 0"})
+    plan = plans.formatted_plan(q)
+    assert "Join" not in plan and "Window" not in plan
+    assert plans.has_partial_aggregation(q)
+    with _pytest.raises(ValueError):
+        sketch.validate_rules(df, {})
