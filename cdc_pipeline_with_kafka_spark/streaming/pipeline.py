@@ -1019,3 +1019,63 @@ def compact_scd2_history(
         shutil.rmtree(os.path.join(history_path, d))
     os.rename(tmp, os.path.join(history_path, f"batch_id={upto_batch}"))
     return n
+
+
+def make_dq_sink(
+    report_path: str,
+    rules: dict[str, str],
+    on_fail: str = "report",
+    quarantine_path: str | None = None,
+    downstream=None,
+):
+    """foreachBatch DELIVERY GATE: every micro-batch runs the named
+    data-quality contract (`operators.sketch.validate_rules` — one
+    single-aggregate scan) and writes the per-rule report under
+    ``batch_id=N`` (idempotent batch-scoped overwrite, the profile-
+    sink contract).  What happens to a failing batch is the policy
+    knob every ingestion pipeline needs spelled out:
+
+    - ``on_fail='report'``  — record and continue (monitoring only);
+    - ``on_fail='quarantine'`` — rows violating ANY rule divert to
+      ``quarantine_path/batch_id=N`` and only CLEAN rows flow to
+      `downstream` (the malformed-envelope quarantine pattern,
+      sources/cdc.py, applied to semantic contracts);
+    - ``on_fail='fail'``    — raise, killing the query: the batch
+      replays after the contract (or the data) is fixed — for
+      contracts where partial delivery is worse than no delivery.
+
+    `downstream` is an optional ``fn(clean_df, batch_id)`` called
+    with the surviving rows — chain the real sink through the gate.
+    Violation predicate matches validate_rules: FALSE or NULL
+    violates; the quarantine split evaluates the same expressions
+    row-wise (one extra scan only in quarantine mode)."""
+    if on_fail not in ("report", "quarantine", "fail"):
+        raise ValueError("on_fail must be report|quarantine|fail")
+    if on_fail == "quarantine" and quarantine_path is None:
+        raise ValueError("quarantine mode needs quarantine_path")
+    from ..operators.sketch import validate_rules
+
+    def sink(batch_df, batch_id: int) -> None:
+        report = validate_rules(batch_df, rules).localCheckpoint(eager=True)
+        report.write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={batch_id}"
+        )
+        failed = [r["rule"] for r in report.collect() if not r["passed"]]
+        if on_fail == "fail" and failed:
+            raise ValueError(
+                f"dq contract failed in batch {batch_id}: {sorted(failed)}"
+            )
+        out = batch_df
+        if on_fail == "quarantine":
+            bad = F.lit(False)
+            for expr in rules.values():
+                bad = bad | ~F.coalesce(F.expr(expr), F.lit(False))
+            quarantined = batch_df.filter(bad)
+            quarantined.write.mode("overwrite").parquet(
+                f"{quarantine_path}/batch_id={batch_id}"
+            )
+            out = batch_df.filter(~bad)
+        if downstream is not None:
+            downstream(out, batch_id)
+
+    return sink

@@ -805,3 +805,58 @@ def test_scd2_sink_crash_replay_and_compaction(spark, tmp_path):
     # replay of the newest batch still byte-identical AFTER compaction
     sink(_scd2_df(spark, batches[2]), 2)
     assert view() == before
+
+
+def test_dq_sink_policies_report_quarantine_fail(spark, tmp_path):
+    """The delivery gate's three fail policies: 'report' records and
+    passes everything through; 'quarantine' diverts violating rows
+    (FALSE or NULL on any rule) and hands only clean rows downstream,
+    batch_id-idempotent on replay; 'fail' raises so the batch replays
+    after the fix."""
+    import pytest as _pytest
+
+    rules = {"v_positive": "v > 0", "s_present": "s IS NOT NULL"}
+    batch = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "b"), (3, 4.0, None), (4, None, "d")],
+        "id long, v double, s string",
+    )
+    seen = []
+
+    # report: everything flows, report rows written
+    rp = str(tmp_path / "rep")
+    sink = pipeline.make_dq_sink(
+        rp, rules, on_fail="report",
+        downstream=lambda df, b: seen.append((b, sorted(r["id"] for r in df.collect()))),
+    )
+    sink(batch, 0)
+    rep = {r["rule"]: r for r in spark.read.parquet(f"{rp}/batch_id=0").collect()}
+    assert rep["v_positive"]["n_violations"] == 2  # FALSE + NULL v
+    assert rep["s_present"]["n_violations"] == 1
+    assert seen == [(0, [1, 2, 3, 4])]
+
+    # quarantine: violators diverted, clean rows downstream, replay-safe
+    seen.clear()
+    qp, rp2 = str(tmp_path / "qar"), str(tmp_path / "rep2")
+    sink = pipeline.make_dq_sink(
+        rp2, rules, on_fail="quarantine", quarantine_path=qp,
+        downstream=lambda df, b: seen.append((b, sorted(r["id"] for r in df.collect()))),
+    )
+    sink(batch, 0)
+    sink(batch, 0)  # crash replay: same batch twice
+    bad = sorted(r["id"] for r in spark.read.parquet(f"{qp}/batch_id=0").collect())
+    assert bad == [2, 3, 4]
+    assert seen == [(0, [1]), (0, [1])]  # idempotent target writes are
+    # the downstream's job (merge_upsert et al.); the gate itself must
+    # hand over the same clean set on replay
+
+    # fail: raises naming the broken rules
+    sink = pipeline.make_dq_sink(str(tmp_path / "rep3"), rules, on_fail="fail")
+    with _pytest.raises(ValueError, match="v_positive"):
+        sink(batch, 1)
+    # a clean batch passes the fail gate
+    sink(spark.createDataFrame([(9, 1.0, "x")], "id long, v double, s string"), 2)
+
+    with _pytest.raises(ValueError):
+        pipeline.make_dq_sink(rp, rules, on_fail="quarantine")
+    with _pytest.raises(ValueError):
+        pipeline.make_dq_sink(rp, rules, on_fail="nope")
