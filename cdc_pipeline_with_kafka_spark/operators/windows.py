@@ -697,3 +697,109 @@ def time_weighted_avg(
             ),
         ).otherwise(F.col("_v0")).cast("long").alias("twa_micro"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_us: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Resample an irregular series onto a REGULAR epoch-aligned grid
+    by linear interpolation — the step every join-two-series /
+    train-at-fixed-rate consumer needs (`time_weighted_avg` reduces a
+    window to one number; this keeps the series, uniform).
+
+    Grid: multiples of `step_us` inside [first, last] sample per key
+    (no extrapolation — points outside the observed span would be
+    invention, not interpolation).  Value at grid instant t inside
+    segment (t₀,v₀)→(t₁,v₁):
+    ``v = v₀ + (v₁−v₀)·(t−t₀) div (t₁−t₀)`` — exact integer micros,
+    DECIMAL(38,0) product, SIGN-SAFE division (decreasing segments
+    make the product negative; truncate-vs-floor engines diverge
+    there — the cusum rule).  A grid point landing exactly on a
+    sample reproduces it; NULL samples are excluded first (the
+    time_weighted_avg gap rule); ts ties break on `order_cols`.
+
+    Shape: ONE key-partitioned window (lead pairs each sample with
+    its successor) + a per-segment ``explode(sequence(...))`` of the
+    grid points the segment covers — no join, no range-join
+    explosion; cost is OUTPUT-sized (grid density).  Each segment
+    owns the half-open grid range (t₀, t₁] — ranges partition the
+    timeline, so every grid point is emitted exactly once (the
+    interval-join exactly-once discipline); the key's FIRST sample
+    additionally emits its own instant when it lies on the grid."""
+    if step_us < 1:
+        raise ValueError("step_us must be >= 1")
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull())
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    seg = rows.select(
+        *key_cols,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t0"),
+        F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)").alias("_v0"),
+        F.lead(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w).alias("_t1"),
+        F.lead(
+            F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)")
+        ).over(w).alias("_v1"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    s = int(step_us)
+    # interior segments own grid points in (t0, t1]; the first sample
+    # also owns its own instant if on-grid (closing the left boundary
+    # exactly once per key)
+    lo_int = F.expr(f"(CAST(_t0 AS BIGINT) div {s} + 1) * {s}")
+    lo = F.when(
+        (F.col("_rn") == 1) & (F.col("_t0") % s == 0), F.col("_t0")
+    ).otherwise(lo_int)
+    hi = F.expr(f"(CAST(_t1 AS BIGINT) div {s}) * {s}")
+    pts = (
+        seg.filter(F.col("_t1").isNotNull())
+        .withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .filter(F.col("_lo") <= F.col("_hi"))
+        .select(
+            *key_cols, "_t0", "_v0", "_t1", "_v1",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(s))
+            ).alias("grid_us"),
+        )
+    )
+    num = F.expr(
+        "CAST(_v1 - _v0 AS DECIMAL(38,0)) * (grid_us - _t0)"
+    )
+    den = F.col("_t1") - F.col("_t0")
+    lerp = F.expr(
+        "CAST(_v0 + CASE WHEN _num >= 0 THEN _num div _den "
+        "ELSE -((-_num) div _den) END AS BIGINT)"
+    )
+    out = (
+        pts.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            *key_cols,
+            F.col("grid_us"),
+            F.timestamp_micros(F.col("grid_us")).alias("grid_ts"),
+            lerp.alias("v_micro"),
+        )
+    )
+    # the LAST sample's instant, when on-grid, is owned by no interior
+    # segment's (t0, t1] range only if it IS t1 of the final segment —
+    # which the explode above already covers; single-sample keys (no
+    # segment) emit their instant when on-grid
+    singles = (
+        seg.filter(F.col("_t1").isNull() & (F.col("_rn") == 1))
+        .filter(F.col("_t0") % s == 0)
+        .select(
+            *key_cols,
+            F.col("_t0").alias("grid_us"),
+            F.timestamp_micros(F.col("_t0")).alias("grid_ts"),
+            F.col("_v0").alias("v_micro"),
+        )
+    )
+    return out.unionByName(singles)

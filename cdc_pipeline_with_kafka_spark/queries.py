@@ -630,6 +630,20 @@ def a_stats_suite(spark, sf_dir):
         # BEFORE snapshot_diff at 100 TB: ship n_buckets rows, then
         # row-diff only divergent buckets)
         _a_mrk_rows(spark, sf_dir),
+        # r9 'lerp': linear resample of value per event_type onto the
+        # epoch-aligned 6-hour grid — exact integer lerp (sign-safe on
+        # decreasing segments), per-segment half-open grid ownership
+        # so every grid instant lands exactly once
+        _suite_rows(
+            windows.resample_interpolate(
+                ev, ["event_type"], "ts", "value",
+                step_us=21_600_000_000, order_cols=["event_id"],
+            ).drop("grid_ts"),
+            "lerp",
+            F.concat_ws("|", F.col("event_type"),
+                        F.col("grid_us").cast("string")),
+            v_num=F.col("v_micro").cast("double"),
+        ),
         # r9 'hllr': arbitrary-range distinct-count over the HOURLY
         # HLL sketch rollup — the pre-aggregation layer ('hll' proves
         # the per-group sketch, this proves the TABLE: range queries
@@ -1214,6 +1228,37 @@ JOIN (SELECT user_id, event_id, ts, value FROM events
   ON v.user_id = c.user_id
  AND c.ts >= v.ts
  AND c.ts <= v.ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT 'lerp', event_type || '|' || CAST(grid_us AS VARCHAR), '',
+       CAST(v0 + CASE WHEN num >= 0 THEN num // den
+                      ELSE -((-num) // den) END AS DOUBLE)
+FROM (
+  WITH lsrc AS (
+    SELECT event_type, epoch_us(ts) AS t0,
+           CAST(round(value * 1000000) AS BIGINT) AS v0, event_id
+    FROM events WHERE value IS NOT NULL
+  ),
+  lseg AS (
+    SELECT event_type, t0, v0,
+           lead(t0) OVER (PARTITION BY event_type
+                          ORDER BY t0 ASC, event_id ASC) AS t1,
+           lead(v0) OVER (PARTITION BY event_type
+                          ORDER BY t0 ASC, event_id ASC) AS v1,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY t0 ASC, event_id ASC) AS rn
+    FROM lsrc
+  )
+  SELECT s.event_type, g.grid_us, s.v0,
+         (s.v1 - s.v0)::HUGEINT * (g.grid_us - s.t0) AS num,
+         s.t1 - s.t0 AS den
+  FROM lseg s,
+       LATERAL unnest(generate_series(
+         CASE WHEN s.rn = 1 AND s.t0 % 21600000000 = 0 THEN s.t0
+              ELSE (s.t0 // 21600000000 + 1) * 21600000000 END,
+         (s.t1 // 21600000000) * 21600000000,
+         21600000000)) AS g(grid_us)
+  WHERE s.t1 IS NOT NULL
+) lerprows
 UNION ALL
 SELECT 'hllr', event_type, '', CAST(nd AS DOUBLE)
 FROM (

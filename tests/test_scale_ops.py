@@ -377,3 +377,56 @@ def test_time_weighted_avg_step_hold_semantics(spark):
     assert out["c"]["twa_micro"] == 3_500_000 and out["c"]["span_us"] == 0
     plan = plans.formatted_plan(windows.time_weighted_avg(df, ["k"], "ts", "v"))
     assert "SortAggregate" not in plan and "HashAggregate" in plan
+
+
+def test_resample_interpolate_exact_lerp(spark):
+    """Linear resample: epoch-aligned grid inside [first, last],
+    exact integer lerp (sign-safe on decreasing segments), on-sample
+    grid points reproduce the sample, each grid point exactly once,
+    no extrapolation, NULL samples skipped, single-sample on-grid
+    keys emit their instant."""
+    from cdc_pipeline_with_kafka_spark.operators import windows
+
+    rows = [
+        # key a: samples at 0s (v=10) and 10s (v=20): grid 2s
+        ("a", "1970-01-01 00:00:00", 10.0),
+        ("a", "1970-01-01 00:00:10", 20.0),
+        # then DECREASING to 5.0 at 13s (sign-safe segment)
+        ("a", "1970-01-01 00:00:13", 5.0),
+        # key b: off-grid first sample at 1s; NULL sample skipped
+        ("b", "1970-01-01 00:00:01", 4.0),
+        ("b", "1970-01-01 00:00:03", None),
+        ("b", "1970-01-01 00:00:05", 8.0),
+        # key c: single on-grid sample
+        ("c", "1970-01-01 00:00:02", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = {}
+    for r in windows.resample_interpolate(
+        df, ["k"], "ts", "v", step_us=2_000_000
+    ).collect():
+        out[(r["k"], r["grid_us"] // 1_000_000)] = r["v_micro"]
+    # key a: 0..10 every 2s linear 10->20, then 12s on the 20->5 drop
+    assert out[("a", 0)] == 10_000_000          # on-sample start
+    assert out[("a", 2)] == 12_000_000
+    assert out[("a", 6)] == 16_000_000
+    assert out[("a", 10)] == 20_000_000         # on-sample boundary once
+    # decreasing segment (20 -> 5 over 3s): at 12s, 20 - 15*(2/3) = 10
+    assert out[("a", 12)] == 10_000_000
+    # key b: grid points 2 and 4 inside [1, 5]; 4->8 over 4s
+    assert out[("b", 2)] == 5_000_000
+    assert out[("b", 4)] == 7_000_000
+    assert ("b", 0) not in out and ("b", 6) not in out  # no extrapolation
+    assert out[("c", 2)] == 7_000_000
+    # exactly-once: no duplicated (key, grid) rows
+    all_rows = windows.resample_interpolate(
+        df, ["k"], "ts", "v", step_us=2_000_000
+    ).collect()
+    keys = [(r["k"], r["grid_us"]) for r in all_rows]
+    assert len(keys) == len(set(keys)) == len(out)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        windows.resample_interpolate(df, ["k"], "ts", "v", 0)
