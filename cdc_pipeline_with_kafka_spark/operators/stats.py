@@ -1,0 +1,364 @@
+"""Hypothesis-testing / association statistics over CDC streams and
+corpus tables (SURVEY.md §4 scale extensions; reference analogue: the
+ad-hoc drift eyeballing the trend analyzer does by re-reading Redis
+counters, advanced_trend_analyzer.py — here made into first-class,
+exactly-reproducible reports).
+
+The exactness contract follows the engine's house pattern: inputs
+quantize to integers at ONE explicit seam, every aggregate is an exact
+integer (BIGINT / DECIMAL(38,0)) sum over those integers, and any final
+float step is a single fixed IEEE expression over exact sums (sqrt is
+correctly rounded by IEEE 754, so even that step reproduces
+bit-for-bit on any engine — the corr_matrix contract, sketch.py).
+
+Operators:
+
+- ``ks_drift``: exact two-sample Kolmogorov–Smirnov distance between
+  the distributions of a numeric column on two row slices — the
+  distribution-shift companion to PSI (classify.psi_report): PSI needs
+  a bucketing choice, KS does not, and KS localizes WHERE the
+  distributions diverge (the returned cut value).
+- ``chi2_association``: chi-square statistic + Cramér's V between two
+  categorical columns — "is event_type independent of source?", the
+  pre-training feature-redundancy / leakage screen for categorical
+  features (corr_matrix covers the numeric ones).
+- ``benford_report``: first-significant-digit distribution vs
+  Benford's law — the classic fabricated-numbers / broken-upstream
+  data-quality screen for value-like columns (amounts, counts).
+- ``ols_by_group``: per-group least-squares fit y ~ x (slope,
+  intercept, r²) from one pass of exact co-moment sums — the
+  continuous trend estimator behind trends.trend_direction's
+  categorical label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DEC = "decimal(38,0)"
+
+# floor/round of 1e6·log10(1 + 1/d) — they agree at this precision and
+# the nine constants sum to exactly 1_000_000, so Σ dev_ppm over the
+# digits is exactly −(ppm mass on digits that never occur).
+_BENFORD_PPM = {
+    1: 301_030, 2: 176_091, 3: 124_939, 4: 96_910, 5: 79_181,
+    6: 66_947, 7: 57_992, 8: 51_153, 9: 45_757,
+}
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    `value_col` distributions of the `side_col == side_a` and
+    `side_col == side_b` slices: D = sup_x |F_a(x) − F_b(x)|, reported
+    as exact integer ppm together with the value at which the supremum
+    is attained (the smallest such value — deterministic under ties).
+
+    For step CDFs the supremum is attained at a pooled data point with
+    both CDFs evaluated right-inclusively, so it is EXACT integer
+    arithmetic end to end: at each distinct value,
+    |cum_a·n_b − cum_b·n_a| (DECIMAL(38,0), no overflow to ~1e19 rows
+    a side), maximized by one TakeOrdered(1).
+
+    Plan shape: one groupBy to DISTINCT-VALUE granularity (map-side
+    combined — the shuffle carries distinct values, not rows), then a
+    SinglePartition cumulative window over those distinct values.
+    That window is the scale knob: for continuous columns at 100 TB,
+    quantize first (``F.round(col, k)`` or bucket ppm-style) so the
+    distinct-value frame stays small — KS on a quantized grid is the
+    standard streaming form and lower-bounds the exact D by at most
+    one grid cell of CDF mass.
+
+    Output (one row): (n_a, n_b, at_value, d_ppm); empty frame if no
+    rows land on either side.
+    """
+    v, s = F.col(value_col), F.col(side_col)
+    rows = df.filter(v.isNotNull() & s.isin([side_a, side_b])).select(
+        v.alias("_v"),
+        F.when(s == F.lit(side_a), F.lit(1)).otherwise(F.lit(0)).alias("_ia"),
+    )
+    per_v = rows.groupBy("_v").agg(
+        F.sum("_ia").cast(_DEC).alias("_ca"),
+        F.sum(1 - F.col("_ia")).cast(_DEC).alias("_cb"),
+    )
+    w_cum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        "_v",
+        F.sum("_ca").over(w_cum).alias("_cuma"),
+        F.sum("_cb").over(w_cum).alias("_cumb"),
+        F.sum("_ca").over(w_all).alias("_na"),
+        F.sum("_cb").over(w_all).alias("_nb"),
+    )
+    d = F.abs(F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na"))
+    return (
+        cum.select("_v", "_na", "_nb", d.alias("_d"))
+        .orderBy(F.col("_d").desc(), F.col("_v").asc())
+        .limit(1)
+        .select(
+            F.col("_na").cast("long").alias("n_a"),
+            F.col("_nb").cast("long").alias("n_b"),
+            F.col("_v").alias("at_value"),
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.expr("CAST(_d * 1000000 div (_na * _nb) AS BIGINT)"),
+            ).otherwise(F.lit(0)).alias("d_ppm"),
+        )
+    )
+
+
+def chi2_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square independence statistic + Cramér's V between two
+    categorical columns, total over the frame: rows where either side
+    is NULL are counted in `n_excluded` (the pr_report totality
+    contract), never silently dropped.
+
+    Exactness: the contingency table is exact counts; the statistic is
+    computed in the ``Σ o²/e − n`` form — cells with o = 0 contribute
+    ZERO there, so the groupBy's absent zero-cells are handled by
+    construction (the (o−e)²/e form would need their e mass
+    materialized).  Each observed cell's term is the exact integer ppm
+    ``o²·n·1e6 div (r·c)`` in DECIMAL(38,0) — both engines floor per
+    cell identically, so chi2_ppm = Σ cell_ppm − n·1e6 is EXACT (no
+    float-accumulation-order seam; flooring biases down < 1 ppm/cell).
+    Cramér's V is then ONE fixed IEEE expression over exact integers
+    (a division and a correctly-rounded sqrt), floored to ppm.
+    Overflow bound: o²·n·1e6 must fit DECIMAL(38,0), i.e.
+    n·max(o)² < 1e32 — holds to ~1e10 rows; past that pre-aggregate
+    per shard and chi-square the merged exact cells (the table is
+    cells-sized and mergeable).
+
+    Plan shape: ONE scan — one groupBy(a, b) with map-side combine
+    (the shuffle carries CELLS, not rows; NULL-keyed cells ride along
+    as ordinary groups), then three windows over the cells-sized frame
+    (NULL cells contribute nothing to r/c/n via conditional sums) and
+    one global aggregate of it — nothing downstream of the first
+    shuffle ever touches row-grain data, and n_excluded comes from the
+    same cells frame instead of a second scan.
+
+    Output (one row): (n, n_excluded, n_cells, card_a, card_b, dof,
+    chi2_ppm [DECIMAL(38,0) — may exceed BIGINT at extreme skew],
+    cramers_v_ppm).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = df.groupBy(
+        a.alias("_a"), b.alias("_b")
+    ).agg(F.count(F.lit(1)).cast(_DEC).alias("_o"))
+    valid = F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    vo = F.when(valid, F.col("_o"))
+    w_a = Window.partitionBy("_a")
+    w_b = Window.partitionBy("_b")
+    w_all = Window.partitionBy()
+    sized = cells.select(
+        "_a", "_b", "_o", valid.alias("_valid"),
+        F.sum(vo).over(w_a).alias("_r"),
+        F.sum(vo).over(w_b).alias("_c"),
+        F.sum(vo).over(w_all).alias("_n"),
+    )
+    per_cell = sized.select(
+        "_n", "_a", "_b", "_valid", "_o",
+        (F.col("_o") * F.col("_o") * F.col("_n")
+         * F.lit(1_000_000).cast(_DEC)).alias("_num"),
+        (F.col("_r") * F.col("_c")).alias("_den"),
+    ).select(
+        "_n", "_a", "_b", "_valid", "_o",
+        F.when(
+            F.col("_valid"),
+            F.expr("CAST(_num div _den AS DECIMAL(38,0))"),
+        ).alias("_cell_ppm"),
+    )
+    out = per_cell.agg(
+        F.max(F.when(F.col("_valid"), F.col("_n"))).alias("_n"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_valid"), F.col("_o"))),
+            F.lit(0).cast(_DEC),
+        ).alias("_nex"),
+        F.count(F.when(F.col("_valid"), F.lit(1))).alias("n_cells"),
+        F.countDistinct(F.when(F.col("_valid"), F.col("_a")))
+        .alias("card_a"),
+        F.countDistinct(F.when(F.col("_valid"), F.col("_b")))
+        .alias("card_b"),
+        F.sum("_cell_ppm").alias("_sum_ppm"),
+    ).withColumn(
+        # clamp: per-cell flooring biases down, so a near-independent
+        # table can land a few ppm below n·1e6 — true chi² is ≥ 0
+        "chi2_ppm",
+        F.expr(
+            "CAST(greatest(_sum_ppm - _n * 1000000, 0) AS DECIMAL(38,0))"
+        ),
+    )
+    mindof = F.least(F.col("card_a") - 1, F.col("card_b") - 1)
+    v_arg = (
+        F.col("chi2_ppm").cast("double")
+        / (F.lit(1_000_000.0) * F.col("_n").cast("double")
+           * mindof.cast("double"))
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_nex").cast("long").alias("n_excluded"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("card_a").cast("long").alias("card_a"),
+        F.col("card_b").cast("long").alias("card_b"),
+        ((F.col("card_a") - 1) * (F.col("card_b") - 1))
+        .cast("long").alias("dof"),
+        "chi2_ppm",
+        F.when(
+            (mindof > 0) & (F.col("_n") > 0),
+            F.floor(F.lit(1_000_000.0) * F.sqrt(v_arg)),
+        ).otherwise(F.lit(0)).cast("long").alias("cramers_v_ppm"),
+    )
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """First-significant-digit distribution of `value_col` against
+    Benford's law — the data-quality screen for naturally-spanning
+    magnitudes (transaction amounts, populations, view counts):
+    fabricated or truncated upstream feeds bend the digit curve long
+    before any per-column min/max profile notices.
+
+    The digit is extracted EXACTLY: v → |round(v·scale)| as BIGINT
+    (scale=100 ⇒ cents — the one quantization seam), zeros dropped,
+    first character of the decimal rendering (both engines render
+    BIGINT identically — no float log10 edge cases).  Expected shares
+    are the fixed ppm constants of log10(1+1/d), which sum to exactly
+    1e6.  All output numbers are exact integers.
+
+    Plan shape: one groupBy((groups), digit) with map-side combine,
+    one window over the ≤9-rows-per-group frame, one broadcast join
+    against the 9-row digit spine so absent digits report cnt=0 (a
+    missing digit is the loudest Benford signal — it must be a row,
+    not an absence).
+
+    Output: one row per (group, digit 1..9): (…group, digit, cnt, n,
+    obs_ppm, exp_ppm, dev_ppm) — dev_ppm = obs − exp.
+    """
+    groups = list(group_cols or [])
+    x = F.abs(F.expr(f"CAST(round({value_col} * {scale}, 0) AS BIGINT)"))
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, x.alias("_x")
+    ).filter(F.col("_x") > 0)
+    digit = F.substring(F.col("_x").cast("string"), 1, 1).cast("int")
+    counts = rows.select(*groups, digit.alias("digit")).groupBy(
+        *groups, "digit"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    gkeys = (
+        counts.select(*groups).distinct()
+        if groups
+        else spark.range(1).select(F.lit(1).alias("_one"))
+    )
+    full = gkeys.crossJoin(F.broadcast(spine))
+    joined = full.join(counts, [*groups, "digit"] if groups else ["digit"],
+                       "left").select(
+        *groups, "digit",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+    )
+    w_g = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    exp_ppm = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    return joined.select(
+        *groups, "digit", "cnt",
+        F.sum("cnt").over(w_g).alias("n"),
+        exp_ppm.cast("long").alias("exp_ppm"),
+    ).select(
+        *groups, "digit", "cnt", "n",
+        F.when(
+            F.col("n") > 0,
+            F.expr("CAST(cnt * 1000000 div n AS BIGINT)"),
+        ).otherwise(F.lit(0)).alias("obs_ppm"),
+        "exp_ppm",
+    ).withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
+
+
+def ols_by_group(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-group ordinary least squares y ~ x: slope, intercept and r²
+    from ONE pass of exact co-moment sums — the continuous trend
+    estimator (how fast is each event type's daily volume growing,
+    and how linear is it?) behind trends.trend_direction's
+    categorical up/flat/down label.
+
+    Exactness contract (corr_matrix's, sketch.py): x and y quantize to
+    integer micros at one explicit seam; (n, Σx, Σy, Σxy, Σx², Σy²)
+    are exact DECIMAL(38,0) sums — order-free, shard-mergeable; the
+    closed-form slope/intercept/r² are fixed IEEE-double expressions
+    over those exact sums (divisions only), bit-reproducible on any
+    engine.  Rows with a NULL on either side are dropped per group
+    (pairwise-complete).  Overflow: n·Σxy inside DECIMAL(38,0) —
+    |v·micro| ≤ 1e12 to ~1e12 rows per group; drop `micro` past that.
+
+    Plan shape: one partial-aggregated groupBy on the group keys (the
+    shuffle carries 6 decimal sums per group, not rows) and a final
+    projection.  No windows, no second scan.
+
+    Output: (…group, n, slope, intercept, r2) — slope/intercept in
+    ORIGINAL units; NULL slope/r² for degenerate groups (n < 2 or
+    zero x-variance).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if micro < 1:
+        raise ValueError("micro must be >= 1")
+    qx = F.expr(f"CAST(round({x_col} * {micro}, 0) AS BIGINT)")
+    qy = F.expr(f"CAST(round({y_col} * {micro}, 0) AS BIGINT)")
+    rows = df.select(
+        *group_cols, qx.alias("_qx"), qy.alias("_qy")
+    ).filter(F.col("_qx").isNotNull() & F.col("_qy").isNotNull())
+    gx, gy = F.col("_qx").cast(_DEC), F.col("_qy").cast(_DEC)
+    agg = rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("_n"),
+        F.sum(gx).alias("_sx"),
+        F.sum(gy).alias("_sy"),
+        F.sum(gx * F.col("_qy")).alias("_sxy"),
+        F.sum(gx * F.col("_qx")).alias("_sxx"),
+        F.sum(gy * F.col("_qy")).alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+    vx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    vy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    slope = F.when(vx > 0, num.cast("double") / vx.cast("double"))
+    # intercept in quantized units: (Σy − slope·Σx)/n, then /micro to
+    # return to original units — fixed IEEE ops over exact inputs
+    intercept = F.when(
+        vx > 0,
+        (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double"))
+        / F.col("_n").cast("double") / F.lit(float(micro)),
+    )
+    r2 = F.when(
+        (vx > 0) & (vy > 0),
+        (num.cast("double") * num.cast("double"))
+        / (vx.cast("double") * vy.cast("double")),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -506,6 +506,7 @@ def a_stats_suite(spark, sf_dir):
     a9 = a9_stats_per_group(spark, sf_dir)
     ts_fmt = "yyyy-MM-dd HH:mm:ss"
     from .operators import sketch as sketch_ops
+    from .operators import stats as stats_ops
 
     ev = _t(spark, sf_dir, "events")
     per_type = sketch_ops.hll_sketches(ev, "user_id", ["event_type"])
@@ -688,7 +689,57 @@ def a_stats_suite(spark, sf_dir):
         # condition itself against a DuckDB range join, closing the
         # last oracle-expressible pytest-only operator)
         _a_ssj_rows(spark, sf_dir),
+        # r9 'bnfd': Benford first-digit screen over order totals —
+        # exact cents quantization, decimal-string digit extraction
+        # (no float log10), zero-filled digits, fixed exp_ppm table
+        _suite_rows(
+            stats_ops.benford_report(
+                _t(spark, sf_dir, "orders"), "o_totalprice"
+            ),
+            "bnfd",
+            F.col("digit").cast("string"),
+            v_str=F.concat_ws(
+                "|", F.col("cnt").cast("string"), F.col("n").cast("string"),
+                F.col("obs_ppm").cast("string"),
+                F.col("exp_ppm").cast("string"),
+            ),
+            v_num=F.col("dev_ppm").cast("double"),
+        ),
+        # r9 'ols'/'olsi'/'olsr': per-type OLS trend of daily event
+        # volume — slope/intercept/r² are fixed IEEE expressions over
+        # exact DECIMAL co-moments, so the doubles match BITWISE
+        # cross-engine (no rounding seam at all)
+        *_a_ols_rows(spark, sf_dir),
     ])
+
+
+def _a_ols_rows(spark, sf_dir):
+    """The three OLS sub-branches over one pinned per-type daily-count
+    fit: slope ('ols'), intercept ('olsi'), r² ('olsr').  x is the
+    epoch day index (UTC session TZ ≡ DuckDB CAST AS DATE), counts are
+    already integers so micro=1 keeps every co-moment exact."""
+    from .operators import stats as stats_ops
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(F.count(F.lit(1)).alias("_y")).select(
+        "event_type",
+        F.datediff("_day", F.lit("1970-01-01").cast("date")).alias("_x"),
+        "_y",
+    )
+    fit = stats_ops.ols_by_group(
+        daily, "_x", "_y", ["event_type"], micro=1
+    ).localCheckpoint(eager=True)
+    return [
+        _suite_rows(fit, "ols", F.col("event_type"),
+                    v_str=F.col("n").cast("string"),
+                    v_num=F.col("slope")),
+        _suite_rows(fit, "olsi", F.col("event_type"),
+                    v_num=F.col("intercept")),
+        _suite_rows(fit, "olsr", F.col("event_type"),
+                    v_num=F.col("r2")),
+    ]
 
 
 def _a_hllr_rows(spark, sf_dir):
@@ -1457,6 +1508,79 @@ FROM (
   WHERE a.bucket IS NULL OR b.bucket IS NULL
      OR a.n_rows <> b.n_rows OR a.sum_digest <> b.sum_digest
 ) mrkrows
+UNION ALL
+SELECT 'bnfd', CAST(digit AS VARCHAR),
+       CAST(cnt AS VARCHAR) || '|' || CAST(n AS VARCHAR) || '|' ||
+       CAST(obs_ppm AS VARCHAR) || '|' || CAST(exp_ppm AS VARCHAR),
+       CAST(obs_ppm - exp_ppm AS DOUBLE)
+FROM (
+  WITH bnx AS (
+    SELECT abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+    FROM orders WHERE o_totalprice IS NOT NULL
+  ),
+  bndg AS (
+    SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM bnx WHERE x > 0
+  ),
+  bnexp AS (
+    SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                          (4, 96910), (5, 79181), (6, 66947),
+                          (7, 57992), (8, 51153), (9, 45757))
+           AS e(digit, exp_ppm)
+  ),
+  bncnt AS (
+    SELECT e.digit, e.exp_ppm, count(bndg.digit) AS cnt
+    FROM bnexp e LEFT JOIN bndg ON bndg.digit = e.digit
+    GROUP BY e.digit, e.exp_ppm
+  )
+  SELECT digit, cnt, sum(cnt) OVER () AS n, exp_ppm,
+         CASE WHEN sum(cnt) OVER () > 0
+              THEN cnt * 1000000 // sum(cnt) OVER ()
+              ELSE 0 END AS obs_ppm
+  FROM bncnt
+) bnrows
+UNION ALL
+SELECT suite_case, k, v_str, v_num
+FROM (
+  WITH odaily AS (
+    SELECT event_type AS g,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+           count(*) AS y
+    FROM events GROUP BY 1, CAST(ts AS DATE)
+  ),
+  oag AS (
+    SELECT g, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+           sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+           sum(x * x)::HUGEINT AS sxx, sum(y * y)::HUGEINT AS syy
+    FROM odaily GROUP BY g
+  ),
+  ofit AS (
+    SELECT g, n,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS vx,
+           n * syy - sy * sy AS vy,
+           sx, sy
+    FROM oag
+  ),
+  ocols AS (
+    SELECT g, n,
+           CASE WHEN vx > 0 THEN (num::DOUBLE) / (vx::DOUBLE) END AS slope,
+           CASE WHEN vx > 0 THEN
+             ((sy::DOUBLE) - (num::DOUBLE) / (vx::DOUBLE) * (sx::DOUBLE))
+             / (n::DOUBLE) / 1.0 END AS icept,
+           CASE WHEN vx > 0 AND vy > 0 THEN
+             ((num::DOUBLE) * (num::DOUBLE))
+             / ((vx::DOUBLE) * (vy::DOUBLE)) END AS r2
+    FROM ofit
+  )
+  SELECT 'ols' AS suite_case, g AS k, CAST(n AS VARCHAR) AS v_str,
+         coalesce(slope, -1.0) AS v_num
+  FROM ocols
+  UNION ALL
+  SELECT 'olsi', g, '', coalesce(icept, -1.0) FROM ocols
+  UNION ALL
+  SELECT 'olsr', g, '', coalesce(r2, -1.0) FROM ocols
+) olsrows
 """
 
 
@@ -8500,7 +8624,40 @@ def classify_suite(spark, sf_dir):
         "pplb",
         F.col("doc_id"), v_str=F.col("bucket"), v_num=F.col("ppl"),
     )
-    return _union_all([nb, nbp, dsir, pr, reli, gain, psi, ppl, pplb])
+    # r9 'ks': exact two-sample Kolmogorov–Smirnov drift between the
+    # en and zh n_chars distributions — the bucketing-free companion
+    # to 'psi'; every number exact integer (D localized at its cut)
+    from .operators import stats as stats_ops
+
+    ks = _suite_rows(
+        stats_ops.ks_drift(docs, "n_chars", "lang", "en", "zh"),
+        "ks",
+        F.lit("en_vs_zh"),
+        v_str=F.concat_ws(
+            "|", F.col("n_a").cast("string"), F.col("n_b").cast("string"),
+            F.col("at_value").cast("string"),
+        ),
+        v_num=F.col("d_ppm").cast("double"),
+    )
+    # r9 'chi2': chi-square + Cramér's V between lang and source —
+    # the categorical association screen; chi2_ppm is the EXACT
+    # per-cell-floored integer sum (no float accumulation order),
+    # Cramér's V one IEEE sqrt over exact integers
+    chi2 = _suite_rows(
+        stats_ops.chi2_association(docs, "lang", "source"),
+        "chi2",
+        F.lit("lang~source"),
+        v_str=F.concat_ws(
+            "|", F.col("n").cast("string"),
+            F.col("n_excluded").cast("string"),
+            F.col("n_cells").cast("string"),
+            F.col("card_a").cast("string"), F.col("card_b").cast("string"),
+            F.col("dof").cast("string"), F.col("chi2_ppm").cast("string"),
+        ),
+        v_num=F.col("cramers_v_ppm").cast("double"),
+    )
+    return _union_all([nb, nbp, dsir, pr, reli, gain, psi, ppl, pplb,
+                       ks, chi2])
 
 
 _PR_THRESHOLDS = (-1_000_000, -250_000, 0, 250_000, 1_000_000)
@@ -8696,6 +8853,74 @@ FROM (
          gc.tot_pos, gc.n_tot, gex.nex
   FROM gcum gc LEFT JOIN gcuts c ON c.k = gc.band, gex
 ) gainrows
+UNION ALL
+SELECT 'ks', 'en_vs_zh',
+       CAST(na AS VARCHAR) || '|' || CAST(nb AS VARCHAR) || '|' ||
+       CAST(v AS VARCHAR),
+       CAST(CASE WHEN na > 0 AND nb > 0
+                 THEN d * 1000000 // (na * nb)
+                 ELSE 0 END AS DOUBLE)
+FROM (
+  WITH ksrows AS (
+    SELECT n_chars AS v,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia
+    FROM documents WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')
+  ),
+  kspv AS (
+    SELECT v, sum(ia)::HUGEINT AS ca, sum(1 - ia)::HUGEINT AS cb
+    FROM ksrows GROUP BY v
+  ),
+  kscum AS (
+    SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+           sum(cb) OVER (ORDER BY v) AS cumb,
+           sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+    FROM kspv
+  )
+  SELECT v, na, nb, abs(cuma * nb - cumb * na) AS d
+  FROM kscum
+  ORDER BY abs(cuma * nb - cumb * na) DESC, v ASC
+  LIMIT 1
+) kstop
+UNION ALL
+SELECT 'chi2', 'lang~source',
+       CAST(n AS VARCHAR) || '|' || CAST(nex AS VARCHAR) || '|' ||
+       CAST(ncells AS VARCHAR) || '|' || CAST(ca AS VARCHAR) || '|' ||
+       CAST(cb AS VARCHAR) || '|' || CAST((ca - 1) * (cb - 1) AS VARCHAR)
+       || '|' || CAST(chi2 AS VARCHAR),
+       CAST(CASE WHEN least(ca - 1, cb - 1) > 0 AND n > 0
+                 THEN floor(1000000.0 * sqrt((chi2::DOUBLE) /
+                      (1000000.0 * (n::DOUBLE) *
+                       (least(ca - 1, cb - 1)::DOUBLE))))
+                 ELSE 0 END AS DOUBLE)
+FROM (
+  WITH c2cells AS (
+    SELECT lang AS a, source AS b, count(*)::HUGEINT AS o
+    FROM documents GROUP BY 1, 2
+  ),
+  c2sized AS (
+    SELECT a, b, o,
+           sum(o) OVER (PARTITION BY a) AS r,
+           sum(o) OVER (PARTITION BY b) AS c,
+           sum(o) OVER () AS n
+    FROM c2cells WHERE a IS NOT NULL AND b IS NOT NULL
+  ),
+  c2pc AS (
+    SELECT n, a, b,
+           (o * o * n * 1000000) // (r * c) AS cell
+    FROM c2sized
+  ),
+  c2ag AS (
+    SELECT max(n) AS n, count(*) AS ncells,
+           count(DISTINCT a) AS ca, count(DISTINCT b) AS cb,
+           greatest(sum(cell) - max(n) * 1000000, 0) AS chi2
+    FROM c2pc
+  ),
+  c2ex AS (
+    SELECT coalesce(sum(o), 0) AS nex FROM c2cells
+    WHERE a IS NULL OR b IS NULL
+  )
+  SELECT * FROM c2ag, c2ex
+) c2rows
 """
 
 
