@@ -1099,3 +1099,47 @@ def validate_rules(
         ).otherwise(F.lit(0)).cast("long").alias("violation_ppm"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+) -> DataFrame:
+    """Clamp `value_col` into its per-group [P(lo_ppm), P(hi_ppm)]
+    exact rank-quantile band — the standard heavy-tail tamer before
+    means/regressions (a handful of pathological delivery latencies
+    or bot view-counts otherwise own every average).
+
+    The cut values come from `group_quantiles` (value at rank ⌈q·n⌉ —
+    ACTUAL data values, never interpolation), so the clamped output
+    contains only values that exist in the data and the whole
+    operator is engine-exact with no float seam.  NULL values pass
+    through NULL and take no rank (the group_quantiles contract).
+
+    Plan shape: one group-keyed rank window to find the cuts (the
+    group_quantiles shuffle), then one BROADCAST join of the
+    groups-sized cut table back onto the rows — row-grain data is
+    never reshuffled.
+
+    Output: the input columns + (value_w) — clamped value.
+    """
+    if not 0 < lo_ppm <= hi_ppm <= 1_000_000:
+        raise ValueError("need 0 < lo_ppm <= hi_ppm <= 1e6")
+    cuts = group_quantiles(df, value_col, group_cols, (lo_ppm, hi_ppm))
+    band = cuts.groupBy(*group_cols).agg(
+        F.min(
+            F.when(F.col("q_ppm") == lo_ppm, F.col("quantile_value"))
+        ).alias("_lo"),
+        F.max(
+            F.when(F.col("q_ppm") == hi_ppm, F.col("quantile_value"))
+        ).alias("_hi"),
+    )
+    v = F.col(value_col)
+    out = df.join(F.broadcast(band), group_cols, "left")
+    clamped = F.when(
+        v.isNull() | F.col("_lo").isNull(), v
+    ).otherwise(F.greatest(F.least(v, F.col("_hi")), F.col("_lo")))
+    return out.withColumn("value_w", clamped).drop("_lo", "_hi")

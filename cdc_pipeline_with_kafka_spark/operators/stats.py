@@ -362,3 +362,283 @@ def ols_by_group(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan–Meier survival curve per group — the time-to-event view
+    behind cohort_retention's fixed-offset matrix (time-to-convert,
+    time-to-churn, time-to-first-alert), with CENSORING handled
+    correctly: a unit observed for 10 days without converting is
+    evidence about days 0–10, not a conversion failure at day 10.
+
+    Semantics: one input row per unit; `duration_col` is the
+    time-on-study (quantize to a coarse unit — hours/days — upstream:
+    distinct durations per group is the state size), `event_col`
+    truthy = the event fired at that duration, falsy = censored then.
+    Rows are emitted at EVENT times (d > 0); censor-only times adjust
+    the risk set but emit no step (standard KM).
+
+    Exactness: the survival probability is the integer recurrence
+    s ← s·(n_t − d_t) div n_t starting at 1e6 — per-step floored,
+    so every engine lands the identical integer (the per-step factor
+    is also emitted; flooring biases each step down < 1 ppm).  No
+    exp/ln seam.
+
+    Plan shape: one groupBy to (group, duration) grain (map-side
+    combined), one keyed cumulative window for the risk set, then one
+    collect_list per group feeding a SQL ``aggregate`` recurrence —
+    the array is DISTINCT-EVENT-TIMES-sized, not unit-sized (the
+    documented bound; both shuffles share the group key, so the
+    second groupBy reuses the window's partitioning).
+
+    Output: (…group, t, n_risk, d, c_censored, factor_ppm, surv_ppm).
+    """
+    groups = list(group_cols or [])
+    ev = F.col(event_col).cast("boolean")
+    rows = df.filter(
+        F.col(duration_col).isNotNull() & ev.isNotNull()
+    ).select(
+        *groups,
+        F.col(duration_col).alias("_t"),
+        F.when(ev, F.lit(1)).otherwise(F.lit(0)).alias("_e"),
+    )
+    per_t = rows.groupBy(*groups, "_t").agg(
+        F.sum("_e").cast("long").alias("_d"),
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+    )
+    w_g = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_prior = (
+        (Window.partitionBy(*groups) if groups else Window.partitionBy())
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = per_t.select(
+        *groups, "_t", "_d",
+        (F.col("_cnt") - F.col("_d")).alias("_c"),
+        (
+            F.sum("_cnt").over(w_g)
+            - F.coalesce(F.sum("_cnt").over(w_prior), F.lit(0))
+        ).cast("long").alias("_n"),
+    ).filter(F.col("_d") > 0)
+    t_type = sized.schema["_t"].dataType.simpleString()
+    arr = sized.groupBy(*groups).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_t", "_n", "_d", "_c"))
+        ).alias("_steps")
+    )
+    run_expr = (
+        "aggregate(_steps, "
+        f"CAST(array() AS array<struct<_t:{t_type},_n:bigint,_d:bigint,"
+        "_c:bigint,_s:bigint>>), "
+        "(acc, x) -> array_append(acc, named_struct("
+        "'_t', x._t, '_n', x._n, '_d', x._d, '_c', x._c, "
+        "'_s', (CASE WHEN size(acc) = 0 THEN CAST(1000000 AS BIGINT) "
+        "ELSE element_at(acc, size(acc))._s END) "
+        "* (x._n - x._d) div x._n)))"
+    )
+    return arr.select(
+        *groups, F.explode(F.expr(run_expr)).alias("_r")
+    ).select(
+        *groups,
+        F.col("_r._t").alias("t"),
+        F.col("_r._n").alias("n_risk"),
+        F.col("_r._d").alias("d"),
+        F.col("_r._c").alias("c_censored"),
+        F.expr("(_r._n - _r._d) * 1000000 div _r._n").alias("factor_ppm"),
+        F.col("_r._s").alias("surv_ppm"),
+    )
+
+
+def abtest_report(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    control,
+) -> DataFrame:
+    """Two-proportion A/B report: one input row per experiment unit,
+    `success_col` truthy = converted; every variant is compared to
+    `control` — absolute and relative lift as exact integer ppm, and
+    the pooled two-proportion z statistic as ONE fixed IEEE expression
+    over exact integers (divisions + a correctly-rounded sqrt — the
+    corr_matrix float contract, so the double reproduces bitwise).
+
+    Totality: NULL-success units count in `n_excluded` per variant
+    (the pr_report contract), NULL variants are dropped.  Relative
+    lift uses the sign-safe division pattern (truncate-vs-floor on
+    negatives is an engine seam): sign extracted, magnitude floored.
+
+    Plan shape: one groupBy(variant) with map-side combine (the
+    shuffle carries variants, not units), one broadcast 1-row
+    crossJoin for the control totals.  Overflow: s·n_ctl inside
+    DECIMAL(38,0) — safe to ~1e19 units.
+
+    Output: one row per variant (control included, flagged):
+    (variant, is_control, n, n_success, n_excluded, cr_ppm, lift_ppm,
+    rel_lift_ppm, z) — lift columns NULL on the control row and when
+    the control has zero successes (rel) / zero spread (z).
+    """
+    v = F.col(variant_col)
+    s = F.col(success_col).cast("boolean")
+    per_v = df.filter(v.isNotNull()).groupBy(v.alias("variant")).agg(
+        F.count(F.when(s.isNotNull(), F.lit(1))).alias("n"),
+        F.count(F.when(s, F.lit(1))).alias("n_success"),
+        F.count(F.when(s.isNull(), F.lit(1))).alias("n_excluded"),
+    )
+    ctl = per_v.filter(F.col("variant") == F.lit(control)).select(
+        F.col("n").alias("_cn"), F.col("n_success").alias("_cs")
+    )
+    j = per_v.crossJoin(F.broadcast(ctl))
+    cr = F.when(
+        F.col("n") > 0, F.expr("n_success * 1000000 div n")
+    ).otherwise(F.lit(0))
+    ccr = F.when(
+        F.col("_cn") > 0, F.expr("_cs * 1000000 div _cn")
+    ).otherwise(F.lit(0))
+    is_ctl = F.col("variant") == F.lit(control)
+    relnum = F.expr(
+        "CAST(n_success AS DECIMAL(38,0)) * _cn "
+        "- CAST(_cs AS DECIMAL(38,0)) * n"
+    )
+    rel = F.when(
+        is_ctl | (F.col("_cs") <= 0), F.lit(None).cast("long")
+    ).otherwise(
+        F.when(relnum < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        * F.expr(
+            "CAST(abs(CAST(n_success AS DECIMAL(38,0)) * _cn "
+            "- CAST(_cs AS DECIMAL(38,0)) * n) * 1000000 "
+            "div (CAST(_cs AS DECIMAL(38,0)) * n) AS BIGINT)"
+        )
+    )
+    p1 = F.col("n_success").cast("double") / F.col("n").cast("double")
+    p2 = F.col("_cs").cast("double") / F.col("_cn").cast("double")
+    pc = (F.col("n_success") + F.col("_cs")).cast("double") / (
+        F.col("n") + F.col("_cn")
+    ).cast("double")
+    zden = F.sqrt(
+        pc * (F.lit(1.0) - pc)
+        * (F.lit(1.0) / F.col("n").cast("double")
+           + F.lit(1.0) / F.col("_cn").cast("double"))
+    )
+    z = F.when(
+        is_ctl | (F.col("n") <= 0) | (F.col("_cn") <= 0) | (zden <= 0),
+        F.lit(None).cast("double"),
+    ).otherwise((p1 - p2) / zden)
+    return j.select(
+        "variant", is_ctl.alias("is_control"),
+        "n", "n_success", "n_excluded",
+        cr.cast("long").alias("cr_ppm"),
+        F.when(is_ctl, F.lit(None).cast("long"))
+        .otherwise((cr - ccr).cast("long")).alias("lift_ppm"),
+        rel.alias("rel_lift_ppm"),
+        z.alias("z"),
+    )
+
+
+def mi_core(
+    cells: list[tuple],
+) -> tuple[int, int, int, int, int, int, int]:
+    """Pure mutual-information computation shared by the Spark path
+    and the oracle replay (the psi_core pattern, classify.py): input
+    (value, label, count) cells for ONE feature; returns
+    (mi_micro, n, card_v, card_l, h_v_micro, h_l_micro, nmi_ppm) with
+    natural-log entropies, HALF_UP micro rounding of each final
+    number — Python's libm on both sides, so no cross-engine seam."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _q(x: float) -> int:
+        return int(
+            Decimal(repr(x * 1_000_000)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+
+    n = sum(c for _, _, c in cells)
+    if n == 0:
+        return 0, 0, 0, 0, 0, 0, 0
+    vtot: dict = {}
+    ltot: dict = {}
+    for v, l, c in cells:
+        vtot[v] = vtot.get(v, 0) + c
+        ltot[l] = ltot.get(l, 0) + c
+    mi = 0.0
+    for v, l, c in sorted(cells, key=lambda x: (repr(x[0]), repr(x[1]))):
+        if c > 0:
+            mi += (c / n) * math.log(c * n / (vtot[v] * ltot[l]))
+    h_v = -sum((c / n) * math.log(c / n) for c in vtot.values() if c > 0)
+    h_l = -sum((c / n) * math.log(c / n) for c in ltot.values() if c > 0)
+    h_min = min(h_v, h_l)
+    nmi = mi / h_min if h_min > 0 else 0.0
+    return (
+        _q(mi), n, len(vtot), len(ltot), _q(h_v), _q(h_l),
+        _q(nmi),
+    )
+
+
+def mutual_information_report(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Mutual information (and normalized MI) of each CATEGORICAL
+    feature column against a label — the feature-selection /
+    leakage screen chi2_association's p-value-shaped statistic isn't:
+    MI ranks features by how much label information they carry, on a
+    comparable scale (nmi ∈ [0,1], 1 = feature determines label).
+
+    Continuous features must be quantized upstream (equi_depth
+    histogram buckets, F.round — the engine's standard seam); this
+    operator treats every distinct value as a category and NULL as a
+    real category (missingness is informative).  Rows with NULL label
+    are dropped.
+
+    Shape: ONE stack-unpivot scan → groupBy((feature, value, label))
+    with map-side combine — the shuffle and the driver collect are
+    CELLS-sized (Σ_f card_f · card_label), guarded by `max_cells`
+    (loud raise, never silent truncation); the MI itself runs in
+    `mi_core` on the driver so the number replays exactly off-Spark
+    (the psi_report pattern).
+
+    Output: one row per feature: (feature, n, card_feature,
+    card_label, mi_micro, h_feature_micro, h_label_micro, nmi_ppm).
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in feature_cols
+    )
+    cells = (
+        df.filter(F.col(label_col).isNotNull())
+        .selectExpr(
+            f"stack({len(feature_cols)}, {stack_args}) AS (_f, _v)",
+            f"CAST(`{label_col}` AS STRING) AS _l",
+        )
+        .groupBy("_f", "_v", "_l")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    got = cells.limit(max_cells + 1).collect()
+    if len(got) > max_cells:
+        raise ValueError(
+            f"mutual_information_report: > {max_cells} (feature, value, "
+            "label) cells — quantize the feature columns first "
+            "(equi_depth_histogram / F.round) or raise max_cells"
+        )
+    by_f: dict = {c: [] for c in feature_cols}
+    for r in got:
+        by_f[r["_f"]].append((r["_v"], r["_l"], int(r["_c"])))
+    out = []
+    for c in feature_cols:
+        mi, n, cv, cl, hv, hl, nmi = mi_core(by_f[c])
+        out.append((c, n, cv, cl, mi, hv, hl, nmi))
+    return df.sparkSession.createDataFrame(
+        out,
+        "feature string, n long, card_feature long, card_label long, "
+        "mi_micro long, h_feature_micro long, h_label_micro long, "
+        "nmi_ppm long",
+    )

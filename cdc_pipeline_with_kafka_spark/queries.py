@@ -710,6 +710,27 @@ def a_stats_suite(spark, sf_dir):
         # exact DECIMAL co-moments, so the doubles match BITWISE
         # cross-engine (no rounding seam at all)
         *_a_ols_rows(spark, sf_dir),
+        # r9 'km': Kaplan–Meier time-to-convert curve (first view →
+        # first purchase, censored at last activity) — survival by
+        # the per-step integer floor recurrence, replayed by a
+        # DuckDB recursive CTE; no exp/ln seam anywhere
+        _a_km_rows(spark, sf_dir),
+        # r9 'ab': two-proportion A/B report over planted variants
+        # (user_id mod 3, conversion = ever purchased) — exact ppm
+        # lifts + the pooled-z as a fixed IEEE expression
+        _a_ab_rows(spark, sf_dir),
+        # r9 'wins': per-type winsorized event values — clamps at
+        # exact rank-quantile cuts (actual data values), every row's
+        # clamped value checked
+        _suite_rows(
+            sketch_ops.winsorize(
+                _t(spark, sf_dir, "events"), "value", ["event_type"],
+                100_000, 900_000,
+            ),
+            "wins",
+            F.col("event_id").cast("string"),
+            v_num=F.col("value_w"),
+        ),
     ])
 
 
@@ -740,6 +761,69 @@ def _a_ols_rows(spark, sf_dir):
         _suite_rows(fit, "olsr", F.col("event_type"),
                     v_num=F.col("r2")),
     ]
+
+
+def _a_km_rows(spark, sf_dir):
+    """Kaplan–Meier gate input: per-user time (hours) from first
+    'view' to first strictly-later 'purchase', censored at the last
+    observed event — built from one user-grain aggregate."""
+    from .operators import stats as stats_ops
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tl"),
+    ).filter(F.col("t0").isNotNull())
+    conv = F.col("tp").isNotNull() & (F.col("tp") > F.col("t0"))
+    hours = lambda a, b: F.expr(  # noqa: E731
+        f"(unix_micros(CAST({a} AS TIMESTAMP)) - "
+        f"unix_micros(CAST({b} AS TIMESTAMP))) div 3600000000"
+    )
+    dur = base.select(
+        F.when(conv, hours("tp", "t0"))
+        .otherwise(hours("tl", "t0")).alias("dur_h"),
+        conv.alias("converted"),
+    )
+    return _suite_rows(
+        stats_ops.km_survival(dur, "dur_h", "converted"),
+        "km",
+        F.col("t").cast("string"),
+        v_str=F.concat_ws(
+            "|", F.col("n_risk").cast("string"), F.col("d").cast("string"),
+            F.col("c_censored").cast("string"),
+            F.col("factor_ppm").cast("string"),
+        ),
+        v_num=F.col("surv_ppm").cast("double"),
+    )
+
+
+def _a_ab_rows(spark, sf_dir):
+    from .operators import stats as stats_ops
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", True).otherwise(False)
+        ).alias("conv")
+    ).select(
+        (F.col("user_id") % 3).cast("string").alias("variant"), "conv"
+    )
+    return _suite_rows(
+        stats_ops.abtest_report(units, "variant", "conv", "0"),
+        "ab",
+        F.col("variant"),
+        v_str=F.concat_ws(
+            "|", F.col("n").cast("string"), F.col("n_success").cast("string"),
+            F.col("n_excluded").cast("string"),
+            F.col("cr_ppm").cast("string"),
+            F.coalesce(F.col("lift_ppm").cast("string"), F.lit("-")),
+            F.coalesce(F.col("rel_lift_ppm").cast("string"), F.lit("-")),
+        ),
+        v_num=F.coalesce(F.col("z"), F.lit(-999.0)),
+    )
 
 
 def _a_hllr_rows(spark, sf_dir):
@@ -1581,6 +1665,113 @@ FROM (
   UNION ALL
   SELECT 'olsr', g, '', coalesce(r2, -1.0) FROM ocols
 ) olsrows
+UNION ALL
+SELECT 'km', CAST(t AS VARCHAR),
+       CAST(n AS VARCHAR) || '|' || CAST(d AS VARCHAR) || '|' ||
+       CAST(c AS VARCHAR) || '|' ||
+       CAST((n - d) * 1000000 // n AS VARCHAR),
+       CAST(s AS DOUBLE)
+FROM (
+  WITH RECURSIVE kmbase AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+           max(ts) AS tl
+    FROM events GROUP BY user_id
+  ),
+  kmdur AS (
+    SELECT CASE WHEN tp IS NOT NULL AND tp > t0
+                THEN (epoch_us(tp) - epoch_us(t0)) // 3600000000
+                ELSE (epoch_us(tl) - epoch_us(t0)) // 3600000000
+           END AS dur_h,
+           (tp IS NOT NULL AND tp > t0) AS e
+    FROM kmbase WHERE t0 IS NOT NULL
+  ),
+  kmpt AS (
+    SELECT dur_h AS t, sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+           count(*) AS cnt
+    FROM kmdur GROUP BY 1
+  ),
+  kmsz AS (
+    SELECT t, d, cnt - d AS c,
+           sum(cnt) OVER () - coalesce(sum(cnt) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS n
+    FROM kmpt
+  ),
+  kmst AS (
+    SELECT t, d, c, n, row_number() OVER (ORDER BY t) AS rn
+    FROM kmsz WHERE d > 0
+  ),
+  kmrec AS (
+    SELECT t, n, d, c, rn, 1000000 * (n - d) // n AS s
+    FROM kmst WHERE rn = 1
+    UNION ALL
+    SELECT kmst.t, kmst.n, kmst.d, kmst.c, kmst.rn,
+           kmrec.s * (kmst.n - kmst.d) // kmst.n
+    FROM kmst JOIN kmrec ON kmst.rn = kmrec.rn + 1
+  )
+  SELECT t, n, d, c, s FROM kmrec
+) kmrows
+UNION ALL
+SELECT 'ab', variant,
+       CAST(n AS VARCHAR) || '|' || CAST(s AS VARCHAR) || '|0|' ||
+       CAST(s * 1000000 // n AS VARCHAR) || '|' ||
+       CASE WHEN variant = '0' THEN '-'
+            ELSE CAST(s * 1000000 // n - cs * 1000000 // cn AS VARCHAR)
+       END || '|' ||
+       CASE WHEN variant = '0' OR cs <= 0 THEN '-'
+            ELSE CAST((CASE WHEN s * cn - cs * n < 0 THEN -1 ELSE 1 END)
+                 * (abs(s::HUGEINT * cn - cs::HUGEINT * n) * 1000000
+                    // (cs::HUGEINT * n)) AS VARCHAR)
+       END,
+       CASE WHEN variant = '0' OR n <= 0 OR cn <= 0 THEN -999.0
+            ELSE CASE WHEN
+              sqrt(((s + cs)::DOUBLE / (n + cn)::DOUBLE)
+                   * (1.0 - (s + cs)::DOUBLE / (n + cn)::DOUBLE)
+                   * (1.0 / n::DOUBLE + 1.0 / cn::DOUBLE)) <= 0
+            THEN -999.0
+            ELSE ((s::DOUBLE / n::DOUBLE) - (cs::DOUBLE / cn::DOUBLE))
+                 / sqrt(((s + cs)::DOUBLE / (n + cn)::DOUBLE)
+                        * (1.0 - (s + cs)::DOUBLE / (n + cn)::DOUBLE)
+                        * (1.0 / n::DOUBLE + 1.0 / cn::DOUBLE))
+            END
+       END
+FROM (
+  WITH abunits AS (
+    SELECT user_id % 3 AS variant,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+             AS conv
+    FROM events GROUP BY user_id
+  ),
+  abpv AS (
+    SELECT CAST(variant AS VARCHAR) AS variant, count(*) AS n,
+           sum(CASE WHEN conv THEN 1 ELSE 0 END) AS s
+    FROM abunits GROUP BY 1
+  ),
+  abctl AS (SELECT n AS cn, s AS cs FROM abpv WHERE variant = '0')
+  SELECT * FROM abpv, abctl
+) abrows
+UNION ALL
+SELECT 'wins', CAST(event_id AS VARCHAR), '',
+       CASE WHEN e.value IS NULL OR c.lo IS NULL THEN coalesce(e.value, -1.0)
+            ELSE greatest(least(e.value, c.hi), c.lo) END
+FROM events e
+LEFT JOIN (
+  SELECT event_type,
+         min(CASE WHEN rn = (100000 * n + 999999) // 1000000
+                  THEN value END) AS lo,
+         min(CASE WHEN rn = (900000 * n + 999999) // 1000000
+                  THEN value END) AS hi
+  FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events WHERE value IS NOT NULL
+  ) wr
+  GROUP BY event_type
+) c USING (event_type)
 """
 
 
@@ -8656,8 +8847,33 @@ def classify_suite(spark, sf_dir):
         ),
         v_num=F.col("cramers_v_ppm").cast("double"),
     )
+    # r9 'minf': mutual information of (source, length-bucket) vs
+    # lang — cells-sized bounded collect, MI computed by the shared
+    # mi_core so the number replays exactly off-Spark (the psi
+    # pattern); len bucket via floor(n_chars/500), the same integer
+    # floor both engines compute
+    minf = _suite_rows(
+        stats_ops.mutual_information_report(
+            docs.withColumn(
+                "len_b",
+                F.floor(F.col("n_chars") / F.lit(500)).cast("string"),
+            ),
+            ["source", "len_b"], "lang",
+        ),
+        "minf",
+        F.col("feature"),
+        v_str=F.concat_ws(
+            "|", F.col("n").cast("string"),
+            F.col("card_feature").cast("string"),
+            F.col("card_label").cast("string"),
+            F.col("h_feature_micro").cast("string"),
+            F.col("h_label_micro").cast("string"),
+            F.col("nmi_ppm").cast("string"),
+        ),
+        v_num=F.col("mi_micro").cast("double"),
+    )
     return _union_all([nb, nbp, dsir, pr, reli, gain, psi, ppl, pplb,
-                       ks, chi2])
+                       ks, chi2, minf])
 
 
 _PR_THRESHOLDS = (-1_000_000, -250_000, 0, 250_000, 1_000_000)
@@ -8997,9 +9213,31 @@ def _classify_suite_sql() -> str:
         f"\nUNION ALL\nSELECT 'psi', 'en_vs_zh', "
         f"'{pb}|{po}|{pn}', CAST({pm} AS DOUBLE)"
     )
+    # r9 'minf': identical cell counts off DuckDB (the same floor
+    # length-bucketing the Spark gate applies), the SAME mi_core
+    from .operators.stats import mi_core as _mi_core
+
+    minf_sql = ""
+    for feat, expr in [
+        ("source", "source"),
+        ("len_b", "CAST(n_chars // 500 AS VARCHAR)"),
+    ]:
+        cells = _dd.sql(
+            f"SELECT {expr} AS v, lang AS l, count(*) AS c FROM "
+            f"'{_ORACLE_SF_DIR}/documents.parquet' "
+            "WHERE lang IS NOT NULL GROUP BY 1, 2"
+        ).fetchall()
+        mi, n, cv, cl, hv, hl, nmi = _mi_core(
+            [(v, l, int(c)) for v, l, c in cells]
+        )
+        minf_sql += (
+            f"\nUNION ALL\nSELECT 'minf', '{feat}', "
+            f"'{n}|{cv}|{cl}|{hv}|{hl}|{nmi}', CAST({mi} AS DOUBLE)"
+        )
     return (
         sql
         + psi_sql
+        + minf_sql
         + "\nUNION ALL\nSELECT 'ppl', CAST(doc_id AS VARCHAR), '', "
         "CAST(p AS DOUBLE) FROM pplv"
         + "\nUNION ALL\nSELECT 'pplb', CAST(doc_id AS VARCHAR), "

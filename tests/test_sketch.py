@@ -551,3 +551,39 @@ def test_validate_rules_one_scan_contract(spark):
     assert plans.has_partial_aggregation(q)
     with _pytest.raises(ValueError):
         sketch.validate_rules(df, {})
+
+
+def test_winsorize_clamps_at_exact_rank_cuts(spark):
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+    import pyspark.sql.functions as F
+    rows = [("g", float(v)) for v in range(1, 11)] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = K.winsorize(df, "v", ["g"], 200_000, 800_000)
+    got = {r["v"]: r["value_w"] for r in out.collect()}
+    # cuts at rank ceil(.2·10)=2 → 2.0 and ceil(.8·10)=8 → 8.0
+    assert got[1.0] == 2.0 and got[2.0] == 2.0
+    assert got[5.0] == 5.0
+    assert got[8.0] == 8.0 and got[10.0] == 8.0
+    assert got[None] is None
+    # cut values are actual data values
+    assert set(v for v in got.values() if v is not None) <= set(
+        float(x) for x in range(2, 9))
+
+
+def test_winsorize_broadcast_join_no_row_shuffle(spark):
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+    rows = [("g", float(v)) for v in range(20)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    plan = K.winsorize(df, "v", ["g"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_arg_guard(spark):
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+    import pytest as _pt
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with _pt.raises(ValueError):
+        K.winsorize(df, "v", ["g"], 0, 500_000)
+    with _pt.raises(ValueError):
+        K.winsorize(df, "v", ["g"], 600_000, 500_000)

@@ -144,3 +144,120 @@ def test_ols_plan_single_hashaggregate_no_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "SortAggregate" not in plan  # decimal sums stay hash-able
+
+
+# --------------------------------------------------------- km_survival
+
+def test_km_hand_computed_with_censoring(spark):
+    # classic: events at t=1 (d=1, n=5), t=3 (d=1, n=3); censor at 2, 4;
+    # one unit still alive at 5 (censored)
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)]
+    out = {r["t"]: r for r in S.km_survival(
+        _df(spark, rows, "t int, e int"), "t", "e").collect()}
+    assert sorted(out) == [1, 3]
+    assert out[1]["n_risk"] == 5 and out[1]["d"] == 1
+    assert out[1]["surv_ppm"] == 800_000          # 1e6·4/5
+    assert out[3]["n_risk"] == 3
+    assert out[3]["surv_ppm"] == 800_000 * 2 // 3  # 533333
+
+def test_km_ties_and_censor_at_event_time(spark):
+    # d=2 and c=1 at the same t: censored unit still at risk at t
+    rows = [(2, 1), (2, 1), (2, 0), (9, 0)]
+    out = S.km_survival(_df(spark, rows, "t int, e int"),
+                        "t", "e").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_risk"] == 4 and r["d"] == 2 and r["c_censored"] == 1
+    assert r["surv_ppm"] == 500_000
+
+def test_km_grouped_independent_curves(spark):
+    rows = [("a", 1, 1), ("a", 2, 1), ("b", 1, 1)]
+    out = S.km_survival(_df(spark, rows, "g string, t int, e int"),
+                        "t", "e", ["g"]).collect()
+    by = {(r["g"], r["t"]): r["surv_ppm"] for r in out}
+    assert by[("a", 1)] == 500_000 and by[("a", 2)] == 0
+    assert by[("b", 1)] == 0
+
+def test_km_integer_recurrence_floors_per_step(spark):
+    # 3 units, events at 1 and 2: s(1)=666666 (floor), s(2)=333333
+    rows = [(1, 1), (2, 1), (3, 0)]
+    out = {r["t"]: r["surv_ppm"] for r in S.km_survival(
+        _df(spark, rows, "t int, e int"), "t", "e").collect()}
+    assert out[1] == 666_666
+    assert out[2] == 666_666 * 1 // 2  # 333333, floored from the floor
+
+
+# ------------------------------------------------------- abtest_report
+
+def test_abtest_lifts_and_z(spark):
+    rows = ([("c", True)] * 10 + [("c", False)] * 90
+            + [("t", True)] * 20 + [("t", False)] * 80)
+    out = {r["variant"]: r for r in S.abtest_report(
+        _df(spark, rows, "variant string, s boolean"),
+        "variant", "s", "c").collect()}
+    assert out["c"]["is_control"] and out["c"]["lift_ppm"] is None
+    t = out["t"]
+    assert t["n"] == 100 and t["n_success"] == 20
+    assert t["cr_ppm"] == 200_000 and t["lift_ppm"] == 100_000
+    assert t["rel_lift_ppm"] == 1_000_000  # +100%
+    # z = 0.1 / sqrt(0.15·0.85·0.02)
+    import math
+    assert t["z"] == pytest.approx(
+        0.1 / math.sqrt(0.15 * 0.85 * 0.02), abs=1e-12)
+
+def test_abtest_negative_lift_sign_safe(spark):
+    rows = ([("c", True)] * 20 + [("c", False)] * 80
+            + [("t", True)] * 10 + [("t", False)] * 90)
+    t = {r["variant"]: r for r in S.abtest_report(
+        _df(spark, rows, "variant string, s boolean"),
+        "variant", "s", "c").collect()}["t"]
+    assert t["lift_ppm"] == -100_000
+    assert t["rel_lift_ppm"] == -500_000  # −50%, floored on |·|
+
+def test_abtest_null_success_counted_excluded(spark):
+    rows = [("c", True), ("c", None), ("t", False), ("t", None)]
+    out = {r["variant"]: r for r in S.abtest_report(
+        _df(spark, rows, "variant string, s boolean"),
+        "variant", "s", "c").collect()}
+    assert out["c"]["n"] == 1 and out["c"]["n_excluded"] == 1
+    assert out["t"]["n"] == 1 and out["t"]["n_excluded"] == 1
+
+
+# ---------------------------------------- mutual_information_report
+
+def test_mi_deterministic_feature(spark):
+    # feature == label → MI = H(label); nmi = 1
+    rows = [(l, l) for l in ["x", "y", "z", "x"]]
+    out = S.mutual_information_report(
+        _df(spark, rows, "f string, lab string"), ["f"], "lab"
+    ).collect()[0]
+    assert out["mi_micro"] == out["h_label_micro"] > 0
+    assert out["nmi_ppm"] == 1_000_000
+
+def test_mi_independent_feature_zero(spark):
+    rows = [(f, l) for f in "ab" for l in "pq"]
+    out = S.mutual_information_report(
+        _df(spark, rows, "f string, lab string"), ["f"], "lab"
+    ).collect()[0]
+    assert out["mi_micro"] == 0 and out["nmi_ppm"] == 0
+
+def test_mi_core_replay_and_null_category(spark):
+    from cdc_pipeline_with_kafka_spark.operators.stats import mi_core
+    rows = [("a", "x"), ("a", "x"), (None, "y"), (None, "x")]
+    out = S.mutual_information_report(
+        _df(spark, rows, "f string, lab string"), ["f"], "lab"
+    ).collect()[0]
+    # NULL feature value is a real category
+    assert out["card_feature"] == 2 and out["n"] == 4
+    core = mi_core([("a", "x", 2), (None, "y", 1), (None, "x", 1)])
+    assert out["mi_micro"] == core[0]
+
+def test_mi_cell_guard_raises(spark):
+    rows = [(str(i), str(i % 2)) for i in range(50)]
+    with pytest.raises(ValueError, match="cells"):
+        S.mutual_information_report(
+            _df(spark, rows, "f string, lab string"), ["f"], "lab",
+            max_cells=10)
+    with pytest.raises(ValueError):
+        S.mutual_information_report(
+            _df(spark, rows, "f string, lab string"), [], "lab")
