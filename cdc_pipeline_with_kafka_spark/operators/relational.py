@@ -747,3 +747,85 @@ def scd2_as_of(history: DataFrame, ts) -> DataFrame:
         & (F.col("effective_to").isNull() | (F.col("effective_to") > t))
     )
     return out.drop("is_current") if "is_current" in history.columns else out
+
+
+def record_linkage_score(
+    pairs: DataFrame,
+    field_weights: dict[str, tuple[float, float]],
+    upper_micro: int | None = None,
+    lower_micro: int | None = None,
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring over CANDIDATE PAIRS —
+    the entity-resolution step after blocking (reference analogue:
+    the dedup-insert link check, SyncService — which only catches
+    EXACT key matches; this scores fuzzy ones): for each field with
+    (m, u) = P(agree | match), P(agree | non-match), agreement adds
+    ln(m/u), disagreement adds ln((1−m)/(1−u)), a missing side adds 0
+    (no evidence), and the pair's score is the sum of log-odds.
+
+    The log-odds are computed ONCE in Python at plan-build time and
+    embedded as integer-micro literals — Spark only sums integers per
+    pair, so there is NO libm seam and the score replays exactly on
+    any engine (the mi_core/psi_core determinism contract, shifted
+    into the plan itself).
+
+    Blocking is deliberately the caller's job: the engine already
+    ships the blockers (prefix_jaccard_pairs, minhash_lsh_pairs,
+    phash/simhash band matches, plain key joins) — this operator
+    never sees the n² space, only the candidate pairs.
+
+    Input: one row per candidate pair with `<field>_a` / `<field>_b`
+    columns per scored field.  Output: the input columns +
+    (score_micro, n_agree, n_disagree, n_missing [, decision]) —
+    decision ∈ match / possible / non_match when both thresholds are
+    given (Fellegi–Sunter's three-way rule).
+    """
+    import math
+
+    if not field_weights:
+        raise ValueError("field_weights must be non-empty")
+    for f, (m, u) in field_weights.items():
+        if not (0 < m < 1 and 0 < u < 1):
+            raise ValueError(f"m/u for {f!r} must be in (0, 1)")
+        if m <= u:
+            raise ValueError(
+                f"m must exceed u for {f!r} (agreement must be "
+                "evidence FOR a match)"
+            )
+    if (upper_micro is None) != (lower_micro is None):
+        raise ValueError("give both thresholds or neither")
+    if upper_micro is not None and upper_micro < lower_micro:
+        raise ValueError("upper_micro must be >= lower_micro")
+
+    score = F.lit(0).cast("long")
+    agree_n = F.lit(0).cast("long")
+    dis_n = F.lit(0).cast("long")
+    miss_n = F.lit(0).cast("long")
+    for f, (m, u) in field_weights.items():
+        wa = int(round(math.log(m / u) * 1_000_000))
+        wd = int(round(math.log((1 - m) / (1 - u)) * 1_000_000))
+        a, b = F.col(f"{f}_a"), F.col(f"{f}_b")
+        missing = a.isNull() | b.isNull()
+        agree = a == b
+        score = score + F.when(missing, F.lit(0)).when(
+            agree, F.lit(wa)
+        ).otherwise(F.lit(wd)).cast("long")
+        agree_n = agree_n + F.when(
+            ~missing & agree, F.lit(1)
+        ).otherwise(F.lit(0))
+        dis_n = dis_n + F.when(
+            ~missing & ~agree, F.lit(1)
+        ).otherwise(F.lit(0))
+        miss_n = miss_n + F.when(missing, F.lit(1)).otherwise(F.lit(0))
+    out = pairs.withColumn("score_micro", score) \
+        .withColumn("n_agree", agree_n) \
+        .withColumn("n_disagree", dis_n) \
+        .withColumn("n_missing", miss_n)
+    if upper_micro is not None:
+        out = out.withColumn(
+            "decision",
+            F.when(F.col("score_micro") >= upper_micro, F.lit("match"))
+            .when(F.col("score_micro") < lower_micro, F.lit("non_match"))
+            .otherwise(F.lit("possible")),
+        )
+    return out

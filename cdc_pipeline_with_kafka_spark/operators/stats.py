@@ -642,3 +642,27 @@ def mutual_information_report(
         "mi_micro long, h_feature_micro long, h_label_micro long, "
         "nmi_ppm long",
     )
+
+
+def ks_core(
+    counts_a: dict, counts_b: dict
+) -> tuple[int, int, int, object]:
+    """Pure-Python twin of `ks_drift` over (value → count) maps — the
+    off-Spark replay (psi_core pattern) the streaming drift sink uses
+    per micro-batch: same exact integer arithmetic, same smallest-
+    argmax tie-break.  Returns (d_ppm, n_a, n_b, at_value);
+    (0, n_a, n_b, None) when either side is empty."""
+    n_a = sum(counts_a.values())
+    n_b = sum(counts_b.values())
+    if n_a == 0 or n_b == 0:
+        return 0, n_a, n_b, None
+    cum_a = cum_b = 0
+    best = -1
+    best_v = None
+    for v in sorted(set(counts_a) | set(counts_b)):
+        cum_a += counts_a.get(v, 0)
+        cum_b += counts_b.get(v, 0)
+        d = abs(cum_a * n_b - cum_b * n_a)
+        if d > best:
+            best, best_v = d, v
+    return best * 1_000_000 // (n_a * n_b), n_a, n_b, best_v

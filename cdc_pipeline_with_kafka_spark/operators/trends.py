@@ -310,3 +310,71 @@ def cusum_changepoints(
         .withColumn("flag_down", F.col("s_minus_micro") > F.lit(int(h_micro)))
         .drop("_x", "_pu", "_pd")
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    min_points: int = 3,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Same-slot seasonal anomaly score: each observation is compared
+    to the OTHER observations of its (key, day-of-week, hour-of-day)
+    slot — the daily/weekly-rhythm-aware complement of
+    `zscore_anomaly` (trailing window: flags level changes) and
+    `cusum_changepoints` (persistent small shifts): Monday-9am traffic
+    is judged against other Monday-9ams, so a quiet weekend never
+    drags the baseline of a busy weekday.
+
+    Leave-one-out: the point under test is EXCLUDED from its own
+    baseline (mean/variance from slot sums minus the point), so a
+    single extreme value cannot mask itself.  Slots are pure integer
+    arithmetic on epoch microseconds (day index mod 7, hour mod 24 —
+    no calendar/locale seam; dow 0 = Thursday, the 1970-01-01 epoch
+    anchor).
+
+    Exactness: values quantize to integer micros (one explicit seam);
+    per-slot Σx and Σx² are exact DECIMAL(38,0) sums; mean/var/z are
+    fixed IEEE expressions over those exact integers — bit-for-bit on
+    any engine (the corr_matrix contract).  z = 0 when the slot has
+    < min_points peers or zero peer variance.
+
+    Plan shape: ONE window partitioned by (key, slot) — no order, no
+    sort spill — over rows carrying an 8-byte quantized value; no
+    second scan, no join.
+
+    Output: input rows + (slot_dow, slot_hour, n_slot, z) with z the
+    leave-one-out standard score.
+    """
+    if micro < 1:
+        raise ValueError("micro must be >= 1")
+    us = f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+    qx = F.expr(f"CAST(round({value_col} * {micro}, 0) AS BIGINT)")
+    dow = F.expr(f"CAST(({us} div 86400000000) % 7 AS INT)")
+    hour = F.expr(f"CAST(({us} div 3600000000) % 24 AS INT)")
+    base = df.withColumn("slot_dow", dow).withColumn(
+        "slot_hour", hour
+    ).withColumn("_qx", qx)
+    w = Window.partitionBy(*key_cols, "slot_dow", "slot_hour")
+    dec = "decimal(38,0)"
+    g = F.col("_qx").cast(dec)
+    sized = base.withColumn("_s", F.sum(g).over(w)) \
+        .withColumn("_q", F.sum(g * F.col("_qx")).over(w)) \
+        .withColumn("_n", F.count("_qx").over(w))
+    # leave-one-out moments — fixed IEEE expression over exact sums,
+    # mirrored verbatim by the oracle
+    d = (F.col("_n") - 1).cast("double")
+    x = F.col("_qx").cast("double")
+    m = (F.col("_s").cast("double") - x) / d
+    var = (F.col("_q").cast("double") - x * x) / d - m * m
+    z = F.when(
+        F.col("_qx").isNull(), F.lit(None).cast("double")
+    ).when(
+        (F.col("_n") - 1 >= min_points) & (var > 0),
+        (x - m) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return sized.withColumn("n_slot", F.col("_n")).withColumn(
+        "z", z
+    ).drop("_qx", "_s", "_q", "_n")

@@ -324,22 +324,143 @@ def pj_exists_suite(spark, sf_dir):
     with the semi branch keeps the gate falsifiable)."""
     semi = p8_semi_join(spark, sf_dir).select(
         F.lit("semi").alias("branch"),
-        F.col("s_suppkey").alias("key"),
+        F.col("s_suppkey").cast("string").alias("key"),
         F.col("s_name").alias("name"),
     )
     anti = j3_anti_join(spark, sf_dir).select(
         F.lit("anti").alias("branch"),
-        F.col("c_custkey").alias("key"),
+        F.col("c_custkey").cast("string").alias("key"),
         F.col("c_name").alias("name"),
     )
-    return semi.unionByName(anti)
+    # r9 'link': Fellegi–Sunter record-linkage scoring over a planted
+    # fixture — each customer paired with a perturbed twin (true
+    # pairs) and with its key-neighbour (decoys); the m/u log-odds
+    # are Python-computed integer micros inlined into BOTH plans, so
+    # the score has no libm seam (relational.record_linkage_score)
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.when(F.col("c_custkey") % 7 == 0,
+               F.concat(F.col("c_name"), F.lit("_x")))
+        .otherwise(F.col("c_name")).alias("name_b"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment")).alias("seg_b"),
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1.0)
+        .otherwise(F.col("c_acctbal")).alias("bal_b"),
+    )
+    pairs = a.join(b, F.col("key_a") == F.col("key_b")).unionByName(
+        a.join(b, F.col("key_a") + 1 == F.col("key_b"))
+    )
+    scored = relational.record_linkage_score(
+        pairs.withColumnRenamed("name_a", "nm_a")
+        .withColumnRenamed("name_b", "nm_b"),
+        {"nm": (0.95, 0.01), "seg": (0.9, 0.2), "bal": (0.95, 0.02)},
+        upper_micro=5_000_000, lower_micro=0,
+    )
+    link = scored.select(
+        F.lit("link").alias("branch"),
+        F.concat_ws(
+            "|", F.col("key_a").cast("string"), F.col("key_b").cast("string")
+        ).alias("key"),
+        F.concat_ws(
+            "|", F.col("score_micro").cast("string"), F.col("decision"),
+            F.col("n_agree").cast("string"),
+            F.col("n_disagree").cast("string"),
+            F.col("n_missing").cast("string"),
+        ).alias("name"),
+    )
+    return semi.unionByName(anti).unionByName(link)
 
 
-PJ_EXISTS_SUITE_SQL = f"""
-SELECT 'semi' AS branch, s_suppkey AS key, s_name AS name FROM ({P8_SQL}) s
+def _pj_exists_suite_sql() -> str:
+    """semi/anti plus the r9 'link' branch: the Fellegi–Sunter m/u
+    log-odds are computed HERE with the same Python round(ln·1e6)
+    the Spark operator embeds, then inlined as literals — identical
+    integers in both plans, no SQL ln anywhere."""
+    import math
+
+    w = {
+        f: (int(round(math.log(m / u) * 1_000_000)),
+            int(round(math.log((1 - m) / (1 - u)) * 1_000_000)))
+        for f, (m, u) in
+        {"nm": (0.95, 0.01), "seg": (0.9, 0.2), "bal": (0.95, 0.02)}.items()
+    }
+
+    def _fw(field: str, a: str, b: str) -> str:
+        wa, wd = w[field]
+        return (
+            f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0 "
+            f"WHEN {a} = {b} THEN {wa} ELSE {wd} END"
+        )
+
+    def _fc(cond: str, a: str, b: str) -> str:
+        return (
+            f"CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL "
+            f"AND {cond} THEN 1 ELSE 0 END"
+        )
+
+    sc = " + ".join(
+        _fw(f, f"{f}_a", f"{f}_b") for f in ("nm", "seg", "bal")
+    )
+    n_ag = " + ".join(
+        _fc(f"{f}_a = {f}_b", f"{f}_a", f"{f}_b")
+        for f in ("nm", "seg", "bal")
+    )
+    n_dis = " + ".join(
+        _fc(f"{f}_a <> {f}_b", f"{f}_a", f"{f}_b")
+        for f in ("nm", "seg", "bal")
+    )
+    n_mis = " + ".join(
+        f"CASE WHEN {f}_a IS NULL OR {f}_b IS NULL THEN 1 ELSE 0 END"
+        for f in ("nm", "seg", "bal")
+    )
+    return f"""
+SELECT 'semi' AS branch, CAST(s_suppkey AS VARCHAR) AS key, s_name AS name FROM ({{P8_SQL}}) s
 UNION ALL
-SELECT 'anti', c_custkey, c_name FROM ({J3_SQL}) a
-"""
+SELECT 'anti', CAST(c_custkey AS VARCHAR), c_name FROM ({{J3_SQL}}) a
+UNION ALL
+SELECT 'link',
+       CAST(key_a AS VARCHAR) || '|' || CAST(key_b AS VARCHAR),
+       CAST(score AS VARCHAR) || '|' ||
+       CASE WHEN score >= 5000000 THEN 'match'
+            WHEN score < 0 THEN 'non_match' ELSE 'possible' END
+       || '|' || CAST(nag AS VARCHAR) || '|' || CAST(ndis AS VARCHAR)
+       || '|' || CAST(nmis AS VARCHAR)
+FROM (
+  WITH la AS (
+    SELECT c_custkey AS key_a, c_name AS nm_a, c_mktsegment AS seg_a,
+           c_acctbal AS bal_a
+    FROM customer
+  ),
+  lb AS (
+    SELECT c_custkey AS key_b,
+           CASE WHEN c_custkey % 7 = 0 THEN c_name || '_x'
+                ELSE c_name END AS nm_b,
+           CASE WHEN c_custkey % 3 = 0 THEN NULL
+                ELSE c_mktsegment END AS seg_b,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1.0
+                ELSE c_acctbal END AS bal_b
+    FROM customer
+  ),
+  lpairs AS (
+    SELECT * FROM la JOIN lb ON key_a = key_b
+    UNION ALL
+    SELECT * FROM la JOIN lb ON key_a + 1 = key_b
+  )
+  SELECT key_a, key_b, {sc} AS score, {n_ag} AS nag,
+         {n_dis} AS ndis, {n_mis} AS nmis
+  FROM lpairs
+) linkrows
+""".replace("{P8_SQL}", P8_SQL).replace("{J3_SQL}", J3_SQL)
+
+
+PJ_EXISTS_SUITE_SQL = _pj_exists_suite_sql()
 
 # ---------------------------------------------------------------- aggregations
 
@@ -2284,8 +2405,31 @@ def w_trend_suite(spark, sf_dir):
         ),
         v_num=F.col("s_plus_micro").cast("double"),
     )
+    # r9 'seas': same-slot seasonal leave-one-out anomaly over hourly
+    # counts — Monday-9am judged against other same-(dow, hour)
+    # hours; slots pure integer epoch arithmetic, z a fixed IEEE
+    # expression over exact DECIMAL slot sums (bitwise cross-engine)
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    seas = trends_ops.seasonal_anomaly(
+        hourly, ["event_type"], "bucket", "cnt", micro=1
+    )
+    seas_rows = _suite_rows(
+        seas, "seas",
+        F.concat_ws("|", F.col("event_type"),
+                    F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")),
+        v_str=F.concat_ws(
+            "|", F.col("slot_dow").cast("string"),
+            F.col("slot_hour").cast("string"),
+            F.col("n_slot").cast("string"),
+        ),
+        v_num=F.col("z"),
+    )
     return _union_all([
         cus_rows,
+        seas_rows,
         _suite_rows(w1, "w1_v", k2, v_num=F.col("velocity")),
         _suite_rows(w1, "w1_cnt", k2, v_num=F.col("cnt")),
         _suite_rows(w2, "w2_z", k2, v_num=F.col("zscore")),
@@ -2399,6 +2543,40 @@ FROM (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_minus
   FROM cpre
 ) cusumrows
+UNION ALL
+SELECT 'seas', event_type || '|' || strftime(bucket, '%Y-%m-%d %H:%M:%S'),
+       CAST(sdow AS VARCHAR) || '|' || CAST(shour AS VARCHAR) || '|' ||
+       CAST(n AS VARCHAR),
+       -- the leave-one-out z, SAME IEEE expression order as the
+       -- Spark operator (mean first, var from raw moments, then z)
+       CASE WHEN n - 1 >= 3
+                 AND ((q::DOUBLE - x::DOUBLE * x::DOUBLE)
+                      / ((n - 1)::DOUBLE)
+                      - ((s::DOUBLE - x::DOUBLE) / ((n - 1)::DOUBLE))
+                        * ((s::DOUBLE - x::DOUBLE) / ((n - 1)::DOUBLE))) > 0
+            THEN (x::DOUBLE - (s::DOUBLE - x::DOUBLE) / ((n - 1)::DOUBLE))
+                 / sqrt((q::DOUBLE - x::DOUBLE * x::DOUBLE)
+                        / ((n - 1)::DOUBLE)
+                        - ((s::DOUBLE - x::DOUBLE) / ((n - 1)::DOUBLE))
+                          * ((s::DOUBLE - x::DOUBLE) / ((n - 1)::DOUBLE)))
+            ELSE 0.0 END
+FROM (
+  WITH shourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           count(*)::BIGINT AS cnt
+    FROM events GROUP BY 1, 2
+  )
+  SELECT event_type, bucket, cnt AS x,
+         (epoch_us(bucket) // 86400000000) % 7 AS sdow,
+         (epoch_us(bucket) // 3600000000) % 24 AS shour,
+         sum(cnt::HUGEINT) OVER w AS s,
+         sum(cnt::HUGEINT * cnt) OVER w AS q,
+         count(*) OVER w AS n
+  FROM shourly
+  WINDOW w AS (PARTITION BY event_type,
+               (epoch_us(bucket) // 86400000000) % 7,
+               (epoch_us(bucket) // 3600000000) % 24)
+) seasrows
 """
 
 def t4_session_window(spark, sf_dir):

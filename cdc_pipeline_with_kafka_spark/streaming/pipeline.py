@@ -1079,3 +1079,87 @@ def make_dq_sink(
             downstream(out, batch_id)
 
     return sink
+
+
+def make_drift_sink(
+    report_path: str,
+    reference_df,
+    value_col: str,
+    threshold_ppm: int = 100_000,
+    on_breach: str = "report",
+    max_values: int = 1_000_000,
+    downstream=None,
+):
+    """foreachBatch DRIFT MONITOR: every micro-batch's `value_col`
+    distribution is KS-tested against a PINNED reference (the last
+    blessed release, the training-time distribution), and the exact
+    integer report lands under ``batch_id=N`` (idempotent overwrite,
+    the profile-sink contract) — the streaming form of
+    `stats.ks_drift`, for the "the upstream silently changed units /
+    started sending zeros" failure CDC pipelines meet in production.
+
+    The reference's (value → count) map is collected ONCE at sink
+    build; per batch, one map-side-combined groupBy collects the
+    batch's DISTINCT-VALUE counts (both collects guarded by
+    `max_values` — quantize the column upstream past that, the
+    ks_drift scale rule).  The statistic itself runs in the shared
+    pure-Python `stats.ks_core`, pytest-pinned ≡ the Spark ks_drift,
+    so batch reports replay exactly off-Spark.
+
+    ``on_breach='report'`` records and continues; ``'fail'`` raises
+    so the query halts and the batch replays after investigation —
+    drift is batch-level evidence, so there is deliberately no
+    row-level quarantine mode (rows aren't individually guilty).
+    `downstream` (fn(batch_df, batch_id)) always receives the intact
+    batch in report mode, and is NOT called on a failing batch in
+    fail mode (the gate refuses delivery, replay re-offers it).
+
+    Report row: (n_ref, n_batch, d_ppm, at_value [string-rendered],
+    threshold_ppm, breached).
+    """
+    if on_breach not in ("report", "fail"):
+        raise ValueError("on_breach must be report|fail")
+    from ..operators.stats import ks_core
+
+    ref_rows = (
+        reference_df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col).count().limit(max_values + 1).collect()
+    )
+    if len(ref_rows) > max_values:
+        raise ValueError(
+            f"drift reference has > {max_values} distinct values — "
+            "quantize the column first (the ks_drift scale rule)"
+        )
+    ref_counts = {r[0]: int(r[1]) for r in ref_rows}
+
+    def sink(batch_df, batch_id: int) -> None:
+        got = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .groupBy(value_col).count().limit(max_values + 1).collect()
+        )
+        if len(got) > max_values:
+            raise ValueError(
+                f"batch {batch_id} has > {max_values} distinct "
+                f"{value_col!r} values — quantize upstream"
+            )
+        batch_counts = {r[0]: int(r[1]) for r in got}
+        d_ppm, n_a, n_b, at_v = ks_core(ref_counts, batch_counts)
+        breached = d_ppm > threshold_ppm
+        batch_df.sparkSession.createDataFrame(
+            [(n_a, n_b, d_ppm,
+              None if at_v is None else str(at_v),
+              threshold_ppm, breached)],
+            "n_ref long, n_batch long, d_ppm long, at_value string, "
+            "threshold_ppm long, breached boolean",
+        ).write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={batch_id}"
+        )
+        if breached and on_breach == "fail":
+            raise ValueError(
+                f"distribution drift in batch {batch_id}: "
+                f"d_ppm={d_ppm} > {threshold_ppm} at {at_v!r}"
+            )
+        if downstream is not None:
+            downstream(batch_df, batch_id)
+
+    return sink

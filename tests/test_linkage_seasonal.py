@@ -1,0 +1,167 @@
+"""seasonal_anomaly (trends) + record_linkage_score (relational) +
+make_drift_sink (streaming) — the r9 third wave."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_pipeline_with_kafka_spark.operators import relational, trends
+from cdc_pipeline_with_kafka_spark.streaming import pipeline
+
+
+# ------------------------------------------------------ seasonal_anomaly
+
+def _hourly(spark, rows):
+    return spark.createDataFrame(rows, "k string, bucket string, cnt long") \
+        .withColumn("bucket", F.col("bucket").cast("timestamp_ntz"))
+
+
+def test_seasonal_anomaly_flags_same_slot_outlier(spark):
+    # Monday-9am slot across 5 weeks: 9,10,11,10,100 — spike week 5;
+    # a big-but-normal 23:00 slot would mask it in a TRAILING window
+    vals = {1: 9, 8: 10, 15: 11, 22: 10, 29: 100}
+    rows = [("k", f"2024-01-{d:02d} 09:00:00", v) for d, v in vals.items()]
+    rows += [("k", f"2024-01-{d:02d} 23:00:00", 1000 + d)
+             for d in (1, 8, 15, 22, 29)]
+    out = {(r["slot_hour"], r["cnt"]): r for r in trends.seasonal_anomaly(
+        _hourly(spark, rows), ["k"], "bucket", "cnt", micro=1).collect()}
+    spike = out[(9, 100)]
+    assert spike["n_slot"] == 5
+    assert spike["z"] > 50            # judged only against 9,10,11,10
+    assert abs(out[(9, 10)]["z"]) < 2  # its normal peers stay quiet
+    # zero-variance/zero-peer guard: big 23:00 values are NOT flagged
+    # relative to the 9am slot (separate slot, own baseline)
+    assert abs(out[(23, 1029)]["z"]) < 3
+
+
+def test_seasonal_anomaly_leave_one_out_exact(spark):
+    # slot peers 8, 10, 12 (mean 10, pop-var 8/3); x = 30
+    rows = [("k", "2024-01-01 09:00:00", 8),
+            ("k", "2024-01-08 09:00:00", 10),
+            ("k", "2024-01-15 09:00:00", 12),
+            ("k", "2024-01-22 09:00:00", 30)]
+    out = {r["cnt"]: r for r in trends.seasonal_anomaly(
+        _hourly(spark, rows), ["k"], "bucket", "cnt", micro=1).collect()}
+    x = out[30]
+    m = (8 + 10 + 12) / 3.0
+    var = (8 * 8 + 10 * 10 + 12 * 12) / 3.0 - m * m
+    assert x["z"] == pytest.approx((30 - m) / math.sqrt(var), abs=1e-9)
+    assert x["n_slot"] == 4
+    # zero-variance peers → z = 0 (guard, not inf)
+    assert out[8]["z"] != 0  # 8 vs peers {10,12,30}
+
+
+def test_seasonal_anomaly_min_points_and_slots(spark):
+    rows = [("k", "2024-01-01 09:00:00", 5),
+            ("k", "2024-01-08 09:00:00", 50)]  # only 1 peer each
+    out = trends.seasonal_anomaly(
+        _hourly(spark, rows), ["k"], "bucket", "cnt", micro=1).collect()
+    assert all(r["z"] == 0.0 for r in out)
+    assert all(r["slot_hour"] == 9 for r in out)
+    # 2024-01-01 is a Monday; epoch anchor Thursday=0 → Monday = 4
+    assert all(r["slot_dow"] == 4 for r in out)
+
+
+# ------------------------------------------------- record_linkage_score
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, nm_a string, nm_b string, ph_a string, ph_b string")
+
+
+def test_linkage_weights_and_decisions(spark):
+    w = {"nm": (0.9, 0.1), "ph": (0.8, 0.05)}
+    wa_nm = round(math.log(0.9 / 0.1) * 1e6)
+    wd_nm = round(math.log(0.1 / 0.9) * 1e6)
+    wa_ph = round(math.log(0.8 / 0.05) * 1e6)
+    rows = [(1, "ann", "ann", "555", "555"),   # full agree
+            (2, "ann", "bob", "555", "555"),   # name disagrees
+            (3, "ann", "ann", None, "555")]    # phone missing
+    out = {r["id"]: r for r in relational.record_linkage_score(
+        _pairs(spark, rows), w,
+        upper_micro=3_000_000, lower_micro=0).collect()}
+    assert out[1]["score_micro"] == wa_nm + wa_ph
+    assert out[1]["decision"] == "match" and out[1]["n_agree"] == 2
+    assert out[2]["score_micro"] == wd_nm + wa_ph
+    assert out[2]["n_disagree"] == 1
+    assert out[3]["score_micro"] == wa_nm and out[3]["n_missing"] == 1
+    assert out[3]["decision"] == "possible"
+
+
+def test_linkage_guards(spark):
+    df = _pairs(spark, [(1, "a", "a", "p", "p")])
+    with pytest.raises(ValueError):
+        relational.record_linkage_score(df, {})
+    with pytest.raises(ValueError, match="must exceed"):
+        relational.record_linkage_score(df, {"nm": (0.1, 0.9)})
+    with pytest.raises(ValueError, match="both thresholds"):
+        relational.record_linkage_score(
+            df, {"nm": (0.9, 0.1)}, upper_micro=1)
+    with pytest.raises(ValueError):
+        relational.record_linkage_score(
+            df, {"nm": (1.0, 0.1)})
+
+
+def test_linkage_score_is_pure_column_sum_no_shuffle(spark):
+    df = _pairs(spark, [(1, "a", "a", "p", "p")])
+    plan = relational.record_linkage_score(
+        df, {"nm": (0.9, 0.1)})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # scoring never reshuffles pairs
+
+
+# ----------------------------------------------------- make_drift_sink
+
+def test_drift_sink_report_breach_and_fail(spark, tmp_path):
+    ref = spark.createDataFrame([(v,) for v in [1, 2, 3, 4] * 25], "v int")
+    same = spark.createDataFrame([(v,) for v in [1, 2, 3, 4] * 5], "v int")
+    shifted = spark.createDataFrame([(v,) for v in [30, 40] * 10], "v int")
+    seen = []
+    rp = str(tmp_path / "drift")
+    sink = pipeline.make_drift_sink(
+        rp, ref, "v", threshold_ppm=200_000,
+        downstream=lambda df, b: seen.append((b, df.count())),
+    )
+    sink(same, 0)
+    sink(shifted, 1)
+    r0 = spark.read.parquet(f"{rp}/batch_id=0").collect()[0]
+    r1 = spark.read.parquet(f"{rp}/batch_id=1").collect()[0]
+    assert r0["d_ppm"] == 0 and not r0["breached"]
+    assert r1["d_ppm"] == 1_000_000 and r1["breached"]
+    assert r1["at_value"] == "4"  # full separation at the last ref value
+    assert seen == [(0, 20), (1, 20)]  # report mode always delivers
+
+    # replay idempotence: rewriting batch 1 leaves ONE report
+    sink(shifted, 1)
+    assert spark.read.parquet(f"{rp}/batch_id=1").count() == 1
+
+    # fail mode: breach raises, downstream NOT called
+    seen.clear()
+    sink2 = pipeline.make_drift_sink(
+        str(tmp_path / "d2"), ref, "v", threshold_ppm=200_000,
+        on_breach="fail",
+        downstream=lambda df, b: seen.append(b),
+    )
+    with pytest.raises(ValueError, match="drift"):
+        sink2(shifted, 0)
+    assert seen == []
+    sink2(same, 1)
+    assert seen == [1]
+
+
+def test_drift_sink_guards(spark, tmp_path):
+    ref = spark.createDataFrame([(i,) for i in range(50)], "v int")
+    with pytest.raises(ValueError, match="distinct"):
+        pipeline.make_drift_sink(str(tmp_path / "g"), ref, "v",
+                                 max_values=10)
+    with pytest.raises(ValueError, match="on_breach"):
+        pipeline.make_drift_sink(str(tmp_path / "g"), ref, "v",
+                                 on_breach="quarantine")
+    sink = pipeline.make_drift_sink(str(tmp_path / "g2"), ref, "v",
+                                    max_values=60)
+    batch = spark.createDataFrame([(i,) for i in range(70)], "v int")
+    with pytest.raises(ValueError, match="quantize"):
+        sink(batch, 0)

@@ -261,3 +261,23 @@ def test_mi_cell_guard_raises(spark):
     with pytest.raises(ValueError):
         S.mutual_information_report(
             _df(spark, rows, "f string, lab string"), [], "lab")
+
+
+# ------------------------------------------------------------- ks_core
+
+def test_ks_core_matches_ks_drift(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 30), rng.choice(["a", "b"]))
+            for _ in range(400)]
+    got = S.ks_drift(_df(spark, rows, "v int, s string"),
+                     "v", "s", "a", "b").collect()[0]
+    ca, cb = {}, {}
+    for v, s in rows:
+        (ca if s == "a" else cb)[v] = (ca if s == "a" else cb).get(v, 0) + 1
+    d_ppm, n_a, n_b, at_v = S.ks_core(ca, cb)
+    assert (got["d_ppm"], got["n_a"], got["n_b"], got["at_value"]) == \
+        (d_ppm, n_a, n_b, at_v)
+
+def test_ks_core_empty_side():
+    assert S.ks_core({}, {1: 2}) == (0, 0, 2, None)
