@@ -829,3 +829,56 @@ def record_linkage_score(
             .otherwise(F.lit("possible")),
         )
     return out
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """STRUCTURAL drift between two frame versions — the schema-level
+    companion of `snapshot_diff` (row drift) and `profile_diff`
+    (distribution drift): which columns appeared, vanished, changed
+    type, or changed nullability between yesterday's delivery and
+    today's.  CDC pipelines break on exactly this (an upstream
+    ALTER TABLE) long before any value-level monitor fires.
+
+    Pure metadata — reads ZERO rows from either side (Spark schemas
+    come from the catalog/parquet footer), so it is safe to run
+    before every batch of a 100 TB feed.  Nested struct fields are
+    compared by their full dotted path, so a type change buried three
+    levels into a props struct surfaces as its own row.
+
+    Output: one row per differing column path: (column, status ∈
+    added/removed/type_changed/nullability_changed, old_type,
+    new_type, old_nullable, new_nullable); empty frame ⇔ schemas are
+    identical (order-insensitive — column ORDER is presentation, not
+    contract).
+    """
+    from pyspark.sql import types as T
+
+    def _flat(schema, prefix=""):
+        out = {}
+        for f in schema.fields:
+            path = f"{prefix}{f.name}"
+            out[path] = (f.dataType.simpleString(), f.nullable)
+            if isinstance(f.dataType, T.StructType):
+                inner = _flat(f.dataType, f"{path}.")
+                out.update(inner)
+        return out
+
+    a, b = _flat(old.schema), _flat(new.schema)
+    rows = []
+    for path in sorted(set(a) | set(b)):
+        ta, tb = a.get(path), b.get(path)
+        if ta is None:
+            rows.append((path, "added", None, tb[0], None, tb[1]))
+        elif tb is None:
+            rows.append((path, "removed", ta[0], None, ta[1], None))
+        elif ta[0] != tb[0]:
+            rows.append((path, "type_changed", ta[0], tb[0], ta[1], tb[1]))
+        elif ta[1] != tb[1]:
+            rows.append(
+                (path, "nullability_changed", ta[0], tb[0], ta[1], tb[1])
+            )
+    return old.sparkSession.createDataFrame(
+        rows,
+        "column string, status string, old_type string, new_type string, "
+        "old_nullable boolean, new_nullable boolean",
+    )

@@ -1163,3 +1163,77 @@ def make_drift_sink(
             downstream(batch_df, batch_id)
 
     return sink
+
+
+def make_lateness_sink(
+    report_path: str,
+    ts_col: str,
+    clock=None,
+    quantiles_ppm: tuple = (500_000, 950_000, 990_000),
+    downstream=None,
+):
+    """foreachBatch EVENT-TIME LAG observability: every micro-batch
+    records how late its events arrived — (arrival wall-clock −
+    event time) — as exact rank quantiles + min/max/mean, under
+    ``batch_id=N`` (idempotent overwrite).  This is the number that
+    TELLS you what watermark delay to configure (T3's '10 minutes'
+    is a guess until you've seen the p99 lag), and the first thing
+    that moves when an upstream producer starts buffering.
+
+    `clock` is an injectable zero-arg epoch-micros supplier (defaults
+    to the system clock) — injected so tests and replays are
+    deterministic; on replay the recomputed lags use the REPLAY
+    clock, which is the honest semantics (the report answers "how
+    late relative to now", not "what did we once log").
+
+    One group-keyed rank window per batch over the batch's rows (the
+    group_quantiles machinery at batch scope) — no state kept across
+    batches; compose with the HLL/profile sinks for history.
+
+    Report row: (n, null_ts, min_lag_us, max_lag_us, mean_lag_us
+    [truncating div], q_ppm → lag quantiles as one row per q).
+    """
+    import time as _time
+
+    from ..operators.sketch import group_quantiles
+
+    clock = clock or (lambda: int(_time.time() * 1_000_000))
+
+    def sink(batch_df, batch_id: int) -> None:
+        now = int(clock())
+        lag = (
+            F.lit(now)
+            - F.unix_micros(F.col(ts_col).cast("timestamp"))
+        ).alias("lag_us")
+        rows = batch_df.select(lag, F.col(ts_col).isNull().alias("_isnull"))
+        base = rows.agg(
+            F.count(F.when(~F.col("_isnull"), F.lit(1))).alias("n"),
+            F.count(F.when(F.col("_isnull"), F.lit(1))).alias("null_ts"),
+            F.min("lag_us").alias("min_lag_us"),
+            F.max("lag_us").alias("max_lag_us"),
+            F.expr(
+                "CASE WHEN count(lag_us) > 0 THEN "
+                "CAST(sum(lag_us) div count(lag_us) AS BIGINT) "
+                "ELSE NULL END"
+            ).alias("mean_lag_us"),
+        ).withColumn("q_ppm", F.lit(None).cast("long")) \
+         .withColumn("lag_q_us", F.lit(None).cast("long"))
+        qs = group_quantiles(
+            rows.filter(~F.col("_isnull")).withColumn("_g", F.lit(1)),
+            "lag_us", ["_g"], tuple(quantiles_ppm),
+        ).select(
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("null_ts"),
+            F.lit(None).cast("long").alias("min_lag_us"),
+            F.lit(None).cast("long").alias("max_lag_us"),
+            F.lit(None).cast("long").alias("mean_lag_us"),
+            F.col("q_ppm").cast("long").alias("q_ppm"),
+            F.col("quantile_value").cast("long").alias("lag_q_us"),
+        )
+        base.unionByName(qs).write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={batch_id}"
+        )
+        if downstream is not None:
+            downstream(batch_df, batch_id)
+
+    return sink

@@ -812,3 +812,32 @@ def test_gains_table_exact_cumulative_and_totals(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         classify.gains_table(df, "sc", "y", 1)
+
+
+# ------------------------------------------------------------ schema_diff
+
+def test_schema_diff_all_drift_classes(spark):
+    from cdc_pipeline_with_kafka_spark.operators.relational import schema_diff
+    old = spark.createDataFrame(
+        [(1, "a", 1.0, (1, "x"))],
+        "id long, gone string, v double, props struct<a:int, b:string>")
+    new = spark.createDataFrame(
+        [(1, 1, (2.0, "x"), "n")],
+        "id long, v int, props struct<a:double, b:string>, fresh string")
+    out = {r["column"]: r for r in schema_diff(old, new).collect()}
+    assert out["gone"]["status"] == "removed"
+    assert out["fresh"]["status"] == "added"
+    assert out["v"]["status"] == "type_changed"
+    assert out["v"]["old_type"] == "double" and out["v"]["new_type"] == "int"
+    # nested path surfaces with its dotted name
+    assert out["props.a"]["status"] == "type_changed"
+    assert "props.b" not in out  # unchanged nested field is silent
+    # props itself changed type (its struct string differs)
+    assert out["props"]["status"] == "type_changed"
+
+
+def test_schema_diff_identical_and_order_insensitive(spark):
+    from cdc_pipeline_with_kafka_spark.operators.relational import schema_diff
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    b = spark.createDataFrame([("x", 1)], "s string, id long")
+    assert schema_diff(a, b).count() == 0

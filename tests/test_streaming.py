@@ -860,3 +860,40 @@ def test_dq_sink_policies_report_quarantine_fail(spark, tmp_path):
         pipeline.make_dq_sink(rp, rules, on_fail="quarantine")
     with _pytest.raises(ValueError):
         pipeline.make_dq_sink(rp, rules, on_fail="nope")
+
+
+def test_lateness_sink_exact_quantiles_and_replay(spark, tmp_path):
+    """Event-time lag observability: exact rank quantiles of (clock −
+    event time) per batch, injectable clock, batch_id-idempotent."""
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline as P
+
+    base_us = 1_700_000_000_000_000
+    # lags: 1s..10s (ts = clock − lag)
+    rows = [((base_us - s * 1_000_000) / 1e6, i) for i, s in
+            enumerate(range(1, 11))] + [(None, 99)]
+    batch = spark.createDataFrame(rows, "ts_s double, id long") \
+        .select(F.timestamp_seconds("ts_s").cast("timestamp_ntz")
+                .alias("ts"), "id")
+    rp = str(tmp_path / "late")
+    seen = []
+    sink = P.make_lateness_sink(
+        rp, "ts", clock=lambda: base_us,
+        quantiles_ppm=(500_000, 1_000_000),
+        downstream=lambda df, b: seen.append((b, df.count())),
+    )
+    sink(batch, 3)
+    got = spark.read.parquet(f"{rp}/batch_id=3").collect()
+    summary = [r for r in got if r["q_ppm"] is None][0]
+    assert summary["n"] == 10 and summary["null_ts"] == 1
+    assert summary["min_lag_us"] == 1_000_000
+    assert summary["max_lag_us"] == 10_000_000
+    assert summary["mean_lag_us"] == 5_500_000
+    qs = {r["q_ppm"]: r["lag_q_us"] for r in got if r["q_ppm"] is not None}
+    # exact rank ceil(q·n): p50 → rank 5 → 5s; p100 → rank 10 → 10s
+    assert qs[500_000] == 5_000_000
+    assert qs[1_000_000] == 10_000_000
+    assert seen == [(3, 11)]
+    # replay: overwrite, single report set
+    sink(batch, 3)
+    assert spark.read.parquet(f"{rp}/batch_id=3") \
+        .filter(F.col("q_ppm").isNull()).count() == 1
