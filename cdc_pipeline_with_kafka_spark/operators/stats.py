@@ -327,11 +327,39 @@ def ols_by_group(
         raise ValueError("micro must be >= 1")
     qx = F.expr(f"CAST(round({x_col} * {micro}, 0) AS BIGINT)")
     qy = F.expr(f"CAST(round({y_col} * {micro}, 0) AS BIGINT)")
+    return ols_from_comoments(
+        ols_comoments(df, x_col, y_col, group_cols, micro),
+        group_cols, micro,
+    )
+
+
+def ols_comoments(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """The exact co-moment table behind `ols_by_group`, exposed
+    because it is MERGEABLE: (n, Σx, Σy, Σxy, Σx², Σy²) per group as
+    DECIMAL(38,0) — order-free integer sums, so tables from different
+    shards / micro-batches merge by plain addition
+    (`merge_comoments`) with NO loss, and the fit finishes later via
+    `ols_by_group`'s closed form.  This is what the streaming
+    co-moment sink persists per batch.
+
+    Output: group_cols + (_n, _sx, _sy, _sxy, _sxx, _syy)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if micro < 1:
+        raise ValueError("micro must be >= 1")
+    qx = F.expr(f"CAST(round({x_col} * {micro}, 0) AS BIGINT)")
+    qy = F.expr(f"CAST(round({y_col} * {micro}, 0) AS BIGINT)")
     rows = df.select(
         *group_cols, qx.alias("_qx"), qy.alias("_qy")
     ).filter(F.col("_qx").isNotNull() & F.col("_qy").isNotNull())
     gx, gy = F.col("_qx").cast(_DEC), F.col("_qy").cast(_DEC)
-    agg = rows.groupBy(*group_cols).agg(
+    return rows.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast(_DEC).alias("_n"),
         F.sum(gx).alias("_sx"),
         F.sum(gy).alias("_sy"),
@@ -339,12 +367,36 @@ def ols_by_group(
         F.sum(gx * F.col("_qx")).alias("_sxx"),
         F.sum(gy * F.col("_qy")).alias("_syy"),
     )
+
+
+def merge_comoments(
+    comoments: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge co-moment tables from shards / micro-batches: plain
+    per-group DECIMAL sums — exact, associative, commutative, so ANY
+    merge order gives the identical table (the incremental ≡ one-shot
+    theorem the sink tests pin)."""
+    sums = [
+        F.coalesce(F.sum(c), F.lit(0).cast(_DEC)).alias(c)
+        for c in ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")
+    ]
+    return comoments.groupBy(*group_cols).agg(*sums)
+
+
+def ols_from_comoments(
+    comoments: DataFrame,
+    group_cols: list[str],
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Finish an OLS fit from a (possibly merged) co-moment table —
+    the same closed form `ols_by_group` applies, split out so rolling
+    tables maintained by the streaming sink can be fit WITHOUT ever
+    rescanning rows.  `micro` must match the quantization the
+    co-moments were built with."""
     num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
     vx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
     vy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
     slope = F.when(vx > 0, num.cast("double") / vx.cast("double"))
-    # intercept in quantized units: (Σy − slope·Σx)/n, then /micro to
-    # return to original units — fixed IEEE ops over exact inputs
     intercept = F.when(
         vx > 0,
         (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double"))
@@ -355,7 +407,7 @@ def ols_by_group(
         (num.cast("double") * num.cast("double"))
         / (vx.cast("double") * vy.cast("double")),
     )
-    return agg.select(
+    return comoments.select(
         *group_cols,
         F.col("_n").cast("long").alias("n"),
         slope.alias("slope"),

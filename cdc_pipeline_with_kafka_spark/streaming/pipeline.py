@@ -1237,3 +1237,66 @@ def make_lateness_sink(
             downstream(batch_df, batch_id)
 
     return sink
+
+
+def make_comoment_sink(
+    table_path: str,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    micro: int = 1_000_000,
+):
+    """foreachBatch ROLLING REGRESSION STATE: every micro-batch
+    appends its per-group exact co-moment deltas (stats.ols_comoments
+    — DECIMAL(38,0) integer sums) under ``batch_id=N``; because the
+    sums are order-free integers, `read_comoments` merges ALL batches
+    by plain addition and `stats.ols_from_comoments` fits
+    slope/intercept/r² over the WHOLE stream without ever rescanning
+    a row — the trend of a 100 TB event history from a groups-sized
+    table (the HLL-rollup move, applied to regression state).
+
+    Incremental ≡ one-shot is a THEOREM here, not a tolerance: the
+    merged sums are bit-identical to the single-pass sums, so the
+    fitted doubles are too (pytest-pinned).  Write is O(groups in
+    batch); replay overwrites its own batch_id directory (idempotent,
+    the profile-sink contract).  Compaction: `compact_comoments`
+    folds all batch directories into one, invariant under timing."""
+    from ..operators.stats import ols_comoments
+
+    def sink(batch_df, batch_id: int) -> None:
+        ols_comoments(
+            batch_df, x_col, y_col, group_cols, micro
+        ).write.mode("overwrite").parquet(
+            f"{table_path}/batch_id={batch_id}"
+        )
+
+    return sink
+
+
+def read_comoments(spark, table_path: str, group_cols: list[str]):
+    """Merged co-moment table across every delivered batch (and any
+    compacted segment) — exact per-group DECIMAL sums; feed to
+    stats.ols_from_comoments (or read n/Σ directly)."""
+    from ..operators.stats import merge_comoments
+
+    return merge_comoments(
+        spark.read.parquet(table_path).drop("batch_id"), group_cols
+    )
+
+
+def compact_comoments(spark, table_path: str, group_cols: list[str]) -> None:
+    """Fold all batch directories into a single ``batch_id=-1``
+    segment (exact merge, so compaction NEVER changes any readable
+    number — the components-sink compaction contract)."""
+    import shutil
+
+    merged = read_comoments(spark, table_path, group_cols)
+    rows = merged.collect()
+    import os
+
+    for d in os.listdir(table_path):
+        if d.startswith("batch_id="):
+            shutil.rmtree(os.path.join(table_path, d))
+    spark.createDataFrame(rows, merged.schema).write.mode(
+        "overwrite"
+    ).parquet(f"{table_path}/batch_id=-1")

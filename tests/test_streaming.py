@@ -897,3 +897,43 @@ def test_lateness_sink_exact_quantiles_and_replay(spark, tmp_path):
     sink(batch, 3)
     assert spark.read.parquet(f"{rp}/batch_id=3") \
         .filter(F.col("q_ppm").isNull()).count() == 1
+
+
+def test_comoment_sink_incremental_equals_one_shot(spark, tmp_path):
+    """Rolling regression state: merged per-batch co-moments fit
+    BIT-IDENTICALLY to the one-shot ols_by_group (exact integer sums
+    ⇒ a theorem, not a tolerance); replay idempotent; compaction
+    invariant."""
+    from cdc_pipeline_with_kafka_spark.operators import stats as S
+    from cdc_pipeline_with_kafka_spark.streaming import pipeline as P
+
+    rows = [("g1", float(x), 3.0 * x + 2.0 + (x % 3)) for x in range(30)] \
+        + [("g2", float(x), -1.5 * x + 7.0 - (x % 2)) for x in range(20)]
+    full = spark.createDataFrame(rows, "g string, x double, y double")
+    tp = str(tmp_path / "com")
+    sink = P.make_comoment_sink(tp, "x", "y", ["g"])
+    # deliver in 3 uneven batches, with a crash-replay of batch 1
+    chunks = [rows[:7], rows[7:29], rows[29:]]
+    for i, ch in enumerate(chunks):
+        sink(spark.createDataFrame(ch, "g string, x double, y double"), i)
+    sink(spark.createDataFrame(chunks[1], "g string, x double, y double"), 1)
+
+    merged = P.read_comoments(spark, tp, ["g"])
+    inc = {r["g"]: r for r in S.ols_from_comoments(merged, ["g"]).collect()}
+    one = {r["g"]: r for r in S.ols_by_group(full, "x", "y", ["g"]).collect()}
+    for g in ("g1", "g2"):
+        assert inc[g]["n"] == one[g]["n"]
+        # bitwise: exact integer sums → identical IEEE finishing steps
+        assert inc[g]["slope"] == one[g]["slope"]
+        assert inc[g]["intercept"] == one[g]["intercept"]
+        assert inc[g]["r2"] == one[g]["r2"]
+
+    # compaction never changes any readable number
+    P.compact_comoments(spark, tp, ["g"])
+    after = {r["g"]: r for r in S.ols_from_comoments(
+        P.read_comoments(spark, tp, ["g"]), ["g"]).collect()}
+    for g in ("g1", "g2"):
+        assert after[g]["slope"] == one[g]["slope"]
+    import os
+    assert os.listdir(tp) and all(
+        d == "batch_id=-1" for d in os.listdir(tp) if d.startswith("batch"))
