@@ -718,3 +718,109 @@ def ks_core(
         if d > best:
             best, best_v = d, v
     return best * 1_000_000 // (n_a * n_b), n_a, n_b, best_v
+
+
+def theil_sen_by_group(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    max_points: int = 4096,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: slope = MEDIAN of all
+    pairwise slopes, intercept = median of (y − slope·x) — up to ~29%
+    of the points can be arbitrary garbage (one bot burst, one
+    backfill glitch) without moving the estimate, where
+    `ols_by_group` chases every outlier.  The robust sibling, same
+    input shape.
+
+    COST IS QUADRATIC per group — n(n−1)/2 pairs — which is fine for
+    its actual regime (per-key daily/hourly trend series: 365 points
+    → 66k pairs) and catastrophic outside it, so the operator RAISES
+    past `max_points` per group (loud guard, never silent sampling;
+    thin the series upstream — daily instead of hourly — or use
+    ols_by_group/winsorize).  The pair join is group-keyed: groups
+    parallelize, nothing is global.
+
+    Exactness: x/y quantize to integer micros; pair slopes and
+    residuals are single IEEE divisions over exact integers; the
+    medians take the value at rank ⌈n/2⌉ — an ACTUAL element of the
+    deterministic-double multiset, so the result reproduces bitwise
+    on any engine (no interpolation, no mean-of-two).  Pairs with
+    equal x are excluded (vertical slope), per the standard
+    estimator.
+
+    Output: (…group, n_points, n_pairs, slope, intercept); NULL
+    slope for groups with < 2 distinct x.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if micro < 1:
+        raise ValueError("micro must be >= 1")
+    qx = F.expr(f"CAST(round({x_col} * {micro}, 0) AS BIGINT)")
+    qy = F.expr(f"CAST(round({y_col} * {micro}, 0) AS BIGINT)")
+    pts = df.select(
+        *group_cols, qx.alias("_qx"), qy.alias("_qy")
+    ).filter(F.col("_qx").isNotNull() & F.col("_qy").isNotNull())
+    counted = pts.withColumn(
+        "_np", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    guard = F.when(
+        F.col("_np") > max_points,
+        F.raise_error(F.concat(
+            F.lit(f"theil_sen_by_group: > {max_points} points in group "),
+            F.concat_ws("|", *[F.col(c).cast("string")
+                               for c in group_cols]),
+            F.lit(" — O(n²) pairs; thin the series or raise max_points"),
+        )),
+    ).otherwise(F.col("_np"))
+    pts = counted.withColumn("_np", guard)
+    a = pts.select(
+        *group_cols, F.col("_qx").alias("_xa"), F.col("_qy").alias("_ya"),
+        "_np",
+    )
+    b = pts.select(
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols],
+        F.col("_qx").alias("_xb"), F.col("_qy").alias("_yb"),
+    )
+    cond = [F.col(c) == F.col(f"_g_{c}") for c in group_cols]
+    pairs = a.join(b, cond).filter(F.col("_xa") < F.col("_xb")).select(
+        *group_cols, "_np",
+        ((F.col("_yb") - F.col("_ya")).cast("double")
+         / (F.col("_xb") - F.col("_xa")).cast("double")).alias("_slope"),
+    )
+    w_rank = Window.partitionBy(*group_cols).orderBy("_slope")
+    w_g = Window.partitionBy(*group_cols)
+    ranked = pairs.withColumn("_rn", F.row_number().over(w_rank)) \
+        .withColumn("_npairs", F.count(F.lit(1)).over(w_g))
+    med = ranked.filter(
+        F.col("_rn") == F.expr("CAST((_npairs + 1) div 2 AS BIGINT)")
+    ).select(
+        *group_cols, "_np", "_npairs", F.col("_slope").alias("_med_slope")
+    )
+    resid = pts.join(F.broadcast(med.drop("_np")), group_cols, "left").select(
+        *group_cols,
+        F.coalesce(F.col("_npairs"), F.lit(0)).alias("_npairs"),
+        F.col("_np"),
+        F.col("_med_slope"),
+        (F.col("_qy").cast("double")
+         - F.col("_med_slope") * F.col("_qx").cast("double")).alias("_r"),
+    )
+    w_rr = Window.partitionBy(*group_cols).orderBy("_r")
+    w_rg = Window.partitionBy(*group_cols)
+    rr = resid.withColumn("_rrn", F.row_number().over(w_rr)) \
+        .withColumn("_nr", F.count(F.lit(1)).over(w_rg))
+    out = rr.filter(
+        F.col("_rrn") == F.expr("CAST((_nr + 1) div 2 AS BIGINT)")
+    )
+    return out.select(
+        *group_cols,
+        F.col("_np").cast("long").alias("n_points"),
+        F.col("_npairs").cast("long").alias("n_pairs"),
+        F.col("_med_slope").alias("slope"),
+        F.when(
+            F.col("_med_slope").isNotNull(),
+            F.col("_r") / F.lit(float(micro)),
+        ).alias("intercept"),
+    )

@@ -2427,9 +2427,44 @@ def w_trend_suite(spark, sf_dir):
         ),
         v_num=F.col("z"),
     )
+    # r9 'tsen': Theil–Sen robust trend over the same daily counts
+    # the 'ols' branch fits — median pairwise slope + median residual
+    # intercept; slopes are single IEEE divisions over exact integers
+    # and both medians are ACTUAL elements at rank ⌈n/2⌉, so the
+    # doubles compare raw cross-engine
+    ts_daily = daily.select(
+        "event_type",
+        F.datediff(
+            F.col("day").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("_x"),
+        F.col("cnt").alias("_y"),
+    )
+    from .operators import stats as stats_ops
+
+    tsfit = stats_ops.theil_sen_by_group(
+        ts_daily, "_x", "_y", ["event_type"], micro=1
+    ).localCheckpoint(eager=True)
+    tsen_rows = _suite_rows(
+        tsfit,
+        "tsen",
+        F.col("event_type"),
+        v_str=F.concat_ws(
+            "|", F.col("n_points").cast("string"),
+            F.col("n_pairs").cast("string"),
+        ),
+        v_num=F.col("slope"),
+    )
+    tseni_rows = _suite_rows(
+        tsfit,
+        "tseni",
+        F.col("event_type"),
+        v_num=F.col("intercept"),
+    )
     return _union_all([
         cus_rows,
         seas_rows,
+        tsen_rows,
+        tseni_rows,
         _suite_rows(w1, "w1_v", k2, v_num=F.col("velocity")),
         _suite_rows(w1, "w1_cnt", k2, v_num=F.col("cnt")),
         _suite_rows(w2, "w2_z", k2, v_num=F.col("zscore")),
@@ -2577,6 +2612,53 @@ FROM (
                (epoch_us(bucket) // 86400000000) % 7,
                (epoch_us(bucket) // 3600000000) % 24)
 ) seasrows
+UNION ALL
+SELECT suite_case, k, v_str, v_num
+FROM (
+  WITH tdaily AS (
+    SELECT event_type AS g,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS x,
+           count(*)::BIGINT AS y
+    FROM events GROUP BY 1, CAST(ts AS DATE)
+  ),
+  tnp AS (SELECT g, count(*) AS np FROM tdaily GROUP BY g),
+  tpairs AS (
+    SELECT a.g, (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS slope
+    FROM tdaily a JOIN tdaily b ON a.g = b.g AND a.x < b.x
+  ),
+  tranked AS (
+    SELECT g, slope,
+           row_number() OVER (PARTITION BY g ORDER BY slope) AS rn,
+           count(*) OVER (PARTITION BY g) AS npairs
+    FROM tpairs
+  ),
+  tmed AS (
+    SELECT g, slope AS med_slope, npairs FROM tranked
+    WHERE rn = (npairs + 1) // 2
+  ),
+  tresid AS (
+    SELECT d.g, m.npairs, m.med_slope,
+           d.y::DOUBLE - m.med_slope * d.x::DOUBLE AS r
+    FROM tdaily d JOIN tmed m ON d.g = m.g
+  ),
+  trr AS (
+    SELECT g, npairs, med_slope, r,
+           row_number() OVER (PARTITION BY g ORDER BY r) AS rrn,
+           count(*) OVER (PARTITION BY g) AS nr
+    FROM tresid
+  ),
+  tfit AS (
+    SELECT t.g, p.np, t.npairs, t.med_slope, t.r / 1.0 AS icept
+    FROM trr t JOIN tnp p ON t.g = p.g
+    WHERE t.rrn = (t.nr + 1) // 2
+  )
+  SELECT 'tsen' AS suite_case, g AS k,
+         CAST(np AS VARCHAR) || '|' || CAST(npairs AS VARCHAR) AS v_str,
+         coalesce(med_slope, -1.0) AS v_num
+  FROM tfit
+  UNION ALL
+  SELECT 'tseni', g, '', coalesce(icept, -1.0) FROM tfit
+) tsenrows
 """
 
 def t4_session_window(spark, sf_dir):

@@ -281,3 +281,38 @@ def test_ks_core_matches_ks_drift(spark):
 
 def test_ks_core_empty_side():
     assert S.ks_core({}, {1: 2}) == (0, 0, 2, None)
+
+
+# --------------------------------------------------- theil_sen_by_group
+
+def test_theil_sen_resists_outliers(spark):
+    # perfect line y=2x+1 with two wild outliers — OLS moves, TS doesn't
+    rows = [("g", float(x), 2.0 * x + 1.0) for x in range(20)]
+    rows[3] = ("g", 3.0, 500.0)
+    rows[11] = ("g", 11.0, -400.0)
+    df = _df(spark, rows, "g string, x double, y double")
+    ts = S.theil_sen_by_group(df, "x", "y", ["g"]).collect()[0]
+    ols = S.ols_by_group(df, "x", "y", ["g"]).collect()[0]
+    assert ts["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert ts["intercept"] == pytest.approx(1.0, abs=1e-6)
+    assert abs(ols["slope"] - 2.0) > 0.5  # OLS got dragged
+    assert ts["n_points"] == 20 and ts["n_pairs"] == 190
+
+def test_theil_sen_vertical_pairs_excluded_and_degenerate(spark):
+    rows = [("g", 1.0, 5.0), ("g", 1.0, 9.0), ("g", 2.0, 7.0)]
+    out = S.theil_sen_by_group(
+        _df(spark, rows, "g string, x double, y double"),
+        "x", "y", ["g"]).collect()[0]
+    # only the two x=1→x=2 pairs count (slopes 2 and -2)
+    assert out["n_pairs"] == 2
+    rows2 = [("h", 1.0, 5.0), ("h", 1.0, 9.0)]
+    out2 = S.theil_sen_by_group(
+        _df(spark, rows2, "g string, x double, y double"),
+        "x", "y", ["g"]).collect()[0]
+    assert out2["slope"] is None and out2["n_pairs"] == 0
+
+def test_theil_sen_max_points_guard(spark):
+    rows = [("g", float(i), 1.0) for i in range(30)]
+    df = _df(spark, rows, "g string, x double, y double")
+    with pytest.raises(Exception, match="theil_sen_by_group"):
+        S.theil_sen_by_group(df, "x", "y", ["g"], max_points=10).collect()
