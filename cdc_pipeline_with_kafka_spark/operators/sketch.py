@@ -1143,3 +1143,58 @@ def winsorize(
         v.isNull() | F.col("_lo").isNull(), v
     ).otherwise(F.greatest(F.least(v, F.col("_hi")), F.col("_lo")))
     return out.withColumn("value_w", clamped).drop("_lo", "_hi")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    reference: DataFrame | None = None,
+    n_cuts: int = 1000,
+) -> DataFrame:
+    """Map every value onto the REFERENCE distribution by rank —
+    batch-effect removal: after this, every group's `value_col` has
+    (up to grid resolution) the reference's distribution, so scores
+    from sources with incomparable scales become directly mixable as
+    VALUES, not just as ranks (`percentile_rank` is the uniform-
+    reference special case of this transform).
+
+    Mechanics: within-group exact percentile rank (RANK-based ppm —
+    ties share, NULLs pass through) → ceiling grid cell on an
+    `n_cuts`-step grid → the reference's exact rank-quantile value
+    for that cell (group_quantiles — ACTUAL reference data values,
+    never interpolation).  `reference` defaults to df itself (all
+    groups pooled).  1e6 must be divisible by n_cuts so every grid
+    ppm is exact (guarded).
+
+    Plan shape: one group-keyed rank window over the rows + ONE rank
+    window over the reference for ALL cuts, then a BROADCAST join of
+    the n_cuts-sized cut table — row-grain data is never reshuffled
+    after its rank window.  Grid resolution is the scale knob: the
+    output differs from the exact quantile-match by at most one
+    1/n_cuts quantile step.
+
+    Output: input columns + (value_qn).
+    """
+    if n_cuts < 1 or 1_000_000 % n_cuts != 0:
+        raise ValueError("n_cuts must divide 1e6 (e.g. 100, 1000)")
+    step = 1_000_000 // n_cuts
+    qs = tuple(step * i for i in range(1, n_cuts + 1))
+    ref = reference if reference is not None else df
+    cuts = group_quantiles(
+        ref.select(F.col(value_col)).withColumn("_g", F.lit(1)),
+        value_col, ["_g"], qs,
+    ).select(
+        F.col("q_ppm").alias("_q_ppm"),
+        F.col("quantile_value").alias("value_qn"),
+    )
+    ranked = percentile_rank(df, value_col, group_cols, out_col="_pct")
+    idx = F.expr(
+        f"greatest(CAST(1 AS BIGINT), (_pct * {n_cuts} + 999999) div 1000000)"
+    )
+    with_q = ranked.withColumn(
+        "_q_ppm",
+        F.when(F.col("_pct").isNotNull(), idx * F.lit(step)).cast("long"),
+    )
+    return with_q.join(F.broadcast(cuts), ["_q_ppm"], "left") \
+        .drop("_q_ppm", "_pct")

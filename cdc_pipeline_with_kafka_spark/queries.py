@@ -852,6 +852,19 @@ def a_stats_suite(spark, sf_dir):
             F.col("event_id").cast("string"),
             v_num=F.col("value_w"),
         ),
+        # r9 'qn': quantile normalization — every event's value
+        # mapped onto the POOLED value distribution by within-type
+        # rank (ceiling grid, 1000 cells); outputs are actual pooled
+        # data values, checked per row
+        _suite_rows(
+            sketch_ops.quantile_normalize(
+                _t(spark, sf_dir, "events"), "value", ["event_type"],
+                n_cuts=1000,
+            ),
+            "qn",
+            F.col("event_id").cast("string"),
+            v_num=F.col("value_qn"),
+        ),
     ])
 
 
@@ -1893,6 +1906,47 @@ LEFT JOIN (
   ) wr
   GROUP BY event_type
 ) c USING (event_type)
+UNION ALL
+SELECT 'qn', CAST(event_id AS VARCHAR), '',
+       coalesce(value_qn, -1.0)
+FROM (
+  WITH qnref AS (
+    SELECT value,
+           row_number() OVER (ORDER BY value) AS rn,
+           count(*) OVER () AS nn
+    FROM events WHERE value IS NOT NULL
+  ),
+  qncuts AS (
+    SELECT k.k * 1000 AS q_ppm, r.value AS value_qn
+    FROM (SELECT unnest(generate_series(1, 1000)) AS k) k
+    JOIN qnref r
+      ON r.rn = (k.k * 1000 * r.nn + 999999) // 1000000
+  ),
+  qnrows AS (
+    SELECT event_id, value,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+                ELSE 0 END AS pct
+    FROM (
+      SELECT event_id, value,
+             CASE WHEN value IS NOT NULL THEN
+               rank() OVER (PARTITION BY event_type
+                            ORDER BY value ASC NULLS LAST) END AS rk,
+             count(value) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ) rnk
+  )
+  SELECT q.event_id,
+         c.value_qn
+  FROM (
+    SELECT event_id,
+           CASE WHEN pct IS NULL THEN NULL
+                ELSE greatest(1, (pct * 1000 + 999999) // 1000000) * 1000
+           END AS q_ppm
+    FROM qnrows
+  ) q
+  LEFT JOIN qncuts c USING (q_ppm)
+) qnout
 """
 
 

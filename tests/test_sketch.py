@@ -587,3 +587,50 @@ def test_winsorize_arg_guard(spark):
         K.winsorize(df, "v", ["g"], 0, 500_000)
     with _pt.raises(ValueError):
         K.winsorize(df, "v", ["g"], 600_000, 500_000)
+
+
+def test_quantile_normalize_maps_group_onto_reference(spark):
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+    # two groups on wildly different scales; reference = pooled
+    rows = [("a", float(v)) for v in range(1, 11)] \
+        + [("b", float(v * 100)) for v in range(1, 11)] + [("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["v"]): r["value_qn"] for r in
+           K.quantile_normalize(df, "v", ["g"], n_cuts=10).collect()}
+    # pooled reference has 20 values; every output is an ACTUAL
+    # pooled value, monotone within each group, nulls pass through
+    pooled = set(float(v) for v in range(1, 11)) \
+        | set(float(v * 100) for v in range(1, 11))
+    assert out[("b", None)] is None
+    non_null = {k: v for k, v in out.items() if v is not None}
+    assert set(non_null.values()) <= pooled
+    bvals = [out[("b", float(v * 100))] for v in range(1, 11)]
+    assert bvals == sorted(bvals)
+    # the two groups now live on the SAME scale: min of a maps where
+    # min of b maps (both pct 0 → first grid cell)
+    assert out[("a", 1.0)] == out[("b", 100.0)]
+    assert out[("a", 10.0)] == out[("b", 1000.0)] == 1000.0
+
+
+def test_quantile_normalize_external_reference_and_guard(spark):
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+    import pytest as _pt
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 6)], "g string, v double")
+    ref = spark.createDataFrame(
+        [(float(v),) for v in (10.0, 20.0, 30.0, 40.0, 50.0)], "v double")
+    out = {r["v"]: r["value_qn"] for r in
+           K.quantile_normalize(df, "v", ["g"], reference=ref,
+                                n_cuts=5).collect()}
+    assert out[1.0] == 10.0 and out[3.0] == 30.0 and out[5.0] == 50.0
+    with _pt.raises(ValueError, match="divide"):
+        K.quantile_normalize(df, "v", ["g"], n_cuts=7)
+
+
+def test_quantile_normalize_broadcast_cut_join(spark):
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(100)], "g string, v double")
+    plan = K.quantile_normalize(df, "v", ["g"], n_cuts=100) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
