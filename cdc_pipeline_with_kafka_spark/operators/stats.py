@@ -28,7 +28,21 @@ Operators:
 - ``ols_by_group``: per-group least-squares fit y ~ x (slope,
   intercept, r²) from one pass of exact co-moment sums — the
   continuous trend estimator behind trends.trend_direction's
-  categorical label.
+  categorical label.  Split into ``ols_comoments`` /
+  ``merge_comoments`` / ``ols_from_comoments`` because the co-moment
+  table is exactly mergeable across shards and micro-batches (the
+  streaming co-moment sink's contract).
+- ``theil_sen_by_group``: the robust sibling — median pairwise slope
+  (~29% breakdown point), O(n²) per group with a loud guard.
+- ``km_survival``: Kaplan–Meier curves with censoring — survival by
+  an integer floor recurrence, no exp/ln seam.
+- ``abtest_report``: two-proportion lift + pooled z per variant vs
+  control, exact ppm lifts.
+- ``mutual_information_report`` (+ pure ``mi_core``): MI/NMI of
+  categorical features vs a label, computed driver-side from
+  cells-sized counts so the number replays exactly off-Spark.
+- ``ks_core``: pure-Python twin of ks_drift over count maps — the
+  per-batch statistic of the streaming drift sink.
 """
 
 from __future__ import annotations
