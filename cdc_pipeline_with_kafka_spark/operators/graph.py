@@ -420,3 +420,150 @@ def bfs_levels(
             f"{max_hops}; raise max_hops (graph diameter exceeds it)"
         )
     return visited
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    max_iter: int = 50,
+    directed: bool = False,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths — `bfs_levels`'
+    weighted sibling (min TOTAL COST, not min hops: the cheapest
+    replication route, the closest seed by edge latency).
+
+    Weights quantize to integer micros at one explicit seam and MUST
+    be strictly positive — NULL/zero/negative raises loudly inside
+    the plan (the pagerank positive-weight contract, graph.py): with
+    negative edges Bellman–Ford semantics silently change, and a
+    data bug should never change algorithm semantics quietly.
+    Distances are exact integer min-plus sums, so every engine lands
+    identical micros (no float accumulation).
+
+    Spark-shaped frontier iteration (Bellman–Ford with the SPFA
+    frontier optimization, the connected-components discipline): per
+    round ONE frontier×edges equi-join, a per-node min, and an
+    improvement join against the current distances;
+    `localCheckpoint` truncates lineage per round; EARLY-STOPS when
+    no distance improves (≤ diameter rounds on positive weights);
+    raises if still improving at `max_iter` rather than silently
+    returning partial distances.
+
+    Output: (node, dist_micro) for every reachable node (sources at
+    0); unreachable nodes are absent.
+    """
+    wq = F.expr(f"CAST(round({weight_col} * {micro}, 0) AS BIGINT)")
+    bad = F.col("_w").isNull() | (F.col("_w") <= 0)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), wq.alias("_w")
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("_s"), F.col(src).alias("_d"),
+                wq.alias("_w"),
+            )
+        )
+    e = e.withColumn(
+        "_w",
+        F.when(
+            bad,
+            F.raise_error(F.concat(
+                F.lit("sssp: weights must be strictly positive, got "),
+                F.coalesce(F.col("_w").cast("string"), F.lit("NULL")),
+            )).cast("long"),
+        ).otherwise(F.col("_w")),
+    ).localCheckpoint(eager=False)
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist_micro", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            e.join(
+                frontier.select(
+                    F.col("node").alias("_s"),
+                    F.col("dist_micro").alias("_fd"),
+                ),
+                "_s",
+            )
+            .select(
+                F.col("_d").alias("node"),
+                (F.col("_fd") + F.col("_w")).alias("dist_micro"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist_micro").alias("dist_micro"))
+        )
+        improved = (
+            cand.join(
+                dist.select(
+                    "node", F.col("dist_micro").alias("_old")
+                ),
+                "node", "left",
+            )
+            .filter(
+                F.col("_old").isNull()
+                | (F.col("dist_micro") < F.col("_old"))
+            )
+            .select("node", "dist_micro")
+            .localCheckpoint(eager=True)
+        )
+        if improved.limit(1).count() == 0:
+            return dist
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist_micro").alias("dist_micro"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    raise ValueError(
+        f"sssp: distances still improving after max_iter={max_iter}; "
+        "raise max_iter (graph diameter exceeds it)"
+    )
+
+
+def sssp_replay(
+    edges: list, sources: list, directed: bool = False,
+    micro: int = 1_000_000,
+) -> dict:
+    """Pure-Python Dijkstra replay of `sssp` for the oracle (the
+    pagerank_replay pattern): same HALF_UP micro quantization, same
+    positive-weight contract, exact integer distances — must agree
+    with the Spark frontier iteration on every reachable node."""
+    import heapq
+    from decimal import ROUND_HALF_UP, Decimal
+
+    adj: dict = {}
+    for s, d, w in edges:
+        wm = int(
+            Decimal(repr(w * micro)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        ) if not isinstance(w, int) else w * micro
+        if wm <= 0:
+            raise ValueError("sssp_replay: weights must be positive")
+        adj.setdefault(s, []).append((d, wm))
+        if not directed:
+            adj.setdefault(d, []).append((s, wm))
+    dist: dict = {n: 0 for n in sources}
+    heap = [(0, repr(n), n) for n in sources]
+    heapq.heapify(heap)
+    while heap:
+        du, _, u = heapq.heappop(heap)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, wm in adj.get(u, []):
+            nd = du + wm
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, repr(v), v))
+    return dist

@@ -4655,6 +4655,23 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("level").cast("double").alias("v_num"),
     )
+    # 'sssp' (r9): weighted shortest paths over the SAME thresholded
+    # trade graph 'bfs' walks, weight = lineitem count per edge
+    # (micro=1: exact integer min-plus distances) — frontier
+    # Bellman–Ford on the engine, pinned pure-Python Dijkstra in the
+    # oracle (graph.sssp_replay); min-hop ≠ min-cost is the point
+    ssp = graph_ops.sssp(
+        wedges.filter(F.col("w") >= 150),
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("node")),
+        directed=True, micro=1,
+    ).select(
+        F.lit("sssp").alias("suite_case"),
+        F.col("node").cast("string").alias("k"),
+        F.lit("").alias("v_str"),
+        F.col("dist_micro").cast("double").alias("v_num"),
+    )
     # 'dq' (r9): the data-quality contract gate — five named
     # row-level rules over orders in ONE single-aggregate scan;
     # FALSE-or-NULL counts as a violation (a NULL predicate must not
@@ -4702,7 +4719,8 @@ def curation_suite(spark, sf_dir):
         .unionByName(schunk).unionByName(packb).unionByName(vocab)
         .unionByName(prof).unionByName(rank).unionByName(rankw)
         .unionByName(tri).unionByName(hist).unionByName(pdif_rows)
-        .unionByName(corr).unionByName(bfs).unionByName(dq)
+        .unionByName(corr).unionByName(bfs).unionByName(ssp)
+        .unionByName(dq)
     )
 
 
@@ -4741,6 +4759,19 @@ def _curation_suite_sql() -> str:
         [(int(a), int(b), int(w)) for a, b, w in wedges], iters=_PAGERANK_ITERS
     )
     wvals = ", ".join(f"({n}, {s})" for n, s in sorted(wscore.items()))
+    # r9 'sssp': pinned Dijkstra over the thresholded directed trade
+    # graph (same fixture as 'bfs'), integer weights (micro=1)
+    seeds = [
+        int(r[0]) for r in duckdb.sql(
+            f"SELECT n_nationkey FROM '{_ORACLE_SF_DIR}/nation.parquet' "
+            "WHERE n_regionkey = 0"
+        ).fetchall()
+    ]
+    sdist = graph_ops.sssp_replay(
+        [(int(a), int(b), int(w)) for a, b, w in wedges if int(w) >= 150],
+        seeds, directed=True, micro=1,
+    )
+    svals = ", ".join(f"({n}, {d})" for n, d in sorted(sdist.items()))
     return (
         CURATION_SUITE_SQL
         + f"""
@@ -4750,6 +4781,9 @@ FROM (VALUES {vals}) pr(node, score_micro)
 UNION ALL
 SELECT 'rankw', CAST(node AS VARCHAR), '', CAST(score_micro AS DOUBLE)
 FROM (VALUES {wvals}) prw(node, score_micro)
+UNION ALL
+SELECT 'sssp', CAST(node AS VARCHAR), '', CAST(dist_micro AS DOUBLE)
+FROM (VALUES {svals}) sp(node, dist_micro)
 UNION ALL
 SELECT 'prof', col_name,
        CAST(n_rows AS VARCHAR) || '|' || CAST(n_nulls AS VARCHAR) || '|' ||

@@ -490,3 +490,48 @@ def test_bfs_levels_min_hop_semantics(spark):
     assert m[2] == 1 and m[3] == 0
     with _pytest.raises(ValueError, match="max_hops"):
         G.bfs_levels(edges, srcs, max_hops=1)
+
+
+def test_sssp_hand_graph_and_multisource(spark):
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+    # 1→2 (5), 1→3 (2), 3→2 (2): shortest 1→2 is 4 via 3
+    e = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 3, 2.0), (3, 2, 2.0), (4, 5, 1.0)],
+        "src long, dst long, w double")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["dist_micro"] for r in
+           G.sssp(e, srcs, directed=True).collect()}
+    assert out == {1: 0, 3: 2_000_000, 2: 4_000_000}
+    # multi-source: node 4 joins, 5 becomes reachable
+    srcs2 = spark.createDataFrame([(1,), (4,)], "node long")
+    out2 = {r["node"]: r["dist_micro"] for r in
+            G.sssp(e, srcs2, directed=True).collect()}
+    assert out2[5] == 1_000_000 and out2[2] == 4_000_000
+
+
+def test_sssp_undirected_and_replay_agree(spark):
+    import random
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 15), rng.randint(0, 15),
+              float(rng.randint(1, 9))) for _ in range(40)]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist_micro"] for r in G.sssp(e, srcs).collect()}
+    want = G.sssp_replay(edges, [0])
+    assert got == want
+
+
+def test_sssp_positive_weight_contract_and_max_iter(spark):
+    import pytest as _pt
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+    bad = spark.createDataFrame([(1, 2, 0.0)], "src long, dst long, w double")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    with _pt.raises(Exception, match="strictly positive"):
+        G.sssp(bad, srcs).collect()
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)], "src long, dst long, w double")
+    with _pt.raises(ValueError, match="max_iter"):
+        G.sssp(chain, spark.createDataFrame([(0,)], "node long"),
+               directed=True, max_iter=3)
