@@ -803,3 +803,178 @@ def resample_interpolate(
         )
     )
     return out.unionByName(singles)
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Order-n sequential pattern counts over per-key event
+    sequences — `transition_counts`' higher-order sibling (that
+    operator is the n = 2 case): which 3-step journeys are common,
+    what precedes an 'error', the path-mining primitive.
+
+    Each key's events, ordered by `order_cols` (include a unique
+    tiebreaker or the sequence is nondeterministic), contribute one
+    n-gram per position via n−1 window lags; n-grams never cross
+    keys.  Counts are exact; `p_ppm` is the exact integer conditional
+    probability of the LAST step given the n−1 preceding ones
+    (cnt·1e6 div Σcnt(prefix)) — the order-n Markov estimate.
+
+    Plan shape: ONE keyed sort shared by all n−1 lags, then one
+    partial-aggregated groupBy on the gram — the shuffle carries
+    distinct grams, not events.
+
+    Output: (step_1 … step_n, cnt, p_ppm), most frequent first not
+    guaranteed — order downstream.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2 (n=2 is transition_counts)")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    lagged = df.select(
+        *key_cols,
+        *[
+            F.lag(F.col(state_col), n - 1 - i).over(w).alias(f"step_{i+1}")
+            for i in range(n - 1)
+        ],
+        F.col(state_col).alias(f"step_{n}"),
+    ).filter(F.col("step_1").isNotNull())
+    steps = [f"step_{i+1}" for i in range(n)]
+    counts = lagged.groupBy(*steps).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).filter(F.col("cnt") >= min_count)
+    w_prefix = Window.partitionBy(*steps[:-1])
+    return (
+        counts.withColumn("_tot", F.sum("cnt").over(w_prefix))
+        .withColumn(
+            "p_ppm",
+            F.expr("CAST(cnt * 1000000 div _tot AS BIGINT)"),
+        )
+        .drop("_tot")
+    )
+
+
+def rolling_features(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lags: tuple = (1, 2, 3),
+    roll_window: int = 7,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Supervised-learning featurizer over per-key ordered series:
+    lag_k columns plus trailing-window rolling min / max / exact-mean
+    — the standard autoregressive feature block (forecasting, anomaly
+    models) built the engine's way: ONE keyed sort shared by every
+    lag and every rolling frame (adding a lag costs nothing), the
+    rolling mean computed as an exact integer-micro sum with
+    truncating division (no float accumulation across the frame).
+
+    The trailing frame EXCLUDES the current row (features must not
+    leak the label's timestep); rows whose full history is missing
+    keep NULL lags (the model's mask, not an imputation policy).
+
+    Output: input columns + lag_<k> (original type) per requested
+    lag + (roll_n, roll_min, roll_max, roll_mean_micro) over the
+    previous `roll_window` rows.
+    """
+    if not lags or min(lags) < 1:
+        raise ValueError("lags must be >= 1")
+    if roll_window < 1:
+        raise ValueError("roll_window must be >= 1")
+    if micro < 1:
+        raise ValueError("micro must be >= 1")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    wr = w.rowsBetween(-roll_window, -1)
+    v = F.col(value_col)
+    qx = F.expr(f"CAST(round({value_col} * {micro}, 0) AS BIGINT)")
+    out = df
+    for k in sorted(set(int(x) for x in lags)):
+        out = out.withColumn(f"lag_{k}", F.lag(v, k).over(w))
+    out = out.withColumn("_q", qx)
+    return (
+        out.withColumn("roll_n", F.count("_q").over(wr))
+        .withColumn("roll_min", F.min(v).over(wr))
+        .withColumn("roll_max", F.max(v).over(wr))
+        .withColumn(
+            "_qsum", F.sum(F.col("_q").cast("decimal(38,0)")).over(wr)
+        )
+        .withColumn(
+            "roll_mean_micro",
+            F.when(
+                F.col("roll_n") > 0,
+                F.expr("CAST(_qsum div roll_n AS BIGINT)"),
+            ),
+        )
+        .drop("_q", "_qsum")
+    )
+
+
+def coverage_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    min_gap: str = "0 seconds",
+) -> DataFrame:
+    """Holes in per-key interval coverage — "which sensors went dark,
+    when, for how long": given (start, end) observation intervals per
+    key, emit one row per maximal uncovered span longer than
+    `min_gap`.  The monitoring complement of `sessionize` (which
+    groups presence; this reports ABSENCE).
+
+    Overlapping/touching intervals never produce false gaps: a
+    running maximum of interval ends (one keyed window) establishes
+    coverage-so-far, and a gap exists only where the next interval
+    starts strictly after it.  All comparisons are integer
+    microseconds — no float time math.
+
+    Plan shape: ONE keyed sort shared by the running-max and lead
+    windows; output is gaps-sized.
+
+    Output: (…key, gap_start, gap_end, gap_us).
+    """
+    gap_us = -1
+    try:
+        import re as _re
+
+        m = _re.fullmatch(
+            r"(\d+)\s*(second|minute|hour|day)s?",
+            min_gap.strip().lower(),
+        )
+        if m:
+            mult = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400}[m.group(2)]
+            gap_us = int(m.group(1)) * mult * 1_000_000
+    except Exception:
+        pass
+    if gap_us < 0:
+        raise ValueError(
+            f"min_gap must look like '5 minutes', got {min_gap!r}"
+        )
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    rows = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).select(*key_cols, s_us.alias("_s"), e_us.alias("_e"))
+    w = Window.partitionBy(*key_cols).orderBy("_s", "_e")
+    wcov = w.rowsBetween(Window.unboundedPreceding, 0)
+    covered = rows.withColumn("_cov_end", F.max("_e").over(wcov)) \
+        .withColumn("_next_s", F.lead("_s").over(w))
+    gaps = covered.filter(
+        F.col("_next_s").isNotNull()
+        & (F.col("_next_s") - F.col("_cov_end") > gap_us)
+    )
+    return gaps.select(
+        *key_cols,
+        F.timestamp_micros(F.col("_cov_end")).alias("gap_start"),
+        F.timestamp_micros(F.col("_next_s")).alias("gap_end"),
+        (F.col("_next_s") - F.col("_cov_end")).alias("gap_us"),
+    )

@@ -865,6 +865,28 @@ def a_stats_suite(spark, sf_dir):
             F.col("event_id").cast("string"),
             v_num=F.col("value_qn"),
         ),
+        # r9 'sq3': order-3 sequential patterns over per-user event
+        # sequences — transition_counts' higher-order sibling; exact
+        # counts + exact conditional-on-prefix ppm
+        _suite_rows(
+            windows.sequence_ngrams(
+                _t(spark, sf_dir, "events"), ["user_id"],
+                ["ts", "event_id"], "event_type", n=3,
+            ),
+            "sq3",
+            F.concat_ws("|", "step_1", "step_2", "step_3"),
+            v_str=F.col("cnt").cast("string"),
+            v_num=F.col("p_ppm").cast("double"),
+        ),
+        # r9 'lagf': autoregressive feature block over per-type daily
+        # counts — lag_1/lag_2 + trailing-7 rolling min/max/exact mean
+        # (frame excludes the current row: no label leakage)
+        _a_lagf_rows(spark, sf_dir),
+        # r9 'gaps': inter-session dark spans per user — coverage
+        # holes over the t4 session intervals; every gap must exceed
+        # the 30-minute session rule BY CONSTRUCTION, and the oracle
+        # replays the same running-max/lead windows
+        _a_gaps_rows(spark, sf_dir),
     ])
 
 
@@ -895,6 +917,51 @@ def _a_ols_rows(spark, sf_dir):
         _suite_rows(fit, "olsr", F.col("event_type"),
                     v_num=F.col("r2")),
     ]
+
+
+def _a_lagf_rows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    feats = windows.rolling_features(
+        daily, ["event_type"], "day", "cnt", lags=(1, 2), roll_window=7,
+        micro=1,
+    )
+    return _suite_rows(
+        feats, "lagf",
+        F.concat_ws("|", F.col("event_type"),
+                    F.date_format("day", "yyyy-MM-dd")),
+        v_str=F.concat_ws(
+            "|",
+            F.coalesce(F.col("lag_1").cast("string"), F.lit("-")),
+            F.coalesce(F.col("lag_2").cast("string"), F.lit("-")),
+            F.col("roll_n").cast("string"),
+            F.coalesce(F.col("roll_min").cast("string"), F.lit("-")),
+            F.coalesce(F.col("roll_max").cast("string"), F.lit("-")),
+        ),
+        v_num=F.col("roll_mean_micro").cast("double"),
+    )
+
+
+def _a_gaps_rows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sessions = windows.session_window_counts(
+        ev, "ts", "user_id", gap="30 minutes"
+    )
+    gaps = windows.coverage_gaps(
+        sessions, ["user_id"], "session_start", "session_end",
+        "0 seconds",
+    )
+    return _suite_rows(
+        gaps, "gaps",
+        F.concat_ws(
+            "|", F.col("user_id").cast("string"),
+            F.date_format("gap_start", "yyyy-MM-dd HH:mm:ss"),
+        ),
+        v_str=F.date_format("gap_end", "yyyy-MM-dd HH:mm:ss"),
+        v_num=F.col("gap_us").cast("double"),
+    )
 
 
 def _a_km_rows(spark, sf_dir):
@@ -1907,6 +1974,50 @@ LEFT JOIN (
   GROUP BY event_type
 ) c USING (event_type)
 UNION ALL
+SELECT 'sq3', step_1 || '|' || step_2 || '|' || step_3,
+       CAST(cnt AS VARCHAR),
+       CAST(cnt * 1000000 // tot AS DOUBLE)
+FROM (
+  SELECT step_1, step_2, step_3, count(*) AS cnt,
+         sum(count(*)) OVER (PARTITION BY step_1, step_2) AS tot
+  FROM (
+    SELECT lag(event_type, 2) OVER w AS step_1,
+           lag(event_type, 1) OVER w AS step_2,
+           event_type AS step_3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+  ) seq3
+  WHERE step_1 IS NOT NULL
+  GROUP BY 1, 2, 3
+) sq3rows
+UNION ALL
+SELECT 'lagf', event_type || '|' || strftime(day, '%Y-%m-%d'),
+       coalesce(CAST(lag_1 AS VARCHAR), '-') || '|' ||
+       coalesce(CAST(lag_2 AS VARCHAR), '-') || '|' ||
+       CAST(roll_n AS VARCHAR) || '|' ||
+       coalesce(CAST(roll_min AS VARCHAR), '-') || '|' ||
+       coalesce(CAST(roll_max AS VARCHAR), '-'),
+       CASE WHEN roll_n > 0 THEN CAST(qsum // roll_n AS DOUBLE)
+            ELSE -1.0 END
+FROM (
+  WITH lfd AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(*)::BIGINT AS cnt
+    FROM events GROUP BY 1, 2
+  )
+  SELECT event_type, day,
+         lag(cnt, 1) OVER w AS lag_1,
+         lag(cnt, 2) OVER w AS lag_2,
+         count(cnt) OVER wr AS roll_n,
+         min(cnt) OVER wr AS roll_min,
+         max(cnt) OVER wr AS roll_max,
+         sum(cnt::HUGEINT) OVER wr AS qsum
+  FROM lfd
+  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+         wr AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+) lagfrows
+UNION ALL
 SELECT 'qn', CAST(event_id AS VARCHAR), '',
        coalesce(value_qn, -1.0)
 FROM (
@@ -2739,6 +2850,31 @@ SELECT min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        user_id, count(*) AS cnt
 FROM i GROUP BY user_id, grp
+"""
+
+# 'gaps' rides in a_stats_suite but replays the T4 session intervals,
+# which are defined just above — appended here (the W8/cusum pattern).
+A_STATS_SUITE_SQL += f"""
+UNION ALL
+SELECT 'gaps',
+       CAST(user_id AS VARCHAR) || '|' ||
+       strftime(make_timestamp(cov_end), '%Y-%m-%d %H:%M:%S'),
+       strftime(make_timestamp(next_s), '%Y-%m-%d %H:%M:%S'),
+       CAST(next_s - cov_end AS DOUBLE)
+FROM (
+  SELECT user_id,
+         max(epoch_us(session_end)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(session_start),
+           epoch_us(session_end)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cov_end,
+         lead(epoch_us(session_start)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(session_start),
+           epoch_us(session_end)
+         ) AS next_s
+  FROM ({T4_SQL}) t4g
+) gaprows
+WHERE next_s IS NOT NULL AND next_s - cov_end > 0
 """
 
 # ---------------------------------------------------------------- alerts

@@ -1,0 +1,76 @@
+"""sequence_ngrams / rolling_features / coverage_gaps — r9 windows
+additions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_pipeline_with_kafka_spark.operators import windows as W
+
+
+def test_sequence_ngrams_trigrams_and_conditional(spark):
+    rows = [("u1", i, s) for i, s in
+            enumerate("view click buy view click view".split())] + \
+           [("u2", i, s) for i, s in
+            enumerate("view click buy".split())]
+    df = spark.createDataFrame(rows, "u string, i long, s string")
+    out = {(r["step_1"], r["step_2"], r["step_3"]): r
+           for r in W.sequence_ngrams(df, ["u"], ["i"], "s", n=3).collect()}
+    # (view, click, buy) appears in both users; (view, click, view) once
+    assert out[("view", "click", "buy")]["cnt"] == 2
+    assert out[("view", "click", "view")]["cnt"] == 1
+    # conditional on prefix (view, click): 2/3 and 1/3 exactly
+    assert out[("view", "click", "buy")]["p_ppm"] == 666_666
+    assert out[("view", "click", "view")]["p_ppm"] == 333_333
+    # grams never cross keys: u2 has exactly one trigram
+    total = sum(r["cnt"] for r in out.values())
+    assert total == 4 + 1  # u1: 4 trigrams, u2: 1
+
+
+def test_sequence_ngrams_guard(spark):
+    df = spark.createDataFrame([("u", 1, "a")], "u string, i long, s string")
+    with pytest.raises(ValueError):
+        W.sequence_ngrams(df, ["u"], ["i"], "s", n=1)
+
+
+def test_rolling_features_lags_and_exact_mean(spark):
+    rows = [("k", i, float(v)) for i, v in
+            enumerate([10, 20, 30, 40, 50])]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {r["i"]: r for r in W.rolling_features(
+        df, ["k"], "i", "v", lags=(1, 2), roll_window=3).collect()}
+    assert out[0]["lag_1"] is None and out[0]["roll_n"] == 0
+    assert out[0]["roll_mean_micro"] is None
+    assert out[3]["lag_1"] == 30.0 and out[3]["lag_2"] == 20.0
+    # trailing frame EXCLUDES current: rows 0,1,2 → mean 20
+    assert out[3]["roll_n"] == 3
+    assert out[3]["roll_min"] == 10.0 and out[3]["roll_max"] == 30.0
+    assert out[3]["roll_mean_micro"] == 20_000_000
+    # frame slides: row 4 sees 20,30,40
+    assert out[4]["roll_mean_micro"] == 30_000_000
+    with pytest.raises(ValueError):
+        W.rolling_features(df, ["k"], "i", "v", lags=())
+
+
+def test_coverage_gaps_overlaps_never_false_gap(spark):
+    mk = lambda s, e: (f"2024-01-01 {s}:00", f"2024-01-01 {e}:00")  # noqa
+    rows = [("s1", *mk("00:00", "01:00")),
+            ("s1", *mk("00:30", "02:00")),   # overlaps — no gap
+            ("s1", *mk("03:00", "04:00")),   # 1h gap after 02:00
+            ("s1", *mk("03:10", "03:20")),   # contained — no gap
+            ("s1", *mk("04:00", "05:00")),   # touching — no gap
+            ("s2", *mk("00:00", "01:00"))]
+    df = spark.createDataFrame(rows, "k string, s string, e string") \
+        .select("k", F.col("s").cast("timestamp_ntz").alias("s"),
+                F.col("e").cast("timestamp_ntz").alias("e"))
+    out = W.coverage_gaps(df, ["k"], "s", "e", "5 minutes").collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["k"] == "s1" and g["gap_us"] == 3_600_000_000
+    assert str(g["gap_start"]).startswith("2024-01-01 02:00")
+    # min_gap filters: a 60-min threshold hides the 1h-equal gap? no —
+    # strictly greater: 1h gap > 60 minutes is FALSE (equal), hidden
+    assert W.coverage_gaps(df, ["k"], "s", "e", "1 hour").count() == 0
+    with pytest.raises(ValueError, match="min_gap"):
+        W.coverage_gaps(df, ["k"], "s", "e", "fortnight")
