@@ -787,3 +787,92 @@ def normalize_unicode(
 
     target = out_col or text_col
     return df.withColumn(target, _norm(F.col(text_col)))
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_distinct: int | None = None,
+) -> DataFrame:
+    """k-anonymity (and optional l-diversity) audit before a data
+    release — the structural privacy check the PII column report
+    (pii_column_report above) does not cover: PII scrubbing removes
+    DIRECT identifiers, but a quasi-identifier combination (zip ×
+    birth-date × segment) can still single people out.  A class of
+    size < k is a re-identification risk; with `sensitive_col`, a
+    class whose sensitive values have < l distinct values leaks the
+    attribute even at size ≥ k (homogeneity attack).
+
+    Exact counts end to end; NULL quasi-values form their own class
+    (NULL is a fingerprint too).  Plan shape: ONE groupBy on the
+    quasi columns with map-side combine (+ a distinct-count per class
+    when l-diversity is requested) — the output is
+    violating-classes-sized, with one 'TOTAL' summary row carrying
+    class/row totals and the violating shares as exact ppm.
+
+    Output rows: (class_kind ∈ class/TOTAL, …quasi values as one
+    '|'-joined string, n_rows, n_sensitive_distinct [NULL without
+    sensitive_col], k_violation, l_violation); classes appear ONLY if
+    they violate (the release gate reads the TOTAL row; the class
+    rows are the work list).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if (sensitive_col is None) != (l_distinct is None):
+        raise ValueError("give sensitive_col and l_distinct together")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    qs = [
+        F.coalesce(F.col(c).cast("string"), F.lit("∅")).alias(f"_q{i}")
+        for i, c in enumerate(quasi_cols)
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sens")
+        )
+    classes = df.select(*qs, *(
+        [F.col(sensitive_col)] if sensitive_col else []
+    )).groupBy(*[f"_q{i}" for i in range(len(quasi_cols))]).agg(*aggs)
+    if sensitive_col is None:
+        classes = classes.withColumn("n_sens", F.lit(None).cast("long"))
+    kv = F.col("n_rows") < k
+    lv = (
+        F.col("n_sens") < l_distinct
+        if l_distinct is not None else F.lit(False)
+    )
+    marked = classes.withColumn("k_violation", kv).withColumn(
+        "l_violation", lv
+    )
+    qcat = F.concat_ws("|", *[f"_q{i}" for i in range(len(quasi_cols))])
+    viol = marked.filter(F.col("k_violation") | F.col("l_violation")).select(
+        F.lit("class").alias("class_kind"),
+        qcat.alias("quasi_values"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_sens").cast("long").alias("n_sensitive_distinct"),
+        "k_violation", "l_violation",
+    )
+    total = marked.agg(
+        F.count(F.lit(1)).alias("_classes"),
+        F.sum("n_rows").alias("_rows"),
+        F.sum(F.when(F.col("k_violation"), F.col("n_rows"))
+              .otherwise(F.lit(0))).alias("_krows"),
+        F.sum(F.when(F.col("l_violation"), F.col("n_rows"))
+              .otherwise(F.lit(0))).alias("_lrows"),
+    ).select(
+        F.lit("TOTAL").alias("class_kind"),
+        F.concat_ws(
+            "|", F.col("_classes").cast("string"),
+            F.expr("CAST(CASE WHEN _rows > 0 THEN _krows * 1000000 "
+                   "div _rows ELSE 0 END AS BIGINT)").cast("string"),
+            F.expr("CAST(CASE WHEN _rows > 0 THEN _lrows * 1000000 "
+                   "div _rows ELSE 0 END AS BIGINT)").cast("string"),
+        ).alias("quasi_values"),
+        F.col("_rows").cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_sensitive_distinct"),
+        (F.col("_krows") > 0).alias("k_violation"),
+        (F.col("_lrows") > 0).alias("l_violation"),
+    )
+    return viol.unionByName(total)

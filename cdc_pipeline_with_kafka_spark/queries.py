@@ -375,7 +375,34 @@ def pj_exists_suite(spark, sf_dir):
             F.col("n_missing").cast("string"),
         ).alias("name"),
     )
-    return semi.unionByName(anti).unionByName(link)
+    # r9 'core': k-core decomposition of the thresholded trade graph
+    # (undirected peel, graph.coreness) — hosted HERE rather than in
+    # the bench-headline curation_suite because the peel loop's many
+    # tiny frontier jobs are a correctness fixture, not a perf
+    # signal; pinned matula-beck replay in the oracle builder
+    from .operators import graph as graph_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    ordr = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    wedges = (
+        li.join(ordr, li.l_orderkey == ordr.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    core = graph_ops.coreness(
+        wedges.filter(F.col("w") >= 150).select("src", "dst")
+    ).select(
+        F.lit("core").alias("branch"),
+        F.col("node").cast("string").alias("key"),
+        F.col("coreness").cast("string").alias("name"),
+    )
+    return semi.unionByName(anti).unionByName(link).unionByName(core)
 
 
 def _pj_exists_suite_sql() -> str:
@@ -460,7 +487,32 @@ FROM (
 """.replace("{P8_SQL}", P8_SQL).replace("{J3_SQL}", J3_SQL)
 
 
-PJ_EXISTS_SUITE_SQL = _pj_exists_suite_sql()
+def _pj_exists_suite_sql_full() -> str:
+    """The static semi/anti/link SQL + the r9 'core' branch from the
+    pinned pure-Python matula-beck replay over the thresholded trade
+    graph read off-Spark (the pagerank_replay oracle pattern).
+    Lazily built by the registry."""
+    import duckdb
+
+    from .operators import graph as graph_ops
+
+    wedges = duckdb.sql(
+        f"""SELECT c.c_nationkey, s.s_nationkey, count(*)
+        FROM '{_ORACLE_SF_DIR}/lineitem.parquet' l
+        JOIN '{_ORACLE_SF_DIR}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{_ORACLE_SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{_ORACLE_SF_DIR}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    kcore = graph_ops.coreness_replay(
+        [(int(a), int(b)) for a, b, w in wedges if int(w) >= 150]
+    )
+    cvals = ", ".join(f"({n}, {c})" for n, c in sorted(kcore.items()))
+    return _pj_exists_suite_sql() + f"""
+UNION ALL
+SELECT 'core', CAST(node AS VARCHAR), CAST(coreness AS VARCHAR)
+FROM (VALUES {cvals}) kc(node, coreness)
+"""
 
 # ---------------------------------------------------------------- aggregations
 
@@ -4808,6 +4860,10 @@ def curation_suite(spark, sf_dir):
         F.lit("").alias("v_str"),
         F.col("dist_micro").cast("double").alias("v_num"),
     )
+    # ('core' lives in pj_exists_suite — the peel loop's many tiny
+    # frontier jobs would distort this BENCH headline's timing; the
+    # non-bench suite pays the same correctness gate without skewing
+    # the perf signal)
     # 'dq' (r9): the data-quality contract gate — five named
     # row-level rules over orders in ONE single-aggregate scan;
     # FALSE-or-NULL counts as a violation (a NULL predicate must not
@@ -6787,6 +6843,33 @@ def pii_scrub(spark, sf_dir):
             ),
             v_num=F.col("match_ppm").cast("double"),
         ),
+        # r9 'kan': k-anonymity + l-diversity audit — the STRUCTURAL
+        # privacy gate the regex scrub can't give: quasi-identifier
+        # classes (segment × nation) below k=10, and classes whose
+        # balance-sign is homogeneous; TOTAL row carries exact ppm
+        # shares of at-risk rows
+        _suite_rows(
+            textstats.k_anonymity_report(
+                cust.withColumn(
+                    "bal_sign",
+                    F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+                    .otherwise(F.lit("pos")),
+                ),
+                ["c_mktsegment", "c_nationkey"], k=10,
+                sensitive_col="bal_sign", l_distinct=2,
+            ),
+            "kan",
+            F.concat_ws("|", F.col("class_kind"), F.col("quasi_values")),
+            v_str=F.concat_ws(
+                "|",
+                F.coalesce(
+                    F.col("n_sensitive_distinct").cast("string"), F.lit("-")
+                ),
+                F.col("k_violation").cast("int").cast("string"),
+                F.col("l_violation").cast("int").cast("string"),
+            ),
+            v_num=F.col("n_rows").cast("double"),
+        ),
     ])
 
 
@@ -6862,6 +6945,43 @@ SELECT 'piic', col_name || '|' || cat,
        CAST(CASE WHEN n_rows > 0 THEN (n_match * 1000000) // n_rows
                  ELSE 0 END AS DOUBLE)
 FROM piic
+UNION ALL
+SELECT 'kan', class_kind || '|' || quasi_values,
+       coalesce(CAST(n_sens AS VARCHAR), '-') || '|' ||
+       CAST(CAST(kv AS INT) AS VARCHAR) || '|' ||
+       CAST(CAST(lv AS INT) AS VARCHAR),
+       CAST(n_rows AS DOUBLE)
+FROM (
+  WITH kcls AS (
+    SELECT coalesce(CAST(c_mktsegment AS VARCHAR), '∅') AS q0,
+           coalesce(CAST(c_nationkey AS VARCHAR), '∅') AS q1,
+           count(*) AS n_rows,
+           count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                               ELSE 'pos' END) AS n_sens
+    FROM customer GROUP BY 1, 2
+  ),
+  kmark AS (
+    SELECT q0, q1, n_rows, n_sens,
+           n_rows < 10 AS kv, n_sens < 2 AS lv
+    FROM kcls
+  )
+  SELECT 'class' AS class_kind, q0 || '|' || q1 AS quasi_values,
+         n_rows, n_sens, kv, lv
+  FROM kmark WHERE kv OR lv
+  UNION ALL
+  SELECT 'TOTAL',
+         CAST(count(*) AS VARCHAR) || '|' ||
+         CAST(CASE WHEN sum(n_rows) > 0 THEN
+           sum(CASE WHEN kv THEN n_rows ELSE 0 END) * 1000000
+             // sum(n_rows) ELSE 0 END AS VARCHAR) || '|' ||
+         CAST(CASE WHEN sum(n_rows) > 0 THEN
+           sum(CASE WHEN lv THEN n_rows ELSE 0 END) * 1000000
+             // sum(n_rows) ELSE 0 END AS VARCHAR),
+         sum(n_rows), NULL,
+         sum(CASE WHEN kv THEN n_rows ELSE 0 END) > 0,
+         sum(CASE WHEN lv THEN n_rows ELSE 0 END) > 0
+  FROM kmark
+) kanrows
 """
 
 # The 4-gram canary the stream-parity gate plants and then detects —
@@ -9753,7 +9873,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p7_projection_split": (p7_projection_split, P7_SQL),
     # r3: P8 semi + J3 anti merged into one tagged gate (both keep
     # value-level rows; frees a budget slot for stream_parity_suite)
-    "pj_exists_suite": (pj_exists_suite, PJ_EXISTS_SUITE_SQL),
+    "pj_exists_suite": (pj_exists_suite, _pj_exists_suite_sql_full),
     "j1_one_to_many_nested": (j1_one_to_many_nested, J1_SQL),
     "j2_dim_joins": (j2_dim_joins, J2_SQL),
     "j4_stream_static_enrich": (j4_stream_static_enrich, J4_SQL),

@@ -535,3 +535,31 @@ def test_sssp_positive_weight_contract_and_max_iter(spark):
     with _pt.raises(ValueError, match="max_iter"):
         G.sssp(chain, spark.createDataFrame([(0,)], "node long"),
                directed=True, max_iter=3)
+
+
+def test_coreness_k4_with_pendant(spark):
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = spark.createDataFrame(k4 + [(0, 9)], "src long, dst long")
+    out = {r["node"]: r["coreness"] for r in G.coreness(e).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 9: 1}
+
+
+def test_coreness_random_matches_replay(spark):
+    import random
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+    rng = random.Random(5)
+    edges = list({(rng.randint(0, 12), rng.randint(0, 12))
+                  for _ in range(40)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["coreness"] for r in G.coreness(e).collect()}
+    assert got == G.coreness_replay(edges)
+
+
+def test_coreness_max_k_guard(spark):
+    import pytest as _pt
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k5, "src long, dst long")
+    with _pt.raises(ValueError, match="max_k"):
+        G.coreness(e, max_k=2)

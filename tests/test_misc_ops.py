@@ -841,3 +841,46 @@ def test_schema_diff_identical_and_order_insensitive(spark):
     a = spark.createDataFrame([(1, "x")], "id long, s string")
     b = spark.createDataFrame([("x", 1)], "s string, id long")
     assert schema_diff(a, b).count() == 0
+
+
+# ----------------------------------------------------- k_anonymity_report
+
+def test_k_anonymity_classes_and_total(spark):
+    from cdc_pipeline_with_kafka_spark.operators.textstats import (
+        k_anonymity_report,
+    )
+    rows = ([("10001", "1980", "M", "flu")] * 5
+            + [("10002", "1990", "F", "cold")] * 2     # k-violating
+            + [("10003", None, "M", "flu")] * 6)       # l-violating (1 val)
+    df = spark.createDataFrame(rows, "zip string, yob string, g string, dx string")
+    out = k_anonymity_report(df, ["zip", "yob"], k=3,
+                             sensitive_col="dx", l_distinct=2)
+    rowsd = {r["class_kind"] + ":" + r["quasi_values"]: r
+             for r in out.collect()}
+    small = rowsd["class:10002|1990"]
+    assert small["k_violation"] and small["n_rows"] == 2
+    assert small["l_violation"]  # 2 rows, both 'cold' → 1 distinct
+    nullc = rowsd["class:10003|∅"]  # NULL is its own class
+    assert (not nullc["k_violation"]) and nullc["l_violation"]
+    assert nullc["n_sensitive_distinct"] == 1
+    # the safe class emits NO row; first class is l-violating too
+    big = rowsd["class:10001|1980"]
+    assert big["l_violation"] and not big["k_violation"]
+    tot = rowsd[[k for k in rowsd if k.startswith("TOTAL")][0]]
+    assert tot["n_rows"] == 13
+    classes, kppm, lppm = tot["quasi_values"].split("|")
+    assert classes == "3"
+    assert kppm == str(2 * 1_000_000 // 13)
+    assert lppm == "1000000"  # every class is single-diagnosis here
+
+
+def test_k_anonymity_guards(spark):
+    from cdc_pipeline_with_kafka_spark.operators.textstats import (
+        k_anonymity_report,
+    )
+    df = spark.createDataFrame([("a",)], "q string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        k_anonymity_report(df, [], k=3)
+    with _pt.raises(ValueError, match="together"):
+        k_anonymity_report(df, ["q"], k=3, sensitive_col="q")
