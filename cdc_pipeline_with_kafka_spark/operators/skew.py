@@ -115,3 +115,55 @@ def join_advice(
         "hot_keys": [r[key_col] for r in hot],
         "skew_topk": skew,
     }
+
+
+def small_files_report(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+):
+    """Small-files audit for a parquet dataset — the lakehouse ops
+    pre-flight `join_advice` is for joins: a 100 TB table fragmented
+    into KB-scale files pays per-file open/footer costs and starves
+    the scan of its `maxPartitionBytes` batching (session.py sizes
+    partitions at 128 MB for exactly this reason).
+
+    Reads ONLY metadata-grain facts: the hidden `_metadata` column
+    (file path + size) aggregated per file — rows never leave the
+    scan as data.  Returns a driver-side dict (the join_advice report
+    shape): file count, byte totals, small-file count/share vs
+    `target_bytes`, the p50 file size, and the advisory — 'compact'
+    when more than half the files are under half the target,
+    'healthy' otherwise, with the suggested coalesce factor.
+    """
+    files = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .groupBy("fp", "sz")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    sizes = sorted(int(r["sz"]) for r in files)
+    n = len(sizes)
+    total = sum(sizes)
+    small = sum(1 for s in sizes if s < target_bytes // 2)
+    p50 = sizes[(n - 1) // 2] if n else 0
+    compact = n > 0 and small * 2 > n
+    factor = max(1, round(total / target_bytes)) if total else 1
+    return {
+        "n_files": n,
+        "total_bytes": total,
+        "p50_bytes": p50,
+        "n_small": small,
+        "small_share_ppm": (small * 1_000_000 // n) if n else 0,
+        "target_bytes": target_bytes,
+        "advice": (
+            f"compact: coalesce/rewrite into ~{factor} files of "
+            f"~{target_bytes // (1024*1024)} MB"
+            if compact else "healthy"
+        ),
+        "rows": {r["fp"]: int(r["n_rows"]) for r in files},
+    }

@@ -257,7 +257,9 @@ def benford_report(
     one window over the ≤9-rows-per-group frame, one broadcast join
     against the 9-row digit spine so absent digits report cnt=0 (a
     missing digit is the loudest Benford signal — it must be a row,
-    not an absence).
+    not an absence).  Magnitude bound: |v|·scale must fit BIGINT
+    (~9.2e18) — under ANSI mode a larger value raises at the cast
+    (loud, correct); drop `scale` for astronomical units.
 
     Output: one row per (group, digit 1..9): (…group, digit, cnt, n,
     obs_ppm, exp_ppm, dev_ppm) — dev_ppm = obs − exp.

@@ -978,3 +978,58 @@ def coverage_gaps(
         F.timestamp_micros(F.col("_next_s")).alias("gap_end"),
         (F.col("_next_s") - F.col("_cov_end")).alias("gap_us"),
     )
+
+
+def funnel_paths(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    max_len: int = 5,
+    min_count: int = 1,
+) -> DataFrame:
+    """Top user journeys — the Sankey/flow view: each key's FIRST
+    `max_len` states in event order collapse to one path string
+    ('view>click>purchase'), counted across keys with exact share
+    ppm.  `funnel_report` answers "how many completed MY funnel";
+    this answers "what funnels actually exist" — you run this first
+    to decide what to measure.
+
+    Truncation at `max_len` is part of the path identity (a
+    5-step-truncated journey and a genuine 5-step journey count
+    together — the standard flow-view semantics; raise max_len to
+    split them).  Ordering ties broken by `order_cols` — include a
+    unique tiebreaker.
+
+    Plan shape: one groupBy(key) with an in-aggregate sorted
+    collect (the array is per-key-events-sized, then sliced to
+    max_len — bound event counts per key upstream or pre-slice), one
+    groupBy(path) carrying DISTINCT PATHS, one 1-row total broadcast.
+
+    Output: (path, depth, cnt, share_ppm) — share of keys, exact.
+    """
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    ordered = F.sort_array(
+        F.collect_list(F.struct(
+            *[F.col(c) for c in order_cols], F.col(state_col).alias("_st")
+        ))
+    )
+    per_key = df.groupBy(*key_cols).agg(
+        F.slice(ordered, 1, max_len).alias("_steps")
+    ).select(
+        F.array_join(
+            F.transform(F.col("_steps"), lambda s: s["_st"]), ">"
+        ).alias("path"),
+        F.size("_steps").alias("depth"),
+    )
+    counts = per_key.groupBy("path", "depth").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).filter(F.col("cnt") >= min_count)
+    total = per_key.agg(
+        F.count(F.lit(1)).alias("_tot")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "path", "depth", "cnt",
+        F.expr("CAST(cnt * 1000000 div _tot AS BIGINT)").alias("share_ppm"),
+    )

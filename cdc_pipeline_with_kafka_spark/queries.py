@@ -939,6 +939,22 @@ def a_stats_suite(spark, sf_dir):
         # the 30-minute session rule BY CONSTRUCTION, and the oracle
         # replays the same running-max/lead windows
         _a_gaps_rows(spark, sf_dir),
+        # r9 'path': the flow view — each user's first 4 events as a
+        # path string, counted with exact share ppm (what funnels
+        # exist, before funnel_report asks how one performs)
+        _suite_rows(
+            windows.funnel_paths(
+                _t(spark, sf_dir, "events"), ["user_id"],
+                ["ts", "event_id"], "event_type", max_len=4,
+            ),
+            "path",
+            F.col("path"),
+            v_str=F.concat_ws(
+                "|", F.col("depth").cast("string"),
+                F.col("cnt").cast("string"),
+            ),
+            v_num=F.col("share_ppm").cast("double"),
+        ),
     ])
 
 
@@ -2069,6 +2085,24 @@ FROM (
          wr AS (PARTITION BY event_type ORDER BY day
                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 ) lagfrows
+UNION ALL
+SELECT 'path', path,
+       CAST(depth AS VARCHAR) || '|' || CAST(cnt AS VARCHAR),
+       CAST(cnt * 1000000 // tot AS DOUBLE)
+FROM (
+  WITH pkeys AS (
+    SELECT user_id,
+           list_slice(list(event_type ORDER BY ts, event_id), 1, 4)
+             AS steps
+    FROM events GROUP BY user_id
+  ),
+  ppaths AS (
+    SELECT array_to_string(steps, '>') AS path, len(steps) AS depth
+    FROM pkeys
+  )
+  SELECT path, depth, count(*) AS cnt, sum(count(*)) OVER () AS tot
+  FROM ppaths GROUP BY path, depth
+) pathrows
 UNION ALL
 SELECT 'qn', CAST(event_id AS VARCHAR), '',
        coalesce(value_qn, -1.0)

@@ -74,3 +74,35 @@ def test_coverage_gaps_overlaps_never_false_gap(spark):
     assert W.coverage_gaps(df, ["k"], "s", "e", "1 hour").count() == 0
     with pytest.raises(ValueError, match="min_gap"):
         W.coverage_gaps(df, ["k"], "s", "e", "fortnight")
+
+
+def test_funnel_paths_counts_and_truncation(spark):
+    rows = [("u1", i, s) for i, s in enumerate(["v", "c", "b"])] + \
+           [("u2", i, s) for i, s in enumerate(["v", "c", "b"])] + \
+           [("u3", i, s) for i, s in enumerate(["v", "x"])] + \
+           [("u4", i, s) for i, s in enumerate(list("vcbzz") + ["q"])]
+    df = spark.createDataFrame(rows, "u string, i long, s string")
+    out = {r["path"]: r for r in W.funnel_paths(
+        df, ["u"], ["i"], "s", max_len=3).collect()}
+    # u4 truncates to v>c>b at max_len=3 and merges with u1/u2
+    assert out["v>c>b"]["cnt"] == 3
+    assert out["v>x"]["cnt"] == 1 and out["v>x"]["depth"] == 2
+    assert out["v>c>b"]["share_ppm"] == 750_000
+    with pytest.raises(ValueError):
+        W.funnel_paths(df, ["u"], ["i"], "s", max_len=0)
+
+
+def test_small_files_report_advice(spark, tmp_path):
+    from cdc_pipeline_with_kafka_spark.operators.skew import (
+        small_files_report,
+    )
+    p = str(tmp_path / "frag")
+    spark.range(1000).repartition(10).write.parquet(p)
+    rep = small_files_report(spark, p, target_bytes=10 * 1024 * 1024)
+    assert rep["n_files"] == 10
+    assert rep["n_small"] == 10 and rep["small_share_ppm"] == 1_000_000
+    assert rep["advice"].startswith("compact")
+    assert sum(rep["rows"].values()) == 1000
+    # generous target → healthy
+    rep2 = small_files_report(spark, p, target_bytes=1)
+    assert rep2["advice"] == "healthy"
