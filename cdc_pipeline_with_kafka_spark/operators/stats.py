@@ -68,6 +68,7 @@ def ks_drift(
     side_col: str,
     side_a,
     side_b,
+    max_distinct_values: int | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov distance between the
     `value_col` distributions of the `side_col == side_a` and
@@ -88,7 +89,11 @@ def ks_drift(
     quantize first (``F.round(col, k)`` or bucket ppm-style) so the
     distinct-value frame stays small — KS on a quantized grid is the
     standard streaming form and lower-bounds the exact D by at most
-    one grid cell of CDF mass.
+    one grid cell of CDF mass.  Pass `max_distinct_values` to make
+    that contract ENFORCED: one extra count over the (already
+    combined) distinct frame, loud ValueError past the bound — the
+    equi_depth_histogram guardrail pattern, opt-in because the count
+    is an extra job.
 
     Output (one row): (n_a, n_b, at_value, d_ppm); empty frame if no
     rows land on either side.
@@ -102,6 +107,16 @@ def ks_drift(
         F.sum("_ia").cast(_DEC).alias("_ca"),
         F.sum(1 - F.col("_ia")).cast(_DEC).alias("_cb"),
     )
+    if max_distinct_values is not None:
+        per_v = per_v.localCheckpoint(eager=True)
+        n_distinct = per_v.count()
+        if n_distinct > max_distinct_values:
+            raise ValueError(
+                f"ks_drift: {n_distinct} distinct values exceed "
+                f"max_distinct_values={max_distinct_values} — quantize "
+                "the column first (round / bucket); the cumulative CDF "
+                "window is SinglePartition over distinct values"
+            )
     w_cum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.orderBy("_v").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

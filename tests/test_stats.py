@@ -316,3 +316,15 @@ def test_theil_sen_max_points_guard(spark):
     df = _df(spark, rows, "g string, x double, y double")
     with pytest.raises(Exception, match="theil_sen_by_group"):
         S.theil_sen_by_group(df, "x", "y", ["g"], max_points=10).collect()
+
+def test_ks_drift_distinct_guard(spark):
+    rows = [(v, "a" if v % 2 else "b") for v in range(50)]
+    df = _df(spark, rows, "v int, s string")
+    with pytest.raises(ValueError, match="quantize"):
+        S.ks_drift(df, "v", "s", "a", "b",
+                   max_distinct_values=10).collect()
+    # under the bound: same result as unguarded
+    got = S.ks_drift(df, "v", "s", "a", "b",
+                     max_distinct_values=100).collect()[0]
+    want = S.ks_drift(df, "v", "s", "a", "b").collect()[0]
+    assert tuple(got) == tuple(want)
