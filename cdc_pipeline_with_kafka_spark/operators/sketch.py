@@ -1179,14 +1179,33 @@ def quantile_normalize(
     if n_cuts < 1 or 1_000_000 % n_cuts != 0:
         raise ValueError("n_cuts must divide 1e6 (e.g. 100, 1000)")
     step = 1_000_000 // n_cuts
-    qs = tuple(step * i for i in range(1, n_cuts + 1))
     ref = reference if reference is not None else df
-    cuts = group_quantiles(
-        ref.select(F.col(value_col)).withColumn("_g", F.lit(1)),
-        value_col, ["_g"], qs,
+    # cut table built RELATIONALLY (range ⋈ ranked reference), not as
+    # a group_quantiles literal cuts array: n_cuts=1000 literal
+    # structs blow the 64 KB whole-stage-codegen method limit and
+    # drop the plan to interpreted mode (caught by bench.py noise)
+    spark = df.sparkSession
+    rv = F.col(value_col)
+    ranked_ref = (
+        ref.select(rv.alias("_rv"))
+        .filter(F.col("_rv").isNotNull())
+        .withColumn(
+            "_rn", F.row_number().over(Window.orderBy(F.col("_rv").asc()))
+        )
+        .withColumn("_nn", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    grid = spark.range(1, n_cuts + 1).select(
+        (F.col("id") * F.lit(step)).cast("long").alias("_q_ppm")
+    )
+    targets = grid.crossJoin(
+        F.broadcast(ranked_ref.select("_nn").limit(1))
     ).select(
-        F.col("q_ppm").alias("_q_ppm"),
-        F.col("quantile_value").alias("value_qn"),
+        "_q_ppm",
+        F.expr("CAST((_q_ppm * _nn + 999999) div 1000000 AS BIGINT)")
+        .alias("_rn"),
+    )
+    cuts = targets.join(ranked_ref, "_rn").select(
+        "_q_ppm", F.col("_rv").alias("value_qn")
     )
     ranked = percentile_rank(df, value_col, group_cols, out_col="_pct")
     idx = F.expr(
