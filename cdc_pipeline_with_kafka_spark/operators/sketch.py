@@ -1128,6 +1128,11 @@ def winsorize(
     """
     if not 0 < lo_ppm <= hi_ppm <= 1_000_000:
         raise ValueError("need 0 < lo_ppm <= hi_ppm <= 1e6")
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty (winsorize globally by "
+            "adding a constant group column)"
+        )
     cuts = group_quantiles(df, value_col, group_cols, (lo_ppm, hi_ppm))
     band = cuts.groupBy(*group_cols).agg(
         F.min(

@@ -575,6 +575,12 @@ def abtest_report(
     ctl = per_v.filter(F.col("variant") == F.lit(control)).select(
         F.col("n").alias("_cn"), F.col("n_success").alias("_cs")
     )
+    got_ctl = ctl.limit(1).collect()  # 1-row bounded check
+    if not got_ctl:
+        raise ValueError(
+            f"abtest_report: control variant {control!r} has no rows — "
+            "an empty report would silently hide the wiring bug"
+        )
     j = per_v.crossJoin(F.broadcast(ctl))
     cr = F.when(
         F.col("n") > 0, F.expr("n_success * 1000000 div n")

@@ -848,10 +848,14 @@ def sequence_ngrams(
     steps = [f"step_{i+1}" for i in range(n)]
     counts = lagged.groupBy(*steps).agg(
         F.count(F.lit(1)).alias("cnt")
-    ).filter(F.col("cnt") >= min_count)
+    )
     w_prefix = Window.partitionBy(*steps[:-1])
+    # prefix totals BEFORE the min_count prune: p_ppm must condition
+    # on the TRUE prefix mass, not on the surviving siblings (pruned
+    # rare continuations still happened)
     return (
         counts.withColumn("_tot", F.sum("cnt").over(w_prefix))
+        .filter(F.col("cnt") >= min_count)
         .withColumn(
             "p_ppm",
             F.expr("CAST(cnt * 1000000 div _tot AS BIGINT)"),

@@ -328,3 +328,9 @@ def test_ks_drift_distinct_guard(spark):
                      max_distinct_values=100).collect()[0]
     want = S.ks_drift(df, "v", "s", "a", "b").collect()[0]
     assert tuple(got) == tuple(want)
+
+def test_abtest_missing_control_raises(spark):
+    rows = [("t", True), ("t", False)]
+    with pytest.raises(ValueError, match="control"):
+        S.abtest_report(_df(spark, rows, "variant string, s boolean"),
+                        "variant", "s", "zzz")

@@ -106,3 +106,16 @@ def test_small_files_report_advice(spark, tmp_path):
     # generous target → healthy
     rep2 = small_files_report(spark, p, target_bytes=1)
     assert rep2["advice"] == "healthy"
+
+
+def test_sequence_ngrams_min_count_keeps_true_prefix_mass(spark):
+    # prefix (a,b) continues to c ×3 and to d ×1; pruning d must NOT
+    # inflate c's conditional to 100%
+    rows = []
+    for u, tail in [("u1", "c"), ("u2", "c"), ("u3", "c"), ("u4", "d")]:
+        rows += [(u, 0, "a"), (u, 1, "b"), (u, 2, tail)]
+    df = spark.createDataFrame(rows, "u string, i long, s string")
+    out = {r["step_3"]: r for r in W.sequence_ngrams(
+        df, ["u"], ["i"], "s", n=3, min_count=2).collect()}
+    assert "d" not in out            # pruned from the OUTPUT
+    assert out["c"]["p_ppm"] == 750_000  # but not from the denominator
