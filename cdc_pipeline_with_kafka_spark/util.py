@@ -26,3 +26,58 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     except Exception:
         pass
     return df.repartition(target, *[F.col(c) for c in cols]) if cols else df.repartition(target)
+
+
+def plan_facts(df: DataFrame) -> dict:
+    """Mechanical facts about a DataFrame's EXECUTED physical plan —
+    the engine's plan-pinning discipline (PLANS.md) as a reusable
+    assertion surface instead of ad-hoc string matching in each test:
+    counts of exchanges (shuffles), sorts, window nodes, per-join
+    strategies, aggregate kinds, scans with their pushed filters, and
+    whether any nested-loop join appears.
+
+    Counts come from node-name occurrences in the plan tree string —
+    the same source the ad-hoc pins read, made uniform.  AQE plans
+    are resolved (`executedPlan` after `isFinalPlan` when adaptive).
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    def _count(token: str) -> int:
+        return plan.count(token)
+
+    return {
+        "exchanges": _count("Exchange "),
+        "single_partition_exchanges": _count("Exchange SinglePartition"),
+        "sorts": _count("+- Sort ") + (1 if plan.startswith("Sort ") else 0),
+        "windows": _count("Window ["),
+        "hash_aggregates": _count("HashAggregate"),
+        "sort_aggregates": _count("SortAggregate"),
+        "object_hash_aggregates": _count("ObjectHashAggregate"),
+        "broadcast_hash_joins": _count("BroadcastHashJoin"),
+        "sort_merge_joins": _count("SortMergeJoin"),
+        "nested_loop_joins": _count("NestedLoopJoin"),
+        "file_scans": _count("FileScan"),
+        "pushed_filters": _count("PushedFilters: ["),
+        "generates": _count("Generate "),
+        "plan": plan,
+    }
+
+
+def assert_plan(df: DataFrame, **bounds) -> dict:
+    """Assert upper bounds (or exact `_eq` values) on plan_facts keys:
+    ``assert_plan(df, exchanges=2, sort_aggregates=0,
+    nested_loop_joins=0)`` reads as the operator's shuffle contract.
+    Returns the facts so tests can make further custom assertions.
+    Raises AssertionError naming the violated bound AND embedding the
+    plan, so a failed pin is diagnosable from the test log alone."""
+    facts = plan_facts(df)
+    for key, bound in bounds.items():
+        if key not in facts:
+            raise KeyError(f"unknown plan fact {key!r}")
+        got = facts[key]
+        if got > bound:
+            raise AssertionError(
+                f"plan bound violated: {key}={got} > {bound}\n"
+                f"{facts['plan']}"
+            )
+    return facts

@@ -508,3 +508,34 @@ def test_join_skew_report_partial_agg_counts(spark):
     )
     assert plans.has_partial_aggregation(r)
     assert plans.has_take_ordered(r)
+
+
+def test_plan_facts_and_assert_plan_contracts(spark):
+    """The plan-pin discipline as a utility: shuffle/sort/join bounds
+    named per operator instead of ad-hoc string matching."""
+    import pytest as _pt
+
+    import pyspark.sql.functions as F
+    from cdc_pipeline_with_kafka_spark.operators import stats as S
+    from cdc_pipeline_with_kafka_spark.util import assert_plan, plan_facts
+
+    df = spark.createDataFrame(
+        [("g", float(i), float(i * 2)) for i in range(50)],
+        "g string, x double, y double",
+    )
+    # ols: one row shuffle + the final single-partition gather; no
+    # sorts, no windows, everything hash-aggregated
+    facts = assert_plan(
+        S.ols_by_group(df, "x", "y", ["g"]),
+        sort_aggregates=0, windows=0, nested_loop_joins=0, exchanges=2,
+    )
+    assert facts["hash_aggregates"] >= 2  # partial + final
+    # a filter that reaches the parquet scan shows as a pushed filter
+    p = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    f2 = plan_facts(p.filter(F.col("o_orderkey") == 7).select("o_orderkey"))
+    assert f2["file_scans"] == 1 and f2["pushed_filters"] == 1
+    # violated bound raises with the plan embedded
+    with _pt.raises(AssertionError, match="exchanges"):
+        assert_plan(df.groupBy("g").count(), exchanges=0)
+    with _pt.raises(KeyError):
+        assert_plan(df, bogus_fact=1)
