@@ -1850,3 +1850,121 @@ def cooccurrence_pairs(
             ).alias("lift_ppm"),
         )
     )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_k: int = 3,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """A-priori frequent itemsets (Agrawal & Srikant, VLDB 1994) up
+    to size `max_k` — `cooccurrence_pairs`' general sibling: every
+    item SET supported by ≥ `min_support` distinct baskets, with
+    exact counts and integer support ppm.
+
+    Level-synchronous by design (A-priori is): level k+1 candidates
+    come from extending each frequent k-set OCCURRENCE (basket rows,
+    not the cross space) by the basket's frequent items ABOVE the
+    set's last item — each (k+1)-set is generated once, in sorted
+    order — then pruned by the A-priori property before counting
+    (every (member, new-item) pair must itself be frequent: k
+    left-semi joins against the small L2 table; pruning is a cost
+    lever only — the count verifies, so results are exact at any
+    pruning depth).  Baskets shrink as levels rise: occurrences are
+    re-filtered to frequent sets each level, so the join input decays
+    the way the lattice does.  One `count()` action per level (the
+    level barrier; documented cost of the algorithm's synchronous
+    shape) and an early stop when a level goes empty.
+
+    Scale: the shuffles carry (basket, itemset-occurrence) rows
+    bounded by Σ_baskets C(|frequent items in basket|, k) AFTER
+    min_support/L2 pruning — never items^k.  The mega-basket risk is
+    `cooccurrence_pairs`' same trade: `max_basket_items` drops
+    baskets above the cap, loud in the signature, None = exact.
+    The grouping key is the sorted item ARRAY (tungsten-hashable,
+    no string concat in the hot aggregate); itemsets format to a
+    '|'-joined display string only at the end.
+
+    Output: (itemset string [items sorted asc, '|' joins], k, cnt,
+    support_ppm = cnt·1e6 div n_baskets)."""
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    if max_k < 1:
+        raise ValueError("max_k must be >= 1")
+    rows = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .filter(F.col("_i").isNotNull())
+        .distinct()
+    )
+    if max_basket_items is not None:
+        keep = (
+            rows.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_basket_items)
+            .select("_b")
+        )
+        rows = rows.join(keep, "_b", "left_semi")
+    rows = rows.localCheckpoint(eager=False)
+    n_baskets = rows.select("_b").distinct().count()
+    l1 = (
+        rows.groupBy("_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_support)
+        .localCheckpoint(eager=False)
+    )
+    frows = rows.join(l1.select("_i"), "_i", "left_semi") \
+        .localCheckpoint(eager=False)
+    levels = [l1.select(F.array("_i").alias("_set"), "cnt")]
+    occ = frows.select(
+        "_b", F.array("_i").alias("_set"), F.col("_i").alias("_last")
+    )
+    l2_pairs = None
+    for k in range(2, max_k + 1):
+        cand = occ.join(
+            frows.select("_b", F.col("_i").alias("_c")), "_b"
+        ).filter(F.col("_c") > F.col("_last"))
+        if l2_pairs is not None:
+            for j in range(k - 1):
+                cand = cand.join(
+                    l2_pairs,
+                    (F.col("_set")[j] == F.col("_pa"))
+                    & (F.col("_c") == F.col("_pb")),
+                    "left_semi",
+                )
+        nxt = cand.select(
+            "_b",
+            F.concat("_set", F.array("_c")).alias("_set"),
+            F.col("_c").alias("_last"),
+        )
+        lk = (
+            nxt.groupBy("_set")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .filter(F.col("cnt") >= min_support)
+            .localCheckpoint(eager=False)
+        )
+        if lk.limit(1).count() == 0:
+            break
+        levels.append(lk)
+        if k == 2:
+            l2_pairs = lk.select(
+                F.col("_set")[0].alias("_pa"), F.col("_set")[1].alias("_pb")
+            ).localCheckpoint(eager=False)
+        if k < max_k:
+            occ = nxt.join(lk.select("_set"), "_set", "left_semi") \
+                .localCheckpoint(eager=False)
+    out = levels[0]
+    for lk in levels[1:]:
+        out = out.unionByName(lk)
+    return out.select(
+        F.array_join(
+            F.transform("_set", lambda x: x.cast("string")), "|"
+        ).alias("itemset"),
+        F.size("_set").alias("k"),
+        "cnt",
+        F.expr(
+            f"CAST(cnt * 1000000 div {int(n_baskets)} AS BIGINT)"
+        ).alias("support_ppm"),
+    )

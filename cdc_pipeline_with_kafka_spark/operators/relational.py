@@ -882,3 +882,138 @@ def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         "column string, status string, old_type string, new_type string, "
         "old_nullable boolean, new_nullable boolean",
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) join without the cross product —
+    the fuzzy field matcher `record_linkage_score` composes with for
+    typo'd names/addresses: every (left, right) row pair whose
+    strings differ by ≤ `max_dist` edits.
+
+    SOUND q-gram count filtering (Gravano et al. 1998): one edit
+    destroys at most q distinct q-grams, so strings within distance d
+    share ≥ |G(a)| − d·q distinct grams — candidates come from a
+    shared-gram equi-join + a per-pair shared-count threshold, then
+    the capped JVM `levenshtein(a, b, max_dist)` verifies (the
+    three-arg form stops the DP at the threshold: O(len·d), not
+    O(len²)).  Strings too short for the filter to bite
+    (|G| ≤ d·q — the filter would admit everything) take the SHORT
+    lane: an exact-length-bucket equi-join over the (2d+1)-value
+    expanded length band — bounded work because the lane only holds
+    strings of ≤ ~d·q + q − 1 characters.  No lane is a nested loop
+    (plan-pinned in tests).
+
+    Distinct-string discipline: candidate generation runs on DISTINCT
+    strings of each side (the shuffle carries vocabulary, not rows),
+    and matching pairs join back to the row tables at the end — 100
+    TB row counts pay two hash joins, never the pairing itself.
+
+    Output: left rows × right rows for matching pairs + (dist).
+    NULL keys never match.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    la, lb = F.col(left_col), F.col(right_col)
+
+    def grams(col):
+        # padded distinct q-grams: \x01 s \x02 sliding windows
+        padded = F.concat(F.lit("\x01"), col, F.lit("\x02"))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(padded) - q + 1, F.lit(1)),
+                ),
+                lambda i: padded.substr(i, F.lit(q)),
+            )
+        )
+
+    A = left.select(la.alias("_a")).filter(
+        F.col("_a").isNotNull()
+    ).distinct().withColumn("_ga", grams(F.col("_a"))).withColumn(
+        "_ca", F.size("_ga")
+    ).withColumn("_lena", F.length("_a")).localCheckpoint(eager=False)
+    B = right.select(lb.alias("_b")).filter(
+        F.col("_b").isNotNull()
+    ).distinct().withColumn("_gb", grams(F.col("_b"))).withColumn(
+        "_cb", F.size("_gb")
+    ).withColumn("_lenb", F.length("_b")).localCheckpoint(eager=False)
+
+    floor_g = max_dist * q
+    # LONG lane: gram-count filter bites (|G| > d·q on BOTH sides)
+    a_long = A.filter(F.col("_ca") > floor_g).select(
+        "_a", "_ca", F.explode("_ga").alias("_g")
+    )
+    b_long = B.filter(F.col("_cb") > floor_g).select(
+        "_b", "_cb", F.explode("_gb").alias("_g")
+    )
+    shared = a_long.join(b_long, "_g").groupBy(
+        "_a", "_b", "_ca", "_cb"
+    ).agg(F.count(F.lit(1)).alias("_shared"))
+    long_cand = shared.filter(
+        F.col("_shared")
+        >= F.greatest(F.col("_ca"), F.col("_cb")) - F.lit(floor_g)
+    ).select("_a", "_b")
+    # SHORT lane: either side short → exact-length-bucket expansion
+    # (a pair can't match unless the OTHER side is within d length,
+    # i.e. also short+d — bounded strings, bounded lane)
+    a_short = A.filter(F.col("_ca") <= floor_g).select(
+        "_a",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_lena") - max_dist, F.lit(0)),
+                F.col("_lena") + max_dist,
+            )
+        ).alias("_lb_len"),
+    )
+    short_cand = a_short.join(
+        B.select("_b", F.col("_lenb").alias("_lb_len")), "_lb_len"
+    ).select("_a", "_b")
+    # a long-A × short-B pair: B's length ≤ short bound, so A's
+    # length ≤ that + d — A is in the short lane's band already IF A
+    # is short; a LONG-A/short-B true pair has |len diff| ≤ d, so A
+    # len ≤ shortlen + d ⇒ |G(A)| ≤ lenA + q − 1 ≤ floor_g is NOT
+    # guaranteed — cover it by a mirrored short lane on B
+    b_short = B.filter(F.col("_cb") <= floor_g).select(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_lenb") - max_dist, F.lit(0)),
+                F.col("_lenb") + max_dist,
+            )
+        ).alias("_la_len"),
+    )
+    short_cand2 = b_short.join(
+        A.select("_a", F.col("_lena").alias("_la_len")), "_la_len"
+    ).select("_a", "_b")
+    cand = long_cand.unionByName(short_cand).unionByName(
+        short_cand2
+    ).distinct()
+    dist = F.levenshtein(F.col("_a"), F.col("_b"), max_dist)
+    pairs = cand.withColumn("dist", dist).filter(F.col("dist") >= 0)
+    # join back by ALIAS-QUALIFIED conditions: `pairs` carries the
+    # row tables in its lineage, so a bare left[left_col] == pairs._a
+    # can resolve left_col INSIDE the pair subtree (the self-join
+    # trap) and silently degrade to a cross join — the alias pins
+    # each side's attributes.
+    return (
+        left.alias("__fj_l")
+        .join(
+            pairs.alias("__fj_p"),
+            F.col(f"__fj_l.{left_col}") == F.col("__fj_p._a"),
+        )
+        .join(
+            right.alias("__fj_r"),
+            F.col("__fj_p._b") == F.col(f"__fj_r.{right_col}"),
+        )
+        .drop("_a", "_b")
+    )

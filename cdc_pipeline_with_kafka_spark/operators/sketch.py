@@ -1222,3 +1222,50 @@ def quantile_normalize(
     )
     return with_q.join(F.broadcast(cuts), ["_q_ppm"], "left") \
         .drop("_q_ppm", "_pct")
+
+
+def mode_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 1,
+) -> DataFrame:
+    """Exact top-k modes per group with DETERMINISTIC tie-break
+    (count desc, then value asc) — the categorical companion of
+    `group_quantiles`: the typical status per endpoint, the dominant
+    lang per source.  NULL values are excluded (they have their own
+    report in table_profile's null ppm).
+
+    Plan shape: one groupBy((groups), value) with map-side combine —
+    the shuffle carries (group, distinct value) pairs — then one
+    group-keyed row_number window over that aggregate (value-count
+    grain, not row grain).  Exact counts, no sketch; for top-k over
+    UNBOUNDED vocabularies at 100 TB use heavy_hitters (candidate /
+    verify, no full-key shuffle) — this operator's contract is
+    exactness on bounded-cardinality columns.
+
+    Output: (…group, value [string], cnt, rank 1..k, share_ppm —
+    exact share of the group's non-NULL rows).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = F.col(value_col)
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, v.cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    w_g = Window.partitionBy(*group_cols)
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("_tot", F.sum("cnt").over(w_g))
+        .filter(F.col("rank") <= k)
+        .select(
+            *group_cols, "value", "cnt", "rank",
+            F.expr("CAST(cnt * 1000000 div _tot AS BIGINT)")
+            .alias("share_ppm"),
+        )
+    )

@@ -321,7 +321,14 @@ def pj_exists_suite(spark, sf_dir):
     — the dedup-insert anti-join).  Merged so the registry stays inside
     the driver's 50-row budget while both join forms keep a value-level
     oracle row (the anti branch alone is 0 rows at gate SF — riding
-    with the semi branch keeps the gate falsifiable)."""
+    with the semi branch keeps the gate falsifiable).
+
+    r9 additions, all value-checked: 'link' (Fellegi–Sunter record
+    linkage), 'core' (k-core decomposition), 'fzj' (edit-distance
+    fuzzy join vs DuckDB's levenshtein cross join), 'fis' (A-priori
+    frequent itemsets to k=3 vs explicit self-join SQL).  'core' and
+    'fis' live here rather than a bench suite because their loop
+    barriers are correctness fixtures, not perf signals."""
     semi = p8_semi_join(spark, sf_dir).select(
         F.lit("semi").alias("branch"),
         F.col("s_suppkey").cast("string").alias("key"),
@@ -402,7 +409,53 @@ def pj_exists_suite(spark, sf_dir):
         F.col("node").cast("string").alias("key"),
         F.col("coreness").cast("string").alias("name"),
     )
-    return semi.unionByName(anti).unionByName(link).unionByName(core)
+    # r9 'fzj': edit-distance join (relational.fuzzy_join — q-gram
+    # count filter + short length-band lane + capped levenshtein
+    # verify, never a cross join) over the document vocabulary vs its
+    # first-char-dropped twins: every (word, suffix) pair within 2
+    # edits, value-checked against DuckDB's levenshtein cross join
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    suffixes = (
+        words.filter(F.length("w") > 1)
+        .select(F.expr("substr(w, 2)").alias("wr"))
+        .distinct()
+    )
+    fzj = relational.fuzzy_join(
+        words, suffixes, "w", "wr", max_dist=2, q=2
+    ).select(
+        F.lit("fzj").alias("branch"),
+        F.concat_ws("|", "w", "wr").alias("key"),
+        F.col("dist").cast("string").alias("name"),
+    )
+    # r9 'fis': A-priori frequent itemsets up to k=3 over lineitem
+    # baskets (item = partkey mod 499, min_support 3 — the L2 level
+    # is ~7% of the pair space, so the semi-join pruning actually
+    # fires) — hosted HERE like 'core': the level barriers are a
+    # correctness fixture, not a perf signal
+    from .operators import curation as curation_ops
+
+    fis = curation_ops.frequent_itemsets(
+        li.select(
+            F.col("l_orderkey").alias("b"),
+            (F.col("l_partkey") % 499).alias("it"),
+        ),
+        "b", "it", min_support=3, max_k=3,
+    ).select(
+        F.lit("fis").alias("branch"),
+        F.col("itemset").alias("key"),
+        F.concat_ws(
+            "|", F.col("k").cast("string"), F.col("cnt").cast("string"),
+            F.col("support_ppm").cast("string"),
+        ).alias("name"),
+    )
+    return (
+        semi.unionByName(anti).unionByName(link)
+        .unionByName(core).unionByName(fzj).unionByName(fis)
+    )
 
 
 def _pj_exists_suite_sql() -> str:
@@ -484,6 +537,42 @@ FROM (
          {n_dis} AS ndis, {n_mis} AS nmis
   FROM lpairs
 ) linkrows
+UNION ALL
+SELECT 'fzj', fa.w || '|' || fb.w,
+       CAST(levenshtein(fa.w, fb.w) AS VARCHAR)
+FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      FROM documents) fa,
+     (SELECT DISTINCT substr(w, 2) AS w
+      FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+            FROM documents) iw
+      WHERE length(w) > 1) fb
+WHERE levenshtein(fa.w, fb.w) <= 2
+UNION ALL
+SELECT 'fis', itemset,
+       CAST(k AS VARCHAR) || '|' || CAST(cnt AS VARCHAR) || '|' ||
+       CAST((cnt * 1000000) // nb AS VARCHAR)
+FROM (
+  WITH fr0 AS (
+    SELECT DISTINCT l_orderkey AS b, l_partkey % 499 AS i FROM lineitem
+  ),
+  fl1 AS (SELECT i, count(*) AS cnt FROM fr0 GROUP BY i
+          HAVING count(*) >= 3),
+  ffr AS (SELECT fr0.b, fr0.i FROM fr0 JOIN fl1 ON fr0.i = fl1.i),
+  fl2 AS (SELECT a.i AS ia, b.i AS ib, count(*) AS cnt
+          FROM ffr a JOIN ffr b ON a.b = b.b AND b.i > a.i
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+  fl3 AS (SELECT a.i AS ia, b.i AS ib, c.i AS ic, count(*) AS cnt
+          FROM ffr a JOIN ffr b ON a.b = b.b AND b.i > a.i
+                     JOIN ffr c ON a.b = c.b AND c.i > b.i
+          GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+  SELECT CAST(i AS VARCHAR) AS itemset, 1 AS k, cnt FROM fl1
+  UNION ALL
+  SELECT CAST(ia AS VARCHAR) || '|' || CAST(ib AS VARCHAR), 2, cnt FROM fl2
+  UNION ALL
+  SELECT CAST(ia AS VARCHAR) || '|' || CAST(ib AS VARCHAR) || '|' ||
+         CAST(ic AS VARCHAR), 3, cnt FROM fl3
+) fisrows, (SELECT count(DISTINCT b) AS nb FROM (
+  SELECT DISTINCT l_orderkey AS b FROM lineitem) fb0) fnb
 """.replace("{P8_SQL}", P8_SQL).replace("{J3_SQL}", J3_SQL)
 
 
@@ -952,6 +1041,25 @@ def a_stats_suite(spark, sf_dir):
             v_str=F.concat_ws(
                 "|", F.col("depth").cast("string"),
                 F.col("cnt").cast("string"),
+            ),
+            v_num=F.col("share_ppm").cast("double"),
+        ),
+        # r9 'mode': exact top-3 modes of event_type per day
+        # (sketch.mode_by_group) — deterministic (count desc, value
+        # asc) tie-break, exact integer share_ppm of the day's
+        # non-NULL rows; the categorical companion of 'gq'
+        _suite_rows(
+            sketch_ops.mode_by_group(
+                ev.withColumn("day", F.date_trunc("day", "ts")),
+                "event_type", ["day"], k=3,
+            ),
+            "mode",
+            F.concat_ws(
+                "|", F.date_format("day", "yyyy-MM-dd HH:mm:ss"),
+                F.col("rank").cast("string"),
+            ),
+            v_str=F.concat_ws(
+                "|", F.col("value"), F.col("cnt").cast("string")
             ),
             v_num=F.col("share_ppm").cast("double"),
         ),
@@ -3426,6 +3534,26 @@ def f11_f13_coercions(spark, sf_dir):
         # coalesce keeps the compare NULL-free (pandas NaN asymmetry)
         F.coalesce(dates.empty_to_null(F.col("raw_val")).cast("int"), F.lit(-1)).alias("val"),
     )
+
+
+A_STATS_SUITE_SQL += """
+UNION ALL
+SELECT 'mode',
+       strftime(day, '%Y-%m-%d %H:%M:%S') || '|' || CAST(rank AS VARCHAR),
+       v || '|' || CAST(cnt AS VARCHAR),
+       CAST((cnt * 1000000) // tot AS DOUBLE)
+FROM (
+  SELECT day, v, cnt,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY cnt DESC, v ASC) AS rank,
+         sum(cnt) OVER (PARTITION BY day) AS tot
+  FROM (
+    SELECT date_trunc('day', ts) AS day, event_type AS v, count(*) AS cnt
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+  ) modec
+) moderk
+WHERE rank <= 3
+"""
 
 
 F11_SQL = f"""

@@ -1317,3 +1317,63 @@ def test_weighted_sample_k_contract_and_python_replay(spark):
         curation.weighted_sample_k(bad, 1, "w", "doc_id").collect()
     with _pytest.raises(ValueError):
         curation.weighted_sample_k(df, 0, "w", "doc_id")
+
+
+def test_frequent_itemsets_apriori_exact_vs_bruteforce(spark):
+    """A-priori levels vs a pure-Python lattice enumeration: exact
+    counts at every k, planted frequent triple found, support_ppm
+    integer-exact, pruning depth invisible in the result."""
+    import itertools
+    import random
+    from collections import Counter
+
+    from cdc_pipeline_with_kafka_spark.operators.curation import (
+        frequent_itemsets,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for b in range(120):
+        rows += [(b, i) for i in rng.sample(range(12), rng.randint(1, 6))]
+        if rng.random() < 0.4:
+            rows += [(b, i) for i in (20, 21, 22)]
+    df = spark.createDataFrame(rows, "b int, i int")
+    baskets: dict[int, set] = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    nb = len(baskets)
+    for ms, mk in ((5, 3), (10, 4)):
+        got = sorted(
+            tuple(r) for r in frequent_itemsets(df, "b", "i", ms, mk).collect()
+        )
+        cnt: Counter = Counter()
+        for s in baskets.values():
+            for k in range(1, mk + 1):
+                cnt.update(itertools.combinations(sorted(s), k))
+        exp = sorted(
+            ("|".join(map(str, comb)), len(comb), c, c * 1_000_000 // nb)
+            for comb, c in cnt.items()
+            if c >= ms
+        )
+        assert got == exp, (ms, mk)
+    assert ("20|21|22", 3) in {
+        (r["itemset"], r["k"])
+        for r in frequent_itemsets(df, "b", "i", 20, 3).collect()
+    }
+
+
+def test_frequent_itemsets_guards_and_early_stop(spark):
+    from cdc_pipeline_with_kafka_spark.operators.curation import (
+        frequent_itemsets,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], "b int, i int")
+    with _pt.raises(ValueError, match="min_support"):
+        frequent_itemsets(df, "b", "i", 0)
+    with _pt.raises(ValueError, match="max_k"):
+        frequent_itemsets(df, "b", "i", 1, max_k=0)
+    # no pair reaches support 2 → early stop after level 1; asking for
+    # max_k=5 must not loop over dead levels
+    out = frequent_itemsets(df, "b", "i", 2, max_k=5).collect()
+    assert {(r["itemset"], r["k"], r["cnt"]) for r in out} == {("1", 1, 2)}

@@ -884,3 +884,69 @@ def test_k_anonymity_guards(spark):
         k_anonymity_report(df, [], k=3)
     with _pt.raises(ValueError, match="together"):
         k_anonymity_report(df, ["q"], k=3, sensitive_col="q")
+
+
+def test_fuzzy_join_matches_builtin_levenshtein_oracle(spark):
+    """Randomized parity: fuzzy_join (q-gram count filter + short
+    length-band lane + capped verify) returns EXACTLY the pairs the
+    builtin levenshtein admits — both lanes exercised (lengths 0-9
+    straddle the |G| <= d*q short-lane cut for every (d, q) here)."""
+    import itertools
+    import random
+
+    rng = random.Random(1234)
+    alpha = "abcde"
+
+    def mk(n):
+        return [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+            for _ in range(n)
+        ]
+
+    for d, q in [(0, 2), (1, 1), (2, 2), (3, 3)]:
+        A, B = mk(25) + [None], mk(25) + [None]
+        L = spark.createDataFrame(
+            list(enumerate(A)), "lid int, name string"
+        )
+        R = spark.createDataFrame(
+            list(enumerate(B)), "rid int, rname string"
+        )
+        got = sorted(
+            (r.lid, r.rid, r.dist)
+            for r in relational.fuzzy_join(
+                L, R, "name", "rname", max_dist=d, q=q
+            ).collect()
+        )
+        oracle = sorted(
+            (r.lid, r.rid, r.d)
+            for r in L.crossJoin(R)
+            .filter(F.col("name").isNotNull() & F.col("rname").isNotNull())
+            .select(
+                "lid", "rid", F.levenshtein("name", "rname").alias("d")
+            )
+            .filter(F.col("d") <= d)
+            .collect()
+        )
+        assert got == oracle, (d, q)
+
+
+def test_fuzzy_join_plan_and_guards(spark):
+    """No nested-loop/cartesian join anywhere in the plan (the whole
+    point vs a crossJoin+levenshtein filter), and argument guards."""
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.util import assert_plan
+
+    L = spark.createDataFrame([(1, "abc"), (2, "zzzz")], "lid int, name string")
+    R = spark.createDataFrame([(10, "abd"), (11, "zz")], "rid int, rname string")
+    out = relational.fuzzy_join(L, R, "name", "rname", max_dist=2, q=2)
+    facts = assert_plan(out, nested_loop_joins=0, single_partition_exchanges=0)
+    assert "Cartesian" not in facts["plan"]
+    assert sorted((r.lid, r.rid, r.dist) for r in out.collect()) == [
+        (1, 10, 1),
+        (2, 11, 2),
+    ]
+    with _pt.raises(ValueError, match="max_dist"):
+        relational.fuzzy_join(L, R, "name", "rname", max_dist=-1)
+    with _pt.raises(ValueError, match="q must"):
+        relational.fuzzy_join(L, R, "name", "rname", q=0)

@@ -634,3 +634,59 @@ def test_quantile_normalize_broadcast_cut_join(spark):
     plan = K.quantile_normalize(df, "v", ["g"], n_cuts=100) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_mode_by_group_exact_counts_and_tiebreak(spark):
+    """Top-k modes per group vs a Counter oracle: exact counts,
+    deterministic (count desc, value asc) tie-break, NULLs excluded,
+    exact integer share_ppm, k past the vocabulary returns all."""
+    import random
+    from collections import Counter
+
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+
+    rng = random.Random(77)
+    rows = [
+        (rng.choice("wxyz"), rng.choice(["a", "b", "c", "d", None]))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = sorted(
+        tuple(r) for r in K.mode_by_group(df, "v", ["g"], k=2).collect()
+    )
+    byg: dict[str, Counter] = {}
+    for g, v in rows:
+        if v is not None:
+            byg.setdefault(g, Counter())[v] += 1
+    exp = []
+    for g, c in byg.items():
+        tot = sum(c.values())
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rk, (v, n) in enumerate(ranked[:2], 1):
+            exp.append((g, v, n, rk, n * 1_000_000 // tot))
+    assert got == sorted(exp)
+    assert K.mode_by_group(df, "v", ["g"], k=99).count() == sum(
+        len(c) for c in byg.values()
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must"):
+        K.mode_by_group(df, "v", ["g"], k=0)
+
+
+def test_mode_by_group_plan_two_keyed_shuffles(spark):
+    """Shuffle contract: one (group, value) aggregate exchange + one
+    group-keyed window exchange, nothing single-partition."""
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+    from cdc_pipeline_with_kafka_spark.util import assert_plan
+
+    df = spark.createDataFrame(
+        [("x", "a"), ("x", "a"), ("x", "b"), ("y", "c")],
+        "g string, v string",
+    )
+    assert_plan(
+        K.mode_by_group(df, "v", ["g"]),
+        exchanges=2,
+        single_partition_exchanges=0,
+        nested_loop_joins=0,
+    )
