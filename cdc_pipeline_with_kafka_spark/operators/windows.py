@@ -1037,3 +1037,129 @@ def funnel_paths(
         "path", "depth", "cnt",
         F.expr("CAST(cnt * 1000000 div _tot AS BIGINT)").alias("share_ppm"),
     )
+
+
+def multi_touch_attribution(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_minutes: int,
+    model: str = "linear",
+) -> DataFrame:
+    """Multi-touch conversion attribution: for every conversion event,
+    the touch events of the same key inside the lookback window and
+    each touch's EXACT integer credit share — the step after
+    `funnel_report` (which asks whether journeys convert; this asks
+    which touches get paid).  Reference analogue: the CDC pipeline's
+    view→click→purchase event stream (`_a_ssj_rows`' attribution
+    join) with credit assignment on top.
+
+    Semantics: a touch qualifies iff its type is in `touch_types`,
+    same key, and ``conv_ts − lookback ≤ touch_ts < conv_ts`` in
+    integer microseconds (same-instant touches are excluded — strict
+    event-time precedence; `id_col` breaks same-ts ordering among
+    touches deterministically).  Credit models, all exact ppm integers
+    summing to EXACTLY 1,000,000 per attributed conversion:
+
+    - 'first' / 'last': the whole 1e6 on that position;
+    - 'linear': ``1e6 div n`` each, division remainder to the LAST
+      touch (documented, deterministic);
+    - 'u' (position-based 40/20/40): n=1 → 1e6; n=2 → 500,000 each;
+      n≥3 → 400,000 first, 400,000 last, middles share 200,000
+      (``div (n−2)``, remainder to the last middle).
+
+    Conversions with NO qualifying touch are kept (NULL touch
+    columns, n_touches=0, credit_ppm=1e6 — the unattributed bucket),
+    so ``Σ credit_ppm = 1e6 × conversions`` is a table invariant a
+    DQ rule can pin.
+
+    Shape: one key-partitioned equi-join (conversions × touches,
+    time-bounded — per-key state is O(lookback), the stream–stream
+    join's batch discipline) + one (key, conversion) window for
+    position/count.  100 TB: pre-bucket both sides by key; the join
+    and the window share that partitioning.  Skew = the mega-user;
+    cap with an upstream filter if one key holds a visible share
+    (`join_skew_report` is the pre-flight)."""
+    if lookback_minutes <= 0:
+        raise ValueError("lookback_minutes must be > 0")
+    if model not in ("first", "last", "linear", "u"):
+        raise ValueError(f"unknown attribution model {model!r}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    keys = [F.col(c) for c in key_cols]
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        *key_cols,
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("conv_ts"),
+        us(ts_col).alias("_c_us"),
+    )
+    touch = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        *[F.col(c).alias(f"_tk_{c}") for c in key_cols],
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(type_col).alias("touch_type"),
+        us(ts_col).alias("_t_us"),
+    )
+    lb = int(lookback_minutes) * 60_000_000
+    # the time bound lives IN the join condition (not a post-filter):
+    # left-outer then emits the NULL unattributed row exactly when no
+    # QUALIFYING touch exists — a post-filter would instead delete
+    # conversions whose key has only out-of-window touches
+    cond = F.expr(" AND ".join(f"{c} = _tk_{c}" for c in key_cols)) & (
+        (F.col("_t_us") < F.col("_c_us"))
+        & (F.col("_t_us") >= F.col("_c_us") - F.lit(lb))
+    )
+    joined = conv.join(touch, cond, "left_outer")
+    wp = Window.partitionBy(*keys, F.col("conv_id"))
+    wo = wp.orderBy(F.col("_t_us").asc(), F.col("touch_id").asc())
+    n = F.count("touch_id").over(wp)
+    pos = F.when(
+        F.col("touch_id").isNull(), F.lit(0)
+    ).otherwise(F.row_number().over(wo))
+    base = joined.withColumn("n_touches", n.cast("long")).withColumn(
+        "position", pos.cast("long")
+    )
+    # a conversion may produce BOTH a NULL left-outer row and real
+    # touch rows only when no touch matched (the filter keeps NULL
+    # rows unconditionally, but a matched conversion has no NULL row
+    # by left-outer semantics) — so n==0 ⇔ the single NULL row.
+    nn, p = F.col("n_touches"), F.col("position")
+    if model == "first":
+        credit = F.when(p == 1, F.lit(1_000_000)).otherwise(F.lit(0))
+    elif model == "last":
+        credit = F.when(p == nn, F.lit(1_000_000)).otherwise(F.lit(0))
+    elif model == "linear":
+        b = F.expr("CAST(1000000 div n_touches AS BIGINT)")
+        credit = b + F.when(
+            p == nn, F.lit(1_000_000) - nn * b
+        ).otherwise(F.lit(0))
+    else:  # 'u'
+        mid_b = F.expr("CAST(200000 div (n_touches - 2) AS BIGINT)")
+        credit = (
+            F.when(nn == 1, F.lit(1_000_000))
+            .when(nn == 2, F.lit(500_000))
+            .when((p == 1) | (p == nn), F.lit(400_000))
+            .otherwise(
+                mid_b
+                + F.when(
+                    p == nn - 1, F.lit(200_000) - (nn - 2) * mid_b
+                ).otherwise(F.lit(0))
+            )
+        )
+    credit = F.when(nn == 0, F.lit(1_000_000)).otherwise(credit)
+    return base.select(
+        *key_cols,
+        "conv_id",
+        "conv_ts",
+        "touch_id",
+        "touch_ts",
+        "touch_type",
+        "n_touches",
+        "position",
+        credit.cast("long").alias("credit_ppm"),
+    )

@@ -1044,6 +1044,45 @@ def a_stats_suite(spark, sf_dir):
             ),
             v_num=F.col("share_ppm").cast("double"),
         ),
+        # r9 'attr': u-shaped (40/20/40) multi-touch attribution —
+        # purchases credited to view/click touches inside a 12 h
+        # lookback; exact ppm credits summing to 1e6 per conversion,
+        # unattributed conversions kept as NULL-touch rows
+        _suite_rows(
+            windows.multi_touch_attribution(
+                ev, ["user_id"], "ts", "event_id", "event_type",
+                "purchase", ["view", "click"], 720, model="u",
+            ),
+            "attr",
+            F.concat_ws(
+                "|", F.col("user_id").cast("string"),
+                F.col("conv_id").cast("string"),
+                F.coalesce(F.col("touch_id").cast("string"), F.lit("")),
+            ),
+            v_str=F.concat_ws(
+                "|", F.coalesce(F.col("touch_type"), F.lit("")),
+                F.col("n_touches").cast("string"),
+                F.col("position").cast("string"),
+            ),
+            v_num=F.col("credit_ppm").cast("double"),
+        ),
+        # r9 'jse': count-min inner-product self-join-size estimate
+        # over lineitem partkey buckets — md5 hash rows replayed
+        # bit-for-bit by the oracle, so the ESTIMATE is value-checked
+        _suite_rows(
+            sketch_ops.join_size_estimate(
+                _t(spark, sf_dir, "lineitem").select(
+                    (F.col("l_partkey") % 499).alias("k")
+                ),
+                _t(spark, sf_dir, "lineitem").select(
+                    (F.col("l_partkey") % 499).alias("k")
+                ),
+                "k", width=1024, depth=5,
+            ),
+            "jse",
+            F.col("hash_row").cast("string"),
+            v_num=F.col("inner_product").cast("double"),
+        ),
         # r9 'mode': exact top-3 modes of event_type per day
         # (sketch.mode_by_group) — deterministic (count desc, value
         # asc) tie-break, exact integer share_ppm of the day's
@@ -3553,6 +3592,60 @@ FROM (
   ) modec
 ) moderk
 WHERE rank <= 3
+"""
+
+
+A_STATS_SUITE_SQL += """
+UNION ALL
+SELECT 'attr',
+       CAST(user_id AS VARCHAR) || '|' || CAST(conv_id AS VARCHAR) || '|'
+         || coalesce(CAST(touch_id AS VARCHAR), ''),
+       coalesce(touch_type, '') || '|' || CAST(n AS VARCHAR) || '|'
+         || CAST(p AS VARCHAR),
+       CAST(CASE WHEN n = 0 THEN 1000000
+                 WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN p = 1 OR p = n THEN 400000
+                 ELSE (200000 // (n - 2)) +
+                      CASE WHEN p = n - 1
+                           THEN 200000 - (n - 2) * (200000 // (n - 2))
+                           ELSE 0 END
+            END AS DOUBLE)
+FROM (
+  SELECT user_id, conv_id, touch_id, touch_type,
+         count(touch_id) OVER (PARTITION BY user_id, conv_id) AS n,
+         CASE WHEN touch_id IS NULL THEN 0
+              ELSE row_number() OVER (PARTITION BY user_id, conv_id
+                                      ORDER BY t_us ASC, touch_id ASC)
+         END AS p
+  FROM (
+    SELECT c.user_id, c.conv_id, t.touch_id, t.touch_type, t.t_us
+    FROM (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'purchase') c
+    LEFT JOIN (SELECT user_id, event_id AS touch_id,
+                      event_type AS touch_type, epoch_us(ts) AS t_us
+               FROM events WHERE event_type IN ('view', 'click')) t
+    ON c.user_id = t.user_id AND t.t_us < c.c_us
+       AND t.t_us >= c.c_us - 43200000000
+  ) attrj
+) attrr
+UNION ALL
+SELECT 'jse', CAST(hash_row AS VARCHAR), '', CAST(ip AS DOUBLE)
+FROM (
+  WITH jk AS (SELECT l_partkey % 499 AS k FROM lineitem),
+  jbuck AS (
+    SELECT i AS hash_row,
+           ('0x' || substr(md5('jse:' || CAST(i AS VARCHAR) || ':'
+                               || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+             % 1024 AS bucket,
+           count(*) AS cnt
+    FROM jk, range(5) t(i) GROUP BY 1, 2
+  ),
+  jip AS (SELECT hash_row, sum(cnt * cnt) AS ip FROM jbuck GROUP BY 1)
+  SELECT hash_row, ip FROM jip
+  UNION ALL
+  SELECT -1, min(ip) FROM jip
+) jserows
 """
 
 

@@ -690,3 +690,66 @@ def test_mode_by_group_plan_two_keyed_shuffles(spark):
         single_partition_exchanges=0,
         nested_loop_joins=0,
     )
+
+
+def test_join_size_estimate_replay_and_bounds(spark):
+    """CMS inner-product join-size estimate vs a pure-Python md5
+    replay: every hash row's inner product exact, the summary row is
+    the min, the estimate upper-bounds the true join size, and
+    width=1 degenerates to |A|·|B| (all keys collide)."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+
+    rng = random.Random(3)
+    A = [rng.randint(0, 40) for _ in range(500)] + [None] * 3
+    B = [rng.randint(0, 60) for _ in range(300)]
+    da = spark.createDataFrame([(x,) for x in A], "k int")
+    db = spark.createDataFrame([(x,) for x in B], "k int")
+    width, depth = 256, 4
+    out = {
+        r.hash_row: r.inner_product
+        for r in K.join_size_estimate(
+            da, db, "k", width=width, depth=depth
+        ).collect()
+    }
+    ca = Counter(x for x in A if x is not None)
+    cb = Counter(B)
+    for i in range(depth):
+        ra: Counter = Counter()
+        rb: Counter = Counter()
+        for k, c in ca.items():
+            h = hashlib.md5(f"jse:{i}:{k}".encode()).hexdigest()
+            ra[int(h[:8], 16) % width] += c
+        for k, c in cb.items():
+            h = hashlib.md5(f"jse:{i}:{k}".encode()).hexdigest()
+            rb[int(h[:8], 16) % width] += c
+        assert out[i] == sum(ra[b] * rb.get(b, 0) for b in ra)
+    exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert out[-1] == min(out[i] for i in range(depth)) >= exact
+    o1 = {
+        r.hash_row: r.inner_product
+        for r in K.join_size_estimate(da, db, "k", width=1, depth=2).collect()
+    }
+    assert o1[-1] == (len(A) - 3) * len(B)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="width"):
+        K.join_size_estimate(da, db, "k", width=0)
+
+
+def test_join_size_estimate_plan_bounded_shuffles(spark):
+    """The per-side shuffle is (hash_row, bucket) partials with
+    map-side combine — partial aggregation present, no single
+    partition exchange, no nested loop."""
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+    from cdc_pipeline_with_kafka_spark.util import assert_plan
+
+    da = spark.createDataFrame([(1,), (2,)], "k int")
+    facts = assert_plan(
+        K.join_size_estimate(da, da, "k", width=64, depth=3),
+        nested_loop_joins=0,
+    )
+    assert facts["hash_aggregates"] >= 4  # partial+final per side

@@ -119,3 +119,128 @@ def test_sequence_ngrams_min_count_keeps_true_prefix_mass(spark):
         df, ["u"], ["i"], "s", n=3, min_count=2).collect()}
     assert "d" not in out            # pruned from the OUTPUT
     assert out["c"]["p_ppm"] == 750_000  # but not from the denominator
+
+
+def test_multi_touch_attribution_models_vs_bruteforce(spark):
+    """All four credit models vs a pure-Python replay on a randomized
+    event log: exact pairs, positions, and ppm credits; the
+    Σcredit = 1e6 × conversions invariant; unattributed conversions
+    kept as NULL-touch rows."""
+    import datetime
+    import random
+
+    from cdc_pipeline_with_kafka_spark.operators.windows import (
+        multi_touch_attribution,
+    )
+
+    rng = random.Random(11)
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(25):
+        t = 0
+        for _ in range(rng.randint(1, 12)):
+            t += rng.randint(1, 200) * 60
+            rows.append((
+                u, base + datetime.timedelta(seconds=t), eid,
+                rng.choice(["view", "view", "click", "purchase", "error"]),
+            ))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    lb = datetime.timedelta(minutes=300)
+    by_u: dict[int, list] = {}
+    for u, ts, i, ty in rows:
+        by_u.setdefault(u, []).append((ts, i, ty))
+
+    def brute(model):
+        out = []
+        for u, evs in by_u.items():
+            for ts, i, ty in evs:
+                if ty != "purchase":
+                    continue
+                touches = sorted(
+                    (t2, i2) for (t2, i2, ty2) in evs
+                    if ty2 in ("view", "click") and ts - lb <= t2 < ts
+                )
+                n = len(touches)
+                if n == 0:
+                    out.append((u, i, None, 0, 0, 1_000_000))
+                    continue
+                for p, (_, i2) in enumerate(touches, 1):
+                    if model == "first":
+                        c = 1_000_000 if p == 1 else 0
+                    elif model == "last":
+                        c = 1_000_000 if p == n else 0
+                    elif model == "linear":
+                        b = 1_000_000 // n
+                        c = b + (1_000_000 - n * b if p == n else 0)
+                    elif n == 1:
+                        c = 1_000_000
+                    elif n == 2:
+                        c = 500_000
+                    elif p in (1, n):
+                        c = 400_000
+                    else:
+                        b = 200_000 // (n - 2)
+                        c = b + (200_000 - (n - 2) * b if p == n - 1 else 0)
+                    out.append((u, i, i2, n, p, c))
+        return sorted(out)
+
+    for model in ("first", "last", "linear", "u"):
+        got = sorted(
+            (r.user_id, r.conv_id, r.touch_id, r.n_touches, r.position,
+             r.credit_ppm)
+            for r in multi_touch_attribution(
+                df, ["user_id"], "ts", "event_id", "event_type",
+                "purchase", ["view", "click"], 300, model,
+            ).collect()
+        )
+        assert got == brute(model), model
+        convs = len({(g[0], g[1]) for g in got})
+        assert sum(g[5] for g in got) == 1_000_000 * convs
+
+
+def test_multi_touch_attribution_window_edges_and_guards(spark):
+    """Strict precedence (same-instant touch excluded), inclusive
+    lookback start, out-of-window-only conversions STILL emit their
+    unattributed row (the time bound lives in the join condition),
+    and argument guards."""
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.operators.windows import (
+        multi_touch_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view"),    # exactly -60 min: in
+            (1, "2024-01-01 10:30:00", 2, "click"),   # in
+            (1, "2024-01-01 11:00:00", 3, "purchase"),  # same instant: conv
+            (1, "2024-01-01 11:00:00", 4, "view"),    # same instant: OUT
+            (2, "2024-01-01 05:00:00", 5, "view"),    # > lookback: OUT
+            (2, "2024-01-01 11:00:00", 6, "purchase"),  # unattributed
+        ],
+        "user_id int, ts string, event_id int, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        (r.conv_id, r.touch_id, r.n_touches, r.position, r.credit_ppm)
+        for r in multi_touch_attribution(
+            df, ["user_id"], "ts", "event_id", "event_type",
+            "purchase", ["view", "click"], 60, "linear",
+        ).collect()
+    )
+    assert out == [(3, 1, 2, 1, 500_000), (3, 2, 2, 2, 500_000),
+                   (6, None, 0, 0, 1_000_000)]
+    with _pt.raises(ValueError, match="lookback"):
+        multi_touch_attribution(
+            df, ["user_id"], "ts", "event_id", "event_type",
+            "purchase", ["view"], 0)
+    with _pt.raises(ValueError, match="model"):
+        multi_touch_attribution(
+            df, ["user_id"], "ts", "event_id", "event_type",
+            "purchase", ["view"], 60, model="shapley")
+    with _pt.raises(ValueError, match="touch_types"):
+        multi_touch_attribution(
+            df, ["user_id"], "ts", "event_id", "event_type",
+            "purchase", [], 60)
