@@ -1310,32 +1310,63 @@ def join_size_estimate(
     if width < 1 or depth < 1:
         raise ValueError("width and depth must be >= 1")
     key_col_b = key_col_b if key_col_b is not None else key_col_a
+    ta = cms_key_partials(a, key_col_a, width=width, depth=depth, salt=salt)
+    tb = cms_key_partials(b, key_col_b, width=width, depth=depth, salt=salt)
+    return cms_inner_product(ta, tb, depth=depth)
+
+
+def cms_key_partials(
+    df: DataFrame,
+    key_col: str,
+    width: int = 8192,
+    depth: int = 5,
+    salt: str = "jse",
+) -> DataFrame:
+    """One side's count-min table as ROWS — (hash_row, bucket, cnt):
+    the mergeable, incrementally-maintainable form (two partials for
+    the same (width, depth, salt) merge by plain cnt ADDITION; the
+    streaming `make_cms_sink` appends per-batch partials and the
+    reader sums).  md5 `hash_bucket` keys keep it engine-replayable.
+    One scan, depth-way posexplode, map-side combine caps the shuffle
+    at depth·width partials per partition."""
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
     from .curation import hash_bucket
 
-    def side(df: DataFrame, key: str) -> DataFrame:
-        k = F.col(key)
-        buckets = F.array(*[
-            hash_bucket(k, salt=f"{salt}:{i}:", buckets=width)
-            for i in range(depth)
-        ])
-        return (
-            df.filter(k.isNotNull())
-            .select(F.posexplode(buckets).alias("hash_row", "bucket"))
-            .groupBy("hash_row", "bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
-    ta = side(a, key_col_a)
-    tb = side(b, key_col_b).select(
+    k = F.col(key_col)
+    buckets = F.array(*[
+        hash_bucket(k, salt=f"{salt}:{i}:", buckets=width)
+        for i in range(depth)
+    ])
+    return (
+        df.filter(k.isNotNull())
+        .select(F.posexplode(buckets).alias("hash_row", "bucket"))
+        .groupBy("hash_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 5
+) -> DataFrame:
+    """Inner products of two `cms_key_partials` tables built with the
+    SAME (width, depth, salt): per-hash-row Σ cntA·cntB plus the
+    hash_row = −1 min summary — the join-size estimate.  The join is
+    (depth·width)-bounded; the one SinglePartition exchange is over
+    depth rows."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    tb = sketch_b.select(
         "hash_row", "bucket", F.col("cnt").alias("cnt_b")
     )
     prods = (
-        ta.join(tb, ["hash_row", "bucket"])
+        sketch_a.join(tb, ["hash_row", "bucket"])
         .groupBy("hash_row")
         .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("inner_product"))
     )
     # zero-overlap hash rows produce no join rows — restore them as 0
     # so the output always has depth rows + the min summary
-    rows = a.sparkSession.range(depth).select(
+    rows = sketch_a.sparkSession.range(depth).select(
         F.col("id").cast("int").alias("hash_row")
     )
     full = rows.join(prods, "hash_row", "left_outer").select(
@@ -1348,3 +1379,75 @@ def join_size_estimate(
         F.min("inner_product").cast("long").alias("inner_product"),
     )
     return full.unionByName(est)
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema discovery for a JSON-string payload column — the CDC
+    after-image explorer (reference payloads are Debezium-style JSON
+    objects; before you can parse with a schema you have to LEARN the
+    schema): one row per top-level key with presence, type-shape, and
+    cardinality counts, plus '__malformed__' / '__null__' total rows
+    so every input row is accounted for (Σ accounting is a table
+    invariant).
+
+    Per key: n_present (key present, incl. JSON null), n_null (JSON
+    null values), n_numeric (value try-casts to DOUBLE), n_bool
+    ('true'/'false'), n_object / n_array (nested payload — recurse
+    manually where these dominate), n_distinct (distinct non-null
+    value strings), present_ppm (exact integer share of VALID object
+    rows).  Value strings come from the engine's JSON extraction with
+    compact re-serialization for nested values — DuckDB's
+    json_extract_string emits the same compact form, so the profile
+    is engine-replayable.
+
+    Contract: only top-level JSON OBJECTS profile; top-level arrays/
+    scalars/broken strings all count '__malformed__' (Spark's
+    from_json(map) returns NULL for each — one consistent bucket).
+
+    Shape: one scan, one explode of per-row key arrays (cost Σ keys
+    per row), one (key)-grouped aggregate carrying distinct via a
+    count_distinct Expand — at 100 TB profile a SAMPLE (hash_sample)
+    first; the aggregate's key space is the JSON vocabulary, not
+    rows."""
+    j = F.col(json_col)
+    m = F.from_json(j, "map<string,string>")
+    base = df.select(j.alias("_j"), m.alias("_m")).localCheckpoint(
+        eager=False
+    )
+    n_null = base.filter(F.col("_j").isNull()).count()
+    n_malformed = base.filter(
+        F.col("_j").isNotNull() & F.col("_m").isNull()
+    ).count()
+    valid = base.filter(F.col("_m").isNotNull())
+    n_valid = valid.count()
+    kv = valid.select(F.explode("_m").alias("key", "v"))
+    denom = max(int(n_valid), 1)
+    per_key = kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.count(F.when(F.col("v").isNull(), 1)).cast("long")
+        .alias("n_null"),
+        F.count(F.when(F.expr("try_cast(v AS DOUBLE)").isNotNull(), 1))
+        .cast("long").alias("n_numeric"),
+        F.count(F.when(F.col("v").isin("true", "false"), 1))
+        .cast("long").alias("n_bool"),
+        F.count(F.when(F.col("v").startswith("{"), 1)).cast("long")
+        .alias("n_object"),
+        F.count(F.when(F.col("v").startswith("["), 1)).cast("long")
+        .alias("n_array"),
+        F.count_distinct(F.col("v")).cast("long").alias("n_distinct"),
+    ).withColumn(
+        "present_ppm",
+        F.expr(f"CAST(n_present * 1000000 div {denom} AS BIGINT)"),
+    )
+    spark = df.sparkSession
+    totals = spark.createDataFrame(
+        [("__malformed__", int(n_malformed)), ("__null__", int(n_null))],
+        "key string, n_present long",
+    ).select(
+        "key", "n_present",
+        *[F.lit(0).cast("long").alias(c) for c in
+          ("n_null", "n_numeric", "n_bool", "n_object", "n_array",
+           "n_distinct")],
+        F.lit(0).cast("long").alias("present_ppm"),
+    )
+    return per_key.unionByName(totals)

@@ -1044,6 +1044,46 @@ def a_stats_suite(spark, sf_dir):
             ),
             v_num=F.col("share_ppm").cast("double"),
         ),
+        # r9 'jprof': JSON payload schema discovery over a planted
+        # mixed column (props + malformed/string/nested/bool/null
+        # variants by event_id residue) — per-key presence, type
+        # shape, cardinality; '__malformed__'/'__null__' totals make
+        # the row accounting total
+        _suite_rows(
+            sketch_ops.json_key_profile(
+                ev.withColumn(
+                    "_pj",
+                    F.when(F.col("event_id") % 7 == 0, F.lit("not json"))
+                    .when(
+                        F.col("event_id") % 5 == 0,
+                        F.concat(
+                            F.lit('{"a": "'), F.col("event_type"),
+                            F.lit('", "n": '),
+                            F.col("user_id").cast("string"), F.lit("}"),
+                        ),
+                    )
+                    .when(
+                        F.col("event_id") % 3 == 0,
+                        F.lit('{"a": null, "arr": [1, 2], '
+                              '"o": {"x": 1}, "b": true}'),
+                    )
+                    .otherwise(F.col("props")),
+                ),
+                "_pj",
+            ),
+            "jprof",
+            F.col("key"),
+            v_str=F.concat_ws(
+                "|", F.col("n_present").cast("string"),
+                F.col("n_null").cast("string"),
+                F.col("n_numeric").cast("string"),
+                F.col("n_bool").cast("string"),
+                F.col("n_object").cast("string"),
+                F.col("n_array").cast("string"),
+                F.col("n_distinct").cast("string"),
+            ),
+            v_num=F.col("present_ppm").cast("double"),
+        ),
         # r9 'attr': u-shaped (40/20/40) multi-touch attribution —
         # purchases credited to view/click touches inside a 12 h
         # lookback; exact ppm credits summing to 1e6 per conversion,
@@ -3646,6 +3686,59 @@ FROM (
   UNION ALL
   SELECT -1, min(ip) FROM jip
 ) jserows
+"""
+
+
+A_STATS_SUITE_SQL += """
+UNION ALL
+SELECT 'jprof', key,
+       CAST(n_present AS VARCHAR) || '|' || CAST(n_null AS VARCHAR) || '|'
+         || CAST(n_numeric AS VARCHAR) || '|' || CAST(n_bool AS VARCHAR)
+         || '|' || CAST(n_object AS VARCHAR) || '|'
+         || CAST(n_array AS VARCHAR) || '|' || CAST(n_distinct AS VARCHAR),
+       CAST(present_ppm AS DOUBLE)
+FROM (
+  WITH pj AS (
+    SELECT CASE WHEN event_id % 7 = 0 THEN 'not json'
+                WHEN event_id % 5 = 0 THEN
+                  '{"a": "' || event_type || '", "n": '
+                    || CAST(user_id AS VARCHAR) || '}'
+                WHEN event_id % 3 = 0 THEN
+                  '{"a": null, "arr": [1, 2], "o": {"x": 1}, "b": true}'
+                ELSE props END AS j
+    FROM events
+  ),
+  pv AS (SELECT j FROM pj
+         WHERE j IS NOT NULL
+           AND CASE WHEN json_valid(j) THEN json_type(j) = 'OBJECT'
+                    ELSE FALSE END),
+  pnv AS (SELECT greatest(count(*), 1) AS n FROM pv),
+  pkv AS (SELECT k AS key, json_extract_string(j, '$.' || k) AS v
+          FROM pv, unnest(json_keys(j)) t(k))
+  SELECT key,
+         count(*) AS n_present,
+         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+         sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_numeric,
+         sum(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END)
+           AS n_bool,
+         sum(CASE WHEN v LIKE '{%' THEN 1 ELSE 0 END) AS n_object,
+         sum(CASE WHEN v LIKE '[%' THEN 1 ELSE 0 END) AS n_array,
+         count(DISTINCT v) AS n_distinct,
+         (count(*) * 1000000) // (SELECT n FROM pnv) AS present_ppm
+  FROM pkv GROUP BY key
+  UNION ALL
+  SELECT '__malformed__',
+         (SELECT count(*) FROM pj
+          WHERE j IS NOT NULL
+            AND NOT CASE WHEN json_valid(j)
+                         THEN json_type(j) = 'OBJECT'
+                         ELSE FALSE END),
+         0, 0, 0, 0, 0, 0, 0
+  UNION ALL
+  SELECT '__null__', (SELECT count(*) FROM pj WHERE j IS NULL),
+         0, 0, 0, 0, 0, 0, 0
+) jprofrows
 """
 
 

@@ -871,6 +871,54 @@ def make_profile_sink(
     return sink
 
 
+def make_cms_sink(
+    sketch_path: str,
+    key_col: str,
+    width: int = 8192,
+    depth: int = 5,
+    salt: str = "jse",
+):
+    """foreachBatch sink maintaining a rolling count-min key sketch
+    (operators/sketch.cms_key_partials): each micro-batch writes ITS
+    OWN (hash_row, bucket, cnt) partials under ``batch_id=N`` — CMS
+    cells merge by plain addition, so appending a batch IS the sketch
+    merge and `read_cms_sketch` just sums across batch dirs.  The
+    stream's join-size against any other sketch (static dimension,
+    another stream's sink) is then `cms_inner_product` over two
+    KB-sized tables — the continuously-maintained 100 TB join
+    pre-flight, no key-distinct shuffle ever.
+
+    Per-batch write is ≤ depth·width rows regardless of batch size
+    (usually far less).  batch_id-scoped overwrite ⇒ idempotent crash
+    replay (the admission-sink contract).  Width/depth/salt are part
+    of the PATH's layout contract — never mix parameters under one
+    path (bucket ids from different widths would sum nonsense);
+    `read_cms_sketch` cannot detect the mix, so treat a parameter
+    change as a new path."""
+    from ..operators.sketch import cms_key_partials
+
+    def sink(batch_df, batch_id: int) -> None:
+        part = cms_key_partials(
+            batch_df, key_col, width=width, depth=depth, salt=salt
+        )
+        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{sketch_path}/batch_id={batch_id}"
+        )
+
+    return sink
+
+
+def read_cms_sketch(spark, sketch_path: str):
+    """Merged sketch view of a `make_cms_sink` table: per-batch
+    partials summed into one (hash_row, bucket, cnt) table — feed to
+    `cms_inner_product` (bucket-cardinality-bounded read)."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("hash_row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 def make_scd2_sink(
     history_path: str,
     key_cols: list[str],

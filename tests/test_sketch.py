@@ -753,3 +753,64 @@ def test_join_size_estimate_plan_bounded_shuffles(spark):
         nested_loop_joins=0,
     )
     assert facts["hash_aggregates"] >= 4  # partial+final per side
+
+
+def test_json_key_profile_edges_vs_python_replay(spark):
+    """Per-key presence/type/cardinality vs a pure-Python json
+    replay, including the edge bucket contract: top-level arrays,
+    scalars, bare 'null' and broken strings all count
+    '__malformed__'; NULL inputs count '__null__'; every input row
+    is accounted for."""
+    import json
+    from collections import defaultdict
+
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+
+    rows = [
+        ('{"a": 1, "b": "x", "c": null, "d": {"e": 2}, '
+         '"f": [1,2], "g": true}',),
+        ('{"a": 2.5, "b": ""}',),
+        ('{"a": "7"}',),  # string "7" is numeric-LIKE by contract
+        (None,), ("not json",), ("[1,2]",), ("null",), ("42",),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    got = {r.key: tuple(r)[1:] for r in K.json_key_profile(df, "j").collect()}
+    valid = []
+    for (s,) in rows:
+        if s is None:
+            continue
+        try:
+            o = json.loads(s)
+            if isinstance(o, dict):
+                valid.append(o)
+        except ValueError:
+            pass
+    assert got["__null__"][0] == 1 and got["__malformed__"][0] == 4
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0, set()])
+    for o in valid:
+        for k, v in o.items():
+            a = agg[k]
+            a[0] += 1
+            if v is None:
+                a[1] += 1
+                continue
+            sv = (
+                v if isinstance(v, str)
+                else json.dumps(v, separators=(",", ":"))
+            )
+            try:
+                float(sv)
+                a[2] += 1
+            except ValueError:
+                pass
+            a[3] += sv in ("true", "false")
+            a[4] += sv.startswith("{")
+            a[5] += sv.startswith("[")
+            a[6].add(sv)
+    for k, a in agg.items():
+        assert got[k] == (
+            a[0], a[1], a[2], a[3], a[4], a[5], len(a[6]),
+            a[0] * 1_000_000 // len(valid),
+        ), k
+    # row accounting: Σ per-key n_present ≤ keys·valid; totals exact
+    assert sum(1 for k in got if not k.startswith("__")) == len(agg)
