@@ -1017,3 +1017,94 @@ def fuzzy_join(
         )
         .drop("_a", "_b")
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    field_weights: dict[str, tuple[float, float]] | None = None,
+    max_dist: int = 2,
+    q: int = 2,
+    match_micro: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end entity resolution over ONE record table — the
+    composition the engine's parts exist for, packaged: `fuzzy_join`
+    blocks candidate pairs by name edit distance (never n²),
+    `record_linkage_score` weighs the other fields (Fellegi–Sunter
+    integer log-odds; skipped when `field_weights` is None — name
+    distance alone decides), `connected_components` closes the
+    transitive hull (A≈B≈C is ONE entity even when A and C differ by
+    more than `max_dist`), and each cluster's MINIMUM id becomes the
+    entity id.
+
+    Output: the input rows + (entity_id, entity_size, is_canonical) —
+    `is_canonical` marks the survivor row (the minimum id; swap in a
+    quality-ranked survivor by re-ranking within entity_id, the
+    dedup survivor-policy pattern).  Singletons keep their own id
+    with entity_size 1; NULL names never match (they resolve to
+    themselves).  Σ entity_size over canonical rows = row count — a
+    DQ-pinnable totality invariant.
+
+    When `field_weights` is given, `match_micro` is required: pairs
+    below it are dropped BEFORE the hull closes (a 'possible' tier
+    for clerical review is `record_linkage_score`'s three-way rule —
+    run it separately; resolution needs a hard decision).
+
+    Scale: candidate generation is fuzzy_join's vocabulary-priced
+    lanes; scoring is per-pair column arithmetic; the hull is the
+    edge-list min-label loop.  The one loud failure mode is a
+    TOO-LOOSE blocker (high max_dist on short names) chaining
+    everything into one mega-entity — components raises past
+    `max_iter` rounds rather than returning a half-propagated hull."""
+    if (field_weights is None) != (match_micro is None):
+        raise ValueError(
+            "field_weights and match_micro come together: weights "
+            "need a decision threshold, a threshold needs weights"
+        )
+    from .dedup import connected_components
+
+    fields = sorted(field_weights) if field_weights else []
+    for f in fields:
+        if f == id_col or f == name_col:
+            raise ValueError(
+                f"scored field {f!r} collides with id/name column"
+            )
+    a = df.select(
+        F.col(id_col).alias("_id_a"),
+        F.col(name_col).alias("_nm_a"),
+        *[F.col(f).alias(f"{f}_a") for f in fields],
+    )
+    b = df.select(
+        F.col(id_col).alias("_id_b"),
+        F.col(name_col).alias("_nm_b"),
+        *[F.col(f).alias(f"{f}_b") for f in fields],
+    )
+    pairs = fuzzy_join(a, b, "_nm_a", "_nm_b", max_dist=max_dist, q=q) \
+        .filter(F.col("_id_a") < F.col("_id_b"))
+    if field_weights:
+        scored = record_linkage_score(pairs, field_weights)
+        pairs = scored.filter(F.col("score_micro") >= int(match_micro))
+    edges = pairs.select("_id_a", "_id_b")
+    labels = connected_components(
+        edges, "_id_a", "_id_b", max_iter=max_iter
+    ).select(
+        F.col("id").alias("_rid"), F.col("cluster_id").alias("_eid")
+    )
+    out = df.join(
+        labels, df[id_col] == labels["_rid"], "left_outer"
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("_eid"), df[id_col]).alias("entity_id"),
+    )
+    w = Window.partitionBy("entity_id")
+    return (
+        out.withColumn(
+            "entity_size", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .withColumn(
+            "is_canonical",
+            F.col(id_col) == F.min(id_col).over(w),
+        )
+    )

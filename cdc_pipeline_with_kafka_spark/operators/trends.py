@@ -378,3 +378,159 @@ def seasonal_anomaly(
     return sized.withColumn("n_slot", F.col("_n")).withColumn(
         "z", z
     ).drop("_qx", "_s", "_q", "_n")
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha_ppm: int = 200_000,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the SPC
+    smoother next to `cusum_changepoints` (Roberts 1959; the EWMA
+    control-chart statistic), as an EXACT integer recursion with no
+    IEEE seam anywhere:
+
+        x_micro = round(value·1e6);  s_1 = x_1
+        s_t = trunc((α·x_t + (1e6 − α)·s_{t−1}) / 1e6),  α = alpha_ppm
+
+    Division TRUNCATES toward zero — the semantics Spark's ``div``
+    and DuckDB's integer ``//`` share — implemented sign-safely in
+    the kernel (negate, floor-divide the magnitude, negate back), so
+    negative series replay identically on every engine (the cusum
+    sign-trap class, closed by construction).  resid_micro = x_t − s_{t−1} (0 at
+    the first point) is the one-step-ahead residual the control
+    chart thresholds.
+
+    A sequential recursion is NOT a window function (the
+    s_{t−1} coefficient (1−α) compounds), so this is the engine's
+    documented Arrow seam: one `applyInPandas` per key group with a
+    Python big-int loop — exact at any magnitude, and the ONLY
+    non-columnar hot path in the trends module.  Rows with NULL
+    values are excluded (they have no place in a recursion; profile
+    them upstream).  Bound: |value|·1e6 must fit BIGINT.
+
+    Shape: one key-partitioned shuffle (the applyInPandas exchange);
+    each group sorts its own rows by `order_cols` inside the kernel.
+    100 TB: state per key is one running integer — group size is the
+    SERIES length, so shard long series by (key, coarse window) and
+    chain the last s across shards if a single key's history exceeds
+    executor memory."""
+    if not 0 < alpha_ppm <= 1_000_000:
+        raise ValueError("alpha_ppm must be in (0, 1e6]")
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    import pandas as pd
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    a = int(alpha_ppm)
+    base = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "_xm",
+        F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)"),
+    )
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    )
+    out_schema = f"{fields}, ewma_micro bigint, resid_micro bigint"
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        s = None
+        sm, rm = [], []
+        for x in pdf["_xm"]:
+            xi = int(x)
+            if s is None:
+                rm.append(0)
+                s = xi
+            else:
+                rm.append(xi - s)
+                num = a * xi + (1_000_000 - a) * s
+                s = (
+                    num // 1_000_000 if num >= 0
+                    else -((-num) // 1_000_000)
+                )
+            sm.append(s)
+        pdf["ewma_micro"] = pd.Series(sm, dtype="int64")
+        pdf["resid_micro"] = pd.Series(rm, dtype="int64")
+        return pdf
+
+    return base.groupBy(*keys).applyInPandas(kernel, out_schema).drop("_xm")
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha_ppm: int = 200_000,
+    beta_ppm: int = 100_000,
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing per key —
+    `ewma`'s sibling for series with drift (Holt 1957): level AND
+    trend states, same exact integer-micro recursion contract
+    (sign-safe truncating division, no IEEE seam, engine-replayable
+    by a recursive CTE):
+
+        s_1 = x_1,  b_1 = 0
+        s_t = trunc((α·x_t + (1e6−α)·(s_{t−1} + b_{t−1})) / 1e6)
+        b_t = trunc((β·(s_t − s_{t−1}) + (1e6−β)·b_{t−1}) / 1e6)
+
+    Output adds (level_micro, trend_micro, forecast_micro) —
+    forecast = s_t + b_t, the one-step-ahead prediction whose
+    residual against x_{t+1} is the drift-aware anomaly signal
+    (`ewma`'s residual lags under trend; this one doesn't).  b_1 = 0
+    is the documented initialization (warm-up bias decays at rate
+    1−β; pin a calibration window upstream if the first points
+    matter).  NULL values excluded; |value|·1e6 must fit BIGINT.
+
+    Shape: identical to `ewma` — one key-partitioned applyInPandas,
+    two running integers of state per key."""
+    if not 0 < alpha_ppm <= 1_000_000:
+        raise ValueError("alpha_ppm must be in (0, 1e6]")
+    if not 0 <= beta_ppm <= 1_000_000:
+        raise ValueError("beta_ppm must be in [0, 1e6]")
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    import pandas as pd
+
+    keys, order = list(key_cols), list(order_cols)
+    a, bt = int(alpha_ppm), int(beta_ppm)
+
+    def tdiv(num: int) -> int:
+        return num // 1_000_000 if num >= 0 else -((-num) // 1_000_000)
+
+    base = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "_xm",
+        F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)"),
+    )
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    )
+    out_schema = (
+        f"{fields}, level_micro bigint, trend_micro bigint, "
+        "forecast_micro bigint"
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        s = b = None
+        ls, ts, fs = [], [], []
+        for x in pdf["_xm"]:
+            xi = int(x)
+            if s is None:
+                s, b = xi, 0
+            else:
+                prev = s
+                s = tdiv(a * xi + (1_000_000 - a) * (s + b))
+                b = tdiv(bt * (s - prev) + (1_000_000 - bt) * b)
+            ls.append(s)
+            ts.append(b)
+            fs.append(s + b)
+        pdf["level_micro"] = pd.Series(ls, dtype="int64")
+        pdf["trend_micro"] = pd.Series(ts, dtype="int64")
+        pdf["forecast_micro"] = pd.Series(fs, dtype="int64")
+        return pdf
+
+    return base.groupBy(*keys).applyInPandas(kernel, out_schema).drop("_xm")

@@ -1044,6 +1044,39 @@ def a_stats_suite(spark, sf_dir):
             ),
             v_num=F.col("share_ppm").cast("double"),
         ),
+        # r9 'ewma': exponential smoothing per event_type (every 5th
+        # event id keeps the recursive oracle cheap) — EXACT integer
+        # micro recursion, sign-safe truncating division, Arrow
+        # kernel vs a DuckDB RECURSIVE CTE replay; ewma + one-step
+        # residual both value-checked
+        _suite_rows(
+            trends.ewma(
+                ev.filter(F.col("event_id") % 5 == 0),
+                ["event_type"], ["ts", "event_id"], "value", 200_000,
+            ),
+            "ewma",
+            F.col("event_id").cast("string"),
+            v_str=F.col("resid_micro").cast("string"),
+            v_num=F.col("ewma_micro").cast("double"),
+        ),
+        # r9 'holt': Holt double-exponential (level + trend) over the
+        # same downsampled series — two-state integer recursion,
+        # level/trend/forecast all value-checked against the
+        # recursive-CTE replay
+        _suite_rows(
+            trends.holt_smoothing(
+                ev.filter(F.col("event_id") % 5 == 0),
+                ["event_type"], ["ts", "event_id"], "value",
+                250_000, 150_000,
+            ),
+            "holt",
+            F.col("event_id").cast("string"),
+            v_str=F.concat_ws(
+                "|", F.col("level_micro").cast("string"),
+                F.col("trend_micro").cast("string"),
+            ),
+            v_num=F.col("forecast_micro").cast("double"),
+        ),
         # r9 'jprof': JSON payload schema discovery over a planted
         # mixed column (props + malformed/string/nested/bool/null
         # variants by event_id residue) — per-key presence, type
@@ -3739,6 +3772,72 @@ FROM (
   SELECT '__null__', (SELECT count(*) FROM pj WHERE j IS NULL),
          0, 0, 0, 0, 0, 0, 0
 ) jprofrows
+"""
+
+
+A_STATS_SUITE_SQL += """
+UNION ALL
+SELECT 'ewma', CAST(id AS VARCHAR), CAST(resid AS VARCHAR),
+       CAST(s AS DOUBLE)
+FROM (
+  WITH RECURSIVE ewbase AS (
+    SELECT event_type AS g, event_id AS id,
+           CAST(round(value * 1000000, 0) AS BIGINT) AS xm,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE value IS NOT NULL AND event_id % 5 = 0
+  ),
+  ewrec AS (
+    SELECT g, id, xm, rn, xm AS s, CAST(0 AS BIGINT) AS resid
+    FROM ewbase WHERE rn = 1
+    UNION ALL
+    SELECT b.g, b.id, b.xm, b.rn,
+           CASE WHEN 200000 * b.xm + 800000 * r.s >= 0
+                THEN (200000 * b.xm + 800000 * r.s) // 1000000
+                ELSE -((-(200000 * b.xm + 800000 * r.s)) // 1000000)
+           END,
+           b.xm - r.s
+    FROM ewbase b JOIN ewrec r ON b.g = r.g AND b.rn = r.rn + 1
+  )
+  SELECT id, s, resid FROM ewrec
+) ewmarows
+"""
+
+
+A_STATS_SUITE_SQL += """
+UNION ALL
+SELECT 'holt', CAST(id AS VARCHAR),
+       CAST(s AS VARCHAR) || '|' || CAST(b AS VARCHAR),
+       CAST(s + b AS DOUBLE)
+FROM (
+  WITH RECURSIVE hbase AS (
+    SELECT event_type AS g, event_id AS id,
+           CAST(round(value * 1000000, 0) AS BIGINT) AS xm,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE value IS NOT NULL AND event_id % 5 = 0
+  ),
+  hrec AS (
+    SELECT g, id, xm, rn, xm AS s, CAST(0 AS BIGINT) AS b
+    FROM hbase WHERE rn = 1
+    UNION ALL
+    SELECT q.g, q.t_id, q.xm, q.rn, q.s2,
+           CASE WHEN 150000 * (q.s2 - q.s) + 850000 * q.b >= 0
+                THEN (150000 * (q.s2 - q.s) + 850000 * q.b) // 1000000
+                ELSE -((-(150000 * (q.s2 - q.s) + 850000 * q.b))
+                       // 1000000) END
+    FROM (
+      SELECT bb.g, bb.id AS t_id, bb.xm, bb.rn, r.s, r.b,
+             CASE WHEN 250000 * bb.xm + 750000 * (r.s + r.b) >= 0
+                  THEN (250000 * bb.xm + 750000 * (r.s + r.b))
+                       // 1000000
+                  ELSE -((-(250000 * bb.xm + 750000 * (r.s + r.b)))
+                         // 1000000) END AS s2
+      FROM hbase bb JOIN hrec r ON bb.g = r.g AND bb.rn = r.rn + 1
+    ) q
+  )
+  SELECT id, s, b FROM hrec
+) holtrows
 """
 
 

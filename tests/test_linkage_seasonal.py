@@ -165,3 +165,141 @@ def test_drift_sink_guards(spark, tmp_path):
     batch = spark.createDataFrame([(i,) for i in range(70)], "v int")
     with pytest.raises(ValueError, match="quantize"):
         sink(batch, 0)
+
+
+def test_ewma_integer_recursion_vs_python_replay(spark):
+    """EWMA as the exact integer-micro recursion with sign-safe
+    TRUNCATING division: every smoothed value and one-step residual
+    matches a pure-Python big-int replay on a randomized series with
+    negatives and NULLs (excluded); guards on alpha/order."""
+    import random
+
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.operators.trends import ewma
+
+    rng = random.Random(9)
+    rows = []
+    for g in ("a", "b"):
+        for t in range(60):
+            v = round(rng.uniform(-50, 50), 2)
+            rows.append((g, t, v if rng.random() > 0.05 else None))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {
+        (r.g, r.t): (r.ewma_micro, r.resid_micro)
+        for r in ewma(df, ["g"], ["t"], "v", 300_000).collect()
+    }
+    exp = {}
+    for g in ("a", "b"):
+        s = None
+        for gg, t, v in rows:
+            if gg != g or v is None:
+                continue
+            xm = int(round(v * 1_000_000))
+            if s is None:
+                r = 0
+                s = xm
+            else:
+                r = xm - s
+                num = 300_000 * xm + 700_000 * s
+                s = num // 1_000_000 if num >= 0 else -((-num) // 1_000_000)
+            exp[(g, t)] = (s, r)
+    assert got == exp
+    with _pt.raises(ValueError, match="alpha"):
+        ewma(df, ["g"], ["t"], "v", 0)
+    with _pt.raises(ValueError, match="order_cols"):
+        ewma(df, ["g"], [], "v")
+
+
+def test_resolve_entities_transitive_hull_and_field_split(spark):
+    """End-to-end entity resolution: typo chain A≈B≈C resolves to ONE
+    entity though A and C exceed max_dist; same-name records with
+    disagreeing fields split under Fellegi–Sunter weights; NULL names
+    and singletons self-resolve; Σ entity_size over canonical rows =
+    row count (totality)."""
+    from cdc_pipeline_with_kafka_spark.operators.relational import (
+        resolve_entities,
+    )
+
+    rows = [
+        (1, "acme corp", "NY", 100.0),
+        (2, "acme corp.", "NY", 100.0),
+        (3, "acme corpse", "NY", 100.0),
+        (4, "zenith ltd", "CA", 5.0),
+        (5, "zenith ltd", "TX", 7.0),
+        (6, "unrelated co", "WA", 3.0),
+        (7, None, "WA", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, region string, bal double")
+    out = {
+        r.id: (r.entity_id, r.entity_size, r.is_canonical)
+        for r in resolve_entities(df, "id", "name", max_dist=2).collect()
+    }
+    assert out[1] == (1, 3, True) and out[2][0] == out[3][0] == 1
+    assert out[4] == (4, 2, True) and out[5] == (4, 2, False)
+    assert out[6] == (6, 1, True) and out[7] == (7, 1, True)
+    assert sum(v[1] for v in out.values() if v[2]) == len(rows)
+    out2 = {
+        r.id: r.entity_id
+        for r in resolve_entities(
+            df, "id", "name",
+            field_weights={"region": (0.95, 0.05), "bal": (0.9, 0.05)},
+            max_dist=2, match_micro=1_000_000,
+        ).collect()
+    }
+    assert out2[1] == out2[2] == out2[3] == 1
+    assert out2[4] == 4 and out2[5] == 5  # field evidence splits them
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="together"):
+        resolve_entities(df, "id", "name",
+                         field_weights={"region": (0.9, 0.1)})
+
+
+def test_holt_smoothing_level_trend_vs_python_replay(spark):
+    """Holt double-exponential: level/trend/forecast match the exact
+    integer big-int replay on a drifting noisy series with NULLs;
+    trend state tracks the planted slope; guards."""
+    import random
+
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.operators.trends import holt_smoothing
+
+    rng = random.Random(21)
+    rows = []
+    for g in ("a", "b"):
+        for t in range(60):
+            v = round(0.8 * t + rng.uniform(-20, 20), 2)
+            rows.append((g, t, v if rng.random() > 0.04 else None))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    A, B = 250_000, 150_000
+    got = {
+        (r.g, r.t): (r.level_micro, r.trend_micro, r.forecast_micro)
+        for r in holt_smoothing(df, ["g"], ["t"], "v", A, B).collect()
+    }
+
+    def tdiv(n):
+        return n // 1_000_000 if n >= 0 else -((-n) // 1_000_000)
+
+    exp = {}
+    for g in ("a", "b"):
+        s = b = None
+        for gg, t, v in rows:
+            if gg != g or v is None:
+                continue
+            xm = int(round(v * 1_000_000))
+            if s is None:
+                s, b = xm, 0
+            else:
+                prev = s
+                s = tdiv(A * xm + (1_000_000 - A) * (s + b))
+                b = tdiv(B * (s - prev) + (1_000_000 - B) * b)
+            exp[(g, t)] = (s, b, s + b)
+    assert got == exp
+    # drift capture: late trend states sit near the planted slope
+    # (0.8/step → 800000 micro), not near zero
+    late = [v[1] for (g, t), v in got.items() if t > 40]
+    assert sum(late) / len(late) > 400_000
+    with _pt.raises(ValueError, match="beta"):
+        holt_smoothing(df, ["g"], ["t"], "v", 100_000, 2_000_000)
