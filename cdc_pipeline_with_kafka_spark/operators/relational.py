@@ -891,6 +891,7 @@ def fuzzy_join(
     right_col: str,
     max_dist: int = 2,
     q: int = 2,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Edit-distance (Levenshtein) join without the cross product —
     the fuzzy field matcher `record_linkage_score` composes with for
@@ -914,6 +915,17 @@ def fuzzy_join(
     strings of each side (the shuffle carries vocabulary, not rows),
     and matching pairs join back to the row tables at the end — 100
     TB row counts pay two hash joins, never the pairing itself.
+
+    `max_gram_df` prunes hot-gram postings (grams shared by more
+    than that many distinct strings, both sides pooled) — the
+    Σ|posting|² skew killer — WITHOUT losing exactness, unlike
+    ngram_jaccard_pairs' recall-trading cap: the count threshold
+    relaxes by the pair's smaller hot-gram count (a true pair hides
+    at most min(h_a, h_b) shared grams in the dropped set), and
+    strings whose kept-gram count ≤ max_dist·q reroute to the
+    length-band lane.  The hot set is ≤ Σ|grams| / max_gram_df
+    entries and broadcasts.  Results are IDENTICAL with or without
+    the cap (pinned by the parity test); only the plan changes.
 
     Output: left rows × right rows for matching pairs + (dist).
     NULL keys never match.
@@ -949,24 +961,59 @@ def fuzzy_join(
     ).withColumn("_lenb", F.length("_b")).localCheckpoint(eager=False)
 
     floor_g = max_dist * q
-    # LONG lane: gram-count filter bites (|G| > d·q on BOTH sides)
-    a_long = A.filter(F.col("_ca") > floor_g).select(
-        "_a", "_ca", F.explode("_ga").alias("_g")
+    if max_gram_df is not None:
+        # SOUND hot-gram pruning: drop postings of grams shared by
+        # more than `max_gram_df` distinct strings (both sides
+        # pooled).  Unlike ngram_jaccard_pairs' recall-trading cap,
+        # exactness is PRESERVED: with h_s = s's hot-gram count, a
+        # true pair still shares ≥ max(ca, cb) − d·q − min(ha, hb)
+        # KEPT grams (each side can hide at most its own hot grams),
+        # so the count filter relaxes by least(ha, hb); strings whose
+        # KEPT count ≤ d·q (where that bound stops guaranteeing a
+        # shared kept posting) reroute to the length-band lane.
+        hot = (
+            A.select(F.explode("_ga").alias("_g"))
+            .unionByName(B.select(F.explode("_gb").alias("_g")))
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > int(max_gram_df))
+            .select("_g")
+            .localCheckpoint(eager=False)
+        )
+        hot_set = hot.agg(F.collect_set("_g").alias("hs"))
+        A = A.crossJoin(F.broadcast(hot_set)).withColumn(
+            "_ka", F.array_except("_ga", F.col("hs"))
+        ).withColumn("_ha", F.col("_ca") - F.size("_ka")).drop("hs")
+        B = B.crossJoin(F.broadcast(hot_set)).withColumn(
+            "_kb", F.array_except("_gb", F.col("hs"))
+        ).withColumn("_hb", F.col("_cb") - F.size("_kb")).drop("hs")
+    else:
+        A = A.withColumn("_ka", F.col("_ga")).withColumn(
+            "_ha", F.lit(0)
+        )
+        B = B.withColumn("_kb", F.col("_gb")).withColumn(
+            "_hb", F.lit(0)
+        )
+    # LONG lane: gram-count filter bites (KEPT |G| > d·q on BOTH
+    # sides; with no cap kept ≡ all and _h ≡ 0)
+    a_long = A.filter(F.col("_ca") - F.col("_ha") > floor_g).select(
+        "_a", "_ca", "_ha", F.explode("_ka").alias("_g")
     )
-    b_long = B.filter(F.col("_cb") > floor_g).select(
-        "_b", "_cb", F.explode("_gb").alias("_g")
+    b_long = B.filter(F.col("_cb") - F.col("_hb") > floor_g).select(
+        "_b", "_cb", "_hb", F.explode("_kb").alias("_g")
     )
     shared = a_long.join(b_long, "_g").groupBy(
-        "_a", "_b", "_ca", "_cb"
+        "_a", "_b", "_ca", "_cb", "_ha", "_hb"
     ).agg(F.count(F.lit(1)).alias("_shared"))
     long_cand = shared.filter(
         F.col("_shared")
         >= F.greatest(F.col("_ca"), F.col("_cb")) - F.lit(floor_g)
+        - F.least(F.col("_ha"), F.col("_hb"))
     ).select("_a", "_b")
     # SHORT lane: either side short → exact-length-bucket expansion
     # (a pair can't match unless the OTHER side is within d length,
     # i.e. also short+d — bounded strings, bounded lane)
-    a_short = A.filter(F.col("_ca") <= floor_g).select(
+    a_short = A.filter(F.col("_ca") - F.col("_ha") <= floor_g).select(
         "_a",
         F.explode(
             F.sequence(
@@ -983,7 +1030,7 @@ def fuzzy_join(
     # is short; a LONG-A/short-B true pair has |len diff| ≤ d, so A
     # len ≤ shortlen + d ⇒ |G(A)| ≤ lenA + q − 1 ≤ floor_g is NOT
     # guaranteed — cover it by a mirrored short lane on B
-    b_short = B.filter(F.col("_cb") <= floor_g).select(
+    b_short = B.filter(F.col("_cb") - F.col("_hb") <= floor_g).select(
         "_b",
         F.explode(
             F.sequence(

@@ -1414,12 +1414,19 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
     base = df.select(j.alias("_j"), m.alias("_m")).localCheckpoint(
         eager=False
     )
-    n_null = base.filter(F.col("_j").isNull()).count()
-    n_malformed = base.filter(
-        F.col("_j").isNotNull() & F.col("_m").isNull()
-    ).count()
+    # one aggregate job for all three totals (null / malformed /
+    # valid) — not three filtered counts over the checkpoint
+    tot = base.agg(
+        F.count(F.when(F.col("_j").isNull(), 1)).alias("n_null"),
+        F.count(
+            F.when(F.col("_j").isNotNull() & F.col("_m").isNull(), 1)
+        ).alias("n_malformed"),
+        F.count(F.when(F.col("_m").isNotNull(), 1)).alias("n_valid"),
+    ).first()
+    n_null, n_malformed, n_valid = (
+        tot["n_null"], tot["n_malformed"], tot["n_valid"]
+    )
     valid = base.filter(F.col("_m").isNotNull())
-    n_valid = valid.count()
     kv = valid.select(F.explode("_m").alias("key", "v"))
     denom = max(int(n_valid), 1)
     per_key = kv.groupBy("key").agg(

@@ -950,3 +950,40 @@ def test_fuzzy_join_plan_and_guards(spark):
         relational.fuzzy_join(L, R, "name", "rname", max_dist=-1)
     with _pt.raises(ValueError, match="q must"):
         relational.fuzzy_join(L, R, "name", "rname", q=0)
+
+
+def test_fuzzy_join_hot_gram_cap_is_lossless(spark):
+    """max_gram_df prunes hot postings WITHOUT changing results: on a
+    2-letter alphabet (every gram hot) the capped plans — including
+    cap=1 — return exactly the uncapped/oracle pairs, because the
+    count threshold relaxes by min(h_a, h_b) and kept-short strings
+    reroute to the length-band lane."""
+    import random
+
+    rng = random.Random(42)
+
+    def mk(n):
+        return [
+            "".join(rng.choice("ab") for _ in range(rng.randint(0, 10)))
+            for _ in range(n)
+        ]
+
+    A, B = mk(30) + [None], mk(30)
+    L = spark.createDataFrame(list(enumerate(A)), "lid int, name string")
+    R = spark.createDataFrame(list(enumerate(B)), "rid int, rname string")
+    oracle = sorted(
+        (r.lid, r.rid, r.d)
+        for r in L.crossJoin(R)
+        .filter(F.col("name").isNotNull())
+        .select("lid", "rid", F.levenshtein("name", "rname").alias("d"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    )
+    for cap in (None, 1, 5):
+        got = sorted(
+            (r.lid, r.rid, r.dist)
+            for r in relational.fuzzy_join(
+                L, R, "name", "rname", max_dist=2, q=2, max_gram_df=cap
+            ).collect()
+        )
+        assert got == oracle, cap
