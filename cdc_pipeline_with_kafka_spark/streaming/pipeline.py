@@ -1348,3 +1348,131 @@ def compact_comoments(spark, table_path: str, group_cols: list[str]) -> None:
     spark.createDataFrame(rows, merged.schema).write.mode(
         "overwrite"
     ).parquet(f"{table_path}/batch_id=-1")
+
+
+def make_ewma_sink(
+    out_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha_ppm: int = 200_000,
+):
+    """foreachBatch EWMA maintenance — the `trends.ewma` docstring's
+    'chain the last s across shards' made automatic: each micro-batch
+    seeds every key's recursion from the key's LATEST persisted state
+    (the exact integer-micro s), smooths only the batch's rows, and
+    writes smoothed rows under ``rows/batch_id=N`` plus the updated
+    per-key states under ``state/batch_id=N``.  A 100 TB stream's
+    smoother therefore never re-reads history: per batch the work is
+    O(batch rows) + a touched-keys-sized state join.
+
+    Contract: cross-batch order monotonicity on `order_cols` per key
+    (the CDC offset contract the SCD2 sink shares) — a late row
+    belonging before the persisted state would need re-smoothing
+    from its position; route late data through a watermarked upstream
+    if that matters.  Replay: seeding EXCLUDES states with
+    batch_id ≥ the replayed id, so re-running the newest batch is
+    byte-identical (batch_id-scoped overwrite, the admission-sink
+    contract).  N-batch incremental ≡ one-shot `trends.ewma` on the
+    concatenated stream is pytest-pinned."""
+    if not 0 < alpha_ppm <= 1_000_000:
+        raise ValueError("alpha_ppm must be in (0, 1e6]")
+    a = int(alpha_ppm)
+    keys, order = list(key_cols), list(order_cols)
+
+    def sink(batch_df, batch_id: int) -> None:
+        import pandas as pd
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        try:
+            states = spark.read.parquet(f"{out_path}/state")
+            seed = (
+                states.filter(F.col("ewma_batch_id") < int(batch_id))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy(*keys).orderBy(
+                            F.col("ewma_batch_id").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select(*keys, F.col("ewma_micro").alias("_s0"))
+            )
+        except Exception:
+            seed = None
+        base = batch_df.filter(F.col(value_col).isNotNull()).withColumn(
+            "_xm",
+            F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)"),
+        )
+        if seed is not None:
+            base = base.join(seed, keys, "left_outer")
+        else:
+            base = base.withColumn("_s0", F.lit(None).cast("bigint"))
+        fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in base.schema.fields
+        )
+        out_schema = f"{fields}, ewma_micro bigint, resid_micro bigint"
+
+        def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(order, kind="mergesort").reset_index(
+                drop=True
+            )
+            s0 = pdf["_s0"].iloc[0]
+            s = None if pd.isna(s0) else int(s0)
+            sm, rm = [], []
+            for x in pdf["_xm"]:
+                xi = int(x)
+                if s is None:
+                    rm.append(0)
+                    s = xi
+                else:
+                    rm.append(xi - s)
+                    num = a * xi + (1_000_000 - a) * s
+                    s = (
+                        num // 1_000_000 if num >= 0
+                        else -((-num) // 1_000_000)
+                    )
+                sm.append(s)
+            pdf["ewma_micro"] = pd.Series(sm, dtype="int64")
+            pdf["resid_micro"] = pd.Series(rm, dtype="int64")
+            return pdf
+
+        smoothed = (
+            base.groupBy(*keys)
+            .applyInPandas(kernel, out_schema)
+            .drop("_xm", "_s0")
+            .localCheckpoint(eager=True)
+        )
+        smoothed.write.mode("overwrite").parquet(
+            f"{out_path}/rows/batch_id={batch_id}"
+        )
+        new_state = (
+            smoothed.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*keys).orderBy(
+                        *[F.col(c).desc() for c in order]
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                *keys, "ewma_micro",
+                F.lit(int(batch_id)).alias("ewma_batch_id"),
+            )
+        )
+        new_state.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/state/batch_id={batch_id}")
+
+    return sink
+
+
+def read_ewma_rows(spark, out_path: str):
+    """All smoothed rows of a `make_ewma_sink` table (union of batch
+    dirs — per-row independent once written, so this is a plain
+    read)."""
+    return spark.read.parquet(f"{out_path}/rows")

@@ -993,3 +993,42 @@ def test_cms_sink_incremental_equals_one_shot_and_replay(spark, tmp_path):
     exact = ca.get(1, 0) + ca.get(2, 0) + ca.get(9, 0)
     est = dict(via_sink)[-1]
     assert est >= exact
+
+
+def test_ewma_sink_incremental_equals_one_shot_and_replay(spark, tmp_path):
+    """The rolling EWMA sink: per-batch smoothing seeded from each
+    key's persisted state must equal one-shot trends.ewma on the
+    concatenated stream (cross-batch order monotonicity, the CDC
+    offset contract); replaying the newest batch is byte-identical
+    because seeding excludes states with batch_id >= the replayed
+    id."""
+    from cdc_pipeline_with_kafka_spark.operators.trends import ewma
+
+    batches = [
+        [("a", 1, 10.0), ("a", 2, 14.0), ("b", 1, -3.0)],
+        [("a", 3, 2.5), ("b", 2, None), ("b", 3, 8.0)],
+        [("a", 4, 20.0), ("b", 4, -1.25), ("c", 1, 5.0)],
+    ]
+    path = str(tmp_path / "ewma")
+    sink = pipeline.make_ewma_sink(path, ["g"], ["t"], "v", 300_000)
+    for i, b in enumerate(batches):
+        sink(spark.createDataFrame(b, "g string, t int, v double"), i)
+
+    def rows():
+        return sorted(
+            (r.g, r.t, r.ewma_micro, r.resid_micro)
+            for r in pipeline.read_ewma_rows(spark, path).collect()
+        )
+
+    inc = rows()
+    allrows = spark.createDataFrame(
+        [r for b in batches for r in b], "g string, t int, v double"
+    )
+    full = sorted(
+        (r.g, r.t, r.ewma_micro, r.resid_micro)
+        for r in ewma(allrows, ["g"], ["t"], "v", 300_000).collect()
+    )
+    assert inc == full and len(inc) == 8  # NULL row excluded
+    # crash replay: newest batch again — byte-identical
+    sink(spark.createDataFrame(batches[2], "g string, t int, v double"), 2)
+    assert rows() == full
