@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MICRO = 1_000_000
 
@@ -670,3 +671,95 @@ def coreness_replay(edges: list, max_k: int = 64) -> dict:
     if adj and k > max_k:
         raise ValueError("coreness_replay: raise max_k")
     return {n: c for n, c in core.items() if c >= 1}
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan, Albert &
+    Kumara 2007), made DETERMINISTIC: every node starts with its own
+    id as label; each round every node adopts the MODE of its
+    neighbors' previous-round labels (count desc, then label asc —
+    the engine's mode_by_group tie-break), isolated-in-round nodes
+    keep their label.  EXACTLY `n_rounds` rounds, no convergence
+    stop: synchronous LPA can 2-cycle on bipartite structures, so a
+    fixed round count is the only semantics that is a pure function
+    of (graph, n_rounds) — which is what makes the result
+    engine-replayable (the oracle replays the same rounds in pure
+    Python).  Communities are label groups after the last round.
+
+    Self-loops are dropped; edges are treated as UNDIRECTED (each
+    edge feeds both endpoints).  Shape per round: one edge-keyed
+    join (labels onto the neighbor side) + one (node, label) count
+    aggregate + one node-keyed mode window — all shuffles carry
+    edges or nodes, never pairs-of-pairs; `localCheckpoint` pins
+    each round (the components loop discipline, graph.py:45).
+    Rounds are the product's lever: more rounds = larger merged
+    communities; the default 5 matches the paper's observed
+    near-convergence on social graphs.
+
+    Output: (node, label) — nodes sharing a label are one community.
+    """
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node"))
+    w_mode = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("nlbl").asc()
+    )
+    for _ in range(int(n_rounds)):
+        msgs = und.join(
+            labels.select(
+                F.col("node").alias("v"), F.col("label").alias("nlbl")
+            ),
+            "v",
+        ).select(F.col("u").alias("node"), "nlbl")
+        mode = (
+            msgs.groupBy("node", "nlbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w_mode))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("nlbl").alias("label"))
+        )
+        labels = nodes.join(mode, "node", "left_outer").select(
+            "node",
+            F.coalesce("label", F.col("node")).alias("label"),
+        ).localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_replay(edges: list, n_rounds: int = 5) -> dict:
+    """Pure-Python replay of `label_propagation` for the oracle —
+    must agree with the Spark loop on every node."""
+    from collections import Counter
+
+    adj: dict = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    labels = {n: n for n in adj}
+    for _ in range(int(n_rounds)):
+        nxt = {}
+        for n, nb in adj.items():
+            c = Counter(labels[m] for m in nb)
+            nxt[n] = min(
+                (lbl for lbl, k in c.items() if k == max(c.values()))
+            ) if c else n
+        labels = nxt
+    return labels

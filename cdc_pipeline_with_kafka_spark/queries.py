@@ -452,9 +452,22 @@ def pj_exists_suite(spark, sf_dir):
             F.col("support_ppm").cast("string"),
         ).alias("name"),
     )
+    # r9 'lpa': deterministic synchronous label-propagation
+    # communities over the SAME thresholded trade graph as 'core' —
+    # 4 fixed rounds (the determinism contract), every node's label
+    # value-checked against the pure-Python round replay
+    lpa = graph_ops.label_propagation(
+        wedges.filter(F.col("w") >= 150).select("src", "dst"),
+        n_rounds=4,
+    ).select(
+        F.lit("lpa").alias("branch"),
+        F.col("node").cast("string").alias("key"),
+        F.col("label").cast("string").alias("name"),
+    )
     return (
         semi.unionByName(anti).unionByName(link)
         .unionByName(core).unionByName(fzj).unionByName(fis)
+        .unionByName(lpa)
     )
 
 
@@ -593,14 +606,18 @@ def _pj_exists_suite_sql_full() -> str:
         JOIN '{_ORACLE_SF_DIR}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2"""
     ).fetchall()
-    kcore = graph_ops.coreness_replay(
-        [(int(a), int(b)) for a, b, w in wedges if int(w) >= 150]
-    )
+    thresholded = [(int(a), int(b)) for a, b, w in wedges if int(w) >= 150]
+    kcore = graph_ops.coreness_replay(thresholded)
     cvals = ", ".join(f"({n}, {c})" for n, c in sorted(kcore.items()))
+    lpa = graph_ops.label_propagation_replay(thresholded, n_rounds=4)
+    lvals = ", ".join(f"({n}, {l})" for n, l in sorted(lpa.items()))
     return _pj_exists_suite_sql() + f"""
 UNION ALL
 SELECT 'core', CAST(node AS VARCHAR), CAST(coreness AS VARCHAR)
 FROM (VALUES {cvals}) kc(node, coreness)
+UNION ALL
+SELECT 'lpa', CAST(node AS VARCHAR), CAST(lbl AS VARCHAR)
+FROM (VALUES {lvals}) lp(node, lbl)
 """
 
 # ---------------------------------------------------------------- aggregations

@@ -563,3 +563,41 @@ def test_coreness_max_k_guard(spark):
     e = spark.createDataFrame(k5, "src long, dst long")
     with _pt.raises(ValueError, match="max_k"):
         G.coreness(e, max_k=2)
+
+
+def test_label_propagation_matches_pure_python_replay(spark):
+    """Deterministic synchronous LPA: every node's label after 1/3/5
+    fixed rounds equals the pure-Python round replay; planted cliques
+    cohere to one label; guards."""
+    import random
+
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.operators.graph import (
+        label_propagation,
+        label_propagation_replay,
+    )
+
+    rng = random.Random(4)
+    edges = []
+    for c, base in ((6, 0), (5, 10)):
+        for i in range(c):
+            for j in range(i + 1, c):
+                edges.append((base + i, base + j))
+    edges.append((0, 10))
+    for _ in range(15):
+        edges.append((rng.randint(20, 35), rng.randint(20, 35)))
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for rounds in (1, 3, 5):
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, n_rounds=rounds).collect()
+        }
+        assert got == label_propagation_replay(edges, rounds), rounds
+    got5 = {
+        r.node: r.label for r in label_propagation(df, n_rounds=5).collect()
+    }
+    assert len({got5[i] for i in range(6)}) == 1
+    assert len({got5[10 + i] for i in range(5)}) == 1
+    with _pt.raises(ValueError, match="n_rounds"):
+        label_propagation(df, n_rounds=0)

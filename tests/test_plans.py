@@ -539,3 +539,49 @@ def test_plan_facts_and_assert_plan_contracts(spark):
         assert_plan(df.groupBy("g").count(), exchanges=0)
     with _pt.raises(KeyError):
         assert_plan(df, bogus_fact=1)
+
+
+def test_frequent_itemsets_plan_no_nested_loops(spark):
+    """A-priori levels are posting-style equi-joins + array-keyed
+    aggregates: no nested-loop/cartesian join anywhere, partial
+    aggregation present."""
+    from cdc_pipeline_with_kafka_spark.operators.curation import (
+        frequent_itemsets,
+    )
+    from cdc_pipeline_with_kafka_spark.util import assert_plan
+
+    df = spark.createDataFrame(
+        [(b, i) for b in range(8) for i in range(b % 4 + 1)],
+        "b int, i int",
+    )
+    out = frequent_itemsets(df, "b", "i", min_support=2, max_k=3)
+    # levels are localCheckpoint-pinned (they appear as RDD scans in
+    # the final plan), so the pin here is on the assembly: no
+    # nested-loop/cartesian anywhere in what remains
+    facts = assert_plan(out, nested_loop_joins=0)
+    assert "Cartesian" not in facts["plan"]
+
+
+def test_multi_touch_attribution_plan_keyed_join(spark):
+    """The lookback join plans as a key-equi join with the time bound
+    as post-condition — never BroadcastNestedLoop/cartesian — and the
+    position window rides the same key partitioning."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators.windows import (
+        multi_touch_attribution,
+    )
+    from cdc_pipeline_with_kafka_spark.util import assert_plan
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "view"),
+         (1, "2024-01-01 11:00:00", 2, "purchase")],
+        "user_id int, ts string, event_id int, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = multi_touch_attribution(
+        df, ["user_id"], "ts", "event_id", "event_type",
+        "purchase", ["view", "click"], 60, "linear",
+    )
+    facts = assert_plan(out, nested_loop_joins=0)
+    assert "Cartesian" not in facts["plan"]
+    assert facts["windows"] >= 1
