@@ -1476,3 +1476,129 @@ def read_ewma_rows(spark, out_path: str):
     dirs — per-row independent once written, so this is a plain
     read)."""
     return spark.read.parquet(f"{out_path}/rows")
+
+
+def make_holt_sink(
+    out_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha_ppm: int = 200_000,
+    beta_ppm: int = 100_000,
+):
+    """foreachBatch Holt (level + trend) maintenance — `make_ewma_sink`
+    with TWO integers of state per key: each batch seeds every key's
+    (s, b) from the latest persisted state, smooths only the batch's
+    rows with `trends.holt_smoothing`'s exact recursion, and writes
+    rows under ``rows/batch_id=N`` + states under ``state/batch_id=N``.
+    Same contracts: cross-batch order monotonicity per key; replay
+    seeding excludes batch_id ≥ the replayed id (byte-identical crash
+    replay); N-batch incremental ≡ one-shot pytest-pinned."""
+    if not 0 < alpha_ppm <= 1_000_000:
+        raise ValueError("alpha_ppm must be in (0, 1e6]")
+    if not 0 <= beta_ppm <= 1_000_000:
+        raise ValueError("beta_ppm must be in [0, 1e6]")
+    a, bt = int(alpha_ppm), int(beta_ppm)
+    keys, order = list(key_cols), list(order_cols)
+
+    def tdiv(num: int) -> int:
+        return num // 1_000_000 if num >= 0 else -((-num) // 1_000_000)
+
+    def sink(batch_df, batch_id: int) -> None:
+        import pandas as pd
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        try:
+            states = spark.read.parquet(f"{out_path}/state")
+            seed = (
+                states.filter(F.col("holt_batch_id") < int(batch_id))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy(*keys).orderBy(
+                            F.col("holt_batch_id").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select(
+                    *keys,
+                    F.col("level_micro").alias("_s0"),
+                    F.col("trend_micro").alias("_b0"),
+                )
+            )
+        except Exception:
+            seed = None
+        base = batch_df.filter(F.col(value_col).isNotNull()).withColumn(
+            "_xm",
+            F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)"),
+        )
+        if seed is not None:
+            base = base.join(seed, keys, "left_outer")
+        else:
+            base = base.withColumn(
+                "_s0", F.lit(None).cast("bigint")
+            ).withColumn("_b0", F.lit(None).cast("bigint"))
+        fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in base.schema.fields
+        )
+        out_schema = (
+            f"{fields}, level_micro bigint, trend_micro bigint, "
+            "forecast_micro bigint"
+        )
+
+        def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(order, kind="mergesort").reset_index(
+                drop=True
+            )
+            s0 = pdf["_s0"].iloc[0]
+            s = None if pd.isna(s0) else int(s0)
+            b = 0 if s is None else int(pdf["_b0"].iloc[0])
+            ls, ts, fs = [], [], []
+            for x in pdf["_xm"]:
+                xi = int(x)
+                if s is None:
+                    s, b = xi, 0
+                else:
+                    prev = s
+                    s = tdiv(a * xi + (1_000_000 - a) * (s + b))
+                    b = tdiv(bt * (s - prev) + (1_000_000 - bt) * b)
+                ls.append(s)
+                ts.append(b)
+                fs.append(s + b)
+            pdf["level_micro"] = pd.Series(ls, dtype="int64")
+            pdf["trend_micro"] = pd.Series(ts, dtype="int64")
+            pdf["forecast_micro"] = pd.Series(fs, dtype="int64")
+            return pdf
+
+        smoothed = (
+            base.groupBy(*keys)
+            .applyInPandas(kernel, out_schema)
+            .drop("_xm", "_s0", "_b0")
+            .localCheckpoint(eager=True)
+        )
+        smoothed.write.mode("overwrite").parquet(
+            f"{out_path}/rows/batch_id={batch_id}"
+        )
+        new_state = (
+            smoothed.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*keys).orderBy(
+                        *[F.col(c).desc() for c in order]
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                *keys, "level_micro", "trend_micro",
+                F.lit(int(batch_id)).alias("holt_batch_id"),
+            )
+        )
+        new_state.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/state/batch_id={batch_id}")
+
+    return sink

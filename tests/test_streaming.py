@@ -1032,3 +1032,39 @@ def test_ewma_sink_incremental_equals_one_shot_and_replay(spark, tmp_path):
     # crash replay: newest batch again — byte-identical
     sink(spark.createDataFrame(batches[2], "g string, t int, v double"), 2)
     assert rows() == full
+
+
+def test_holt_sink_incremental_equals_one_shot_and_replay(spark, tmp_path):
+    """Holt maintenance: two-state (level, trend) chaining across
+    batches equals one-shot trends.holt_smoothing on the concatenated
+    stream; newest-batch replay byte-identical."""
+    from cdc_pipeline_with_kafka_spark.operators.trends import holt_smoothing
+
+    batches = [
+        [("a", 1, 10.0), ("a", 2, 14.0), ("b", 1, -3.0)],
+        [("a", 3, 2.5), ("b", 2, None), ("b", 3, 8.0)],
+        [("a", 4, 20.0), ("b", 4, -1.25), ("c", 1, 5.0)],
+    ]
+    path = str(tmp_path / "holt")
+    sink = pipeline.make_holt_sink(path, ["g"], ["t"], "v", 250_000, 150_000)
+    for i, b in enumerate(batches):
+        sink(spark.createDataFrame(b, "g string, t int, v double"), i)
+
+    def rows():
+        return sorted(
+            (r.g, r.t, r.level_micro, r.trend_micro, r.forecast_micro)
+            for r in spark.read.parquet(f"{path}/rows").collect()
+        )
+
+    allrows = spark.createDataFrame(
+        [r for b in batches for r in b], "g string, t int, v double"
+    )
+    full = sorted(
+        (r.g, r.t, r.level_micro, r.trend_micro, r.forecast_micro)
+        for r in holt_smoothing(
+            allrows, ["g"], ["t"], "v", 250_000, 150_000
+        ).collect()
+    )
+    assert rows() == full and len(full) == 8
+    sink(spark.createDataFrame(batches[2], "g string, t int, v double"), 2)
+    assert rows() == full
