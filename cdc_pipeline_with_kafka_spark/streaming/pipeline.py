@@ -1602,3 +1602,56 @@ def make_holt_sink(
         ).parquet(f"{out_path}/state/batch_id={batch_id}")
 
     return sink
+
+
+def compact_smoother_state(
+    spark,
+    out_path: str,
+    key_cols: list[str],
+    upto_batch: int,
+    batch_col: str,
+) -> int:
+    """Collapse a smoother sink's state dirs (make_ewma_sink /
+    make_holt_sink) with batch_id ≤ `upto_batch` into ONE dir holding
+    each key's latest state — the seeding read scans every state dir,
+    so an uncompacted long stream pays O(batches) there (the same
+    write-amplification class the components/SCD2 sinks compact
+    away).  `batch_col` is 'ewma_batch_id' or 'holt_batch_id'.  Only
+    compact batches the stream has committed past (replay of batch N
+    must still find state < N: the merged dir keeps batch ids as
+    written, so a replayed batch seeds identically).  Returns the
+    compacted row count (= distinct keys seen)."""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import Window
+
+    state_path = f"{out_path}/state"
+    dirs = [
+        d for d in os.listdir(state_path)
+        if re.fullmatch(r"batch_id=\d+", d)
+        and int(d.split("=")[1]) <= upto_batch
+    ]
+    if not dirs:
+        return 0
+    keys = list(key_cols)
+    merged = (
+        spark.read.parquet(*[os.path.join(state_path, d) for d in dirs])
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(F.col(batch_col).desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    tmp = os.path.join(state_path, "._compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    for d in dirs:
+        shutil.rmtree(os.path.join(state_path, d))
+    os.rename(tmp, os.path.join(state_path, f"batch_id={upto_batch}"))
+    return n

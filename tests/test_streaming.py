@@ -1068,3 +1068,50 @@ def test_holt_sink_incremental_equals_one_shot_and_replay(spark, tmp_path):
     assert rows() == full and len(full) == 8
     sink(spark.createDataFrame(batches[2], "g string, t int, v double"), 2)
     assert rows() == full
+
+
+def test_smoother_state_compaction_invariant(spark, tmp_path):
+    """Compacting committed-past smoother state dirs keeps every
+    subsequent batch's output identical (the seeding read is
+    invariant) while bounding the state-dir count — for both the
+    EWMA and Holt sinks."""
+    import os
+
+    from cdc_pipeline_with_kafka_spark.operators.trends import ewma
+
+    batches = [
+        [("a", 1, 10.0), ("b", 1, -3.0)],
+        [("a", 2, 14.0), ("b", 2, 8.0)],
+        [("a", 3, 2.5), ("c", 1, 5.0)],
+        [("a", 4, 20.0), ("b", 3, -1.25)],
+    ]
+    path = str(tmp_path / "ew")
+    sink = pipeline.make_ewma_sink(path, ["g"], ["t"], "v", 300_000)
+    for i, b in enumerate(batches[:3]):
+        sink(spark.createDataFrame(b, "g string, t int, v double"), i)
+    n = pipeline.compact_smoother_state(
+        spark, path, ["g"], upto_batch=2, batch_col="ewma_batch_id"
+    )
+    assert n == 3  # a, b, c latest states
+    assert os.listdir(f"{path}/state") == ["batch_id=2"]
+    sink(spark.createDataFrame(batches[3], "g string, t int, v double"), 3)
+    got = sorted(
+        (r.g, r.t, r.ewma_micro, r.resid_micro)
+        for r in pipeline.read_ewma_rows(spark, path).collect()
+    )
+    allrows = spark.createDataFrame(
+        [r for b in batches for r in b], "g string, t int, v double"
+    )
+    full = sorted(
+        (r.g, r.t, r.ewma_micro, r.resid_micro)
+        for r in ewma(allrows, ["g"], ["t"], "v", 300_000).collect()
+    )
+    assert got == full
+    # holt flavor: same helper, other batch column
+    hpath = str(tmp_path / "ho")
+    hsink = pipeline.make_holt_sink(hpath, ["g"], ["t"], "v")
+    for i, b in enumerate(batches[:2]):
+        hsink(spark.createDataFrame(b, "g string, t int, v double"), i)
+    assert pipeline.compact_smoother_state(
+        spark, hpath, ["g"], upto_batch=1, batch_col="holt_batch_id"
+    ) == 2
