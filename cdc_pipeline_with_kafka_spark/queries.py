@@ -326,9 +326,11 @@ def pj_exists_suite(spark, sf_dir):
     r9 additions, all value-checked: 'link' (Fellegi–Sunter record
     linkage), 'core' (k-core decomposition), 'fzj' (edit-distance
     fuzzy join vs DuckDB's levenshtein cross join), 'fis' (A-priori
-    frequent itemsets to k=3 vs explicit self-join SQL).  'core' and
-    'fis' live here rather than a bench suite because their loop
-    barriers are correctness fixtures, not perf signals."""
+    frequent itemsets to k=3 vs explicit self-join SQL), 'lpa'
+    (deterministic synchronous label propagation vs the pure-Python
+    round replay).  'core', 'fis' and 'lpa' live here rather than a
+    bench suite because their loop barriers are correctness
+    fixtures, not perf signals."""
     semi = p8_semi_join(spark, sf_dir).select(
         F.lit("semi").alias("branch"),
         F.col("s_suppkey").cast("string").alias("key"),
