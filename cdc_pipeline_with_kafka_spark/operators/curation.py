@@ -1968,3 +1968,108 @@ def frequent_itemsets(
             f"CAST(cnt * 1000000 div {int(n_baskets)} AS BIGINT)"
         ).alias("support_ppm"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    min_confidence_ppm: int = 0,
+    max_k: int = 3,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """A-priori phase 2 (Agrawal & Srikant 1994): one-item-consequent
+    association rules from the frequent itemsets — for every frequent
+    set Z (2 ≤ |Z| ≤ max_k) and every c ∈ Z, the rule
+    ``Z∖{c} → c`` with exact integer metrics:
+
+        confidence_ppm = cnt(Z)·1e6 div cnt(Z∖{c})
+        lift_ppm       = cnt(Z)·n_baskets·1e6 div (cnt(Z∖{c})·cnt(c))
+
+    (lift > 1e6 = the antecedent raises the consequent's odds over
+    independence — DECIMAL(38,0) product, no overflow at 1e12
+    baskets).  One-item consequents are the standard restriction:
+    multi-item consequents add nothing for ranking (every rule
+    Z∖S → S is implied by its one-item projections at equal support)
+    and blow the rule count up combinatorially.
+
+    Shape: `frequent_itemsets` (the level tables) + an explode of k
+    rows per frequent set + two joins back to the itemset table —
+    antecedent by its sorted display string (levels store sorted
+    items, and a sorted set minus one element re-sorted IS its
+    display string, so the join key is exact), consequent by the
+    1-sets.  Cost beyond phase 1: Σ k·|L_k| rows, itemset-table-sized
+    joins.
+
+    Output: (antecedent '|'-joined, consequent, cnt [= cnt(Z)],
+    confidence_ppm, lift_ppm), filtered to
+    confidence ≥ min_confidence_ppm."""
+    if not 0 <= min_confidence_ppm <= 1_000_000:
+        raise ValueError("min_confidence_ppm must be in [0, 1e6]")
+    if max_k < 2:
+        raise ValueError("max_k must be >= 2 for rules")
+    rows = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .filter(F.col("_i").isNotNull())
+        .distinct()
+    )
+    n_baskets = rows.select("_b").distinct().count()
+    sets = frequent_itemsets(
+        df, basket_col, item_col, min_support, max_k,
+        max_basket_items=max_basket_items,
+    ).localCheckpoint(eager=False)
+    by_key = sets.select(
+        F.col("itemset").alias("_key"), F.col("cnt").alias("_kcnt")
+    )
+    split = (
+        sets.filter(F.col("k") >= 2)
+        .withColumn("_items", F.split("itemset", r"\|"))
+        .select(
+            "itemset", "cnt",
+            F.posexplode("_items").alias("_p", "consequent"),
+            F.size("_items").alias("_n"),
+        )
+        .withColumn(
+            "antecedent",
+            F.array_join(
+                F.concat(
+                    F.slice(F.split("itemset", r"\|"), F.lit(1), F.col("_p")),
+                    F.expr(
+                        "slice(split(itemset, '\\\\|'), _p + 2, _n - _p - 1)"
+                    ),
+                ),
+                "|",
+            ),
+        )
+    )
+    dec = "decimal(38,0)"
+    out = (
+        split.join(
+            by_key.select(
+                F.col("_key").alias("antecedent"),
+                F.col("_kcnt").alias("_acnt"),
+            ),
+            "antecedent",
+        )
+        .join(
+            by_key.select(
+                F.col("_key").alias("consequent"),
+                F.col("_kcnt").alias("_ccnt"),
+            ),
+            "consequent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "cnt",
+            F.expr(
+                f"CAST(CAST(cnt AS {dec}) * 1000000 div _acnt AS BIGINT)"
+            ).alias("confidence_ppm"),
+            F.expr(
+                f"CAST(CAST(cnt AS {dec}) * {int(n_baskets)} * 1000000 "
+                f"div (CAST(_acnt AS {dec}) * _ccnt) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return out.filter(F.col("confidence_ppm") >= int(min_confidence_ppm))

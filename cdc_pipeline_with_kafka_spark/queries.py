@@ -454,6 +454,26 @@ def pj_exists_suite(spark, sf_dir):
             F.col("support_ppm").cast("string"),
         ).alias("name"),
     )
+    # r9 'fisr': A-priori phase 2 — one-item-consequent rules from
+    # the ms=4 lattice (independent support level from 'fis' so the
+    # level filter is exercised at two settings), confidence ≥ 0.3
+    # so the rule filter prunes; confidence AND lift value-checked
+    fisr = curation_ops.association_rules(
+        li.select(
+            F.col("l_orderkey").alias("b"),
+            (F.col("l_partkey") % 499).alias("it"),
+        ),
+        "b", "it", min_support=4, min_confidence_ppm=300_000, max_k=3,
+    ).select(
+        F.lit("fisr").alias("branch"),
+        F.concat_ws(">", F.col("antecedent"), F.col("consequent"))
+        .alias("key"),
+        F.concat_ws(
+            "|", F.col("cnt").cast("string"),
+            F.col("confidence_ppm").cast("string"),
+            F.col("lift_ppm").cast("string"),
+        ).alias("name"),
+    )
     # r9 'lpa': deterministic synchronous label-propagation
     # communities over the SAME thresholded trade graph as 'core' —
     # 4 fixed rounds (the determinism contract), every node's label
@@ -469,7 +489,7 @@ def pj_exists_suite(spark, sf_dir):
     return (
         semi.unionByName(anti).unionByName(link)
         .unionByName(core).unionByName(fzj).unionByName(fis)
-        .unionByName(lpa)
+        .unionByName(fisr).unionByName(lpa)
     )
 
 
@@ -562,6 +582,56 @@ FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
             FROM documents) iw
       WHERE length(w) > 1) fb
 WHERE levenshtein(fa.w, fb.w) <= 2
+UNION ALL
+SELECT 'fisr', antecedent || '>' || consequent,
+       CAST(cnt AS VARCHAR) || '|' || CAST(conf AS VARCHAR) || '|'
+         || CAST(lift AS VARCHAR)
+FROM (
+  WITH rr0 AS (
+    SELECT DISTINCT l_orderkey AS b, l_partkey % 499 AS i FROM lineitem
+  ),
+  rnb AS (SELECT count(DISTINCT b) AS nb FROM rr0),
+  rl1 AS (SELECT i, count(*) AS cnt FROM rr0 GROUP BY i
+          HAVING count(*) >= 4),
+  rfr AS (SELECT rr0.b, rr0.i FROM rr0 JOIN rl1 ON rr0.i = rl1.i),
+  rl2 AS (SELECT a.i AS ia, b.i AS ib, count(*) AS cnt
+          FROM rfr a JOIN rfr b ON a.b = b.b AND b.i > a.i
+          GROUP BY 1, 2 HAVING count(*) >= 4),
+  rl3 AS (SELECT a.i AS ia, b.i AS ib, c.i AS ic, count(*) AS cnt
+          FROM rfr a JOIN rfr b ON a.b = b.b AND b.i > a.i
+                     JOIN rfr c ON a.b = c.b AND c.i > b.i
+          GROUP BY 1, 2, 3 HAVING count(*) >= 4),
+  rrules AS (
+    SELECT CAST(p.ia AS VARCHAR) AS antecedent,
+           CAST(p.ib AS VARCHAR) AS consequent, p.cnt,
+           a1.cnt AS acnt, c1.cnt AS ccnt
+    FROM rl2 p JOIN rl1 a1 ON a1.i = p.ia JOIN rl1 c1 ON c1.i = p.ib
+    UNION ALL
+    SELECT CAST(p.ib AS VARCHAR), CAST(p.ia AS VARCHAR), p.cnt,
+           a1.cnt, c1.cnt
+    FROM rl2 p JOIN rl1 a1 ON a1.i = p.ib JOIN rl1 c1 ON c1.i = p.ia
+    UNION ALL
+    SELECT CAST(t.ia AS VARCHAR) || '|' || CAST(t.ib AS VARCHAR),
+           CAST(t.ic AS VARCHAR), t.cnt, p.cnt, c1.cnt
+    FROM rl3 t JOIN rl2 p ON p.ia = t.ia AND p.ib = t.ib
+               JOIN rl1 c1 ON c1.i = t.ic
+    UNION ALL
+    SELECT CAST(t.ia AS VARCHAR) || '|' || CAST(t.ic AS VARCHAR),
+           CAST(t.ib AS VARCHAR), t.cnt, p.cnt, c1.cnt
+    FROM rl3 t JOIN rl2 p ON p.ia = t.ia AND p.ib = t.ic
+               JOIN rl1 c1 ON c1.i = t.ib
+    UNION ALL
+    SELECT CAST(t.ib AS VARCHAR) || '|' || CAST(t.ic AS VARCHAR),
+           CAST(t.ia AS VARCHAR), t.cnt, p.cnt, c1.cnt
+    FROM rl3 t JOIN rl2 p ON p.ia = t.ib AND p.ib = t.ic
+               JOIN rl1 c1 ON c1.i = t.ia
+  )
+  SELECT antecedent, consequent, cnt,
+         (cnt * 1000000) // acnt AS conf,
+         (cnt * (SELECT nb FROM rnb) * 1000000) // (acnt * ccnt) AS lift
+  FROM rrules
+) fisrrows
+WHERE conf >= 300000
 UNION ALL
 SELECT 'fis', itemset,
        CAST(k AS VARCHAR) || '|' || CAST(cnt AS VARCHAR) || '|' ||

@@ -1377,3 +1377,62 @@ def test_frequent_itemsets_guards_and_early_stop(spark):
     # max_k=5 must not loop over dead levels
     out = frequent_itemsets(df, "b", "i", 2, max_k=5).collect()
     assert {(r["itemset"], r["k"], r["cnt"]) for r in out} == {("1", 1, 2)}
+
+
+def test_association_rules_exact_vs_bruteforce(spark):
+    """A-priori phase 2: every one-item-consequent rule from the
+    frequent sets with exact integer confidence/lift vs a pure-Python
+    lattice replay; planted co-buy pair surfaces at confidence 1.0;
+    the confidence filter and guards."""
+    import itertools
+    import random
+    from collections import Counter
+
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.operators.curation import (
+        association_rules,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for b in range(100):
+        rows += [(b, i) for i in rng.sample(range(10), rng.randint(1, 5))]
+        if rng.random() < 0.5:
+            rows += [(b, i) for i in (20, 21)]
+    df = spark.createDataFrame(rows, "b int, i int")
+    ms, mk = 5, 3
+    got = sorted(
+        tuple(r) for r in association_rules(df, "b", "i", ms, 0, mk).collect()
+    )
+    baskets: dict[int, set] = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    nb = len(baskets)
+    cnt: Counter = Counter()
+    for s in baskets.values():
+        for k in range(1, mk + 1):
+            cnt.update(itertools.combinations(sorted(s), k))
+    freq = {c: n for c, n in cnt.items() if n >= ms}
+    exp = sorted(
+        (
+            "|".join(map(str, (x for x in Z if x != c))),
+            str(c),
+            n,
+            n * 1_000_000 // freq[tuple(x for x in Z if x != c)],
+            (n * nb * 1_000_000)
+            // (freq[tuple(x for x in Z if x != c)] * freq[(c,)]),
+        )
+        for Z, n in freq.items() if len(Z) >= 2
+        for c in Z
+    )
+    assert got == exp
+    hi = [g for g in got if g[0] == "20" and g[1] == "21"]
+    assert hi and hi[0][3] == 1_000_000
+    filtered = association_rules(df, "b", "i", ms, 900_000, mk).collect()
+    assert all(r["confidence_ppm"] >= 900_000 for r in filtered)
+    assert 0 < len(filtered) < len(got)
+    with _pt.raises(ValueError, match="max_k"):
+        association_rules(df, "b", "i", ms, 0, max_k=1)
+    with _pt.raises(ValueError, match="min_confidence"):
+        association_rules(df, "b", "i", ms, 2_000_000)
