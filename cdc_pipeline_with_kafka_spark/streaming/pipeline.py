@@ -1655,3 +1655,101 @@ def compact_smoother_state(
         shutil.rmtree(os.path.join(state_path, d))
     os.rename(tmp, os.path.join(state_path, f"batch_id={upto_batch}"))
     return n
+
+
+def make_attribution_sink(
+    out_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_minutes: int,
+    model: str = "linear",
+):
+    """foreachBatch multi-touch attribution — the streaming face of
+    `windows.multi_touch_attribution`: each micro-batch attributes
+    ITS conversions against a rolling TOUCH STORE (touches from prior
+    batches still inside the lookback window) plus the batch's own
+    touches, writes credit rows under ``rows/batch_id=N`` and the
+    PRUNED store under ``touches/batch_id=N``.
+
+    State is O(lookback window), not O(stream): the store is pruned
+    to touches newer than (max event ts seen) − lookback, sound
+    under the cross-batch order-monotonicity contract (future
+    conversions carry ts ≥ the current max, so nothing older can
+    ever qualify again).  The store is REWRITTEN per batch (LWW —
+    the reader takes the newest dir), so the write amplification is
+    the window size, documented and bounded — the components-delta
+    trade does not apply because the window prunes itself.
+
+    Replay: batch N seeds from the newest store with batch_id < N —
+    re-running the newest batch is byte-identical.  N-batch
+    incremental ≡ one-shot `multi_touch_attribution` on the
+    concatenated stream is pytest-pinned (conversions are
+    batch-local, so the union of per-batch rows IS the one-shot
+    output)."""
+    from ..operators.windows import multi_touch_attribution
+
+    keys = list(key_cols)
+    lb_us = int(lookback_minutes) * 60_000_000
+
+    def sink(batch_df, batch_id: int) -> None:
+        import re
+
+        spark = batch_df.sparkSession
+        cols = [*keys, id_col, ts_col, type_col]
+        batch_slim = batch_df.select(*cols)
+        prior = None
+        try:
+            import os
+
+            dirs = [
+                int(d.split("=")[1])
+                for d in os.listdir(f"{out_path}/touches")
+                if re.fullmatch(r"batch_id=\d+", d)
+                and int(d.split("=")[1]) < int(batch_id)
+            ]
+            if dirs:
+                prior = spark.read.parquet(
+                    f"{out_path}/touches/batch_id={max(dirs)}"
+                )
+        except FileNotFoundError:
+            prior = None
+        full = (
+            batch_slim if prior is None
+            else prior.select(*cols).unionByName(batch_slim)
+        )
+        attributed = multi_touch_attribution(
+            full, keys, ts_col, id_col, type_col,
+            conversion_type, list(touch_types), lookback_minutes, model,
+        )
+        # conversions are batch-local: prior stores hold TOUCHES only
+        rows = attributed.localCheckpoint(eager=True)
+        rows.write.mode("overwrite").parquet(
+            f"{out_path}/rows/batch_id={batch_id}"
+        )
+        wm = full.agg(
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+            .alias("m")
+        ).first()["m"]
+        floor_us = (wm or 0) - lb_us
+        new_store = full.filter(
+            F.col(type_col).isin(list(touch_types))
+            & (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                >= F.lit(int(floor_us))
+            )
+        )
+        new_store.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/touches/batch_id={batch_id}")
+
+    return sink
+
+
+def read_attribution_rows(spark, out_path: str):
+    """All credit rows of a `make_attribution_sink` table (per-batch
+    independent once written)."""
+    return spark.read.parquet(f"{out_path}/rows")

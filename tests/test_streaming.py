@@ -1115,3 +1115,80 @@ def test_smoother_state_compaction_invariant(spark, tmp_path):
     assert pipeline.compact_smoother_state(
         spark, hpath, ["g"], upto_batch=1, batch_col="holt_batch_id"
     ) == 2
+
+
+def test_attribution_sink_incremental_equals_one_shot(spark, tmp_path):
+    """Rolling attribution: batches whose conversions reach back to
+    touches from EARLIER batches (through the pruned store) must
+    union to exactly one-shot multi_touch_attribution on the
+    concatenated stream; the store stays lookback-bounded; newest-
+    batch replay is byte-identical."""
+    from cdc_pipeline_with_kafka_spark.operators.windows import (
+        multi_touch_attribution,
+    )
+
+    mk = lambda *t: list(t)  # noqa: E731
+    batches = [
+        mk((1, "2024-01-01 10:00:00", 1, "view"),
+           (1, "2024-01-01 10:20:00", 2, "click"),
+           (2, "2024-01-01 10:30:00", 3, "view")),
+        mk((1, "2024-01-01 10:40:00", 4, "purchase"),   # uses b0 touches
+           (2, "2024-01-01 10:50:00", 5, "purchase"),
+           (1, "2024-01-01 10:55:00", 6, "view")),
+        mk((1, "2024-01-01 11:10:00", 7, "purchase"),   # b0 touches expired?
+           (2, "2024-01-01 13:00:00", 8, "purchase")),  # far future: none
+    ]
+    schema = "user_id int, ts string, event_id int, event_type string"
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    path = str(tmp_path / "attr")
+    sink = pipeline.make_attribution_sink(
+        path, ["user_id"], "ts", "event_id", "event_type",
+        "purchase", ["view", "click"], 60, "linear",
+    )
+    for i, b in enumerate(batches):
+        sink(df_of(b), i)
+
+    cols = ("user_id", "conv_id", "touch_id", "n_touches", "position",
+            "credit_ppm")
+
+    def rows():
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in pipeline.read_attribution_rows(spark, path).collect()
+        )
+
+    one_shot = sorted(
+        tuple(r[c] for c in cols)
+        for r in multi_touch_attribution(
+            df_of([x for b in batches for x in b]),
+            ["user_id"], "ts", "event_id", "event_type",
+            "purchase", ["view", "click"], 60, "linear",
+        ).collect()
+    )
+    inc = rows()
+    assert inc == one_shot
+    # cross-batch reach: conversion 4 credits touches 1 and 2 (b0)
+    by_conv = {}
+    for r in inc:
+        by_conv.setdefault(r[1], []).append(r)
+    assert {r[2] for r in by_conv[4]} == {1, 2}
+    # far-future conversion 8 is unattributed
+    assert by_conv[8][0][2] is None and by_conv[8][0][5] == 1_000_000
+    # store pruned: after batch 2 only touches within 60 min of the
+    # max ts (13:00) survive → none
+    import os
+
+    newest = max(
+        int(d.split("=")[1]) for d in os.listdir(f"{path}/touches")
+    )
+    assert spark.read.parquet(
+        f"{path}/touches/batch_id={newest}"
+    ).count() == 0
+    # replay newest batch: byte-identical
+    sink(df_of(batches[2]), 2)
+    assert rows() == one_shot
