@@ -46,11 +46,19 @@ def test_anti_join_small_side_broadcast(spark):
 
 
 def test_exists_suite_both_branches_broadcast(spark):
-    """The merged semi+anti gate keeps both existence joins broadcast —
-    the big probe side never shuffles for either branch."""
+    """The semi and anti existence branches keep their joins broadcast
+    — the big probe side never shuffles.  The suite now also hosts
+    fuzzy/itemset/graph fixtures whose sort-merge joins are by design,
+    so the pin filters to each existence branch (the branch literal
+    constant-folds and PropagateEmptyRelation prunes the other union
+    children — the bench's per-branch timing mechanism)."""
+    from pyspark.sql import functions as F
+
     df = q.pj_exists_suite(spark, SF_CORRECT)
-    assert plans.has_broadcast_join(df)
-    assert not plans.has_sort_merge_join(df)
+    for branch in ("semi", "anti"):
+        sub = df.filter(F.col("branch") == branch)
+        assert plans.has_broadcast_join(sub), branch
+        assert not plans.has_sort_merge_join(sub), branch
 
 
 def test_stream_parity_suite_is_shuffle_free(spark):
