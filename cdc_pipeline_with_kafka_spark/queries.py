@@ -1166,6 +1166,24 @@ def a_stats_suite(spark, sf_dir):
             ),
             v_num=F.col("forecast_micro").cast("double"),
         ),
+        # r9 'bkt': one-step-ahead rolling-origin backtest of the
+        # EWMA smoother over the same downsampled series — per-type
+        # exact integer MAE/bias/MAPE vs the recursive replay + lag
+        _suite_rows(
+            trends.forecast_backtest(
+                ev.filter(F.col("event_id") % 5 == 0),
+                ["event_type"], ["ts", "event_id"], "value", 200_000,
+            ),
+            "bkt",
+            F.col("event_type"),
+            v_str=F.concat_ws(
+                "|", F.col("n_eval").cast("string"),
+                F.col("bias_micro").cast("string"),
+                F.col("n_mape").cast("string"),
+                F.col("mape_ppm").cast("string"),
+            ),
+            v_num=F.col("mae_micro").cast("double"),
+        ),
         # r9 'jprof': JSON payload schema discovery over a planted
         # mixed column (props + malformed/string/nested/bool/null
         # variants by event_id residue) — per-key presence, type
@@ -3927,6 +3945,50 @@ FROM (
   )
   SELECT id, s, b FROM hrec
 ) holtrows
+"""
+
+
+A_STATS_SUITE_SQL += """
+UNION ALL
+SELECT 'bkt', g,
+       CAST(n_eval AS VARCHAR) || '|' || CAST(bias AS VARCHAR) || '|'
+         || CAST(n_mape AS VARCHAR) || '|' || CAST(mape AS VARCHAR),
+       CAST(mae AS DOUBLE)
+FROM (
+  WITH RECURSIVE bkbase AS (
+    SELECT event_type AS g, event_id AS id,
+           CAST(round(value * 1000000, 0) AS BIGINT) AS xm,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE value IS NOT NULL AND event_id % 5 = 0
+  ),
+  bkrec AS (
+    SELECT g, id, xm, rn, xm AS s FROM bkbase WHERE rn = 1
+    UNION ALL
+    SELECT b.g, b.id, b.xm, b.rn,
+           CASE WHEN 200000 * b.xm + 800000 * r.s >= 0
+                THEN (200000 * b.xm + 800000 * r.s) // 1000000
+                ELSE -((-(200000 * b.xm + 800000 * r.s)) // 1000000) END
+    FROM bkbase b JOIN bkrec r ON b.g = r.g AND b.rn = r.rn + 1
+  ),
+  bkerr AS (
+    SELECT g, xm, xm - lag(s) OVER (PARTITION BY g ORDER BY rn) AS err
+    FROM bkrec
+  )
+  SELECT g, count(*) AS n_eval,
+         CASE WHEN sum(abs(err)) >= 0
+              THEN sum(abs(err)) // count(*)
+              ELSE -((-sum(abs(err))) // count(*)) END AS mae,
+         CASE WHEN sum(err) >= 0 THEN sum(err) // count(*)
+              ELSE -((-sum(err)) // count(*)) END AS bias,
+         count(CASE WHEN xm != 0 THEN 1 END) AS n_mape,
+         CASE WHEN count(CASE WHEN xm != 0 THEN 1 END) > 0 THEN
+           sum(CASE WHEN xm != 0
+                    THEN (abs(err) * 1000000) // abs(xm) END)
+           // count(CASE WHEN xm != 0 THEN 1 END)
+         ELSE NULL END AS mape
+  FROM bkerr WHERE err IS NOT NULL GROUP BY g
+) bktrows
 """
 
 

@@ -303,3 +303,70 @@ def test_holt_smoothing_level_trend_vs_python_replay(spark):
     assert sum(late) / len(late) > 400_000
     with _pt.raises(ValueError, match="beta"):
         holt_smoothing(df, ["g"], ["t"], "v", 100_000, 2_000_000)
+
+
+def test_forecast_backtest_both_modes_vs_replay(spark):
+    """One-step-ahead backtest metrics (n_eval, exact MAE/bias micro,
+    MAPE ppm with x=0 excluded) vs the pure-Python recursion+lag
+    replay, in both EWMA and Holt modes."""
+    import random
+
+    from cdc_pipeline_with_kafka_spark.operators.trends import (
+        forecast_backtest,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for g in ("a", "b"):
+        for t in range(40):
+            v = round(rng.uniform(-30, 30), 2)
+            if rng.random() < 0.06:
+                v = 0.0
+            rows.append((g, t, v if rng.random() > 0.05 else None))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+
+    def tdiv(n, d):
+        return n // d if n >= 0 else -((-n) // d)
+
+    def replay(alpha, beta):
+        out = {}
+        for g in ("a", "b"):
+            s = b = None
+            errs, mapes = [], []
+            for gg, t, v in rows:
+                if gg != g or v is None:
+                    continue
+                xm = int(round(v * 1_000_000))
+                pred = None if s is None else (s if beta is None else s + b)
+                if s is None:
+                    s, b = xm, 0
+                elif beta is None:
+                    s = tdiv(alpha * xm + (1_000_000 - alpha) * s, 1_000_000)
+                else:
+                    prev = s
+                    s = tdiv(
+                        alpha * xm + (1_000_000 - alpha) * (s + b), 1_000_000
+                    )
+                    b = tdiv(
+                        beta * (s - prev) + (1_000_000 - beta) * b, 1_000_000
+                    )
+                if pred is not None:
+                    e = xm - pred
+                    errs.append(e)
+                    if xm != 0:
+                        mapes.append(abs(e) * 1_000_000 // abs(xm))
+            n = len(errs)
+            out[g] = (
+                n, tdiv(sum(abs(e) for e in errs), n), tdiv(sum(errs), n),
+                len(mapes), sum(mapes) // len(mapes) if mapes else None,
+            )
+        return out
+
+    for alpha, beta in ((300_000, None), (250_000, 150_000)):
+        got = {
+            r.g: (r.n_eval, r.mae_micro, r.bias_micro, r.n_mape, r.mape_ppm)
+            for r in forecast_backtest(
+                df, ["g"], ["t"], "v", alpha, beta
+            ).collect()
+        }
+        assert got == replay(alpha, beta), (alpha, beta)
