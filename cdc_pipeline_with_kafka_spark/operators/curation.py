@@ -2014,6 +2014,18 @@ def association_rules(
         .filter(F.col("_i").isNotNull())
         .distinct()
     )
+    # n_baskets MUST be counted over the SAME basket universe
+    # frequent_itemsets counts support in: apply the identical
+    # max_basket_items cap first, else lift_ppm mixes universes
+    # (capped cnt/_acnt/_ccnt against an uncapped total).
+    if max_basket_items is not None:
+        keep = (
+            rows.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_basket_items)
+            .select("_b")
+        )
+        rows = rows.join(keep, "_b", "left_semi")
     n_baskets = rows.select("_b").distinct().count()
     sets = frequent_itemsets(
         df, basket_col, item_col, min_support, max_k,

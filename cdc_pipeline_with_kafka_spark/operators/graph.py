@@ -415,9 +415,18 @@ def bfs_levels(
             return visited
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    if frontier.limit(1).count() != 0:
+    # A non-empty final frontier is fine if it has no UNVISITED
+    # neighbors (eccentricity exactly == max_hops): expand it once
+    # more and raise only when that expansion is non-empty —
+    # otherwise callers must over-provision max_hops by 1.
+    probe = (
+        e.join(frontier.select(F.col("node").alias("_s")), "_s")
+        .select(F.col("_d").alias("node"))
+        .join(visited.select("node"), "node", "left_anti")
+    )
+    if probe.limit(1).count() != 0:
         raise ValueError(
-            f"bfs_levels: frontier still non-empty after max_hops="
+            f"bfs_levels: unvisited nodes remain beyond max_hops="
             f"{max_hops}; raise max_hops (graph diameter exceeds it)"
         )
     return visited

@@ -121,6 +121,7 @@ def small_files_report(
     spark,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
+    include_row_counts: bool = False,
 ):
     """Small-files audit for a parquet dataset — the lakehouse ops
     pre-flight `join_advice` is for joins: a 100 TB table fragmented
@@ -128,25 +129,41 @@ def small_files_report(
     the scan of its `maxPartitionBytes` batching (session.py sizes
     partitions at 128 MB for exactly this reason).
 
-    Reads ONLY metadata-grain facts: the hidden `_metadata` column
-    (file path + size) aggregated per file — rows never leave the
-    scan as data.  Returns a driver-side dict (the join_advice report
-    shape): file count, byte totals, small-file count/share vs
+    The default path reads ONLY filesystem metadata — a recursive
+    Hadoop FileStatus listing (path + length per data file), zero
+    data rows scanned — so it is safe as a cheap pre-flight on a
+    100 TB table.  `include_row_counts=True` ADDITIONALLY aggregates
+    the hidden `_metadata` column per file to report per-file row
+    counts; that grouping SCANS EVERY DATA ROW of the dataset (the
+    `_metadata` column is per-row), so only opt in where a full scan
+    is acceptable.  Returns a driver-side dict (the join_advice
+    report shape): file count, byte totals, small-file count/share vs
     `target_bytes`, the p50 file size, and the advisory — 'compact'
     when more than half the files are under half the target,
     'healthy' otherwise, with the suggested coalesce factor.
     """
-    files = (
-        spark.read.parquet(path)
-        .select(
-            F.col("_metadata.file_path").alias("fp"),
-            F.col("_metadata.file_size").alias("sz"),
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)  # recursive; metadata only
+    listed = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS, checksums, hidden
+        listed.append((st.getPath().toString(), int(st.getLen())))
+    row_counts = {}
+    if include_row_counts:
+        counted = (
+            spark.read.parquet(path)
+            .select(F.col("_metadata.file_path").alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
         )
-        .groupBy("fp", "sz")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .collect()
-    )
-    sizes = sorted(int(r["sz"]) for r in files)
+        row_counts = {r["fp"]: int(r["n_rows"]) for r in counted}
+    sizes = sorted(sz for _, sz in listed)
     n = len(sizes)
     total = sum(sizes)
     small = sum(1 for s in sizes if s < target_bytes // 2)
@@ -165,5 +182,5 @@ def small_files_report(
             f"~{target_bytes // (1024*1024)} MB"
             if compact else "healthy"
         ),
-        "rows": {r["fp"]: int(r["n_rows"]) for r in files},
+        "rows": row_counts,
     }

@@ -62,6 +62,19 @@ _BENFORD_PPM = {
 }
 
 
+def _is_fractional(df: DataFrame, col: str) -> bool:
+    """True when `col` is a continuous numeric type (float/double, or
+    decimal with scale > 0) — the types whose distinct count grows
+    unboundedly with row count and therefore get the ks_drift
+    auto-quantize treatment by default."""
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    dt = df.schema[col].dataType
+    return isinstance(dt, (DoubleType, FloatType)) or (
+        isinstance(dt, DecimalType) and dt.scale > 0
+    )
+
+
 def ks_drift(
     df: DataFrame,
     value_col: str,
@@ -69,6 +82,7 @@ def ks_drift(
     side_a,
     side_b,
     max_distinct_values: int | None = None,
+    auto_quantize_cells: int | None = 100_000,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov distance between the
     `value_col` distributions of the `side_col == side_a` and
@@ -85,15 +99,22 @@ def ks_drift(
     Plan shape: one groupBy to DISTINCT-VALUE granularity (map-side
     combined — the shuffle carries distinct values, not rows), then a
     SinglePartition cumulative window over those distinct values.
-    That window is the scale knob: for continuous columns at 100 TB,
-    quantize first (``F.round(col, k)`` or bucket ppm-style) so the
-    distinct-value frame stays small — KS on a quantized grid is the
-    standard streaming form and lower-bounds the exact D by at most
-    one grid cell of CDF mass.  Pass `max_distinct_values` to make
-    that contract ENFORCED: one extra count over the (already
-    combined) distinct frame, loud ValueError past the bound — the
-    equi_depth_histogram guardrail pattern, opt-in because the count
-    is an extra job.
+    That window is the scale knob, and the contract is ENFORCED BY
+    DEFAULT for continuous columns: when `value_col` is fractional
+    (float/double/decimal with scale > 0), values are auto-quantized
+    onto an equal-width grid of `auto_quantize_cells` cells between
+    the observed min and max (one extra cheap min/max job), so the
+    distinct-value frame is bounded no matter the input cardinality —
+    KS on a quantized grid is the standard streaming form and
+    lower-bounds the exact D by at most one grid cell of CDF mass;
+    `at_value` then reports the CELL LOWER EDGE as a double.
+    `auto_quantize_cells=None` opts out (exact raw-value KS — only
+    safe when the column's distinct count is known-bounded).  Integer
+    / date / string columns never quantize (their distinct grain IS
+    the exact statistic).  `max_distinct_values` additionally makes
+    the bound a loud guard: one extra count over the (already
+    combined, post-quantize) distinct frame, ValueError past the
+    bound — the equi_depth_histogram guardrail pattern.
 
     Output (one row): (n_a, n_b, at_value, d_ppm); empty frame if no
     rows land on either side.
@@ -103,6 +124,25 @@ def ks_drift(
         v.alias("_v"),
         F.when(s == F.lit(side_a), F.lit(1)).otherwise(F.lit(0)).alias("_ia"),
     )
+    if auto_quantize_cells is not None and _is_fractional(df, value_col):
+        if auto_quantize_cells < 2:
+            raise ValueError("auto_quantize_cells must be >= 2")
+        mm = rows.agg(F.min("_v").alias("lo"), F.max("_v").alias("hi")) \
+            .collect()[0]
+        if mm["lo"] is not None and float(mm["hi"]) > float(mm["lo"]):
+            lo, hi = float(mm["lo"]), float(mm["hi"])
+            cells = int(auto_quantize_cells)
+            width = (hi - lo) / cells
+            cell = F.least(
+                F.lit(cells - 1),
+                F.floor(
+                    (F.col("_v").cast("double") - F.lit(lo)) / F.lit(width)
+                ).cast("long"),
+            )
+            rows = rows.select(
+                (F.lit(lo) + cell.cast("double") * F.lit(width)).alias("_v"),
+                "_ia",
+            )
     per_v = rows.groupBy("_v").agg(
         F.sum("_ia").cast(_DEC).alias("_ca"),
         F.sum(1 - F.col("_ia")).cast(_DEC).alias("_cb"),
@@ -356,8 +396,6 @@ def ols_by_group(
         raise ValueError("group_cols must be non-empty")
     if micro < 1:
         raise ValueError("micro must be >= 1")
-    qx = F.expr(f"CAST(round({x_col} * {micro}, 0) AS BIGINT)")
-    qy = F.expr(f"CAST(round({y_col} * {micro}, 0) AS BIGINT)")
     return ols_from_comoments(
         ols_comoments(df, x_col, y_col, group_cols, micro),
         group_cols, micro,

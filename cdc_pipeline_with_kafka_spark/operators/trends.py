@@ -386,6 +386,7 @@ def ewma(
     order_cols: list[str],
     value_col: str,
     alpha_ppm: int = 200_000,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per key — the SPC
     smoother next to `cusum_changepoints` (Roberts 1959; the EWMA
@@ -415,8 +416,14 @@ def ewma(
     each group sorts its own rows by `order_cols` inside the kernel.
     100 TB: state per key is one running integer — group size is the
     SERIES length, so shard long series by (key, coarse window) and
-    chain the last s across shards if a single key's history exceeds
-    executor memory."""
+    CHAIN the last s across shards via `state`: a frame of
+    ``key_cols + ewma_micro`` (at most one row per key — exactly the
+    shape `make_ewma_sink` persists per batch) seeds each key's
+    recursion as its s_0, so the first sharded row gets a true
+    residual (x_1 − s_0) instead of a cold start, and a two-shard
+    chained run is BIT-EQUAL to the one-shot kernel (pytest-pinned).
+    Keys absent from `state` start cold; the state join is keys-sized
+    and Catalyst picks its strategy."""
     if not 0 < alpha_ppm <= 1_000_000:
         raise ValueError("alpha_ppm must be in (0, 1e6]")
     if not order_cols:
@@ -430,6 +437,16 @@ def ewma(
         "_xm",
         F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)"),
     )
+    if state is not None:
+        missing = {*keys, "ewma_micro"} - set(state.columns)
+        if missing:
+            raise ValueError(f"state frame lacks columns {sorted(missing)}")
+        seed = state.select(
+            *keys, F.col("ewma_micro").cast("bigint").alias("_s0")
+        )
+        base = base.join(seed, keys, "left_outer")
+    else:
+        base = base.withColumn("_s0", F.lit(None).cast("bigint"))
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
     )
@@ -437,7 +454,8 @@ def ewma(
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        s = None
+        s0 = pdf["_s0"].iloc[0]
+        s = None if pd.isna(s0) else int(s0)
         sm, rm = [], []
         for x in pdf["_xm"]:
             xi = int(x)
@@ -456,7 +474,8 @@ def ewma(
         pdf["resid_micro"] = pd.Series(rm, dtype="int64")
         return pdf
 
-    return base.groupBy(*keys).applyInPandas(kernel, out_schema).drop("_xm")
+    return base.groupBy(*keys).applyInPandas(kernel, out_schema) \
+        .drop("_xm", "_s0")
 
 
 def holt_smoothing(
@@ -466,6 +485,7 @@ def holt_smoothing(
     value_col: str,
     alpha_ppm: int = 200_000,
     beta_ppm: int = 100_000,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Holt linear-trend (double exponential) smoothing per key —
     `ewma`'s sibling for series with drift (Holt 1957): level AND
@@ -486,7 +506,11 @@ def holt_smoothing(
     matter).  NULL values excluded; |value|·1e6 must fit BIGINT.
 
     Shape: identical to `ewma` — one key-partitioned applyInPandas,
-    two running integers of state per key."""
+    two running integers of state per key.  `state` chains shards the
+    same way: a frame of ``key_cols + level_micro + trend_micro`` (at
+    most one row per key — the columns this operator itself outputs,
+    so shard N+1 seeds from shard N's last row) resumes each key's
+    (s, b) recursion exactly; chained ≡ one-shot is pytest-pinned."""
     if not 0 < alpha_ppm <= 1_000_000:
         raise ValueError("alpha_ppm must be in (0, 1e6]")
     if not 0 <= beta_ppm <= 1_000_000:
@@ -505,6 +529,19 @@ def holt_smoothing(
         "_xm",
         F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)"),
     )
+    if state is not None:
+        missing = {*keys, "level_micro", "trend_micro"} - set(state.columns)
+        if missing:
+            raise ValueError(f"state frame lacks columns {sorted(missing)}")
+        seed = state.select(
+            *keys,
+            F.col("level_micro").cast("bigint").alias("_l0"),
+            F.col("trend_micro").cast("bigint").alias("_b0"),
+        )
+        base = base.join(seed, keys, "left_outer")
+    else:
+        base = base.withColumn("_l0", F.lit(None).cast("bigint")) \
+            .withColumn("_b0", F.lit(None).cast("bigint"))
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
     )
@@ -515,7 +552,11 @@ def holt_smoothing(
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        s = b = None
+        l0 = pdf["_l0"].iloc[0]
+        if pd.isna(l0):
+            s = b = None
+        else:
+            s, b = int(l0), int(pdf["_b0"].iloc[0])
         ls, ts, fs = [], [], []
         for x in pdf["_xm"]:
             xi = int(x)
@@ -533,7 +574,8 @@ def holt_smoothing(
         pdf["forecast_micro"] = pd.Series(fs, dtype="int64")
         return pdf
 
-    return base.groupBy(*keys).applyInPandas(kernel, out_schema).drop("_xm")
+    return base.groupBy(*keys).applyInPandas(kernel, out_schema) \
+        .drop("_xm", "_l0", "_b0")
 
 
 def forecast_backtest(

@@ -330,7 +330,11 @@ def pj_exists_suite(spark, sf_dir):
     (deterministic synchronous label propagation vs the pure-Python
     round replay).  'core', 'fis' and 'lpa' live here rather than a
     bench suite because their loop barriers are correctness
-    fixtures, not perf signals."""
+    fixtures, not perf signals.
+
+    r10 'ent': the packaged `resolve_entities` pipeline end to end
+    (blocking ∘ scoring ∘ hull ∘ survivor) — the last
+    oracle-expressible operator that lacked gate rows."""
     semi = p8_semi_join(spark, sf_dir).select(
         F.lit("semi").alias("branch"),
         F.col("s_suppkey").cast("string").alias("key"),
@@ -486,11 +490,45 @@ def pj_exists_suite(spark, sf_dir):
         F.col("node").cast("string").alias("key"),
         F.col("label").cast("string").alias("name"),
     )
+    # r10 'ent': the PACKAGED entity-resolution pipeline
+    # (relational.resolve_entities — fuzzy_join blocking ∘
+    # Fellegi–Sunter scoring ∘ transitive hull ∘ min-id survivor) over
+    # document text prefixes with lang as the scored field: every
+    # record's (entity_id, entity_size, is_canonical) value-checked
+    # against a DuckDB levenshtein self-join + the censc RECURSIVE
+    # min-label closure; the Σ entity_size = n totality invariant
+    # holds on both sides by construction of the same rows
+    docs_ent = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("rid"),
+        F.expr("substr(text, 1, 16)").alias("nm"),
+        F.col("lang"),
+    )
+    ent = relational.resolve_entities(
+        docs_ent, "rid", "nm",
+        field_weights={"lang": (0.9, 0.3)}, match_micro=1,
+        max_dist=2, q=2, max_iter=40,
+    ).select(
+        F.lit("ent").alias("branch"),
+        F.col("rid").cast("string").alias("key"),
+        F.concat_ws(
+            "|", F.col("entity_id").cast("string"),
+            F.col("entity_size").cast("string"),
+            F.col("is_canonical").cast("string"),
+        ).alias("name"),
+    )
     return (
         semi.unionByName(anti).unionByName(link)
         .unionByName(core).unionByName(fzj).unionByName(fis)
-        .unionByName(fisr).unionByName(lpa)
+        .unionByName(fisr).unionByName(lpa).unionByName(ent)
     )
+
+
+# r10 'ent' Fellegi–Sunter literals — the IDENTICAL Python
+# round(ln·1e6) the Spark operator embeds for {"lang": (0.9, 0.3)}
+# (relational.record_linkage_score), inlined into both plans so the
+# score has no SQL ln anywhere
+_ENT_WA = int(round(__import__("math").log(0.9 / 0.3) * 1_000_000))
+_ENT_WD = int(round(__import__("math").log(0.1 / 0.7) * 1_000_000))
 
 
 def _pj_exists_suite_sql() -> str:
@@ -658,6 +696,47 @@ FROM (
          CAST(ic AS VARCHAR), 3, cnt FROM fl3
 ) fisrows, (SELECT count(DISTINCT b) AS nb FROM (
   SELECT DISTINCT l_orderkey AS b FROM lineitem) fb0) fnb
+UNION ALL
+SELECT 'ent', CAST(rid AS VARCHAR),
+       CAST(entity_id AS VARCHAR) || '|' || CAST(entity_size AS VARCHAR)
+       || '|' || CAST(is_canonical AS VARCHAR)
+FROM (
+  WITH RECURSIVE erecs AS (
+    SELECT doc_id AS rid, substr(text, 1, 16) AS nm, lang FROM documents
+  ),
+  eedges0 AS (
+    -- blocking: name edit distance <= 2 (fuzzy_join's contract is
+    -- exactly levenshtein, its lanes are a cost strategy only);
+    -- scoring: the SAME Python-rounded integer log-odds literals the
+    -- Spark operator embeds (agree / disagree, NULL contributes 0),
+    -- threshold match_micro = 1
+    SELECT a.rid AS ra, b.rid AS rb
+    FROM erecs a JOIN erecs b ON a.rid < b.rid
+    WHERE a.nm IS NOT NULL AND b.nm IS NOT NULL
+      AND levenshtein(a.nm, b.nm) <= 2
+      AND (CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN 0
+                WHEN a.lang = b.lang THEN {_ENT_WA}
+                ELSE {_ENT_WD} END) >= 1
+  ),
+  eedges AS (
+    SELECT ra AS src, rb AS dst FROM eedges0
+    UNION SELECT rb, ra FROM eedges0
+  ),
+  ereach(id, lbl) AS (
+    SELECT src, src FROM eedges
+    UNION
+    SELECT e.dst, r.lbl FROM eedges e JOIN ereach r ON e.src = r.id
+  ),
+  ecomp AS (SELECT id, min(lbl) AS eid FROM ereach GROUP BY id),
+  elab AS (
+    SELECT r.rid, coalesce(c.eid, r.rid) AS entity_id
+    FROM erecs r LEFT JOIN ecomp c ON r.rid = c.id
+  )
+  SELECT rid, entity_id,
+         count(*) OVER (PARTITION BY entity_id) AS entity_size,
+         rid = min(rid) OVER (PARTITION BY entity_id) AS is_canonical
+  FROM elab
+) entrows
 """.replace("{P8_SQL}", P8_SQL).replace("{J3_SQL}", J3_SQL)
 
 

@@ -1136,6 +1136,7 @@ def make_drift_sink(
     threshold_ppm: int = 100_000,
     on_breach: str = "report",
     max_values: int = 1_000_000,
+    auto_quantize_cells: int | None = 100_000,
     downstream=None,
 ):
     """foreachBatch DRIFT MONITOR: every micro-batch's `value_col`
@@ -1150,9 +1151,18 @@ def make_drift_sink(
     build; per batch, one map-side-combined groupBy collects the
     batch's DISTINCT-VALUE counts (both collects guarded by
     `max_values` — quantize the column upstream past that, the
-    ks_drift scale rule).  The statistic itself runs in the shared
-    pure-Python `stats.ks_core`, pytest-pinned ≡ the Spark ks_drift,
-    so batch reports replay exactly off-Spark.
+    ks_drift scale rule).  When `value_col` is fractional
+    (float/double/decimal with scale > 0), the ks_drift DEFAULT
+    auto-quantize applies here too: an equal-width grid of
+    `auto_quantize_cells` cells is PINNED from the reference's
+    min/max at sink build, and both the reference and every batch
+    map onto it (batch values outside the reference range clamp to
+    the edge cells, which is exactly where out-of-range drift should
+    accumulate) — so a continuous column never funnels row-count
+    distinct values through the collects.  `auto_quantize_cells=None`
+    opts out.  The statistic itself runs in the shared pure-Python
+    `stats.ks_core`, pytest-pinned ≡ the Spark ks_drift, so batch
+    reports replay exactly off-Spark.
 
     ``on_breach='report'`` records and continues; ``'fail'`` raises
     so the query halts and the batch replays after investigation —
@@ -1167,12 +1177,46 @@ def make_drift_sink(
     """
     if on_breach not in ("report", "fail"):
         raise ValueError("on_breach must be report|fail")
-    from ..operators.stats import ks_core
+    from ..operators.stats import _is_fractional, ks_core
 
-    ref_rows = (
-        reference_df.filter(F.col(value_col).isNotNull())
-        .groupBy(value_col).count().limit(max_values + 1).collect()
-    )
+    def _grid_expr(lo: float, width: float, cells: int):
+        cell = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(cells - 1),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.lit(lo))
+                    / F.lit(width)
+                ).cast("long"),
+            ),
+        )
+        return (F.lit(lo) + cell.cast("double") * F.lit(width)) \
+            .alias(value_col)
+
+    quantize = None  # fn(df) -> df with value_col mapped to the grid
+    if auto_quantize_cells is not None and _is_fractional(
+        reference_df, value_col
+    ):
+        if auto_quantize_cells < 2:
+            raise ValueError("auto_quantize_cells must be >= 2")
+        mm = reference_df.filter(F.col(value_col).isNotNull()).agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).collect()[0]
+        if mm["lo"] is not None and float(mm["hi"]) > float(mm["lo"]):
+            lo, hi = float(mm["lo"]), float(mm["hi"])
+            cells = int(auto_quantize_cells)
+            width = (hi - lo) / cells
+
+            def quantize(d, _lo=lo, _w=width, _c=cells):
+                return d.select(_grid_expr(_lo, _w, _c))
+
+    def _counts_frame(d):
+        d = d.filter(F.col(value_col).isNotNull())
+        if quantize is not None:
+            d = quantize(d)
+        return d.groupBy(value_col).count().limit(max_values + 1)
+
+    ref_rows = _counts_frame(reference_df).collect()
     if len(ref_rows) > max_values:
         raise ValueError(
             f"drift reference has > {max_values} distinct values — "
@@ -1181,10 +1225,7 @@ def make_drift_sink(
     ref_counts = {r[0]: int(r[1]) for r in ref_rows}
 
     def sink(batch_df, batch_id: int) -> None:
-        got = (
-            batch_df.filter(F.col(value_col).isNotNull())
-            .groupBy(value_col).count().limit(max_values + 1).collect()
-        )
+        got = _counts_frame(batch_df).collect()
         if len(got) > max_values:
             raise ValueError(
                 f"batch {batch_id} has > {max_values} distinct "
@@ -1377,75 +1418,57 @@ def make_ewma_sink(
     concatenated stream is pytest-pinned."""
     if not 0 < alpha_ppm <= 1_000_000:
         raise ValueError("alpha_ppm must be in (0, 1e6]")
-    a = int(alpha_ppm)
+    from ..operators import trends as _trends
+
     keys, order = list(key_cols), list(order_cols)
+    state_cols = ["ewma_micro"]
+
+    def smooth(batch_df, seed):
+        return _trends.ewma(
+            batch_df, keys, order, value_col, alpha_ppm, state=seed
+        )
+
+    return _make_smoother_sink(
+        out_path, keys, order, state_cols, "ewma_batch_id", smooth
+    )
+
+
+def _make_smoother_sink(
+    out_path: str,
+    keys: list[str],
+    order: list[str],
+    state_cols: list[str],
+    batch_col: str,
+    smooth,
+):
+    """Shared scaffolding of the ewma/holt maintenance sinks: read
+    the latest per-key state strictly BEFORE this batch_id (replay
+    safety), hand `smooth(batch_df, seed_or_None)` the batch, write
+    smoothed rows and the per-key last-row states under batch_id
+    dirs (idempotent overwrite)."""
 
     def sink(batch_df, batch_id: int) -> None:
-        import pandas as pd
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
         try:
             states = spark.read.parquet(f"{out_path}/state")
             seed = (
-                states.filter(F.col("ewma_batch_id") < int(batch_id))
+                states.filter(F.col(batch_col) < int(batch_id))
                 .withColumn(
                     "_rn",
                     F.row_number().over(
                         Window.partitionBy(*keys).orderBy(
-                            F.col("ewma_batch_id").desc()
+                            F.col(batch_col).desc()
                         )
                     ),
                 )
                 .filter(F.col("_rn") == 1)
-                .select(*keys, F.col("ewma_micro").alias("_s0"))
+                .select(*keys, *state_cols)
             )
         except Exception:
             seed = None
-        base = batch_df.filter(F.col(value_col).isNotNull()).withColumn(
-            "_xm",
-            F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)"),
-        )
-        if seed is not None:
-            base = base.join(seed, keys, "left_outer")
-        else:
-            base = base.withColumn("_s0", F.lit(None).cast("bigint"))
-        fields = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
-            for f in base.schema.fields
-        )
-        out_schema = f"{fields}, ewma_micro bigint, resid_micro bigint"
-
-        def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            pdf = pdf.sort_values(order, kind="mergesort").reset_index(
-                drop=True
-            )
-            s0 = pdf["_s0"].iloc[0]
-            s = None if pd.isna(s0) else int(s0)
-            sm, rm = [], []
-            for x in pdf["_xm"]:
-                xi = int(x)
-                if s is None:
-                    rm.append(0)
-                    s = xi
-                else:
-                    rm.append(xi - s)
-                    num = a * xi + (1_000_000 - a) * s
-                    s = (
-                        num // 1_000_000 if num >= 0
-                        else -((-num) // 1_000_000)
-                    )
-                sm.append(s)
-            pdf["ewma_micro"] = pd.Series(sm, dtype="int64")
-            pdf["resid_micro"] = pd.Series(rm, dtype="int64")
-            return pdf
-
-        smoothed = (
-            base.groupBy(*keys)
-            .applyInPandas(kernel, out_schema)
-            .drop("_xm", "_s0")
-            .localCheckpoint(eager=True)
-        )
+        smoothed = smooth(batch_df, seed).localCheckpoint(eager=True)
         smoothed.write.mode("overwrite").parquet(
             f"{out_path}/rows/batch_id={batch_id}"
         )
@@ -1460,8 +1483,8 @@ def make_ewma_sink(
             )
             .filter(F.col("_rn") == 1)
             .select(
-                *keys, "ewma_micro",
-                F.lit(int(batch_id)).alias("ewma_batch_id"),
+                *keys, *state_cols,
+                F.lit(int(batch_id)).alias(batch_col),
             )
         )
         new_state.localCheckpoint(eager=True).write.mode(
@@ -1493,115 +1516,29 @@ def make_holt_sink(
     rows under ``rows/batch_id=N`` + states under ``state/batch_id=N``.
     Same contracts: cross-batch order monotonicity per key; replay
     seeding excludes batch_id ≥ the replayed id (byte-identical crash
-    replay); N-batch incremental ≡ one-shot pytest-pinned."""
+    replay); N-batch incremental ≡ one-shot pytest-pinned.
+
+    The smoothing itself IS `trends.holt_smoothing(state=seed)` —
+    the batch operator's shard-chaining seam is the sink's per-batch
+    seam, so the two can never drift."""
     if not 0 < alpha_ppm <= 1_000_000:
         raise ValueError("alpha_ppm must be in (0, 1e6]")
     if not 0 <= beta_ppm <= 1_000_000:
         raise ValueError("beta_ppm must be in [0, 1e6]")
-    a, bt = int(alpha_ppm), int(beta_ppm)
+    from ..operators import trends as _trends
+
     keys, order = list(key_cols), list(order_cols)
 
-    def tdiv(num: int) -> int:
-        return num // 1_000_000 if num >= 0 else -((-num) // 1_000_000)
-
-    def sink(batch_df, batch_id: int) -> None:
-        import pandas as pd
-        from pyspark.sql import Window
-
-        spark = batch_df.sparkSession
-        try:
-            states = spark.read.parquet(f"{out_path}/state")
-            seed = (
-                states.filter(F.col("holt_batch_id") < int(batch_id))
-                .withColumn(
-                    "_rn",
-                    F.row_number().over(
-                        Window.partitionBy(*keys).orderBy(
-                            F.col("holt_batch_id").desc()
-                        )
-                    ),
-                )
-                .filter(F.col("_rn") == 1)
-                .select(
-                    *keys,
-                    F.col("level_micro").alias("_s0"),
-                    F.col("trend_micro").alias("_b0"),
-                )
-            )
-        except Exception:
-            seed = None
-        base = batch_df.filter(F.col(value_col).isNotNull()).withColumn(
-            "_xm",
-            F.expr(f"CAST(round({value_col} * 1000000, 0) AS BIGINT)"),
-        )
-        if seed is not None:
-            base = base.join(seed, keys, "left_outer")
-        else:
-            base = base.withColumn(
-                "_s0", F.lit(None).cast("bigint")
-            ).withColumn("_b0", F.lit(None).cast("bigint"))
-        fields = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
-            for f in base.schema.fields
-        )
-        out_schema = (
-            f"{fields}, level_micro bigint, trend_micro bigint, "
-            "forecast_micro bigint"
+    def smooth(batch_df, seed):
+        return _trends.holt_smoothing(
+            batch_df, keys, order, value_col, alpha_ppm, beta_ppm,
+            state=seed,
         )
 
-        def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            pdf = pdf.sort_values(order, kind="mergesort").reset_index(
-                drop=True
-            )
-            s0 = pdf["_s0"].iloc[0]
-            s = None if pd.isna(s0) else int(s0)
-            b = 0 if s is None else int(pdf["_b0"].iloc[0])
-            ls, ts, fs = [], [], []
-            for x in pdf["_xm"]:
-                xi = int(x)
-                if s is None:
-                    s, b = xi, 0
-                else:
-                    prev = s
-                    s = tdiv(a * xi + (1_000_000 - a) * (s + b))
-                    b = tdiv(bt * (s - prev) + (1_000_000 - bt) * b)
-                ls.append(s)
-                ts.append(b)
-                fs.append(s + b)
-            pdf["level_micro"] = pd.Series(ls, dtype="int64")
-            pdf["trend_micro"] = pd.Series(ts, dtype="int64")
-            pdf["forecast_micro"] = pd.Series(fs, dtype="int64")
-            return pdf
-
-        smoothed = (
-            base.groupBy(*keys)
-            .applyInPandas(kernel, out_schema)
-            .drop("_xm", "_s0", "_b0")
-            .localCheckpoint(eager=True)
-        )
-        smoothed.write.mode("overwrite").parquet(
-            f"{out_path}/rows/batch_id={batch_id}"
-        )
-        new_state = (
-            smoothed.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(*keys).orderBy(
-                        *[F.col(c).desc() for c in order]
-                    )
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .select(
-                *keys, "level_micro", "trend_micro",
-                F.lit(int(batch_id)).alias("holt_batch_id"),
-            )
-        )
-        new_state.localCheckpoint(eager=True).write.mode(
-            "overwrite"
-        ).parquet(f"{out_path}/state/batch_id={batch_id}")
-
-    return sink
+    return _make_smoother_sink(
+        out_path, keys, order, ["level_micro", "trend_micro"],
+        "holt_batch_id", smooth,
+    )
 
 
 def compact_smoother_state(

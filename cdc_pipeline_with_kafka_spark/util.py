@@ -59,25 +59,76 @@ def plan_facts(df: DataFrame) -> dict:
         "file_scans": _count("FileScan"),
         "pushed_filters": _count("PushedFilters: ["),
         "generates": _count("Generate "),
+        "whole_stage_codegen": _count("WholeStageCodegen"),
         "plan": plan,
     }
 
 
+def assert_codegen_compiles(df: DataFrame) -> None:
+    """Execute `df` with `spark.sql.codegen.fallback=false` so a
+    WholeStageCodegen subtree that fails to compile (the janino 64 KB
+    method-grows-beyond trap — per-row literal collections that scale
+    with a parameter) RAISES instead of silently dropping to
+    interpreted eval.  The silent fallback is a plan-shape regression
+    bench noise found once (PLANS.md round 9, quantile_normalize's
+    cut path); this makes it a test failure.  Executes the
+    DataFrame's OWN query execution (collect) so the AQE plan
+    finalizes in place and the caller can read the final plan —
+    intended for small test frames, not production data."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df.collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
 def assert_plan(df: DataFrame, **bounds) -> dict:
-    """Assert upper bounds (or exact `_eq` values) on plan_facts keys:
-    ``assert_plan(df, exchanges=2, sort_aggregates=0,
-    nested_loop_joins=0)`` reads as the operator's shuffle contract.
-    Returns the facts so tests can make further custom assertions.
-    Raises AssertionError naming the violated bound AND embedding the
-    plan, so a failed pin is diagnosable from the test log alone."""
+    """Assert upper bounds on plan_facts keys —
+    ``assert_plan(df, exchanges=2, sort_aggregates=0)`` reads as the
+    operator's shuffle contract — or exact values via the `_eq`
+    suffix (``exchanges_eq=2`` fails on MORE or FEWER than 2).
+    ``codegen=True`` additionally EXECUTES the plan with the codegen
+    fallback disabled (see `assert_codegen_compiles`) and requires at
+    least one WholeStageCodegen span, so a stage that silently drops
+    to interpreted eval fails loudly.  Returns the facts so tests can
+    make further custom assertions.  Raises AssertionError naming the
+    violated bound AND embedding the plan, so a failed pin is
+    diagnosable from the test log alone."""
+    want_codegen = bool(bounds.pop("codegen", False))
     facts = plan_facts(df)
     for key, bound in bounds.items():
-        if key not in facts:
+        exact = key.endswith("_eq")
+        base = key[:-3] if exact else key
+        if base not in facts:
             raise KeyError(f"unknown plan fact {key!r}")
-        got = facts[key]
-        if got > bound:
+        got = facts[base]
+        if exact:
+            if got != bound:
+                raise AssertionError(
+                    f"plan bound violated: {base}={got} != {bound}\n"
+                    f"{facts['plan']}"
+                )
+        elif got > bound:
             raise AssertionError(
                 f"plan bound violated: {key}={got} > {bound}\n"
                 f"{facts['plan']}"
+            )
+    if want_codegen:
+        import re
+
+        # execute first: compiles every span with the fallback
+        # disabled AND finalizes the AQE plan in place, so the span
+        # count below reads the plan that actually ran (pre-execution
+        # AQE plan strings hide codegen spans entirely)
+        assert_codegen_compiles(df)
+        final = df._jdf.queryExecution().executedPlan().toString()
+        spans = len(re.findall(r"\*\(\d+\)", final)) \
+            + final.count("WholeStageCodegen")
+        if spans == 0:
+            raise AssertionError(
+                "plan bound violated: no WholeStageCodegen span in "
+                f"executed plan\n{final}"
             )
     return facts

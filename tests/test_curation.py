@@ -1436,3 +1436,26 @@ def test_association_rules_exact_vs_bruteforce(spark):
         association_rules(df, "b", "i", ms, 0, max_k=1)
     with _pt.raises(ValueError, match="min_confidence"):
         association_rules(df, "b", "i", ms, 2_000_000)
+
+
+def test_association_rules_capped_basket_universe(spark):
+    """With max_basket_items set, ALL rule metrics share the capped
+    basket universe: 3 kept {x,y} baskets + 1 dropped mega-basket →
+    lift(x→y) = 3·3·1e6 div (3·3) = exactly 1,000,000 (the uncapped-
+    total bug reported 1,333,333: capped counts over an uncapped
+    n_baskets)."""
+    from cdc_pipeline_with_kafka_spark.operators.curation import (
+        association_rules,
+    )
+
+    rows = [(b, i) for b in (1, 2, 3) for i in ("x", "y")]
+    rows += [(4, i) for i in ("x", "y", "a", "b", "c")]  # 5 items: dropped
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {
+        (r["antecedent"], r["consequent"]): r["lift_ppm"]
+        for r in association_rules(
+            df, "b", "i", min_support=2, max_basket_items=4
+        ).collect()
+    }
+    assert got[("x", "y")] == 1_000_000
+    assert got[("y", "x")] == 1_000_000

@@ -490,6 +490,14 @@ def test_bfs_levels_min_hop_semantics(spark):
     assert m[2] == 1 and m[3] == 0
     with _pytest.raises(ValueError, match="max_hops"):
         G.bfs_levels(edges, srcs, max_hops=1)
+    # eccentricity EXACTLY max_hops completes: the level-2 frontier
+    # (2,3) has no unvisited neighbors, so max_hops=2 must NOT raise
+    # (callers must not need to over-provision by 1)
+    exact = {
+        r["node"]: r["level"]
+        for r in G.bfs_levels(edges, srcs, max_hops=2).collect()
+    }
+    assert exact == und
 
 
 def test_sssp_hand_graph_and_multisource(spark):

@@ -370,3 +370,90 @@ def test_forecast_backtest_both_modes_vs_replay(spark):
             ).collect()
         }
         assert got == replay(alpha, beta), (alpha, beta)
+
+
+def test_drift_sink_auto_quantizes_fractional_reference(spark, tmp_path):
+    """A continuous (double) value column no longer funnels row-count
+    distinct values through the sink's collects: the grid is pinned
+    from the reference min/max at build, every batch maps onto it
+    (out-of-range values clamp to the edge cells), and None opts out
+    back to the raw-value guard."""
+    ref = spark.createDataFrame(
+        [(i / 7.0,) for i in range(200)], "v double")
+    # raw-value path trips the guard at 200 distinct doubles…
+    with pytest.raises(ValueError, match="distinct"):
+        pipeline.make_drift_sink(str(tmp_path / "raw"), ref, "v",
+                                 max_values=50, auto_quantize_cells=None)
+    # …the default quantize path does not (32 cells < 50)
+    rp = str(tmp_path / "q")
+    sink = pipeline.make_drift_sink(
+        rp, ref, "v", threshold_ppm=300_000,
+        max_values=50, auto_quantize_cells=32)
+    same = spark.createDataFrame([(i / 7.0,) for i in range(200)],
+                                 "v double")
+    sink(same, 0)
+    r0 = spark.read.parquet(f"{rp}/batch_id=0").collect()[0]
+    assert r0["d_ppm"] == 0 and not r0["breached"]
+    # a batch entirely ABOVE the reference range clamps to the top
+    # cell — the drift shows up as near-total separation
+    high = spark.createDataFrame([(1000.0 + i,) for i in range(500)],
+                                 "v double")
+    sink(high, 1)
+    r1 = spark.read.parquet(f"{rp}/batch_id=1").collect()[0]
+    assert r1["breached"] and r1["d_ppm"] > 900_000
+
+
+def test_batch_smoothers_state_chaining_bit_equal(spark):
+    """A 100 TB history processed shard-by-shard with chained state
+    is BIT-EQUAL to the one-shot kernel: run shard 1, seed shard 2
+    from shard 1's last (per-key) state, and the concatenation of
+    outputs matches one-shot ewma/holt on the full series — including
+    a key that only appears in shard 2 (cold start) and negative
+    values (sign-safe division)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc_pipeline_with_kafka_spark.operators import trends as T
+
+    rows = [("a", t, float((-1) ** t * (t * 7 % 23)) / 3) for t in range(40)]
+    rows += [("b", t, float(t * t % 13)) for t in range(40)]
+    rows += [("c", t, 5.0 + t) for t in range(20, 40)]  # shard-2-only key
+    full = spark.createDataFrame(rows, "g string, t int, v double")
+    s1 = full.filter("t < 20")
+    s2 = full.filter("t >= 20")
+
+    def last_state(out, cols):
+        w = Window.partitionBy("g").orderBy(F.col("t").desc())
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1").select("g", *cols)
+        )
+
+    # EWMA
+    one = sorted((r.g, r.t, r.ewma_micro, r.resid_micro) for r in
+                 T.ewma(full, ["g"], ["t"], "v", 170_000).collect())
+    o1 = T.ewma(s1, ["g"], ["t"], "v", 170_000)
+    o2 = T.ewma(s2, ["g"], ["t"], "v", 170_000,
+                state=last_state(o1, ["ewma_micro"]))
+    chained = sorted((r.g, r.t, r.ewma_micro, r.resid_micro)
+                     for r in o1.unionByName(o2).collect())
+    assert chained == one
+    # Holt
+    cols = ["level_micro", "trend_micro", "forecast_micro"]
+    oneh = sorted((r.g, r.t, *[r[c] for c in cols]) for r in
+                  T.holt_smoothing(full, ["g"], ["t"], "v",
+                                   250_000, 150_000).collect())
+    h1 = T.holt_smoothing(s1, ["g"], ["t"], "v", 250_000, 150_000)
+    h2 = T.holt_smoothing(
+        s2, ["g"], ["t"], "v", 250_000, 150_000,
+        state=last_state(h1, ["level_micro", "trend_micro"]))
+    chainedh = sorted((r.g, r.t, *[r[c] for c in cols])
+                      for r in h1.unionByName(h2).collect())
+    assert chainedh == oneh
+    # malformed state frames raise loudly
+    import pytest as _pt
+    bad = spark.createDataFrame([("a", 1)], "g string, nope int")
+    with _pt.raises(ValueError, match="state frame"):
+        T.ewma(s2, ["g"], ["t"], "v", state=bad)
+    with _pt.raises(ValueError, match="state frame"):
+        T.holt_smoothing(s2, ["g"], ["t"], "v", state=bad)

@@ -593,3 +593,46 @@ def test_multi_touch_attribution_plan_keyed_join(spark):
     facts = assert_plan(out, nested_loop_joins=0)
     assert "Cartesian" not in facts["plan"]
     assert facts["windows"] >= 1
+
+
+def test_assert_plan_eq_suffix_and_codegen_pin(spark):
+    """`_eq` bounds are EXACT (fail on fewer as well as more — the
+    documented API), and `codegen=True` executes the plan with the
+    janino fallback disabled so a stage that silently drops to
+    interpreted eval (the 64 KB literal-array trap quantile_normalize
+    hit in round 9) fails the test instead of showing up as bench
+    noise."""
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.operators import sketch as SK
+    from cdc_pipeline_with_kafka_spark.util import assert_plan
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(40)], "g string, x double"
+    )
+    agg = df.groupBy("g").count()
+    # upper bound: more-than fails, fewer-than passes
+    assert_plan(agg, exchanges=5)
+    # exact: FEWER than the stated value must also fail
+    with _pt.raises(AssertionError, match="exchanges=.*!= 5"):
+        assert_plan(agg, exchanges_eq=5)
+    facts = assert_plan(agg, exchanges_eq=assert_plan(agg)["exchanges"])
+    assert facts["exchanges"] >= 1
+    # the qn regression: the relational cut-table path at n_cuts=1000
+    # must survive fallback-disabled execution (the literal-struct
+    # form it replaced blows the 64 KB codegen method limit here)
+    # (qn's one nested-loop is the intentional broadcast of the
+    # 1-row _nn total into the grid — not bounded here)
+    qn = SK.quantile_normalize(df, "x", ["g"], n_cuts=1000)
+    assert_plan(qn, codegen=True)
+    # a plan with no codegen span at all is a loud failure, not a
+    # silent pass: with whole-stage codegen disabled (the fully-
+    # interpreted world the pin guards against) the assert must raise
+    prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        bare = spark.createDataFrame([(1,)], "a int").selectExpr("a + 1")
+        with _pt.raises(AssertionError, match="WholeStageCodegen"):
+            assert_plan(bare, codegen=True)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)

@@ -334,3 +334,39 @@ def test_abtest_missing_control_raises(spark):
     with pytest.raises(ValueError, match="control"):
         S.abtest_report(_df(spark, rows, "variant string, s boolean"),
                         "variant", "s", "zzz")
+
+def test_ks_drift_auto_quantizes_continuous_by_default(spark):
+    """A high-cardinality DOUBLE column is bounded BY DEFAULT: values
+    quantize onto the equal-width grid before the distinct-value
+    window, so composing with max_distinct_values proves the frame
+    was capped; the raw-value path is an explicit opt-out."""
+    rows = [(i / 997.0, "a") for i in range(3000)]
+    rows += [((i + 500) / 997.0, "b") for i in range(3000)]
+    df = _df(spark, rows, "v double, s string")
+    # default path quantizes: an 8-cell grid passes an 8-value guard
+    got8 = S.ks_drift(df, "v", "s", "a", "b",
+                      max_distinct_values=8,
+                      auto_quantize_cells=8).collect()[0]
+    assert got8["n_a"] == 3000 and got8["n_b"] == 3000
+    # opt-out keeps raw values: the same guard now trips
+    with pytest.raises(ValueError, match="quantize"):
+        S.ks_drift(df, "v", "s", "a", "b",
+                   max_distinct_values=8,
+                   auto_quantize_cells=None).collect()
+    # grid finer than the value spacing reproduces the exact D
+    exact = S.ks_drift(df, "v", "s", "a", "b",
+                       auto_quantize_cells=None).collect()[0]
+    grid = S.ks_drift(df, "v", "s", "a", "b").collect()[0]  # default
+    assert grid["d_ppm"] == exact["d_ppm"]
+    # 8 cells lower-bound exact D by at most one cell of CDF mass
+    assert got8["d_ppm"] <= exact["d_ppm"]
+    assert exact["d_ppm"] - got8["d_ppm"] <= 1_000_000 // 8 + 1
+    # integer columns never quantize (their grain IS the statistic)
+    irows = [(v, "a" if v % 2 else "b") for v in range(50)]
+    idf = _df(spark, irows, "v int, s string")
+    a = S.ks_drift(idf, "v", "s", "a", "b").collect()[0]
+    b = S.ks_drift(idf, "v", "s", "a", "b",
+                   auto_quantize_cells=None).collect()[0]
+    assert tuple(a) == tuple(b)
+    with pytest.raises(ValueError, match="auto_quantize_cells"):
+        S.ks_drift(df, "v", "s", "a", "b", auto_quantize_cells=1).collect()

@@ -102,7 +102,13 @@ def test_small_files_report_advice(spark, tmp_path):
     assert rep["n_files"] == 10
     assert rep["n_small"] == 10 and rep["small_share_ppm"] == 1_000_000
     assert rep["advice"].startswith("compact")
-    assert sum(rep["rows"].values()) == 1000
+    assert rep["rows"] == {}  # metadata-only by default: no data scan
+    # row counts are an explicit opt-in (full scan, documented)
+    rep_rows = small_files_report(
+        spark, p, target_bytes=10 * 1024 * 1024, include_row_counts=True
+    )
+    assert sum(rep_rows["rows"].values()) == 1000
+    assert len(rep_rows["rows"]) == 10
     # generous target → healthy
     rep2 = small_files_report(spark, p, target_bytes=1)
     assert rep2["advice"] == "healthy"
