@@ -18,6 +18,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# fuzzy_join auto hot-gram cap: absolute df floor below which the cap
+# never engages — keeps the probe from capping small/test vocabularies
+# where Σ|posting|² is harmless anyway
+_FUZZY_AUTO_MIN_DF = 256
+
+
+def _fuzzy_auto_cap(mx, p99) -> int | None:
+    """fuzzy_join's auto max_gram_df decision rule, pure so tests pin
+    it: engage only when the hottest gram's df exceeds BOTH 4×p99(df)
+    (it is a skew outlier, not the shape of the vocabulary) and the
+    absolute floor; the cap is that threshold, so only the outlier
+    tail prunes and few strings reroute to the length-band lane."""
+    if mx is None:
+        return None
+    cap = max(4 * int(p99), _FUZZY_AUTO_MIN_DF)
+    return cap if int(mx) > cap else None
+
 
 @dataclass
 class QueryFilter:
@@ -891,7 +908,7 @@ def fuzzy_join(
     right_col: str,
     max_dist: int = 2,
     q: int = 2,
-    max_gram_df: int | None = None,
+    max_gram_df: int | None | str = "auto",
 ) -> DataFrame:
     """Edit-distance (Levenshtein) join without the cross product —
     the fuzzy field matcher `record_linkage_score` composes with for
@@ -927,6 +944,20 @@ def fuzzy_join(
     entries and broadcasts.  Results are IDENTICAL with or without
     the cap (pinned by the parity test); only the plan changes.
 
+    The DEFAULT ``max_gram_df="auto"`` picks the cap from the gram
+    document-frequency profile the posting join implicitly depends
+    on anyway (one extra vocabulary-sized aggregate, never
+    row-grain): the cap engages only when the hottest gram's df
+    exceeds both ``4 × p99(df)`` and an absolute floor of 256 — an
+    adversarial / stop-gram-heavy vocabulary — and is then set to
+    that threshold, so ≲1% of grams prune and few strings reroute
+    to the length-band lane (which is only length-bounded for
+    naturally short strings; an aggressive cap there would trade one
+    skew for another).  Wholesome vocabularies pay the profile probe
+    and keep the uncapped plan.  ``None`` disables the probe and the
+    cap; an int pins the cap manually.  All three produce identical
+    rows (parity-pinned).
+
     Output: left rows × right rows for matching pairs + (dist).
     NULL keys never match.
     """
@@ -961,6 +992,23 @@ def fuzzy_join(
     ).withColumn("_lenb", F.length("_b")).localCheckpoint(eager=False)
 
     floor_g = max_dist * q
+    if isinstance(max_gram_df, str):
+        if max_gram_df != "auto":
+            raise ValueError(
+                "max_gram_df must be an int, None, or 'auto'"
+            )
+        gram_df = (
+            A.select(F.explode("_ga").alias("_g"))
+            .unionByName(B.select(F.explode("_gb").alias("_g")))
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .localCheckpoint(eager=False)
+        )
+        prof = gram_df.agg(
+            F.max("_df").alias("mx"),
+            F.expr("approx_percentile(_df, 0.99)").alias("p99"),
+        ).collect()[0]
+        max_gram_df = _fuzzy_auto_cap(prof["mx"], prof["p99"])
     if max_gram_df is not None:
         # SOUND hot-gram pruning: drop postings of grams shared by
         # more than `max_gram_df` distinct strings (both sides

@@ -334,7 +334,10 @@ def pj_exists_suite(spark, sf_dir):
 
     r10 'ent': the packaged `resolve_entities` pipeline end to end
     (blocking ∘ scoring ∘ hull ∘ survivor) — the last
-    oracle-expressible operator that lacked gate rows."""
+    oracle-expressible operator that lacked gate rows.  r10 'hcore':
+    `coreness_hindex` (the h-index fixpoint / ΔK-core form) against
+    the same matula-beck replay 'core' uses — peel ≡ fixpoint ≡
+    oracle on one graph."""
     semi = p8_semi_join(spark, sf_dir).select(
         F.lit("semi").alias("branch"),
         F.col("s_suppkey").cast("string").alias("key"),
@@ -412,6 +415,17 @@ def pj_exists_suite(spark, sf_dir):
         wedges.filter(F.col("w") >= 150).select("src", "dst")
     ).select(
         F.lit("core").alias("branch"),
+        F.col("node").cast("string").alias("key"),
+        F.col("coreness").cast("string").alias("name"),
+    )
+    # r10 'hcore': the h-index fixpoint form (graph.coreness_hindex —
+    # the scale/ΔK-core sibling) over the SAME graph, value-checked
+    # against the SAME matula-beck replay — peel ≡ fixpoint ≡ oracle,
+    # three independent computations of one decomposition
+    hcore = graph_ops.coreness_hindex(
+        wedges.filter(F.col("w") >= 150).select("src", "dst")
+    ).select(
+        F.lit("hcore").alias("branch"),
         F.col("node").cast("string").alias("key"),
         F.col("coreness").cast("string").alias("name"),
     )
@@ -518,8 +532,9 @@ def pj_exists_suite(spark, sf_dir):
     )
     return (
         semi.unionByName(anti).unionByName(link)
-        .unionByName(core).unionByName(fzj).unionByName(fis)
-        .unionByName(fisr).unionByName(lpa).unionByName(ent)
+        .unionByName(core).unionByName(hcore).unionByName(fzj)
+        .unionByName(fis).unionByName(fisr).unionByName(lpa)
+        .unionByName(ent)
     )
 
 
@@ -766,6 +781,9 @@ def _pj_exists_suite_sql_full() -> str:
 UNION ALL
 SELECT 'core', CAST(node AS VARCHAR), CAST(coreness AS VARCHAR)
 FROM (VALUES {cvals}) kc(node, coreness)
+UNION ALL
+SELECT 'hcore', CAST(node AS VARCHAR), CAST(coreness AS VARCHAR)
+FROM (VALUES {cvals}) hkc(node, coreness)
 UNION ALL
 SELECT 'lpa', CAST(node AS VARCHAR), CAST(lbl AS VARCHAR)
 FROM (VALUES {lvals}) lp(node, lbl)

@@ -1690,3 +1690,156 @@ def read_attribution_rows(spark, out_path: str):
     """All credit rows of a `make_attribution_sink` table (per-batch
     independent once written)."""
     return spark.read.parquet(f"{out_path}/rows")
+
+
+def make_coreness_sink(
+    out_path: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+):
+    """foreachBatch ΔK-core maintenance over a CDC edge stream — the
+    component sink's density sibling: each micro-batch APPENDS its
+    edges to the persisted undirected edge store
+    (``edges/batch_id=N``, batch-distinct rows) and refreshes the
+    per-node coreness labels as a FULL VERSIONED SNAPSHOT
+    (``labels/batch_id=N``) via `graph.coreness_hindex` SEEDED from
+    the latest prior snapshot with the batch's edge count as the
+    insertion bound — so the fixpoint iteration converges in a
+    handful of rounds on a small delta instead of a cold recompute
+    (the ΔK-core contract, SCALING §28; incremental ≡ full is the
+    operator's own pinned theorem).
+
+    Unlike components, coreness has no contracted incremental form —
+    one inserted edge can raise core numbers far from its endpoints,
+    so the refresh must SEE the whole edge store; what the seeding
+    buys is ROUNDS, not scan avoidance.  Per batch: one edge-store
+    read (dirs < N plus the batch — replay-safe by construction), a
+    few fixed-shape h-index rounds, one nodes-sized label write.
+
+    Crash replay: a replayed batch N reconstructs from dirs < N and
+    overwrites BOTH its dirs — byte-identical (pinned in pytest).
+    Edge-store growth is O(stream); run `compact_coreness_edges`
+    periodically (committed-past batches only) to keep the
+    reconstruction read bounded, the smoother/components compaction
+    cadence."""
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from ..operators import graph as graph_ops
+
+        batch_edges = (
+            batch_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        prev = _read_batch_dirs(spark, f"{out_path}/edges", before=batch_id)
+        all_edges = (
+            batch_edges if prev is None
+            else prev.unionByName(batch_edges).distinct()
+        )
+        prior = _latest_labels_snapshot(
+            spark, f"{out_path}/labels", before=batch_id
+        )
+        if prior is None:
+            labels = graph_ops.coreness_hindex(
+                all_edges, "src", "dst", max_rounds=max_rounds
+            )
+        else:
+            labels = graph_ops.coreness_hindex(
+                all_edges, "src", "dst",
+                prior=prior, inserted_edges=batch_edges.count(),
+                max_rounds=max_rounds,
+            )
+        labels.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{out_path}/labels/batch_id={batch_id}"
+        )
+        batch_edges.write.mode("overwrite").parquet(
+            f"{out_path}/edges/batch_id={batch_id}"
+        )
+
+    return sink
+
+
+def _read_batch_dirs(spark, path: str, before: int):
+    """Union the ``batch_id=K`` dirs with K < `before` (replay
+    safety: a replayed batch never sees its own or later dirs);
+    None when nothing qualifies.  Schema comes from the parquet
+    footers, so node-id types follow the stream's."""
+    import os
+    import re
+
+    try:
+        dirs = [
+            d for d in os.listdir(path)
+            if re.fullmatch(r"batch_id=\d+", d)
+            and int(d.split("=")[1]) < before
+        ]
+    except FileNotFoundError:
+        return None
+    if not dirs:
+        return None
+    return spark.read.parquet(*[f"{path}/{d}" for d in dirs])
+
+
+def _latest_labels_snapshot(spark, path: str, before: int):
+    """The single most recent full label snapshot with batch_id <
+    `before`; None on cold start."""
+    import os
+    import re
+
+    try:
+        ids = [
+            int(d.split("=")[1]) for d in os.listdir(path)
+            if re.fullmatch(r"batch_id=\d+", d)
+            and int(d.split("=")[1]) < before
+        ]
+    except FileNotFoundError:
+        return None
+    if not ids:
+        return None
+    return spark.read.parquet(f"{path}/batch_id={max(ids)}")
+
+
+def read_coreness_labels(spark, out_path: str):
+    """The current coreness table of a `make_coreness_sink` store:
+    simply the latest full snapshot (labels are versioned whole)."""
+    import os
+
+    ids = [
+        int(d.split("=")[1]) for d in os.listdir(f"{out_path}/labels")
+        if d.startswith("batch_id=")
+    ]
+    return spark.read.parquet(f"{out_path}/labels/batch_id={max(ids)}")
+
+
+def compact_coreness_edges(spark, out_path: str, upto_batch: int) -> int:
+    """Collapse edge dirs with batch_id ≤ `upto_batch` into ONE
+    distinct dir (kept under the highest compacted id, so a replay of
+    any batch > upto_batch reads the identical edge set).  Only
+    compact batches the stream has committed past.  Returns the
+    compacted edge count."""
+    import os
+    import re
+    import shutil
+
+    path = f"{out_path}/edges"
+    dirs = [
+        d for d in os.listdir(path)
+        if re.fullmatch(r"batch_id=\d+", d)
+        and int(d.split("=")[1]) <= upto_batch
+    ]
+    if not dirs:
+        return 0
+    merged = spark.read.parquet(
+        *[f"{path}/{d}" for d in dirs]
+    ).distinct().localCheckpoint(eager=True)
+    n = merged.count()
+    keep = max(int(d.split("=")[1]) for d in dirs)
+    tmp = f"{path}/.compact_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    for d in dirs:
+        shutil.rmtree(f"{path}/{d}")
+    os.rename(tmp, f"{path}/batch_id={keep}")
+    return n

@@ -609,3 +609,78 @@ def test_label_propagation_matches_pure_python_replay(spark):
     assert len({got5[10 + i] for i in range(5)}) == 1
     with _pt.raises(ValueError, match="n_rounds"):
         label_propagation(df, n_rounds=0)
+
+def test_coreness_hindex_equals_replay(spark):
+    """The h-index fixpoint returns EXACTLY the matula-beck peel's
+    coreness (pure-Python replay — the same oracle the 'core' gate
+    pins the Spark peel against) on a randomized graph with a planted
+    dense clique riding over a sparse background."""
+    import random
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(150)}
+    edges |= {(i, j) for i in range(50, 56) for j in range(50, 56) if i < j}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hind = {
+        r["node"]: r["coreness"] for r in G.coreness_hindex(df).collect()
+    }
+    assert hind == G.coreness_replay(edges)
+
+
+def test_coreness_hindex_incremental_equals_full(spark):
+    """ΔK-core maintenance: seeding from the persisted labels of the
+    previous edge set + the insertion-count bound converges to the
+    EXACT coreness of the new graph — for an insert batch (including
+    brand-new nodes and a densified clique), for pure deletions, and
+    at the boundary shards (empty prior table)."""
+    import random
+
+    import pytest as _pt
+
+    rng = random.Random(7)
+    base = list({(rng.randrange(40), rng.randrange(40)) for _ in range(90)})
+    base = [(a, b) for a, b in base if a != b]
+    # delta: densify a clique among 36..41 (raises coreness) + attach
+    # brand-new nodes 100/101
+    delta = [(i, j) for i in range(36, 42) for j in range(36, 42) if i < j]
+    delta += [(100, 36), (100, 101)]
+    delta = [p for p in delta if p not in set(base)]
+    bdf = spark.createDataFrame(base, "src long, dst long")
+    fdf = spark.createDataFrame(base + delta, "src long, dst long")
+
+    def labels_df(edge_list):
+        return spark.createDataFrame(
+            list(G.coreness_replay(edge_list).items()),
+            "node long, coreness int",
+        )
+
+    full = G.coreness_replay(base + delta)
+    inc = {
+        r["node"]: r["coreness"]
+        for r in G.coreness_hindex(
+            fdf, prior=labels_df(base), inserted_edges=len(delta)
+        ).collect()
+    }
+    assert inc == full
+    # pure deletions: prior labels upper-bound the shrunken graph
+    dec = {
+        r["node"]: r["coreness"]
+        for r in G.coreness_hindex(
+            bdf, prior=labels_df(base + delta), inserted_edges=0
+        ).collect()
+    }
+    assert dec == G.coreness_replay(base)
+    # boundary: EMPTY prior (first shard) must equal cold start
+    empty = spark.createDataFrame([], "node long, coreness int")
+    cold = {
+        r["node"]: r["coreness"]
+        for r in G.coreness_hindex(
+            fdf, prior=empty, inserted_edges=len(base) + len(delta)
+        ).collect()
+    }
+    assert cold == full
+    with _pt.raises(ValueError, match="inserted_edges"):
+        G.coreness_hindex(fdf, prior=labels_df(base))
+    with _pt.raises(ValueError, match=">= 0"):
+        G.coreness_hindex(fdf, prior=labels_df(base), inserted_edges=-1)

@@ -987,3 +987,47 @@ def test_fuzzy_join_hot_gram_cap_is_lossless(spark):
             ).collect()
         )
         assert got == oracle, cap
+
+
+def test_fuzzy_join_auto_gram_cap(spark):
+    """The default 'auto' mode: on a planted stop-gram corpus (one
+    gram shared by every string, hundreds of strings) the decision
+    rule engages the lossless cap, and auto ≡ manual ≡ uncapped rows;
+    on a wholesome vocabulary the probe decides NOT to cap (the rule
+    is pure and pinned directly)."""
+    from cdc_pipeline_with_kafka_spark.operators.relational import (
+        _FUZZY_AUTO_MIN_DF,
+        _fuzzy_auto_cap,
+    )
+
+    # the pure decision rule
+    assert _fuzzy_auto_cap(None, None) is None          # empty corpus
+    assert _fuzzy_auto_cap(50, 3) is None               # under the floor
+    assert _fuzzy_auto_cap(300, 3) == _FUZZY_AUTO_MIN_DF  # outlier: cap
+    assert _fuzzy_auto_cap(300, 80) is None             # hot but so is p99
+    assert _fuzzy_auto_cap(2000, 100) == 400            # 4×p99 governs
+
+    # planted stop-gram corpus: 'zz' (and the pad gram) in EVERY one
+    # of 300 strings → df=300 > floor while p99 over the ~600 id
+    # grams stays tiny → auto engages; rows identical all three ways
+    names = [f"zz{i:03d}" for i in range(300)]
+    L = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "lid int, name string"
+    )
+    R = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names[:150])], "rid int, rname string"
+    )
+    runs = {}
+    for mode in ("auto", None, _FUZZY_AUTO_MIN_DF):
+        runs[str(mode)] = sorted(
+            (r.lid, r.rid, r.dist)
+            for r in relational.fuzzy_join(
+                L, R, "name", "rname", max_dist=1, q=2, max_gram_df=mode
+            ).collect()
+        )
+    assert runs["auto"] == runs["None"] == runs[str(_FUZZY_AUTO_MIN_DF)]
+    assert len(runs["auto"]) >= 150  # every exact pair + 1-edit pairs
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_gram_df"):
+        relational.fuzzy_join(L, R, "name", "rname", max_gram_df="always")

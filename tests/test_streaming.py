@@ -1192,3 +1192,61 @@ def test_attribution_sink_incremental_equals_one_shot(spark, tmp_path):
     # replay newest batch: byte-identical
     sink(df_of(batches[2]), 2)
     assert rows() == one_shot
+
+
+def test_coreness_sink_incremental_equals_one_shot_and_replay(
+    spark, tmp_path
+):
+    """ΔK-core maintenance sink: after N batches of edge deltas the
+    latest label snapshot equals one-shot coreness over the union of
+    all batches (the replay oracle); crash-replaying the newest batch
+    is byte-identical; compacting committed-past edge dirs leaves
+    every subsequent snapshot unchanged."""
+    import random
+
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+
+    rng = random.Random(3)
+    base = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+    base = [(a, b) for a, b in base if a != b]
+    batches = [
+        base[:30],
+        base[30:] + [(i, j) for i in range(25, 29) for j in range(25, 29)
+                     if i < j],
+        [(200, 201), (201, 202), (200, 25)],
+    ]
+    path = str(tmp_path / "kcore")
+    sink = pipeline.make_coreness_sink(path)
+    seen = []
+    for i, b in enumerate(batches):
+        seen += b
+        sink(spark.createDataFrame(b, "src long, dst long"), i)
+        got = {
+            (r["node"], r["coreness"])
+            for r in pipeline.read_coreness_labels(spark, path).collect()
+        }
+        want = set(G.coreness_replay(seen).items())
+        assert got == want, f"batch {i}"
+    # crash replay: newest batch again — labels byte-identical
+    sink(spark.createDataFrame(batches[2], "src long, dst long"), 2)
+    got = {
+        (r["node"], r["coreness"])
+        for r in pipeline.read_coreness_labels(spark, path).collect()
+    }
+    assert got == set(G.coreness_replay(seen).items())
+    # compaction invariance: collapse committed-past edge dirs, run a
+    # new batch — snapshot still equals the replay oracle
+    import os
+
+    n = pipeline.compact_coreness_edges(spark, path, upto_batch=1)
+    assert n > 0
+    assert sorted(os.listdir(f"{path}/edges")) == [
+        "batch_id=1", "batch_id=2"
+    ]
+    extra = [(202, 203), (203, 200)]
+    sink(spark.createDataFrame(extra, "src long, dst long"), 3)
+    got = {
+        (r["node"], r["coreness"])
+        for r in pipeline.read_coreness_labels(spark, path).collect()
+    }
+    assert got == set(G.coreness_replay(seen + extra).items())
