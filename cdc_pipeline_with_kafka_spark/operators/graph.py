@@ -52,6 +52,7 @@ def pagerank(
     weight_col: str | None = None,
     seeds: DataFrame | None = None,
     tol_micro: int | None = None,
+    init_scores: DataFrame | None = None,
 ) -> DataFrame:
     """(node, score_micro) after `iters` exact-integer PageRank
     iterations over the DISTINCT edge list.  Nodes = src ∪ dst;
@@ -85,7 +86,23 @@ def pagerank(
     ``tol_micro=0`` the stop fires exactly at the integer fixed
     point, so the result is bit-identical to any larger `iters`
     (further iterations replay the fixed point); the default None
-    keeps the fixed-`iters` form the driver gate replays."""
+    keeps the fixed-`iters` form the driver gate replays.
+
+    `init_scores` ((node, score_micro) — a previous run's output):
+    WARM START for incremental maintenance, the coreness_hindex
+    family pattern — after a small edge delta, seed from the
+    persisted scores and run with `tol_micro` so convergence costs a
+    handful of edge shuffles instead of the cold budget (nodes absent
+    from the table start at the uniform 1e6).  Meaningful only with
+    `tol_micro` (a fixed-`iters` warm start computes "N iterations
+    from these scores", a different — if occasionally useful —
+    quantity).  At ``tol_micro=0`` the warm result is an exact
+    integer fixed point of the map — but the INTEGER map's fixed
+    point is unique only up to floor-division plateaus (measured: a
+    warm and a cold run landed 2 micro apart on a 20-node fixture),
+    so bit-equality holds against the same init, not across inits;
+    rankings are unaffected and the plateau width is O(a few micro).
+    Gates therefore replay the fixed-`iters` cold form."""
     if not 0 <= damping_ppm <= MICRO:
         raise ValueError("damping_ppm must be in [0, 1e6]")
     if iters < 0:
@@ -141,9 +158,19 @@ def pagerank(
             .otherwise(F.lit(0)).cast("long").alias("base_micro"),
         )
     nodes_based = nodes_based.localCheckpoint(eager=False)
-    scores = nodes_based.select(
-        "node", F.lit(MICRO).cast("long").alias("score_micro")
-    )
+    if init_scores is None:
+        scores = nodes_based.select(
+            "node", F.lit(MICRO).cast("long").alias("score_micro")
+        )
+    else:
+        init = init_scores.select(
+            F.col("node"), F.col("score_micro").cast("long").alias("_i")
+        )
+        scores = nodes_based.join(init, "node", "left").select(
+            "node",
+            F.coalesce(F.col("_i"), F.lit(MICRO).cast("long"))
+            .alias("score_micro"),
+        )
     for _ in range(iters):
         contrib = (
             e_deg.join(

@@ -1114,6 +1114,99 @@ def fuzzy_join(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995)
+    — the OTHER classic entity-resolution candidate generator next to
+    `fuzzy_join`'s q-gram lanes: sort all records by a blocking key
+    (phonetic code, name prefix, zip+street) and emit each record
+    paired with its `window` successors in sort order.  Candidates
+    are O(n·window) BY CONSTRUCTION whatever the key distribution —
+    the tool for keys where edit distance is the wrong metric but
+    sort locality is right, and the standard multi-pass trick is to
+    union passes over different keys.
+
+    Scale shape: the naive form is a GLOBAL row_number — a
+    SinglePartition window, the exact trap ks_drift/gains are
+    engineered around.  Here the global dense rank is assembled from
+    a range partition: repartitionByRange(key, id) →
+    per-PARTITION row_number (partitionBy(spark_partition_id())) →
+    driver-side partition offsets (one partition-count-sized collect)
+    added back via a broadcast map.  Total order is (key, id) — ties
+    broken by id, so the rank (hence the pair set) is deterministic
+    and engine-replayable.  Pairing is ONE equi-join on the rank
+    (each row exploded to its `window` successor ranks); neighbor
+    pairs that straddle partition boundaries fall out of the same
+    join, no special casing.
+
+    Output: (id_a, id_b, key_a, key_b, gap ∈ [1, window]) with
+    id_a's record sorting strictly before id_b's.  NULL keys are
+    excluded (block them in a separate pass if needed)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    d = (
+        df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .repartitionByRange(F.col("_k"), F.col("_id"))
+    )
+    pid = F.spark_partition_id()
+    w_part = Window.partitionBy("_pid").orderBy("_k", "_id")
+    local = d.withColumn("_pid", pid).withColumn(
+        "_rn", F.row_number().over(w_part)
+    ).localCheckpoint(eager=True)
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in local.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    spark = df.sparkSession
+    if not offsets:
+        return spark.createDataFrame(
+            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, "
+                f"key_a {df.schema[key_col].dataType.simpleString()}, "
+                f"key_b {df.schema[key_col].dataType.simpleString()}, "
+                "gap int",
+        )
+    off = F.broadcast(
+        spark.createDataFrame(
+            list(offsets.items()), "_pid int, _off long"
+        )
+    )
+    ranked = local.join(off, "_pid").select(
+        "_id", "_k", (F.col("_off") + F.col("_rn")).alias("_grn")
+    )
+    succ = ranked.select(
+        F.col("_id").alias("id_b"), F.col("_k").alias("key_b"),
+        F.explode(
+            F.sequence(
+                F.col("_grn") - window,
+                F.col("_grn") - 1,
+            )
+        ).alias("_grn"),
+        F.col("_grn").alias("_grn_b"),
+    )
+    return (
+        ranked.join(succ, "_grn")
+        .select(
+            F.col("_id").alias("id_a"),
+            "id_b",
+            F.col("_k").alias("key_a"),
+            "key_b",
+            (F.col("_grn_b") - F.col("_grn")).cast("int").alias("gap"),
+        )
+    )
+
+
 def resolve_entities(
     df: DataFrame,
     id_col: str,

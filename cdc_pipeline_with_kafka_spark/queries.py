@@ -337,7 +337,8 @@ def pj_exists_suite(spark, sf_dir):
     oracle-expressible operator that lacked gate rows.  r10 'hcore':
     `coreness_hindex` (the h-index fixpoint / ΔK-core form) against
     the same matula-beck replay 'core' uses — peel ≡ fixpoint ≡
-    oracle on one graph."""
+    oracle on one graph.  r10 'snb': sorted-neighborhood blocking vs
+    DuckDB's global row_number self-join."""
     semi = p8_semi_join(spark, sf_dir).select(
         F.lit("semi").alias("branch"),
         F.col("s_suppkey").cast("string").alias("key"),
@@ -530,11 +531,27 @@ def pj_exists_suite(spark, sf_dir):
             F.col("is_canonical").cast("string"),
         ).alias("name"),
     )
+    # r10 'snb': sorted-neighborhood blocking (the other classic ER
+    # candidate generator) over the same document-prefix records as
+    # 'ent' — every (pred, succ, gap) pair within a window of 5 in
+    # (key, id) sort order, value-checked against DuckDB's global
+    # row_number self-join; deterministic tie-break by id is the
+    # cross-engine contract
+    snb = relational.sorted_neighborhood_pairs(
+        docs_ent.select("rid", F.col("nm").alias("k")), "rid", "k",
+        window=5,
+    ).select(
+        F.lit("snb").alias("branch"),
+        F.concat_ws(
+            "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("key"),
+        F.col("gap").cast("string").alias("name"),
+    )
     return (
         semi.unionByName(anti).unionByName(link)
         .unionByName(core).unionByName(hcore).unionByName(fzj)
         .unionByName(fis).unionByName(fisr).unionByName(lpa)
-        .unionByName(ent)
+        .unionByName(ent).unionByName(snb)
     )
 
 
@@ -752,6 +769,20 @@ FROM (
          rid = min(rid) OVER (PARTITION BY entity_id) AS is_canonical
   FROM elab
 ) entrows
+UNION ALL
+SELECT 'snb', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
+       CAST(gap AS VARCHAR)
+FROM (
+  WITH srecs AS (
+    SELECT doc_id AS rid, substr(text, 1, 16) AS k FROM documents
+    WHERE text IS NOT NULL
+  ),
+  srank AS (
+    SELECT rid, k, row_number() OVER (ORDER BY k, rid) AS rn FROM srecs
+  )
+  SELECT a.rid AS id_a, b.rid AS id_b, b.rn - a.rn AS gap
+  FROM srank a JOIN srank b ON b.rn - a.rn BETWEEN 1 AND 5
+) snbrows
 """.replace("{P8_SQL}", P8_SQL).replace("{J3_SQL}", J3_SQL)
 
 

@@ -1843,3 +1843,64 @@ def compact_coreness_edges(spark, out_path: str, upto_batch: int) -> int:
         shutil.rmtree(f"{path}/{d}")
     os.rename(tmp, f"{path}/batch_id={keep}")
     return n
+
+
+def make_pagerank_sink(
+    out_path: str,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 100,
+    tol_micro: int = 0,
+    damping_ppm: int = 850_000,
+    weight_col: str | None = None,
+):
+    """foreachBatch PageRank maintenance — the coreness sink's
+    authority sibling, closing the streaming graph family
+    (components / ΔK-core / PageRank): each micro-batch appends its
+    edges to the persisted store and refreshes the score table via
+    `graph.pagerank(init_scores=<latest snapshot>, tol_micro=...)` —
+    WARM-STARTED, so a small edge delta converges in a handful of
+    full-edge iterations instead of the cold budget (at tol_micro=0
+    the snapshot is an exact integer fixed point of the new graph's
+    map).  Same layout and contracts as `make_coreness_sink`:
+    ``edges/batch_id=N`` appends, ``labels/batch_id=N`` full score
+    snapshots, replay reconstructs from dirs < N and overwrites
+    (byte-identical), `compact_coreness_edges` bounds the store read
+    (the layout is shared, so the same helper compacts both)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from ..operators import graph as graph_ops
+
+        cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+        if weight_col is not None:
+            cols.append(F.col(weight_col).alias("w"))
+        batch_edges = (
+            batch_df.select(*cols)
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        prev = _read_batch_dirs(spark, f"{out_path}/edges", before=batch_id)
+        all_edges = (
+            batch_edges if prev is None
+            else prev.unionByName(batch_edges).distinct()
+        )
+        prior = _latest_labels_snapshot(
+            spark, f"{out_path}/labels", before=batch_id
+        )
+        scores = graph_ops.pagerank(
+            all_edges, iters=iters, damping_ppm=damping_ppm,
+            weight_col="w" if weight_col is not None else None,
+            tol_micro=tol_micro, init_scores=prior,
+        )
+        scores.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{out_path}/labels/batch_id={batch_id}"
+        )
+        batch_edges.write.mode("overwrite").parquet(
+            f"{out_path}/edges/batch_id={batch_id}"
+        )
+
+    return sink

@@ -684,3 +684,38 @@ def test_coreness_hindex_incremental_equals_full(spark):
         G.coreness_hindex(fdf, prior=labels_df(base))
     with _pt.raises(ValueError, match=">= 0"):
         G.coreness_hindex(fdf, prior=labels_df(base), inserted_edges=-1)
+
+
+def test_pagerank_warm_start_fixed_point_contract(spark):
+    """Incremental PageRank warm start: after an edge delta, seeding
+    from the old graph's persisted scores with tol_micro=0 lands on
+    an exact integer FIXED POINT of the new graph's map (re-seeding
+    from it is a no-op) within a few micro of the cold fixed point —
+    the floor-division plateau documented in the operator: integer
+    fixed points are unique only up to O(micro), so the pin is
+    fixed-point-ness + tolerance, not cross-init bit-equality."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = list({(int(a), int(b)) for a, b in rng.integers(0, 25, (70, 2))})
+    delta = [(30, 0), (0, 30), (30, 31), (1, 30)]
+    bdf = _edges_df(spark, base)
+    fdf = _edges_df(spark, base + delta)
+    old = G.pagerank(bdf, iters=100, tol_micro=0)
+    warm_df = G.pagerank(fdf, iters=100, tol_micro=0, init_scores=old)
+    warm = {r["node"]: r["score_micro"] for r in warm_df.collect()}
+    cold = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(fdf, iters=100, tol_micro=0).collect()
+    }
+    assert set(warm) == set(cold)
+    assert 30 in warm and 31 in warm  # delta-only nodes present
+    assert all(abs(warm[n] - cold[n]) <= 4 for n in cold)  # plateau
+    # fixed-point-ness: re-seeding from the warm answer changes nothing
+    again = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(
+            fdf, iters=100, tol_micro=0, init_scores=warm_df
+        ).collect()
+    }
+    assert again == warm

@@ -1031,3 +1031,47 @@ def test_fuzzy_join_auto_gram_cap(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_gram_df"):
         relational.fuzzy_join(L, R, "name", "rname", max_gram_df="always")
+
+
+def test_sorted_neighborhood_pairs_matches_naive(spark):
+    """Sorted-neighborhood blocking: pair set identical to the naive
+    global-sort oracle (every record × its `window` successors in
+    (key, id) order), deterministic under duplicate keys, NULL keys
+    excluded, boundary-straddling pairs present despite the
+    range-partitioned rank assembly."""
+    import random
+
+    import pytest as _pt
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.choice(["ab", "ba", "bb", "ca", "cb", None]))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "rid int, k string")
+    got = sorted(
+        (r.id_a, r.id_b, r.gap)
+        for r in relational.sorted_neighborhood_pairs(
+            df, "rid", "k", window=4
+        ).collect()
+    )
+    ordered = sorted(
+        ((k, i) for i, k in rows if k is not None)
+    )
+    want = sorted(
+        (ordered[i][1], ordered[j][1], j - i)
+        for i in range(len(ordered))
+        for j in range(i + 1, min(i + 5, len(ordered)))
+    )
+    assert got == want
+    # keys unique per pair side, gap bounds hold
+    assert all(1 <= g <= 4 for _, _, g in got)
+    with _pt.raises(ValueError, match="window"):
+        relational.sorted_neighborhood_pairs(df, "rid", "k", window=0)
+    # empty / all-NULL input → empty frame with the right columns
+    empty = relational.sorted_neighborhood_pairs(
+        spark.createDataFrame([(1, None)], "rid int, k string"),
+        "rid", "k",
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["id_a", "id_b", "key_a", "key_b", "gap"]

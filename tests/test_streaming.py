@@ -1250,3 +1250,49 @@ def test_coreness_sink_incremental_equals_one_shot_and_replay(
         for r in pipeline.read_coreness_labels(spark, path).collect()
     }
     assert got == set(G.coreness_replay(seen + extra).items())
+
+
+def test_pagerank_sink_maintains_fixed_point_and_replay(spark, tmp_path):
+    """Streaming PageRank maintenance: every batch's warm-started
+    snapshot is an exact integer fixed point of the cumulative
+    graph's map (re-seeding is a no-op), stays within the documented
+    floor-division plateau of the cold scores, and crash-replaying
+    the newest batch reproduces the snapshot byte-identically."""
+    import numpy as np
+
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+
+    rng = np.random.default_rng(5)
+    base = list({(int(a), int(b)) for a, b in rng.integers(0, 20, (50, 2))})
+    batches = [base[:25], base[25:], [(30, 0), (0, 30), (31, 30)]]
+    path = str(tmp_path / "pr")
+    sink = pipeline.make_pagerank_sink(path)
+    seen = []
+    for i, b in enumerate(batches):
+        seen += b
+        sink(spark.createDataFrame(b, "src long, dst long"), i)
+    snap = pipeline.read_coreness_labels(spark, path)
+    got = {(r["node"], r["score_micro"]) for r in snap.collect()}
+    all_df = spark.createDataFrame(sorted(set(seen)), "src long, dst long")
+    cold = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(all_df, iters=100, tol_micro=0).collect()
+    }
+    gotd = dict(got)
+    assert set(gotd) == set(cold)
+    assert all(abs(gotd[n] - cold[n]) <= 4 for n in cold)
+    # fixed point: re-seeding from the snapshot is a no-op
+    again = {
+        (r["node"], r["score_micro"])
+        for r in G.pagerank(
+            all_df, iters=100, tol_micro=0, init_scores=snap
+        ).collect()
+    }
+    assert again == got
+    # crash replay byte-identical
+    sink(spark.createDataFrame(batches[2], "src long, dst long"), 2)
+    got2 = {
+        (r["node"], r["score_micro"])
+        for r in pipeline.read_coreness_labels(spark, path).collect()
+    }
+    assert got2 == got
