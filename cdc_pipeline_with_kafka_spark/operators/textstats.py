@@ -876,3 +876,66 @@ def k_anonymity_report(
         (F.col("_lrows") > 0).alias("l_violation"),
     )
     return viol.unionByName(total)
+
+
+def enforce_k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_distinct: int | None = None,
+    generalize: dict | None = None,
+) -> DataFrame:
+    """The TRANSFORM companion to `k_anonymity_report`: return df
+    restricted to rows whose quasi-identifier class satisfies the
+    release policy — size ≥ k and (when sensitive_col/l_distinct are
+    given) ≥ l distinct sensitive values — i.e. SUPPRESSION, the only
+    anonymization step that needs no domain knowledge.  The output is
+    k-anonymous (and l-diverse) BY CONSTRUCTION: re-auditing it
+    yields zero violating classes (pytest-pinned invariant).
+
+    `generalize` ({col: coarser Column expression}, e.g. zip →
+    substr(zip, 1, 3), age → 10·floor(age/10)) applies ONE rung of
+    the caller's generalization ladder BEFORE classing, trading
+    precision for retention; iterate ladder rungs externally,
+    re-auditing between rungs — the ladder IS domain knowledge and
+    stays the caller's.  Suppression bias warning in the output's
+    nature: dropped rows are by definition the rare combinations, so
+    downstream statistics under-represent exactly the minorities k
+    protects — report the suppressed share (the report's TOTAL row)
+    next to any released aggregate.
+
+    Plan shape: one classes-sized groupBy (same as the report) + one
+    left-semi join of the rows against the passing classes — NULL
+    quasi values class by their own '∅' fingerprint, matching the
+    report exactly."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if (sensitive_col is None) != (l_distinct is None):
+        raise ValueError("give sensitive_col and l_distinct together")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    base = df
+    if generalize:
+        unknown = set(generalize) - set(df.columns)
+        if unknown:
+            raise ValueError(f"generalize targets unknown columns {sorted(unknown)}")
+        for c, expr in generalize.items():
+            base = base.withColumn(c, expr)
+    qs = [
+        F.coalesce(F.col(c).cast("string"), F.lit("∅")).alias(f"_q{i}")
+        for i, c in enumerate(quasi_cols)
+    ]
+    qnames = [f"_q{i}" for i in range(len(quasi_cols))]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("_l"))
+    classes = base.select(*qs, *(
+        [F.col(sensitive_col)] if sensitive_col else []
+    )).groupBy(*qnames).agg(*aggs)
+    ok = classes.filter(F.col("_n") >= k)
+    if l_distinct is not None:
+        ok = ok.filter(F.col("_l") >= l_distinct)
+    tagged = base.select("*", *qs)
+    return tagged.join(ok.select(*qnames), qnames, "left_semi") \
+        .drop(*qnames)

@@ -7596,6 +7596,22 @@ def pii_scrub(spark, sf_dir):
             ),
             v_num=F.col("n_rows").cast("double"),
         ),
+        # r10 'kenf': the enforcement TRANSFORM — suppression to the
+        # same (k=10, l=2) policy; surviving custkeys value-checked,
+        # and the output is k-anonymous by construction (re-audit
+        # pinned in pytest)
+        _suite_rows(
+            textstats.enforce_k_anonymity(
+                cust.withColumn(
+                    "bal_sign",
+                    F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+                    .otherwise(F.lit("pos")),
+                ),
+                ["c_mktsegment", "c_nationkey"], k=10,
+                sensitive_col="bal_sign", l_distinct=2,
+            ),
+            "kenf", F.col("c_custkey"),
+        ),
     ])
 
 
@@ -7708,6 +7724,22 @@ FROM (
          sum(CASE WHEN lv THEN n_rows ELSE 0 END) > 0
   FROM kmark
 ) kanrows
+UNION ALL
+SELECT 'kenf', CAST(c_custkey AS VARCHAR), '', -1.0
+FROM (
+  WITH kbase AS (
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign
+    FROM customer
+  ),
+  kok AS (
+    SELECT c_mktsegment, c_nationkey FROM kbase
+    GROUP BY 1, 2
+    HAVING count(*) >= 10 AND count(DISTINCT bal_sign) >= 2
+  )
+  SELECT b.c_custkey FROM kbase b JOIN kok o
+    ON b.c_mktsegment = o.c_mktsegment AND b.c_nationkey = o.c_nationkey
+) kenfrows
 """
 
 # The 4-gram canary the stream-parity gate plants and then detects —

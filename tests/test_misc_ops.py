@@ -1075,3 +1075,48 @@ def test_sorted_neighborhood_pairs_matches_naive(spark):
     )
     assert empty.count() == 0
     assert empty.columns == ["id_a", "id_b", "key_a", "key_b", "gap"]
+
+
+def test_enforce_k_anonymity_suppression_and_generalization(spark):
+    """The enforcement transform: output restricted to classes
+    satisfying (k, l); re-auditing the output finds ZERO violating
+    classes (k-anonymous by construction); a generalization rung
+    recovers rows suppression alone would drop; NULL quasi values
+    class exactly as the report does; guards mirror the report's."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators.textstats import (
+        enforce_k_anonymity,
+        k_anonymity_report,
+    )
+
+    rows = ([("10001", "1980", "flu")] * 5
+            + [("10001", "1981", "flu")] * 2      # k-violating alone
+            + [("10002", "1990", "cold")] * 2     # k-violating
+            + [("10003", None, "flu")] * 6)       # NULL-classed, safe
+    df = spark.createDataFrame(rows, "zip string, yob string, dx string")
+    kept = enforce_k_anonymity(df, ["zip", "yob"], k=3)
+    assert kept.count() == 11  # the two small classes suppressed
+    assert kept.columns == df.columns
+    # by-construction invariant: re-audit shows zero violating classes
+    audit = k_anonymity_report(kept, ["zip", "yob"], k=3).collect()
+    assert [r for r in audit if r["class_kind"] == "class"] == []
+    # l-diversity: the all-flu classes fall once (sensitive, l) bind
+    ldiv = enforce_k_anonymity(
+        df, ["zip", "yob"], k=3, sensitive_col="dx", l_distinct=2
+    )
+    assert ldiv.count() == 0  # every surviving class is homogeneous
+    # one generalization rung (yob → decade) merges 1980/1981 into a
+    # 7-row class: suppression-only lost those 2 rows, the rung keeps
+    # them (at coarser precision — the output CARRIES the coarsening)
+    gen = enforce_k_anonymity(
+        df, ["zip", "yob"], k=3,
+        generalize={"yob": F.concat(F.substring("yob", 1, 3), F.lit("0"))},
+    )
+    assert gen.count() == 13  # 5 + 2 recovered + 6; (10002,1990) still < k
+    assert {r["yob"] for r in gen.select("yob").collect()} == {"1980", None}
+    with _pt.raises(ValueError, match="together"):
+        enforce_k_anonymity(df, ["zip"], k=3, sensitive_col="dx")
+    with _pt.raises(ValueError, match="unknown columns"):
+        enforce_k_anonymity(df, ["zip"], k=3, generalize={"nope": F.lit(1)})
