@@ -10192,6 +10192,26 @@ def classify_suite(spark, sf_dir):
         ),
         v_num=F.col("d_ppm").cast("double"),
     )
+    # r10 'ksq': the CONTINUOUS-column path — ks_drift's (now default)
+    # auto-quantize grid on a genuine DOUBLE (n_chars / 7.0), 16 cells
+    # so quantization actually bites at gate SF; the oracle replays
+    # the identical IEEE grid (min/max → width → floor cell → cell
+    # lower edge — every step the same double ops in both engines);
+    # at_value rides v_num because engines render doubles as strings
+    # differently
+    ksq = _suite_rows(
+        stats_ops.ks_drift(
+            docs.withColumn("score", F.col("n_chars") / F.lit(7.0)),
+            "score", "lang", "en", "zh", auto_quantize_cells=16,
+        ),
+        "ksq",
+        F.lit("en_vs_zh_q16"),
+        v_str=F.concat_ws(
+            "|", F.col("n_a").cast("string"), F.col("n_b").cast("string"),
+            F.col("d_ppm").cast("string"),
+        ),
+        v_num=F.col("at_value").cast("double"),
+    )
     # r9 'chi2': chi-square + Cramér's V between lang and source —
     # the categorical association screen; chi2_ppm is the EXACT
     # per-cell-floored integer sum (no float accumulation order),
@@ -10235,7 +10255,7 @@ def classify_suite(spark, sf_dir):
         v_num=F.col("mi_micro").cast("double"),
     )
     return _union_all([nb, nbp, dsir, pr, reli, gain, psi, ppl, pplb,
-                       ks, chi2, minf])
+                       ks, ksq, chi2, minf])
 
 
 _PR_THRESHOLDS = (-1_000_000, -250_000, 0, 250_000, 1_000_000)
@@ -10456,6 +10476,46 @@ FROM (
   )
   SELECT v, na, nb, abs(cuma * nb - cumb * na) AS d
   FROM kscum
+  ORDER BY abs(cuma * nb - cumb * na) DESC, v ASC
+  LIMIT 1
+) ksone
+UNION ALL
+SELECT 'ksq', 'en_vs_zh_q16',
+       CAST(na AS VARCHAR) || '|' || CAST(nb AS VARCHAR) || '|' ||
+       CAST(CASE WHEN na > 0 AND nb > 0
+                 THEN d * 1000000 // (na * nb)
+                 ELSE 0 END AS VARCHAR),
+       CAST(v AS DOUBLE)
+FROM (
+  WITH kqrows AS (
+    SELECT n_chars / 7.0 AS v,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia
+    FROM documents
+    WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')
+  ),
+  kqmm AS (SELECT min(v) AS lo, max(v) AS hi FROM kqrows),
+  -- the IDENTICAL IEEE grid the Spark default builds: width =
+  -- (hi-lo)/16 computed once, cell = least(15, floor((v-lo)/width)),
+  -- quantized value = lo + CAST(cell AS DOUBLE) * width
+  kqq AS (
+    SELECT m.lo + CAST(least(15, CAST(floor((r.v - m.lo)
+             / ((m.hi - m.lo) / 16)) AS BIGINT)) AS DOUBLE)
+             * ((m.hi - m.lo) / 16) AS v,
+           r.ia
+    FROM kqrows r, kqmm m
+  ),
+  kqpv AS (
+    SELECT v, sum(ia)::HUGEINT AS ca, sum(1 - ia)::HUGEINT AS cb
+    FROM kqq GROUP BY v
+  ),
+  kqcum AS (
+    SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+           sum(cb) OVER (ORDER BY v) AS cumb,
+           sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+    FROM kqpv
+  )
+  SELECT v, na, nb, abs(cuma * nb - cumb * na) AS d
+  FROM kqcum
   ORDER BY abs(cuma * nb - cumb * na) DESC, v ASC
   LIMIT 1
 ) kstop
