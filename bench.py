@@ -11,6 +11,11 @@ the prior run, any branch slower than DIFF_FACTOR (2x) flagged in
 can separate bought coverage from regression mechanically.  Host noise
 is real (PLANS.md documents ±60% swings on sub-100ms branches), so the
 2x flag on a >=0.05s branch is a TRIAGE signal, not a verdict.
+
+``--summary`` additionally prints a README-ready close-out sentence to
+STDERR (stdout stays exactly one JSON line) — the status numbers come
+from the measured artifact instead of being hand-written, which is how
+the round-9 README drifted.
 """
 
 from __future__ import annotations
@@ -99,6 +104,20 @@ def main() -> None:
             prior_path, branch_s, timings, cdc_rate, total
         )
     print(json.dumps(out))
+    if "--summary" in sys.argv:
+        # README-ready close-out sentence generated from the measured
+        # artifact instead of hand-written (the r9 drift lesson):
+        # pipe to stderr so the stdout contract stays ONE JSON line
+        d = out.get("diff", {})
+        reg = len(d.get("branch_s", {}).get("regressed", {})) if d else None
+        print(
+            f"Solo bench sf{sf}: {total} s / {len(timings)} queries / "
+            f"{len(branch_s)} attributed branches, CDC parse "
+            f"{cdc_rate:,.0f} events/s"
+            + (f"; --diff vs {d.get('vs')}: "
+               f"{reg} regressed branch(es)" if d else ""),
+            file=sys.stderr,
+        )
     spark.stop()
 
 
