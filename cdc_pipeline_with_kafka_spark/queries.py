@@ -338,7 +338,9 @@ def pj_exists_suite(spark, sf_dir):
     `coreness_hindex` (the h-index fixpoint / ΔK-core form) against
     the same matula-beck replay 'core' uses — peel ≡ fixpoint ≡
     oracle on one graph.  r10 'snb': sorted-neighborhood blocking vs
-    DuckDB's global row_number self-join."""
+    DuckDB's global row_number self-join.  r10 'jw': exact-integer
+    Jaro–Winkler over the 'link' pair fixture vs the shared jw_core
+    replay."""
     semi = p8_semi_join(spark, sf_dir).select(
         F.lit("semi").alias("branch"),
         F.col("s_suppkey").cast("string").alias("key"),
@@ -391,6 +393,18 @@ def pj_exists_suite(spark, sf_dir):
             F.col("n_disagree").cast("string"),
             F.col("n_missing").cast("string"),
         ).alias("name"),
+    )
+    # r10 'jw': exact-integer Jaro–Winkler over the SAME planted pair
+    # fixture 'link' scores — the linkage tier's name metric; every
+    # pair's jw_ppm value-checked against the shared pure-Python
+    # jw_core replayed off-Spark (rational arithmetic floored to ppm
+    # once, so both engines land identical integers)
+    jwp = relational.jaro_winkler(pairs, "name_a", "name_b").select(
+        F.lit("jw").alias("branch"),
+        F.concat_ws(
+            "|", F.col("key_a").cast("string"), F.col("key_b").cast("string")
+        ).alias("key"),
+        F.col("jw_ppm").cast("string").alias("name"),
     )
     # r9 'core': k-core decomposition of the thresholded trade graph
     # (undirected peel, graph.coreness) — hosted HERE rather than in
@@ -551,7 +565,7 @@ def pj_exists_suite(spark, sf_dir):
         semi.unionByName(anti).unionByName(link)
         .unionByName(core).unionByName(hcore).unionByName(fzj)
         .unionByName(fis).unionByName(fisr).unionByName(lpa)
-        .unionByName(ent).unionByName(snb)
+        .unionByName(ent).unionByName(snb).unionByName(jwp)
     )
 
 
@@ -808,7 +822,33 @@ def _pj_exists_suite_sql_full() -> str:
     cvals = ", ".join(f"({n}, {c})" for n, c in sorted(kcore.items()))
     lpa = graph_ops.label_propagation_replay(thresholded, n_rounds=4)
     lvals = ", ".join(f"({n}, {l})" for n, l in sorted(lpa.items()))
+    # r10 'jw': replay the planted link-fixture pairs off-Spark with
+    # the SHARED jw_core (rational → floored ppm), inline as VALUES —
+    # the coreness_replay pattern; name_b carries the %7 perturbation
+    from .operators.relational import jw_core
+
+    names = {
+        int(k): n for k, n in duckdb.sql(
+            f"SELECT c_custkey, c_name FROM "
+            f"'{_ORACLE_SF_DIR}/customer.parquet'"
+        ).fetchall()
+    }
+
+    def _pert(k: int, n: str) -> str:
+        return n + "_x" if k % 7 == 0 else n
+
+    jw_vals = []
+    for k in sorted(names):
+        for kb in (k, k + 1):
+            if kb in names:
+                jw_vals.append(
+                    f"({k}, {kb}, {jw_core(names[k], _pert(kb, names[kb]))})"
+                )
     return _pj_exists_suite_sql() + f"""
+UNION ALL
+SELECT 'jw', CAST(ka AS VARCHAR) || '|' || CAST(kb AS VARCHAR),
+       CAST(jw AS VARCHAR)
+FROM (VALUES {', '.join(jw_vals)}) jwv(ka, kb, jw)
 UNION ALL
 SELECT 'core', CAST(node AS VARCHAR), CAST(coreness AS VARCHAR)
 FROM (VALUES {cvals}) kc(node, coreness)

@@ -457,3 +457,44 @@ def test_batch_smoothers_state_chaining_bit_equal(spark):
         T.ewma(s2, ["g"], ["t"], "v", state=bad)
     with _pt.raises(ValueError, match="state frame"):
         T.holt_smoothing(s2, ["g"], ["t"], "v", state=bad)
+
+
+def test_jaro_winkler_hand_examples_and_spark_parity(spark):
+    """jw_core reproduces the textbook Jaro–Winkler values as exact
+    floored ppm (MARTHA/MARHTA = 173/180, DIXON/DICKSONX classic),
+    and the Spark pandas-UDF column lands the IDENTICAL integers on
+    randomized strings (the shared-kernel contract); NULLs score
+    NULL; the prefix-boost bound guard raises."""
+    import random
+
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.operators.relational import (
+        jaro_winkler,
+        jw_core,
+    )
+
+    assert jw_core("MARTHA", "MARHTA") == 961_111   # 173/180
+    assert jw_core("DIXON", "DICKSONX") == 813_333  # 61/75
+    assert jw_core("abc", "abc") == 1_000_000
+    assert jw_core("", "") == 1_000_000
+    assert jw_core("abc", "") == 0
+    assert jw_core("abc", "xyz") == 0
+    # transposition-free subset: CRATE/TRACE (m=3, t=0, no prefix)
+    assert jw_core("CRATE", "TRACE") == 733_333     # (3/5+3/5+1)/3
+
+    rng = random.Random(99)
+
+    def w():
+        return "".join(rng.choice("abcde") for _ in range(rng.randint(0, 9)))
+
+    rows = [(i, w(), w()) for i in range(300)] + [(300, None, "x"),
+                                                  (301, "x", None)]
+    df = spark.createDataFrame(rows, "i int, a string, b string")
+    got = {r["i"]: r["jw_ppm"]
+           for r in jaro_winkler(df, "a", "b").collect()}
+    for i, a, b in rows:
+        want = None if a is None or b is None else jw_core(a, b)
+        assert got[i] == want, (i, a, b)
+    with _pt.raises(ValueError, match="prefix"):
+        jaro_winkler(df, "a", "b", prefix_scale_ppm=300_000)
