@@ -1228,7 +1228,7 @@ def jw_core(a: str, b: str, prefix_scale_ppm: int = 100_000,
         return 1_000_000
     if la == 0 or lb == 0:
         return 0
-    window = max(la, lb) // 2 - 1
+    window = max(max(la, lb) // 2 - 1, 0)  # clamp: 1-char strings
     used = [False] * lb
     ma, mb = [], []
     for i, ca in enumerate(a):

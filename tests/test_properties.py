@@ -801,3 +801,57 @@ def test_cusum_closed_form_equals_recursion(xs, k):
         prefix += d
         runmin = min(runmin, prefix)
         assert s == prefix - min(0, runmin)
+
+
+@given(
+    st.text(alphabet="abcdef", max_size=12),
+    st.text(alphabet="abcdef", max_size=12),
+)
+def test_jw_core_symmetry_bounds_identity(a, b):
+    """Pure-math properties of the exact-integer Jaro–Winkler kernel
+    (relational.jw_core): symmetric (the matching window is built on
+    max(|a|,|b|), and greedy left-to-right matching yields the same
+    match multiset both ways), bounded in [0, 1e6], exactly 1e6 iff
+    the strings are equal, and 0 when no character is shared."""
+    from cdc_pipeline_with_kafka_spark.operators.relational import jw_core
+
+    ab, ba = jw_core(a, b), jw_core(b, a)
+    assert ab == ba
+    assert 0 <= ab <= 1_000_000
+    if a == b:
+        assert ab == 1_000_000
+    elif not set(a) & set(b):
+        assert ab == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 999),
+                  st.one_of(st.none(), st.text("xyz", max_size=3))),
+        max_size=40, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_sorted_neighborhood_equals_naive_property(spark, rows, window):
+    """Property form of the sorted-neighborhood pin: for ANY id/key
+    table (duplicate keys, NULLs, empty) the pair set equals the
+    naive global-sort successor pairing — boundary-straddling pairs
+    included, NULL keys excluded."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    df = spark.createDataFrame(rows, "rid int, k string") if rows else \
+        spark.createDataFrame([], "rid int, k string")
+    got = sorted(
+        (r.id_a, r.id_b, r.gap)
+        for r in relational.sorted_neighborhood_pairs(
+            df, "rid", "k", window=window
+        ).collect()
+    )
+    ordered = sorted((k, i) for i, k in rows if k is not None)
+    want = sorted(
+        (ordered[i][1], ordered[j][1], j - i)
+        for i in range(len(ordered))
+        for j in range(i + 1, min(i + window + 1, len(ordered)))
+    )
+    assert got == want
