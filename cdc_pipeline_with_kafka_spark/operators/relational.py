@@ -1318,6 +1318,7 @@ def resolve_entities(
     q: int = 2,
     match_micro: int | None = None,
     max_iter: int = 25,
+    max_gram_df: int | str | None = "auto",
 ) -> DataFrame:
     """End-to-end entity resolution over ONE record table — the
     composition the engine's parts exist for, packaged: `fuzzy_join`
@@ -1347,7 +1348,13 @@ def resolve_entities(
     edge-list min-label loop.  The one loud failure mode is a
     TOO-LOOSE blocker (high max_dist on short names) chaining
     everything into one mega-entity — components raises past
-    `max_iter` rounds rather than returning a half-propagated hull."""
+    `max_iter` rounds rather than returning a half-propagated hull.
+
+    `max_gram_df` passes through to `fuzzy_join`: the default
+    ``"auto"`` EAGERLY runs one small gram-document-frequency probe
+    job at call time (a 1-row collect) to decide whether to cap hot
+    grams — on tiny or per-batch frames pass ``None`` to keep plan
+    building fully lazy, or an int to pin the cap."""
     if (field_weights is None) != (match_micro is None):
         raise ValueError(
             "field_weights and match_micro come together: weights "
@@ -1371,8 +1378,10 @@ def resolve_entities(
         F.col(name_col).alias("_nm_b"),
         *[F.col(f).alias(f"{f}_b") for f in fields],
     )
-    pairs = fuzzy_join(a, b, "_nm_a", "_nm_b", max_dist=max_dist, q=q) \
-        .filter(F.col("_id_a") < F.col("_id_b"))
+    pairs = fuzzy_join(
+        a, b, "_nm_a", "_nm_b", max_dist=max_dist, q=q,
+        max_gram_df=max_gram_df,
+    ).filter(F.col("_id_a") < F.col("_id_b"))
     if field_weights:
         scored = record_linkage_score(pairs, field_weights)
         pairs = scored.filter(F.col("score_micro") >= int(match_micro))

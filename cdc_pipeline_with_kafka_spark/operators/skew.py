@@ -145,14 +145,20 @@ def small_files_report(
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    root = fs.makeQualified(jpath).toString().rstrip("/") + "/"
     it = fs.listFiles(jpath, True)  # recursive; metadata only
     listed = []
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith(("_", ".")):
-            continue  # _SUCCESS, checksums, hidden
-        listed.append((st.getPath().toString(), int(st.getLen())))
+        full = st.getPath().toString()
+        # hidden check on EVERY component under the root, not just the
+        # leaf: Spark ignores _temporary/... and .tmp dirs when reading,
+        # so counting their part files (e.g. from an aborted write)
+        # would skew the audit against what a scan actually sees
+        rel = full[len(root):] if full.startswith(root) else full
+        if any(c.startswith(("_", ".")) for c in rel.split("/") if c):
+            continue  # _SUCCESS, checksums, _temporary/.tmp contents
+        listed.append((full, int(st.getLen())))
     row_counts = {}
     if include_row_counts:
         counted = (

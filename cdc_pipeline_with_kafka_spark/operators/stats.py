@@ -75,6 +75,36 @@ def _is_fractional(df: DataFrame, col: str) -> bool:
     )
 
 
+def _drop_nan(df: DataFrame, col: str) -> DataFrame:
+    """Filter NaN rows from a float/double column (no-op for every
+    other type — decimals cannot hold NaN).  NaN is treated as
+    missing data, like NULL: it has no place in a CDF ordering, and
+    a single NaN would otherwise poison min/max aggregates (Spark
+    max returns NaN) and silently disable the ks_drift quantize
+    grid.  Monitor the NaN RATE separately (table_profile / dq
+    rules) — it is a real drift signal, just not a KS one."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(df.schema[col].dataType, (DoubleType, FloatType)):
+        return df.filter(~F.isnan(col))
+    return df
+
+
+def _require_finite_range(lo: float, hi: float, what: str) -> None:
+    """Loud ±Inf rejection for equal-width grids: width=inf collapses
+    every finite value into cell 0 and silently degenerates the
+    statistic.  Winsorize / filter infinities upstream."""
+    import math
+
+    if not (math.isfinite(lo) and math.isfinite(hi)):
+        raise ValueError(
+            f"{what}: observed range [{lo}, {hi}] is not finite — an "
+            "equal-width quantize grid over an infinite range is "
+            "degenerate; winsorize or filter ±Inf upstream (NaN is "
+            "already dropped as missing data)"
+        )
+
+
 def ks_drift(
     df: DataFrame,
     value_col: str,
@@ -116,6 +146,12 @@ def ks_drift(
     combined, post-quantize) distinct frame, ValueError past the
     bound — the equi_depth_histogram guardrail pattern.
 
+    Non-finite values: NaN rows are dropped like NULLs on both paths
+    (a CDF has no NaN position; monitor NaN rate via table_profile),
+    and ±Inf raises loudly when quantizing (an equal-width grid over
+    an infinite range is degenerate — winsorize first; the exact
+    opt-out path still orders ±Inf correctly).
+
     Output (one row): (n_a, n_b, at_value, d_ppm); empty frame if no
     rows land on either side.
     """
@@ -124,11 +160,20 @@ def ks_drift(
         v.alias("_v"),
         F.when(s == F.lit(side_a), F.lit(1)).otherwise(F.lit(0)).alias("_ia"),
     )
+    if _is_fractional(df, value_col):
+        # NaN ≙ NULL: dropped from the statistic on BOTH the quantized
+        # and the exact path, so opting out of the grid never changes
+        # NaN semantics (and a NaN can't poison min/max below).
+        rows = _drop_nan(rows, "_v")
     if auto_quantize_cells is not None and _is_fractional(df, value_col):
         if auto_quantize_cells < 2:
             raise ValueError("auto_quantize_cells must be >= 2")
         mm = rows.agg(F.min("_v").alias("lo"), F.max("_v").alias("hi")) \
             .collect()[0]
+        if mm["lo"] is not None:
+            _require_finite_range(
+                float(mm["lo"]), float(mm["hi"]), "ks_drift auto-quantize"
+            )
         if mm["lo"] is not None and float(mm["hi"]) > float(mm["lo"]):
             lo, hi = float(mm["lo"]), float(mm["hi"])
             cells = int(auto_quantize_cells)

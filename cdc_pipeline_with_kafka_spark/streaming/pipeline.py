@@ -768,13 +768,20 @@ def _auto_compact_components(
     os.replace(tmp, marker)
 
 
-def _latest_full_snapshot(spark, labels_path: str, batch_id: int):
-    """Latest full snapshot with batch_id < N, or None on cold start."""
+def _latest_full_snapshot(spark, labels_path: str, batch_id: int | None):
+    """Latest full snapshot with batch_id < N (N=None ⇒ no bound), or
+    None on cold start.  Cluster-safe: reads through spark.read with
+    basePath partition discovery — works on any Hadoop-visible URI —
+    and re-raises every listing failure that is not PATH_NOT_FOUND
+    (storage blip ≠ cold start: fail the batch)."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
         df = spark.read.option("basePath", labels_path).parquet(labels_path)
-        prior = df.filter(F.col("batch_id") < batch_id)
+        prior = (
+            df if batch_id is None
+            else df.filter(F.col("batch_id") < batch_id)
+        )
         prev = prior.agg(F.max("batch_id")).collect()[0][0]
         if prev is None:
             return None
@@ -823,11 +830,13 @@ def compact_component_labels(
     (and trims full-mode history).  ONLY compact batches the stream
     has committed past (foreachBatch replays at most the newest
     uncommitted batch, so upto_batch ≤ last-committed − 1 is always
-    safe).  Returns the compacted row count."""
+    safe).  Local filesystem only (loud ValueError otherwise).
+    Returns the compacted row count."""
     import os
     import re
     import shutil
 
+    _assert_local_store(labels_path, "compact_component_labels")
     dirs = [
         d for d in os.listdir(labels_path)
         if re.fullmatch(r"batch_id=\d+", d)
@@ -1177,7 +1186,12 @@ def make_drift_sink(
     """
     if on_breach not in ("report", "fail"):
         raise ValueError("on_breach must be report|fail")
-    from ..operators.stats import _is_fractional, ks_core
+    from ..operators.stats import (
+        _drop_nan,
+        _is_fractional,
+        _require_finite_range,
+        ks_core,
+    )
 
     def _grid_expr(lo: float, width: float, cells: int):
         cell = F.greatest(
@@ -1199,9 +1213,19 @@ def make_drift_sink(
     ):
         if auto_quantize_cells < 2:
             raise ValueError("auto_quantize_cells must be >= 2")
-        mm = reference_df.filter(F.col(value_col).isNotNull()).agg(
+        mm = _drop_nan(
+            reference_df.filter(F.col(value_col).isNotNull()), value_col
+        ).agg(
             F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
         ).collect()[0]
+        if mm["lo"] is not None:
+            # NaN is filtered above (≙ NULL, the ks_drift contract) so
+            # a stray NaN can't poison min/max and silently disable
+            # the grid; ±Inf still reaches here — reject loudly.
+            _require_finite_range(
+                float(mm["lo"]), float(mm["hi"]),
+                "make_drift_sink reference grid",
+            )
         if mm["lo"] is not None and float(mm["hi"]) > float(mm["lo"]):
             lo, hi = float(mm["lo"]), float(mm["hi"])
             cells = int(auto_quantize_cells)
@@ -1212,6 +1236,8 @@ def make_drift_sink(
 
     def _counts_frame(d):
         d = d.filter(F.col(value_col).isNotNull())
+        if _is_fractional(d, value_col):
+            d = _drop_nan(d, value_col)  # NaN ≙ NULL, ks_drift contract
         if quantize is not None:
             d = quantize(d)
         return d.groupBy(value_col).count().limit(max_values + 1)
@@ -1762,69 +1788,87 @@ def make_coreness_sink(
     return sink
 
 
-def _read_batch_dirs(spark, path: str, before: int):
+def _read_batch_dirs(spark, path: str, before: int, keep_batch_id=False):
     """Union the ``batch_id=K`` dirs with K < `before` (replay
     safety: a replayed batch never sees its own or later dirs);
-    None when nothing qualifies.  Schema comes from the parquet
-    footers, so node-id types follow the stream's."""
-    import os
-    import re
+    None when nothing qualifies.  Cluster-safe: spark.read with
+    basePath partition discovery (any Hadoop-visible URI) — only
+    PATH_NOT_FOUND is cold start, every other listing failure
+    re-raises and fails the batch (a swallowed storage blip here
+    would silently rebuild state from one batch's edges).  Schema
+    comes from the parquet footers, so node-id types follow the
+    stream's.  With `keep_batch_id` the partition column is kept
+    (cast to long) for last-writer-wins reconstruction."""
+    from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
-        dirs = [
-            d for d in os.listdir(path)
-            if re.fullmatch(r"batch_id=\d+", d)
-            and int(d.split("=")[1]) < before
-        ]
-    except FileNotFoundError:
+        df = spark.read.option("basePath", path).parquet(path)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise  # storage blip ≠ cold start: fail the batch
         return None
-    if not dirs:
+    df = df.filter(F.col("batch_id") < before)
+    if df.limit(1).count() == 0:
         return None
-    return spark.read.parquet(*[f"{path}/{d}" for d in dirs])
+    if keep_batch_id:
+        return df.withColumn("batch_id", F.col("batch_id").cast("long"))
+    return df.drop("batch_id")
 
 
 def _latest_labels_snapshot(spark, path: str, before: int):
     """The single most recent full label snapshot with batch_id <
-    `before`; None on cold start."""
-    import os
-    import re
-
-    try:
-        ids = [
-            int(d.split("=")[1]) for d in os.listdir(path)
-            if re.fullmatch(r"batch_id=\d+", d)
-            and int(d.split("=")[1]) < before
-        ]
-    except FileNotFoundError:
-        return None
-    if not ids:
-        return None
-    return spark.read.parquet(f"{path}/batch_id={max(ids)}")
+    `before`; None on cold start.  Delegates to the components sink's
+    cluster-safe basePath read (PATH_NOT_FOUND-only cold start)."""
+    return _latest_full_snapshot(spark, path, before)
 
 
 def read_coreness_labels(spark, out_path: str):
     """The current coreness table of a `make_coreness_sink` store:
-    simply the latest full snapshot (labels are versioned whole)."""
-    import os
+    simply the latest full snapshot (labels are versioned whole).
+    Cluster-safe basePath read; raises FileNotFoundError on an empty
+    or missing store (asking for labels that don't exist is a caller
+    error, not a cold start)."""
+    labels = _latest_full_snapshot(spark, f"{out_path}/labels", None)
+    if labels is None:
+        raise FileNotFoundError(f"no label snapshots under {out_path}/labels")
+    return labels
 
-    ids = [
-        int(d.split("=")[1]) for d in os.listdir(f"{out_path}/labels")
-        if d.startswith("batch_id=")
-    ]
-    return spark.read.parquet(f"{out_path}/labels/batch_id={max(ids)}")
+
+def _assert_local_store(path: str, op: str) -> None:
+    """Compaction rewrites dirs with os.rename/shutil.rmtree — local
+    filesystem only.  Reject remote URIs loudly instead of corrupting
+    the store half-way (the sink READ paths are cluster-safe; only
+    compaction has this restriction — run it as a filesystem-side job
+    on remote stores)."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"{op} uses local-filesystem rename/delete and cannot run "
+            f"against scheme {scheme!r} ({path}); compact remote stores "
+            "with a storage-side job instead"
+        )
 
 
 def compact_coreness_edges(spark, out_path: str, upto_batch: int) -> int:
     """Collapse edge dirs with batch_id ≤ `upto_batch` into ONE
-    distinct dir (kept under the highest compacted id, so a replay of
-    any batch > upto_batch reads the identical edge set).  Only
-    compact batches the stream has committed past.  Returns the
-    compacted edge count."""
+    dir (kept under the highest compacted id, so a replay of
+    any batch > upto_batch reads the identical edge set).  Unweighted
+    stores dedupe with distinct(); weighted stores (a `w` column —
+    the pagerank sink) keep the LATEST batch's weight per (src, dst),
+    matching the sinks' own last-writer-wins reconstruction.  Only
+    compact batches the stream has committed past.  Local filesystem
+    only (loud ValueError otherwise).  Returns the compacted count."""
     import os
     import re
     import shutil
 
+    from pyspark.sql import Window
+
     path = f"{out_path}/edges"
+    _assert_local_store(path, "compact_coreness_edges")
     dirs = [
         d for d in os.listdir(path)
         if re.fullmatch(r"batch_id=\d+", d)
@@ -1832,9 +1876,21 @@ def compact_coreness_edges(spark, out_path: str, upto_batch: int) -> int:
     ]
     if not dirs:
         return 0
-    merged = spark.read.parquet(
-        *[f"{path}/{d}" for d in dirs]
-    ).distinct().localCheckpoint(eager=True)
+    raw = spark.read.option("basePath", path).parquet(path).filter(
+        F.col("batch_id") <= upto_batch
+    )
+    if "w" in raw.drop("batch_id").columns:
+        rank = Window.partitionBy("src", "dst").orderBy(
+            F.col("batch_id").desc(), F.col("w").desc()
+        )
+        merged = (
+            raw.withColumn("_rn", F.row_number().over(rank))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch_id")
+        )
+    else:
+        merged = raw.drop("batch_id").distinct()
+    merged = merged.localCheckpoint(eager=True)
     n = merged.count()
     keep = max(int(d.split("=")[1]) for d in dirs)
     tmp = f"{path}/.compact_tmp"
@@ -1866,12 +1922,22 @@ def make_pagerank_sink(
     ``edges/batch_id=N`` appends, ``labels/batch_id=N`` full score
     snapshots, replay reconstructs from dirs < N and overwrites
     (byte-identical), `compact_coreness_edges` bounds the store read
-    (the layout is shared, so the same helper compacts both)."""
+    (the layout is shared, so the same helper compacts both).
+
+    Weighted stores reconstruct LAST-WRITER-WINS per (src, dst): a
+    CDC weight update in batch N overrides the weight an earlier
+    batch stored for the same edge (ties inside one batch break by
+    the larger weight, deterministically — pre-dedupe the batch if
+    that's not the semantics you want).  Without this, an updated
+    edge would keep BOTH weight rows in the distinct edge list and
+    be silently double-counted."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
 
     def sink(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        from pyspark.sql import Window
+
         from ..operators import graph as graph_ops
 
         cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
@@ -1883,11 +1949,28 @@ def make_pagerank_sink(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        prev = _read_batch_dirs(spark, f"{out_path}/edges", before=batch_id)
-        all_edges = (
-            batch_edges if prev is None
-            else prev.unionByName(batch_edges).distinct()
+        prev = _read_batch_dirs(
+            spark, f"{out_path}/edges", before=batch_id,
+            keep_batch_id=weight_col is not None,
         )
+        if weight_col is None:
+            all_edges = (
+                batch_edges if prev is None
+                else prev.unionByName(batch_edges).distinct()
+            )
+        else:
+            tagged = batch_edges.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            )
+            union = tagged if prev is None else prev.unionByName(tagged)
+            rank = Window.partitionBy("src", "dst").orderBy(
+                F.col("batch_id").desc(), F.col("w").desc()
+            )
+            all_edges = (
+                union.withColumn("_rn", F.row_number().over(rank))
+                .filter(F.col("_rn") == 1)
+                .select("src", "dst", "w")
+            )
         prior = _latest_labels_snapshot(
             spark, f"{out_path}/labels", before=batch_id
         )

@@ -498,3 +498,58 @@ def test_jaro_winkler_hand_examples_and_spark_parity(spark):
         assert got[i] == want, (i, a, b)
     with _pt.raises(ValueError, match="prefix"):
         jaro_winkler(df, "a", "b", prefix_scale_ppm=300_000)
+
+
+def test_drift_sink_nan_and_inf_reference(spark, tmp_path):
+    """A NaN in a double reference must not silently disable the
+    pinned grid (NaN ≙ NULL, dropped consistently from reference and
+    batches); a ±Inf reference raises at sink build instead of
+    pinning a degenerate width=inf grid."""
+    vals = [i / 3.0 for i in range(600)]
+    ref = spark.createDataFrame(
+        [(v,) for v in vals] + [(float("nan"),)], "v double"
+    )
+    # grid engages despite the NaN: 600 raw values would breach
+    # max_values=100 if auto-quantize silently disengaged
+    rp = str(tmp_path / "dn")
+    sink = pipeline.make_drift_sink(
+        rp, ref, "v", max_values=100, auto_quantize_cells=50
+    )
+    batch = spark.createDataFrame(
+        [(v,) for v in vals] + [(float("nan"),)], "v double"
+    )
+    sink(batch, 0)
+    r0 = spark.read.parquet(f"{rp}/batch_id=0").collect()[0]
+    assert r0["d_ppm"] == 0 and r0["n_ref"] == 600 and r0["n_batch"] == 600
+    bad = spark.createDataFrame(
+        [(1.0,), (float("inf"),)], "v double"
+    )
+    with pytest.raises(ValueError, match="not finite"):
+        pipeline.make_drift_sink(str(tmp_path / "di"), bad, "v")
+
+
+def test_resolve_entities_max_gram_df_passthrough(spark):
+    """resolve_entities exposes fuzzy_join's max_gram_df: None keeps
+    plan building fully lazy on small frames and resolves the same
+    entities as the eager 'auto' default."""
+    from cdc_pipeline_with_kafka_spark.operators.relational import (
+        resolve_entities,
+    )
+
+    rows = [
+        (1, "acme corp"), (2, "acme corp."), (3, "acme korp"),
+        (4, "zenith ltd"), (5, "zenith ltd"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    want = {
+        (r["id"], r["entity_id"])
+        for r in resolve_entities(df, "id", "name", max_dist=2).collect()
+    }
+    got = {
+        (r["id"], r["entity_id"])
+        for r in resolve_entities(
+            df, "id", "name", max_dist=2, max_gram_df=None
+        ).collect()
+    }
+    assert got == want
+    assert {e for _, e in got} == {1, 4}

@@ -370,3 +370,50 @@ def test_ks_drift_auto_quantizes_continuous_by_default(spark):
     assert tuple(a) == tuple(b)
     with pytest.raises(ValueError, match="auto_quantize_cells"):
         S.ks_drift(df, "v", "s", "a", "b", auto_quantize_cells=1).collect()
+
+
+def test_ks_drift_nan_rows_dropped_and_grid_still_engages(spark):
+    """A single NaN must not poison min/max and silently disable the
+    auto-quantize grid (Spark max returns NaN): NaN rows are dropped
+    like NULLs on both paths, and with the grid engaged the distinct
+    guard sees ≤ cells values, not the raw cardinality."""
+    rows = (
+        [(i / 7.0, "a") for i in range(300)]
+        + [(i / 11.0, "b") for i in range(300)]
+        + [(float("nan"), "a"), (float("nan"), "b")]
+    )
+    df = _df(spark, rows, "v double, s string")
+    # pre-fix this raised: NaN max disabled the grid and ~580 raw
+    # distinct values hit the max_distinct_values guard
+    row = S.ks_drift(
+        df, "v", "s", "a", "b",
+        auto_quantize_cells=50, max_distinct_values=50,
+    ).collect()[0]
+    assert row["n_a"] == 300 and row["n_b"] == 300  # NaN ≙ NULL
+    clean = _df(
+        spark, [r for r in rows if r[0] == r[0]], "v double, s string"
+    )
+    want = S.ks_drift(
+        clean, "v", "s", "a", "b", auto_quantize_cells=50
+    ).collect()[0]
+    assert row == want
+    # exact opt-out path drops NaN identically (paths agree on NaN)
+    exact = S.ks_drift(
+        df, "v", "s", "a", "b", auto_quantize_cells=None
+    ).collect()[0]
+    assert exact["n_a"] == 300 and exact["n_b"] == 300
+
+
+def test_ks_drift_infinite_range_raises_on_grid(spark):
+    """±Inf makes the equal-width grid degenerate (width=inf ⇒ every
+    finite value lands in cell 0): the quantize path raises loudly;
+    the exact opt-out path still orders ±Inf correctly."""
+    rows = [(1.0, "a"), (2.0, "b"), (float("inf"), "b")]
+    df = _df(spark, rows, "v double, s string")
+    with pytest.raises(ValueError, match="not finite"):
+        S.ks_drift(df, "v", "s", "a", "b")
+    out = S.ks_drift(
+        df, "v", "s", "a", "b", auto_quantize_cells=None
+    ).collect()[0]
+    assert out["n_a"] == 1 and out["n_b"] == 2
+    assert out["at_value"] == 1.0 and out["d_ppm"] == 1_000_000

@@ -1296,3 +1296,101 @@ def test_pagerank_sink_maintains_fixed_point_and_replay(spark, tmp_path):
         for r in pipeline.read_coreness_labels(spark, path).collect()
     }
     assert got2 == got
+
+
+def test_pagerank_sink_weighted_update_latest_wins(spark, tmp_path):
+    """A CDC weight UPDATE for an existing edge must override the
+    stored weight, not coexist with it: batch 1 re-sends (1,2) with
+    w=3, and the maintained scores must track the updated graph, not
+    the double-counted one (w=1+3).  Weighted compaction applies the
+    same last-writer-wins rule."""
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+
+    path = str(tmp_path / "prw")
+    sink = pipeline.make_pagerank_sink(path, weight_col="w")
+    b0 = [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+    b1 = [(1, 2, 3.0)]  # weight UPDATE for (1, 2)
+    sink(spark.createDataFrame(b0, "src long, dst long, w double"), 0)
+    sink(spark.createDataFrame(b1, "src long, dst long, w double"), 1)
+    got = {
+        r["node"]: r["score_micro"]
+        for r in pipeline.read_coreness_labels(spark, path).collect()
+    }
+    current = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+    cold = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(
+            spark.createDataFrame(current, "src long, dst long, w double"),
+            iters=100, tol_micro=0, weight_col="w",
+        ).collect()
+    }
+    doubled = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(
+            spark.createDataFrame(
+                b0 + b1, "src long, dst long, w double"
+            ),
+            iters=100, tol_micro=0, weight_col="w",
+        ).collect()
+    }
+    assert set(got) == set(cold)
+    # within the documented warm-start plateau of the CORRECT graph...
+    assert all(abs(got[n] - cold[n]) <= 4 for n in cold)
+    # ...and measurably far from the double-counted graph
+    assert any(abs(got[n] - doubled[n]) > 4 for n in cold)
+    # weighted compaction keeps ONE row per edge with the latest weight
+    n = pipeline.compact_coreness_edges(spark, path, upto_batch=1)
+    assert n == 4
+    store = {
+        (r["src"], r["dst"], r["w"])
+        for r in spark.read.parquet(f"{path}/edges").drop(
+            "batch_id"
+        ).collect()
+    }
+    assert store == set(current)
+    # replay after compaction still tracks the correct graph
+    sink(spark.createDataFrame([(3, 2, 2.0)], "src long, dst long, w double"), 2)
+    got2 = {
+        r["node"]: r["score_micro"]
+        for r in pipeline.read_coreness_labels(spark, path).collect()
+    }
+    cold2 = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(
+            spark.createDataFrame(
+                current + [(3, 2, 2.0)], "src long, dst long, w double"
+            ),
+            iters=100, tol_micro=0, weight_col="w",
+        ).collect()
+    }
+    assert all(abs(got2[n] - cold2[n]) <= 4 for n in cold2)
+
+
+def test_graph_sink_store_reads_cluster_safe(spark, tmp_path):
+    """The coreness/pagerank store reads go through spark.read with
+    basePath partition discovery (any Hadoop-visible URI): a missing
+    path is cold start, hidden marker files don't break or pollute
+    reconstruction, and the local-only compaction helpers reject
+    remote URIs loudly instead of corrupting a remote store."""
+    from cdc_pipeline_with_kafka_spark.operators import graph as G
+
+    missing = str(tmp_path / "nope")
+    assert pipeline._read_batch_dirs(spark, missing, before=5) is None
+    assert pipeline._latest_labels_snapshot(spark, missing, before=5) is None
+    path = str(tmp_path / "kc")
+    sink = pipeline.make_coreness_sink(path)
+    sink(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"), 0)
+    # a hidden marker beside the batch dirs must be ignored by the read
+    (tmp_path / "kc" / "edges" / "_marker.json").write_text("{}")
+    sink(spark.createDataFrame([(3, 4)], "src long, dst long"), 1)
+    got = {
+        (r["node"], r["coreness"])
+        for r in pipeline.read_coreness_labels(spark, path).collect()
+    }
+    assert got == set(G.coreness_replay([(1, 2), (2, 3), (3, 4)]).items())
+    with pytest.raises(ValueError, match="local-filesystem"):
+        pipeline.compact_coreness_edges(spark, "hdfs://nn/store", 1)
+    with pytest.raises(ValueError, match="local-filesystem"):
+        pipeline.compact_component_labels(spark, "s3a://bucket/labels", 1)
+    with pytest.raises(FileNotFoundError):
+        pipeline.read_coreness_labels(spark, missing)

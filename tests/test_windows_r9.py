@@ -250,3 +250,30 @@ def test_multi_touch_attribution_window_edges_and_guards(spark):
         multi_touch_attribution(
             df, ["user_id"], "ts", "event_id", "event_type",
             "purchase", [], 60)
+
+
+def test_small_files_report_skips_hidden_dirs(spark, tmp_path):
+    """Files INSIDE hidden/temporary directories (_temporary/... from
+    an aborted write, .compact_tmp contents) are invisible to a Spark
+    scan and must be invisible to the audit too — the hidden check
+    applies to every path component under the root, not just the
+    leaf name."""
+    import os
+
+    from cdc_pipeline_with_kafka_spark.operators.skew import (
+        small_files_report,
+    )
+
+    p = str(tmp_path / "ds")
+    spark.range(100).repartition(4).write.parquet(p)
+    junk_dirs = [
+        os.path.join(p, "_temporary", "0"),
+        os.path.join(p, ".compact_tmp"),
+    ]
+    for d in junk_dirs:
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-junk.parquet"), "wb") as fh:
+            fh.write(b"x" * 4096)
+    rep = small_files_report(spark, p, target_bytes=1)
+    assert rep["n_files"] == 4  # junk not counted
+    assert rep["advice"] == "healthy"
