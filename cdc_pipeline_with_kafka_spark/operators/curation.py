@@ -1811,30 +1811,38 @@ def cooccurrence_pairs(
     (item-cardinality tables).  The skew risk is the MEGA-BASKET
     (one basket with 1e5 items = 1e10 pairs): `max_basket_items`
     drops baskets above the cap — the max_gram_df recall/cost trade,
-    loud in the signature, None keeps exact semantics.
-    ``min_pairs`` prunes the long tail before the marginal join."""
+    loud in the signature, None keeps exact semantics.  Pairs,
+    marginals, and `n_baskets` all come from the SAME capped basket
+    universe (a capped n_ab against uncapped n_a/n_b/n_baskets
+    would mix universes and skew lift — the association_rules
+    contract).  ``min_pairs`` prunes the long tail before the
+    marginal join."""
     if min_pairs < 1:
         raise ValueError("min_pairs must be >= 1")
-    pairs_src = (
-        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
-        .groupBy("_b")
-        .agg(F.sort_array(F.collect_set("_i")).alias("items"))
+    rows = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    baskets = rows.groupBy("_b").agg(
+        F.sort_array(F.collect_set("_i")).alias("items")
     )
     if max_basket_items is not None:
-        pairs_src = pairs_src.filter(F.size("items") <= max_basket_items)
-    pairs = pairs_src.selectExpr(
+        # the cap drops whole baskets — rebuild the (basket, item)
+        # rows from the SURVIVING baskets so the marginals and the
+        # basket total count over the identical universe as n_ab
+        baskets = baskets.filter(
+            F.size("items") <= max_basket_items
+        ).localCheckpoint(eager=False)
+        rows = baskets.select("_b", F.explode("items").alias("_i"))
+    pairs = baskets.selectExpr(
         "items", "posexplode(items) AS (p, item_a)"
     ).selectExpr("item_a", "explode(slice(items, p + 2, size(items))) AS item_b")
     support = pairs.groupBy("item_a", "item_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_ab")
     ).filter(F.col("n_ab") >= min_pairs)
-    item_counts = (
-        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
-        .distinct()
-        .groupBy("_i")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    item_counts = rows.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
     )
-    n_baskets = df.select(basket_col).distinct().count()
+    n_baskets = baskets.count()
     dec = "decimal(38,0)"
     return (
         support

@@ -780,6 +780,47 @@ def test_cooccurrence_pairs_support_and_lift(spark):
     assert capped.count() == 0  # every pair-bearing basket dropped
 
 
+def test_cooccurrence_pairs_cap_uses_one_basket_universe(spark):
+    """Under max_basket_items, n_ab, n_a/n_b AND n_baskets must all
+    count over the SAME capped universe (the association_rules
+    contract): a dropped mega-basket containing item x must not
+    inflate x's marginal or the basket total.  Capped run ≡ running
+    uncapped on the manually pre-filtered frame."""
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    rows = (
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "y")]
+        + [(4, "x")] + [(4, f"m{i}") for i in range(5)]  # mega, size 6
+    )
+    df = spark.createDataFrame(rows, "b long, it string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in curation.cooccurrence_pairs(
+            df, "b", "it", max_basket_items=3
+        ).collect()
+        if (r["item_a"], r["item_b"]) == ("x", "y")
+    }[("x", "y")]
+    # capped universe: baskets {1,2,3} → n_ab=2, n_a=2, n_b=3,
+    # n_baskets=3 → lift exactly 1e6 (independence); the pre-fix
+    # mixed-universe answer was 888,888 (n_a=3 with the mega basket,
+    # n_baskets=4)
+    assert (got["n_ab"], got["n_a"], got["n_b"]) == (2, 2, 3)
+    assert got["lift_ppm"] == 1_000_000
+    # parity: capped ≡ uncapped over the manually filtered frame
+    manual = spark.createDataFrame(
+        [r for r in rows if r[0] != 4], "b long, it string"
+    )
+    want = sorted(
+        map(tuple, curation.cooccurrence_pairs(manual, "b", "it").collect())
+    )
+    have = sorted(
+        map(tuple, curation.cooccurrence_pairs(
+            df, "b", "it", max_basket_items=3
+        ).collect())
+    )
+    assert have == want
+
+
 def test_gains_table_exact_cumulative_and_totals(spark):
     """Decile gains: value-cut banding (no global window), exact
     integer cum/gain/lift, total accounting of NULL rows, tie mass
