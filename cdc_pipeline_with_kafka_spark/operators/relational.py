@@ -1207,22 +1207,73 @@ def sorted_neighborhood_pairs(
     )
 
 
+def sorted_neighborhood_pairs_multi(
+    df: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    window: int = 10,
+) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood blocking — the deployment
+    Hernández & Stolfo (SIGMOD 1995, §4) actually recommend: one
+    pass per independent blocking key (name-key, phone-key,
+    zip+street-key), candidate pairs unioned.  A single pass misses
+    records that sort apart on one corrupted field; several cheap
+    small-window passes over DIFFERENT keys recover far more true
+    matches than one expensive wide-window pass (the paper's
+    headline result).
+
+    Each pass is `sorted_neighborhood_pairs` (O(n·window), no
+    SinglePartition window); pairs are canonicalized to unordered
+    form (id_a < id_b — two keys may sort the same pair in opposite
+    orders) and deduplicated by one pair-grain groupBy that also
+    reports HOW the pair was found: `n_keys` (how many passes
+    emitted it — a cheap match-confidence prior: agreeing on two
+    independent keys beats one) and `min_gap` (its closest sort
+    distance across passes).  Cost: Σ per-pass cost + one shuffle at
+    candidate-pair grain — still O(n·window·|keys|) by construction.
+
+    Output: (id_a, id_b, n_keys, min_gap) with id_a < id_b.  NULL
+    keys are excluded per pass (a record with a NULL phone still
+    pairs through its other keys)."""
+    if not key_cols:
+        raise ValueError("key_cols must name at least one blocking key")
+    if len(set(key_cols)) != len(key_cols):
+        raise ValueError("key_cols must be distinct")
+    passes = None
+    for k in key_cols:
+        p = sorted_neighborhood_pairs(df, id_col, k, window=window).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "gap",
+        )
+        passes = p if passes is None else passes.unionByName(p)
+    return passes.groupBy("id_a", "id_b").agg(
+        # one unordered pair appears at most once per pass (ranks are
+        # unique within a pass), so count(*) IS the pass count
+        F.count(F.lit(1)).cast("int").alias("n_keys"),
+        F.min("gap").cast("int").alias("min_gap"),
+    )
+
+
 def jw_core(a: str, b: str, prefix_scale_ppm: int = 100_000,
             max_prefix: int = 4) -> int:
     """Pure-Python Jaro–Winkler similarity as an EXACT integer ppm —
     the shared kernel of `jaro_winkler` (Spark) and its oracle replay
-    (the ks_core/psi_core pattern): all arithmetic is rational
-    (fractions.Fraction), floored to ppm ONCE at the end, so both
-    engines land the identical integer with no IEEE seam anywhere.
+    (the ks_core/psi_core pattern): all arithmetic is plain big-int
+    over the common denominator 6·m·|a|·|b|, floored to ppm ONCE at
+    the end, so both engines land the identical integer with no IEEE
+    seam anywhere.  (Value-identical to the earlier Fraction form —
+    pinned by a cross-check test — and ~3× faster per pair: JW is
+    exactly computable without rational objects, and what remains is
+    the character-window matching loop itself.)
 
     Standard definitions (Jaro 1989; Winkler 1990): match window
     max(|a|,|b|)//2 − 1; t = half the transposed matches; jaro =
     (m/|a| + m/|b| + (m−t)/m)/3; winkler boost jw = jaro +
     ℓ·p·(1−jaro) with ℓ = common prefix capped at `max_prefix` and
     p = prefix_scale_ppm/1e6 (0.1 classic, p·max_prefix ≤ 1 so jw
-    stays in [0, 1])."""
-    from fractions import Fraction
-
+    stays in [0, 1]).  With num/den the jaro numerator/denominator,
+    floor(jw·1e6) = (num·1e6 + ℓ·ppm·(den − num)) // den exactly."""
     la, lb = len(a), len(b)
     if la == 0 and lb == 0:
         return 1_000_000
@@ -1244,16 +1295,18 @@ def jw_core(a: str, b: str, prefix_scale_ppm: int = 100_000,
         return 0
     mb_chars = [b[j] for j in sorted(mb)]
     t2 = sum(1 for x, y in zip(ma, mb_chars) if x != y)  # 2·t
-    jaro = (Fraction(m, la) + Fraction(m, lb)
-            + Fraction(2 * m - t2, 2 * m)) / 3
+    # jaro = (m/la + m/lb + (2m−t2)/(2m)) / 3 over the common
+    # denominator den = 6·m·la·lb (num ≤ den, so jw stays in [0,1])
+    num = 2 * m * m * (la + lb) + (2 * m - t2) * la * lb
+    den = 6 * m * la * lb
     ell = 0
     for x, y in zip(a[:max_prefix], b[:max_prefix]):
         if x != y:
             break
         ell += 1
-    p = Fraction(int(prefix_scale_ppm), 1_000_000)
-    jw = jaro + ell * p * (1 - jaro)
-    return int(jw * 1_000_000)  # Fraction __int__ truncates = floor (jw >= 0)
+    # jw = jaro + ℓ·(ppm/1e6)·(1−jaro); floor(jw·1e6) exactly:
+    return (num * 1_000_000 + ell * int(prefix_scale_ppm) * (den - num)) \
+        // den
 
 
 def jaro_winkler(

@@ -561,11 +561,34 @@ def pj_exists_suite(spark, sf_dir):
         ).alias("key"),
         F.col("gap").cast("string").alias("name"),
     )
+    # r11 'snbm': MULTI-PASS sorted neighborhood (Hernández–Stolfo §4,
+    # the paper's headline deployment) — two independent keys (two
+    # disjoint text slices), per-key passes unioned as unordered
+    # pairs with pass count and closest gap, value-checked against
+    # DuckDB's two row_number self-joins + pair-grain group-by
+    docs_m = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("rid"),
+        F.expr("substr(text, 1, 16)").alias("k1"),
+        F.expr("substr(text, 17, 16)").alias("k2"),
+    )
+    snbm = relational.sorted_neighborhood_pairs_multi(
+        docs_m, "rid", ["k1", "k2"], window=5,
+    ).select(
+        F.lit("snbm").alias("branch"),
+        F.concat_ws(
+            "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("key"),
+        F.concat_ws(
+            "|", F.col("n_keys").cast("string"),
+            F.col("min_gap").cast("string"),
+        ).alias("name"),
+    )
     return (
         semi.unionByName(anti).unionByName(link)
         .unionByName(core).unionByName(hcore).unionByName(fzj)
         .unionByName(fis).unionByName(fisr).unionByName(lpa)
-        .unionByName(ent).unionByName(snb).unionByName(jwp)
+        .unionByName(ent).unionByName(snb).unionByName(snbm)
+        .unionByName(jwp)
     )
 
 
@@ -797,6 +820,34 @@ FROM (
   SELECT a.rid AS id_a, b.rid AS id_b, b.rn - a.rn AS gap
   FROM srank a JOIN srank b ON b.rn - a.rn BETWEEN 1 AND 5
 ) snbrows
+UNION ALL
+SELECT 'snbm', CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR),
+       CAST(n_keys AS VARCHAR) || '|' || CAST(min_gap AS VARCHAR)
+FROM (
+  WITH mrecs AS (
+    SELECT doc_id AS rid, substr(text, 1, 16) AS k1,
+           substr(text, 17, 16) AS k2
+    FROM documents
+  ),
+  mr1 AS (
+    SELECT rid, row_number() OVER (ORDER BY k1, rid) AS rn
+    FROM mrecs WHERE k1 IS NOT NULL
+  ),
+  mr2 AS (
+    SELECT rid, row_number() OVER (ORDER BY k2, rid) AS rn
+    FROM mrecs WHERE k2 IS NOT NULL
+  ),
+  mp AS (
+    SELECT least(a.rid, b.rid) AS id_a, greatest(a.rid, b.rid) AS id_b,
+           b.rn - a.rn AS gap
+    FROM mr1 a JOIN mr1 b ON b.rn - a.rn BETWEEN 1 AND 5
+    UNION ALL
+    SELECT least(a.rid, b.rid), greatest(a.rid, b.rid), b.rn - a.rn
+    FROM mr2 a JOIN mr2 b ON b.rn - a.rn BETWEEN 1 AND 5
+  )
+  SELECT id_a, id_b, count(*) AS n_keys, min(gap) AS min_gap
+  FROM mp GROUP BY id_a, id_b
+) snbmrows
 """.replace("{P8_SQL}", P8_SQL).replace("{J3_SQL}", J3_SQL)
 
 

@@ -825,6 +825,55 @@ def test_jw_core_symmetry_bounds_identity(a, b):
 
 
 @given(
+    st.text(alphabet="abcd", max_size=12),
+    st.text(alphabet="abcd", max_size=12),
+    st.sampled_from([0, 50_000, 100_000, 250_000]),
+)
+def test_jw_core_integer_equals_fraction_reference(a, b, ps):
+    """The common-denominator integer kernel lands the IDENTICAL
+    floored ppm as the original rational (Fraction) formulation for
+    any strings and prefix scale — the seam the 'jw' gate integers
+    depend on.  The reference is the Fraction form inlined verbatim
+    (same greedy matcher, jaro as true rationals, one truncation)."""
+    from fractions import Fraction
+
+    from cdc_pipeline_with_kafka_spark.operators.relational import jw_core
+
+    def reference(a, b, ppm, max_prefix=4):
+        la, lb = len(a), len(b)
+        if la == 0 and lb == 0:
+            return 1_000_000
+        if la == 0 or lb == 0:
+            return 0
+        window = max(max(la, lb) // 2 - 1, 0)
+        used = [False] * lb
+        ma, mb = [], []
+        for i, ca in enumerate(a):
+            for j in range(max(0, i - window), min(lb, i + window + 1)):
+                if not used[j] and b[j] == ca:
+                    used[j] = True
+                    ma.append(ca)
+                    mb.append(j)
+                    break
+        m = len(ma)
+        if m == 0:
+            return 0
+        mb_chars = [b[j] for j in sorted(mb)]
+        t2 = sum(1 for x, y in zip(ma, mb_chars) if x != y)
+        jaro = (Fraction(m, la) + Fraction(m, lb)
+                + Fraction(2 * m - t2, 2 * m)) / 3
+        ell = 0
+        for x, y in zip(a[:max_prefix], b[:max_prefix]):
+            if x != y:
+                break
+            ell += 1
+        jw = jaro + ell * Fraction(ppm, 1_000_000) * (1 - jaro)
+        return int(jw * 1_000_000)
+
+    assert jw_core(a, b, ps) == reference(a, b, ps)
+
+
+@given(
     st.lists(
         st.tuples(st.integers(0, 999),
                   st.one_of(st.none(), st.text("xyz", max_size=3))),
@@ -854,4 +903,51 @@ def test_sorted_neighborhood_equals_naive_property(spark, rows, window):
         for i in range(len(ordered))
         for j in range(i + 1, min(i + window + 1, len(ordered)))
     )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 999),
+            st.one_of(st.none(), st.text("xy", max_size=2)),
+            st.one_of(st.none(), st.text("xy", max_size=2)),
+        ),
+        max_size=30, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_sorted_neighborhood_multi_equals_naive_union(spark, rows, window):
+    """Multi-pass sorted neighborhood ≡ the naive reference: run the
+    successor pairing per key, canonicalize to unordered pairs, then
+    count passes and take the closest gap per pair — for ANY table
+    with NULLs in either key, duplicates, or no rows at all."""
+    from cdc_pipeline_with_kafka_spark.operators import relational
+
+    df = spark.createDataFrame(rows, "rid int, k1 string, k2 string") \
+        if rows else spark.createDataFrame([], "rid int, k1 string, k2 string")
+    got = sorted(
+        (r.id_a, r.id_b, r.n_keys, r.min_gap)
+        for r in relational.sorted_neighborhood_pairs_multi(
+            df, "rid", ["k1", "k2"], window=window
+        ).collect()
+    )
+
+    def one_pass(key_ix):
+        ordered = sorted(
+            (t[key_ix], t[0]) for t in rows if t[key_ix] is not None
+        )
+        return [
+            (min(ordered[i][1], ordered[j][1]),
+             max(ordered[i][1], ordered[j][1]), j - i)
+            for i in range(len(ordered))
+            for j in range(i + 1, min(i + window + 1, len(ordered)))
+        ]
+
+    agg = {}
+    for ia, ib, gap in one_pass(1) + one_pass(2):
+        n, g = agg.get((ia, ib), (0, None))
+        agg[(ia, ib)] = (n + 1, gap if g is None else min(g, gap))
+    want = sorted((ia, ib, n, g) for (ia, ib), (n, g) in agg.items())
     assert got == want
