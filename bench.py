@@ -12,6 +12,14 @@ can separate bought coverage from regression mechanically.  Host noise
 is real (PLANS.md documents ±60% swings on sub-100ms branches), so the
 2x flag on a >=0.05s branch is a TRIAGE signal, not a verdict.
 
+The diff is DRIFT-NORMALIZED (the r10 lesson: a shared host drifted
+~1.22x slower one round and the raw diff flagged unchanged code):
+"drift_factor" is the median now/prior ratio over shared queries —
+uniform host slowdown moves the median, a genuine single-query
+regression doesn't — every entry carries both the raw "ratio" and
+"adj_ratio" (ratio / drift), and ONLY drift-adjusted regressions
+flag.  Fewer than 5 shared queries -> drift 1.0 (can't estimate).
+
 ``--summary`` additionally prints a README-ready close-out sentence to
 STDERR (stdout stays exactly one JSON line) — the status numbers come
 from the measured artifact instead of being hand-written, which is how
@@ -106,16 +114,28 @@ def main() -> None:
     print(json.dumps(out))
     if "--summary" in sys.argv:
         # README-ready close-out sentence generated from the measured
-        # artifact instead of hand-written (the r9 drift lesson):
+        # artifact instead of hand-written (the r9 drift lesson), and
+        # stating exactly what the diff object says — drift factor
+        # included — instead of paraphrasing it (the r10 lesson):
         # pipe to stderr so the stdout contract stays ONE JSON line
         d = out.get("diff", {})
-        reg = len(d.get("branch_s", {}).get("regressed", {})) if d else None
+        extra = ""
+        if d and "error" not in d:
+            n_reg = (
+                len(d.get("branch_s", {}).get("regressed", {}))
+                + len(d.get("queries", {}).get("regressed", {}))
+            )
+            extra = (
+                f"; --diff vs {d.get('vs')}: host drift x"
+                f"{d.get('drift_factor')}, {n_reg} drift-adjusted "
+                f"regressed branch(es)/query(ies)"
+            )
+        elif d:
+            extra = f"; --diff vs {d.get('vs')}: {d['error']}"
         print(
             f"Solo bench sf{sf}: {total} s / {len(timings)} queries / "
             f"{len(branch_s)} attributed branches, CDC parse "
-            f"{cdc_rate:,.0f} events/s"
-            + (f"; --diff vs {d.get('vs')}: "
-               f"{reg} regressed branch(es)" if d else ""),
+            f"{cdc_rate:,.0f} events/s" + extra,
             file=sys.stderr,
         )
     spark.stop()
@@ -171,11 +191,16 @@ def _diff_branches(
     total: float | None = None,
 ) -> dict:
     """Mechanical regression table vs a prior bench JSON: per-branch
-    and per-query steady times (regressed = now > DIFF_FACTOR x prior
-    AND now >= DIFF_FLOOR_S), PLUS the two whole-run signals the
+    and per-query steady times, PLUS the two whole-run signals the
     branch tiers can't see (the r8 verdict gap): cdc_events_per_sec
-    (throughput — a DROP below prior/DIFF_FACTOR flags) and the
-    headline total."""
+    (throughput — a DROP flags) and the headline total.
+
+    DRIFT-NORMALIZED (the r10 lesson — a uniformly ~1.22x-slower
+    host day flagged byte-identical code at 2.18x): `drift_factor`
+    is the median now/prior ratio over shared QUERIES (needs >=
+    MIN_DRIFT_SAMPLES, else 1.0); regressed = now >= DIFF_FLOOR_S
+    AND adj_ratio (= ratio / drift) > DIFF_FACTOR.  Both ratios are
+    in every entry so the artifact shows raw and adjusted."""
     prior = _load_prior(prior_path)
     if prior is None:
         return {
@@ -184,16 +209,25 @@ def _diff_branches(
                      "(driver 'tail' truncation?) — save bench.py's own "
                      "output line for diffable baselines",
         }
-    diff: dict = {"vs": os.path.basename(prior_path)}
+    drift, n_shared = _drift_factor(prior.get("queries", {}), timings)
+    diff: dict = {
+        "vs": os.path.basename(prior_path),
+        "drift_factor": drift,
+        "drift_samples": n_shared,
+    }
     for tier, now in (("branch_s", branch_s), ("queries", timings)):
         old = prior.get(tier, {})
-        regressed = {
-            k: {"prior": old[k], "now": v,
-                "ratio": round(v / old[k], 2) if old[k] else None}
-            for k, v in now.items()
-            if k in old and old[k] > 0 and v >= DIFF_FLOOR_S
-            and v > DIFF_FACTOR * old[k]
-        }
+        regressed = {}
+        for k, v in now.items():
+            if k not in old or not old[k] or old[k] <= 0 or v < DIFF_FLOOR_S:
+                continue
+            ratio = v / old[k]
+            adj = ratio / drift
+            if adj > DIFF_FACTOR:
+                regressed[k] = {
+                    "prior": old[k], "now": v,
+                    "ratio": round(ratio, 2), "adj_ratio": round(adj, 2),
+                }
         diff[tier] = {
             "regressed": regressed,
             "new": sorted(set(now) - set(old)),
@@ -201,23 +235,53 @@ def _diff_branches(
         }
     prior_rate = prior.get("cdc_events_per_sec")
     if cdc_rate is not None and isinstance(prior_rate, (int, float)) and prior_rate > 0:
+        ratio = cdc_rate / prior_rate
+        # throughput regresses DOWNWARD; a slower host LOWERS the rate
+        # by ~drift, so the adjusted ratio multiplies the drift back in
+        adj = ratio * drift
         diff["cdc_events_per_sec"] = {
             "prior": prior_rate,
             "now": cdc_rate,
-            "ratio": round(cdc_rate / prior_rate, 2),
-            # throughput regresses DOWNWARD: same 2x budget, inverted
-            "regressed": cdc_rate * DIFF_FACTOR < prior_rate,
+            "ratio": round(ratio, 2),
+            "adj_ratio": round(adj, 2),
+            "regressed": adj * DIFF_FACTOR < 1.0,
         }
     prior_total = prior.get("value")
     if total is not None and isinstance(prior_total, (int, float)) and prior_total > 0:
+        ratio = total / prior_total
+        adj = ratio / drift
         diff["total"] = {
             "prior": prior_total,
             "now": total,
-            "ratio": round(total / prior_total, 2),
-            "regressed": total > DIFF_FACTOR * prior_total
-            and total >= DIFF_FLOOR_S,
+            "ratio": round(ratio, 2),
+            "adj_ratio": round(adj, 2),
+            "regressed": adj > DIFF_FACTOR and total >= DIFF_FLOOR_S,
         }
     return diff
+
+
+MIN_DRIFT_SAMPLES = 5
+
+
+def _drift_factor(prior_queries: dict, timings: dict) -> tuple[float, int]:
+    """Median now/prior ratio over shared queries — the whole-host
+    slowdown estimate.  Uniform drift moves every shared query by the
+    same factor and therefore the median; one genuinely regressed
+    query cannot (it is one sample).  Queries, not branches: the 32
+    query timings are all >= the noise floor, branch timings are not.
+    Returns (1.0, n) below MIN_DRIFT_SAMPLES shared samples."""
+    shared = sorted(
+        v / prior_queries[k]
+        for k, v in timings.items()
+        if isinstance(prior_queries.get(k), (int, float))
+        and prior_queries[k] > 0 and v > 0
+    )
+    n = len(shared)
+    if n < MIN_DRIFT_SAMPLES:
+        return 1.0, n
+    mid = n // 2
+    med = shared[mid] if n % 2 else (shared[mid - 1] + shared[mid]) / 2
+    return round(med, 3), n
 
 
 _SUITE_COLS = ["suite_case", "k", "v_str", "v_num"]

@@ -71,3 +71,45 @@ def test_diff_covers_throughput_and_total(tmp_path):
     old = _write(tmp_path, "o.json", {"queries": {"a": 1.0}})
     d = bench._diff_branches(old, {}, {"a": 1.0}, 100_000.0, 5.0)
     assert "cdc_events_per_sec" not in d and "total" not in d
+
+
+def test_diff_drift_normalization_synthetic(tmp_path):
+    """r10 closure: a uniformly 1.3x-slower host must NOT flag
+    unchanged queries — the median shared-query ratio becomes
+    drift_factor and only drift-ADJUSTED >2x regressions flag; a
+    genuine 3x regression still flags (adj 2.31x), and both raw and
+    adjusted ratios land in the artifact."""
+    prior = {
+        "queries": {f"q{i}": 1.0 for i in range(8)},
+        "branch_s": {"s.x": 0.2},
+        "value": 8.0,
+        "cdc_events_per_sec": 100_000.0,
+    }
+    p = _write(tmp_path, "p.json", prior)
+    # everything drifts 1.3x; q7 genuinely regresses 3x; the branch
+    # rides the same host drift (0.26 = 1.3x raw, healthy adjusted)
+    now_q = {f"q{i}": 1.3 for i in range(7)}
+    now_q["q7"] = 3.0
+    d = bench._diff_branches(p, {"s.x": 0.26}, now_q, 77_000.0, 11.1)
+    assert d["drift_factor"] == 1.3 and d["drift_samples"] == 8
+    assert list(d["queries"]["regressed"]) == ["q7"]
+    e = d["queries"]["regressed"]["q7"]
+    assert e["ratio"] == 3.0 and e["adj_ratio"] == 2.31
+    assert d["branch_s"]["regressed"] == {}  # 1.3x raw but 1.0x adj
+    # total rode the drift (plus q7): adj under 2x, not flagged
+    assert d["total"]["regressed"] is False
+    assert d["total"]["adj_ratio"] == round((11.1 / 8.0) / 1.3, 2)
+    # throughput fell WITH the host (0.77 raw ~= 1.0 adjusted): healthy
+    assert d["cdc_events_per_sec"]["regressed"] is False
+    assert d["cdc_events_per_sec"]["adj_ratio"] == 1.0
+
+
+def test_diff_drift_needs_min_samples(tmp_path):
+    """Under 5 shared queries the drift estimate is untrustworthy:
+    factor pins to 1.0 and raw == adjusted (the pre-r11 behavior)."""
+    prior = {"queries": {"a": 1.0, "b": 0.5}, "branch_s": {}}
+    p = _write(tmp_path, "p.json", prior)
+    d = bench._diff_branches(p, {}, {"a": 2.5, "b": 0.6})
+    assert d["drift_factor"] == 1.0 and d["drift_samples"] == 2
+    assert list(d["queries"]["regressed"]) == ["a"]
+    assert d["queries"]["regressed"]["a"]["adj_ratio"] == 2.5
