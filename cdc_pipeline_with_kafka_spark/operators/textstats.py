@@ -789,6 +789,27 @@ def normalize_unicode(
     return df.withColumn(target, _norm(F.col(text_col)))
 
 
+def _quasi_keys(quasi_cols: list[str]) -> list:
+    """Per quasi column, the CLASS KEY PAIR: the rendered string
+    (NULL → '∅', display only) plus an is-null flag — so a literal
+    '∅' value never merges with the NULL class (merging could
+    inflate a violating class past k), and the enforce semi-join has
+    no NULL keys to mismatch on."""
+    out = []
+    for i, c in enumerate(quasi_cols):
+        out.append(
+            F.coalesce(F.col(c).cast("string"), F.lit("∅")).alias(f"_q{i}")
+        )
+        out.append(F.col(c).isNull().alias(f"_n{i}"))
+    return out
+
+
+def _quasi_names(quasi_cols: list[str]) -> list[str]:
+    return [f"_q{i}" for i in range(len(quasi_cols))] + [
+        f"_n{i}" for i in range(len(quasi_cols))
+    ]
+
+
 def k_anonymity_report(
     df: DataFrame,
     quasi_cols: list[str],
@@ -806,11 +827,15 @@ def k_anonymity_report(
     attribute even at size ≥ k (homogeneity attack).
 
     Exact counts end to end; NULL quasi-values form their own class
-    (NULL is a fingerprint too).  Plan shape: ONE groupBy on the
-    quasi columns with map-side combine (+ a distinct-count per class
-    when l-diversity is requested) — the output is
-    violating-classes-sized, with one 'TOTAL' summary row carrying
-    class/row totals and the violating shares as exact ppm.
+    (NULL is a fingerprint too) — classed by a (rendered-string,
+    is_null) KEY PAIR, so a column that actually contains the
+    rendering sentinel '∅' still classes separately from NULL (the
+    two render identically in `quasi_values` but never merge).  Plan
+    shape: ONE groupBy on the quasi columns with map-side combine
+    (+ a distinct-count per class when l-diversity is requested) —
+    the output is violating-classes-sized, with one 'TOTAL' summary
+    row carrying class/row totals and the violating shares as exact
+    ppm.
 
     Output rows: (class_kind ∈ class/TOTAL, …quasi values as one
     '|'-joined string, n_rows, n_sensitive_distinct [NULL without
@@ -824,10 +849,7 @@ def k_anonymity_report(
         raise ValueError("give sensitive_col and l_distinct together")
     if not quasi_cols:
         raise ValueError("quasi_cols must be non-empty")
-    qs = [
-        F.coalesce(F.col(c).cast("string"), F.lit("∅")).alias(f"_q{i}")
-        for i, c in enumerate(quasi_cols)
-    ]
+    qs = _quasi_keys(quasi_cols)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if sensitive_col is not None:
         aggs.append(
@@ -835,7 +857,7 @@ def k_anonymity_report(
         )
     classes = df.select(*qs, *(
         [F.col(sensitive_col)] if sensitive_col else []
-    )).groupBy(*[f"_q{i}" for i in range(len(quasi_cols))]).agg(*aggs)
+    )).groupBy(*_quasi_names(quasi_cols)).agg(*aggs)
     if sensitive_col is None:
         classes = classes.withColumn("n_sens", F.lit(None).cast("long"))
     kv = F.col("n_rows") < k
@@ -907,8 +929,9 @@ def enforce_k_anonymity(
 
     Plan shape: one classes-sized groupBy (same as the report) + one
     left-semi join of the rows against the passing classes — NULL
-    quasi values class by their own '∅' fingerprint, matching the
-    report exactly."""
+    quasi values class by the same (rendered, is_null) key pair as
+    the report, so a literal '∅' value never merges with the NULL
+    class and the semi-join never compares NULL keys."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if (sensitive_col is None) != (l_distinct is None):
@@ -922,11 +945,8 @@ def enforce_k_anonymity(
             raise ValueError(f"generalize targets unknown columns {sorted(unknown)}")
         for c, expr in generalize.items():
             base = base.withColumn(c, expr)
-    qs = [
-        F.coalesce(F.col(c).cast("string"), F.lit("∅")).alias(f"_q{i}")
-        for i, c in enumerate(quasi_cols)
-    ]
-    qnames = [f"_q{i}" for i in range(len(quasi_cols))]
+    qs = _quasi_keys(quasi_cols)
+    qnames = _quasi_names(quasi_cols)
     aggs = [F.count(F.lit(1)).alias("_n")]
     if sensitive_col is not None:
         aggs.append(F.countDistinct(F.col(sensitive_col)).alias("_l"))
@@ -939,3 +959,78 @@ def enforce_k_anonymity(
     tagged = base.select("*", *qs)
     return tagged.join(ok.select(*qnames), qnames, "left_semi") \
         .drop(*qnames)
+
+
+def anonymize_with_ladder(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    ladders: dict[str, list],
+    sensitive_col: str | None = None,
+    l_distinct: int | None = None,
+    max_suppressed_ppm: int = 0,
+):
+    """The packaged generalization-ladder driver around
+    `enforce_k_anonymity`: walk rungs of the caller's ladders —
+    ``{col: [coarser Column, even coarser Column, ...]}`` — from no
+    generalization (rung 0) upward, enforcing the (k, l) policy at
+    each rung, until the SUPPRESSED share drops to
+    `max_suppressed_ppm` or the ladders are exhausted.  The ladder
+    itself stays domain knowledge (zip → substr(zip,1,3) → '*',
+    age → decade → '*'); this packages only the loop the enforce
+    docstring told callers to run by hand.
+
+    Rung r applies each column's r-th ladder step (columns with a
+    shorter ladder hold at their coarsest step).  Retention is
+    MONOTONE in the rung by construction — coarsening only merges
+    classes, a merged class's size is the sum of its parts and its
+    sensitive-distinct count is ≥ each part's, so rows can only flip
+    from suppressed to released (pytest-pinned) — which is what
+    makes first-rung-under-target the optimal stop.
+
+    Returns ``(released_df, rung_chosen, stats)`` where stats is one
+    dict per TRIED rung: {rung, kept, suppressed_ppm}.  If no rung
+    meets the target, the coarsest rung's release is returned (its
+    stats row shows the shortfall — the caller decides whether to
+    ship, extend the ladder, or lower k).  Cost: one enforce plan +
+    two counts per tried rung, driver-looped over a handful of rungs
+    (the ladder is human-sized by nature)."""
+    if not ladders:
+        raise ValueError("ladders must map at least one column")
+    unknown = set(ladders) - set(quasi_cols)
+    if unknown:
+        raise ValueError(
+            f"ladder columns {sorted(unknown)} are not quasi columns"
+        )
+    if any(not steps for steps in ladders.values()):
+        raise ValueError("every ladder needs at least one rung")
+    if not 0 <= max_suppressed_ppm <= 1_000_000:
+        raise ValueError("max_suppressed_ppm must be in [0, 1e6]")
+    n_rungs = max(len(steps) for steps in ladders.values())
+    total = df.count()
+    stats: list[dict] = []
+    released = None
+    rung_used = 0
+    for rung in range(n_rungs + 1):
+        gen = None
+        if rung > 0:
+            gen = {
+                c: steps[min(rung, len(steps)) - 1]
+                for c, steps in ladders.items()
+            }
+        released = enforce_k_anonymity(
+            df, quasi_cols, k,
+            sensitive_col=sensitive_col, l_distinct=l_distinct,
+            generalize=gen,
+        )
+        kept = released.count()
+        suppressed_ppm = (
+            (total - kept) * 1_000_000 // total if total else 0
+        )
+        stats.append(
+            {"rung": rung, "kept": kept, "suppressed_ppm": suppressed_ppm}
+        )
+        rung_used = rung
+        if suppressed_ppm <= max_suppressed_ppm:
+            break
+    return released, rung_used, stats

@@ -1987,3 +1987,118 @@ def make_pagerank_sink(
         )
 
     return sink
+
+
+def make_anonymized_release_sink(
+    out_path: str,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_distinct: int | None = None,
+):
+    """foreachBatch k-ANONYMOUS RELEASE — the streaming twin of
+    `textstats.enforce_k_anonymity`, completing the privacy tier: a
+    CDC row stream is released only as its quasi-identifier class
+    reaches the (k, l) policy OVER THE WHOLE HISTORY, with rows that
+    arrive before their class qualifies PARKED and released the batch
+    the class crosses the threshold.
+
+    Monotonicity makes exactly-the-batch-operator semantics possible
+    incrementally: class counts and sensitive-distinct counts only
+    grow, so a class that passes stays passed — early releases are
+    never wrong, parked rows are released at most once, and the union
+    of all released dirs equals one-shot `enforce_k_anonymity` over
+    the union of all batches (pytest-pinned parity).
+
+    Store layout (the graph-sink contract — cluster-safe basePath
+    reads, batch_id-scoped overwrites, replay from dirs < N is
+    byte-identical):
+
+      counts/batch_id=N    full (quasi-class, sensitive-value)-grain
+                           count snapshot — the merged state
+      released/batch_id=N  rows whose class qualified AT batch N
+                           (the batch's own rows + newly unparked)
+      pending/batch_id=N   full snapshot of still-parked rows
+
+    Per batch: one class-grain merge groupBy, one classes-sized
+    filter, one semi- and one anti-join of (batch ∪ pending) rows
+    against the passing classes — O(batch + pending + classes), never
+    O(history).  Sensitive values are compared AS STRINGS in the
+    store (cast once), matching countDistinct over string sensitives;
+    NULL sensitive rows count toward k but never toward l (the batch
+    operator's convention).  The suppression-bias warning from the
+    batch operator applies doubly here: pending rows are the rare
+    classes AND the recent arrivals."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if (sensitive_col is None) != (l_distinct is None):
+        raise ValueError("give sensitive_col and l_distinct together")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    from ..operators.textstats import _quasi_keys, _quasi_names
+
+    qnames = _quasi_names(quasi_cols)
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qkeys = _quasi_keys(quasi_cols)
+        sv = (
+            F.col(sensitive_col).cast("string")
+            if sensitive_col is not None
+            else F.lit(None).cast("string")
+        )
+        batch_counts = (
+            batch_df.select(*qkeys, sv.alias("_sv"))
+            .groupBy(*qnames, "_sv")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        prior_counts = _latest_full_snapshot(
+            spark, f"{out_path}/counts", batch_id
+        )
+        merged = (
+            batch_counts if prior_counts is None
+            else prior_counts.unionByName(batch_counts)
+            .groupBy(*qnames, "_sv")
+            .agg(F.sum("n").cast("long").alias("n"))
+        ).localCheckpoint(eager=True)
+        passing = merged.groupBy(*qnames).agg(
+            F.sum("n").alias("_n"),
+            F.count(F.col("_sv")).alias("_l"),  # count() skips NULL sv
+        ).filter(
+            (F.col("_n") >= k)
+            & (
+                F.col("_l") >= l_distinct
+                if l_distinct is not None else F.lit(True)
+            )
+        ).select(*qnames)
+        prior_pending = _latest_full_snapshot(
+            spark, f"{out_path}/pending", batch_id
+        )
+        candidates = (
+            batch_df if prior_pending is None
+            else batch_df.unionByName(prior_pending)
+        ).select("*", *qkeys)
+        released = candidates.join(passing, qnames, "left_semi") \
+            .drop(*qnames).localCheckpoint(eager=True)
+        pending = candidates.join(passing, qnames, "left_anti") \
+            .drop(*qnames).localCheckpoint(eager=True)
+        released.write.mode("overwrite").parquet(
+            f"{out_path}/released/batch_id={batch_id}"
+        )
+        pending.write.mode("overwrite").parquet(
+            f"{out_path}/pending/batch_id={batch_id}"
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{out_path}/counts/batch_id={batch_id}"
+        )
+
+    return sink
+
+
+def read_released_rows(spark, out_path: str):
+    """All rows a `make_anonymized_release_sink` store has released so
+    far (per-batch dirs are disjoint by construction: a row is
+    released exactly once, the batch its class qualified)."""
+    return spark.read.option(
+        "basePath", f"{out_path}/released"
+    ).parquet(f"{out_path}/released").drop("batch_id")

@@ -1161,3 +1161,77 @@ def test_enforce_k_anonymity_suppression_and_generalization(spark):
         enforce_k_anonymity(df, ["zip"], k=3, sensitive_col="dx")
     with _pt.raises(ValueError, match="unknown columns"):
         enforce_k_anonymity(df, ["zip"], k=3, generalize={"nope": F.lit(1)})
+
+
+def test_k_anonymity_null_vs_literal_sentinel_never_merge(spark):
+    """Regression: a quasi column actually CONTAINING the rendering
+    sentinel '∅' must not merge its class with the NULL class — the
+    merged count could push a violating class past k.  Both report
+    and enforce class on the (rendered, is_null) key pair."""
+    from cdc_pipeline_with_kafka_spark.operators.textstats import (
+        enforce_k_anonymity,
+        k_anonymity_report,
+    )
+
+    rows = [("∅",)] * 4 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "zip string")
+    # pre-fix: one merged class of 6 >= 5 → everything (wrongly) passed
+    assert enforce_k_anonymity(df, ["zip"], k=5).count() == 0
+    viol = [
+        r for r in k_anonymity_report(df, ["zip"], k=5).collect()
+        if r["class_kind"] == "class"
+    ]
+    assert sorted(r["n_rows"] for r in viol) == [2, 4]  # two classes
+    # both render '∅' — display-ambiguous, structurally distinct
+    assert {r["quasi_values"] for r in viol} == {"∅"}
+
+
+def test_anonymize_with_ladder_walks_rungs_monotone(spark):
+    """Ladder driver: rung 0 (no generalization) suppresses too much,
+    rung 1 (decade) reaches the target and the walk stops there; kept
+    counts are monotone in the rung; the release re-audits clean; an
+    exhausted ladder returns the coarsest release with the shortfall
+    visible in stats."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators.textstats import (
+        anonymize_with_ladder,
+        k_anonymity_report,
+    )
+
+    rows = ([("10001", "1980")] * 4
+            + [("10001", "1981")] * 4     # merge at decade → 8
+            + [("10002", "1990")] * 2)    # violating at every rung here
+    df = spark.createDataFrame(rows, "zip string, yob string")
+    ladders = {
+        "yob": [
+            F.concat(F.substring("yob", 1, 3), F.lit("0")),  # decade
+            F.lit("*"),                                      # erased
+        ],
+    }
+    released, rung, stats = anonymize_with_ladder(
+        df, ["zip", "yob"], k=5, ladders=ladders,
+        max_suppressed_ppm=200_000,
+    )
+    assert rung == 1 and len(stats) == 2  # stopped at the first hit
+    assert [s["kept"] for s in stats] == [0, 8]
+    assert stats[1]["suppressed_ppm"] == 200_000
+    # monotone retention held on the tried prefix
+    assert all(a["kept"] <= b["kept"] for a, b in zip(stats, stats[1:]))
+    # the release is k-anonymous under ITS rung's coarsening
+    audit = k_anonymity_report(released, ["zip", "yob"], k=5).collect()
+    assert [r for r in audit if r["class_kind"] == "class"] == []
+    assert {r["yob"] for r in released.select("yob").collect()} == {"1980"}
+    # unreachable target: ladder exhausts, coarsest release returned
+    rel2, rung2, stats2 = anonymize_with_ladder(
+        df, ["zip", "yob"], k=5, ladders=ladders, max_suppressed_ppm=0,
+    )
+    assert rung2 == 2 and len(stats2) == 3
+    assert stats2[-1]["suppressed_ppm"] > 0  # shortfall visible
+    assert rel2.count() == 8
+    assert [s["kept"] for s in stats2] == [0, 8, 8]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="quasi"):
+        anonymize_with_ladder(df, ["zip"], 5, {"yob": [F.lit("*")]})
+    with _pt.raises(ValueError, match="at least one rung"):
+        anonymize_with_ladder(df, ["zip"], 5, {"zip": []})

@@ -1394,3 +1394,97 @@ def test_graph_sink_store_reads_cluster_safe(spark, tmp_path):
         pipeline.compact_component_labels(spark, "s3a://bucket/labels", 1)
     with pytest.raises(FileNotFoundError):
         pipeline.read_coreness_labels(spark, missing)
+
+
+def test_anonymized_release_sink_parity_unpark_and_replay(spark, tmp_path):
+    """Streaming k-anonymous release: rows park until their class
+    crosses (k, l) over the WHOLE history, then release exactly once;
+    the union of released dirs equals one-shot enforce_k_anonymity
+    over the union of all batches; crash-replaying the newest batch
+    is byte-identical."""
+    from cdc_pipeline_with_kafka_spark.operators.textstats import (
+        enforce_k_anonymity,
+    )
+
+    schema = "rid long, zip string, dx string"
+    b0 = [(1, "10001", "flu"), (2, "10001", "cold"),
+          (3, "10002", "flu"), (4, None, "flu")]
+    b1 = [(5, "10001", "flu"),                      # 10001 crosses k=3
+          (6, "10002", "flu"), (7, None, "cold")]
+    b2 = [(8, "10002", "cold"),                     # 10002 crosses k=3
+          (9, None, "flu")]                         # NULL class crosses
+    path = str(tmp_path / "anon")
+    sink = pipeline.make_anonymized_release_sink(
+        path, ["zip"], k=3, sensitive_col="dx", l_distinct=2,
+    )
+    batches = [b0, b1, b2]
+    for i, b in enumerate(batches):
+        sink(spark.createDataFrame(b, schema), i)
+    # per-batch release timing: nothing at 0; at 1, class 10001 (rows
+    # 1,2,5) unparks rows 1,2; at 2, classes 10002 and NULL unpark
+    rel = {
+        i: sorted(
+            r["rid"] for r in spark.read.parquet(
+                f"{path}/released/batch_id={i}"
+            ).collect()
+        )
+        for i in range(3)
+    }
+    assert rel[0] == []
+    assert rel[1] == [1, 2, 5]
+    assert rel[2] == [3, 4, 6, 7, 8, 9]
+    # N-batch ≡ one-shot parity
+    full = spark.createDataFrame(b0 + b1 + b2, schema)
+    want = sorted(
+        r["rid"] for r in enforce_k_anonymity(
+            full, ["zip"], k=3, sensitive_col="dx", l_distinct=2
+        ).collect()
+    )
+    got = sorted(
+        r["rid"]
+        for r in pipeline.read_released_rows(spark, path).collect()
+    )
+    assert got == want
+    # crash replay of the newest batch: byte-identical release + state
+    sink(spark.createDataFrame(b2, schema), 2)
+    again = sorted(
+        r["rid"] for r in spark.read.parquet(
+            f"{path}/released/batch_id=2"
+        ).collect()
+    )
+    assert again == rel[2]
+    assert sorted(
+        r["rid"]
+        for r in pipeline.read_released_rows(spark, path).collect()
+    ) == want
+    # pending snapshot holds exactly the still-suppressed rows
+    pend = sorted(
+        r["rid"] for r in spark.read.parquet(
+            f"{path}/pending/batch_id=2"
+        ).collect()
+    )
+    assert pend == sorted(set(range(1, 10)) - set(want))
+
+
+def test_anonymized_release_sink_l_diversity_parks_homogeneous(
+    spark, tmp_path
+):
+    """A class at size >= k but with homogeneous sensitive values
+    stays parked until diversity arrives — and a class that qualified
+    once never un-qualifies (monotone counts)."""
+    schema = "rid long, zip string, dx string"
+    path = str(tmp_path / "anon2")
+    sink = pipeline.make_anonymized_release_sink(
+        path, ["zip"], k=2, sensitive_col="dx", l_distinct=2,
+    )
+    sink(spark.createDataFrame(
+        [(1, "A", "flu"), (2, "A", "flu"), (3, "A", "flu")], schema
+    ), 0)
+    assert spark.read.parquet(f"{path}/released/batch_id=0").count() == 0
+    sink(spark.createDataFrame([(4, "A", "cold")], schema), 1)
+    got = sorted(
+        r["rid"] for r in spark.read.parquet(
+            f"{path}/released/batch_id=1"
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4]  # diversity arrived: whole class released
