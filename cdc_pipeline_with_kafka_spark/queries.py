@@ -7607,7 +7607,11 @@ def pii_scrub(spark, sf_dir):
     column-exposure sweep over a 3-string-column table planted so
     each column carries a different category mix (name: none,
     contact: email-or-NULL, meta: phone+ipv4), every (column,
-    category) count and exact integer match_ppm value-checked."""
+    category) count and exact integer match_ppm value-checked.
+    'kan'/'kenf' (r9/r10) audit + enforce the k-anonymity policy;
+    'klad' (r11) value-checks the generalization-ladder WALK —
+    rung choice and released rows — against a full SQL replay of
+    all rungs + the same exact-ppm stop rule."""
     cust = _t(spark, sf_dir, "customer")
     phone = F.format_string(
         "%02d-%03d-%03d-%04d",
@@ -7703,7 +7707,36 @@ def pii_scrub(spark, sf_dir):
             ),
             "kenf", F.col("c_custkey"),
         ),
+        # r11 'klad': the generalization-ladder DRIVER — walk rungs
+        # (exact nation → nation mod 5 → erased) until the suppressed
+        # share is ≤ 10%, release the chosen rung.  Every released
+        # custkey is value-checked AND the chosen rung rides every
+        # row's v_num, so the WALK itself (not just one enforce) is
+        # oracle-replayed: the SQL computes all three rungs' kept
+        # counts and picks the first under the same exact-ppm rule
+        _suite_rows(
+            _klad_release(cust),
+            "klad", F.col("c_custkey"),
+            v_num=F.col("_rung").cast("double"),
+        ),
     ])
+
+
+def _klad_release(cust):
+    """anonymize_with_ladder over customer for the 'klad' gate: k=10
+    on (segment, nation) with a two-rung nation ladder (mod-5 group,
+    then erased to -1), suppressed-share target 10%."""
+    released, rung, _stats = textstats.anonymize_with_ladder(
+        cust, ["c_mktsegment", "c_nationkey"], k=10,
+        ladders={
+            "c_nationkey": [
+                F.col("c_nationkey") % 5,
+                F.lit(-1).cast("long"),
+            ],
+        },
+        max_suppressed_ppm=100_000,
+    )
+    return released.withColumn("_rung", F.lit(int(rung)))
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -7831,6 +7864,47 @@ FROM (
   SELECT b.c_custkey FROM kbase b JOIN kok o
     ON b.c_mktsegment = o.c_mktsegment AND b.c_nationkey = o.c_nationkey
 ) kenfrows
+UNION ALL
+SELECT 'klad', CAST(c_custkey AS VARCHAR), '', CAST(rung AS DOUBLE)
+FROM (
+  WITH kl_base AS (
+    SELECT c_custkey, c_mktsegment AS s, c_nationkey AS n FROM customer
+  ),
+  kl_tot AS (SELECT count(*) AS t FROM kl_base),
+  kl_k0 AS (
+    SELECT b.c_custkey FROM kl_base b
+    JOIN (SELECT s, n FROM kl_base GROUP BY s, n
+          HAVING count(*) >= 10) o
+      ON b.s = o.s AND b.n = o.n
+  ),
+  kl_k1 AS (
+    SELECT b.c_custkey FROM kl_base b
+    JOIN (SELECT s, n % 5 AS n5 FROM kl_base GROUP BY s, n % 5
+          HAVING count(*) >= 10) o
+      ON b.s = o.s AND b.n % 5 = o.n5
+  ),
+  kl_k2 AS (
+    SELECT b.c_custkey FROM kl_base b
+    JOIN (SELECT s FROM kl_base GROUP BY s HAVING count(*) >= 10) o
+      ON b.s = o.s
+  ),
+  kl_sel AS (
+    SELECT CASE
+      WHEN (SELECT t FROM kl_tot) = 0 THEN 0
+      WHEN ((SELECT t FROM kl_tot) - (SELECT count(*) FROM kl_k0))
+           * 1000000 // (SELECT t FROM kl_tot) <= 100000 THEN 0
+      WHEN ((SELECT t FROM kl_tot) - (SELECT count(*) FROM kl_k1))
+           * 1000000 // (SELECT t FROM kl_tot) <= 100000 THEN 1
+      ELSE 2 END AS rung
+  )
+  SELECT k.c_custkey, sel.rung
+  FROM kl_sel sel
+  JOIN (
+    SELECT 0 AS rung, c_custkey FROM kl_k0
+    UNION ALL SELECT 1, c_custkey FROM kl_k1
+    UNION ALL SELECT 2, c_custkey FROM kl_k2
+  ) k ON k.rung = sel.rung
+) kladrows
 """
 
 # The 4-gram canary the stream-parity gate plants and then detects —
