@@ -1054,11 +1054,13 @@ def compact_scd2_history(
     into one last-writer-wins dir at ``batch_id=<upto_batch>`` and
     delete the older dirs — bounds the sink's reconstruction read
     (the components-compaction contract: only compact batches the
-    stream has committed past).  Returns the compacted row count."""
+    stream has committed past).  Local filesystem only (loud
+    ValueError otherwise).  Returns the compacted row count."""
     import os
     import re
     import shutil
 
+    _assert_local_store(history_path, "compact_scd2_history")
     dirs = [
         d for d in os.listdir(history_path)
         if re.fullmatch(r"batch_id=\d+", d)
@@ -1402,9 +1404,11 @@ def read_comoments(spark, table_path: str, group_cols: list[str]):
 def compact_comoments(spark, table_path: str, group_cols: list[str]) -> None:
     """Fold all batch directories into a single ``batch_id=-1``
     segment (exact merge, so compaction NEVER changes any readable
-    number — the components-sink compaction contract)."""
+    number — the components-sink compaction contract).  Local
+    filesystem only (loud ValueError otherwise)."""
     import shutil
 
+    _assert_local_store(table_path, "compact_comoments")
     merged = read_comoments(spark, table_path, group_cols)
     rows = merged.collect()
     import os
@@ -1583,7 +1587,8 @@ def compact_smoother_state(
     compact batches the stream has committed past (replay of batch N
     must still find state < N: the merged dir keeps batch ids as
     written, so a replayed batch seeds identically).  Returns the
-    compacted row count (= distinct keys seen)."""
+    compacted row count (= distinct keys seen).  Local filesystem
+    only (loud ValueError otherwise)."""
     import os
     import re
     import shutil
@@ -1591,6 +1596,7 @@ def compact_smoother_state(
     from pyspark.sql import Window
 
     state_path = f"{out_path}/state"
+    _assert_local_store(state_path, "compact_smoother_state")
     dirs = [
         d for d in os.listdir(state_path)
         if re.fullmatch(r"batch_id=\d+", d)
@@ -1659,27 +1665,15 @@ def make_attribution_sink(
     lb_us = int(lookback_minutes) * 60_000_000
 
     def sink(batch_df, batch_id: int) -> None:
-        import re
-
         spark = batch_df.sparkSession
         cols = [*keys, id_col, ts_col, type_col]
         batch_slim = batch_df.select(*cols)
-        prior = None
-        try:
-            import os
-
-            dirs = [
-                int(d.split("=")[1])
-                for d in os.listdir(f"{out_path}/touches")
-                if re.fullmatch(r"batch_id=\d+", d)
-                and int(d.split("=")[1]) < int(batch_id)
-            ]
-            if dirs:
-                prior = spark.read.parquet(
-                    f"{out_path}/touches/batch_id={max(dirs)}"
-                )
-        except FileNotFoundError:
-            prior = None
+        # cluster-safe latest-touches read (basePath partition filter;
+        # PATH_NOT_FOUND-only cold start — a swallowed storage blip
+        # here would silently drop cross-batch touch credit)
+        prior = _latest_full_snapshot(
+            spark, f"{out_path}/touches", int(batch_id)
+        )
         full = (
             batch_slim if prior is None
             else prior.select(*cols).unionByName(batch_slim)
