@@ -2017,7 +2017,10 @@ def make_anonymized_release_sink(
     Per batch: one class-grain merge groupBy, one classes-sized
     filter, one semi- and one anti-join of (batch ∪ pending) rows
     against the passing classes — O(batch + pending + classes), never
-    O(history).  Sensitive values are compared AS STRINGS in the
+    O(history).  Disk growth is one counts + one pending snapshot per
+    batch; run `expire_anonymized_state` periodically (committed-past
+    batches only) to keep it at O(1) snapshots — pure deletion, the
+    snapshots are versioned whole.  Sensitive values are compared AS STRINGS in the
     store (cast once), matching countDistinct over string sensitives;
     NULL sensitive rows count toward k but never toward l (the batch
     operator's convention).  The suppression-bias warning from the
@@ -2096,3 +2099,37 @@ def read_released_rows(spark, out_path: str):
     return spark.read.option(
         "basePath", f"{out_path}/released"
     ).parquet(f"{out_path}/released").drop("batch_id")
+
+
+def expire_anonymized_state(out_path: str, upto_batch: int) -> int:
+    """Retention for a `make_anonymized_release_sink` store: delete
+    counts/ and pending/ snapshot dirs with batch_id < `upto_batch`.
+    Both stores are FULL snapshots versioned whole, so old dirs are
+    never read again once the stream has committed past them: a
+    replay can only be of a batch N > last-committed, and it reads
+    the single LATEST dir < N — which survives as long as
+    `upto_batch` ≤ last-committed (a replayed batch N ≥ upto_batch+1
+    still finds a dir ≥ upto_batch).  Never expire past the commit
+    log.  Unlike the graph edge stores there
+    is nothing to merge: retention is pure deletion, O(dirs) metadata
+    ops.  released/ dirs are NEVER touched (they ARE the output).
+    Local filesystem only (loud ValueError otherwise).  Returns the
+    number of dirs deleted."""
+    import os
+    import re
+    import shutil
+
+    deleted = 0
+    for sub in ("counts", "pending"):
+        path = f"{out_path}/{sub}"
+        _assert_local_store(path, "expire_anonymized_state")
+        try:
+            dirs = os.listdir(path)
+        except FileNotFoundError:
+            continue
+        for d in dirs:
+            if re.fullmatch(r"batch_id=\d+", d) \
+                    and int(d.split("=")[1]) < upto_batch:
+                shutil.rmtree(os.path.join(path, d))
+                deleted += 1
+    return deleted

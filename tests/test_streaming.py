@@ -1488,3 +1488,44 @@ def test_anonymized_release_sink_l_diversity_parks_homogeneous(
         ).collect()
     )
     assert got == [1, 2, 3, 4]  # diversity arrived: whole class released
+
+
+def test_expire_anonymized_state_keeps_replay_and_output(spark, tmp_path):
+    """Retention on the release sink's state: deleting committed-past
+    counts/pending snapshots changes NOTHING readable — the released
+    union is intact, a replay of the newest batch still reconstructs
+    byte-identically from the one kept snapshot, and released/ dirs
+    are never touched."""
+    import os
+
+    schema = "rid long, zip string"
+    path = str(tmp_path / "anonexp")
+    sink = pipeline.make_anonymized_release_sink(path, ["zip"], k=2)
+    batches = [
+        [(1, "A")], [(2, "A"), (3, "B")], [(4, "B")],
+    ]
+    for i, b in enumerate(batches):
+        sink(spark.createDataFrame(b, schema), i)
+    before = sorted(
+        r["rid"] for r in pipeline.read_released_rows(spark, path).collect()
+    )
+    assert before == [1, 2, 3, 4]
+    n = pipeline.expire_anonymized_state(path, upto_batch=2)
+    assert n == 4  # counts/pending batch_id=0,1 each
+    assert sorted(os.listdir(f"{path}/counts")) == ["batch_id=2"]
+    assert sorted(os.listdir(f"{path}/released")) == [
+        "batch_id=0", "batch_id=1", "batch_id=2"
+    ]
+    # new batches (and their replays — always > last-committed)
+    # reconstruct from the kept snapshot: class C parks at size 1,
+    # crosses k=2 next batch, and the cumulative counts survived
+    sink(spark.createDataFrame([(5, "C")], schema), 3)
+    sink(spark.createDataFrame([(6, "C")], schema), 4)
+    sink(spark.createDataFrame([(6, "C")], schema), 4)  # replay
+    after = sorted(
+        r["rid"] for r in pipeline.read_released_rows(spark, path).collect()
+    )
+    assert after == [1, 2, 3, 4, 5, 6]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="local-filesystem"):
+        pipeline.expire_anonymized_state("s3a://bucket/anon", 2)
