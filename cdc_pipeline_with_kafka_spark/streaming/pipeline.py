@@ -770,27 +770,34 @@ def _auto_compact_components(
 
 def _latest_full_snapshot(spark, labels_path: str, batch_id: int | None):
     """Latest full snapshot with batch_id < N (N=None ⇒ no bound), or
-    None on cold start.  Cluster-safe: reads through spark.read with
-    basePath partition discovery — works on any Hadoop-visible URI —
-    and re-raises every listing failure that is not PATH_NOT_FOUND
-    (storage blip ≠ cold start: fail the batch)."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    None on cold start.  'Latest' is decided by LISTING the partition
+    directories through the Hadoop FileSystem API (cluster-safe: any
+    Hadoop-visible URI), NOT by reading row values — an EMPTY latest
+    snapshot (a quiet batch: no pending rows, no in-window touches)
+    must be honored as the current state, where a row-value max would
+    silently fall back to a STALE non-empty snapshot (measured: the
+    release sink re-released parked rows).  A missing path is cold
+    start; every other listing failure raises through py4j and fails
+    the batch (storage blip ≠ cold start)."""
+    import re
 
-    try:
-        df = spark.read.option("basePath", labels_path).parquet(labels_path)
-        prior = (
-            df if batch_id is None
-            else df.filter(F.col("batch_id") < batch_id)
-        )
-        prev = prior.agg(F.max("batch_id")).collect()[0][0]
-        if prev is None:
-            return None
-        return prior.filter(F.col("batch_id") == prev).drop("batch_id")
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise  # storage blip ≠ cold start: fail the batch
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(labels_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return None
+    best = None
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and re.fullmatch(r"batch_id=\d+", name):
+            k = int(name.split("=")[1])
+            if (batch_id is None or k < batch_id) and (
+                best is None or k > best
+            ):
+                best = k
+    if best is None:
+        return None
+    return spark.read.parquet(f"{labels_path}/batch_id={best}")
 
 
 def read_component_labels(spark, labels_path: str, before: int | None = None):

@@ -1529,3 +1529,51 @@ def test_expire_anonymized_state_keeps_replay_and_output(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="local-filesystem"):
         pipeline.expire_anonymized_state("s3a://bucket/anon", 2)
+
+
+def test_anonymized_release_sink_random_splits_parity(spark, tmp_path):
+    """Randomized arrival-order sweep: for several seeded shuffles and
+    batch splits of one row universe, the released union must equal
+    one-shot enforce_k_anonymity over the whole universe — release
+    timing may differ, membership may not."""
+    import random
+
+    from cdc_pipeline_with_kafka_spark.operators.textstats import (
+        enforce_k_anonymity,
+    )
+
+    schema = "rid long, zip string, dx string"
+    rows = [
+        (i, z, d)
+        for i, (z, d) in enumerate(
+            [(z, d) for z in ["A", "B", "C", None] for d in ["flu", "cold"]]
+            * 3
+        )
+    ]
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(
+        r["rid"] for r in enforce_k_anonymity(
+            full, ["zip"], k=4, sensitive_col="dx", l_distinct=2
+        ).collect()
+    )
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        cuts = sorted(rng.sample(range(1, len(rows)), 2))
+        batches = [
+            shuffled[: cuts[0]],
+            shuffled[cuts[0]: cuts[1]],
+            shuffled[cuts[1]:],
+        ]
+        path = str(tmp_path / f"anonrand{seed}")
+        sink = pipeline.make_anonymized_release_sink(
+            path, ["zip"], k=4, sensitive_col="dx", l_distinct=2,
+        )
+        for i, b in enumerate(batches):
+            sink(spark.createDataFrame(b, schema), i)
+        got = sorted(
+            r["rid"]
+            for r in pipeline.read_released_rows(spark, path).collect()
+        )
+        assert got == want, f"seed {seed}"
