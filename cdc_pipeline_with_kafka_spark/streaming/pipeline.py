@@ -1819,8 +1819,9 @@ def _read_batch_dirs(spark, path: str, before: int, keep_batch_id=False):
 
 def _latest_labels_snapshot(spark, path: str, before: int):
     """The single most recent full label snapshot with batch_id <
-    `before`; None on cold start.  Delegates to the components sink's
-    cluster-safe basePath read (PATH_NOT_FOUND-only cold start)."""
+    `before`; None on cold start.  Delegates to the shared
+    cluster-safe Hadoop-FS dir listing (missing-path-only cold
+    start, empty snapshots honored)."""
     return _latest_full_snapshot(spark, path, before)
 
 
