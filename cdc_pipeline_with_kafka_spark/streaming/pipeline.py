@@ -2028,7 +2028,12 @@ def make_anonymized_release_sink(
     O(history).  Disk growth is one counts + one pending snapshot per
     batch; run `expire_anonymized_state` periodically (committed-past
     batches only) to keep it at O(1) snapshots — pure deletion, the
-    snapshots are versioned whole.  Sensitive values are compared AS STRINGS in the
+    snapshots are versioned whole.  The counts store is (class,
+    sensitive-value) grain — exactly what exact l-diversity costs
+    (the batch operator's countDistinct shuffles the same grain); a
+    high-cardinality sensitive column (user ids) makes that state
+    large, so pick a sensitive ATTRIBUTE (diagnosis, sign, bucket),
+    not an identifier — the audit is about attribute disclosure.  Sensitive values are compared AS STRINGS in the
     store (cast once), matching countDistinct over string sensitives;
     NULL sensitive rows count toward k but never toward l (the batch
     operator's convention).  The suppression-bias warning from the
