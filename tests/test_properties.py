@@ -951,3 +951,39 @@ def test_sorted_neighborhood_multi_equals_naive_union(spark, rows, window):
         agg[(ia, ib)] = (n + 1, gap if g is None else min(g, gap))
     want = sorted((ia, ib, n, g) for (ia, ib), (n, g) in agg.items())
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 5)),
+        min_size=0, max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_cooccurrence_capped_equals_prefiltered_property(
+    spark, rows, cap
+):
+    """For ANY (basket, item) table and cap, cooccurrence under
+    max_basket_items must equal running uncapped on the manually
+    pre-filtered table (baskets with ≤ cap distinct items) — all
+    four counts (n_ab, n_a, n_b, and the lift's basket total) from
+    one universe."""
+    from cdc_pipeline_with_kafka_spark.operators import curation
+
+    df = spark.createDataFrame(rows, "b long, it long") if rows else \
+        spark.createDataFrame([], "b long, it long")
+    per_basket = {}
+    for b, it in rows:
+        per_basket.setdefault(b, set()).add(it)
+    keep = {b for b, items in per_basket.items() if len(items) <= cap}
+    manual_rows = [r for r in rows if r[0] in keep]
+    manual = spark.createDataFrame(manual_rows, "b long, it long") \
+        if manual_rows else spark.createDataFrame([], "b long, it long")
+    got = sorted(map(tuple, curation.cooccurrence_pairs(
+        df, "b", "it", max_basket_items=cap
+    ).collect()))
+    want = sorted(map(tuple, curation.cooccurrence_pairs(
+        manual, "b", "it"
+    ).collect()))
+    assert got == want
