@@ -1255,6 +1255,56 @@ def sorted_neighborhood_pairs_multi(
     )
 
 
+# American Soundex letter→digit map over the 24 letters that remain
+# once H/W are dropped (they are TRANSPARENT: same-coded consonants
+# separated by h/w merge — the Ashcraft rule)
+_SDX_FROM = "ABCDEFGIJKLMNOPQRSTUVXYZ"
+_SDX_TO = "".join(
+    {**{c: "0" for c in "AEIOUY"},
+     **{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+     **{c: "3" for c in "DT"}, "L": "4", "M": "5", "N": "5", "R": "6"}[c]
+    for c in "ABCDEFGIJKLMNOPQRSTUVXYZ"
+)
+
+
+def soundex_key(col) -> Column:
+    """American Soundex (Russell & Odell; the NARA coding rules) as a
+    PURE COLUMN-EXPRESSION chain — the classic phonetic blocking key
+    for record linkage (Hernández & Stolfo's own multi-pass example:
+    one sorted-neighborhood pass on the name, one on its soundex, one
+    on zip+street): same-sounding misspellings land in one block, so
+    it pairs naturally with `sorted_neighborhood_pairs_multi` and
+    `fuzzy_join`.
+
+    The standard algorithm, expressed as upper → strip non-letters →
+    drop transparent H/W → translate to digits → collapse adjacent
+    repeats (backreference regex) → drop the first letter's own code
+    (unless the name starts with H/W, whose code never entered) →
+    strip vowel zeros → pad to LETTER+3.  Whole chain is
+    translate/regexp/substr — JVM codegen, no UDF — and replays
+    verbatim in any engine with the same primitives (the 'sdx' gate
+    runs the identical chain in DuckDB SQL).  Pinned on the canonical
+    fixture set (Robert/Rupert→R163, Ashcraft/Ashcroft→A261,
+    Tymczak→T522, Pfister→P236, Honeyman→H555) and on a hypothesis
+    sweep against the pure-Python model.
+
+    NULL and letterless inputs yield NULL (no phonetic evidence —
+    block them separately, the NULL-key convention of the other
+    blockers)."""
+    u = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    first = F.substring(u, 1, 1)
+    dropped = F.translate(u, "HW", "")
+    coded = F.translate(dropped, _SDX_FROM, _SDX_TO)
+    collapsed = F.regexp_replace(coded, r"(\d)\1+", r"$1")
+    tail = F.when(
+        first.isin("H", "W"), collapsed
+    ).otherwise(F.regexp_replace(collapsed, "^.", ""))
+    digits = F.translate(tail, "0", "")
+    return F.when(F.length(u) == 0, F.lit(None).cast("string")).otherwise(
+        F.substring(F.concat(first, digits, F.lit("000")), 1, 4)
+    )
+
+
 def jw_core(a: str, b: str, prefix_scale_ppm: int = 100_000,
             max_prefix: int = 4) -> int:
     """Pure-Python Jaro–Winkler similarity as an EXACT integer ppm —

@@ -340,7 +340,10 @@ def pj_exists_suite(spark, sf_dir):
     oracle on one graph.  r10 'snb': sorted-neighborhood blocking vs
     DuckDB's global row_number self-join.  r10 'jw': exact-integer
     Jaro–Winkler over the 'link' pair fixture vs the shared jw_core
-    replay."""
+    replay.  r11 'snbm': MULTI-PASS sorted neighborhood (two
+    independent keys, unordered-pair union with pass count + closest
+    gap).  r11 'sdx': American Soundex as a pure column chain, the
+    phonetic blocking key, vs the identical chain in DuckDB SQL."""
     semi = p8_semi_join(spark, sf_dir).select(
         F.lit("semi").alias("branch"),
         F.col("s_suppkey").cast("string").alias("key"),
@@ -583,12 +586,25 @@ def pj_exists_suite(spark, sf_dir):
             F.col("min_gap").cast("string"),
         ).alias("name"),
     )
+    # r11 'sdx': American Soundex as a pure column-expression chain —
+    # the phonetic blocking key for the linkage tier; every document's
+    # code over a text prefix value-checked against the IDENTICAL
+    # upper→strip→translate→collapse→drop-first→strip-zeros chain in
+    # DuckDB (empty/letterless prefixes land NULL → rendered '∅')
+    sdx = _t(spark, sf_dir, "documents").select(
+        F.lit("sdx").alias("branch"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.coalesce(
+            relational.soundex_key(F.expr("substr(text, 1, 12)")),
+            F.lit("∅"),
+        ).alias("name"),
+    )
     return (
         semi.unionByName(anti).unionByName(link)
         .unionByName(core).unionByName(hcore).unionByName(fzj)
         .unionByName(fis).unionByName(fisr).unionByName(lpa)
         .unionByName(ent).unionByName(snb).unionByName(snbm)
-        .unionByName(jwp)
+        .unionByName(sdx).unionByName(jwp)
     )
 
 
@@ -848,6 +864,42 @@ FROM (
   SELECT id_a, id_b, count(*) AS n_keys, min(gap) AS min_gap
   FROM mp GROUP BY id_a, id_b
 ) snbmrows
+UNION ALL
+SELECT 'sdx', CAST(doc_id AS VARCHAR), coalesce(code, '∅')
+FROM (
+  WITH sdq AS (
+    SELECT doc_id,
+           regexp_replace(upper(substr(text, 1, 12)),
+                          '[^A-Z]', '', 'g') AS u
+    FROM documents
+  ),
+  sdc AS (
+    -- DuckDB's RE2 regex has NO backreferences, so the adjacent-
+    -- repeat collapse is seven per-digit replaces (≡ (\d)\1+ → \1)
+    SELECT doc_id, u, substr(u, 1, 1) AS first,
+           regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(
+             translate(translate(u, 'HW', ''),
+                       'ABCDEFGIJKLMNOPQRSTUVXYZ',
+                       '012301202245501262301202'),
+             '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
+             '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
+             '66+', '6', 'g') AS collapsed
+    FROM sdq
+  ),
+  sdd AS (
+    SELECT doc_id, u, first,
+           translate(CASE WHEN first IN ('H', 'W') THEN collapsed
+                          ELSE regexp_replace(collapsed, '^.', '')
+                     END, '0', '') AS digits
+    FROM sdc
+  )
+  SELECT doc_id,
+         CASE WHEN length(u) = 0 THEN NULL
+              ELSE substr(first || digits || '000', 1, 4) END AS code
+  FROM sdd
+) sdxrows
 """.replace("{P8_SQL}", P8_SQL).replace("{J3_SQL}", J3_SQL)
 
 

@@ -553,3 +553,29 @@ def test_resolve_entities_max_gram_df_passthrough(spark):
     }
     assert got == want
     assert {e for _, e in got} == {1, 4}
+
+
+def test_soundex_key_canonical_fixtures(spark):
+    """American Soundex column chain against the canonical fixture
+    set (the NARA coding examples incl. the H/W-transparency Ashcraft
+    rule and H/W-initial names), plus NULL/letterless → NULL."""
+    from cdc_pipeline_with_kafka_spark.operators.relational import (
+        soundex_key,
+    )
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Jackson": "J250", "Gutierrez": "G362",
+        "WHITE": "W300", "Holmes": "H452", "Lee": "L000",
+        "O'Brien": "O165", "Wroblewski": "W614", "h w": "H000",
+        "": None, "123": None, None: None,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "n string")
+    got = {
+        r["n"]: r["s"]
+        for r in df.select(
+            "n", soundex_key(F.col("n")).alias("s")
+        ).collect()
+    }
+    assert got == cases

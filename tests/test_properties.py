@@ -987,3 +987,39 @@ def test_cooccurrence_capped_equals_prefiltered_property(
         manual, "b", "it"
     ).collect()))
     assert got == want
+
+
+def _py_soundex(name):
+    """Pure-Python American Soundex model (the chain the column
+    expression mirrors step for step)."""
+    code = {**{c: "0" for c in "AEIOUY"},
+            **{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+            **{c: "3" for c in "DT"}, "L": "4", "M": "5", "N": "5",
+            "R": "6"}
+    u = re.sub(r"[^A-Z]", "", name.upper())
+    if not u:
+        return None
+    first = u[0]
+    coded = "".join(code[c] for c in u if c not in "HW")
+    collapsed = re.sub(r"(\d)\1+", r"\1", coded)
+    if first not in "HW":
+        collapsed = collapsed[1:]
+    return (first + collapsed.replace("0", "") + "000")[:4]
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyzHW '-1", max_size=12),
+    min_size=1, max_size=25,
+))
+def test_soundex_key_matches_python_model(spark, names):
+    from cdc_pipeline_with_kafka_spark.operators.relational import (
+        soundex_key,
+    )
+
+    df = spark.createDataFrame([(n,) for n in names], "n string")
+    got = [
+        r["s"]
+        for r in df.select(soundex_key(F.col("n")).alias("s")).collect()
+    ]
+    assert got == [_py_soundex(n) for n in names]
