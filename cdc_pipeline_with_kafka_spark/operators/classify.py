@@ -185,11 +185,19 @@ def _doc_features(df: DataFrame, text_col: str, id_col: str, hash_buckets: int) 
     """Hashed unigram + bigram feature occurrences per document:
     (id, bucket) with one row per occurrence (bag semantics)."""
     toks = _tokens(F.col(text_col))
+    # zip-slice bigrams (r12): two shifted slices zipped once — flat
+    # array ops instead of an interpreted slice-per-element transform
+    # lambda (same rewrite as dedup.token_ngrams); identical order
+    # and values, empty array for <2-token (or NULL-token) docs.
+    _bcnt = F.size(toks) - F.lit(1)
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            F.arrays_zip(
+                F.slice(toks, 1, _bcnt).alias("t0"),
+                F.slice(toks, 2, _bcnt).alias("t1"),
+            ),
+            lambda g: F.concat_ws(" ", g["t0"], g["t1"]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(toks, bigrams)

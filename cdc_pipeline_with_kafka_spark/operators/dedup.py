@@ -69,11 +69,25 @@ def char_shingles(col: Column, k: int = 5) -> Column:
 
 
 def token_ngrams(col: Column, n: int = 3) -> Column:
-    """Word n-gram set (distinct) of the normalized text."""
+    """Word n-gram set (distinct) of the normalized text.
+
+    Zip-slice construction (r12, same rewrite as minhash's gram path
+    at :327 and textstats._word_ngrams): n shifted slices of the token
+    array zipped once, one concat per struct — flat array ops instead
+    of an interpreted slice-per-element `transform(sequence, ...)`
+    lambda.  Gram ORDER is identical (position order), so the
+    first-occurrence semantics of array_distinct are unchanged."""
     tokens = F.split(normalized_text(col), " ")
-    count = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
-    grams = F.when(count > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))).otherwise(F.array())
+    count = F.size(tokens) - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(tokens, i + 1, count).alias(f"t{i}") for i in range(n)]
+    )
+    grams = F.when(
+        count > 0,
+        F.transform(
+            zipped, lambda g: F.concat_ws(" ", *[g[f"t{i}"] for i in range(n)])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 

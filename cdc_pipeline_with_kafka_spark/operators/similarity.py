@@ -565,15 +565,25 @@ def lsh_ann_topk(
         .select(F.col(query_id_col), F.col("_qvec"), sig(F.col("_qvec")).alias("_sigs"))
         .select(F.col(query_id_col), F.col("_qvec"), F.posexplode_outer("_sigs").alias("_table", "_bucket"))
     )
-    candidates = (
+    # score per band COLLISION, then dedup the scalar (r12): the old
+    # `dropDuplicates([query, id])` carried both embedding arrays
+    # through the exchange, and first() over array buffers forces two
+    # SortAggregates (arrays are not hash-agg buffer types).  cos_sim
+    # is a deterministic function of the pair, so aggregating max over
+    # duplicate collisions is value-identical, the shuffle carries
+    # (long, long, double) instead of two float vectors, and the
+    # aggregate runs hash-based.  CPU trade: a pair colliding in b
+    # tables computes cosine b ≤ n_tables times — map-side partial agg
+    # keeps the exchange deduped either way.
+    scored = (
         c.join(q, ["_table", "_bucket"])
-        .select(query_id_col, id_col, vec_col, "_qvec")
-        .dropDuplicates([query_id_col, id_col])
-    )
-    scored = candidates.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (

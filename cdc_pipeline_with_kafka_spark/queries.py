@@ -1131,6 +1131,14 @@ def a_stats_suite(spark, sf_dir):
     from .operators import stats as stats_ops
 
     ev = _t(spark, sf_dir, "events")
+    # r12: the smoother branches ship rows through the Arrow seam
+    # (applyInPandas); project the four columns the kernels and the
+    # gate rows actually use BEFORE the boundary (guide §4.1) — the
+    # unused user_id/props columns were ~half the serialized bytes.
+    # Gate rows are unchanged (they never read the dropped columns).
+    ev5 = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_type", "ts", "event_id", "value"
+    )
     per_type = sketch_ops.hll_sketches(ev, "user_id", ["event_type"])
     merged = sketch_ops.hll_merge(per_type.select("hll"))
     return _union_all([
@@ -1411,7 +1419,7 @@ def a_stats_suite(spark, sf_dir):
         # residual both value-checked
         _suite_rows(
             trends.ewma(
-                ev.filter(F.col("event_id") % 5 == 0),
+                ev5,
                 ["event_type"], ["ts", "event_id"], "value", 200_000,
             ),
             "ewma",
@@ -1425,7 +1433,7 @@ def a_stats_suite(spark, sf_dir):
         # recursive-CTE replay
         _suite_rows(
             trends.holt_smoothing(
-                ev.filter(F.col("event_id") % 5 == 0),
+                ev5,
                 ["event_type"], ["ts", "event_id"], "value",
                 250_000, 150_000,
             ),
@@ -1442,7 +1450,7 @@ def a_stats_suite(spark, sf_dir):
         # exact integer MAE/bias/MAPE vs the recursive replay + lag
         _suite_rows(
             trends.forecast_backtest(
-                ev.filter(F.col("event_id") % 5 == 0),
+                ev5,
                 ["event_type"], ["ts", "event_id"], "value", 200_000,
             ),
             "bkt",

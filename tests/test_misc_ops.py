@@ -1235,3 +1235,29 @@ def test_anonymize_with_ladder_walks_rungs_monotone(spark):
         anonymize_with_ladder(df, ["zip"], 5, {"yob": [F.lit("*")]})
     with _pt.raises(ValueError, match="at least one rung"):
         anonymize_with_ladder(df, ["zip"], 5, {"zip": []})
+
+
+def test_anonymize_with_ladder_pins_winner_no_replan(spark):
+    """r12: the walk already executes each rung's enforce plan for its
+    `kept` count; the returned frame must read the pinned (local-
+    checkpointed) result, NOT re-execute the classes groupBy +
+    semi-join — its physical plan is an RDD scan with zero aggregates
+    or joins, and its rows match the stats' kept count."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.operators.textstats import (
+        anonymize_with_ladder,
+    )
+
+    rows = [("10001", "1980")] * 4 + [("10001", "1981")] * 4
+    df = spark.createDataFrame(rows, "zip string, yob string")
+    released, rung, stats = anonymize_with_ladder(
+        df, ["zip", "yob"], k=5,
+        ladders={"yob": [F.concat(F.substring("yob", 1, 3), F.lit("0"))]},
+        max_suppressed_ppm=0,
+    )
+    plan = released._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan" in plan.splitlines()[0]
+    for node in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in plan, f"winner re-executes enforce: {node} in plan"
+    assert released.count() == stats[rung]["kept"] == 8
