@@ -215,6 +215,19 @@ def _diff_branches(
         "drift_factor": drift,
         "drift_samples": n_shared,
     }
+    # r12 (advisor finding): drift normalization absorbs a UNIFORM
+    # slowdown by construction — which is the point for host drift,
+    # but a genuine regression in a shared helper/parse path would
+    # also be uniform and would vanish into drift_factor.  Flag when
+    # the factor itself exceeds the regression threshold so a human
+    # decides host-vs-code before trusting a clean diff.
+    if drift > DIFF_FACTOR or (drift > 0 and 1 / drift > DIFF_FACTOR):
+        diff["drift_factor_exceeds_threshold"] = (
+            f"median shared-query ratio x{drift} exceeds the {DIFF_FACTOR}x "
+            "flag threshold: either host drift or a UNIFORM code "
+            "regression (shared helper / parse path) — verify on a quiet "
+            "host before trusting the per-query flags"
+        )
     for tier, now in (("branch_s", branch_s), ("queries", timings)):
         old = prior.get(tier, {})
         regressed = {}

@@ -262,13 +262,20 @@ def cluster_topics(
         .groupBy(cluster_col, "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    tot = base.agg(F.sum("cnt").alias("corpus_tokens"))
+    # r12: corpus_tokens used to be a SEPARATE 1-row aggregate of
+    # `base` crossJoined back — but Spark/AQE does not reuse the
+    # exchange between the two consumers (verified: 0 ReusedExchange),
+    # so the whole corpus tokenize + (cluster, term) aggregation ran
+    # TWICE.  The total now rides a third window over the SAME stats
+    # table the other two enrichment windows already run on (≤ vocab ×
+    # clusters rows — the docstring's bound; the corpus is still
+    # scanned exactly once).
     enr = (
         base.withColumn(
             "cl_tok", F.sum("cnt").over(Window.partitionBy(cluster_col))
         )
         .withColumn("term_total", F.sum("cnt").over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(tot))
+        .withColumn("corpus_tokens", F.sum("cnt").over(Window.partitionBy()))
     )
     # decimal(38,0) widening: at 100 TB a common term's count reaches
     # ~1e12, so cnt·1e9 overflows a bigint — the products run in

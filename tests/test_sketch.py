@@ -187,10 +187,14 @@ def test_table_profile_one_scan_and_values(spark):
         for r in sketch.table_profile(df, approx_distinct=True).collect()
     }
     assert approx_m["m"]["n_distinct"] is None  # HLL on maps also rejected
-    # one parquet scan when reading from files
+    # r12 plan shape: TWO column-pruned scans (regular aggs ⨯ distinct
+    # aggs — never per-column), and NO Sort anywhere: the old one-scan
+    # form dragged the distinct Expand into a SortAggregate sorting
+    # ×(cols+1) expanded rows by every column incl. full text
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = plans.formatted_plan(sketch.table_profile(docs))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0
     # approx path produces a sane estimate
     approx = {
         r["column"]: r["n_distinct"]

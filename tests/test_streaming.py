@@ -1377,6 +1377,14 @@ def test_graph_sink_store_reads_cluster_safe(spark, tmp_path):
     missing = str(tmp_path / "nope")
     assert pipeline._read_batch_dirs(spark, missing, before=5) is None
     assert pipeline._latest_labels_snapshot(spark, missing, before=5) is None
+    # r12 (advisor finding): a store dir that EXISTS but holds no
+    # visible parquet (an aborted first batch left only
+    # batch_id=0/_temporary) is ALSO cold start — spark.read raises
+    # UNABLE_TO_INFER_SCHEMA there, and re-raising it would make the
+    # first batch's replay fail forever
+    aborted = tmp_path / "aborted"
+    (aborted / "batch_id=0" / "_temporary").mkdir(parents=True)
+    assert pipeline._read_batch_dirs(spark, str(aborted), before=5) is None
     path = str(tmp_path / "kc")
     sink = pipeline.make_coreness_sink(path)
     sink(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"), 0)
