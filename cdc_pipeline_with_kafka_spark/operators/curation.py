@@ -1661,9 +1661,20 @@ def materialize_epoch_plan(
     otherwise); the converse is allowed — plan rows with no matching
     ``parts`` entry are skipped, so passing a subset of parts
     deliberately materializes a partial corpus (their allocation is
-    simply not drawn)."""
+    simply not drawn).
+
+    The fractional-remainder carves of ALL sources run as ONE fused
+    `sample_token_budget`-shaped plan over the tagged union (per-source
+    budget/salt applied by source): one bucket-sum aggregation + driver
+    prefix-scan + one broadcast-join + one (source, bucket)-partitioned
+    cumsum window, instead of N of each.  Per source the hash input,
+    bucket split, entering offsets and budget filter are byte-identical
+    to the per-source `sample_token_budget` call (which remains the
+    shape when only one source needs a carve), so the emitted rows are
+    exactly the same — only the number of shuffles/jobs changes."""
     prows = {r[source_col]: r for r in plan.collect()}
     outs: list[DataFrame] = []
+    carves: list[tuple[DataFrame, str, int, int]] = []  # (tagged, name, n_full, budget)
     for name, df in sorted(parts.items()):
         if name not in prows:
             raise ValueError(f"source {name!r} missing from the epoch plan")
@@ -1679,13 +1690,20 @@ def materialize_epoch_plan(
             )
         frac_budget = int(r["alloc_tokens"]) - n_full * int(r["n_tokens"])
         if frac_budget > 0:
-            carve = sample_token_budget(
-                tagged, frac_budget, token_col, key_col,
-                salt=f"{salt}{name}:e{n_full}:",
-            )
-            outs.append(
-                carve.drop("_cum_tokens").withColumn("epoch_idx", F.lit(n_full))
-            )
+            carves.append((tagged, name, n_full, frac_budget))
+    if len(carves) == 1:
+        tagged, name, n_full, frac_budget = carves[0]
+        carve = sample_token_budget(
+            tagged, frac_budget, token_col, key_col,
+            salt=f"{salt}{name}:e{n_full}:",
+        )
+        outs.append(
+            carve.drop("_cum_tokens").withColumn("epoch_idx", F.lit(n_full))
+        )
+    elif carves:
+        outs.append(
+            _fused_epoch_carves(carves, token_col, key_col, source_col, salt)
+        )
     if not outs:
         first = next(iter(sorted(parts.items())))[1]
         return (
@@ -1696,6 +1714,94 @@ def materialize_epoch_plan(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _fused_epoch_carves(
+    carves: list[tuple[DataFrame, str, int, int]],
+    token_col: str,
+    key_col: str,
+    source_col: str,
+    salt: str,
+    bucket_hex_chars: int = 3,
+) -> DataFrame:
+    """All fractional-epoch carves of `materialize_epoch_plan` as ONE
+    two-pass boundary-bucket plan (see `sample_token_budget` for the
+    algorithm): the tagged per-source frames are unioned, the md5 hash
+    uses each row's own source salt (``salt || source || ':e' || n_full
+    || ':'`` — the same string the per-source call would use), bucket
+    sums aggregate per (source, bucket) in one shuffle, the driver
+    prefix-scan runs per source against that source's budget, and one
+    broadcast-join + one (source, bucket)-partitioned cumsum window
+    replaces N of each.  Output: input columns + source + epoch_idx,
+    rows identical to the per-source composition."""
+    salt_map = F.create_map(
+        *[F.lit(x) for _, name, n_full, _ in carves
+          for x in (name, f"{salt}{name}:e{n_full}:")]
+    )
+    budget_map = {name: b for _, name, _, b in carves}
+    epoch_map = F.create_map(
+        *[F.lit(x) for _, name, n_full, _ in carves for x in (name, n_full)]
+    )
+    u = carves[0][0]
+    for df, _, _, _ in carves[1:]:
+        u = u.unionByName(df)
+    h = F.md5(F.concat(salt_map[F.col(source_col)], F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, bucket_hex_chars), 16, 10).cast("int")
+    base = u.withColumn("_tb_h", h).withColumn("_tb_b", bucket)
+
+    # Pass 1: per-(source, bucket) token sums — ONE shuffle + collect
+    # for every source (bounded: ≤ 16^bucket_hex_chars × n_sources rows).
+    bstats = (
+        base.groupBy(source_col, "_tb_b")
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("_tb_sum"))
+        .collect()
+    )
+    by_source: dict = {}
+    for r in bstats:
+        by_source.setdefault(r[source_col], []).append((r["_tb_b"], r["_tb_sum"]))
+    offsets = []  # (source, bucket, entering_offset)
+    for s, rows in by_source.items():
+        cum = 0
+        for b, tot in sorted(rows, key=lambda t: (t[0] is not None, t[0] or 0)):
+            if cum > budget_map[s]:
+                break  # token sums are ≥ 0: nothing later can be kept
+            offsets.append((s, b, cum))
+            cum += tot
+
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    spark = u.sparkSession
+    off_df = spark.createDataFrame(
+        offsets,
+        StructType([
+            StructField("_tb_s2", StringType(), True),
+            StructField("_tb_b2", IntegerType(), True),
+            StructField("_tb_off", LongType(), True),
+        ]),
+    )
+
+    # Pass 2: broadcast the offset table, one cumsum window per
+    # (source, bucket), per-source budget filter via the literal map.
+    cond = base["_tb_b"].eqNullSafe(F.col("_tb_b2")) & (
+        base[source_col] == F.col("_tb_s2")
+    )
+    joined = base.join(F.broadcast(off_df), cond, "inner")
+    w = (
+        Window.partitionBy(F.col(source_col), F.col("_tb_b"))
+        .orderBy(F.col("_tb_h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col("_tb_off") + F.sum(F.col(token_col)).over(w)).cast("bigint")
+    budget_col = F.create_map(
+        *[c for name, b in budget_map.items()
+          for c in (F.lit(name), F.lit(b).cast("bigint"))]
+    )[F.col(source_col)]
+    return (
+        joined.withColumn("_cum_tokens", cum)
+        .filter(F.col("_cum_tokens") <= budget_col)
+        .drop("_tb_h", "_tb_b", "_tb_b2", "_tb_s2", "_tb_off", "_cum_tokens")
+        .withColumn("epoch_idx", epoch_map[F.col(source_col)])
+    )
 
 
 def corpus_manifest(

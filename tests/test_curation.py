@@ -950,6 +950,61 @@ def test_materialize_epoch_plan_rows(spark):
         curation.materialize_epoch_plan({"zz": a}, plan, "n_tok")
 
 
+def test_materialize_epoch_plan_fused_carve_matches_per_source(spark):
+    """The fused multi-source fractional carve emits exactly the rows
+    the per-source `sample_token_budget` composition would: same carve
+    membership, same epoch_idx, per source and overall."""
+    parts = {
+        name: spark.createDataFrame(
+            [(base + i, 50 + (i * 37) % 300) for i in range(40)],
+            "doc_id long, n_tok long",
+        )
+        for name, base in (("alpha", 0), ("beta", 1000), ("gamma", 2000))
+    }
+    # the plan's n_tokens must be each source's true total so the
+    # fractional budgets are meaningful
+    totals = {
+        n: df.agg(F.sum("n_tok")).collect()[0][0] for n, df in parts.items()
+    }
+    srcs = spark.createDataFrame(
+        [(n, totals[n], w) for n, w in (("alpha", 3), ("beta", 1), ("gamma", 5))],
+        "source string, n_tokens long, w long",
+    )
+    plan = curation.plan_epoch_mixture(srcs, budget_tokens=9000, weight_col="w")
+    pr = {r.source: r for r in plan.collect()}
+    # the fused path must actually engage: ≥ 2 sources with a
+    # fractional remainder under this plan
+    fracs = [
+        n for n, r in pr.items()
+        if int(r.alloc_tokens) - (r.epochs_ppm // 1_000_000) * int(r.n_tokens) > 0
+    ]
+    assert len(fracs) >= 2, f"fixture must exercise the fused carve, got {fracs}"
+
+    fused = curation.materialize_epoch_plan(parts, plan, "n_tok", salt="fz:")
+
+    # reference: the pre-fusion per-source composition
+    ref_rows = []
+    for name, df in sorted(parts.items()):
+        r = pr[name]
+        n_full = r.epochs_ppm // 1_000_000
+        tagged = df.withColumn("source", F.lit(name))
+        if n_full > 0:
+            for row in tagged.collect():
+                for e in range(n_full):
+                    ref_rows.append((row.source, row.doc_id, e, row.n_tok))
+        frac = int(r.alloc_tokens) - n_full * int(r.n_tokens)
+        if frac > 0:
+            carve = curation.sample_token_budget(
+                tagged, frac, "n_tok", "doc_id", salt=f"fz:{name}:e{n_full}:"
+            ).drop("_cum_tokens")
+            for row in carve.collect():
+                ref_rows.append((row.source, row.doc_id, n_full, row.n_tok))
+    got = sorted(
+        (r.source, r.doc_id, r.epoch_idx, r.n_tok) for r in fused.collect()
+    )
+    assert got == sorted(ref_rows)
+
+
 def test_release_manifest_data_card(spark, tmp_path):
     """release_corpus writes a _MANIFEST.json data card whose per-split
     counts/checksums match corpus_manifest on the released data; the
