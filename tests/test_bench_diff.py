@@ -113,3 +113,41 @@ def test_diff_drift_needs_min_samples(tmp_path):
     assert d["drift_factor"] == 1.0 and d["drift_samples"] == 2
     assert list(d["queries"]["regressed"]) == ["a"]
     assert d["queries"]["regressed"]["a"]["adj_ratio"] == 2.5
+
+
+def test_diff_mixed_improvements_caveat(tmp_path):
+    """r12 closure: when a material fraction of shared branches
+    genuinely improved, the median drift_factor mixes improvement with
+    host drift and UNDER-corrects — the diff must say so
+    (drift_mixed_improvements) so flagged-but-unchanged branches get
+    re-measured in isolation instead of read as regressions.  A
+    uniform-drift run must NOT carry the caveat."""
+    prior = {
+        "queries": {f"q{i}": 1.0 for i in range(6)},
+        "branch_s": {f"s.b{i}": 0.5 for i in range(10)},
+    }
+    p = _write(tmp_path, "p.json", prior)
+    # 2 of 10 branches improved 2x (0.25 = ratio 0.5 <= 0.7); host is
+    # really 1.5x slower but the improved branches drag nothing here
+    # (drift comes from queries) — the caveat keys off the branch mix
+    now_b = {f"s.b{i}": (0.25 if i < 2 else 0.75) for i in range(10)}
+    d = bench._diff_branches(p, now_b, {f"q{i}": 1.5 for i in range(6)})
+    assert "drift_mixed_improvements" in d
+    assert "20%" in d["drift_mixed_improvements"]
+    # uniform run: same drift, no improved branches -> no caveat
+    d2 = bench._diff_branches(
+        p, {f"s.b{i}": 0.75 for i in range(10)},
+        {f"q{i}": 1.5 for i in range(6)},
+    )
+    assert "drift_mixed_improvements" not in d2
+    # fewer than MIN_DRIFT_SAMPLES comparable branches -> no caveat
+    prior_small = {
+        "queries": {f"q{i}": 1.0 for i in range(6)},
+        "branch_s": {"s.b0": 0.5, "s.b1": 0.5},
+    }
+    p3 = _write(tmp_path, "p3.json", prior_small)
+    d3 = bench._diff_branches(
+        p3, {"s.b0": 0.2, "s.b1": 0.2},
+        {f"q{i}": 1.5 for i in range(6)},
+    )
+    assert "drift_mixed_improvements" not in d3
