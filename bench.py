@@ -95,22 +95,13 @@ def main() -> None:
     cdc_rate = _cdc_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "build_s": build_s,
-        "exec_s": exec_s,
-        "branch_s": branch_s,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cdc_events_per_sec": cdc_rate,
-    }
     prior_path = _diff_arg()
-    if prior_path:
-        out["diff"] = _diff_branches(
-            prior_path, branch_s, timings, cdc_rate, total
-        )
+    diff = (
+        _diff_branches(prior_path, branch_s, timings, cdc_rate, total)
+        if prior_path
+        else None
+    )
+    out = _ordered_output(timings, build_s, exec_s, branch_s, sf, cdc_rate, diff)
     print(json.dumps(out))
     if "--summary" in sys.argv:
         # README-ready close-out sentence generated from the measured
@@ -139,6 +130,63 @@ def main() -> None:
             file=sys.stderr,
         )
     spark.stop()
+
+
+def _ordered_output(
+    timings: dict,
+    build_s: dict,
+    exec_s: dict,
+    branch_s: dict,
+    sf: str,
+    cdc_rate: float,
+    diff: dict | None = None,
+) -> dict:
+    """Assemble the one-line JSON object with the LARGE maps (build_s,
+    exec_s, branch_s, diff) FIRST and the headline keys (metric, value,
+    queries, sf, cdc_events_per_sec) LAST.  The driver keeps only the
+    last 2000 characters of stdout as 'tail' when its full-parse path
+    fails (r11's BENCH artifact carried parsed: {} for exactly this
+    reason, which nulled the whole round-over-round PERF table in r12)
+    — with the headline keys at the end, a 2000-char tail still holds
+    the total and the per-query dict, and `_load_prior` below can
+    recover them mechanically.  Same keys, same single line; only the
+    order changed."""
+    total = round(sum(timings.values()), 3)
+    out: dict = {
+        "build_s": build_s,
+        "exec_s": exec_s,
+        "branch_s": branch_s,
+    }
+    if diff is not None:
+        out["diff"] = diff
+    out.update(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cdc_events_per_sec": cdc_rate,
+        }
+    )
+    return out
+
+
+def _recover_tail(fragment: str) -> dict | None:
+    """Recover the headline keys from a FRONT-truncated fragment of the
+    one-line JSON (the driver's 2000-char stdout tail).  Works because
+    `_ordered_output` puts metric/value/queries/sf/cdc_events_per_sec
+    at the END of the object: the fragment from the last '"metric"'
+    occurrence to the closing brace is a valid member list."""
+    idx = fragment.rfind('"metric"')
+    if idx < 0:
+        return None
+    candidate = "{" + fragment[idx:].strip()
+    try:
+        obj = json.loads(candidate)
+    except json.JSONDecodeError:
+        return None
+    return obj if isinstance(obj, dict) and "queries" in obj else None
 
 
 DIFF_FACTOR = 2.0
@@ -179,7 +227,9 @@ def _load_prior(prior_path: str) -> dict | None:
             try:
                 return json.loads(tail)
             except json.JSONDecodeError:
-                return None
+                # front-truncated tail of a `_ordered_output` line: the
+                # headline keys sit at the end and are recoverable
+                return _recover_tail(tail)
     return None
 
 

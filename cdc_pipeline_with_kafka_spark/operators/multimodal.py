@@ -2201,6 +2201,48 @@ def set_fingerprinter(media_type: str, fn: Callable[[bytes], int]) -> None:
     _FINGERPRINTERS[media_type] = fn
 
 
+# ---- packed vote-ordering key (r13) -------------------------------
+# The three align/crop voters pick best-per-pair by the lexicographic
+# ordering (votes desc, displacement asc[, dx asc]).  max_by(struct,
+# struct) expresses that directly but forces a SortAggregate (struct
+# aggregation buffers are not hash-aggregable); packing the ordering
+# into ONE bigint turns the same argmax into max(bigint) — a plain
+# HashAggregate.  Layout: votes in the high bits, then per component
+# (_VOTE_MAX − value) in _VOTE_BITS bits (so SMALLER displacement ⇒
+# LARGER key).  Ranges are ASSERTED in-plan (raise_error), never
+# assumed: each component must fit ±(2^20−1) and votes the remaining
+# high bits — a violation fails the job loudly instead of mis-ranking.
+_VOTE_BITS = 21
+_VOTE_MAX = (1 << 20) - 1
+
+
+def _vote_key(votes: Column, *prefer_small: Column) -> Column:
+    n = len(prefer_small)
+    vote_cap = (1 << (62 - _VOTE_BITS * n)) - 1
+    guard = (votes >= 0) & (votes <= F.lit(vote_cap))
+    key = votes.cast("bigint")
+    for c in prefer_small:
+        guard = guard & (F.abs(c) <= F.lit(_VOTE_MAX))
+        key = F.shiftleft(key, _VOTE_BITS) + (F.lit(_VOTE_MAX) - c)
+    return F.when(guard, key).otherwise(
+        F.expr(
+            "CAST(raise_error('vote ordering component exceeds the "
+            "packable range (|disp| < 2^20)') AS BIGINT)"
+        )
+    )
+
+
+def _vote_key_part(key: Column, n: int, i: int) -> Column:
+    """The i-th (0-based) prefer-small component of an n-component key."""
+    shift = _VOTE_BITS * (n - 1 - i)
+    mask = (1 << _VOTE_BITS) - 1
+    return F.lit(_VOTE_MAX) - F.shiftright(key, shift).bitwiseAND(F.lit(mask))
+
+
+def _vote_key_votes(key: Column, n: int) -> Column:
+    return F.shiftright(key, _VOTE_BITS * n)
+
+
 FRAME_PHASH_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
@@ -2329,11 +2371,10 @@ def video_overlap_pairs(
     per_off = norm.groupBy("id_a", "id_b", "off").agg(
         F.count(F.lit(1)).alias("off_votes")
     )
+    # packed-bigint vote ordering (see audio_align_pairs): HashAggregate
+    # instead of the struct max_by SortAggregate, ranges asserted
     best_off = per_off.groupBy("id_a", "id_b").agg(
-        F.max_by(
-            F.struct("off", "off_votes"),
-            F.struct(F.col("off_votes"), -F.col("off")),
-        ).alias("_bo")
+        F.max(_vote_key(F.col("off_votes"), F.col("off"))).alias("_k")
     )
     rollup = (
         norm.groupBy("id_a", "id_b")
@@ -2348,8 +2389,8 @@ def video_overlap_pairs(
     # audio tier uses); bag-of-frames similarity spreads them thin
     return rollup.join(best_off, ["id_a", "id_b"]).select(
         "id_a", "id_b", "shared_frames", "min_hamming",
-        F.col("_bo.off").alias("best_offset"),
-        F.col("_bo.off_votes").alias("coherent_frames"),
+        _vote_key_part(F.col("_k"), 1, 0).alias("best_offset"),
+        _vote_key_votes(F.col("_k"), 1).alias("coherent_frames"),
     )
 
 
@@ -2893,16 +2934,17 @@ def audio_align_pairs(
         .agg(F.count(F.lit(1)).alias("votes"))
         .filter(F.col("votes") >= min_votes)
     )
+    # best-per-pair as max over ONE packed bigint (r13): the
+    # (votes desc, offset asc) ordering rides a HashAggregate instead
+    # of max_by(struct, struct)'s SortAggregate (struct buffers are
+    # not hash-aggregable); ranges asserted in-plan by _vote_key
     best = votes.groupBy("id_a", "id_b").agg(
-        F.max_by(
-            F.struct("offset_frames", "votes"),
-            F.struct(F.col("votes"), -F.col("offset_frames")),
-        ).alias("_best")
+        F.max(_vote_key(F.col("votes"), F.col("offset_frames"))).alias("_k")
     )
     return best.select(
         "id_a", "id_b",
-        F.col("_best.offset_frames").alias("offset_frames"),
-        F.col("_best.votes").alias("votes"),
+        _vote_key_part(F.col("_k"), 1, 0).cast("int").alias("offset_frames"),
+        _vote_key_votes(F.col("_k"), 1).alias("votes"),
     )
 
 
@@ -3069,17 +3111,16 @@ def image_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("votes"))
         .filter(F.col("votes") >= min_votes)
     )
+    # packed-bigint vote ordering (see audio_align_pairs): HashAggregate
+    # instead of the struct max_by SortAggregate, ranges asserted
     best = votes.groupBy("id_a", "id_b").agg(
-        F.max_by(
-            F.struct("dy", "dx", "votes"),
-            F.struct(F.col("votes"), -F.col("dy"), -F.col("dx")),
-        ).alias("_best")
+        F.max(_vote_key(F.col("votes"), F.col("dy"), F.col("dx"))).alias("_k")
     )
     return best.select(
         "id_a", "id_b",
-        F.col("_best.dy").alias("dy"),
-        F.col("_best.dx").alias("dx"),
-        F.col("_best.votes").alias("votes"),
+        _vote_key_part(F.col("_k"), 2, 0).cast("int").alias("dy"),
+        _vote_key_part(F.col("_k"), 2, 1).cast("int").alias("dx"),
+        _vote_key_votes(F.col("_k"), 2).alias("votes"),
     )
 
 

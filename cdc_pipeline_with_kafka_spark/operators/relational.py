@@ -1135,8 +1135,9 @@ def sorted_neighborhood_pairs(
     engineered around.  Here the global dense rank is assembled from
     a range partition: repartitionByRange(key, id) →
     per-PARTITION row_number (partitionBy(spark_partition_id())) →
-    driver-side partition offsets (one partition-count-sized collect)
-    added back via a broadcast map.  Total order is (key, id) — ties
+    in-plan partition offsets (a per-partition count frame prefix-
+    summed by one tiny window — r13; previously an eager driver
+    collect) added back via a broadcast join.  Total order is (key, id) — ties
     broken by id, so the rank (hence the pair set) is deterministic
     and engine-replayable.  Pairing is ONE equi-join on the rank
     (each row exploded to its `window` successor ranks); neighbor
@@ -1157,32 +1158,31 @@ def sorted_neighborhood_pairs(
     w_part = Window.partitionBy("_pid").orderBy("_k", "_id")
     local = d.withColumn("_pid", pid).withColumn(
         "_rn", F.row_number().over(w_part)
-    ).localCheckpoint(eager=True)
-    sizes = {
-        r["_pid"]: r["n"]
-        for r in local.groupBy("_pid").agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect()
-    }
-    offsets, acc = {}, 0
-    for p in sorted(sizes):
-        offsets[p] = acc
-        acc += sizes[p]
-    spark = df.sparkSession
-    if not offsets:
-        return spark.createDataFrame(
-            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
-                f"id_b {df.schema[id_col].dataType.simpleString()}, "
-                f"key_a {df.schema[key_col].dataType.simpleString()}, "
-                f"key_b {df.schema[key_col].dataType.simpleString()}, "
-                "gap int",
-        )
-    off = F.broadcast(
-        spark.createDataFrame(
-            list(offsets.items()), "_pid int, _off long"
-        )
     )
-    ranked = local.join(off, "_pid").select(
+    # r13: partition offsets IN-PLAN (tiny per-partition count frame,
+    # prefix-summed by one window, broadcast back) instead of the old
+    # eager localCheckpoint + driver collect — the whole operator is
+    # now one lazy plan: ~4 s of per-call build jobs gone (this fed
+    # the snb/snbm gate branches and two property suites), and the
+    # empty-input special case falls out of the plan itself.  The
+    # offs and ranked legs both consume the SAME range exchange; its
+    # subtrees are identical so ReusedExchange executes the (sampled)
+    # range partitioning once — pinned by
+    # test_sorted_neighborhood_single_range_exchange, because offsets
+    # from one sampling applied to another's pids would mis-rank.
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    ranked = local.join(F.broadcast(offs), "_pid").select(
         "_id", "_k", (F.col("_off") + F.col("_rn")).alias("_grn")
     )
     succ = ranked.select(

@@ -341,8 +341,13 @@ def breaking_word_stats_factored(
             ).alias("_words"),
         )
     )
+    # No broadcast hint: `combined` carries every doc's full word-count
+    # array — bounded at bench scale, but corpus-text-sized at 100 TB,
+    # where a forced hint would bypass AQE's size check and OOM the
+    # driver.  The planner (autoBroadcastJoinThreshold / AQE) still
+    # picks a broadcast join when the dim side is genuinely small.
     exploded = (
-        ev_cnt.join(F.broadcast(combined), dim_key)
+        ev_cnt.join(combined, dim_key)
         .select("w", "category", "source", "ev_cnt",
                 F.explode("_words").alias("_wd"))
         .select("w", "category", "source", "ev_cnt",

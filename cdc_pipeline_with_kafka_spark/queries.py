@@ -429,7 +429,18 @@ def pj_exists_suite(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    core = graph_ops.coreness(
+    # r13: the 'core' rows ride coreness_hindex, not the O(k·rounds)
+    # peel — identical output (both forms are pinned against the same
+    # coreness_replay oracle on random graphs, tests/test_graph.py),
+    # but the peel's ~2 driver-barrier counts per (k, round) cost
+    # 206 s of BUILD at sf0.01 (the whole pj_exists_suite built in
+    # 218 s; the fixpoint form builds in 2.2 s) — the single largest
+    # eager-seam cost in the registry, paid by the driver's oracle
+    # stage and the parity suite alike.  The peel operator stays
+    # (its own replay-pinned tests keep it honest); 'hcore' now
+    # shares the algorithm, so peel ≡ fixpoint independence lives in
+    # test_graph.py rather than in the gate.
+    core = graph_ops.coreness_hindex(
         wedges.filter(F.col("w") >= 150).select("src", "dst")
     ).select(
         F.lit("core").alias("branch"),
@@ -1152,18 +1163,12 @@ def a_stats_suite(spark, sf_dir):
         _suite_rows(per_type, "hll", F.col("event_type"),
                     v_num=F.col("n_distinct")),
         _suite_rows(merged, "hllm", F.lit("all"), v_num=F.col("n_distinct")),
-        # r7 'trans': first-order Markov transitions over per-user
-        # event sequences (ts + event_id tiebreak), exact integer
-        # conditional probabilities — the user-journey primitive
-        _suite_rows(
-            windows.transition_counts(
-                ev, ["user_id"], ["ts", "event_id"], "event_type"
-            ),
-            "trans",
-            F.concat_ws("|", F.col("from_state"), F.col("to_state")),
-            v_str=F.col("cnt").cast("string"),
-            v_num=F.col("p_ppm").cast("double"),
-        ),
+        # r7 'trans' + r9 'sq3'/'path' (r13 fusion): Markov
+        # transitions, order-3 sequential patterns and the first-4
+        # flow paths all read the same per-user ordered sequence —
+        # one collect-sorted-array pass + one tagged groupBy replaces
+        # three scans / three user-grain exchanges (guide §2.4)
+        _a_seq_rows(spark, sf_dir),
         # r7 'funl': ordered k-step funnel (view → click → purchase):
         # per-step reach counts + exact-ppm conversions, the ordered-
         # progression semantics (step i strictly after step i−1)
@@ -1374,44 +1379,15 @@ def a_stats_suite(spark, sf_dir):
             F.col("event_id").cast("string"),
             v_num=F.col("value_qn"),
         ),
-        # r9 'sq3': order-3 sequential patterns over per-user event
-        # sequences — transition_counts' higher-order sibling; exact
-        # counts + exact conditional-on-prefix ppm
-        _suite_rows(
-            windows.sequence_ngrams(
-                _t(spark, sf_dir, "events"), ["user_id"],
-                ["ts", "event_id"], "event_type", n=3,
-            ),
-            "sq3",
-            F.concat_ws("|", "step_1", "step_2", "step_3"),
-            v_str=F.col("cnt").cast("string"),
-            v_num=F.col("p_ppm").cast("double"),
-        ),
-        # r9 'lagf': autoregressive feature block over per-type daily
-        # counts — lag_1/lag_2 + trailing-7 rolling min/max/exact mean
-        # (frame excludes the current row: no label leakage)
-        _a_lagf_rows(spark, sf_dir),
+        # r9 'lagf' + r9 'mode' (r13 fusion): both aggregate events to
+        # the (day, event_type) count grain — one shared aggregate
+        # feeds the rolling-feature windows and the per-day mode ranks
+        *_a_daily_rows(spark, sf_dir),
         # r9 'gaps': inter-session dark spans per user — coverage
         # holes over the t4 session intervals; every gap must exceed
         # the 30-minute session rule BY CONSTRUCTION, and the oracle
         # replays the same running-max/lead windows
         _a_gaps_rows(spark, sf_dir),
-        # r9 'path': the flow view — each user's first 4 events as a
-        # path string, counted with exact share ppm (what funnels
-        # exist, before funnel_report asks how one performs)
-        _suite_rows(
-            windows.funnel_paths(
-                _t(spark, sf_dir, "events"), ["user_id"],
-                ["ts", "event_id"], "event_type", max_len=4,
-            ),
-            "path",
-            F.col("path"),
-            v_str=F.concat_ws(
-                "|", F.col("depth").cast("string"),
-                F.col("cnt").cast("string"),
-            ),
-            v_num=F.col("share_ppm").cast("double"),
-        ),
         # r9 'ewma': exponential smoothing per event_type (every 5th
         # event id keeps the recursive oracle cheap) — EXACT integer
         # micro recursion, sign-safe truncating division, Arrow
@@ -1542,25 +1518,6 @@ def a_stats_suite(spark, sf_dir):
             F.col("hash_row").cast("string"),
             v_num=F.col("inner_product").cast("double"),
         ),
-        # r9 'mode': exact top-3 modes of event_type per day
-        # (sketch.mode_by_group) — deterministic (count desc, value
-        # asc) tie-break, exact integer share_ppm of the day's
-        # non-NULL rows; the categorical companion of 'gq'
-        _suite_rows(
-            sketch_ops.mode_by_group(
-                ev.withColumn("day", F.date_trunc("day", "ts")),
-                "event_type", ["day"], k=3,
-            ),
-            "mode",
-            F.concat_ws(
-                "|", F.date_format("day", "yyyy-MM-dd HH:mm:ss"),
-                F.col("rank").cast("string"),
-            ),
-            v_str=F.concat_ws(
-                "|", F.col("value"), F.col("cnt").cast("string")
-            ),
-            v_num=F.col("share_ppm").cast("double"),
-        ),
     ])
 
 
@@ -1593,16 +1550,29 @@ def _a_ols_rows(spark, sf_dir):
     ]
 
 
-def _a_lagf_rows(spark, sf_dir):
+def _a_daily_rows(spark, sf_dir):
+    """'lagf' + 'mode' fused on their shared grain (r13, guide §2.4):
+    both branches aggregate events to (day, event_type) counts — lagf
+    then windows per type, mode ranks per day — so the two union legs
+    consume ONE `daily` frame and their identical aggregate subtrees
+    collapse to a single scan + exchange via ReusedExchange.  Values
+    are untouched: lagf's rolling_features sees the same
+    (event_type, day, cnt) rows; mode's rank/share core is the SAME
+    code (sketch.mode_from_counts) over the same counts — filtering
+    NULL types after the aggregate ≡ before it, and event_type is
+    already a string so mode_by_group's cast was a no-op."""
+    from .operators import sketch as sketch_ops
+
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
+        F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("cnt"))
     feats = windows.rolling_features(
-        daily, ["event_type"], "day", "cnt", lags=(1, 2), roll_window=7,
+        daily.select("event_type", "day", "cnt"),
+        ["event_type"], "day", "cnt", lags=(1, 2), roll_window=7,
         micro=1,
     )
-    return _suite_rows(
+    lagf = _suite_rows(
         feats, "lagf",
         F.concat_ws("|", F.col("event_type"),
                     F.date_format("day", "yyyy-MM-dd")),
@@ -1615,6 +1585,120 @@ def _a_lagf_rows(spark, sf_dir):
             F.coalesce(F.col("roll_max").cast("string"), F.lit("-")),
         ),
         v_num=F.col("roll_mean_micro").cast("double"),
+    )
+    mode_counts = daily.filter(F.col("event_type").isNotNull()).select(
+        "day", F.col("event_type").alias("value"), "cnt"
+    )
+    mode = _suite_rows(
+        sketch_ops.mode_from_counts(mode_counts, ["day"], 3),
+        "mode",
+        F.concat_ws(
+            "|", F.date_format("day", "yyyy-MM-dd HH:mm:ss"),
+            F.col("rank").cast("string"),
+        ),
+        v_str=F.concat_ws(
+            "|", F.col("value"), F.col("cnt").cast("string")
+        ),
+        v_num=F.col("share_ppm").cast("double"),
+    )
+    return [lagf, mode]
+
+
+def _a_seq_rows(spark, sf_dir):
+    """'trans' + 'sq3' + 'path' — three reads of the SAME per-user
+    (ts, event_id)-ordered event_type sequence — fused into ONE union
+    leg (r13, guide §2.4 stacked aggregate, the a12 sentinel pattern
+    generalized): collect each user's sorted state array once, derive
+    transitions (consecutive 2-slices), order-3 grams (3-slices) and
+    the first-4 path from that array, count all three grains in one
+    tagged groupBy, and compute every denominator with ONE window
+    whose key degrades per tag (per-from for 'trans', per-prefix for
+    'sq3', all-users for 'path').  Replaces three scans + three
+    user-grain exchanges (transition_counts / sequence_ngrams /
+    funnel_paths each re-sorting raw events) with one aggregate pass.
+
+    Value-identical because (ts, event_id) is unique, so the sorted
+    array IS the window order the operators use, and consecutive
+    slices ARE the lag pairs/triples; min_count=1 makes the
+    operators' prune a no-op; funnel_paths' total-keys denominator
+    equals the sum of path counts.  Pinned row-identical against the
+    three operators by tests/test_windows_r9.py::
+    test_a_seq_fusion_matches_operators and by the oracle gate (the
+    oracle SQL is untouched).  The operators remain the public API."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("event_type").alias("_st"))
+            )
+        ).alias("_seq")
+    ).select(F.transform("_seq", lambda s: s["_st"]).alias("_sts"))
+    sts = F.col("_sts")
+    n = F.size(sts)
+    empty = F.expr(
+        "CAST(array() AS array<struct<tag:string,s1:string,s2:string,s3:string>>)"
+    )
+
+    def _grams(tag, k):
+        cnt = n - F.lit(k - 1)
+        zipped = F.arrays_zip(
+            *[F.slice(sts, i + 1, cnt).alias(f"t{i}") for i in range(k)]
+        )
+        return F.when(
+            n >= k,
+            F.transform(
+                zipped,
+                lambda g: F.struct(
+                    F.lit(tag).alias("tag"),
+                    g["t0"].alias("s1"),
+                    g["t1"].alias("s2"),
+                    (g["t2"] if k == 3 else F.lit(None).cast("string"))
+                    .alias("s3"),
+                ),
+            ),
+        ).otherwise(empty)
+
+    path_struct = F.array(F.struct(
+        F.lit("p").alias("tag"),
+        F.array_join(F.slice(sts, 1, 4), ">").alias("s1"),
+        F.least(n, F.lit(4)).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+    ))
+    tagged = per_user.select(
+        F.explode(
+            F.concat(_grams("t", 2), _grams("q", 3), path_struct)
+        ).alias("_g")
+    ).select("_g.tag", "_g.s1", "_g.s2", "_g.s3")
+    counts = tagged.groupBy("tag", "s1", "s2", "s3").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wden = Window.partitionBy(
+        "tag",
+        F.when(F.col("tag") == "p", F.lit("")).otherwise(F.col("s1")),
+        F.when(F.col("tag") == "q", F.col("s2")).otherwise(F.lit("")),
+    )
+    ppm = counts.withColumn("_tot", F.sum("cnt").over(wden)).withColumn(
+        "p_ppm", F.expr("CAST(cnt * 1000000 div _tot AS BIGINT)")
+    )
+    tag = F.col("tag")
+    return ppm.select(
+        F.when(tag == "t", F.lit("trans"))
+        .when(tag == "q", F.lit("sq3"))
+        .otherwise(F.lit("path")).alias("suite_case"),
+        F.coalesce(
+            F.when(tag == "t", F.concat_ws("|", "s1", "s2"))
+            .when(tag == "q", F.concat_ws("|", "s1", "s2", "s3"))
+            .otherwise(F.col("s1")),
+            F.lit(""),
+        ).alias("k"),
+        F.coalesce(
+            F.when(
+                tag == "p",
+                F.concat_ws("|", F.col("s2"), F.col("cnt").cast("string")),
+            ).otherwise(F.col("cnt").cast("string")),
+            F.lit(""),
+        ).alias("v_str"),
+        F.coalesce(F.col("p_ppm").cast("double"), F.lit(-1.0)).alias("v_num"),
     )
 
 
@@ -9712,21 +9796,29 @@ def _admit_oracle_sql() -> str:
     shard-1 partner), then in-shard components (recursive CTE, min-id
     canonical).  A doc rejected at a rung never contributes its hash,
     signature, or edges to later rungs — exactly admit_shard's
-    semantics."""
+    semantics.
+
+    r13: every non-recursive CTE is AS MATERIALIZED.  DuckDB inlines
+    plain CTEs per reference, so the r2 recursion re-evaluated the
+    whole e2←s2c←s2nc←adm1 chain EVERY iteration — the oracle ran
+    310 s at sf0.01 (the driver's verify budget killer); materialized
+    it is 0.22 s with byte-identical rows (verified old-vs-new before
+    adopting).  MATERIALIZED is an optimization fence only — it cannot
+    change the result set."""
     pairs = _minhash_oracle_sql(shingle_n=3)
     norm = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
     return f"""
 WITH RECURSIVE
-pr AS ({pairs}),
-cut AS (SELECT count(*) // 2 AS c FROM documents),
-d1 AS (SELECT doc_id, text FROM documents WHERE doc_id < (SELECT c FROM cut)),
-d2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= (SELECT c FROM cut)),
-h1 AS (SELECT doc_id, {norm} AS ch,
+pr AS MATERIALIZED ({pairs}),
+cut AS MATERIALIZED (SELECT count(*) // 2 AS c FROM documents),
+d1 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id < (SELECT c FROM cut)),
+d2 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id >= (SELECT c FROM cut)),
+h1 AS MATERIALIZED (SELECT doc_id, {norm} AS ch,
               row_number() OVER (PARTITION BY {norm} ORDER BY doc_id) AS rn
        FROM d1),
-s1x AS (SELECT doc_id FROM h1 WHERE rn > 1),
-s1a AS (SELECT doc_id, ch FROM h1 WHERE rn = 1),
-e1 AS (
+s1x AS MATERIALIZED (SELECT doc_id FROM h1 WHERE rn > 1),
+s1a AS MATERIALIZED (SELECT doc_id, ch FROM h1 WHERE rn = 1),
+e1 AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pr
   WHERE id_a IN (SELECT doc_id FROM s1a) AND id_b IN (SELECT doc_id FROM s1a)
   UNION
@@ -9738,25 +9830,25 @@ r1(id, lbl) AS (
   UNION
   SELECT e.dst, r.lbl FROM e1 e JOIN r1 r ON e.src = r.id
 ),
-c1 AS (SELECT id, min(lbl) AS cid FROM r1 GROUP BY id),
-s1n AS (SELECT id AS doc_id FROM c1 WHERE cid <> id),
-adm1 AS (SELECT a.doc_id, a.ch FROM s1a a
+c1 AS MATERIALIZED (SELECT id, min(lbl) AS cid FROM r1 GROUP BY id),
+s1n AS MATERIALIZED (SELECT id AS doc_id FROM c1 WHERE cid <> id),
+adm1 AS MATERIALIZED (SELECT a.doc_id, a.ch FROM s1a a
          WHERE a.doc_id NOT IN (SELECT doc_id FROM s1n)),
-h2 AS (SELECT doc_id, {norm} AS ch,
+h2 AS MATERIALIZED (SELECT doc_id, {norm} AS ch,
               row_number() OVER (PARTITION BY {norm} ORDER BY doc_id) AS rn
        FROM d2),
-s2x AS (SELECT doc_id FROM h2 WHERE rn > 1),
-s2a AS (SELECT doc_id, ch FROM h2 WHERE rn = 1),
-s2xc AS (SELECT doc_id FROM s2a WHERE ch IN (SELECT ch FROM adm1)),
-s2b AS (SELECT doc_id FROM s2a WHERE ch NOT IN (SELECT ch FROM adm1)),
-s2nc AS (
+s2x AS MATERIALIZED (SELECT doc_id FROM h2 WHERE rn > 1),
+s2a AS MATERIALIZED (SELECT doc_id, ch FROM h2 WHERE rn = 1),
+s2xc AS MATERIALIZED (SELECT doc_id FROM s2a WHERE ch IN (SELECT ch FROM adm1)),
+s2b AS MATERIALIZED (SELECT doc_id FROM s2a WHERE ch NOT IN (SELECT ch FROM adm1)),
+s2nc AS MATERIALIZED (
   SELECT DISTINCT s.doc_id FROM s2b s JOIN pr p
     ON (p.id_a = s.doc_id AND p.id_b IN (SELECT doc_id FROM adm1))
     OR (p.id_b = s.doc_id AND p.id_a IN (SELECT doc_id FROM adm1))
 ),
-s2c AS (SELECT doc_id FROM s2b
+s2c AS MATERIALIZED (SELECT doc_id FROM s2b
         WHERE doc_id NOT IN (SELECT doc_id FROM s2nc)),
-e2 AS (
+e2 AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pr
   WHERE id_a IN (SELECT doc_id FROM s2c) AND id_b IN (SELECT doc_id FROM s2c)
   UNION
@@ -9768,9 +9860,9 @@ r2(id, lbl) AS (
   UNION
   SELECT e.dst, r.lbl FROM e2 e JOIN r2 r ON e.src = r.id
 ),
-c2 AS (SELECT id, min(lbl) AS cid FROM r2 GROUP BY id),
-s2n AS (SELECT id AS doc_id FROM c2 WHERE cid <> id),
-adm2 AS (SELECT doc_id FROM s2c WHERE doc_id NOT IN (SELECT doc_id FROM s2n))
+c2 AS MATERIALIZED (SELECT id, min(lbl) AS cid FROM r2 GROUP BY id),
+s2n AS MATERIALIZED (SELECT id AS doc_id FROM c2 WHERE cid <> id),
+adm2 AS MATERIALIZED (SELECT doc_id FROM s2c WHERE doc_id NOT IN (SELECT doc_id FROM s2n))
 SELECT doc_id, 1::BIGINT AS shard, 'admitted' AS status, '' AS reason FROM adm1
 UNION ALL SELECT doc_id, 1::BIGINT, 'rejected', 'exact_dup_shard' FROM s1x
 UNION ALL SELECT doc_id, 1::BIGINT, 'rejected', 'near_dup_shard' FROM s1n

@@ -32,18 +32,37 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     # scan task (spark.sql.execution.sortBeforeRepartition, on by default
     # since SPARK-23207 so retried tasks reproduce the same assignment)
     # and is retry-unsafe on nondeterministic input (SPARK-38388).
-    # Hash-partitioning on a deterministic content key — xxhash64 over
-    # every hashable column — needs no sort, is retry-safe by
-    # construction (the guide's "derive the synthetic key
-    # deterministically" rule), and costs one hash per row.  Maps are
-    # not hashable (Spark raises); frames that are ONLY maps keep the
-    # round-robin fallback.  Measured on the corr_matrix path at sf0.1:
-    # round-robin+sort 1.6 s → hash 0.6 s for the identical aggregate.
+    # Hash-partitioning on a deterministic content key — xxhash64 —
+    # needs no sort, is retry-safe by construction (the guide's "derive
+    # the synthetic key deterministically" rule), and costs one hash per
+    # row.  Measured on the corr_matrix path at sf0.1: round-robin+sort
+    # 1.6 s → hash 0.6 s for the identical aggregate.
+    #
+    # r13 (VERDICT r12 #3): hash id-like columns (…_id / …key / "id")
+    # when the schema has them, instead of every hashable column.  Two
+    # wins: duplicate-PAYLOAD rows (re-uploads, boilerplate — exactly
+    # the corpora dedup pipelines see) no longer colocate, because row
+    # identity rides the id rather than the content; and the hash input
+    # is a few narrow columns instead of full text/props payloads, so
+    # the scan can prune columns the query never reads.  HAZARD, by
+    # construction of any deterministic content key: a frame with NO
+    # id-like column whose rows are byte-identical duplicates hashes
+    # those duplicates to one partition.  No current keyless call site
+    # feeds such a frame (corr hashes value columns of unique rows; the
+    # CDC/a12 event frames carry event_id), and the keyed call sites
+    # that serve dedup paths pass an explicit unique id.  Maps are not
+    # hashable (Spark raises); frames that are ONLY maps keep the
+    # round-robin fallback.
     hashable = [
         f.name for f in df.schema.fields if "map<" not in f.dataType.simpleString()
     ]
-    if hashable:
-        return df.repartition(target, F.xxhash64(*[F.col(c) for c in hashable]))
+    id_like = [
+        n for n in hashable
+        if n == "id" or n.endswith("_id") or n.endswith("key")
+    ]
+    pick = id_like or hashable
+    if pick:
+        return df.repartition(target, F.xxhash64(*[F.col(c) for c in pick]))
     return df.repartition(target)
 
 

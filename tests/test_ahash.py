@@ -214,3 +214,53 @@ def test_audio_subfp_common_value_cap(spark):
     sub = mm.audio_subfp_assets(df)
     out = mm.audio_align_pairs(sub, min_votes=2, max_fp_df=10).collect()
     assert out == []
+
+
+def test_vote_key_packs_lexicographic_ordering(spark):
+    """r13: the packed-bigint vote key must rank exactly like the
+    (votes desc, displacement asc…) struct ordering it replaced —
+    negative displacements included — and raise loudly when a
+    component leaves the asserted range instead of mis-ranking."""
+    import itertools
+
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from cdc_pipeline_with_kafka_spark.operators import multimodal as mm
+
+    vals = [-1048575, -17, -1, 0, 1, 17, 1048575]
+    votes = [0, 1, 5, 1048575]
+    rows = [(v, d) for v, d in itertools.product(votes, vals)]
+    df = spark.createDataFrame(rows, "votes long, off int")
+    got = [
+        (r["votes"], r["off"])
+        for r in df.select(
+            "votes", "off",
+            mm._vote_key(F.col("votes"), F.col("off")).alias("k"),
+        ).orderBy("k").collect()
+    ]
+    want = sorted(rows, key=lambda t: (t[0], -t[1]))
+    assert got == want
+    # two components: (votes desc, dy asc, dx asc)
+    rows2 = [(v, dy, dx) for v, dy, dx in
+             itertools.product([1, 7], [-3, 0, 3], [-2, 2])]
+    df2 = spark.createDataFrame(rows2, "votes long, dy int, dx int")
+    out2 = df2.select(
+        mm._vote_key(F.col("votes"), F.col("dy"), F.col("dx")).alias("k"),
+        "votes", "dy", "dx",
+    ).orderBy(F.col("k").desc())
+    top = out2.first()
+    assert (top["votes"], top["dy"], top["dx"]) == (7, -3, -2)
+    # unpack round-trips
+    r = out2.select(
+        mm._vote_key_votes(F.col("k"), 2).alias("v"),
+        mm._vote_key_part(F.col("k"), 2, 0).alias("dy2"),
+        mm._vote_key_part(F.col("k"), 2, 1).alias("dx2"),
+        "votes", "dy", "dx",
+    ).collect()
+    assert all(x["v"] == x["votes"] and x["dy2"] == x["dy"]
+               and x["dx2"] == x["dx"] for x in r)
+    # out-of-range displacement raises instead of silently wrapping
+    bad = spark.createDataFrame([(1, 1 << 20)], "votes long, off int")
+    with _pt.raises(Exception, match="packable range"):
+        bad.select(mm._vote_key(F.col("votes"), F.col("off"))).collect()

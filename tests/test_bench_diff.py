@@ -37,6 +37,38 @@ def test_diff_flags_2x_regressions_above_noise_floor(tmp_path):
         assert d["queries"]["removed"] == []
 
 
+def test_output_order_survives_2000_char_tail(tmp_path):
+    """r13 (VERDICT r12 'What's wrong #4'): the driver keeps only the
+    LAST 2000 chars of stdout when its full parse fails, so the
+    headline keys must close the one-line JSON — a tail fragment of a
+    realistic line (114 branch entries) must still yield the total and
+    the full per-query dict, both via _recover_tail and through the
+    _load_prior/_diff_branches path."""
+    timings = {f"query_{i:02d}": 1.001 + i / 1000 for i in range(32)}
+    branch = {f"suite_{i % 6}.branch_{i:03d}": 0.345 for i in range(114)}
+    out = bench._ordered_output(
+        timings, dict(timings), dict(timings), branch, "0.1", 123456.7,
+        diff={"vs": "prior.json", "drift_factor": 1.0},
+    )
+    line = json.dumps(out)
+    # the large maps precede the headline keys
+    keys = list(out)
+    assert keys.index("branch_s") < keys.index("metric")
+    assert keys.index("diff") < keys.index("metric")
+    assert keys[-3:] == ["queries", "sf", "cdc_events_per_sec"]
+    tail = line[-2000:]
+    rec = bench._recover_tail(tail)
+    assert rec is not None
+    assert rec["value"] == round(sum(timings.values()), 3)
+    assert rec["queries"] == timings
+    assert rec["sf"] == 0.1 and rec["cdc_events_per_sec"] == 123456.7
+    # end-to-end: a driver wrapper whose 'tail' is the truncated line
+    p = _write(tmp_path, "w.json", {"n": 1, "rc": 0, "tail": tail})
+    d = bench._diff_branches(p, {}, {"query_00": 1.001})
+    assert "error" not in d
+    assert d["queries"]["regressed"] == {}
+
+
 def test_diff_truncated_tail_fails_soft(tmp_path):
     p = _write(
         tmp_path, "t.json",

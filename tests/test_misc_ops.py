@@ -1118,6 +1118,31 @@ def test_sorted_neighborhood_pairs_matches_naive(spark):
     assert empty.columns == ["id_a", "id_b", "key_a", "key_b", "gap"]
 
 
+def test_sorted_neighborhood_single_range_exchange(spark):
+    """r13 (lazy in-plan offsets): the offs and ranked legs both hang
+    off ONE range-partitioning exchange — the executed plan must show
+    the second consumer as ReusedExchange/reused subquery, because
+    partition offsets computed from one (sampled) range partitioning
+    applied to a DIFFERENT one's partition ids would mis-rank."""
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7}") for i in range(100)], "rid int, k string"
+    )
+    out = relational.sorted_neighborhood_pairs(df, "rid", "k", window=3)
+    out.collect()  # execute THIS query so its adaptive plan finalizes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    n_range_exch = sum(
+        1 for line in final.splitlines()
+        if "Exchange rangepartitioning" in line and "Reused" not in line
+    )
+    assert n_range_exch == 1, final
+    assert any(
+        "ReusedExchange" in line and "rangepartitioning" in line
+        for line in final.splitlines()
+    ), final
+
+
 def test_enforce_k_anonymity_suppression_and_generalization(spark):
     """The enforcement transform: output restricted to classes
     satisfying (k, l); re-auditing the output finds ZERO violating

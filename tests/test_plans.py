@@ -636,3 +636,45 @@ def test_assert_plan_eq_suffix_and_codegen_pin(spark):
             assert_plan(bare, codegen=True)
     finally:
         spark.conf.set("spark.sql.codegen.wholeStage", prev)
+
+
+def test_spread_keyless_id_hash_balances_duplicate_payloads(spark):
+    """r13 (VERDICT r12 #3): the keyless spread() hashes id-like
+    columns when the schema has them, so duplicate-PAYLOAD rows (the
+    dedup-corpus shape: many byte-identical texts under distinct ids)
+    spread across partitions instead of colocating on one xxhash64
+    bucket.  Planted skew: 30% of rows share one payload."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_with_kafka_spark.util import spread
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.lit("the same boilerplate text"))
+        .otherwise(F.concat(F.lit("unique "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    sizes = [
+        r["cnt"]
+        for r in spread(df)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    # id-hash balance: no partition holds anywhere near the 30% hot
+    # payload; bound is generous (2x fair share) to stay noise-proof
+    target = df.sparkSession.sparkContext.defaultParallelism
+    assert len(sizes) > 1
+    assert max(sizes) < 2 * (n / target)
+    # the hash expression rides the id column only — payload columns
+    # are not part of the partition key (lets the scan prune them)
+    plan = spread(df)._jdf.queryExecution().analyzed().toString()
+    hash_args = plan.split("xxhash64(", 1)[1].split(")", 1)[0]
+    assert "doc_id" in hash_args and "text" not in hash_args
+    # a frame with NO id-like column keeps the all-columns content hash
+    noid = spark.range(100).select(
+        (F.col("id") % 7).alias("a"), (F.col("id") % 3).alias("b")
+    )
+    plan2 = spread(noid)._jdf.queryExecution().analyzed().toString()
+    assert "xxhash64(a" in plan2

