@@ -53,6 +53,7 @@ def pagerank(
     seeds: DataFrame | None = None,
     tol_micro: int | None = None,
     init_scores: DataFrame | None = None,
+    check_every: int = 1,
 ) -> DataFrame:
     """(node, score_micro) after `iters` exact-integer PageRank
     iterations over the DISTINCT edge list.  Nodes = src ∪ dst;
@@ -102,13 +103,27 @@ def pagerank(
     warm and a cold run landed 2 micro apart on a 20-node fixture),
     so bit-equality holds against the same init, not across inits;
     rankings are unaffected and the plateau width is O(a few micro).
-    Gates therefore replay the fixed-`iters` cold form."""
+    Gates therefore replay the fixed-`iters` cold form.
+
+    `check_every` (r13): evaluate the `tol_micro` stop every k-th
+    iteration instead of every iteration.  Each check is a driver
+    barrier (a 1-row collect that executes the iteration chain), so
+    k>1 trades up to k−1 overshoot iterations for k× fewer barriers —
+    at ``tol_micro=0`` the result is BIT-IDENTICAL for any k (post-
+    fixed-point iterations replay the fixed point; test-pinned), so
+    latency-bound callers (test fixtures, small-graph maintenance)
+    should chunk, while at 100 TB every overshoot iteration is a full
+    edge shuffle and the default 1 is right.  With tol_micro>0 the
+    loop stops at the first CHECKED iteration under tol (a k>1 caller
+    opts into potentially more-converged scores)."""
     if not 0 <= damping_ppm <= MICRO:
         raise ValueError("damping_ppm must be in [0, 1e6]")
     if iters < 0:
         raise ValueError("iters must be >= 0")
     if tol_micro is not None and tol_micro < 0:
         raise ValueError("tol_micro must be >= 0")
+    if check_every < 1:
+        raise ValueError("check_every must be >= 1")
     if weight_col is None:
         e = edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -171,7 +186,7 @@ def pagerank(
             F.coalesce(F.col("_i"), F.lit(MICRO).cast("long"))
             .alias("score_micro"),
         )
-    for _ in range(iters):
+    for _i in range(iters):
         contrib = (
             e_deg.join(
                 scores.withColumnRenamed("node", "src"), "src"
@@ -199,7 +214,7 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        if tol_micro is not None:
+        if tol_micro is not None and (_i + 1) % check_every == 0:
             delta = (
                 new.join(
                     scores.withColumnRenamed("score_micro", "_prev"), "node"
@@ -436,7 +451,9 @@ def bfs_levels(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("level", F.lit(hop))
-            .localCheckpoint(eager=True)
+            # lazy: the empty-frontier probe below materializes it in
+            # the same job (r13 — eager paid a separate job per hop)
+            .localCheckpoint(eager=False)
         )
         if nxt.limit(1).count() == 0:
             return visited
@@ -551,7 +568,8 @@ def sssp(
                 | (F.col("dist_micro") < F.col("_old"))
             )
             .select("node", "dist_micro")
-            .localCheckpoint(eager=True)
+            # lazy: the improvement probe below materializes it (r13)
+            .localCheckpoint(eager=False)
         )
         if improved.limit(1).count() == 0:
             return dist
@@ -764,7 +782,8 @@ def coreness_hindex(
             .agg(
                 F.max(F.least(F.col("_rn"), F.col("_hv"))).alias("_h")
             )
-            .localCheckpoint(eager=True)
+            # lazy: the fixpoint probe below materializes it (r13)
+            .localCheckpoint(eager=False)
         )
         n_changed = (
             nxt.join(
@@ -880,7 +899,11 @@ def label_propagation(
         labels = nodes.join(mode, "node", "left_outer").select(
             "node",
             F.coalesce("label", F.col("node")).alias("label"),
-        ).localCheckpoint(eager=True)
+            # lazy: fixed-round loop with no per-round probe — the
+            # caller's first action materializes the whole cascade in
+            # one job; each round's plan is still truncated at the
+            # checkpoint node, so analysis depth stays O(1) (r13)
+        ).localCheckpoint(eager=False)
     return labels
 
 

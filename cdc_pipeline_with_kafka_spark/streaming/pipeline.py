@@ -1921,6 +1921,7 @@ def make_pagerank_sink(
     tol_micro: int = 0,
     damping_ppm: int = 850_000,
     weight_col: str | None = None,
+    check_every: int = 1,
 ):
     """foreachBatch PageRank maintenance — the coreness sink's
     authority sibling, closing the streaming graph family
@@ -1942,7 +1943,13 @@ def make_pagerank_sink(
     the larger weight, deterministically — pre-dedupe the batch if
     that's not the semantics you want).  Without this, an updated
     edge would keep BOTH weight rows in the distinct edge list and
-    be silently double-counted."""
+    be silently double-counted.
+
+    `check_every` forwards to graph.pagerank (r13): at the default
+    ``tol_micro=0`` the snapshot is bit-identical for any value, so
+    latency-bound deployments (small graphs, test fixtures) can chunk
+    the convergence barrier; keep 1 when an iteration is a full-scale
+    edge shuffle."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
 
@@ -1990,6 +1997,7 @@ def make_pagerank_sink(
             all_edges, iters=iters, damping_ppm=damping_ppm,
             weight_col="w" if weight_col is not None else None,
             tol_micro=tol_micro, init_scores=prior,
+            check_every=check_every,
         )
         scores.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             f"{out_path}/labels/batch_id={batch_id}"

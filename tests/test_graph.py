@@ -141,9 +141,25 @@ def test_pagerank_tol_early_stop_equals_fixed_iters(spark):
     }
     stopped = {
         r["node"]: r["score_micro"]
-        for r in G.pagerank(df, iters=50, tol_micro=0).collect()
+        for r in G.pagerank(df, iters=50, tol_micro=0, check_every=4).collect()
     }
     assert stopped == fixed
+    # r13 check_every: the chunked convergence barrier is bit-identical
+    # for any k at tol_micro=0 (overshoot replays the fixed point) —
+    # including a k that never divides the stop iteration evenly
+    every1 = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(df, iters=50, tol_micro=0).collect()
+    }
+    every7 = {
+        r["node"]: r["score_micro"]
+        for r in G.pagerank(df, iters=50, tol_micro=0, check_every=7).collect()
+    }
+    assert every1 == every7 == fixed
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="check_every"):
+        G.pagerank(df, iters=1, check_every=0)
     # replay confirms convergence by iteration 5 (the DAG depth) —
     # so the early stop saved ≥40 full edge shuffles
     assert G.pagerank_replay(edges, iters=5) == G.pagerank_replay(
@@ -701,12 +717,12 @@ def test_pagerank_warm_start_fixed_point_contract(spark):
     delta = [(30, 0), (0, 30), (30, 31), (1, 30)]
     bdf = _edges_df(spark, base)
     fdf = _edges_df(spark, base + delta)
-    old = G.pagerank(bdf, iters=100, tol_micro=0)
-    warm_df = G.pagerank(fdf, iters=100, tol_micro=0, init_scores=old)
+    old = G.pagerank(bdf, iters=100, tol_micro=0, check_every=4)
+    warm_df = G.pagerank(fdf, iters=100, tol_micro=0, check_every=4, init_scores=old)
     warm = {r["node"]: r["score_micro"] for r in warm_df.collect()}
     cold = {
         r["node"]: r["score_micro"]
-        for r in G.pagerank(fdf, iters=100, tol_micro=0).collect()
+        for r in G.pagerank(fdf, iters=100, tol_micro=0, check_every=4).collect()
     }
     assert set(warm) == set(cold)
     assert 30 in warm and 31 in warm  # delta-only nodes present
@@ -715,7 +731,7 @@ def test_pagerank_warm_start_fixed_point_contract(spark):
     again = {
         r["node"]: r["score_micro"]
         for r in G.pagerank(
-            fdf, iters=100, tol_micro=0, init_scores=warm_df
+            fdf, iters=100, tol_micro=0, check_every=4, init_scores=warm_df
         ).collect()
     }
     assert again == warm

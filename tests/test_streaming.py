@@ -1266,7 +1266,7 @@ def test_pagerank_sink_maintains_fixed_point_and_replay(spark, tmp_path):
     base = list({(int(a), int(b)) for a, b in rng.integers(0, 20, (50, 2))})
     batches = [base[:25], base[25:], [(30, 0), (0, 30), (31, 30)]]
     path = str(tmp_path / "pr")
-    sink = pipeline.make_pagerank_sink(path)
+    sink = pipeline.make_pagerank_sink(path, check_every=4)
     seen = []
     for i, b in enumerate(batches):
         seen += b
@@ -1276,7 +1276,7 @@ def test_pagerank_sink_maintains_fixed_point_and_replay(spark, tmp_path):
     all_df = spark.createDataFrame(sorted(set(seen)), "src long, dst long")
     cold = {
         r["node"]: r["score_micro"]
-        for r in G.pagerank(all_df, iters=100, tol_micro=0).collect()
+        for r in G.pagerank(all_df, iters=100, tol_micro=0, check_every=4).collect()
     }
     gotd = dict(got)
     assert set(gotd) == set(cold)
@@ -1285,7 +1285,7 @@ def test_pagerank_sink_maintains_fixed_point_and_replay(spark, tmp_path):
     again = {
         (r["node"], r["score_micro"])
         for r in G.pagerank(
-            all_df, iters=100, tol_micro=0, init_scores=snap
+            all_df, iters=100, tol_micro=0, check_every=4, init_scores=snap
         ).collect()
     }
     assert again == got
@@ -1307,7 +1307,7 @@ def test_pagerank_sink_weighted_update_latest_wins(spark, tmp_path):
     from cdc_pipeline_with_kafka_spark.operators import graph as G
 
     path = str(tmp_path / "prw")
-    sink = pipeline.make_pagerank_sink(path, weight_col="w")
+    sink = pipeline.make_pagerank_sink(path, weight_col="w", check_every=4)
     b0 = [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
     b1 = [(1, 2, 3.0)]  # weight UPDATE for (1, 2)
     sink(spark.createDataFrame(b0, "src long, dst long, w double"), 0)
@@ -1321,7 +1321,7 @@ def test_pagerank_sink_weighted_update_latest_wins(spark, tmp_path):
         r["node"]: r["score_micro"]
         for r in G.pagerank(
             spark.createDataFrame(current, "src long, dst long, w double"),
-            iters=100, tol_micro=0, weight_col="w",
+            iters=100, tol_micro=0, check_every=4, weight_col="w",
         ).collect()
     }
     doubled = {
@@ -1330,7 +1330,7 @@ def test_pagerank_sink_weighted_update_latest_wins(spark, tmp_path):
             spark.createDataFrame(
                 b0 + b1, "src long, dst long, w double"
             ),
-            iters=100, tol_micro=0, weight_col="w",
+            iters=100, tol_micro=0, check_every=4, weight_col="w",
         ).collect()
     }
     assert set(got) == set(cold)
@@ -1360,7 +1360,7 @@ def test_pagerank_sink_weighted_update_latest_wins(spark, tmp_path):
             spark.createDataFrame(
                 current + [(3, 2, 2.0)], "src long, dst long, w double"
             ),
-            iters=100, tol_micro=0, weight_col="w",
+            iters=100, tol_micro=0, check_every=4, weight_col="w",
         ).collect()
     }
     assert all(abs(got2[n] - cold2[n]) <= 4 for n in cold2)
